@@ -1,0 +1,192 @@
+"""Deterministic serializers: document tree → text / markdown / flat spans.
+
+The reference exports through docling-core's ``export_to_markdown`` /
+``export_to_text`` (CLI fan-out at ``docling/cli/main.py:177-277``; the
+byte-exact golden check is ``tests/verify_utils.py:500-515``). docling-core is
+not available here, so these serializers define this engine's *own* frozen
+export contract — deterministic, pure functions of the tree — and the golden
+fixtures in ``tests_our/`` pin their output byte-for-byte.
+
+Conventions (matching docling-core's markdown style where cheap):
+* blocks joined with a blank line (``\\n\\n``), no trailing newline,
+* title → ``# text``; section_header level L → ``'#' * (L + 1) + ' text'``,
+* code → fenced block,
+* unordered list items → ``- text`` (nested: 2-space indent per depth),
+* enumerated items → explicit marker when the source ``start`` attribute
+  produced one (reference: html_backend.py:340-343), else positional ``N.``,
+* tables → pipe grid from the span-expanded occupancy grid,
+* pictures → ``<!-- image -->`` in markdown (docling-core convention),
+  omitted from plain text,
+* plain-text export renders only the BODY layer — this is the "main-content
+  text" of the north star; furniture (pre-heading boilerplate) is dropped.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from doc_parser_spark.core import model
+from doc_parser_spark.core.model import Document, Node
+
+
+def _list_item_prefix(doc: Document, node: Node) -> str:
+    if node.marker:
+        return node.marker + " "
+    if node.enumerated:
+        parent = doc.nodes[node.parent] if node.parent is not None else None
+        if parent is not None:
+            pos = 0
+            for child_idx in parent.children:
+                child = doc.nodes[child_idx]
+                if child.label == model.LIST_ITEM:
+                    pos += 1
+                if child_idx == node.index:
+                    break
+            return f"{pos}. "
+        return "1. "
+    return "- "
+
+
+def _list_depth(doc: Document, node: Node) -> int:
+    depth = 0
+    cur = node.parent
+    while cur is not None:
+        parent = doc.nodes[cur]
+        if parent.label in (model.GROUP_LIST, model.GROUP_ORDERED_LIST):
+            depth += 1
+        cur = parent.parent
+    return max(depth - 1, 0)
+
+
+def _table_to_markdown(table: model.TableData) -> str:
+    if table.num_rows == 0 or table.num_cols == 0:
+        return ""
+    lines = []
+    for i, row in enumerate(table.grid):
+        cells = [(c if c is not None else "").replace("\n", " ").strip() for c in row]
+        lines.append("| " + " | ".join(cells) + " |")
+        if i == 0:
+            lines.append("|" + "---|" * table.num_cols)
+    return "\n".join(lines)
+
+
+def _table_to_text(table: model.TableData) -> str:
+    lines = []
+    for row in table.grid:
+        cells = [(c if c is not None else "").replace("\n", " ").strip() for c in row]
+        lines.append(" | ".join(cells))
+    return "\n".join(lines)
+
+
+def export_text(doc: Document, layers: tuple[str, ...] = (model.BODY,)) -> str:
+    """Main-content plain text (BODY layer only by default)."""
+    blocks: list[str] = []
+    for node, _ in doc.iterate_items(layers=layers):
+        label = node.label
+        if label == model.PICTURE:
+            continue
+        if label == model.TABLE:
+            if node.table is not None:
+                rendered = _table_to_text(node.table)
+                if rendered:
+                    blocks.append(rendered)
+            continue
+        text = node.text
+        if not text:
+            continue
+        if label == model.LIST_ITEM:
+            indent = "  " * _list_depth(doc, node)
+            blocks.append(indent + _list_item_prefix(doc, node) + text)
+        else:
+            blocks.append(text)
+    return "\n\n".join(blocks)
+
+
+def export_markdown(
+    doc: Document, layers: tuple[str, ...] = (model.BODY,)
+) -> str:
+    blocks: list[str] = []
+    for node, _ in doc.iterate_items(layers=layers):
+        label = node.label
+        if label == model.PICTURE:
+            blocks.append("<!-- image -->")
+        elif label == model.TABLE:
+            if node.table is not None:
+                rendered = _table_to_markdown(node.table)
+                if rendered:
+                    blocks.append(rendered)
+        elif label == model.TITLE:
+            if node.text:
+                blocks.append("# " + node.text)
+        elif label == model.SECTION_HEADER:
+            if node.text:
+                blocks.append("#" * (node.level + 1) + " " + node.text)
+        elif label == model.CODE:
+            if node.text:
+                blocks.append("```\n" + node.text + "\n```")
+        elif label == model.LIST_ITEM:
+            if node.text:
+                indent = "  " * _list_depth(doc, node)
+                blocks.append(indent + _list_item_prefix(doc, node) + node.text)
+        else:
+            if node.text:
+                blocks.append(node.text)
+    return "\n\n".join(blocks)
+
+
+def flatten_spans(doc: Document) -> list[dict]:
+    """Tree → ordered flat span records (for the Spark ``spans`` column).
+
+    DFS order over both layers; groups included so the structure is
+    reconstructible (the ``.itxt`` spirit of the reference's groundtruth
+    files, ``tests/data/groundtruth/docling_v2/*.itxt``).
+    """
+    spans: list[dict] = []
+    for node, depth in doc.iterate_items(
+        layers=(model.BODY, model.FURNITURE), with_groups=True
+    ):
+        table_payload: Optional[dict] = None
+        if node.table is not None:
+            table_payload = {
+                "num_rows": node.table.num_rows,
+                "num_cols": node.table.num_cols,
+                "cells": [
+                    {
+                        "text": c.text,
+                        "row_span": c.row_span,
+                        "col_span": c.col_span,
+                        "start_row": c.start_row,
+                        "end_row": c.end_row,
+                        "start_col": c.start_col,
+                        "end_col": c.end_col,
+                        "column_header": c.column_header,
+                        "row_header": c.row_header,
+                    }
+                    for c in node.table.cells
+                ],
+            }
+        bbox_payload = None
+        if node.bbox is not None:
+            l, t, r, b = node.bbox
+            bbox_payload = {"l": float(l), "t": float(t), "r": float(r), "b": float(b)}
+        spans.append(
+            {
+                "self_ref": node.self_ref,
+                "parent_ref": (
+                    doc.nodes[node.parent].self_ref if node.parent is not None else None
+                ),
+                "kind": "group" if node.is_group else "item",
+                "label": node.label,
+                "name": node.name or None,
+                "level": node.level,
+                "marker": node.marker or None,
+                "enumerated": node.enumerated,
+                "content_layer": node.content_layer,
+                "depth": depth,
+                "page_no": node.page_no,
+                "text": node.text or None,
+                "bbox": bbox_payload,
+                "table": table_payload,
+            }
+        )
+    return spans
