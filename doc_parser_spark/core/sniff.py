@@ -1,0 +1,70 @@
+"""Content-based format detection (SURVEY.md §2.1 Op-1).
+
+Re-expresses the reference's format sniffing
+(``docling/datamodel/document.py:306-506`` ``_guess_format`` /
+``_guess_from_content`` / ``_detect_html_xhtml``; magic-byte variant
+``doc_preprocessors/attachment_processor.py:1128-1142``) as a pure function
+over the payload bytes. Designed to be applied per-row inside the Arrow
+batch; the PDF/zip magic checks are also mirrored as native column
+expressions in the extraction plan so Catalyst can route the cheap cases
+without Python (see operators/extract.py).
+"""
+
+from __future__ import annotations
+
+import re
+
+FORMAT_PDF = "pdf"
+FORMAT_HTML = "html"
+FORMAT_XML = "xml"
+FORMAT_ZIP = "zip"  # office-container family (docx/xlsx/pptx/hwpx)
+FORMAT_MD = "md"
+FORMAT_CSV = "csv"
+FORMAT_TEXT = "text"
+FORMAT_UNKNOWN = "unknown"
+
+# reference: docling/datamodel/document.py:440-478 (_detect_html_xhtml)
+_HTML_RE = re.compile(
+    rb"^\s*(?:<\?xml[^>]*\?>\s*)?(?:<!--.*?-->\s*)*<"
+    rb"(?:!doctype\s+html|html\b|head\b|body\b)",
+    re.IGNORECASE | re.DOTALL,
+)
+_ANY_TAG_RE = re.compile(rb"^\s*<[a-zA-Z!/]")
+_XML_DECL_RE = re.compile(rb"^\s*<\?xml")
+_MD_HINT_RE = re.compile(rb"(?m)^(#{1,6}\s+\S|[-*]\s+\S|```)")
+
+
+def sniff_format(payload: bytes) -> str:
+    """Classify raw page bytes into a processing format."""
+    if not payload:
+        return FORMAT_UNKNOWN
+    head = payload[:4096].lstrip(b"\xef\xbb\xbf")  # strip UTF-8 BOM
+
+    # magic bytes first (attachment_processor.py:1128-1142)
+    if head.startswith(b"%PDF-"):
+        return FORMAT_PDF
+    if head.startswith(b"PK\x03\x04"):
+        return FORMAT_ZIP
+
+    if _HTML_RE.match(head):
+        return FORMAT_HTML
+    if _XML_DECL_RE.match(head):
+        # XHTML served with an XML declaration still routes to HTML
+        # (document.py:449-462 checks for an <html> root)
+        if re.search(rb"<html\b", head, re.IGNORECASE):
+            return FORMAT_HTML
+        return FORMAT_XML
+    if _ANY_TAG_RE.match(head):
+        # leading tag that isn't a recognized html/xml root: treat as HTML
+        # fragment (real-world crawl pages frequently omit <html>)
+        return FORMAT_HTML
+
+    # printable heuristic: mostly-text payloads fall back to text/markdown
+    sample = head[:1024]
+    if sample:
+        nontext = sum(1 for b in sample if b < 9 or (13 < b < 32))
+        if nontext / len(sample) > 0.05:
+            return FORMAT_UNKNOWN
+    if _MD_HINT_RE.search(head):
+        return FORMAT_MD
+    return FORMAT_TEXT

@@ -1,0 +1,262 @@
+"""The extraction operator: Common-Crawl-style pages → documents_out / chunks_out.
+
+This is the Spark materialization of the reference's whole conversion
+lifecycle (SURVEY.md §3, EP-1/EP-2): everything
+``DocumentConverter.convert`` + ``DocumentProcessor.__call__`` do per
+document happens *inside one Arrow batch* of a ``mapInPandas`` kernel —
+format sniffing, backend dispatch, tree build, serialization, chunking,
+vector-metadata. No per-row Python UDFs, no driver-side loops, no
+intermediate Spark rows for pages/cells (input_hint: "vectorized
+pandas/Arrow UDFs (no per-row Python) throughout").
+
+Scale design (north_rule):
+
+* **Salt repartition by url-hash** (:func:`salt_repartition`) defuses
+  host-level skew — Common-Crawl rows arrive host-clustered, and one host
+  with MB-scale pages would otherwise stall a partition. ``xxhash64(url)``
+  is JVM-side, uniform, and deterministic.
+* **document_hash stays native** — ``sha2(html, 256)`` runs in the JVM
+  (whole-stage codegen), not in the Python kernel
+  (reference: docling/utils/utils.py:19-44 → ``F.sha2``).
+* **chunks explode natively** — chunk rows are carried as a nested array
+  column and exploded with ``F.explode`` (JVM), so chunks_out never
+  re-enters Python.
+* **Per-document failure isolation** — a pathological page (RecursionError
+  on 10k-deep DOMs, undecodable bytes) yields a ``status='failure'`` row,
+  never a dead executor; mirrors the reference's per-document
+  ConversionStatus (docling/pipeline/base_pipeline.py:171-205).
+* **Accumulator metrics** — optional parse-failure / fallback counters
+  (north_star: "Spark accumulators tracking parse-failure and
+  fallback-path rates per partition").
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from doc_parser_spark.core import model, schemas, sniff
+from doc_parser_spark.core.chunker import chunk_document, compose_vectors
+from doc_parser_spark.core.serialize import export_markdown, export_text, flatten_spans
+from doc_parser_spark.core.simple_backends import (
+    extract_csv,
+    extract_markdown,
+    extract_text_doc,
+)
+from doc_parser_spark.html.extractor import extract_html
+
+# generous bound for adversarial DOM depth; per-document try/except is the
+# real guard (reference caps pages/file-size instead: datamodel/settings.py:22-25)
+_RECURSION_LIMIT = 20000
+
+DEFAULT_MAX_BYTES = 20 * 1024 * 1024  # max_file_size gate (document.py:133-169)
+DEFAULT_REG_DATE = "1970-01-01T00:00:00Z"
+
+
+def _get_pdf_extractor():
+    """PDF branch loaded lazily (keeps the HTML-only path import-light)."""
+    from doc_parser_spark.pdf.extractor import extract_pdf
+
+    return extract_pdf
+
+
+_DISPATCH = {
+    sniff.FORMAT_HTML: extract_html,
+    sniff.FORMAT_TEXT: extract_text_doc,
+    sniff.FORMAT_MD: extract_markdown,
+    sniff.FORMAT_CSV: extract_csv,
+}
+
+
+def convert_payload(payload: bytes, fmt: Optional[str] = None):
+    """bytes → (Document, format, fallback_used). Raises on hard failure."""
+    if fmt is None:
+        fmt = sniff.sniff_format(payload)
+    fallback = False
+    if fmt == sniff.FORMAT_PDF:
+        extract_pdf = _get_pdf_extractor()
+        doc, fallback = extract_pdf(payload)
+        return doc, fmt, fallback
+    extractor = _DISPATCH.get(fmt)
+    if extractor is None:
+        raise ValueError(f"unsupported format: {fmt}")
+    return extractor(payload), fmt, fallback
+
+
+def process_document(
+    url: str,
+    payload: Optional[bytes],
+    reg_date: str = DEFAULT_REG_DATE,
+    max_tokens: int = 2000,
+    max_bytes: int = DEFAULT_MAX_BYTES,
+    with_markdown: bool = True,
+) -> dict:
+    """One page → one documents_out record (pure function, testable)."""
+    t0 = time.perf_counter()
+    fmt = None
+    try:
+        if payload is None or len(payload) == 0:
+            raise ValueError("empty payload")
+        if len(payload) > max_bytes:
+            return _result(
+                url, "oversize", schemas.STATUS_SKIPPED,
+                error=f"payload {len(payload)} bytes > max {max_bytes}",
+                t0=t0,
+            )
+        fmt = sniff.sniff_format(payload)
+        if fmt in (sniff.FORMAT_ZIP, sniff.FORMAT_XML, sniff.FORMAT_UNKNOWN):
+            return _result(
+                url, fmt, schemas.STATUS_SKIPPED,
+                error=f"no deterministic backend for format {fmt}", t0=t0,
+            )
+        doc, fmt, fallback = convert_payload(payload, fmt)
+
+        # spans BEFORE chunking: the chunker blanks page-header/footer text
+        # in place (reference mutation, basic_processor.py:175-176)
+        spans = flatten_spans(doc)
+        text = export_text(doc)
+        markdown = export_markdown(doc) if with_markdown else None
+        chunks = chunk_document(doc, max_tokens=max_tokens)
+        vectors = compose_vectors(doc, chunks, reg_date=reg_date)
+
+        # parse quality: share of replacement chars (cheap analog of the
+        # reference's per-cell garbage scoring, page_preprocessing_model.py:116-141)
+        bad = text.count("�")
+        parse_score = 1.0 if not text else max(0.0, 1.0 - 10.0 * bad / len(text))
+
+        return {
+            "url": url,
+            "format": fmt,
+            "status": schemas.STATUS_SUCCESS,
+            "error": None,
+            "text": text,
+            "markdown": markdown,
+            "title": doc.title_text(),
+            "n_items": sum(1 for _ in doc.iterate_items(layers=(model.BODY, model.FURNITURE))),
+            "n_chars": len(text),
+            "n_pages": doc.num_pages(),
+            "n_chunks": len(vectors),
+            "fallback": fallback,
+            "confidence": {"parse_score": parse_score, "layout_score": 1.0},
+            "spans": spans,
+            "chunks": vectors,
+            "extract_ms": (time.perf_counter() - t0) * 1000.0,
+        }
+    except Exception as exc:  # noqa: BLE001 — per-document isolation
+        return _result(
+            url, fmt or "unknown", schemas.STATUS_FAILURE,
+            error=f"{type(exc).__name__}: {exc}"[:500], t0=t0,
+        )
+
+
+def _result(url: str, fmt: str, status: str, error: str, t0: float) -> dict:
+    return {
+        "url": url,
+        "format": fmt,
+        "status": status,
+        "error": error,
+        "text": None,
+        "markdown": None,
+        "title": None,
+        "n_items": 0,
+        "n_chars": 0,
+        "n_pages": 0,
+        "n_chunks": 0,
+        "fallback": False,
+        "confidence": {"parse_score": 0.0, "layout_score": 0.0},
+        "spans": None,
+        "chunks": None,
+        "extract_ms": (time.perf_counter() - t0) * 1000.0,
+    }
+
+
+def salt_repartition(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Shuffle rows uniformly by url-hash to defuse host-level skew
+    (north_rule "salt-repartitions by url-hash"). One shuffle, JVM-side."""
+    return df.repartition(num_partitions, F.xxhash64(F.col("url")))
+
+
+def extract_documents(
+    df: DataFrame,
+    reg_date: str = DEFAULT_REG_DATE,
+    max_tokens: int = 2000,
+    max_bytes: int = DEFAULT_MAX_BYTES,
+    with_markdown: bool = True,
+    salt_partitions: Optional[int] = None,
+    accumulators: Optional[dict] = None,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → documents_out DataFrame.
+
+    ``accumulators`` may carry ``{"success": acc, "failure": acc,
+    "fallback": acc}`` LongAccumulators for live fleet metrics.
+    """
+    if salt_partitions:
+        df = salt_repartition(df, salt_partitions)
+
+    # identity hash native (JVM, codegen) — not in the Python kernel
+    df = df.withColumn("document_hash", F.sha2(F.col("html"), 256))
+
+    acc_success = (accumulators or {}).get("success")
+    acc_failure = (accumulators or {}).get("failure")
+    acc_fallback = (accumulators or {}).get("fallback")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if sys.getrecursionlimit() < _RECURSION_LIMIT:
+            sys.setrecursionlimit(_RECURSION_LIMIT)
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+
+        for batch in batches:
+            records = []
+            for url, warc_ts, lang, payload, doc_hash in zip(
+                batch["url"], batch["warc_ts"], batch["lang"],
+                batch["html"], batch["document_hash"],
+            ):
+                rec = process_document(
+                    url,
+                    bytes(payload) if payload is not None else None,
+                    reg_date=reg_date,
+                    max_tokens=max_tokens,
+                    max_bytes=max_bytes,
+                    with_markdown=with_markdown,
+                )
+                rec["warc_ts"] = warc_ts
+                rec["lang"] = lang
+                rec["document_hash"] = doc_hash
+                rec["partition_id"] = pid
+                records.append(rec)
+                if rec["status"] == schemas.STATUS_SUCCESS:
+                    if acc_success is not None:
+                        acc_success.add(1)
+                elif rec["status"] == schemas.STATUS_FAILURE:
+                    if acc_failure is not None:
+                        acc_failure.add(1)
+                if rec["fallback"] and acc_fallback is not None:
+                    acc_fallback.add(1)
+
+            out = pd.DataFrame(records)
+            yield out[[f.name for f in schemas.DOCUMENTS_OUT_SCHEMA.fields]]
+
+    return df.mapInPandas(kernel, schema=schemas.DOCUMENTS_OUT_SCHEMA)
+
+
+def explode_chunks(documents_out: DataFrame) -> DataFrame:
+    """documents_out → flat chunks_out (vector-DB shape). JVM-side explode;
+    the Python kernel is never re-entered."""
+    return (
+        documents_out
+        .where(F.col("chunks").isNotNull())
+        .select(
+            "url", "warc_ts", "lang", "format", "document_hash",
+            F.posexplode("chunks").alias("_pos", "chunk"),
+        )
+        .select("url", "warc_ts", "lang", "format", "document_hash", "chunk.*")
+        .drop("_pos")
+    )

@@ -1,0 +1,100 @@
+"""PDF → document tree (deterministic, rule-based pipeline).
+
+Assembly order mirrors the reference's paginated pipeline
+(``docling/pipeline/standard_pdf_pipeline.py:68-92`` build chain →
+``:183-283`` assemble): per page, extract cells → horizontal merge →
+quality score → reading order → block clustering → sanitize → items;
+then concatenate pages into one document.
+
+Heading detection is the engine's rule-based stand-in for the reference's
+layout NN (``docling/models/layout_model.py:148-219``, out of deterministic
+scope per SURVEY.md §7): a single-line block whose font size clearly exceeds
+the page median becomes TITLE (first, page 1) or SECTION_HEADER.
+
+The fallback chain mirrors ``doc_preprocessors/basic_processor.py:887-903``:
+if the structured parse fails, the whole document is retried with the naive
+string scan and the row is flagged ``fallback=True`` (surfaced into the
+fleet's fallback-rate accumulator).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from doc_parser_spark.core import model
+from doc_parser_spark.core.model import Document
+from doc_parser_spark.pdf import layout, minipdf
+
+_HEADING_SIZE_FACTOR = 1.25
+
+
+def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
+    doc = Document()
+    parse_scores: list[float] = []
+    title_emitted = False
+    current_parent: model.Node | None = None
+
+    for page in pages:
+        merged = layout.merge_horizontal_cells(page.cells)
+        score = layout.page_parse_score(merged)
+        if not math.isnan(score):
+            parse_scores.append(score)
+
+        ordered = layout.order_cells(merged, page.width)
+        blocks = layout.cluster_blocks(ordered)
+        if merged:
+            median_size = float(np.median([c.font_size for c in merged]))
+        else:
+            median_size = 12.0
+
+        for block in blocks:
+            lines = [c.text.replace("\x02", "-").strip() for c in block if c.text.strip()]
+            if not lines:
+                continue
+            text = layout.sanitize_text(lines)
+            if not text:
+                continue
+            bbox = layout.block_bbox(block)
+            block_size = max(c.font_size for c in block)
+            is_heading = (
+                len(block) == 1 and block_size >= median_size * _HEADING_SIZE_FACTOR
+            )
+            if is_heading and not title_emitted and page.page_no == 1:
+                current_parent = doc.add_text(
+                    text=text, label=model.TITLE,
+                    page_no=page.page_no, bbox=bbox,
+                )
+                title_emitted = True
+            elif is_heading:
+                current_parent = doc.add_heading(
+                    text=text, level=1,
+                    parent=doc.nodes[current_parent.parent]
+                    if current_parent is not None and current_parent.label == model.SECTION_HEADER
+                    else current_parent,
+                    page_no=page.page_no, bbox=bbox,
+                )
+            else:
+                doc.add_text(
+                    text=text, label=model.TEXT, parent=current_parent,
+                    page_no=page.page_no, bbox=bbox,
+                )
+
+    parse_score = float(np.mean(parse_scores)) if parse_scores else 0.0
+    return doc, parse_score
+
+
+def extract_pdf(payload: bytes) -> tuple[Document, bool]:
+    """PDF bytes → (Document, fallback_used)."""
+    try:
+        pages = minipdf.parse_pdf(payload)
+        doc, _score = _build_document(pages)
+        if doc.has_text_items() or not payload:
+            return doc, False
+        # parsed but produced nothing: retry with the naive scan
+        raise minipdf.PdfParseError("structured parse yielded no text")
+    except Exception:
+        pages = minipdf.fallback_scan(payload)
+        doc, _score = _build_document(pages)
+        return doc, True

@@ -1,0 +1,238 @@
+"""Rule-based PDF layout pass: cells → merged lines → blocks → reading order.
+
+Re-expresses the deterministic layout/assembly subset of the reference
+(SURVEY.md §2.3 Op-19/23/25/30/31):
+
+* horizontal cell merge with the exact grouping math of
+  ``docling/backend/pypdfium2_backend.py:157-252`` (vertical overlap within
+  0.5× row height, merge gaps ≤ 1.0× average cell height),
+* parse-quality scoring with the garbage-glyph regexes and 10th-percentile
+  page rollup of ``docling/models/page_preprocessing_model.py:27-141``,
+* text sanitization (dehyphenation + unicode normalization) of
+  ``docling/models/page_assemble_model.py:34-65``,
+* reading order by (top, left) with a two-column split heuristic — the
+  reference defers multi-column ordering to an ML reading-order model
+  (``docling/models/readingorder_model.py:42-381``); for the deterministic
+  rebuild, cells whose left edges form two well-separated clusters are
+  ordered column-major (left column first), which matches the predictor on
+  simple two-column pages. Complex layouts are a documented gap.
+
+numpy is used for the vectorizable parts; everything runs inside the Arrow
+batch.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from doc_parser_spark.pdf.minipdf import PdfPage, TextCell
+
+# -- horizontal merge (reference: pypdfium2_backend.py:157-252) --------------
+
+
+def merge_horizontal_cells(
+    cells: list[TextCell],
+    horizontal_threshold_factor: float = 1.0,
+    vertical_threshold_factor: float = 0.5,
+) -> list[TextCell]:
+    if not cells:
+        return []
+
+    def group_rows(cells: list[TextCell]) -> list[list[TextCell]]:
+        rows: list[list[TextCell]] = []
+        current = [cells[0]]
+        row_top, row_bottom = cells[0].t, cells[0].b
+        row_height = cells[0].height
+        for cell in cells[1:]:
+            vt = row_height * vertical_threshold_factor
+            if abs(cell.t - row_top) <= vt and abs(cell.b - row_bottom) <= vt:
+                current.append(cell)
+                row_top = min(row_top, cell.t)
+                row_bottom = max(row_bottom, cell.b)
+                row_height = row_bottom - row_top
+            else:
+                rows.append(current)
+                current = [cell]
+                row_top, row_bottom = cell.t, cell.b
+                row_height = cell.height
+        if current:
+            rows.append(current)
+        return rows
+
+    def merge_group(group: list[TextCell]) -> TextCell:
+        if len(group) == 1:
+            return group[0]
+        ordered = sorted(group, key=lambda c: c.l)
+        # reference re-extracts text from the merged bbox via the pdfium text
+        # page; cell-order concatenation is the equivalent for stream cells
+        return TextCell(
+            index=group[0].index,
+            text="".join(c.text for c in ordered),
+            l=min(c.l for c in group),
+            t=min(c.t for c in group),
+            r=max(c.r for c in group),
+            b=max(c.b for c in group),
+            font_size=group[0].font_size,
+            page_no=group[0].page_no,
+        )
+
+    def merge_row(row: list[TextCell]) -> list[TextCell]:
+        merged: list[TextCell] = []
+        current = [row[0]]
+        for cell in row[1:]:
+            prev = current[-1]
+            avg_height = (prev.height + cell.height) / 2
+            if cell.l - prev.r <= avg_height * horizontal_threshold_factor:
+                current.append(cell)
+            else:
+                merged.append(merge_group(current))
+                current = [cell]
+        if current:
+            merged.append(merge_group(current))
+        return merged
+
+    rows = group_rows(cells)
+    merged = [cell for row in rows for cell in merge_row(row)]
+    for i, cell in enumerate(merged, 1):
+        cell.index = i
+    return merged
+
+
+# -- parse-quality scoring (reference: page_preprocessing_model.py:27-141) ---
+
+_GLYPH_RE = re.compile(r"GLYPH<[0-9A-Fa-f]+>")
+_SLASH_G_RE = re.compile(r"/G\d+")
+_SLASH_RUN_RE = re.compile(r"(?:/[a-zA-Z0-9]+){3,}")
+
+
+def rate_text_quality(text: str) -> float:
+    """Per-cell quality in [0, 1]; replacement chars zero it out."""
+    if not text:
+        return 0.0
+    if "�" in text or "�" in text:
+        return 0.0
+    score = 1.0
+    if _GLYPH_RE.search(text) or _SLASH_G_RE.search(text) or _SLASH_RUN_RE.search(text):
+        score *= 0.1
+    words = text.split()
+    if words:
+        # fragmented-word penalty: many 1-char alpha tokens
+        frag = sum(1 for w in words if len(w) == 1 and w.isalpha())
+        if frag / len(words) > 0.5:
+            score *= 0.5
+    return score
+
+
+def page_parse_score(cells: list[TextCell]) -> float:
+    """10th-percentile rollup (page_preprocessing_model.py:77-85)."""
+    if not cells:
+        return float("nan")
+    scores = np.array([rate_text_quality(c.text) for c in cells], dtype=float)
+    return float(np.nanquantile(scores, 0.10))
+
+
+# -- sanitize (reference: page_assemble_model.py:34-65) ----------------------
+
+_WORD_RE = re.compile(r"\b[\w]+\b")
+
+_CHAR_NORMALIZATIONS = [
+    ("⁄", "/"),  # ⁄
+    ("’", "'"),  # ’
+    ("‘", "'"),  # ‘
+    ("“", '"'),  # “
+    ("”", '"'),  # ”
+    ("•", "·"),  # • → ·
+]
+
+
+def sanitize_text(lines: list[str]) -> str:
+    """Join cluster lines with dehyphenation + unicode normalization."""
+    if len(lines) <= 1:
+        sanitized = " ".join(lines)
+    else:
+        lines = list(lines)
+        for ix, line in enumerate(lines[1:]):
+            prev_line = lines[ix]
+            if prev_line.endswith("-"):
+                prev_words = _WORD_RE.findall(prev_line)
+                line_words = _WORD_RE.findall(line)
+                if (
+                    prev_words
+                    and line_words
+                    and prev_words[-1].isalnum()
+                    and line_words[0].isalnum()
+                ):
+                    lines[ix] = prev_line[:-1]
+            else:
+                lines[ix] += " "
+        sanitized = "".join(lines)
+
+    for src, dst in _CHAR_NORMALIZATIONS:
+        sanitized = sanitized.replace(src, dst)
+    return sanitized.strip()
+
+
+# -- reading order + block clustering ----------------------------------------
+
+
+def order_cells(cells: list[TextCell], page_width: float) -> list[TextCell]:
+    """Column-aware (t, l) ordering."""
+    if len(cells) < 4:
+        return sorted(cells, key=lambda c: (c.t, c.l))
+
+    lefts = np.array(sorted(c.l for c in cells))
+    gaps = np.diff(lefts)
+    if gaps.size:
+        split_at = int(np.argmax(gaps))
+        gap = float(gaps[split_at])
+        boundary = float(lefts[split_at]) + gap / 2
+        left_col = [c for c in cells if c.l < boundary]
+        right_col = [c for c in cells if c.l >= boundary]
+        # two columns when the gap is wide and both sides are substantial
+        if (
+            gap > page_width * 0.15
+            and len(left_col) >= 2
+            and len(right_col) >= 2
+            and max(c.r for c in left_col) < boundary + 1.0
+        ):
+            return sorted(left_col, key=lambda c: (c.t, c.l)) + sorted(
+                right_col, key=lambda c: (c.t, c.l)
+            )
+    return sorted(cells, key=lambda c: (c.t, c.l))
+
+
+def cluster_blocks(
+    ordered: list[TextCell], gap_factor: float = 0.9
+) -> list[list[TextCell]]:
+    """Consecutive lines → blocks; a vertical gap larger than
+    ``gap_factor × line height`` starts a new block (the rule-based analog of
+    the reference's orphan-cell TEXT clusters, layout_postprocessor.py:274-290)."""
+    blocks: list[list[TextCell]] = []
+    current: list[TextCell] = []
+    for cell in ordered:
+        if not current:
+            current = [cell]
+            continue
+        prev = current[-1]
+        line_h = max(prev.height, 1.0)
+        same_column = cell.l < prev.r + 2 * line_h and cell.r > prev.l - 2 * line_h
+        vertical_gap = cell.t - prev.b
+        if same_column and -line_h * 0.5 <= vertical_gap <= line_h * gap_factor:
+            current.append(cell)
+        else:
+            blocks.append(current)
+            current = [cell]
+    if current:
+        blocks.append(current)
+    return blocks
+
+
+def block_bbox(block: list[TextCell]) -> tuple[float, float, float, float]:
+    return (
+        min(c.l for c in block),
+        min(c.t for c in block),
+        max(c.r for c in block),
+        max(c.b for c in block),
+    )

@@ -1,0 +1,317 @@
+"""Pure-Python PDF text extraction: content streams → positioned text cells.
+
+The reference's fallback PDF backend extracts positioned text rectangles via
+pypdfium2 (``docling/backend/pypdfium2_backend.py:120-153``) — a PDFMiner-style
+pass, which is exactly what the north star asks for. pypdfium2 is not
+available in this environment, so this module implements the pass from
+scratch for the deterministic PDF subset the corpus carries (uncompressed
+content streams, standard Type1 fonts, ``BT/ET`` text blocks with
+``Td/TD/Tm/T*/TL/Tf/Tj/TJ/'`` operators).
+
+Output cells carry top-left-origin bounding boxes like the reference's
+(``pypdfium2_backend.py:142-150`` converts BOTTOMLEFT → TOPLEFT); the width
+model is a 0.5-em average-glyph approximation (Helvetica metrics are not
+shipped), which is stable because fixtures use the same model.
+
+FlateDecode streams are supported via stdlib zlib when present.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass
+
+AVG_GLYPH_EM = 0.5  # average Helvetica glyph width as a fraction of font size
+
+
+@dataclass
+class TextCell:
+    """A positioned text run (reference TextCell analog)."""
+
+    index: int
+    text: str
+    l: float
+    t: float
+    r: float
+    b: float
+    font_size: float
+    page_no: int
+
+    @property
+    def height(self) -> float:
+        return self.b - self.t
+
+    @property
+    def width(self) -> float:
+        return self.r - self.l
+
+
+@dataclass
+class PdfPage:
+    page_no: int
+    width: float
+    height: float
+    cells: list
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
+)
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
+
+
+class PdfParseError(Exception):
+    pass
+
+
+def _parse_objects(data: bytes) -> dict[int, bytes]:
+    objects: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(data):
+        objects[int(m.group(1))] = m.group(3)
+    if not objects:
+        raise PdfParseError("no PDF objects found")
+    return objects
+
+
+def _object_stream(body: bytes) -> bytes | None:
+    m = _STREAM_RE.search(body)
+    if m is None:
+        return None
+    payload = m.group(1)
+    if b"/FlateDecode" in body:
+        try:
+            payload = zlib.decompress(payload)
+        except zlib.error as exc:
+            raise PdfParseError(f"bad FlateDecode stream: {exc}") from exc
+    return payload
+
+
+def _page_objects(objects: dict[int, bytes]) -> list[int]:
+    """Page object numbers in document order (via /Pages kids when present)."""
+    pages_in_tree: list[int] = []
+
+    def walk_kids(obj_num: int, depth: int = 0) -> None:
+        if depth > 32 or obj_num not in objects:
+            return
+        body = objects[obj_num]
+        if b"/Type" in body and b"/Pages" in body.replace(b" ", b""):
+            m = _KIDS_RE.search(body)
+            if m:
+                for ref in _REF_RE.finditer(m.group(1)):
+                    walk_kids(int(ref.group(1)), depth + 1)
+                return
+        if re.search(rb"/Type\s*/Page\b", body):
+            pages_in_tree.append(obj_num)
+
+    roots = [
+        num for num, body in objects.items()
+        if re.search(rb"/Type\s*/Pages\b", body) and b"/Parent" not in body
+    ]
+    for root in sorted(roots):
+        walk_kids(root)
+    if not pages_in_tree:
+        pages_in_tree = sorted(
+            num for num, body in objects.items()
+            if re.search(rb"/Type\s*/Page\b", body)
+        )
+    return pages_in_tree
+
+
+# -- content-stream tokenizer -------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    rb"""
+    (?P<str>\((?:\\.|[^\\()])*\))      # literal string
+  | (?P<hex><[0-9A-Fa-f\s]*>)          # hex string
+  | (?P<arr_open>\[) | (?P<arr_close>\])
+  | (?P<num>[-+]?\d*\.?\d+)
+  | (?P<name>/[^\s\[\]()<>/]+)
+  | (?P<op>[A-Za-z'"*]+)
+    """,
+    re.VERBOSE,
+)
+
+_ESCAPES = {
+    b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+    b"(": "(", b")": ")", b"\\": "\\",
+}
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    body = raw[1:-1]
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        ch = body[i : i + 1]
+        if ch == b"\\" and i + 1 < len(body):
+            nxt = body[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
+                i += 2
+                continue
+            if nxt.isdigit():  # octal escape, up to 3 digits
+                j = i + 1
+                while j < len(body) and j < i + 4 and body[j : j + 1].isdigit():
+                    j += 1
+                out.append(chr(int(body[i + 1 : j], 8)))
+                i = j
+                continue
+            i += 1
+            continue
+        out.append(ch.decode("latin-1"))
+        i += 1
+    return "".join(out)
+
+
+def extract_cells(
+    content: bytes, page_height: float, page_no: int
+) -> list[TextCell]:
+    """Run the text-state machine over one content stream.
+
+    Tracks ``Tf`` (font size), ``Td/TD/Tm/T*`` (line matrix), ``TL``
+    (leading) and emits one cell per ``Tj``/``'``/TJ-segment, converting the
+    baseline coordinate to a top-left-origin bbox exactly as the reference
+    normalizes pypdfium2 rects (pypdfium2_backend.py:142-150).
+    """
+    cells: list[TextCell] = []
+    font_size = 12.0
+    leading = 0.0
+    x = y = 0.0
+    in_text = False
+    stack: list = []
+    counter = 0
+
+    def emit(text: str) -> None:
+        nonlocal counter
+        if text == "":
+            return
+        width = AVG_GLYPH_EM * font_size * len(text)
+        ascent, descent = 0.8 * font_size, 0.2 * font_size
+        top = page_height - (y + ascent)
+        bottom = page_height - (y - descent)
+        cells.append(
+            TextCell(
+                index=counter, text=text,
+                l=x, t=top, r=x + width, b=bottom,
+                font_size=font_size, page_no=page_no,
+            )
+        )
+        counter += 1
+
+    for m in _TOKEN_RE.finditer(content):
+        kind = m.lastgroup
+        if kind == "str":
+            stack.append(("str", _decode_pdf_string(m.group())))
+        elif kind == "hex":
+            hex_body = re.sub(rb"\s", b"", m.group()[1:-1])
+            if len(hex_body) % 2:
+                hex_body += b"0"
+            stack.append(("str", bytes.fromhex(hex_body.decode()).decode("latin-1")))
+        elif kind == "num":
+            stack.append(("num", float(m.group())))
+        elif kind == "arr_open":
+            stack.append(("mark", None))
+        elif kind == "arr_close":
+            items = []
+            while stack and stack[-1][0] != "mark":
+                items.append(stack.pop())
+            if stack:
+                stack.pop()
+            stack.append(("arr", list(reversed(items))))
+        elif kind == "name":
+            stack.append(("name", m.group().decode("latin-1")))
+        elif kind == "op":
+            op = m.group()
+            if op == b"BT":
+                in_text = True
+                x = y = 0.0
+            elif op == b"ET":
+                in_text = False
+            elif op == b"Tf" and len(stack) >= 2:
+                font_size = float(stack[-1][1])
+            elif op == b"TL" and stack:
+                leading = float(stack[-1][1])
+            elif op == b"Td" and len(stack) >= 2:
+                x += float(stack[-2][1])
+                y += float(stack[-1][1])
+            elif op == b"TD" and len(stack) >= 2:
+                leading = -float(stack[-1][1])
+                x += float(stack[-2][1])
+                y += float(stack[-1][1])
+            elif op == b"Tm" and len(stack) >= 6:
+                x = float(stack[-2][1])
+                y = float(stack[-1][1])
+            elif op == b"T*":
+                y -= leading
+            elif op == b"Tj" and in_text and stack and stack[-1][0] == "str":
+                emit(stack[-1][1])
+            elif op == b"'" and in_text and stack and stack[-1][0] == "str":
+                y -= leading
+                emit(stack[-1][1])
+            elif op == b"TJ" and in_text and stack and stack[-1][0] == "arr":
+                text_parts = []
+                offset = 0.0
+                for t, v in stack[-1][1]:
+                    if t == "str":
+                        text_parts.append(v)
+                    elif t == "num":
+                        offset += v
+                emit("".join(text_parts))
+            stack.clear()
+
+    return cells
+
+
+def parse_pdf(data: bytes) -> list[PdfPage]:
+    """PDF bytes → pages of positioned text cells."""
+    if not data.startswith(b"%PDF-"):
+        raise PdfParseError("missing %PDF- header")
+    objects = _parse_objects(data)
+    pages: list[PdfPage] = []
+    for page_no, obj_num in enumerate(_page_objects(objects), start=1):
+        body = objects[obj_num]
+        mb = _MEDIABOX_RE.search(body)
+        width, height = (612.0, 792.0)
+        if mb:
+            width = float(mb.group(3)) - float(mb.group(1))
+            height = float(mb.group(4)) - float(mb.group(2))
+        content = b""
+        m = _CONTENTS_RE.search(body)
+        refs: list[int] = []
+        if m:
+            refs = [int(m.group(1))]
+        else:
+            m_arr = _CONTENTS_ARR_RE.search(body)
+            if m_arr:
+                refs = [int(r.group(1)) for r in _REF_RE.finditer(m_arr.group(1))]
+        for ref in refs:
+            stream = _object_stream(objects.get(ref, b""))
+            if stream:
+                content += stream + b"\n"
+        cells = extract_cells(content, height, page_no)
+        pages.append(PdfPage(page_no=page_no, width=width, height=height, cells=cells))
+    if not pages:
+        raise PdfParseError("no pages found")
+    return pages
+
+
+def fallback_scan(data: bytes) -> list[PdfPage]:
+    """Last-resort pass: every literal string followed by Tj, in file order
+    (the engine's analog of the reference's whole-document backend-fallback
+    retry, doc_preprocessors/basic_processor.py:887-903)."""
+    runs = re.findall(rb"(\((?:\\.|[^\\()])*\))\s*Tj", data)
+    cells = [
+        TextCell(
+            index=i, text=_decode_pdf_string(raw),
+            l=72.0, t=72.0 + 14.0 * i, r=500.0, b=84.0 + 14.0 * i,
+            font_size=11.0, page_no=1,
+        )
+        for i, raw in enumerate(runs)
+    ]
+    return [PdfPage(page_no=1, width=612.0, height=792.0, cells=cells)]

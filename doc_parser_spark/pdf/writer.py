@@ -1,0 +1,112 @@
+"""Deterministic programmatic-PDF writer (test fixtures only).
+
+The corpus this engine targets carries ``application/pdf`` payloads; no PDF
+library ships in this environment, so fixtures are generated here as minimal
+uncompressed PDF 1.4 files (Helvetica, ``BT/Td/Tj`` text operators, plain
+xref). The fixture classes mirror FIXTURES.md: paragraph flow, two-column
+text, hyphenated line breaks, unicode punctuation, fragmented cells.
+
+Not part of the extraction path — production inputs come from the page
+table; this module only synthesizes inputs for tests/bench.
+"""
+
+from __future__ import annotations
+
+PAGE_W = 612.0
+PAGE_H = 792.0
+
+
+def _escape(text: str) -> str:
+    return text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _content_stream(runs: list[tuple[float, float, float, str]]) -> bytes:
+    """runs: (x, y_baseline, font_size, text) in PDF bottom-left coords."""
+    parts = []
+    for x, y, size, text in runs:
+        parts.append(
+            f"BT /F1 {size:g} Tf {x:g} {y:g} Td ({_escape(text)}) Tj ET"
+        )
+    return ("\n".join(parts)).encode("latin-1", errors="replace")
+
+
+def write_pdf(pages: list[list[tuple[float, float, float, str]]]) -> bytes:
+    """pages: one list of text runs per page → PDF bytes."""
+    objects: list[bytes] = []
+
+    n_pages = len(pages)
+    first_page_obj = 3
+    # object layout: 1 catalog, 2 pages, then per page: page obj, content obj
+    kids = " ".join(
+        f"{first_page_obj + 2 * i} 0 R" for i in range(n_pages)
+    )
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    font_obj = first_page_obj + 2 * n_pages
+    for i, runs in enumerate(pages):
+        content = _content_stream(runs)
+        page_num = first_page_obj + 2 * i
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:g} {PAGE_H:g}] "
+                f"/Contents {page_num + 1} 0 R "
+                f"/Resources << /Font << /F1 {font_obj} 0 R >> >> >>"
+            ).encode()
+        )
+        objects.append(
+            f"<< /Length {len(content)} >>\nstream\n".encode()
+            + content
+            + b"\nendstream"
+        )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def paragraph_runs(
+    lines: list[str],
+    x: float = 72.0,
+    top_y: float = 720.0,
+    size: float = 11.0,
+    leading: float = 14.0,
+) -> list[tuple[float, float, float, str]]:
+    """Lay consecutive lines down a column."""
+    return [(x, top_y - i * leading, size, line) for i, line in enumerate(lines)]
+
+
+def fragmented_runs(
+    line: str,
+    x: float,
+    y: float,
+    size: float = 11.0,
+    pieces: int = 3,
+) -> list[tuple[float, float, float, str]]:
+    """Split one visual line into adjacent sub-word fragments, reproducing
+    pypdfium2's fragmented cells (reference: pypdfium2_backend.py:155-156);
+    exercises the horizontal-merge pass."""
+    if pieces <= 1 or len(line) < pieces:
+        return [(x, y, size, line)]
+    step = max(1, len(line) // pieces)
+    frags = [line[i : i + step] for i in range(0, len(line), step)]
+    runs = []
+    cx = x
+    for frag in frags:
+        runs.append((cx, y, size, frag))
+        cx += 0.5 * size * len(frag)  # matches the parser's width model
+    return runs

@@ -1,0 +1,145 @@
+"""Deterministic synthetic Common-Crawl-style page table (FIXTURES.md §1).
+
+Schema per BASELINE.json input_hint:
+``(url string, warc_ts timestamp, html binary, text string, lang string)``.
+
+Rows are generated from a seeded RNG only — no external data. Hosts are
+zipf-skewed on purpose so the salt-repartition path has real skew to defuse;
+HTML payload classes cover every handler group of the HTML walk
+(SURVEY.md §2.2) and ~5% of rows carry ``%PDF-`` payloads routed to the PDF
+branch; a small tail is degenerate (empty/garbage) to exercise
+failure/skip statuses.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+from doc_parser_spark.pdf import writer
+
+_WORDS = (
+    "data spark query engine table row batch shuffle merge scan filter "
+    "climate report annual global mean section detail result method state "
+    "value record page text item chunk token vector index search model"
+).split()
+
+_LANGS = ["ko", "en", "en", "ko", "en"]  # reference corpus is Korean-heavy
+
+_BASE_TS = datetime(2024, 1, 1)
+
+
+def _sentence(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(_WORDS) for _ in range(n)).capitalize() + "."
+
+
+def _para(rng: random.Random, sentences: int = 3) -> str:
+    return " ".join(_sentence(rng, rng.randint(6, 14)) for _ in range(sentences))
+
+
+def _html_doc(rng: random.Random, i: int) -> bytes:
+    """One HTML page hitting a rotating subset of handler groups."""
+    cls = i % 10
+    parts = ["<html><head><title>ignored head title</title>",
+             "<style>.nav{color:red}</style></head><body>"]
+    if cls in (1, 5, 9):
+        parts.append(f"<nav>boilerplate menu {i}</nav><p>pre-heading furniture</p>")
+    parts.append(f"<h1>Document {i}</h1>")
+    parts.append(f"<p>{_para(rng)}</p>")
+    if cls == 0:
+        parts.append(f"<h2>Section A</h2><p>{_para(rng)}</p><h4>Deep skip</h4><p>{_para(rng, 2)}</p>")
+    elif cls == 1:
+        parts.append(f"<p>line one<br>line two of doc {i}</p>")
+    elif cls == 2:
+        parts.append(
+            "<ul><li>alpha</li><li>beta<ul><li>nested</li></ul></li></ul>"
+            f'<ol start="{(i % 7) + 2}"><li>first</li><li>second</li></ol>'
+        )
+    elif cls == 3:
+        parts.append(
+            "<table><tr><th>K</th><th>V</th></tr>"
+            f'<tr><td rowspan="2">x{i}</td><td>{rng.randint(0, 99)}</td></tr>'
+            f"<tr><td>{rng.randint(0, 99)}</td></tr></table>"
+        )
+    elif cls == 4:
+        parts.append(f"<pre>def f_{i}():\n    return {i}</pre>")
+    elif cls == 5:
+        parts.append(
+            f"<figure><img src='x{i}.png'><figcaption>Figure {i}</figcaption></figure><img src='y.png'>"
+        )
+    elif cls == 6:
+        parts.append(f"<details><summary>More {i}</summary><p>{_para(rng, 1)}</p></details>")
+    elif cls == 7:
+        parts.append(f"<div>floating text {i}<p>{_para(rng, 1)}</p></div>")
+    elif cls == 8:
+        # long doc: exercises the token splitter
+        for _ in range(6):
+            parts.append(f"<h2>{_sentence(rng, 3)}</h2><p>{_para(rng, 30)}</p>")
+    # cls 9: furniture-heavy short doc, nothing extra
+    parts.append("</body></html>")
+    return "".join(parts).encode("utf-8")
+
+
+def _pdf_doc(rng: random.Random, i: int) -> bytes:
+    runs = [(72.0, 720.0, 18.0, f"PDF Report {i}")]
+    runs += writer.paragraph_runs(
+        [_sentence(rng, 8), _sentence(rng, 8)[:-1] + "-", _sentence(rng, 6)],
+        top_y=680.0,
+    )
+    runs += writer.fragmented_runs(_sentence(rng, 6), 72.0, 600.0)
+    page2 = writer.paragraph_runs([_sentence(rng, 10), _sentence(rng, 7)], top_y=700.0)
+    return writer.write_pdf([runs, page2])
+
+
+def generate_rows(n: int, seed: int = 42) -> list[dict]:
+    """n deterministic page rows (host-skewed urls, mixed payloads)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        # zipf-ish host skew: rank = floor(u^-0.7) caps heavy hosts
+        u = rng.random()
+        host = int(min(999, (u ** -0.7) - 1))
+        url = f"https://host{host}.example/{seed}/{i}"
+        warc_ts = _BASE_TS + timedelta(seconds=(i * 2591999) // max(n - 1, 1))
+        lang = _LANGS[i % len(_LANGS)]
+        roll = i % 100
+        if roll < 5:
+            payload = _pdf_doc(rng, i)
+        elif roll == 97:
+            payload = b""  # degenerate: empty
+        elif roll == 98:
+            payload = bytes(rng.randbytes(64))  # degenerate: binary garbage
+        elif roll == 99:
+            payload = _para(rng, 2).encode()  # plain text payload
+        else:
+            payload = _html_doc(rng, i)
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": warc_ts,
+                "html": payload,
+                "text": "",
+                "lang": lang,
+            }
+        )
+    return rows
+
+
+def pages_df(spark, n: int, seed: int = 42, num_partitions: int | None = None):
+    """Synthetic page table as a Spark DataFrame."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    rows = generate_rows(n, seed)
+    df = spark.createDataFrame(rows, schema=schema)
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    return df

@@ -1,0 +1,132 @@
+"""End-to-end Spark smoke tests: page table → documents_out / chunks_out.
+
+Mirrors the reference's own smoke strategy (tests_our/smoke/test_pdf_smoke.py:
+convert a fixture, assert ≥1 chunk and the vector schema) at the Spark
+surface, plus scale-plumbing assertions (per-document failure isolation,
+accumulator metrics, plan shape).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from doc_parser_spark.operators.extract import (
+    explode_chunks,
+    extract_documents,
+    salt_repartition,
+)
+from doc_parser_spark.sources.pages import pages_df
+
+pytestmark = pytest.mark.smoke
+
+N_PAGES = 200
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = pages_df(spark, N_PAGES, num_partitions=8)
+    out = extract_documents(df, salt_partitions=8).cache()
+    yield out
+    out.unpersist()
+
+
+def test_statuses_and_formats(docs):
+    counts = {
+        (r["format"], r["status"]): r["count"]
+        for r in docs.groupBy("format", "status").count().collect()
+    }
+    assert counts[("html", "success")] >= N_PAGES * 0.85
+    assert counts[("pdf", "success")] >= 5
+    assert ("unknown", "skipped") in counts  # binary garbage rows
+    # empty payloads isolate as failures, never kill the job
+    assert ("unknown", "failure") in counts
+
+
+def test_extraction_content(docs):
+    row = (
+        docs.where(F.col("url").endswith("/10"))
+        .select("title", "text", "n_chunks", "status")
+        .first()
+    )
+    assert row["status"] == "success"
+    assert row["title"] == "Document 10"
+    assert row["text"].startswith("Document 10")
+    assert row["n_chunks"] >= 1
+    pdf_row = (
+        docs.where(F.col("url").endswith("/0"))
+        .select("title", "format", "status", "n_pages")
+        .first()
+    )
+    assert pdf_row["format"] == "pdf" and pdf_row["status"] == "success"
+    assert pdf_row["title"] == "PDF Report 0" and pdf_row["n_pages"] == 2
+
+
+def test_furniture_dropped_from_text(docs):
+    # class-9 pages carry <nav> boilerplate before the h1
+    rows = docs.where(F.col("url").endswith("/9")).select("text").collect()
+    assert rows and "boilerplate menu" not in rows[0]["text"]
+
+
+def test_chunks_out_schema_and_explode(docs):
+    chunks = explode_chunks(docs)
+    assert chunks.count() > 0
+    cols = set(chunks.columns)
+    for field in (
+        "text", "n_char", "n_word", "n_line", "i_page", "i_chunk_on_page",
+        "n_chunk_of_page", "i_chunk_on_doc", "n_chunk_of_doc", "n_page",
+        "reg_date", "chunk_bboxes", "media_files", "title", "created_date",
+    ):
+        assert field in cols
+    bad = chunks.where(F.length("text") != F.col("n_char")).count()
+    assert bad == 0
+
+
+def test_document_hash_is_native_sha256(docs, spark):
+    import hashlib
+
+    row = docs.where(F.col("url").endswith("/0")).select("document_hash").first()
+    from doc_parser_spark.sources.pages import generate_rows
+
+    payload = generate_rows(N_PAGES)[0]["html"]
+    assert row["document_hash"] == hashlib.sha256(payload).hexdigest()
+
+
+def test_accumulator_metrics(spark):
+    sc = spark.sparkContext
+    accs = {
+        "success": sc.accumulator(0),
+        "failure": sc.accumulator(0),
+        "fallback": sc.accumulator(0),
+    }
+    df = pages_df(spark, 100, num_partitions=4)
+    out = extract_documents(df, accumulators=accs)
+    total = out.count()
+    assert total == 100
+    assert accs["success"].value >= 90
+    assert accs["failure"].value >= 1
+    assert accs["success"].value + accs["failure"].value <= 100
+
+
+def test_salt_repartition_distributes(spark):
+    df = pages_df(spark, 200, num_partitions=2)
+    salted = salt_repartition(df, 8)
+    sizes = (
+        salted.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().collect()
+    )
+    assert len(sizes) == 8
+    counts = [r["count"] for r in sizes]
+    assert max(counts) <= 3 * min(counts)  # roughly uniform despite host skew
+
+
+def test_determinism_across_runs(spark):
+    df = pages_df(spark, 50, num_partitions=4)
+    a = extract_documents(df).select("url", "text").orderBy("url").collect()
+    b = extract_documents(df).select("url", "text").orderBy("url").collect()
+    assert a == b
+
+
+def test_oversize_gate(spark):
+    df = pages_df(spark, 10, num_partitions=2)
+    out = extract_documents(df, max_bytes=100)
+    statuses = {r["status"] for r in out.select("status").collect()}
+    assert "skipped" in statuses

@@ -1,0 +1,126 @@
+"""Unit tests for the PDF path (SURVEY.md §2.3, Op-19/23/30/31)."""
+
+import pytest
+
+from doc_parser_spark.core import model
+from doc_parser_spark.core.serialize import export_text
+from doc_parser_spark.pdf import layout, minipdf, writer
+from doc_parser_spark.pdf.extractor import extract_pdf
+
+pytestmark = pytest.mark.unit
+
+
+def test_writer_parser_roundtrip():
+    pdf = writer.write_pdf([[(72, 700, 12, "Hello"), (120, 700, 12, "World")]])
+    pages = minipdf.parse_pdf(pdf)
+    assert len(pages) == 1
+    texts = [c.text for c in pages[0].cells]
+    assert texts == ["Hello", "World"]
+    # bbox converted to top-left origin: y=700 baseline, 792-high page
+    cell = pages[0].cells[0]
+    assert cell.t == pytest.approx(792 - (700 + 0.8 * 12))
+    assert cell.b == pytest.approx(792 - (700 - 0.2 * 12))
+
+
+def test_escapes_and_multipage():
+    pdf = writer.write_pdf(
+        [[(72, 700, 12, "a(b)c\\d")], [(72, 700, 12, "page two")]]
+    )
+    pages = minipdf.parse_pdf(pdf)
+    assert pages[0].cells[0].text == "a(b)c\\d"
+    assert pages[1].page_no == 2 and pages[1].cells[0].text == "page two"
+
+
+def test_horizontal_merge_exact_math():
+    # reference: pypdfium2_backend.py:157-252 — gap <= avg height merges,
+    # larger gap splits
+    def cell(i, l, r, t=100.0, b=111.0):
+        return minipdf.TextCell(index=i, text=f"c{i}", l=l, t=t, r=r, b=b,
+                                font_size=11, page_no=1)
+
+    near = [cell(0, 72, 100), cell(1, 105, 130)]  # gap 5 <= 11
+    merged = layout.merge_horizontal_cells(near)
+    assert len(merged) == 1 and merged[0].text == "c0c1"
+
+    far = [cell(0, 72, 100), cell(1, 130, 150)]  # gap 30 > 11
+    assert len(layout.merge_horizontal_cells(far)) == 2
+
+    # vertical: different rows stay separate
+    two_rows = [cell(0, 72, 100), cell(1, 72, 100, t=130.0, b=141.0)]
+    assert len(layout.merge_horizontal_cells(two_rows)) == 2
+
+    # reindexing from 1 (pypdfium2_backend.py:247-248)
+    assert [c.index for c in layout.merge_horizontal_cells(far)] == [1, 2]
+
+
+def test_sanitize_dehyphenation_and_normalization():
+    # reference: page_assemble_model.py:34-65
+    assert layout.sanitize_text(["contin-", "ued rise"]) == "continued rise"
+    # reference checks the last *word*, not hyphen adjacency — a lone
+    # trailing "-" still merges (page_assemble_model.py:41-51)
+    assert layout.sanitize_text(["end -", "still merged"]) == "end still merged"
+    # non-word before the hyphen: no word-merge, but hyphen-ending lines
+    # never get a joining space either (the else branch at :52-53 is skipped)
+    assert layout.sanitize_text(["..-", "kept"]) == "..-kept"
+    assert layout.sanitize_text(["a “quote” and ‘tick’ • dot ⁄ slash"]) == (
+        'a "quote" and \'tick\' · dot / slash'
+    )
+    assert layout.sanitize_text(["one line"]) == "one line"
+    assert layout.sanitize_text([]) == ""
+
+
+def test_quality_scoring():
+    # reference: page_preprocessing_model.py:27-141
+    assert layout.rate_text_quality("normal text here") == 1.0
+    assert layout.rate_text_quality("GLYPH<af> junk") < 0.2
+    assert layout.rate_text_quality("/G12/G13/G14") < 0.2
+    assert layout.rate_text_quality("bad � char") == 0.0
+    assert layout.rate_text_quality("") == 0.0
+
+
+def test_fragmented_cells_merge_to_line():
+    runs = writer.fragmented_runs("Merged back together fine.", 72, 650, pieces=4)
+    pdf = writer.write_pdf([runs])
+    doc, fallback = extract_pdf(pdf)
+    assert not fallback
+    assert export_text(doc) == "Merged back together fine."
+
+
+def test_title_detection_and_reading_order():
+    runs = [(72.0, 720.0, 18.0, "Big Title")]
+    runs += writer.paragraph_runs(["para line one.", "para line two."], top_y=680)
+    doc, _ = extract_pdf(writer.write_pdf([runs]))
+    items = [(n.label, n.text) for n, _ in doc.iterate_items()]
+    assert items[0] == (model.TITLE, "Big Title")
+    assert items[1] == (model.TEXT, "para line one. para line two.")
+
+
+def test_two_column_reading_order():
+    left = writer.paragraph_runs(["L1 first.", "L2 second."], x=72, top_y=700)
+    right = writer.paragraph_runs(["R1 third.", "R2 fourth."], x=350, top_y=700)
+    doc, _ = extract_pdf(writer.write_pdf([left + right]))
+    assert export_text(doc) == "L1 first. L2 second.\n\nR1 third. R2 fourth."
+
+
+def test_fallback_chain_on_corrupt_pdf():
+    # reference: basic_processor.py:887-903 whole-doc fallback retry
+    doc, fallback = extract_pdf(b"%PDF-1.4 corrupt (rescued) Tj stream junk")
+    assert fallback
+    assert "rescued" in export_text(doc)
+
+
+def test_flate_stream():
+    import zlib
+
+    content = b"BT /F1 12 Tf 72 700 Td (flated) Tj ET"
+    comp = zlib.compress(content)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(comp)).encode() + b" /Filter /FlateDecode >>\nstream\n"
+        + comp + b"\nendstream\nendobj\n"
+    )
+    pages = minipdf.parse_pdf(pdf)
+    assert pages[0].cells[0].text == "flated"
