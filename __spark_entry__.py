@@ -1,38 +1,450 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001;
+``queries()`` exposes every implemented operator over the driver's parquet
+tables; ``oracle_sql()`` carries exactly-matching DuckDB SQL for each
+SQL-expressible query (same hash functions, same normalization, same
+truncation) so the value-hash comparison validates numbers, not just shapes.
+
+Float discipline: every ratio/score is computed with exact decimal or
+integer arithmetic where possible and truncated via ``floor(x * 1e6) / 1e6``
+(identical IEEE semantics in both engines) — never engine-native ``round``
+on doubles, whose half-way behaviour differs.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _wrapped_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table → Common-Crawl-style page rows (deterministic HTML
+    wrapping with entity escaping, built natively — no Python)."""
+    docs = _read(spark, sf_dir, "documents")
+    esc = "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    return docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.expr(
+            "cast(concat('<html><body><h1>Doc ', doc_id, '</h1><p>', "
+            + esc
+            + ", '</p></body></html>') as binary)"
+        ).alias("html"),
+        F.lit("").alias("text"),
+        F.col("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline (wrapped docs + synthetic pages
+    with PDF payloads) → documents_out."""
+    from doc_parser_spark.operators.extract import extract_documents
+    from doc_parser_spark.sources.pages import pages_df
+
+    pages = _wrapped_pages(spark, SF_DEFAULT).unionAll(
+        pages_df(spark, 200, seed=7)
+    )
+    return extract_documents(pages, salt_partitions=8).drop("spans", "chunks")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_extract_wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.extract import extract_documents
+
+    out = extract_documents(
+        _wrapped_pages(spark, sf_dir),
+        salt_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "title",
+        F.col("text").alias("extracted_text"),
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+    )
+
+
+def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction over the synthetic page corpus (HTML + PDF + degenerate
+    rows); not SQL-expressible — rows-only check."""
+    from doc_parser_spark.operators.extract import extract_documents
+    from doc_parser_spark.sources.pages import pages_df
+
+    out = extract_documents(pages_df(spark, 300, seed=7), salt_partitions=8)
+    return out.select(
+        "url", "format", "status", "title",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+    )
+
+
+def _q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk rows (GenOSVectorMeta shape) for the wrapped corpus."""
+    from doc_parser_spark.operators.extract import explode_chunks, extract_documents
+
+    out = explode_chunks(
+        extract_documents(
+            _wrapped_pages(spark, sf_dir),
+            salt_partitions=spark.sparkContext.defaultParallelism,
+        )
+    )
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.col("i_chunk_on_doc").cast("long").alias("i_chunk_on_doc"),
+        F.col("n_chunk_of_doc").cast("long").alias("n_chunk_of_doc"),
+        F.col("n_char").cast("long").alias("n_char"),
+        F.col("n_word").cast("long").alias("n_word"),
+        F.col("n_line").cast("long").alias("n_line"),
+        "title",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from doc_parser_spark.operators import (
+        dedup,
+        relational,
+        similarity,
+        text_analysis,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q(fn, *tables):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(*[_read(spark, sf_dir, t) for t in tables])
+
+        return run
+
+    return {
+        # extraction pipeline (the engine's core)
+        "extract_wrapped_docs": _q_extract_wrapped,
+        "extract_pages": _q_extract_pages,
+        "extract_chunks": _q_chunks,
+        # text analysis
+        "doc_token_stats": q(text_analysis.token_stats, "documents"),
+        "doc_quality_score": q(text_analysis.quality_score, "documents"),
+        "doc_lang_id": q(text_analysis.lang_id, "documents"),
+        "doc_fingerprint": q(text_analysis.fingerprint, "documents"),
+        "doc_length_histogram": q(text_analysis.length_histogram, "documents"),
+        # dedup family
+        "doc_exact_dedup": q(dedup.exact_dedup, "documents"),
+        "doc_minhash_signatures": q(dedup.minhash_signatures, "documents"),
+        "doc_lsh_pairs": q(dedup.lsh_candidate_pairs, "documents"),
+        "doc_ngram_jaccard": q(dedup.ngram_jaccard_pairs, "documents"),
+        "doc_simhash": q(dedup.simhash, "documents"),
+        # similarity search
+        "emb_cosine_topk": q(similarity.cosine_topk, "embeddings"),
+        "emb_ann_buckets": q(similarity.ann_buckets, "embeddings"),
+        "emb_ann_lsh_topk": q(similarity.ann_lsh_topk, "embeddings"),
+        # relational breadth
+        "q1_pricing_summary": q(relational.pricing_summary, "lineitem"),
+        "q3_top_unshipped": q(
+            relational.top_unshipped_orders, "customer", "orders", "lineitem"
+        ),
+        "part_revenue_rank": q(relational.part_revenue_rank, "part", "lineitem"),
+        "events_daily": q(relational.events_daily, "events"),
+        "events_sessionize": q(relational.sessionize, "events"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+def _shingle_cte() -> str:
+    """(doc_id, shingle) distinct word-3-grams — mirrors dedup._shingles."""
+    return f"""
+shingles AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+    FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+         LATERAL UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+    WHERE array_to_string(list_slice(w, i, i + 2), ' ') <> ''
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    minhash_cols = ",\n            ".join(
+        f"min(md5(concat('{i}:', shingle))) AS mh_{i}" for i in range(12)
+    )
+    band_keys = []
+    for b in range(4):
+        cols = " || '|' || ".join(f"mh_{b * 3 + r}" for r in range(3))
+        band_keys.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM sigs")
+    bands_sql = " UNION ALL ".join(band_keys)
+
+    en_hits = " + ".join(
+        f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t = '{w}'))"
+        for w in ["the", "and", "of", "to", "is"]
+    )
+    es_hits = " + ".join(
+        f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t = '{w}'))"
+        for w in ["el", "la", "que", "los", "una"]
+    )
+    de_hits = " + ".join(
+        f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t = '{w}'))"
+        for w in ["der", "die", "und", "das", "ist"]
+    )
+
+    return {
+        "extract_wrapped_docs": """
+            SELECT doc_id,
+                   'Doc ' || doc_id AS title,
+                   'Doc ' || doc_id || chr(10) || chr(10) ||
+                       regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS extracted_text,
+                   CAST(1 AS BIGINT) AS n_chunks
+            FROM documents
+        """,
+        # chunk text composition for a one-chunk doc (title + paragraph):
+        # heading context block 'Doc N' + TITLE item text 'Doc N' + body,
+        # prefixed by safe_join(headings) = 'Doc N\n' (reference:
+        # basic_processor.py:286-337 generation, :919-922 join, :1032
+        # content assembly) -> the title line appears three times.
+        "extract_chunks": """
+            SELECT doc_id,
+                   CAST(0 AS BIGINT) AS i_chunk_on_doc,
+                   CAST(1 AS BIGINT) AS n_chunk_of_doc,
+                   length(full_text) AS n_char,
+                   len(regexp_split_to_array(trim(full_text), '\\s+')) AS n_word,
+                   CAST(4 AS BIGINT) AS n_line,
+                   'Doc ' || doc_id AS title
+            FROM (
+                SELECT doc_id,
+                       'Doc ' || doc_id || chr(10) ||
+                       'Doc ' || doc_id || chr(10) ||
+                       'Doc ' || doc_id || chr(10) ||
+                           regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS full_text
+                FROM documents
+            )
+        """,
+        "doc_token_stats": """
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_actual,
+                   floor(1e6 * length(regexp_replace(text, '\\s+', '', 'g'))
+                         / len(regexp_split_to_array(trim(text), '\\s+'))) / 1e6
+                       AS avg_token_len
+            FROM documents
+        """,
+        "doc_quality_score": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_actual,
+                   floor(1e6 * length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                         / length(text)) / 1e6 AS punct_ratio,
+                   floor(1e6 * length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / length(text)) / 1e6 AS digit_ratio,
+                   floor(1e6 * ({en_hits})
+                         / len(regexp_split_to_array(trim(text), '\\s+'))) / 1e6
+                       AS stopword_ratio
+            FROM documents
+        """,
+        "doc_lang_id": f"""
+            SELECT doc_id,
+                   CAST({en_hits} AS BIGINT) AS hits_en,
+                   CAST({es_hits} AS BIGINT) AS hits_es,
+                   CAST({de_hits} AS BIGINT) AS hits_de,
+                   CASE WHEN ({en_hits}) = 0 AND ({es_hits}) = 0 AND ({de_hits}) = 0 THEN 'und'
+                        WHEN ({en_hits}) >= ({es_hits}) AND ({en_hits}) >= ({de_hits}) THEN 'en'
+                        WHEN ({es_hits}) >= ({de_hits}) THEN 'es'
+                        ELSE 'de' END AS pred_lang
+            FROM documents
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
+        """,
+        "doc_length_histogram": """
+            SELECT CAST(floor(length(text) / 100) * 100 AS BIGINT) AS bucket_lo,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "doc_exact_dedup": f"""
+            SELECT md5({_NORM_SQL}) AS content_hash,
+                   min(doc_id) AS canonical_id,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "doc_minhash_signatures": f"""
+            WITH {_shingle_cte()}
+            SELECT doc_id, {minhash_cols}
+            FROM shingles GROUP BY doc_id
+        """,
+        "doc_lsh_pairs": f"""
+            WITH {_shingle_cte()},
+            sigs AS (
+                SELECT doc_id, {minhash_cols}
+                FROM shingles GROUP BY doc_id
+            ),
+            bands AS ({bands_sql}),
+            bucket_sizes AS (
+                SELECT band, band_key, count(*) AS n
+                FROM bands GROUP BY band, band_key
+            ),
+            ok_bands AS (
+                SELECT b.* FROM bands b
+                JOIN bucket_sizes s ON b.band = s.band AND b.band_key = s.band_key
+                WHERE s.n > 1 AND s.n <= 50
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ok_bands a
+            JOIN ok_bands b ON a.band = b.band AND a.band_key = b.band_key
+            WHERE a.doc_id < b.doc_id
+        """,
+        "doc_ngram_jaccard": f"""
+            WITH {_shingle_cte()},
+            sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+            freq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
+            filtered AS (
+                SELECT s.* FROM shingles s JOIN freq f USING (shingle) WHERE f.df <= 100
+            ),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM filtered a JOIN filtered b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   floor(1e6 * n_common / (sa.n_shingles + sb.n_shingles - n_common)) / 1e6
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE floor(1e6 * n_common / (sa.n_shingles + sb.n_shingles - n_common)) / 1e6 >= 0.5
+        """,
+        "emb_cosine_topk": """
+            WITH scored AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       floor(1e6 * (
+                           list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+                           (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+                            sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+                       )) / 1e6 AS cosine
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+                ) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "emb_ann_buckets": """
+            SELECT CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+                   (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+                   (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+                   (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+                   (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+                   (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+                   (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+                   (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS BIGINT) AS bucket,
+                   count(*) AS n_vectors
+            FROM embeddings GROUP BY 1
+        """,
+        "emb_ann_lsh_topk": """
+            WITH bucketed AS (
+                SELECT *, (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+                   (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+                   (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+                   (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+                   (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+                   (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+                   (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+                   (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       floor(1e6 * (
+                           list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+                           (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+                            sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+                       )) / 1e6 AS cosine
+                FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+                WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+                ) AS rank
+                FROM scored
+            ) WHERE rank <= 3
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                                  (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+                   floor(1e6 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*))) / 1e6 AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_unshipped": """
+            SELECT l_orderkey, o_orderdate,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                                  (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_shipdate > TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            HAVING CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                                  (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) > 1000
+        """,
+        "part_revenue_rank": """
+            WITH rev AS (
+                SELECT p_brand, p_partkey,
+                       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                                      (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY p_brand, p_partkey
+            )
+            SELECT p_brand, p_partkey, revenue, rnk FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC
+                ) AS rnk FROM rev
+            ) WHERE rnk <= 3
+        """,
+        "events_daily": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+                   count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, event_id, value,
+                       CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sessions AS (
+                SELECT user_id, value,
+                       CAST(sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS BIGINT) AS session_no
+                FROM flagged
+            )
+            SELECT user_id, session_no, count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+            FROM sessions GROUP BY user_id, session_no
+        """,
+    }

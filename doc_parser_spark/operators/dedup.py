@@ -1,0 +1,186 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale notes (these run over 10^12 documents in the target deployment):
+
+* **exact_dedup** — one hash-groupBy; map-side partial aggregation makes the
+  shuffle carry only (hash, min_id, count) triples, not text.
+* **minhash_signatures** — shingles explode inside one stage; the groupBy
+  shuffles (doc_id, hash_i mins) only. Hash functions are
+  ``md5(i || ':' || shingle)`` so the DuckDB oracle reproduces signatures
+  bit-for-bit (no engine-specific hash).
+* **lsh_candidate_pairs** — banding turns O(n²) similarity search into a
+  self-join on band keys; the band key is a constant-width md5, so the join
+  shuffles narrow rows. Bucket-size skew (a viral boilerplate shingle) is
+  bounded by dropping degenerate bands with > ``max_bucket`` members.
+* **ngram_jaccard_pairs** — inverted-index join (shingle → docs) with a
+  per-shingle frequency cap for the same reason; exact Jaccard is computed
+  only for candidate pairs sharing ≥ 1 shingle.
+* **simhash** — 64-bit signature from per-token md5 bits; Hamming-adjacent
+  buckets would be compared at scale. Spark-side only (no SQL oracle: bit
+  arithmetic differs across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from doc_parser_spark.operators.text_analysis import NORM
+
+N_HASHES = 12
+N_BANDS = 4  # 3 rows per band
+
+
+def _shingles_over_words(n: int = 3) -> str:
+    """Word n-gram shingles over a pre-split ``w`` array column.
+
+    The words array is materialized ONCE per row (projection) — inlining the
+    normalize+split inside the transform lambda makes Catalyst re-evaluate
+    the regex per shingle, an O(words²) blowup measured at 36s vs <1s on
+    sf0.01. Short docs guard: Spark's ``sequence(1, 0)`` counts *down*
+    (→ [1, 0]), unlike SQL generate_series, so size < n must special-case
+    to an empty array for oracle parity."""
+    return (
+        f"CASE WHEN size(w) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(w, i, {n}))) END"
+    )
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact duplicates via normalized-text md5: one row per content hash."""
+    return (
+        documents.select("doc_id", F.expr(f"md5({NORM})").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def shingle_docs(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) pairs, distinct per document."""
+    return (
+        documents.select("doc_id", F.expr(f"split({NORM}, ' ')").alias("w"))
+        .select("doc_id", F.explode(F.expr(_shingles_over_words(n))).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(documents: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """doc_id → [min_i md5(i:shingle)] signature columns mh_0..mh_{k-1}."""
+    pairs = shingle_docs(documents)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return pairs.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Candidate near-dup pairs sharing at least one LSH band."""
+    sigs = minhash_signatures(documents, n_hashes)
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    all_bands = bands[0]
+    for other in bands[1:]:
+        all_bands = all_bands.unionAll(other)
+
+    # drop degenerate buckets (boilerplate skew guard)
+    sized = all_bands.groupBy("band", "band_key").agg(
+        F.collect_set("doc_id").alias("docs"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        sized.where((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select(F.explode(F.expr(
+            "filter(flatten(transform(docs, a -> transform(docs, b -> struct(a, b)))), "
+            "p -> p.a < p.b)"
+        )).alias("pair"))
+        .select(F.col("pair.a").alias("doc_a"), F.col("pair.b").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 100,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over inverted-index candidate pairs."""
+    pairs = shingle_docs(documents, n)
+    sizes = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    # inverted-index self-join; frequency cap bounds hot shingles
+    freq = pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    filtered = pairs.join(
+        F.broadcast(freq.where(F.col("df") <= max_shingle_freq).select("shingle")),
+        "shingle",
+    )
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("sb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.floor(
+                    F.lit(1000000.0)
+                    * F.col("n_common")
+                    / (F.col("sa") + F.col("sb") - F.col("n_common"))
+                )
+                / F.lit(1000000.0)
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
+    """Per-document SimHash from token md5s (Spark-side, no SQL oracle).
+
+    32-bit variant: sum ±1 per bit over tokens, sign → bit. Uses only
+    native expressions (conv/substring on md5 hex), no Python."""
+    toks = documents.select(
+        "doc_id", F.explode(F.expr(f"split({NORM}, ' ')")).alias("tok")
+    ).where(F.col("tok") != "")
+    hashed = toks.select(
+        "doc_id", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h")
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_aggs)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else (sig + term)
+    return sums.select("doc_id", sig.cast("long").alias("simhash"))

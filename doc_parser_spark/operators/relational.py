@@ -1,0 +1,130 @@
+"""Relational breadth queries over the TPC-H-ish star schema + events stream.
+
+The reference has no SQL engine (SURVEY.md §2.7) — Spark's own relational
+primitives cover that role. These queries demonstrate the engine's plumbing
+at the plan level: broadcast joins for small dims, map-side partial
+aggregation, window functions, sessionization via lag/cumsum.
+
+Float discipline (shared with the DuckDB oracles): money sums run on exact
+DECIMAL(18,4) and are cast to double only after rounding; ratios are
+truncated with ``floor(x * 1e6) / 1e6`` — both operations produce identical
+IEEE doubles in Spark and DuckDB, unlike engine-native double rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column, functions as F
+from pyspark.sql.window import Window
+
+
+def _dec(col: str) -> Column:
+    return F.col(col).cast("decimal(18,4)")
+
+
+def _money(expr: Column) -> Column:
+    """Exact decimal sum → 2-decimal double (order-independent)."""
+    return F.round(F.sum(expr), 2).cast("double")
+
+
+def trunc6(expr: Column) -> Column:
+    """floor(x·1e6)/1e6 — engine-portable truncation."""
+    return F.floor(expr * F.lit(1000000.0)) / F.lit(1000000.0)
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-style pricing summary (groupBy with partial aggregation)."""
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(_dec("l_quantity")).alias("sum_qty"),
+            _money(_dec("l_extendedprice")).alias("sum_base_price"),
+            _money(disc_price).alias("sum_disc_price"),
+            trunc6(
+                F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def top_unshipped_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q3-style: revenue of unshipped orders; dims broadcast."""
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return (
+        lineitem.where(F.col("l_shipdate") > F.lit("1997-01-01"))
+        .join(
+            F.broadcast(orders.where(F.col("o_orderdate") < F.lit("1997-01-01"))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_money(disc_price).alias("revenue"))
+        .where(F.col("revenue") > 1000)
+    )
+
+
+def part_revenue_rank(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Window ranking: top-3 revenue parts per brand."""
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    joined = (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(_money(disc_price).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("revenue").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "revenue", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def events_daily(events: DataFrame) -> DataFrame:
+    """Tumbling daily aggregation per event type."""
+    return (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money(_dec("value")).alias("sum_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session assignment: a gap > ``gap_minutes`` starts a new session;
+    per-session stats via lag + cumulative-sum windows.
+
+    Gaps compare as exact epoch *microseconds* (integer arithmetic — no
+    float tolerance, no truncation semantics to match across engines);
+    DuckDB's ``epoch_us()`` is the oracle twin. The NTZ→epoch conversion is
+    pinned to UTC so the session timezone cannot shift it."""
+    spark = events.sparkSession
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    with_gap = events.withColumn(
+        "new_session",
+        F.when(
+            (ts_us - F.lag(ts_us).over(w_user)) > gap_minutes * 60 * 1_000_000, 1
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    with_session = with_gap.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return with_session.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _money(_dec("value")).alias("sum_value"),
+    )
