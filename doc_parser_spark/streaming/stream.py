@@ -1,0 +1,142 @@
+"""Structured Streaming surface: streaming extraction + windowed analytics.
+
+The reference is batch-only (SURVEY.md §2.7: no streaming/watermarks); on
+Spark the same extraction kernel runs unchanged over a stream — the
+``mapInPandas`` stage is stateless, so it composes with ``readStream`` /
+``writeStream`` and the file sink's exactly-once commit log gives the
+streaming flavor of checkpoint/resume for free.
+
+Three entry points:
+
+* :func:`stream_extract` — file-stream of page parquet → documents_out
+  parquet sink with a checkpoint dir. ``trigger(availableNow=True)`` drains
+  the backlog batch-style (used by tests); in production the same call
+  tails a landing zone of WARC-derived parquet drops.
+* :func:`windowed_event_counts` — watermarked tumbling-window aggregation
+  over an event stream (late data handled by the watermark).
+* :func:`running_user_totals` — custom stateful operator via
+  ``applyInPandasWithState`` (GroupState): per-user running event count /
+  value sum, the pattern a custom streaming accumulator (e.g. per-host
+  crawl-quota tracking) would use at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int = 16,
+):
+    """Streaming extraction job; returns the started StreamingQuery."""
+    from doc_parser_spark.operators.extract import extract_documents
+
+    reader = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    docs = extract_documents(reader, with_markdown=False).drop("spans", "chunks")
+    writer = (
+        docs.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type (works on both
+    static and streaming DataFrames)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def _update_user_totals(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n_events, sum_value = state.get
+    else:
+        n_events, sum_value = 0, 0.0
+    for pdf in pdfs:
+        n_events += len(pdf)
+        sum_value += float(pdf["value"].sum())
+    state.update((n_events, sum_value))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n_events], "sum_value": [round(sum_value, 2)]}
+    )
+
+
+def running_user_totals(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user running totals
+    (``applyInPandasWithState`` — Arrow-batched, executor-partitioned
+    state; the scale path for bespoke streaming accumulators)."""
+    return (
+        events_stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
