@@ -190,3 +190,77 @@ def flatten_spans(doc: Document) -> list[dict]:
             }
         )
     return spans
+
+
+def doc_to_json(doc: Document) -> str:
+    """Lossless document JSON (the engine's analog of docling-JSON,
+    reference: docling/backend/json/docling_json_backend.py)."""
+    import json
+
+    return json.dumps({"name": doc.name, "spans": flatten_spans(doc)})
+
+
+def doc_from_json(data) -> Document:
+    """Rebuild a Document from :func:`doc_to_json` output (lossless load,
+    Op-46 parity). Accepts str or bytes."""
+    import json
+
+    if isinstance(data, bytes):
+        data = data.decode("utf-8", errors="replace")
+    payload = json.loads(data)
+    doc = Document(name=payload.get("name", "doc"))
+    by_ref: dict[str, Node] = {}
+    for span in payload["spans"]:
+        parent = by_ref.get(span.get("parent_ref") or "")
+        label = span["label"]
+        kwargs = dict(parent=parent, content_layer=span.get("content_layer", model.BODY))
+        if span["kind"] == "group":
+            node = doc.add_group(name=span.get("name") or "", label=label, **kwargs)
+        elif label == model.TABLE:
+            t = span.get("table") or {}
+            table = model.TableData(
+                num_rows=t.get("num_rows", 0), num_cols=t.get("num_cols", 0)
+            )
+            for c in t.get("cells") or []:
+                table.cells.append(
+                    model.TableCellData(
+                        text=c["text"], row_span=c["row_span"], col_span=c["col_span"],
+                        start_row=c["start_row"], end_row=c["end_row"],
+                        start_col=c["start_col"], end_col=c["end_col"],
+                        column_header=c["column_header"], row_header=c["row_header"],
+                    )
+                )
+            # rebuild grid from span-expanded cells
+            grid = [[None] * table.num_cols for _ in range(table.num_rows)]
+            for c in table.cells:
+                for r in range(c.start_row, min(c.end_row, table.num_rows)):
+                    for cc in range(c.start_col, min(c.end_col, table.num_cols)):
+                        grid[r][cc] = c.text
+            table.grid = grid
+            node = doc.add_table(data=table, page_no=span.get("page_no", 1), **kwargs)
+        elif label == model.PICTURE:
+            node = doc.add_picture(page_no=span.get("page_no", 1), **kwargs)
+        elif label == model.SECTION_HEADER:
+            node = doc.add_heading(
+                text=span.get("text") or "", level=span.get("level", 1),
+                page_no=span.get("page_no", 1), **kwargs
+            )
+        elif label == model.CODE:
+            node = doc.add_code(text=span.get("text") or "",
+                                page_no=span.get("page_no", 1), **kwargs)
+        elif label == model.LIST_ITEM:
+            node = doc.add_list_item(
+                text=span.get("text") or "", enumerated=span.get("enumerated", False),
+                marker=span.get("marker") or "", page_no=span.get("page_no", 1),
+                **kwargs,
+            )
+        else:
+            node = doc.add_text(
+                text=span.get("text") or "", label=label,
+                page_no=span.get("page_no", 1), **kwargs
+            )
+        bbox = span.get("bbox")
+        if bbox:
+            node.bbox = (bbox["l"], bbox["t"], bbox["r"], bbox["b"])
+        by_ref[span["self_ref"]] = node
+    return doc

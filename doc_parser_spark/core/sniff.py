@@ -19,7 +19,10 @@ FORMAT_HTML = "html"
 FORMAT_XML = "xml"
 FORMAT_ZIP = "zip"  # office-container family (docx/xlsx/pptx/hwpx)
 FORMAT_MD = "md"
+FORMAT_ADOC = "asciidoc"
 FORMAT_CSV = "csv"
+FORMAT_JSON = "json"
+FORMAT_DOC_JSON = "doc_json"  # this engine's lossless document JSON
 FORMAT_TEXT = "text"
 FORMAT_UNKNOWN = "unknown"
 
@@ -59,12 +62,21 @@ def sniff_format(payload: bytes) -> str:
         # fragment (real-world crawl pages frequently omit <html>)
         return FORMAT_HTML
 
+    # JSON payloads (docling-JSON analog routed by the "spans" key,
+    # cf. the fork's JSON_DOCLING registration, document_converter.py:211-213)
+    if head.lstrip().startswith((b"{", b"[")):
+        return FORMAT_DOC_JSON if b'"spans"' in head else FORMAT_JSON
+
     # printable heuristic: mostly-text payloads fall back to text/markdown
     sample = head[:1024]
     if sample:
         nontext = sum(1 for b in sample if b < 9 or (13 < b < 32))
         if nontext / len(sample) > 0.05:
             return FORMAT_UNKNOWN
+    # AsciiDoc: a document-title line "= Title" (asciidoc_backend.py:29+)
+    first_line = head.lstrip().split(b"\n", 1)[0]
+    if first_line.startswith(b"= ") and len(first_line) > 2:
+        return FORMAT_ADOC
     if _MD_HINT_RE.search(head):
         return FORMAT_MD
     return FORMAT_TEXT

@@ -65,11 +65,61 @@ def _get_pdf_extractor():
     return extract_pdf
 
 
+def _extract_doc_json(payload: bytes):
+    from doc_parser_spark.core.serialize import doc_from_json
+
+    return doc_from_json(payload)
+
+
+def _extract_json_values(payload: bytes):
+    """Generic JSON → text items from string leaves, document order (the
+    engine's stand-in for pre-extracted-JSON loaders like the fork's BOK
+    backend, docling/backend/json/bok_json_backend.py:26-1059)."""
+    import json
+
+    from doc_parser_spark.core.model import Document
+
+    doc = Document()
+    try:
+        data = json.loads(payload.decode("utf-8", errors="replace"))
+    except json.JSONDecodeError:
+        return doc
+
+    def walk(node):
+        if isinstance(node, str):
+            text = node.strip()
+            if text:
+                doc.add_text(text=text)
+        elif isinstance(node, dict):
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    walk(data)
+    return doc
+
+
+def _lazy_backends():
+    from doc_parser_spark.core.simple_backends import (
+        extract_asciidoc,
+        extract_xml_generic,
+    )
+
+    return {
+        sniff.FORMAT_ADOC: extract_asciidoc,
+        sniff.FORMAT_XML: extract_xml_generic,
+    }
+
+
 _DISPATCH = {
     sniff.FORMAT_HTML: extract_html,
     sniff.FORMAT_TEXT: extract_text_doc,
     sniff.FORMAT_MD: extract_markdown,
     sniff.FORMAT_CSV: extract_csv,
+    sniff.FORMAT_DOC_JSON: _extract_doc_json,
+    sniff.FORMAT_JSON: _extract_json_values,
 }
 
 
@@ -82,7 +132,12 @@ def convert_payload(payload: bytes, fmt: Optional[str] = None):
         extract_pdf = _get_pdf_extractor()
         doc, fallback = extract_pdf(payload)
         return doc, fmt, fallback
-    extractor = _DISPATCH.get(fmt)
+    if fmt == sniff.FORMAT_ZIP:
+        from doc_parser_spark.core.office_backends import extract_office
+
+        doc, kind = extract_office(payload)
+        return doc, kind, fallback
+    extractor = _DISPATCH.get(fmt) or _lazy_backends().get(fmt)
     if extractor is None:
         raise ValueError(f"unsupported format: {fmt}")
     return extractor(payload), fmt, fallback
@@ -109,7 +164,7 @@ def process_document(
                 t0=t0,
             )
         fmt = sniff.sniff_format(payload)
-        if fmt in (sniff.FORMAT_ZIP, sniff.FORMAT_XML, sniff.FORMAT_UNKNOWN):
+        if fmt == sniff.FORMAT_UNKNOWN:
             return _result(
                 url, fmt, schemas.STATUS_SKIPPED,
                 error=f"no deterministic backend for format {fmt}", t0=t0,

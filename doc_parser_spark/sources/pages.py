@@ -105,6 +105,28 @@ def generate_rows(n: int, seed: int = 42) -> list[dict]:
         roll = i % 100
         if roll < 5:
             payload = _pdf_doc(rng, i)
+        elif roll == 92:
+            from doc_parser_spark.sources import office_fixtures
+
+            payload = office_fixtures.make_docx()
+        elif roll == 93:
+            from doc_parser_spark.sources import office_fixtures
+
+            payload = office_fixtures.make_xlsx()
+        elif roll == 94:
+            payload = (
+                f"= Adoc {i}\n\n== Part\n\n{_para(rng, 2)}\n".encode()
+            )
+        elif roll == 95:
+            payload = (
+                f"<?xml version=\"1.0\"?><article><front><article-title>Paper {i}"
+                f"</article-title></front><body><sec><title>Sec</title><p>{_para(rng, 1)}"
+                f"</p></sec></body></article>"
+            ).encode()
+        elif roll == 96:
+            payload = (
+                f'{{"title": "Json {i}", "body": "{_para(rng, 1)}"}}'.encode()
+            )
         elif roll == 97:
             payload = b""  # degenerate: empty
         elif roll == 98:
