@@ -1,0 +1,79 @@
+"""Physical-plan quality gates (the 100 TB questions, SURVEY.md §4).
+
+Would this plan survive a 100× scale-up? These tests pin the properties
+that make it so: column pruning reaching the parquet scan, predicate
+pushdown, broadcast joins for small sides, map-side partial aggregation,
+and no accidental extra shuffles around the extraction kernel.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+pytestmark = pytest.mark.smoke
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name: str) -> str:
+    import __spark_entry__ as entry
+
+    df = entry.queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_column_pruning_reaches_scan(spark):
+    # text analytics must scan only (doc_id, text) — never lang/source/n_chars
+    for q in ("doc_token_stats", "doc_exact_dedup", "doc_fingerprint"):
+        plan = plan_of(spark, q)
+        read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert read_schemas, q
+        assert all("doc_id:bigint,text:string" in l for l in read_schemas), (
+            q, read_schemas,
+        )
+        assert all("n_chars" not in l and "source" not in l for l in read_schemas)
+
+
+def test_predicate_pushdown(spark):
+    plan = plan_of(spark, "q3_top_unshipped")
+    assert "GreaterThan(l_shipdate" in plan  # reached the lineitem scan
+    assert "LessThan(o_orderdate" in plan  # reached the orders scan
+    plan = plan_of(spark, "emb_cosine_topk")
+    assert "LessThan(vec_id,5)" in plan  # query-side filter pushed
+
+
+def test_small_dims_broadcast(spark):
+    plan = plan_of(spark, "q3_top_unshipped")
+    assert plan.count("BroadcastHashJoin") >= 2  # orders + customer
+    assert "SortMergeJoin" not in plan
+    plan = plan_of(spark, "part_revenue_rank")
+    assert "BroadcastHashJoin" in plan
+    plan = plan_of(spark, "emb_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan  # tiny query side broadcast
+
+
+def test_partial_aggregation(spark):
+    # groupBy must plan a map-side partial HashAggregate before the shuffle
+    plan = plan_of(spark, "doc_exact_dedup")
+    assert plan.count("HashAggregate") >= 2
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_extraction_has_single_intentional_shuffle(spark):
+    # salt repartition is the ONLY exchange; kernel output flows straight out
+    from doc_parser_spark.operators.extract import extract_documents
+    from doc_parser_spark.sources.pages import pages_df
+
+    df = extract_documents(pages_df(spark, 50, num_partitions=2), salt_partitions=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Exchange") <= 2  # one per AQE plan rendering
+    assert "xxhash64(url" in plan  # and it is the salt
+    assert plan.count("MapInPandas") >= 1
