@@ -159,3 +159,31 @@ def test_multimodal_determinism(spark):
 
     assert make_fake_image(8, 6, 3, seed=1) == make_fake_image(8, 6, 3, seed=1)
     assert make_fake_image(8, 6, 3, seed=1) != make_fake_image(8, 6, 3, seed=2)
+
+
+def test_evaluation_spark_path(spark):
+    from pyspark.sql import functions as F
+
+    from doc_parser_spark.core.evaluation import evaluate_spans_df
+    from doc_parser_spark.operators.extract import extract_documents
+    from doc_parser_spark.sources.pages import pages_df
+
+    # PDFs carry bboxes; use extraction output as its own groundtruth
+    docs = extract_documents(pages_df(spark, 100, seed=7)).where(
+        F.col("format") == "pdf"
+    ).cache()
+    gt = (
+        docs.select("url", F.explode("spans").alias("s"))
+        .where(F.col("s.bbox").isNotNull())
+        .select(
+            "url",
+            F.col("s.page_no").alias("page"),
+            F.col("s.bbox.l").alias("l"), F.col("s.bbox.t").alias("t"),
+            F.col("s.bbox.r").alias("r"), F.col("s.bbox.b").alias("b"),
+            F.col("s.label").alias("category_name"),
+        )
+    )
+    row = evaluate_spans_df(spark, gt, docs).first()
+    docs.unpersist()
+    assert row["TP"] > 0 and row["FP"] == 0 and row["FN"] == 0
+    assert row["class_correct"] == row["TP"]
