@@ -234,20 +234,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars_actual,
-                   floor(1e6 * length(regexp_replace(text, '\\s+', '', 'g'))
-                         / len(regexp_split_to_array(trim(text), '\\s+'))) / 1e6
+                   floor(1e6 * (length(regexp_replace(text, '\\s+', '', 'g'))
+                         / len(regexp_split_to_array(trim(text), '\\s+')))) / 1e6
                        AS avg_token_len
             FROM documents
         """,
         "doc_quality_score": f"""
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars_actual,
-                   floor(1e6 * length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
-                         / length(text)) / 1e6 AS punct_ratio,
-                   floor(1e6 * length(regexp_replace(text, '[^0-9]', '', 'g'))
-                         / length(text)) / 1e6 AS digit_ratio,
-                   floor(1e6 * ({en_hits})
-                         / len(regexp_split_to_array(trim(text), '\\s+'))) / 1e6
+                   floor(1e6 * (length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                         / length(text))) / 1e6 AS punct_ratio,
+                   floor(1e6 * (length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / length(text))) / 1e6 AS digit_ratio,
+                   floor(1e6 * (({en_hits})
+                         / len(regexp_split_to_array(trim(text), '\\s+')))) / 1e6
                        AS stopword_ratio
             FROM documents
         """,
