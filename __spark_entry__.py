@@ -151,7 +151,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             relational.top_unshipped_orders, "customer", "orders", "lineitem"
         ),
         "part_revenue_rank": q(relational.part_revenue_rank, "part", "lineitem"),
+        "q5_revenue_by_nation": q(
+            relational.revenue_by_nation,
+            "customer", "orders", "lineitem", "supplier", "nation", "region",
+        ),
+        "segment_order_stats": q(relational.segment_order_stats, "customer", "orders"),
+        "supplier_balance_rank": q(
+            relational.supplier_balance_rank, "supplier", "nation"
+        ),
         "events_daily": q(relational.events_daily, "events"),
+        "events_error_rate": q(relational.events_error_rate, "events"),
         "events_sessionize": q(relational.sessionize, "events"),
     }
 
@@ -381,6 +390,53 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rank
                 FROM scored
             ) WHERE rank <= 3
+        """,
+        "q5_revenue_by_nation": """
+            SELECT n_name, r_name,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                                  (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name, r_name
+        """,
+        "segment_order_stats": """
+            WITH per_customer AS (
+                SELECT c_mktsegment, c_custkey,
+                       count(*) AS n_orders,
+                       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_spend
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY c_mktsegment, c_custkey
+            )
+            SELECT c_mktsegment,
+                   count(*) AS n_customers,
+                   sum(n_orders) AS n_orders,
+                   CAST(round(sum(CAST(total_spend AS DECIMAL(18,2))), 2) AS DOUBLE) AS segment_spend
+            FROM per_customer GROUP BY c_mktsegment
+        """,
+        "supplier_balance_rank": """
+            SELECT n_name, s_suppkey,
+                   CAST(round(CAST(s_acctbal AS DECIMAL(18,4)), 2) AS DOUBLE) AS acctbal,
+                   rnk
+            FROM (
+                SELECT n_name, s_suppkey, s_acctbal,
+                       row_number() OVER (
+                           PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey ASC
+                       ) AS rnk
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            ) WHERE rnk <= 2
+        """,
+        "events_error_rate": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   count(*) AS n_events,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+                   floor(1e6 * sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                         / count(*)) / 1e6 AS error_rate
+            FROM events GROUP BY 1
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

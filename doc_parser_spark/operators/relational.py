@@ -128,3 +128,90 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         _money(_dec("value")).alias("sum_value"),
     )
+
+
+def revenue_by_nation(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5-style: local-supplier revenue per nation (deep broadcast
+    join chain; only the lineitem side is big)."""
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return (
+        lineitem
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(_money(disc_price).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def segment_order_stats(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Order statistics per market segment (broadcast dim + two-level agg)."""
+    per_customer = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money(_dec("o_totalprice")).alias("total_spend"),
+        )
+    )
+    return per_customer.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("n_orders").alias("n_orders"),
+        F.round(F.sum(F.col("total_spend").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("segment_spend"),
+    )
+
+
+def events_error_rate(events: DataFrame) -> DataFrame:
+    """Daily error-share per the events stream (ratio with portable
+    truncation: multiply-first association matches the SQL oracle)."""
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+    )
+    return daily.select(
+        "day",
+        "n_events",
+        F.col("n_errors").cast("long").alias("n_errors"),
+        (
+            F.floor(F.lit(1000000.0) * F.col("n_errors") / F.col("n_events"))
+            / F.lit(1000000.0)
+        ).alias("error_rate"),
+    )
+
+
+def supplier_balance_rank(supplier: DataFrame, nation: DataFrame) -> DataFrame:
+    """Top-2 suppliers by account balance per nation (window over a
+    broadcast-joined dim)."""
+    joined = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 2)
+        .select(
+            "n_name",
+            "s_suppkey",
+            F.round(F.col("s_acctbal").cast("decimal(18,4)"), 2).cast("double").alias("acctbal"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
