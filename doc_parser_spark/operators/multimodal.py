@@ -175,3 +175,35 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
         ]
     )
     return media.mapInPandas(kernel, schema=schema)
+
+
+def sample_video_frames(media: DataFrame, every_n_seconds: float = 1.0) -> DataFrame:
+    """Video frame-sampling stage — STUB (needs pyav/ffmpeg).
+
+    The Spark-side plumbing is the real contract: one input row per video,
+    one output row per sampled frame (posexplode shape), Arrow-batched with
+    per-executor decoder state. Until a codec ships every row reports
+    ``codec_unavailable`` with zero frames."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "url": batch["url"],
+                    "frame_no": [0] * len(batch),
+                    "ts_ms": [0.0] * len(batch),
+                    "status": ["codec_unavailable"] * len(batch),
+                    "frame": [None] * len(batch),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("ts_ms", T.DoubleType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+    return media.mapInPandas(kernel, schema=schema)

@@ -85,10 +85,37 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
     return doc, parse_score
 
 
-def extract_pdf(payload: bytes) -> tuple[Document, bool]:
-    """PDF bytes → (Document, fallback_used)."""
+def extract_pdf(
+    payload: bytes,
+    max_pages: int | None = None,
+    page_range: tuple[int, int] | None = None,
+    ocr_fn=None,
+) -> tuple[Document, bool]:
+    """PDF bytes → (Document, fallback_used).
+
+    ``max_pages`` / ``page_range`` mirror the reference's pagination limits
+    (docling/datamodel/settings.py:22-25, enforced at
+    docling/pipeline/base_pipeline.py:140-143); pages outside the range are
+    never parsed.
+
+    ``ocr_fn`` is the OCR plug-point (reference Op-26..28: engines behind a
+    factory, off by default in production — basic_processor.py:843). When
+    provided it is called as ``ocr_fn(page) -> list[TextCell]`` for pages
+    whose structured parse yields no cells (scanned pages), running
+    per-executor inside the Arrow batch. No engine ships in this
+    environment, so the default stays None.
+    """
     try:
         pages = minipdf.parse_pdf(payload)
+        if page_range is not None:
+            lo, hi = page_range
+            pages = [p for p in pages if lo <= p.page_no <= hi]
+        if max_pages is not None:
+            pages = pages[:max_pages]
+        if ocr_fn is not None:
+            for page in pages:
+                if not page.cells:
+                    page.cells = list(ocr_fn(page) or [])
         doc, _score = _build_document(pages)
         if doc.has_text_items() or not payload:
             return doc, False

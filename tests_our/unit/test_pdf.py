@@ -124,3 +124,34 @@ def test_flate_stream():
     )
     pages = minipdf.parse_pdf(pdf)
     assert pages[0].cells[0].text == "flated"
+
+
+def test_page_limits_and_ocr_plug_point():
+    # reference: pagination limits (settings.py:22-25) + OCR factory plug
+    pdf = writer.write_pdf(
+        [[(72, 700, 12, f"page {i} text")] for i in range(1, 5)]
+    )
+    doc, _ = extract_pdf(pdf)
+    assert doc.num_pages() == 4
+
+    doc, _ = extract_pdf(pdf, max_pages=2)
+    assert doc.num_pages() == 2
+    assert "page 3" not in export_text(doc)
+
+    doc, _ = extract_pdf(pdf, page_range=(2, 3))
+    text = export_text(doc)
+    assert "page 2 text" in text and "page 3 text" in text
+    assert "page 1" not in text and "page 4" not in text
+
+    # OCR plug-point: a scanned (empty) page gets cells from the engine
+    scanned = writer.write_pdf([[(72, 700, 12, "real text")], []])
+
+    def fake_ocr(page):
+        return [
+            minipdf.TextCell(index=0, text="ocr text", l=72, t=100, r=200,
+                             b=112, font_size=11, page_no=page.page_no)
+        ]
+
+    doc, fallback = extract_pdf(scanned, ocr_fn=fake_ocr)
+    assert not fallback
+    assert "real text" in export_text(doc) and "ocr text" in export_text(doc)
