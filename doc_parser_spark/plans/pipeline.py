@@ -143,11 +143,22 @@ def run_extraction_job(
             accumulators=accumulators,
         ).cache()
 
-        docs.drop("chunks").write.mode("overwrite").parquet(
-            os.path.join(output_dir, "documents", f"slice={k}")
+        # output tables are day-partitioned (north_star: "written back ...
+        # to a partitioned Iceberg output table") — crawl-time pruning for
+        # downstream readers; slice=K keeps the resume granularity
+        (
+            docs.drop("chunks")
+            .withColumn("warc_day", F.to_date("warc_ts"))
+            .write.mode("overwrite")
+            .partitionBy("warc_day")
+            .parquet(os.path.join(output_dir, "documents", f"slice={k}"))
         )
-        explode_chunks(docs).write.mode("overwrite").parquet(
-            os.path.join(output_dir, "chunks", f"slice={k}")
+        (
+            explode_chunks(docs)
+            .withColumn("warc_day", F.to_date("warc_ts"))
+            .write.mode("overwrite")
+            .partitionBy("warc_day")
+            .parquet(os.path.join(output_dir, "chunks", f"slice={k}"))
         )
 
         metrics = partition_metrics(docs).withColumn("slice", F.lit(k)).withColumn(
