@@ -488,9 +488,13 @@ def compose_vectors(
     chunks: list[Chunk],
     reg_date: str = "1970-01-01T00:00:00Z",
     created_date: int = 0,
+    authors: str = "",
 ) -> list[dict]:
     """Chunk rows → flat GenOSVectorMeta dicts
-    (reference ``compose_vectors``, basic_processor.py:996-1057)."""
+    (reference ``compose_vectors``, basic_processor.py:996-1057; the
+    intelligent variant's extra ``authors`` field,
+    intelligent_processor.py:725-744, is carried as a plain string —
+    populated only when a metadata provider supplies it)."""
     title = doc.title_text()
     n_chunk_of_doc = len(chunks)
     n_page = doc.num_pages()
@@ -558,6 +562,7 @@ def compose_vectors(
                 "media_files": json.dumps(media_files),
                 "title": title,
                 "created_date": created_date,
+                "authors": authors,
             }
         )
         chunk_index_on_page += 1

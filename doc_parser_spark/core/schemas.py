@@ -86,6 +86,7 @@ CHUNK_TYPE = T.StructType(
         T.StructField("media_files", T.StringType()),
         T.StructField("title", T.StringType()),
         T.StructField("created_date", T.IntegerType()),
+        T.StructField("authors", T.StringType()),
     ]
 )
 

@@ -264,3 +264,74 @@ def doc_from_json(data) -> Document:
             node.bbox = (bbox["l"], bbox["t"], bbox["r"], bbox["b"])
         by_ref[span["self_ref"]] = node
     return doc
+
+
+def export_doctags(doc: Document, layers: tuple[str, ...] = (model.BODY,)) -> str:
+    """DocTags-style markup export (the reference CLI's doctags sink,
+    docling/cli/main.py:177-277; OutputFormat enum base_models.py:66-72).
+    One tag per item; tables as OTSL-spirit cell runs."""
+    parts: list[str] = ["<doctag>"]
+    for node, _ in doc.iterate_items(layers=layers):
+        label = node.label
+        if label == model.TABLE and node.table is not None:
+            cells = []
+            for row in node.table.grid:
+                cells.append(
+                    "".join(f"<fcel>{(c or '').strip()}" for c in row) + "<nl>"
+                )
+            parts.append("<otsl>" + "".join(cells) + "</otsl>")
+        elif label == model.PICTURE:
+            parts.append("<picture></picture>")
+        elif node.text:
+            parts.append(f"<{label}>{node.text}</{label}>")
+    parts.append("</doctag>")
+    return "\n".join(parts)
+
+
+def export_html(doc: Document, layers: tuple[str, ...] = (model.BODY,)) -> str:
+    """HTML export (the reference CLI's html sink). Deterministic, minimal
+    escaping; tables re-expand from the span grid."""
+
+    def esc(s: str) -> str:
+        return (
+            s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        )
+
+    parts: list[str] = ["<html><body>"]
+    open_list = False
+    for node, _ in doc.iterate_items(layers=layers):
+        label = node.label
+        if label != model.LIST_ITEM and open_list:
+            parts.append("</ul>")
+            open_list = False
+        if label == model.TITLE:
+            parts.append(f"<h1>{esc(node.text)}</h1>")
+        elif label == model.SECTION_HEADER:
+            lvl = min(node.level + 1, 6)
+            parts.append(f"<h{lvl}>{esc(node.text)}</h{lvl}>")
+        elif label == model.CODE:
+            parts.append(f"<pre>{esc(node.text)}</pre>")
+        elif label == model.LIST_ITEM:
+            if not open_list:
+                parts.append("<ul>")
+                open_list = True
+            marker = f"{node.marker} " if node.marker else ""
+            parts.append(f"<li>{esc(marker + node.text)}</li>")
+        elif label == model.TABLE and node.table is not None:
+            rows = []
+            for ri, row in enumerate(node.table.grid):
+                tag = "th" if ri == 0 else "td"
+                rows.append(
+                    "<tr>"
+                    + "".join(f"<{tag}>{esc((c or '').strip())}</{tag}>" for c in row)
+                    + "</tr>"
+                )
+            parts.append("<table>" + "".join(rows) + "</table>")
+        elif label == model.PICTURE:
+            parts.append("<figure></figure>")
+        elif node.text:
+            parts.append(f"<p>{esc(node.text)}</p>")
+    if open_list:
+        parts.append("</ul>")
+    parts.append("</body></html>")
+    return "\n".join(parts)

@@ -177,30 +177,63 @@ def sanitize_text(lines: list[str]) -> str:
 # -- reading order + block clustering ----------------------------------------
 
 
-def order_cells(cells: list[TextCell], page_width: float) -> list[TextCell]:
-    """Column-aware (t, l) ordering."""
-    if len(cells) < 4:
-        return sorted(cells, key=lambda c: (c.t, c.l))
+def _projection_gap(intervals: list[tuple[float, float]], min_gap: float):
+    """Largest whitespace gap in the 1-D projection of intervals, or None.
 
-    lefts = np.array(sorted(c.l for c in cells))
-    gaps = np.diff(lefts)
-    if gaps.size:
-        split_at = int(np.argmax(gaps))
-        gap = float(gaps[split_at])
-        boundary = float(lefts[split_at]) + gap / 2
-        left_col = [c for c in cells if c.l < boundary]
-        right_col = [c for c in cells if c.l >= boundary]
-        # two columns when the gap is wide and both sides are substantial
-        if (
-            gap > page_width * 0.15
-            and len(left_col) >= 2
-            and len(right_col) >= 2
-            and max(c.r for c in left_col) < boundary + 1.0
-        ):
-            return sorted(left_col, key=lambda c: (c.t, c.l)) + sorted(
-                right_col, key=lambda c: (c.t, c.l)
-            )
-    return sorted(cells, key=lambda c: (c.t, c.l))
+    Returns (boundary, gap_size) where boundary cleanly separates the two
+    groups."""
+    intervals = sorted(intervals)
+    best = None
+    covered_to = intervals[0][1]
+    for lo, hi in intervals[1:]:
+        if lo > covered_to:
+            gap = lo - covered_to
+            if gap >= min_gap and (best is None or gap > best[1]):
+                best = (covered_to + gap / 2, gap)
+        covered_to = max(covered_to, hi)
+    return best
+
+
+def order_cells(cells: list[TextCell], page_width: float) -> list[TextCell]:
+    """Recursive XY-cut reading order.
+
+    The reference defers multi-column ordering to an ML reading-order
+    predictor (readingorder_model.py:42-381); the deterministic rebuild uses
+    classic recursive XY-cut: split on full-width horizontal whitespace
+    bands first (top→bottom), then on full-height vertical gutters
+    (left→right), recursing until no clean split remains; leaves order by
+    (top, left). Handles any column count plus mixed full-width/column
+    bands (title + N-column body)."""
+    if len(cells) <= 1:
+        return list(cells)
+
+    heights = [max(c.height, 1.0) for c in cells]
+    median_h = float(np.median(heights))
+    row_gap_min = 1.5 * median_h
+    col_gap_min = max(12.0, page_width * 0.04)
+
+    def cut(group: list[TextCell], depth: int) -> list[TextCell]:
+        if len(group) <= 1 or depth > 12:
+            return sorted(group, key=lambda c: (c.t, c.l))
+        # horizontal band split (y projection)
+        y_split = _projection_gap([(c.t, c.b) for c in group], row_gap_min)
+        if y_split is not None:
+            boundary = y_split[0]
+            top = [c for c in group if c.b <= boundary]
+            bottom = [c for c in group if c.b > boundary]
+            if top and bottom:
+                return cut(top, depth + 1) + cut(bottom, depth + 1)
+        # vertical gutter split (x projection)
+        x_split = _projection_gap([(c.l, c.r) for c in group], col_gap_min)
+        if x_split is not None:
+            boundary = x_split[0]
+            left = [c for c in group if c.r <= boundary]
+            right = [c for c in group if c.r > boundary]
+            if left and right:
+                return cut(left, depth + 1) + cut(right, depth + 1)
+        return sorted(group, key=lambda c: (c.t, c.l))
+
+    return cut(list(cells), 0)
 
 
 def cluster_blocks(

@@ -155,3 +155,17 @@ def test_page_limits_and_ocr_plug_point():
     doc, fallback = extract_pdf(scanned, ocr_fn=fake_ocr)
     assert not fallback
     assert "real text" in export_text(doc) and "ocr text" in export_text(doc)
+
+
+def test_xy_cut_three_columns_with_bands():
+    # recursive XY-cut: full-width bands top->bottom, gutters left->right
+    runs = [(72.0, 740.0, 18.0, "Wide Title Band")]
+    runs += writer.paragraph_runs(["A1 alpha.", "A2 alpha."], x=72, top_y=680)
+    runs += writer.paragraph_runs(["B1 beta.", "B2 beta."], x=260, top_y=680)
+    runs += writer.paragraph_runs(["C1 gamma.", "C2 gamma."], x=450, top_y=680)
+    runs += writer.paragraph_runs(["Footer full width sentence."], x=72, top_y=560)
+    doc, _ = extract_pdf(writer.write_pdf([runs]))
+    assert export_text(doc) == (
+        "Wide Title Band\n\nA1 alpha. A2 alpha.\n\nB1 beta. B2 beta.\n\n"
+        "C1 gamma. C2 gamma.\n\nFooter full width sentence."
+    )
