@@ -485,7 +485,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_sessionize": """
             WITH flagged AS (
-                SELECT user_id, event_id, value,
+                SELECT user_id, event_id, ts, value,
                        CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                             THEN 1 ELSE 0 END AS new_session
                 FROM events
@@ -494,7 +494,7 @@ def oracle_sql() -> dict[str, str]:
             sessions AS (
                 SELECT user_id, value,
                        CAST(sum(new_session) OVER (
-                           PARTITION BY user_id ORDER BY event_id
+                           PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING
                        ) AS BIGINT) AS session_no
                 FROM flagged

@@ -35,9 +35,6 @@ _S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 _P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
 
-_HEADING_STYLE = re.compile(r"^(?:heading|berschrift|titre)?\s*(\d)$", re.IGNORECASE)
-
-
 def detect_zip_kind(payload: bytes) -> str:
     """docx | xlsx | pptx | hwpx | zip (unknown container)."""
     try:
@@ -83,22 +80,23 @@ def _docx_heading_level(p) -> int | None:
     val = (style.get(f"{_W}val") or "").lower()
     if val in ("title", "doctitle"):
         return 0
-    m = re.match(r"^heading(\d)$", val) or re.match(r"^\D*(\d)$", val)
-    if m and val.startswith("heading"):
+    m = re.match(r"^heading\s*(\d)$", val)
+    if m:
         return int(m.group(1))
     return None
 
 
 def _docx_is_list_item(p) -> tuple[bool, bool]:
-    """(is_list_item, is_numbered) via numPr (msword_backend numbering)."""
+    """(is_list_item, is_numbered) via numPr.
+
+    The reference treats every numbered-list paragraph as a plain (bullet)
+    list item — its numbered-style check is disabled and is_numbered is
+    hardcoded False (msword_backend.py:717); numId alone cannot distinguish
+    bullets from numbers (both carry one). Mirrored here."""
     pPr = p.find(f"{_W}pPr")
     if pPr is None:
         return False, False
-    numPr = pPr.find(f"{_W}numPr")
-    if numPr is None:
-        return False, False
-    ilvl = numPr.find(f"{_W}numId")
-    return True, ilvl is not None
+    return pPr.find(f"{_W}numPr") is not None, False
 
 
 def _docx_table(tbl) -> model.TableData:
@@ -214,8 +212,9 @@ def extract_xlsx(payload: bytes) -> Document:
     shared = _xlsx_shared_strings(zf)
     doc = Document()
     sheets = sorted(
-        n for n in zf.namelist()
-        if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        (n for n in zf.namelist()
+         if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(re.search(r"(\d+)", n).group(1)),
     )
     for page_no, name in enumerate(sheets, start=1):
         root = ET.fromstring(zf.read(name))
@@ -292,8 +291,9 @@ def extract_hwpx(payload: bytes) -> Document:
     zf = zipfile.ZipFile(io.BytesIO(payload))
     doc = Document()
     sections = sorted(
-        n for n in zf.namelist()
-        if re.fullmatch(r"Contents/section\d+\.xml", n)
+        (n for n in zf.namelist()
+         if re.fullmatch(r"Contents/section\d+\.xml", n)),
+        key=lambda n: int(re.search(r"(\d+)", n).group(1)),
     )
     for page_no, name in enumerate(sections, start=1):
         root = ET.fromstring(zf.read(name))

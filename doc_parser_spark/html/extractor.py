@@ -337,6 +337,11 @@ def parse_table_data(element: Tag) -> Optional[model.TableData]:
     nested-table skip and inline ``$$formula$$`` splice of the reference
     (``html_backend.py:382-496``), including its quirks (row-header rows do
     not count toward ``num_rows``; their rowspan is decremented by one).
+
+    One deliberate divergence: a degenerate table whose rows are ALL
+    row-header rows (num_rows == 0) crashes the reference with an
+    IndexError (html_backend.py:475); here the occupancy probe is bounds-
+    guarded so such pages extract instead of failing.
     """
     if element.find("table") is not None:
         return None  # nested table: skip (html_backend.py:384-387)
@@ -398,6 +403,7 @@ def parse_table_data(element: Tag) -> Optional[model.TableData]:
                 row_span -= 1
             while (
                 col_idx < num_cols
+                and 0 <= row_idx + start_row_span < num_rows
                 and grid[row_idx + start_row_span][col_idx] is not None
             ):
                 col_idx += 1

@@ -310,8 +310,7 @@ def explode_chunks(documents_out: DataFrame) -> DataFrame:
         .where(F.col("chunks").isNotNull())
         .select(
             "url", "warc_ts", "lang", "format", "document_hash",
-            F.posexplode("chunks").alias("_pos", "chunk"),
+            F.explode("chunks").alias("chunk"),
         )
         .select("url", "warc_ts", "lang", "format", "document_hash", "chunk.*")
-        .drop("_pos")
     )

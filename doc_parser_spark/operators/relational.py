@@ -104,12 +104,13 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     Gaps compare as exact epoch *microseconds* (integer arithmetic — no
     float tolerance, no truncation semantics to match across engines);
-    DuckDB's ``epoch_us()`` is the oracle twin. The NTZ→epoch conversion is
-    pinned to UTC so the session timezone cannot shift it."""
-    spark = events.sparkSession
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    DuckDB's ``epoch_us()`` is the oracle twin. Micros derive from a pure
+    NTZ subtraction (``timestampdiff`` against the NTZ epoch), so the
+    session timezone never enters — no session-state side effects."""
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+    )
     with_gap = events.withColumn(
         "new_session",
         F.when(

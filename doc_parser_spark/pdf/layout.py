@@ -10,12 +10,11 @@ Re-expresses the deterministic layout/assembly subset of the reference
   page rollup of ``docling/models/page_preprocessing_model.py:27-141``,
 * text sanitization (dehyphenation + unicode normalization) of
   ``docling/models/page_assemble_model.py:34-65``,
-* reading order by (top, left) with a two-column split heuristic — the
-  reference defers multi-column ordering to an ML reading-order model
-  (``docling/models/readingorder_model.py:42-381``); for the deterministic
-  rebuild, cells whose left edges form two well-separated clusters are
-  ordered column-major (left column first), which matches the predictor on
-  simple two-column pages. Complex layouts are a documented gap.
+* reading order via recursive XY-cut (band split top→bottom, gutter split
+  left→right) — the reference defers multi-column ordering to an ML
+  reading-order model (``docling/models/readingorder_model.py:42-381``);
+  XY-cut matches it on banded/columned layouts; free-form magazine layouts
+  remain a documented gap.
 
 numpy is used for the vectorizable parts; everything runs inside the Arrow
 batch.
@@ -111,7 +110,7 @@ def rate_text_quality(text: str) -> float:
     """Per-cell quality in [0, 1]; replacement chars zero it out."""
     if not text:
         return 0.0
-    if "�" in text or "�" in text:
+    if "�" in text:
         return 0.0
     score = 1.0
     if _GLYPH_RE.search(text) or _SLASH_G_RE.search(text) or _SLASH_RUN_RE.search(text):

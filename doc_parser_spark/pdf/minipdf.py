@@ -255,13 +255,9 @@ def extract_cells(
                 y -= leading
                 emit(stack[-1][1])
             elif op == b"TJ" and in_text and stack and stack[-1][0] == "arr":
-                text_parts = []
-                offset = 0.0
-                for t, v in stack[-1][1]:
-                    if t == "str":
-                        text_parts.append(v)
-                    elif t == "num":
-                        offset += v
+                # kerning offsets in the TJ array shift glyphs sub-point;
+                # the 0.5-em width model absorbs them, so only text is kept
+                text_parts = [v for t, v in stack[-1][1] if t == "str"]
                 emit("".join(text_parts))
             stack.clear()
 

@@ -44,7 +44,9 @@ def test_docx_extraction():
     assert (model.TEXT, "First paragraph.") in items
     lis = [n for n, _ in doc.iterate_items() if n.label == model.LIST_ITEM]
     assert [li.text for li in lis] == ["item one", "item two"]
-    assert all(li.enumerated for li in lis)
+    # reference hardcodes is_numbered=False (msword_backend.py:717) — numId
+    # alone cannot distinguish bullets from numbers
+    assert not any(li.enumerated for li in lis)
     table = doc.tables()[0].table
     assert table.grid == [["H1", "H2"], ["a", "b"]]
 
@@ -165,3 +167,33 @@ def test_recursive_split():
     assert recursive_split("short", 1000, 200) == ["short"]
     # single giant token falls back to char-level splitting
     assert all(len(c) <= 10 for c in recursive_split("x" * 95, 10, 2))
+
+
+def test_xlsx_sheet_order_numeric_not_lexicographic():
+    # sheet10 must come AFTER sheet2 (numeric page ordering)
+    sheet_tpl = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+<row r="1"><c r="A1"><v>{}</v></c></row>
+</sheetData></worksheet>"""
+    members = {"[Content_Types].xml": "<Types/>", "xl/workbook.xml": "<workbook/>"}
+    for i in range(1, 13):
+        members[f"xl/worksheets/sheet{i}.xml"] = sheet_tpl.format(i * 100)
+    doc = extract_xlsx(_zip_bytes(members))
+    tables = doc.tables()
+    assert len(tables) == 12
+    assert [t.page_no for t in tables] == list(range(1, 13))
+    assert [t.table.grid[0][0] for t in tables] == [str(i * 100) for i in range(1, 13)]
+
+
+def test_degenerate_all_rowheader_table_does_not_crash():
+    # divergence from the reference (which raises IndexError,
+    # html_backend.py:475): all-row-header tables extract as empty grid
+    from doc_parser_spark.html.extractor import extract_html
+
+    doc = extract_html(
+        b"<html><body><p>keep me</p>"
+        b"<table><tr><th rowspan='2'>A</th></tr></table></body></html>"
+    )
+    assert "keep me" in export_text(doc, layers=("body", "furniture"))
+    table = doc.tables()[0].table
+    assert table.num_rows == 0
