@@ -77,7 +77,8 @@ def _q_extract_wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction over the synthetic page corpus (HTML + PDF + degenerate
-    rows); not SQL-expressible — rows-only check."""
+    rows). The generator is sf-independent, so the oracle is a frozen
+    golden relation (tests_our/data/extract_pages_golden.parquet)."""
     from doc_parser_spark.operators.extract import extract_documents
     from doc_parser_spark.sources.pages import pages_df
 
@@ -183,6 +184,41 @@ shingles AS (
          LATERAL UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
     WHERE array_to_string(list_slice(w, i, i + 2), ' ') <> ''
 )"""
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    """DuckDB twin of dedup.simhash: md5(token)[:8] hex → 32-bit int (pure
+    arithmetic decode — identical to Spark ``conv(_, 16, 10)``), ±1 per bit
+    summed over tokens, sign → bit, bits → long."""
+    hexpos = "strpos('0123456789abcdef', substr(m, i, 1)) - 1"
+    decode = (
+        "CAST(list_sum(list_transform(generate_series(1, 8), "
+        f"i -> CAST(({hexpos}) AS BIGINT) * CAST(power(16, 8 - i) AS BIGINT)"
+        ")) AS BIGINT)"
+    )
+    bit_sums = ",\n                   ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, {decode} AS h
+            FROM (SELECT doc_id, md5(tok) AS m FROM toks WHERE tok <> '')
+        ),
+        sums AS (
+            SELECT doc_id,
+                   {bit_sums}
+            FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -332,6 +368,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE floor(1e6 * n_common / (sa.n_shingles + sb.n_shingles - n_common)) / 1e6 >= 0.5
         """,
+        "doc_simhash": _simhash_sql(32),
+        # frozen golden table (regenerate via scripts/freeze_extract_pages_golden.py
+        # whenever extraction semantics intentionally change): pages_df(300, seed=7)
+        # is sf-independent, so the expected output is a constant relation
+        "extract_pages": """
+            SELECT url, format, status, title,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(n_chunks AS BIGINT) AS n_chunks
+            FROM read_parquet('/root/repo/tests_our/data/extract_pages_golden.parquet')
+        """,
         "emb_cosine_topk": """
             WITH scored AS (
                 SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -404,18 +450,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY n_name, r_name
         """,
+        # money stays DECIMAL through both aggregation levels; one final
+        # round+cast (the double round-trip between levels diverged from
+        # Spark on .xx5 values — round-1 hash mismatch)
         "segment_order_stats": """
             WITH per_customer AS (
                 SELECT c_mktsegment, c_custkey,
                        count(*) AS n_orders,
-                       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_spend
+                       sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total_spend
                 FROM orders JOIN customer ON o_custkey = c_custkey
                 GROUP BY c_mktsegment, c_custkey
             )
             SELECT c_mktsegment,
                    count(*) AS n_customers,
                    sum(n_orders) AS n_orders,
-                   CAST(round(sum(CAST(total_spend AS DECIMAL(18,2))), 2) AS DOUBLE) AS segment_spend
+                   CAST(round(sum(total_spend), 2) AS DOUBLE) AS segment_spend
             FROM per_customer GROUP BY c_mktsegment
         """,
         "supplier_balance_rank": """

@@ -11,13 +11,16 @@ Scale notes (these run over 10^12 documents in the target deployment):
 * **lsh_candidate_pairs** — banding turns O(n²) similarity search into a
   self-join on band keys; the band key is a constant-width md5, so the join
   shuffles narrow rows. Bucket-size skew (a viral boilerplate shingle) is
-  bounded by dropping degenerate bands with > ``max_bucket`` members.
+  bounded by COUNTING buckets first and dropping degenerate bands with
+  > ``max_bucket`` members before any membership is expanded into pairs.
 * **ngram_jaccard_pairs** — inverted-index join (shingle → docs) with a
-  per-shingle frequency cap for the same reason; exact Jaccard is computed
-  only for candidate pairs sharing ≥ 1 shingle.
-* **simhash** — 64-bit signature from per-token md5 bits; Hamming-adjacent
-  buckets would be compared at scale. Spark-side only (no SQL oracle: bit
-  arithmetic differs across engines).
+  per-shingle frequency cap (anti-join against the small *hot* set) for
+  the same reason; exact Jaccard is computed only for candidate pairs
+  sharing ≥ 1 shingle, and per-doc sizes join via shuffle (never
+  broadcast — one row per document).
+* **simhash** — 32-bit signature from per-token md5 bits; Hamming-adjacent
+  buckets would be compared at scale. Oracle: pure-arithmetic hex decode +
+  ``>>``/``&`` bit ops, identical in DuckDB (``__spark_entry__._simhash_sql``).
 """
 
 from __future__ import annotations
@@ -101,17 +104,25 @@ def lsh_candidate_pairs(
     for other in bands[1:]:
         all_bands = all_bands.unionAll(other)
 
-    # drop degenerate buckets (boilerplate skew guard)
-    sized = all_bands.groupBy("band", "band_key").agg(
-        F.collect_set("doc_id").alias("docs"), F.count(F.lit(1)).alias("n")
+    # Skew guard ordering matters at scale: COUNT the buckets first (a
+    # count-only aggregate is map-side combinable and shuffles one long per
+    # bucket), filter out degenerate buckets, and only THEN expand pairs via
+    # a self-join on the surviving (band, band_key) keys. Collecting bucket
+    # membership before the size filter would materialize a viral
+    # boilerplate bucket's entire membership in one aggregation buffer.
+    bucket_sizes = all_bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("n")
     )
+    ok_keys = bucket_sizes.where(
+        (F.col("n") > 1) & (F.col("n") <= max_bucket)
+    ).select("band", "band_key")
+    survivors = all_bands.join(ok_keys, ["band", "band_key"])
+    a = survivors.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+    b = survivors.select("band", "band_key", F.col("doc_id").alias("doc_b"))
     return (
-        sized.where((F.col("n") > 1) & (F.col("n") <= max_bucket))
-        .select(F.explode(F.expr(
-            "filter(flatten(transform(docs, a -> transform(docs, b -> struct(a, b)))), "
-            "p -> p.a < p.b)"
-        )).alias("pair"))
-        .select(F.col("pair.a").alias("doc_a"), F.col("pair.b").alias("doc_b"))
+        a.join(b, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
 
@@ -126,12 +137,14 @@ def ngram_jaccard_pairs(
     pairs = shingle_docs(documents, n)
     sizes = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    # inverted-index self-join; frequency cap bounds hot shingles
+    # Inverted-index self-join with a frequency cap on hot shingles. The
+    # cap is applied as an ANTI-join against the *hot* shingle set — hot
+    # shingles (df > cap) are few by construction, so that side is safely
+    # broadcastable at any corpus size, unlike the keep-list (≈ all
+    # shingles, corpus-sized).
     freq = pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    filtered = pairs.join(
-        F.broadcast(freq.where(F.col("df") <= max_shingle_freq).select("shingle")),
-        "shingle",
-    )
+    hot = freq.where(F.col("df") > max_shingle_freq).select("shingle")
+    filtered = pairs.join(F.broadcast(hot), "shingle", "left_anti")
     a = filtered.alias("a")
     b = filtered.alias("b")
     inter = (
@@ -140,11 +153,13 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # sizes is one row PER DOCUMENT — corpus-scale, never broadcast it;
+    # plain shuffle joins keyed on doc id.
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("sa"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("sb"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -162,7 +177,7 @@ def ngram_jaccard_pairs(
 
 
 def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
-    """Per-document SimHash from token md5s (Spark-side, no SQL oracle).
+    """Per-document SimHash from token md5s.
 
     32-bit variant: sum ±1 per bit over tokens, sign → bit. Uses only
     native expressions (conv/substring on md5 hex), no Python."""

@@ -52,15 +52,20 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
 def top_unshipped_orders(
     customer: DataFrame, orders: DataFrame, lineitem: DataFrame
 ) -> DataFrame:
-    """TPC-H Q3-style: revenue of unshipped orders; dims broadcast."""
+    """TPC-H Q3-style: revenue of unshipped orders.
+
+    orders/customer are fact-scale tables — no broadcast hints; AQE picks
+    broadcast at small SF and shuffle joins at cluster scale. Only true
+    dimension tables (nation/region/part/supplier) ever get explicit hints.
+    """
     disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     return (
         lineitem.where(F.col("l_shipdate") > F.lit("1997-01-01"))
         .join(
-            F.broadcast(orders.where(F.col("o_orderdate") < F.lit("1997-01-01"))),
+            orders.where(F.col("o_orderdate") < F.lit("1997-01-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_money(disc_price).alias("revenue"))
         .where(F.col("revenue") > 1000)
@@ -139,13 +144,14 @@ def revenue_by_nation(
     nation: DataFrame,
     region: DataFrame,
 ) -> DataFrame:
-    """TPC-H Q5-style: local-supplier revenue per nation (deep broadcast
-    join chain; only the lineitem side is big)."""
+    """TPC-H Q5-style: local-supplier revenue per nation. Fact tables
+    (orders/customer) join via shuffle; only supplier/nation/region — true
+    dims whose size is bounded by real-world cardinality — are broadcast."""
     disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     return (
         lineitem
-        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(supplier),
             (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -159,21 +165,25 @@ def revenue_by_nation(
 
 
 def segment_order_stats(customer: DataFrame, orders: DataFrame) -> DataFrame:
-    """Order statistics per market segment (broadcast dim + two-level agg)."""
+    """Order statistics per market segment (two-level aggregation).
+
+    Money stays exact DECIMAL through BOTH aggregation levels and is
+    rounded/cast to double exactly once, in the final projection — the
+    double→decimal round-trip between levels diverged from DuckDB on
+    .xx5-boundary values (round-1 hash mismatch). customer is fact-scale:
+    no broadcast hint."""
     per_customer = (
-        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment", "c_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            _money(_dec("o_totalprice")).alias("total_spend"),
+            F.sum(_dec("o_totalprice")).alias("total_spend"),
         )
     )
     return per_customer.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("n_orders").alias("n_orders"),
-        F.round(F.sum(F.col("total_spend").cast("decimal(18,2)")), 2)
-        .cast("double")
-        .alias("segment_spend"),
+        F.round(F.sum("total_spend"), 2).cast("double").alias("segment_spend"),
     )
 
 

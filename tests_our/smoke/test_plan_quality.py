@@ -47,13 +47,40 @@ def test_predicate_pushdown(spark):
 
 
 def test_small_dims_broadcast(spark):
-    plan = plan_of(spark, "q3_top_unshipped")
-    assert plan.count("BroadcastHashJoin") >= 2  # orders + customer
-    assert "SortMergeJoin" not in plan
+    # true dims (part, nation) carry explicit hints; the tiny ANN query side
+    # rides a broadcast nested-loop
     plan = plan_of(spark, "part_revenue_rank")
+    assert "BroadcastHashJoin" in plan
+    plan = plan_of(spark, "supplier_balance_rank")
     assert "BroadcastHashJoin" in plan
     plan = plan_of(spark, "emb_cosine_topk")
     assert "BroadcastNestedLoopJoin" in plan  # tiny query side broadcast
+
+
+def test_no_fact_table_broadcast_hints(spark):
+    # With autoBroadcastJoinThreshold disabled, a BroadcastHashJoin can only
+    # come from an EXPLICIT hint. Fact-scale tables (lineitem/orders/
+    # customer) must not carry one — at 100× they OOM the executors; AQE is
+    # free to choose broadcast at runtime when a side is actually small.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, "q3_top_unshipped")
+        assert "BroadcastHashJoin" not in plan  # no hints on orders/customer
+        plan = plan_of(spark, "segment_order_stats")
+        assert "BroadcastHashJoin" not in plan  # no hint on customer
+        plan = plan_of(spark, "q5_revenue_by_nation")
+        # exactly the three dim hints: supplier, nation, region
+        # (formatted explain renders each node twice: tree + detail)
+        assert plan.count("BroadcastHashJoin") == 2 * 3
+        plan = plan_of(spark, "doc_ngram_jaccard")
+        # the only hinted broadcast is the (tiny) hot-shingle ANTI-join
+        # side, which shows up once per side of the self-join; the
+        # corpus-sized sizes/inverted-index joins must not broadcast
+        assert plan.count("BroadcastHashJoin Inner") == 0
+        assert plan.count("BroadcastHashJoin LeftAnti") <= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_partial_aggregation(spark):
