@@ -58,15 +58,106 @@ def _list_depth(doc: Document, node: Node) -> int:
     return max(depth - 1, 0)
 
 
+def _list_root(doc: Document, node: Node) -> Optional[int]:
+    """Index of the OUTERMOST list-group ancestor (one rendered markdown
+    block spans a whole top-level list, nested items included — reference
+    list spacing in tests/data/groundtruth/docling_v2/example_0{1,3,7}.html.md)."""
+    root = None
+    cur = node.parent
+    while cur is not None:
+        parent = doc.nodes[cur]
+        if parent.label in (model.GROUP_LIST, model.GROUP_ORDERED_LIST):
+            root = cur
+        cur = parent.parent
+    return root
+
+
+def _md_escape(s: str) -> str:
+    """docling-core markdown text escaping (groundtruth evidence:
+    wiki_duck.html.md keeps ``&amp;`` and ``\\_``): HTML-escape ``&``/``<``/``>``
+    (quotes untouched) plus underscore escaping. Applied to text items only
+    — table cells and code blocks pass through raw."""
+    return (
+        s.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace("_", "\\_")
+    )
+
+
+def _md_is_number(s: str) -> bool:
+    """tabulate's numeric-cell test (float-parseable, non-empty)."""
+    if not s or s != s.strip():
+        s = s.strip()
+    if not s:
+        return False
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def _md_format_number(s: str) -> str:
+    """tabulate reformats parsed numbers (int stays, float via repr)."""
+    t = s.strip()
+    try:
+        return str(int(t))
+    except ValueError:
+        pass
+    try:
+        return repr(float(t))
+    except ValueError:
+        return s
+
+
 def _table_to_markdown(table: model.TableData) -> str:
+    """GitHub-pipe table in the reference's exact rendering (docling-core
+    delegates to ``tabulate(..., tablefmt='github')``; groundtruth at
+    tests/data/groundtruth/docling_v2/*.html.md): column width =
+    max(data cell widths, header width + 2); all-numeric data columns are
+    re-formatted through number parsing and right-aligned (header too);
+    string columns left-aligned; separator = width + 2 dashes."""
     if table.num_rows == 0 or table.num_cols == 0:
         return ""
+    # whitespace semantics calibrated byte-exact against the groundtruth
+    # (wiki_duck.html.md): newlines become spaces in every cell, DATA cells
+    # are stripped (tabulate strips inside _align_column) but HEADER cells
+    # are NOT (tabulate _align_header pads the raw string) — a trailing
+    # space inside a header cell widens the whole column ('Authority
+    # control databases' column is width 30, not 29)
+    rows = [
+        [(c if c is not None else "").replace("\n", " ") for c in row]
+        for row in table.grid
+    ]
+    header, data = rows[0], [[c.strip() for c in row] for row in rows[1:]]
+    ncols = table.num_cols
+    numeric = [
+        bool(data) and all(_md_is_number(r[j]) for r in data) for j in range(ncols)
+    ]
+    cells = [list(header)] + [
+        [
+            _md_format_number(r[j]) if numeric[j] else r[j]
+            for j in range(ncols)
+        ]
+        for r in data
+    ]
+    widths = [
+        max(
+            max((len(r[j]) for r in cells[1:]), default=0),
+            len(header[j]) + 2,
+        )
+        for j in range(ncols)
+    ]
     lines = []
-    for i, row in enumerate(table.grid):
-        cells = [(c if c is not None else "").replace("\n", " ").strip() for c in row]
-        lines.append("| " + " | ".join(cells) + " |")
+    for i, r in enumerate(cells):
+        padded = [
+            (r[j].rjust(widths[j]) if numeric[j] else r[j].ljust(widths[j]))
+            for j in range(ncols)
+        ]
+        lines.append("| " + " | ".join(padded) + " |")
         if i == 0:
-            lines.append("|" + "---|" * table.num_cols)
+            lines.append("|" + "|".join("-" * (w + 2) for w in widths) + "|")
     return "\n".join(lines)
 
 
@@ -106,9 +197,23 @@ def export_markdown(
     doc: Document, layers: tuple[str, ...] = (model.BODY,)
 ) -> str:
     blocks: list[str] = []
+    last_list_root: Optional[int] = None  # open list block's top-level group
+    # caption items referenced by a picture render AT the picture (before
+    # the image comment — wiki_duck gt), not at their tree position
+    referenced_captions = {
+        n.caption_ref for n in doc.nodes if n.caption_ref is not None
+    }
     for node, _ in doc.iterate_items(layers=layers):
         label = node.label
+        if label != model.LIST_ITEM:
+            last_list_root = None
+        if label == model.CAPTION and node.index in referenced_captions:
+            continue
         if label == model.PICTURE:
+            if node.caption_ref is not None:
+                cap = doc.nodes[node.caption_ref]
+                if cap.text:
+                    blocks.append(_md_escape(cap.text))
             blocks.append("<!-- image -->")
         elif label == model.TABLE:
             if node.table is not None:
@@ -117,21 +222,83 @@ def export_markdown(
                     blocks.append(rendered)
         elif label == model.TITLE:
             if node.text:
-                blocks.append("# " + node.text)
+                blocks.append("# " + _md_escape(node.text))
         elif label == model.SECTION_HEADER:
             if node.text:
-                blocks.append("#" * (node.level + 1) + " " + node.text)
+                blocks.append("#" * (node.level + 1) + " " + _md_escape(node.text))
         elif label == model.CODE:
             if node.text:
                 blocks.append("```\n" + node.text + "\n```")
         elif label == model.LIST_ITEM:
             if node.text:
-                indent = "  " * _list_depth(doc, node)
-                blocks.append(indent + _list_item_prefix(doc, node) + node.text)
+                # one markdown block per top-level list: items (nested
+                # included, 4-space indent per depth) joined by single
+                # newlines; blank lines only between distinct lists
+                indent = "    " * _list_depth(doc, node)
+                line = indent + _list_item_prefix(doc, node) + _md_escape(node.text)
+                root = _list_root(doc, node)
+                if root is not None and root == last_list_root and blocks:
+                    blocks[-1] += "\n" + line
+                else:
+                    blocks.append(line)
+                last_list_root = root
         else:
             if node.text:
-                blocks.append(node.text)
+                blocks.append(_md_escape(node.text))
     return "\n\n".join(blocks)
+
+
+def _itxt_trunc(text: str, max_text_len: int) -> str:
+    """Reference indented-text truncation (docling-core
+    ``_export_to_indented_text``; groundtruth: wiki_duck.html.itxt): texts
+    longer than the cap collapse to ``head ... tail`` with
+    head = max//2 - 3 chars and tail = max//2 + 3 chars."""
+    if len(text) <= max_text_len:
+        return text
+    return (
+        text[: max_text_len // 2 - 3]
+        + " ... "
+        + text[-(max_text_len // 2 + 3):]
+    )
+
+
+def export_itxt(doc: Document, max_text_len: int = 70) -> str:
+    """Indented element-tree export, byte-compatible with the reference's
+    ``DoclingDocument._export_to_indented_text(max_text_len=70,
+    explicit_tables=False)`` used for every ``*.itxt`` groundtruth file
+    (tests/test_backend_html.py:142-147). One line per body-layer node
+    (groups included); pictures re-print their caption ref one level down
+    under the SAME item number."""
+    lines = ["item-0 at level 0: unspecified: group _root_"]
+    ix = 0
+    for node, depth in doc.iterate_items(layers=(model.BODY,), with_groups=True):
+        ix += 1
+        pad = "  " * depth
+        head = f"{pad}item-{ix} at level {depth}"
+        if node.is_group:
+            label = "list" if node.label in (
+                model.GROUP_LIST, model.GROUP_ORDERED_LIST
+            ) else node.label
+            lines.append(f"{head}: {label}: group {node.name}")
+        elif node.label == model.PICTURE:
+            lines.append(f"{head}: picture")
+            if node.caption_ref is not None:
+                cap = doc.nodes[node.caption_ref]
+                if cap.text:
+                    lines.append(
+                        f"{pad}  item-{ix} at level {depth + 1}: caption: "
+                        f"{_itxt_trunc(cap.text, max_text_len)}"
+                    )
+        elif node.label == model.TABLE:
+            t = node.table
+            nr = t.num_rows if t is not None else 0
+            nc = t.num_cols if t is not None else 0
+            lines.append(f"{head}: table with [{nr}x{nc}]")
+        else:
+            lines.append(
+                f"{head}: {node.label}: {_itxt_trunc(node.text, max_text_len)}"
+            )
+    return "\n".join(lines)
 
 
 def flatten_spans(doc: Document) -> list[dict]:
