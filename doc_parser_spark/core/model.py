@@ -38,8 +38,9 @@ PAGE_FOOTER = "page_footer"
 GROUP_SECTION = "section"
 GROUP_LIST = "list"
 GROUP_ORDERED_LIST = "ordered_list"
+GROUP_INLINE = "inline"  # docling-core InlineGroup (md_backend.py:444-447)
 
-_GROUP_LABELS = {GROUP_SECTION, GROUP_LIST, GROUP_ORDERED_LIST}
+_GROUP_LABELS = {GROUP_SECTION, GROUP_LIST, GROUP_ORDERED_LIST, GROUP_INLINE}
 
 
 @dataclass
@@ -92,6 +93,11 @@ class Node:
     caption_ref: Optional[int] = None  # picture -> caption node index
     page_no: int = 1
     bbox: Optional[tuple[float, float, float, float]] = None  # (l, t, r, b) top-left origin
+    # inline formatting (docling-core Formatting + hyperlink; carried by the
+    # markdown backend's emphasis/link handling, md_backend.py:301-347)
+    bold: bool = False
+    italic: bool = False
+    hyperlink: str = ""
 
     @property
     def is_group(self) -> bool:

@@ -85,6 +85,27 @@ def _md_escape(s: str) -> str:
     )
 
 
+def _visible_width(s: str) -> int:
+    """wcswidth-compatible display width (tabulate measures cells with
+    wcwidth when present): wide East-Asian chars count 2, combining marks 0,
+    and any control character makes the WHOLE string width -1 — which is why
+    the reference's groundtruth pads a tab-containing cell to column width
+    + len(cell) + 1 (csv-tab.csv.md rows 4-5)."""
+    import unicodedata
+
+    total = 0
+    for ch in s:
+        o = ord(ch)
+        if o == 0:
+            continue
+        if o < 32 or 0x7F <= o < 0xA0:
+            return -1
+        if unicodedata.combining(ch):
+            continue
+        total += 2 if unicodedata.east_asian_width(ch) in ("W", "F") else 1
+    return total
+
+
 def _md_is_number(s: str) -> bool:
     """tabulate's numeric-cell test (float-parseable, non-empty)."""
     if not s or s != s.strip():
@@ -144,17 +165,19 @@ def _table_to_markdown(table: model.TableData) -> str:
     ]
     widths = [
         max(
-            max((len(r[j]) for r in cells[1:]), default=0),
-            len(header[j]) + 2,
+            max((_visible_width(r[j]) for r in cells[1:]), default=0),
+            _visible_width(header[j]) + 2,
         )
         for j in range(ncols)
     ]
+
+    def pad(s: str, w: int, right: bool) -> str:
+        fill = " " * max(w - _visible_width(s), 0)
+        return (fill + s) if right else (s + fill)
+
     lines = []
     for i, r in enumerate(cells):
-        padded = [
-            (r[j].rjust(widths[j]) if numeric[j] else r[j].ljust(widths[j]))
-            for j in range(ncols)
-        ]
+        padded = [pad(r[j], widths[j], numeric[j]) for j in range(ncols)]
         lines.append("| " + " | ".join(padded) + " |")
         if i == 0:
             lines.append("|" + "|".join("-" * (w + 2) for w in widths) + "|")
@@ -170,13 +193,23 @@ def _table_to_text(table: model.TableData) -> str:
 
 
 def export_text(doc: Document, layers: tuple[str, ...] = (model.BODY,)) -> str:
-    """Main-content plain text (BODY layer only by default)."""
+    """Main-content plain text (BODY layer only by default). Members of one
+    inline group collapse into a single space-joined block."""
     blocks: list[str] = []
+    last_inline_parent: Optional[int] = None
     for node, _ in doc.iterate_items(layers=layers):
         label = node.label
+        inline_parent = (
+            node.parent
+            if node.parent is not None
+            and doc.nodes[node.parent].label == model.GROUP_INLINE
+            else None
+        )
         if label == model.PICTURE:
+            last_inline_parent = None
             continue
         if label == model.TABLE:
+            last_inline_parent = None
             if node.table is not None:
                 rendered = _table_to_text(node.table)
                 if rendered:
@@ -185,66 +218,159 @@ def export_text(doc: Document, layers: tuple[str, ...] = (model.BODY,)) -> str:
         text = node.text
         if not text:
             continue
-        if label == model.LIST_ITEM:
+        if inline_parent is not None and inline_parent == last_inline_parent and blocks:
+            blocks[-1] += " " + text
+        elif label == model.LIST_ITEM:
             indent = "  " * _list_depth(doc, node)
             blocks.append(indent + _list_item_prefix(doc, node) + text)
         else:
             blocks.append(text)
+        last_inline_parent = inline_parent
     return "\n\n".join(blocks)
+
+
+def _fmt_wrap(s: str, node: Node) -> str:
+    """Re-emit docling-core Formatting + hyperlink (markdown serializer:
+    ``**bold**`` / ``*italic*`` / ``[text](url)`` — groundtruth evidence
+    inline_and_formatting.md.md)."""
+    if node.bold and node.italic:
+        s = f"***{s}***"
+    elif node.bold:
+        s = f"**{s}**"
+    elif node.italic:
+        s = f"*{s}*"
+    if node.hyperlink:
+        s = f"[{s}]({node.hyperlink})"
+    return s
+
+
+def _inline_md(node: Node) -> str:
+    """One inline-group member: code spans backtick-wrapped and UNESCAPED
+    (gt keeps ``not_to_escape`` raw inside backticks), text escaped."""
+    if node.label == model.CODE:
+        base = f"`{node.text}`"
+    elif node.label == model.PICTURE:
+        return "<!-- image -->"
+    else:
+        base = _md_escape(node.text)
+    return _fmt_wrap(base, node)
+
+
+_LIST_GROUPS = (model.GROUP_LIST, model.GROUP_ORDERED_LIST)
 
 
 def export_markdown(
     doc: Document, layers: tuple[str, ...] = (model.BODY,)
 ) -> str:
+    """Markdown export, byte-compatible with docling-core
+    ``export_to_markdown`` on every committed groundtruth fixture
+    (html/csv/md inputs). Blocks joined by blank lines; one block per
+    top-level list (nested items single-newline, 4-space indents); inline
+    groups join their members with single spaces."""
     blocks: list[str] = []
-    last_list_root: Optional[int] = None  # open list block's top-level group
-    # caption items referenced by a picture render AT the picture (before
-    # the image comment — wiki_duck gt), not at their tree position
     referenced_captions = {
         n.caption_ref for n in doc.nodes if n.caption_ref is not None
     }
-    for node, _ in doc.iterate_items(layers=layers):
+
+    def visible(node: Node) -> bool:
+        return node.content_layer in layers
+
+    def join_inline(group: Node) -> str:
+        parts = []
+        for ci in group.children:
+            c = doc.nodes[ci]
+            if c.is_group or not visible(c):
+                continue
+            r = _inline_md(c)
+            if r:
+                parts.append(r)
+        return " ".join(parts)
+
+    def item_text(node: Node) -> str:
+        """Block item's rendered text: own text or its inline group."""
+        if node.text:
+            return _fmt_wrap(_md_escape(node.text), node)
+        for ci in node.children:
+            c = doc.nodes[ci]
+            if c.label == model.GROUP_INLINE:
+                return join_inline(c)
+        return ""
+
+    def render_list(group: Node, depth: int, lines: list[str]) -> None:
+        for ci in group.children:
+            c = doc.nodes[ci]
+            if c.label == model.LIST_ITEM:
+                txt = item_text(c)
+                if visible(c) and txt:
+                    lines.append(
+                        "    " * depth + _list_item_prefix(doc, c) + txt
+                    )
+                for gi in c.children:
+                    g2 = doc.nodes[gi]
+                    if g2.label in _LIST_GROUPS:
+                        render_list(g2, depth + 1, lines)
+            elif c.label in _LIST_GROUPS:
+                render_list(c, depth + 1, lines)
+            elif c.label == model.GROUP_INLINE:
+                continue  # consumed by its list item
+            else:
+                render_block(c)  # stray non-item content splits nothing:
+                # it lands as its own top-level block after the list lines
+
+    def render_block(node: Node) -> None:
         label = node.label
-        if label != model.LIST_ITEM:
-            last_list_root = None
+        if node.is_group:
+            if label in _LIST_GROUPS:
+                lines: list[str] = []
+                render_list(node, 0, lines)
+                if lines:
+                    blocks.append("\n".join(lines))
+            elif label == model.GROUP_INLINE:
+                joined = join_inline(node)
+                if joined:
+                    blocks.append(joined)
+            else:
+                for ci in node.children:
+                    render_block(doc.nodes[ci])
+            return
         if label == model.CAPTION and node.index in referenced_captions:
-            continue
-        if label == model.PICTURE:
-            if node.caption_ref is not None:
-                cap = doc.nodes[node.caption_ref]
-                if cap.text:
-                    blocks.append(_md_escape(cap.text))
-            blocks.append("<!-- image -->")
+            pass
+        elif label == model.PICTURE:
+            if visible(node):
+                if node.caption_ref is not None:
+                    cap = doc.nodes[node.caption_ref]
+                    if cap.text:
+                        blocks.append(_md_escape(cap.text))
+                blocks.append("<!-- image -->")
         elif label == model.TABLE:
-            if node.table is not None:
+            if visible(node) and node.table is not None:
                 rendered = _table_to_markdown(node.table)
                 if rendered:
                     blocks.append(rendered)
         elif label == model.TITLE:
-            if node.text:
-                blocks.append("# " + _md_escape(node.text))
+            txt = item_text(node)
+            if visible(node) and txt:
+                blocks.append("# " + txt)
         elif label == model.SECTION_HEADER:
-            if node.text:
-                blocks.append("#" * (node.level + 1) + " " + _md_escape(node.text))
+            txt = item_text(node)
+            if visible(node) and txt:
+                blocks.append("#" * (node.level + 1) + " " + txt)
         elif label == model.CODE:
-            if node.text:
+            if visible(node) and node.text:
                 blocks.append("```\n" + node.text + "\n```")
-        elif label == model.LIST_ITEM:
-            if node.text:
-                # one markdown block per top-level list: items (nested
-                # included, 4-space indent per depth) joined by single
-                # newlines; blank lines only between distinct lists
-                indent = "    " * _list_depth(doc, node)
-                line = indent + _list_item_prefix(doc, node) + _md_escape(node.text)
-                root = _list_root(doc, node)
-                if root is not None and root == last_list_root and blocks:
-                    blocks[-1] += "\n" + line
-                else:
-                    blocks.append(line)
-                last_list_root = root
         else:
-            if node.text:
-                blocks.append(_md_escape(node.text))
+            if visible(node) and node.text:
+                blocks.append(_fmt_wrap(_md_escape(node.text), node))
+        # children of block items (heading-rooted subtrees) render as blocks;
+        # inline groups were already consumed by item_text
+        for ci in node.children:
+            c = doc.nodes[ci]
+            if c.label == model.GROUP_INLINE:
+                continue
+            render_block(c)
+
+    for ci in doc.root.children:
+        render_block(doc.nodes[ci])
     return "\n\n".join(blocks)
 
 
@@ -456,49 +582,129 @@ def export_doctags(doc: Document, layers: tuple[str, ...] = (model.BODY,)) -> st
 
 
 def export_html(doc: Document, layers: tuple[str, ...] = (model.BODY,)) -> str:
-    """HTML export (the reference CLI's html sink). Deterministic, minimal
-    escaping; tables re-expand from the span grid."""
+    """HTML export (the reference CLI's html sink; also the carrier for the
+    markdown backend's embedded-HTML re-route, md_backend.py:510-545).
+    Tree-faithful: nested list groups become nested ``<ul>``/``<ol>``,
+    code items ``<pre><code>`` (the re-route's unwrap pattern), inline
+    groups one ``<p>`` with ``<b>``/``<i>``/``<code>``/``<a>`` members."""
 
     def esc(s: str) -> str:
         return (
             s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
         )
 
+    def visible(node: Node) -> bool:
+        return node.content_layer in layers
+
+    def inline_html(node: Node) -> str:
+        if node.label == model.PICTURE:
+            return "<figure></figure>"
+        s = f"<code>{esc(node.text)}</code>" if node.label == model.CODE \
+            else esc(node.text)
+        if node.bold:
+            s = f"<b>{s}</b>"
+        if node.italic:
+            s = f"<i>{s}</i>"
+        if node.hyperlink:
+            s = f'<a href="{esc(node.hyperlink)}">{s}</a>'
+        return s
+
+    def heading_text(node: Node) -> str:
+        if node.text:
+            return esc(node.text)
+        for ci in node.children:
+            c = doc.nodes[ci]
+            if c.label == model.GROUP_INLINE:
+                return " ".join(
+                    inline_html(doc.nodes[x])
+                    for x in c.children
+                    if not doc.nodes[x].is_group
+                )
+        return ""
+
     parts: list[str] = ["<html><body>"]
-    open_list = False
-    for node, _ in doc.iterate_items(layers=layers):
+
+    def render_list(group: Node) -> None:
+        tag = "ol" if group.label == model.GROUP_ORDERED_LIST else "ul"
+        start = ""
+        if tag == "ol" and group.name.startswith("ordered list start "):
+            start = f' start="{group.name.rsplit(" ", 1)[1]}"'
+        parts.append(f"<{tag}{start}>")
+        for ci in group.children:
+            c = doc.nodes[ci]
+            if c.label == model.LIST_ITEM:
+                txt = heading_text(c) if not c.text else esc(c.text)
+                sub = [
+                    doc.nodes[gi] for gi in c.children
+                    if doc.nodes[gi].label in _LIST_GROUPS
+                ]
+                if sub:
+                    parts.append(f"<li>{txt}")
+                    for g2 in sub:
+                        render_list(g2)
+                    parts.append("</li>")
+                else:
+                    parts.append(f"<li>{txt}</li>")
+            elif c.label in _LIST_GROUPS:
+                parts.append("<li>")
+                render_list(c)
+                parts.append("</li>")
+        parts.append(f"</{tag}>")
+
+    def render(node: Node) -> None:
         label = node.label
-        if label != model.LIST_ITEM and open_list:
-            parts.append("</ul>")
-            open_list = False
+        if node.is_group:
+            if label in _LIST_GROUPS:
+                render_list(node)
+            elif label == model.GROUP_INLINE:
+                joined = " ".join(
+                    inline_html(doc.nodes[x])
+                    for x in node.children
+                    if not doc.nodes[x].is_group
+                )
+                if joined:
+                    parts.append(f"<p>{joined}</p>")
+            else:
+                for ci in node.children:
+                    render(doc.nodes[ci])
+            return
         if label == model.TITLE:
-            parts.append(f"<h1>{esc(node.text)}</h1>")
+            txt = heading_text(node)
+            if visible(node) and txt:
+                parts.append(f"<h1>{txt}</h1>")
         elif label == model.SECTION_HEADER:
             lvl = min(node.level + 1, 6)
-            parts.append(f"<h{lvl}>{esc(node.text)}</h{lvl}>")
+            txt = heading_text(node)
+            if visible(node) and txt:
+                parts.append(f"<h{lvl}>{txt}</h{lvl}>")
         elif label == model.CODE:
-            parts.append(f"<pre>{esc(node.text)}</pre>")
-        elif label == model.LIST_ITEM:
-            if not open_list:
-                parts.append("<ul>")
-                open_list = True
-            marker = f"{node.marker} " if node.marker else ""
-            parts.append(f"<li>{esc(marker + node.text)}</li>")
-        elif label == model.TABLE and node.table is not None:
-            rows = []
-            for ri, row in enumerate(node.table.grid):
-                tag = "th" if ri == 0 else "td"
-                rows.append(
-                    "<tr>"
-                    + "".join(f"<{tag}>{esc((c or '').strip())}</{tag}>" for c in row)
-                    + "</tr>"
-                )
-            parts.append("<table>" + "".join(rows) + "</table>")
+            if visible(node) and node.text:
+                parts.append(f"<pre><code>{esc(node.text)}</code></pre>")
+        elif label == model.TABLE:
+            if visible(node) and node.table is not None:
+                rows = []
+                for ri, row in enumerate(node.table.grid):
+                    tag = "th" if ri == 0 else "td"
+                    rows.append(
+                        "<tr>"
+                        + "".join(
+                            f"<{tag}>{esc((c or '').strip())}</{tag}>" for c in row
+                        )
+                        + "</tr>"
+                    )
+                parts.append("<table>" + "".join(rows) + "</table>")
         elif label == model.PICTURE:
-            parts.append("<figure></figure>")
-        elif node.text:
-            parts.append(f"<p>{esc(node.text)}</p>")
-    if open_list:
-        parts.append("</ul>")
+            if visible(node):
+                parts.append("<figure></figure>")
+        elif node.text and visible(node):
+            parts.append(f"<p>{inline_html(node)}</p>")
+        for ci in node.children:
+            c = doc.nodes[ci]
+            if c.label == model.GROUP_INLINE:
+                continue
+            render(c)
+
+    for ci in doc.root.children:
+        render(doc.nodes[ci])
     parts.append("</body></html>")
     return "\n".join(parts)
