@@ -26,6 +26,7 @@ FURNITURE = "furniture"
 TITLE = "title"
 SECTION_HEADER = "section_header"
 TEXT = "text"
+PARAGRAPH = "paragraph"  # pptx non-list text (mspowerpoint_backend.py:191)
 CODE = "code"
 LIST_ITEM = "list_item"
 CAPTION = "caption"
@@ -39,8 +40,11 @@ GROUP_SECTION = "section"
 GROUP_LIST = "list"
 GROUP_ORDERED_LIST = "ordered_list"
 GROUP_INLINE = "inline"  # docling-core InlineGroup (md_backend.py:444-447)
+GROUP_CHAPTER = "chapter"  # pptx slides (mspowerpoint_backend.py:334)
 
-_GROUP_LABELS = {GROUP_SECTION, GROUP_LIST, GROUP_ORDERED_LIST, GROUP_INLINE}
+_GROUP_LABELS = {
+    GROUP_SECTION, GROUP_LIST, GROUP_ORDERED_LIST, GROUP_INLINE, GROUP_CHAPTER,
+}
 
 
 @dataclass

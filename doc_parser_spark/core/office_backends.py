@@ -207,78 +207,500 @@ def _col_index(ref: str) -> int:
     return col - 1
 
 
+_XLSX_BUILTIN_DATE_FMTS = {
+    14: "mm-dd-yy", 15: "d-mmm-yy", 16: "d-mmm", 17: "mmm-yy",
+    18: "h:mm AM/PM", 19: "h:mm:ss AM/PM", 20: "h:mm", 21: "h:mm:ss",
+    22: "m/d/yy h:mm", 45: "mm:ss", 46: "[h]:mm:ss", 47: "mmss.0",
+}
+
+
+def _xlsx_is_date_fmt(fmt: str) -> bool:
+    """openpyxl ``is_date_format`` heuristic: a d/m/h/y/s code outside
+    quoted literals and bracket sections marks a date/time format."""
+    out = []
+    in_quote = in_bracket = False
+    for ch in fmt:
+        if ch == '"':
+            in_quote = not in_quote
+        elif ch == "[" and not in_quote:
+            in_bracket = True
+        elif ch == "]" and not in_quote:
+            in_bracket = False
+        elif not in_quote and not in_bracket:
+            out.append(ch)
+    return bool(re.search(r"[dmhys]", "".join(out), re.IGNORECASE))
+
+
+def _xlsx_date_styles(zf: zipfile.ZipFile) -> set[int]:
+    """Indices into cellXfs whose number format is a date/time format."""
+    try:
+        root = ET.fromstring(zf.read("xl/styles.xml"))
+    except (KeyError, ET.ParseError):
+        return set()
+    custom = {}
+    for nf in root.iter(f"{_S}numFmt"):
+        try:
+            custom[int(nf.get("numFmtId", "-1"))] = nf.get("formatCode", "")
+        except ValueError:
+            pass
+    date_styles = set()
+    cellxfs = root.find(f"{_S}cellXfs")
+    if cellxfs is None:
+        return set()
+    for i, xf in enumerate(cellxfs.findall(f"{_S}xf")):
+        try:
+            fmt_id = int(xf.get("numFmtId", "0"))
+        except ValueError:
+            continue
+        fmt = custom.get(fmt_id) or _XLSX_BUILTIN_DATE_FMTS.get(fmt_id)
+        if fmt_id in _XLSX_BUILTIN_DATE_FMTS or (fmt and _xlsx_is_date_fmt(fmt)):
+            date_styles.add(i)
+    return date_styles
+
+
+def _xlsx_serial_to_str(serial: float) -> str:
+    """Excel 1900-system serial → ``str(datetime)`` (openpyxl from_excel:
+    epoch 1899-12-30 absorbs the Lotus leap-year bug)."""
+    import datetime as _dt
+
+    base = _dt.datetime(1899, 12, 30)
+    # round to microseconds like openpyxl (avoids float drift)
+    value = base + _dt.timedelta(days=serial)
+    micro = round(value.microsecond, -3)
+    if micro >= 1_000_000:
+        value += _dt.timedelta(seconds=1)
+        micro = 0
+    return str(value.replace(microsecond=int(micro)))
+
+
+def _xlsx_cell_text(c, shared: list, date_styles: set) -> object:
+    """openpyxl ``cell.value`` equivalent, rendered via ``str()`` by the
+    caller (msexcel_backend.py:372 ``text=str(cell.value)``). Returns None
+    for valueless cells."""
+    t = c.get("t", "n")
+    f = c.find(f"{_S}f")
+    if f is not None and t not in ("s", "inlineStr", "b", "e", "str"):
+        # data_only=False workbook: formula cells read back as the formula
+        return "=" + (f.text or "")
+    if t == "inlineStr":
+        is_el = c.find(f"{_S}is")
+        if is_el is None:
+            return None
+        return "".join(tt.text or "" for tt in is_el.iter(f"{_S}t"))
+    v = c.find(f"{_S}v")
+    if v is None or v.text is None:
+        return None
+    txt = v.text
+    if t == "s":
+        idx = int(txt)
+        return shared[idx] if idx < len(shared) else ""
+    if t == "b":
+        return txt not in ("0", "false", "FALSE")
+    if t in ("e", "str"):
+        return txt
+    # numeric: int unless a fraction/exponent is present (openpyxl
+    # _cast_number), dates resolved through the cell style
+    try:
+        num = float(txt) if ("." in txt or "e" in txt or "E" in txt) else int(txt)
+    except ValueError:
+        return txt
+    try:
+        style = int(c.get("s", "-1"))
+    except ValueError:
+        style = -1
+    if style in date_styles:
+        return _xlsx_serial_to_str(float(num))
+    return num
+
+
+def _xlsx_sheet_targets(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
+    """(sheet name, member path) in WORKBOOK order (xl/workbook.xml sheet
+    sequence + workbook rels — NOT filename order, which diverges after a
+    user reorders sheets)."""
+    rels = {}
+    try:
+        rroot = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        for rel in rroot.iter(
+            "{http://schemas.openxmlformats.org/package/2006/relationships}Relationship"
+        ):
+            target = rel.get("Target", "")
+            if target.startswith("/"):
+                target = target.lstrip("/")
+            else:
+                target = "xl/" + target
+            rels[rel.get("Id", "")] = target.replace("xl/../", "")
+    except (KeyError, ET.ParseError):
+        pass
+    out = []
+    try:
+        wroot = ET.fromstring(zf.read("xl/workbook.xml"))
+    except (KeyError, ET.ParseError):
+        wroot = ET.Element("none")
+    rns = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+    for sh in wroot.iter(f"{_S}sheet"):
+        rid = sh.get(f"{rns}id", "")
+        target = rels.get(rid)
+        if target and target in zf.namelist():
+            out.append((sh.get("name", ""), target))
+    if not out:
+        # rels-less containers (or repaired files): filename order fallback
+        sheets = sorted(
+            (n for n in zf.namelist()
+             if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"(\d+)", n).group(1)),
+        )
+        out = [
+            (f"Sheet{i}", n)
+            for i, n in enumerate(sheets, start=1)
+        ]
+    return out
+
+
+def _xlsx_sheet_pictures(zf: zipfile.ZipFile, sheet_path: str) -> int:
+    """Number of embedded pictures on the sheet (openpyxl ``ws._images``:
+    <xdr:pic> elements of the sheet drawing; charts are graphicFrames and
+    are dropped, matching the reference)."""
+    m = re.match(r"xl/worksheets/(sheet[^/]+)$", sheet_path)
+    if not m:
+        return 0
+    rels_path = f"xl/worksheets/_rels/{m.group(1)}.rels"
+    try:
+        rroot = ET.fromstring(zf.read(rels_path))
+    except (KeyError, ET.ParseError):
+        return 0
+    count = 0
+    xdr = "{http://schemas.openxmlformats.org/drawingml/2006/spreadsheetDrawing}"
+    for rel in rroot.iter(
+        "{http://schemas.openxmlformats.org/package/2006/relationships}Relationship"
+    ):
+        if rel.get("Type", "").endswith("/drawing"):
+            target = rel.get("Target", "").replace("../", "xl/")
+            try:
+                droot = ET.fromstring(zf.read(target))
+            except (KeyError, ET.ParseError):
+                continue
+            count += sum(1 for _ in droot.iter(f"{xdr}pic"))
+    return count
+
+
 def extract_xlsx(payload: bytes) -> Document:
+    """XLSX/XLSM → sheet groups with region-grown data tables + pictures.
+
+    Replicates the reference's multi-table discovery
+    (``msexcel_backend.py:289-475``): scan the used range row-major; each
+    unvisited non-empty cell anchors a table whose bottom/right bounds grow
+    while cells are non-empty or merged; all cells inside the rectangle are
+    collected (gaps inside the rectangle read back ``str(None)``, merged
+    ranges carry row/col spans). Sheets become ``section`` groups named
+    ``sheet: <name>`` in workbook order; pictures follow the tables."""
     zf = zipfile.ZipFile(io.BytesIO(payload))
     shared = _xlsx_shared_strings(zf)
+    date_styles = _xlsx_date_styles(zf)
     doc = Document()
-    sheets = sorted(
-        (n for n in zf.namelist()
-         if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
-        key=lambda n: int(re.search(r"(\d+)", n).group(1)),
-    )
-    for page_no, name in enumerate(sheets, start=1):
-        root = ET.fromstring(zf.read(name))
-        grid_map: dict[int, dict[int, str]] = {}
-        for row in root.iter(f"{_S}row"):
-            r = int(row.get("r", "0")) - 1
-            for c in row.findall(f"{_S}c"):
-                ref = c.get("r", "A1")
-                ci = _col_index(ref)
-                v = c.find(f"{_S}v")
-                if v is None or v.text is None:
-                    continue
-                if c.get("t") == "s":
-                    idx = int(v.text)
-                    val = shared[idx] if idx < len(shared) else ""
-                else:
-                    val = v.text
-                grid_map.setdefault(r, {})[ci] = val
-        if not grid_map:
+
+    for sheet_idx, (sheet_name, path) in enumerate(_xlsx_sheet_targets(zf)):
+        try:
+            root = ET.fromstring(zf.read(path))
+        except ET.ParseError:
             continue
-        max_r = max(grid_map)
-        max_c = max(max(cols) for cols in grid_map.values())
-        data = model.TableData(num_rows=max_r + 1, num_cols=max_c + 1)
-        data.grid = [
-            [grid_map.get(r, {}).get(c, "") for c in range(max_c + 1)]
-            for r in range(max_r + 1)
-        ]
-        for ri, row_vals in enumerate(data.grid):
-            for ci, text in enumerate(row_vals):
-                data.cells.append(
-                    model.TableCellData(
-                        text=text, start_row=ri, end_row=ri + 1,
-                        start_col=ci, end_col=ci + 1, column_header=(ri == 0),
+        values: dict[tuple[int, int], object] = {}
+        for row in root.iter(f"{_S}row"):
+            for c in row.findall(f"{_S}c"):
+                ref = c.get("r")
+                if ref is None:
+                    continue
+                m = _CELL_REF.match(ref)
+                if not m:
+                    continue
+                r, ci = int(m.group(2)) - 1, _col_index(ref)
+                val = _xlsx_cell_text(c, shared, date_styles)
+                if val is not None:
+                    values[(r, ci)] = val
+        merged: list[tuple[int, int, int, int]] = []
+        for mc in root.iter(f"{_S}mergeCell"):
+            ref = mc.get("ref", "")
+            if ":" in ref:
+                a, b = ref.split(":", 1)
+                ma, mb = _CELL_REF.match(a), _CELL_REF.match(b)
+                if ma and mb:
+                    merged.append(
+                        (int(ma.group(2)) - 1, _col_index(a),
+                         int(mb.group(2)) - 1, _col_index(b))
                     )
-                )
-        doc.add_table(data=data, page_no=page_no)
+
+        group = doc.add_group(
+            name=f"sheet: {sheet_name}", label=model.GROUP_SECTION
+        )
+        page_no = sheet_idx + 1
+
+        def merged_at(r: int, c: int):
+            for mr in merged:
+                if mr[0] <= r <= mr[2] and mr[1] <= c <= mr[3]:
+                    return mr
+            return None
+
+        if values:
+            max_row = max(r for r, _ in values)
+            max_col = max(c for _, c in values)
+            visited: set[tuple[int, int]] = set()
+            for sr in range(max_row + 1):
+                for sc in range(max_col + 1):
+                    if (sr, sc) in visited or (sr, sc) not in values:
+                        continue
+                    # grow bottom along column sc
+                    bottom = sr
+                    ri = sr + 1
+                    while ri <= max_row:
+                        mr = merged_at(ri, sc)
+                        if (ri, sc) not in values and mr is None:
+                            break
+                        bottom = max(bottom, mr[2] if mr else ri)
+                        ri += 1
+                    # grow right along row sr
+                    right = sc
+                    cj = sc + 1
+                    while cj <= max_col:
+                        mr = merged_at(sr, cj)
+                        if (sr, cj) not in values and mr is None:
+                            break
+                        right = max(right, mr[3] if mr else cj)
+                        cj += 1
+
+                    num_rows = bottom + 1 - sr
+                    num_cols = right + 1 - sc
+                    table = model.TableData(num_rows=num_rows, num_cols=num_cols)
+                    grid = [[None] * num_cols for _ in range(num_rows)]
+                    cell_visited: set[tuple[int, int]] = set()
+                    for ri in range(sr, bottom + 1):
+                        for cj in range(sc, right + 1):
+                            mr = merged_at(ri, cj)
+                            row_span = (mr[2] - mr[0] + 1) if mr else 1
+                            col_span = (mr[3] - mr[1] + 1) if mr else 1
+                            if (ri, cj) in cell_visited:
+                                continue
+                            text = str(values.get((ri, cj)))
+                            table.cells.append(
+                                model.TableCellData(
+                                    text=text, row_span=row_span, col_span=col_span,
+                                    start_row=ri - sr, end_row=ri - sr + row_span,
+                                    start_col=cj - sc, end_col=cj - sc + col_span,
+                                    column_header=(ri == sr),
+                                )
+                            )
+                            for rr in range(ri, ri + row_span):
+                                for cc in range(cj, cj + col_span):
+                                    cell_visited.add((rr, cc))
+                                    if rr - sr < num_rows and cc - sc < num_cols:
+                                        grid[rr - sr][cc - sc] = text
+                    table.grid = grid
+                    doc.add_table(data=table, parent=group, page_no=page_no)
+                    visited.update(cell_visited)
+
+        for _ in range(_xlsx_sheet_pictures(zf, path)):
+            doc.add_picture(parent=group, page_no=page_no)
     return doc
 
 
 # -- PPTX --------------------------------------------------------------------
 
 
+_R_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
+def _pptx_slide_targets(zf: zipfile.ZipFile) -> list[str]:
+    """Slide member paths in PRESENTATION order (p:sldIdLst + rels)."""
+    rels = {}
+    out: list[str] = []
+    try:
+        rroot = ET.fromstring(zf.read("ppt/_rels/presentation.xml.rels"))
+        for rel in rroot.iter(f"{_REL_NS}Relationship"):
+            rels[rel.get("Id", "")] = "ppt/" + rel.get("Target", "").lstrip("/")
+        proot = ET.fromstring(zf.read("ppt/presentation.xml"))
+    except (KeyError, ET.ParseError):
+        proot = None
+    for sld in (proot.iter(f"{_P}sldId") if proot is not None else ()):
+        target = rels.get(sld.get(f"{_R_NS}id", ""), "")
+        if target in zf.namelist():
+            out.append(target)
+    if not out:
+        out = sorted(
+            (n for n in zf.namelist()
+             if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+            key=lambda n: int(re.search(r"(\d+)", n).group(1)),
+        )
+    return out
+
+
+def _pptx_para_text(p) -> str:
+    """python-pptx content_children walk: runs + fields keep their text,
+    line breaks become single spaces (mspowerpoint_backend.py:158-163)."""
+    parts = []
+    for child in p:
+        if child.tag in (f"{_A}r", f"{_A}fld"):
+            t = child.find(f"{_A}t")
+            parts.append(t.text or "" if t is not None else "")
+        elif child.tag == f"{_A}br":
+            parts.append(" ")
+    return "".join(parts)
+
+
+def _pptx_is_list_item(p) -> tuple[bool, bool]:
+    """(is_list, enumerated): a:buChar → bullet, a:buAutoNum → numbered,
+    indent level > 0 → unnumbered sub-list (mspowerpoint_backend.py:133-150)."""
+    if p.find(f".//{_A}buChar") is not None:
+        return True, False
+    if p.find(f".//{_A}buAutoNum") is not None:
+        return True, True
+    ppr = p.find(f"{_A}pPr")
+    if ppr is not None and int(ppr.get("lvl", "0") or "0") > 0:
+        return True, False
+    return False, False
+
+
+def _pptx_cell_text(tc) -> str:
+    """python-pptx cell.text: paragraph texts joined with newlines, then
+    stripped (mspowerpoint_backend.py:297)."""
+    paras = []
+    body = tc.find(f"{_A}txBody")
+    if body is None:
+        return ""
+    for p in body.findall(f"{_A}p"):
+        paras.append("".join(
+            (t.text or "") for t in p.iter(f"{_A}t")
+        ))
+    return "\n".join(paras).strip()
+
+
+def _pptx_handle_table(tbl, doc: Document, parent: model.Node, page_no: int) -> None:
+    rows = tbl.findall(f"{_A}tr")
+    num_rows = len(rows)
+    num_cols = max((len(tr.findall(f"{_A}tc")) for tr in rows), default=0)
+    table = model.TableData(num_rows=num_rows, num_cols=num_cols)
+    grid: list[list] = [[None] * num_cols for _ in range(num_rows)]
+    any_cell = False
+    for ri, tr in enumerate(rows):
+        for ci, tc in enumerate(tr.findall(f"{_A}tc")):
+            text = _pptx_cell_text(tc)
+            if not text:
+                continue  # empty cells skipped (mspowerpoint_backend.py:308)
+            row_span = int(tc.get("rowSpan", "1") or "1")
+            col_span = int(tc.get("gridSpan", "1") or "1")
+            any_cell = True
+            table.cells.append(
+                model.TableCellData(
+                    text=text, row_span=row_span, col_span=col_span,
+                    start_row=ri, end_row=ri + row_span,
+                    start_col=ci, end_col=ci + col_span,
+                    column_header=(ri == 0),
+                )
+            )
+            for rr in range(ri, min(ri + row_span, num_rows)):
+                for cc in range(ci, min(ci + col_span, num_cols)):
+                    grid[rr][cc] = text
+    table.grid = grid
+    if any_cell:
+        doc.add_table(data=table, parent=parent, page_no=page_no)
+
+
+def _pptx_placeholder_type(sp) -> str:
+    ph = sp.find(f".//{_P}nvSpPr/{_P}nvPr/{_P}ph")
+    if ph is None:
+        return ""
+    return ph.get("type", "body")
+
+
+def _pptx_handle_text(sp, doc: Document, parent: model.Node, page_no: int) -> None:
+    body = sp.find(f"{_P}txBody")
+    if body is None:
+        return
+    paras = body.findall(f"{_A}p")
+    shape_text = "\n".join(_pptx_para_text(p) for p in paras)
+    if not shape_text.strip():
+        return
+    ph_type = _pptx_placeholder_type(sp)
+    is_title = ph_type in ("title", "ctrTitle")
+    list_group = None
+    enum_value = 0
+    for p in paras:
+        is_list, enumerated = _pptx_is_list_item(p)
+        p_text = _pptx_para_text(p)
+        if is_list:
+            if list_group is None:
+                list_group = doc.add_list_group(name="list", parent=parent)
+                enum_value = 0
+            marker = ""
+            if enumerated:
+                enum_value += 1
+                marker = f"{enum_value}."
+            doc.add_list_item(
+                text=p_text, enumerated=enumerated, marker=marker,
+                parent=list_group, page_no=page_no,
+            )
+        else:
+            # subtitle keeps PARAGRAPH (the reference's SECTION_HEADER
+            # assignment is a bare no-op expression, mspowerpoint_backend.py:201)
+            label = model.TITLE if is_title else model.PARAGRAPH
+            doc.add_text(text=p_text, label=label, parent=parent, page_no=page_no)
+
+
+def _pptx_walk_shapes(el, doc: Document, parent: model.Node, page_no: int) -> None:
+    for child in el:
+        tag = child.tag
+        if tag == f"{_P}grpSp":  # groups recurse, members flatten in order
+            _pptx_walk_shapes(child, doc, parent, page_no)
+        elif tag == f"{_P}graphicFrame":
+            tbl = child.find(f".//{_A}tbl")
+            if tbl is not None:
+                _pptx_handle_table(tbl, doc, parent, page_no)
+        elif tag == f"{_P}pic":
+            doc.add_picture(parent=parent, page_no=page_no)
+        elif tag == f"{_P}sp":
+            _pptx_handle_text(child, doc, parent, page_no)
+
+
 def extract_pptx(payload: bytes) -> Document:
+    """PPTX → one ``chapter`` group per slide (``slide-{i}``), shapes in
+    slide-XML order: group shapes flattened recursively, tables from
+    graphicFrames (empty cells skipped, merged spans honored), pictures,
+    title placeholders → TITLE, other non-list paragraphs → PARAGRAPH,
+    bullet/auto-numbered/indented paragraphs → one list group per shape
+    with explicit ``N.`` markers for numbered items
+    (``mspowerpoint_backend.py:124-398``)."""
     zf = zipfile.ZipFile(io.BytesIO(payload))
     doc = Document()
-    slides = sorted(
-        (n for n in zf.namelist() if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
-        key=lambda n: int(re.search(r"(\d+)", n).group(1)),
-    )
-    for page_no, name in enumerate(slides, start=1):
-        root = ET.fromstring(zf.read(name))
-        for sp in root.iter(f"{_P}sp"):
-            # title placeholder → heading (mspowerpoint_backend title handler)
-            ph = sp.find(f".//{_P}nvSpPr/{_P}nvPr/{_P}ph")
-            is_title = ph is not None and (ph.get("type") or "") in ("title", "ctrTitle")
-            for para in sp.iter(f"{_A}p"):
-                text = "".join(t.text or "" for t in para.iter(f"{_A}t")).strip()
-                if not text:
-                    continue
-                if is_title:
-                    doc.add_heading(text=text, level=1, page_no=page_no)
-                    is_title = False  # only the first paragraph is the title
-                else:
-                    doc.add_text(text=text, label=model.TEXT, page_no=page_no)
+    for i, path in enumerate(_pptx_slide_targets(zf)):
+        try:
+            root = ET.fromstring(zf.read(path))
+        except ET.ParseError:
+            continue
+        slide_group = doc.add_group(name=f"slide-{i}", label=model.GROUP_CHAPTER)
+        sp_tree = root.find(f"{_P}cSld/{_P}spTree")
+        if sp_tree is not None:
+            _pptx_walk_shapes(sp_tree, doc, slide_group, i + 1)
+        # notes → furniture text (mspowerpoint_backend.py:380-398)
+        m = re.match(r"ppt/slides/(slide[^/]+)\.xml$", path)
+        if m:
+            rels_path = f"ppt/slides/_rels/{m.group(1)}.xml.rels"
+            try:
+                rroot = ET.fromstring(zf.read(rels_path))
+            except (KeyError, ET.ParseError):
+                continue
+            for rel in rroot.iter(f"{_REL_NS}Relationship"):
+                if rel.get("Type", "").endswith("/notesSlide"):
+                    target = "ppt/" + rel.get("Target", "").replace("../", "")
+                    try:
+                        nroot = ET.fromstring(zf.read(target))
+                    except (KeyError, ET.ParseError):
+                        continue
+                    notes = "\n".join(
+                        _pptx_para_text(p) for p in nroot.iter(f"{_A}p")
+                    ).strip()
+                    if notes:
+                        doc.add_text(
+                            text=notes, label=model.TEXT, parent=slide_group,
+                            content_layer=model.FURNITURE, page_no=i + 1,
+                        )
     return doc
 
 

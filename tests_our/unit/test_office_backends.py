@@ -61,8 +61,10 @@ def test_xlsx_extraction():
 def test_pptx_extraction():
     doc = extract_pptx(make_pptx())
     items = [(n.label, n.text) for n, _ in doc.iterate_items()]
-    assert (model.SECTION_HEADER, "Slide Title") in items
-    assert (model.TEXT, "Bullet text") in items
+    # title placeholder -> TITLE; non-list body text -> PARAGRAPH
+    # (mspowerpoint_backend.py:191-204)
+    assert (model.TITLE, "Slide Title") in items
+    assert (model.PARAGRAPH, "Bullet text") in items
 
 
 def test_hwpx_extraction():
