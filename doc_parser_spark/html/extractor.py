@@ -355,7 +355,11 @@ def parse_table_data(element: Tag) -> Optional[model.TableData]:
         is_row_header = True
         for cell in row.find_all(("td", "th")):
             col_count += _span_int(cell.get("colspan", "1"))
-            if cell.name == "td" or cell.get("rowspan") is None:
+            # an explicit rowspan="1" behaves like no rowspan: JATS thead
+            # rows carry rowspan="1" on every th and stay ordinary rows in
+            # the groundtruth ([18x8] pntd table), while example_08's
+            # rowspan="6" th row is dropped as a row-header row
+            if cell.name == "td" or cell.get("rowspan") in (None, "1"):
                 is_row_header = False
         num_cols = max(num_cols, col_count)
         if not is_row_header:
@@ -377,7 +381,7 @@ def parse_table_data(element: Tag) -> Optional[model.TableData]:
             if cell.name == "td":
                 col_header = False
                 row_header = False
-            elif cell.get("rowspan") is None:
+            elif cell.get("rowspan") in (None, "1"):
                 row_header = False
         if not row_header:
             row_idx += 1

@@ -101,15 +101,24 @@ def _extract_json_values(payload: bytes):
     return doc
 
 
+def _extract_xml(payload: bytes):
+    """XML router: JATS articles get the structured backend
+    (jats_backend.py twin), everything else the generic walk — mirroring
+    the reference's XML format detection (docling/datamodel/document.py)."""
+    from doc_parser_spark.core.jats_backend import extract_jats, looks_like_jats
+    from doc_parser_spark.core.simple_backends import extract_xml_generic
+
+    if looks_like_jats(payload):
+        return extract_jats(payload)
+    return extract_xml_generic(payload)
+
+
 def _lazy_backends():
-    from doc_parser_spark.core.simple_backends import (
-        extract_asciidoc,
-        extract_xml_generic,
-    )
+    from doc_parser_spark.core.simple_backends import extract_asciidoc
 
     return {
         sniff.FORMAT_ADOC: extract_asciidoc,
-        sniff.FORMAT_XML: extract_xml_generic,
+        sniff.FORMAT_XML: _extract_xml,
     }
 
 
