@@ -56,128 +56,14 @@ def detect_zip_kind(payload: bytes) -> str:
 # -- DOCX --------------------------------------------------------------------
 
 
-def _docx_para_text(p) -> str:
-    parts = []
-    for node in p.iter():
-        if node.tag == f"{_W}t":
-            parts.append(node.text or "")
-        elif node.tag in (f"{_W}br", f"{_W}cr"):
-            parts.append("\n")
-        elif node.tag == f"{_W}tab":
-            parts.append("\t")
-    return "".join(parts)
-
-
-def _docx_heading_level(p) -> int | None:
-    """Heading level from pStyle (msword_backend: styles → headings).
-    Returns 0 for Title, N for heading N, None for body text."""
-    pPr = p.find(f"{_W}pPr")
-    if pPr is None:
-        return None
-    style = pPr.find(f"{_W}pStyle")
-    if style is None:
-        return None
-    val = (style.get(f"{_W}val") or "").lower()
-    if val in ("title", "doctitle"):
-        return 0
-    m = re.match(r"^heading\s*(\d)$", val)
-    if m:
-        return int(m.group(1))
-    return None
-
-
-def _docx_is_list_item(p) -> tuple[bool, bool]:
-    """(is_list_item, is_numbered) via numPr.
-
-    The reference treats every numbered-list paragraph as a plain (bullet)
-    list item — its numbered-style check is disabled and is_numbered is
-    hardcoded False (msword_backend.py:717); numId alone cannot distinguish
-    bullets from numbers (both carry one). Mirrored here."""
-    pPr = p.find(f"{_W}pPr")
-    if pPr is None:
-        return False, False
-    return pPr.find(f"{_W}numPr") is not None, False
-
-
-def _docx_table(tbl) -> model.TableData:
-    rows = tbl.findall(f"{_W}tr")
-    grid: list[list[str]] = []
-    data = model.TableData()
-    for tr in rows:
-        row_cells = []
-        for tc in tr.findall(f"{_W}tc"):
-            texts = [_docx_para_text(p) for p in tc.findall(f"{_W}p")]
-            row_cells.append("\n".join(t for t in texts if t).strip())
-        grid.append(row_cells)
-    num_rows = len(grid)
-    num_cols = max((len(r) for r in grid), default=0)
-    data.num_rows, data.num_cols = num_rows, num_cols
-    data.grid = [r + [""] * (num_cols - len(r)) for r in grid]
-    for ri, row in enumerate(data.grid):
-        for ci, text in enumerate(row):
-            data.cells.append(
-                model.TableCellData(
-                    text=text, start_row=ri, end_row=ri + 1,
-                    start_col=ci, end_col=ci + 1, column_header=(ri == 0),
-                )
-            )
-    return data
-
-
 def extract_docx(payload: bytes) -> Document:
-    zf = zipfile.ZipFile(io.BytesIO(payload))
-    root = ET.fromstring(zf.read("word/document.xml"))
-    body = root.find(f"{_W}body")
-    doc = Document()
-    if body is None:
-        return doc
+    """DOCX → document tree (delegates to the python-docx-equivalent
+    backend, :mod:`doc_parser_spark.core.docx_backend` — groundtruth-
+    validated byte-exact on all 12 reference fixtures incl. textboxes,
+    numbered headers, list nesting, merged tables and OMML equations)."""
+    from doc_parser_spark.core.docx_backend import extract_docx as _impl
 
-    parents: dict[int, model.Node] = {}
-
-    def parent_for(level: int):
-        for l in range(level - 1, -1, -1):
-            if l in parents:
-                return parents[l]
-        return None
-
-    current = None
-    list_group = None
-    for child in body:
-        if child.tag == f"{_W}p":
-            text = _docx_para_text(child).strip()
-            hlevel = _docx_heading_level(child)
-            if hlevel is not None and text:
-                list_group = None
-                if hlevel == 0:
-                    parents.clear()
-                    node = doc.add_text(text=text, label=model.TITLE)
-                    parents[0] = node
-                else:
-                    node = doc.add_heading(
-                        text=text, level=hlevel, parent=parent_for(hlevel)
-                    )
-                    parents[hlevel] = node
-                    for k in [k for k in parents if k > hlevel]:
-                        del parents[k]
-                current = node
-            elif text:
-                is_li, numbered = _docx_is_list_item(child)
-                if is_li:
-                    if list_group is None:
-                        list_group = doc.add_list_group(
-                            name="ordered list" if numbered else "list",
-                            parent=current,
-                        )
-                    doc.add_list_item(
-                        text=text, enumerated=numbered, parent=list_group
-                    )
-                else:
-                    list_group = None
-                    doc.add_text(text=text, label=model.TEXT, parent=current)
-        elif child.tag == f"{_W}tbl":
-            list_group = None
-            doc.add_table(data=_docx_table(child), parent=current)
-    return doc
+    return _impl(payload)
 
 
 # -- XLSX --------------------------------------------------------------------

@@ -267,6 +267,10 @@ def _inline_md(node: Node) -> str:
     (gt keeps ``not_to_escape`` raw inside backticks), text escaped."""
     if node.label == model.CODE:
         base = f"`{node.text}`"
+    elif node.label == model.FORMULA:
+        # inline formulas render single-dollar (equations.docx gt);
+        # standalone ones are $$-blocks in render_block
+        base = f"${node.text}$"
     elif node.label == model.PICTURE:
         return "<!-- image -->"
     else:

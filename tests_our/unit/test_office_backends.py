@@ -41,7 +41,8 @@ def test_docx_extraction():
     items = [(n.label, n.text) for n, _ in doc.iterate_items()]
     assert items[0] == (model.TITLE, "Doc Title")
     assert (model.SECTION_HEADER, "Intro") in items
-    assert (model.TEXT, "First paragraph.") in items
+    # docx body text carries the PARAGRAPH label (msword_backend.py:830)
+    assert (model.PARAGRAPH, "First paragraph.") in items
     lis = [n for n, _ in doc.iterate_items() if n.label == model.LIST_ITEM]
     assert [li.text for li in lis] == ["item one", "item two"]
     # reference hardcodes is_numbered=False (msword_backend.py:717) — numId
