@@ -414,7 +414,11 @@ def _itxt_trunc(text: str, max_text_len: int) -> str:
     tail = max//2 + 3 chars — a 75-char result at the default cap. Texts
     up to that length stay intact (longest untruncated groundtruth item is
     73 chars; shortest truncated is 75), so the threshold sits at the
-    result length, not the cap."""
+    result length, not the cap. ``max_text_len=None`` disables truncation
+    (the reference's argless ``_export_to_indented_text()``, used by the
+    USPTO groundtruth)."""
+    if max_text_len is None:
+        return text
     limit = max_text_len + 4  # truncate only from 75 chars up
     if len(text) <= limit:
         return text
@@ -425,7 +429,7 @@ def _itxt_trunc(text: str, max_text_len: int) -> str:
     )
 
 
-def export_itxt(doc: Document, max_text_len: int = 70) -> str:
+def export_itxt(doc: Document, max_text_len: Optional[int] = 70) -> str:
     """Indented element-tree export, byte-compatible with the reference's
     ``DoclingDocument._export_to_indented_text(max_text_len=70,
     explicit_tables=False)`` used for every ``*.itxt`` groundtruth file

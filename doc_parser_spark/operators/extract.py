@@ -102,15 +102,28 @@ def _extract_json_values(payload: bytes):
 
 
 def _extract_xml(payload: bytes):
-    """XML router: JATS articles get the structured backend
-    (jats_backend.py twin), everything else the generic walk — mirroring
-    the reference's XML format detection (docling/datamodel/document.py)."""
+    """XML router: USPTO patents and JATS articles get their structured
+    backends, everything else the generic walk — mirroring the reference's
+    XML format detection (docling/datamodel/document.py)."""
     from doc_parser_spark.core.jats_backend import extract_jats, looks_like_jats
     from doc_parser_spark.core.simple_backends import extract_xml_generic
+    from doc_parser_spark.core.uspto_backend import extract_uspto, uspto_dialect
 
+    if uspto_dialect(payload) is not None:
+        return extract_uspto(payload)
     if looks_like_jats(payload):
         return extract_jats(payload)
     return extract_xml_generic(payload)
+
+
+def _extract_text(payload: bytes):
+    """Text router: APS patent grants (a literal ``PATN`` line) get the
+    USPTO backend; everything else is plain text."""
+    from doc_parser_spark.core.uspto_backend import extract_uspto, uspto_dialect
+
+    if uspto_dialect(payload) == "aps":
+        return extract_uspto(payload)
+    return extract_text_doc(payload)
 
 
 def _lazy_backends():
@@ -124,7 +137,7 @@ def _lazy_backends():
 
 _DISPATCH = {
     sniff.FORMAT_HTML: extract_html,
-    sniff.FORMAT_TEXT: extract_text_doc,
+    sniff.FORMAT_TEXT: _extract_text,
     sniff.FORMAT_MD: extract_markdown,
     sniff.FORMAT_CSV: extract_csv,
     sniff.FORMAT_DOC_JSON: _extract_doc_json,
