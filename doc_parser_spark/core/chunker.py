@@ -516,12 +516,17 @@ def compose_vectors(
             current_page = chunk_page
             chunk_index_on_page = 0
 
-        # normalized bboxes (basic_processor.py:778-795); HTML items carry
-        # no geometry → empty list, e_page stays None
+        # normalized bboxes: l/r divided by page width, t/b by page height
+        # (reference set_chunk_bboxes, basic_processor.py:778-795); HTML
+        # items carry no geometry → empty list, e_page stays None
         chunk_bboxes = []
         for item in chunk.items:
             if item.bbox is not None:
                 l, t, r, b = item.bbox
+                width, height = doc.page_sizes.get(item.page_no, (0.0, 0.0))
+                if width > 0 and height > 0:
+                    l, r = l / width, r / width
+                    t, b = t / height, b / height
                 chunk_bboxes.append(
                     {
                         "page": item.page_no,

@@ -123,6 +123,9 @@ class Document:
     def __init__(self, name: str = "doc"):
         self.name = name
         self.nodes: list[Node] = []
+        # page_no -> (width, height); filled by geometry-aware backends
+        # (PDF) so bboxes can be normalized (DoclingDocument.pages.size)
+        self.page_sizes: dict[int, tuple[float, float]] = {}
         self._counters: dict[str, int] = {}
         self.root = self._new_node(label=GROUP_SECTION, parent=None, ref_bucket="groups")
         self.root.name = "_root_"

@@ -595,7 +595,66 @@ def extract_pptx(payload: bytes) -> Document:
 _HP = "{http://www.hancom.co.kr/hwpml/2011/paragraph}"
 
 
+_ROMAN_HEADER = re.compile("^(?:\\d+\\.\\s+|[\u2160\u2161\u2162\u2163\u2164\u2165\u2166\u2167\u2168\u2169]+\\.\\s*)")
+_HWPX_LIST_SYMBOLS = {"\u25a1": 0, "o": 1, "-": 2, "*": 2}
+
+
+def _hwpx_text(el) -> str:
+    return "".join(t.text or "" for t in el.iter(f"{_HP}t"))
+
+
+def _hwpx_is_toc_entry(p) -> bool:
+    """TOC entries carry a tab followed by a page number
+    (hwpx_backend.py:95-114 + :404-409): '3. Title<tab/>9'."""
+    if p.find(f".//{_HP}tab") is None:
+        return False
+    full = " ".join(
+        (t.text or "") + "".join(
+            (tb.tail or "") for tb in t.findall(f"{_HP}tab")
+        )
+        for t in p.iter(f"{_HP}t")
+    )
+    return re.search(r"\d+\s*$", full.strip()) is not None
+
+
+def _hwpx_table(tbl, doc: Document, parent, page_no: int) -> None:
+    rows = tbl.findall(f"{_HP}tr")
+    grid = []
+    for tr in rows:
+        grid.append(
+            ["".join(t.text or "" for t in tc.iter(f"{_HP}t")).strip()
+             for tc in tr.findall(f"{_HP}tc")]
+        )
+    if not grid:
+        return
+    num_cols = max(len(r) for r in grid)
+    data = model.TableData(num_rows=len(grid), num_cols=num_cols)
+    data.grid = [r + [""] * (num_cols - len(r)) for r in grid]
+    for ri, row_vals in enumerate(data.grid):
+        for ci, text in enumerate(row_vals):
+            data.cells.append(
+                model.TableCellData(
+                    text=text, start_row=ri, end_row=ri + 1,
+                    start_col=ci, end_col=ci + 1, column_header=(ri == 0),
+                )
+            )
+    doc.add_table(data=data, parent=parent, page_no=page_no)
+
+
 def extract_hwpx(payload: bytes) -> Document:
+    """HWPX → document tree with the fork's Korean-document heuristics
+    (``docling/backend/xml/hwpx_backend.py``):
+
+    * mini-tables of shape 1x1/1x2/1x3 promote to SECTION_HEADER when the
+      text is <= 200 chars and unseen (:330-346); larger tables stay tables
+    * rect/drawText shapes promote to SECTION_HEADER the same way (:350-369)
+    * tab-plus-trailing-page-number paragraphs are TOC entries — kept as
+      plain paragraphs, never headers (:95-114, :404-409)
+    * ``N. `` / roman-numeral headers (:425-432), deduplicated by
+      whitespace-normalized text
+    * list symbols 'square/o/-/*' open nested list groups via a level
+      stack (:115-163)
+    """
     zf = zipfile.ZipFile(io.BytesIO(payload))
     doc = Document()
     sections = sorted(
@@ -603,43 +662,173 @@ def extract_hwpx(payload: bytes) -> Document:
          if re.fullmatch(r"Contents/section\d+\.xml", n)),
         key=lambda n: int(re.search(r"(\d+)", n).group(1)),
     )
+    seen_headers: set[str] = set()
+    current_section = None
+    list_stack: list[tuple] = []  # (group node, symbol level)
+
+    def add_header(text: str, page_no: int):
+        nonlocal current_section
+        seen_headers.add("".join(text.split()))
+        list_stack.clear()
+        current_section = doc.add_heading(text=text, level=1, page_no=page_no)
+        return current_section
+
+    def add_para(text: str, page_no: int, parent=None) -> None:
+        doc.add_text(
+            text=text, label=model.PARAGRAPH,
+            parent=parent if parent is not None else current_section,
+            page_no=page_no,
+        )
+
+    def handle_list_symbol(txt: str, page_no: int) -> bool:
+        sym = txt[0] if txt else ""
+        if sym not in _HWPX_LIST_SYMBOLS:
+            return False
+        level = _HWPX_LIST_SYMBOLS[sym]
+        while list_stack and list_stack[-1][1] >= level:
+            list_stack.pop()
+        parent_group = list_stack[-1][0] if list_stack else current_section
+        group = doc.add_list_group(name="list", parent=parent_group)
+        list_stack.append((group, level))
+        doc.add_text(
+            text=txt, label=model.PARAGRAPH, parent=group, page_no=page_no
+        )
+        return True
+
     for page_no, name in enumerate(sections, start=1):
-        root = ET.fromstring(zf.read(name))
-        # paragraphs nested in tables are rendered by the table handler, not
-        # as body text (ElementTree lacks parent pointers → identity set)
-        table_paras = {
-            id(p) for tbl in root.iter(f"{_HP}tbl") for p in tbl.iter(f"{_HP}p")
+        try:
+            root = ET.fromstring(zf.read(name))
+        except ET.ParseError:
+            continue
+        nested = {
+            id(sub)
+            for tbl in root.iter(f"{_HP}tbl")
+            for sub in tbl.iter(f"{_HP}p")
+        } | {
+            id(sub)
+            for rect in root.iter(f"{_HP}rect")
+            for sub in rect.iter(f"{_HP}p")
         }
-        for p in root.iter(f"{_HP}p"):
-            if id(p) in table_paras:
+        # document-order dispatch: body paragraphs and STANDALONE tables
+        # (a tbl outside any paragraph renders directly; run-embedded mini
+        # tables are handled inside the paragraph walk)
+        para_tbls = {
+            id(t)
+            for p in root.iter(f"{_HP}p")
+            if id(p) not in nested
+            for t in p.iter(f"{_HP}tbl")
+        }
+        inner_tbls = {
+            id(sub)
+            for tbl in root.iter(f"{_HP}tbl")
+            for sub in tbl.iter(f"{_HP}tbl")
+            if sub is not tbl
+        }
+        ordered = []
+        for el in root.iter():
+            tag = el.tag.rsplit("}", 1)[-1]
+            if tag == "p" and id(el) not in nested:
+                ordered.append(("p", el))
+            elif (
+                tag == "tbl"
+                and id(el) not in para_tbls
+                and id(el) not in inner_tbls
+            ):
+                ordered.append(("tbl", el))
+        for kind, el in ordered:
+            if kind == "tbl":
+                _hwpx_table(el, doc, current_section, page_no)
                 continue
-            text = "".join(t.text or "" for t in p.iter(f"{_HP}t")).strip()
-            if text:
-                doc.add_text(text=text, label=model.TEXT, page_no=page_no)
-        for tbl in root.iter(f"{_HP}tbl"):
-            rows = tbl.findall(f"{_HP}tr")
-            grid = []
-            for tr in rows:
-                grid.append(
-                    [
-                        "".join(t.text or "" for t in tc.iter(f"{_HP}t")).strip()
-                        for tc in tr.findall(f"{_HP}tc")
-                    ]
-                )
-            if not grid:
+            p = el
+            has_secpr = p.find(f".//{_HP}secPr") is not None
+            has_text = p.find(f".//{_HP}run/{_HP}t") is not None
+            if has_secpr and not has_text:
                 continue
-            num_cols = max(len(r) for r in grid)
-            data = model.TableData(num_rows=len(grid), num_cols=num_cols)
-            data.grid = [r + [""] * (num_cols - len(r)) for r in grid]
-            for ri, row_vals in enumerate(data.grid):
-                for ci, text in enumerate(row_vals):
-                    data.cells.append(
-                        model.TableCellData(
-                            text=text, start_row=ri, end_row=ri + 1,
-                            start_col=ci, end_col=ci + 1, column_header=(ri == 0),
+
+            runs = p.findall(f"{_HP}run")
+            header_added = False
+            consumed_runs: set[int] = set()
+            for ri, run in enumerate(runs):
+                for child in run:
+                    tag = child.tag.rsplit("}", 1)[-1]
+                    if tag == "tbl":
+                        trs = child.findall(f"{_HP}tr")
+                        rows = int(child.get("rowCnt", len(trs)) or len(trs))
+                        first_tr = trs[0] if trs else None
+                        cols_default = (
+                            len(first_tr.findall(f"{_HP}tc")) if first_tr is not None else 0
                         )
-                    )
-            doc.add_table(data=data, page_no=page_no)
+                        cols = int(child.get("colCnt", cols_default) or cols_default)
+                        txt = " ".join(
+                            (t.text or "") for t in child.iter(f"{_HP}t")
+                        ).strip()
+                        norm = "".join(txt.split())
+                        if (
+                            (rows, cols) in ((1, 1), (1, 2), (1, 3))
+                            and txt
+                            and len(txt) <= 200
+                            and norm not in seen_headers
+                        ):
+                            add_header(txt, page_no)
+                            header_added = True
+                            consumed_runs.add(ri)
+                        else:
+                            _hwpx_table(child, doc, current_section, page_no)
+                            consumed_runs.add(ri)
+                        break
+                    if tag == "rect":
+                        draw = child.find(f".//{_HP}drawText")
+                        if draw is None:
+                            continue
+                        txt = "".join(
+                            t.text or "" for t in draw.iter(f"{_HP}t")
+                        ).strip()
+                        norm = "".join(txt.split())
+                        if txt and len(txt) <= 200 and norm not in seen_headers:
+                            add_header(txt, page_no)
+                            header_added = True
+                            consumed_runs.add(ri)
+                        break
+            if header_added:
+                for ri, run in enumerate(runs):
+                    if ri in consumed_runs:
+                        continue
+                    txt = " ".join(
+                        (t.text or "") for t in run.findall(f".//{_HP}t")
+                    ).strip()
+                    if txt:
+                        add_para(txt, page_no)
+                continue
+            if consumed_runs:
+                # table-only paragraph already rendered
+                leftovers = [
+                    " ".join((t.text or "") for t in run.findall(f".//{_HP}t")).strip()
+                    for ri, run in enumerate(runs)
+                    if ri not in consumed_runs
+                ]
+                for txt in leftovers:
+                    if txt:
+                        add_para(txt, page_no)
+                continue
+
+            full = " ".join(
+                (t.text or "")
+                for run in runs
+                for t in run.findall(f"{_HP}t")
+            ).strip()
+            if not full:
+                continue
+            if _hwpx_is_toc_entry(p):
+                add_para(full, page_no)
+                continue
+            norm = "".join(full.split())
+            if _ROMAN_HEADER.match(full) and norm not in seen_headers:
+                add_header(full, page_no)
+                continue
+            if handle_list_symbol(full, page_no):
+                continue
+            list_stack.clear()
+            add_para(full, page_no)
     return doc
 
 

@@ -37,6 +37,7 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
     current_parent: model.Node | None = None
 
     for page in pages:
+        doc.page_sizes[page.page_no] = (page.width, page.height)
         merged = layout.merge_horizontal_cells(page.cells)
         score = layout.page_parse_score(merged)
         if not math.isnan(score):

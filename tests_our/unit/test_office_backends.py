@@ -70,7 +70,7 @@ def test_pptx_extraction():
 
 def test_hwpx_extraction():
     doc = extract_hwpx(make_hwpx())
-    texts = [n.text for n, _ in doc.iterate_items() if n.label == model.TEXT]
+    texts = [n.text for n, _ in doc.iterate_items() if n.label == model.PARAGRAPH]
     assert texts == ["한국어 본문 단락"]  # table cell text not duplicated
     assert doc.tables()[0].table.grid == [["셀"]]
 
