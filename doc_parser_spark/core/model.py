@@ -42,9 +42,11 @@ GROUP_LIST = "list"
 GROUP_ORDERED_LIST = "ordered_list"
 GROUP_INLINE = "inline"  # docling-core InlineGroup (md_backend.py:444-447)
 GROUP_CHAPTER = "chapter"  # pptx slides (mspowerpoint_backend.py:334)
+GROUP_UNSPECIFIED = "unspecified"  # BOK JSON cell groups (bok_json_backend.py:349)
 
 _GROUP_LABELS = {
-    GROUP_SECTION, GROUP_LIST, GROUP_ORDERED_LIST, GROUP_INLINE, GROUP_CHAPTER,
+    GROUP_SECTION, GROUP_LIST, GROUP_ORDERED_LIST, GROUP_INLINE,
+    GROUP_CHAPTER, GROUP_UNSPECIFIED,
 }
 
 

@@ -72,11 +72,13 @@ def _extract_doc_json(payload: bytes):
 
 
 def _extract_json_values(payload: bytes):
-    """Generic JSON → text items from string leaves, document order (the
-    engine's stand-in for pre-extracted-JSON loaders like the fork's BOK
-    backend, docling/backend/json/bok_json_backend.py:26-1059)."""
+    """JSON router: BOK-shaped payloads (top-level ``body`` page list, the
+    fork's registered default JSON backend) take the structured mapping;
+    any other JSON degrades to text items from string leaves in document
+    order."""
     import json
 
+    from doc_parser_spark.core.bok_backend import extract_bok_json, looks_like_bok
     from doc_parser_spark.core.model import Document
 
     doc = Document()
@@ -84,6 +86,9 @@ def _extract_json_values(payload: bytes):
         data = json.loads(payload.decode("utf-8", errors="replace"))
     except json.JSONDecodeError:
         return doc
+
+    if looks_like_bok(data):
+        return extract_bok_json(payload)
 
     def walk(node):
         if isinstance(node, str):
