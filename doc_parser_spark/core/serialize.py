@@ -23,6 +23,7 @@ Conventions (matching docling-core's markdown style where cheap):
 
 from __future__ import annotations
 
+import unicodedata
 from typing import Optional
 
 from doc_parser_spark.core import model
@@ -91,8 +92,6 @@ def _visible_width(s: str) -> int:
     and any control character makes the WHOLE string width -1 — which is why
     the reference's groundtruth pads a tab-containing cell to column width
     + len(cell) + 1 (csv-tab.csv.md rows 4-5)."""
-    import unicodedata
-
     total = 0
     for ch in s:
         o = ord(ch)
