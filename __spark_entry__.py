@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q(similarity.cosine_topk, "embeddings"),
         "emb_ann_buckets": q(similarity.ann_buckets, "embeddings"),
         "emb_ann_lsh_topk": q(similarity.ann_lsh_topk, "embeddings"),
+        "emb_cosine_neardup": q(similarity.cosine_neardup_pairs, "embeddings"),
         # relational breadth
         "q1_pricing_summary": q(relational.pricing_summary, "lineitem"),
         "q3_top_unshipped": q(
@@ -436,6 +437,37 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rank
                 FROM scored
             ) WHERE rank <= 3
+        """,
+        "emb_cosine_neardup": """
+            WITH bucketed AS (
+                SELECT *, (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+                   (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+                   (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+                   (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+                   (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+                   (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+                   (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+                   (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+                FROM embeddings
+            ),
+            ok AS (
+                SELECT bucket FROM bucketed GROUP BY bucket
+                HAVING count(*) BETWEEN 2 AND 200
+            ),
+            survivors AS (
+                SELECT b.* FROM bucketed b JOIN ok USING (bucket)
+            ),
+            pairs AS (
+                SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                       floor(1e6 * (
+                           list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+                           (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+                            sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+                       )) / 1e6 AS cosine
+                FROM survivors a JOIN survivors b ON a.bucket = b.bucket
+                WHERE a.vec_id < b.vec_id
+            )
+            SELECT vec_id_a, vec_id_b, cosine FROM pairs WHERE cosine >= 0.30
         """,
         "q5_revenue_by_nation": """
             SELECT n_name, r_name,

@@ -73,6 +73,46 @@ def ann_buckets(embeddings: DataFrame, dims: int = 8) -> DataFrame:
     )
 
 
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.30,
+    dims: int = 8,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-by-embedding path).
+
+    Candidates are restricted to the vector's sign-bit LSH bucket — at
+    100 TB the bucket id is the bucketing key and the self-join is
+    bucket-local, never all-pairs. Degenerate buckets are **count-filtered
+    before the self-join** (the LSH-pairs lesson: never materialize a viral
+    bucket's membership only to discard it). Cosine runs JVM-side via
+    ``aggregate(zip_with(...))``; the score is floor-truncated to 1e-6 so
+    the threshold compare is engine-portable.
+    """
+    with_bucket = embeddings.withColumn(
+        "bucket", F.expr(sign_bucket_expr(dims)).cast("long")
+    )
+    ok_buckets = (
+        with_bucket.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .select("bucket")
+    )
+    survivors = with_bucket.join(ok_buckets, "bucket")
+    a = survivors.alias("a")
+    b = survivors.alias("b")
+    return (
+        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            (F.floor(F.expr(COSINE) * F.lit(1000000.0)) / F.lit(1000000.0)).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame, n_queries: int = 5, k: int = 3, dims: int = 8
 ) -> DataFrame:

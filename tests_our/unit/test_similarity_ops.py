@@ -1,0 +1,53 @@
+"""Semantics of the embedding near-dup operator on a toy corpus.
+
+End-to-end value parity runs via the DuckDB oracle (`emb_cosine_neardup`);
+this pins the operator's contract on hand-checkable vectors: identical
+vectors score 1.0, opposite-bucket vectors are never candidates, the
+degenerate-bucket cap drops viral buckets before pairing.
+"""
+
+import pytest
+
+pytestmark = pytest.mark.unit
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_neardup_identical_vectors(spark):
+    from doc_parser_spark.operators.similarity import cosine_neardup_pairs
+
+    v = [1.0, 2.0, 3.0, 4.0, 1.0, 1.0, 1.0, 1.0]
+    w = [-1.0, -2.0, -3.0, 4.0, 1.0, 1.0, 1.0, 1.0]  # different sign bucket
+    rows = [(0, v, 0), (1, v, 0), (2, w, 0), (3, w, 0)]
+    got = cosine_neardup_pairs(_emb(spark, rows), threshold=0.9).collect()
+    pairs = {(r.vec_id_a, r.vec_id_b): r.cosine for r in got}
+    # identical pairs inside each bucket; never across buckets
+    assert set(pairs) == {(0, 1), (2, 3)}
+    assert all(c == pytest.approx(1.0, abs=1e-6) for c in pairs.values())
+
+
+def test_neardup_threshold_filters(spark):
+    from doc_parser_spark.operators.similarity import cosine_neardup_pairs
+
+    a = [1.0] * 8
+    b = [1.0] * 4 + [0.1] * 4  # same all-positive bucket, lower cosine
+    rows = [(0, a, 0), (1, b, 0)]
+    df = _emb(spark, rows)
+    assert cosine_neardup_pairs(df, threshold=0.999).count() == 0
+    assert cosine_neardup_pairs(df, threshold=0.5).count() == 1
+
+
+def test_neardup_viral_bucket_capped(spark):
+    from doc_parser_spark.operators.similarity import cosine_neardup_pairs
+
+    v = [1.0] * 8
+    rows = [(i, v, 0) for i in range(10)]
+    # cap below the bucket size: the whole bucket is dropped pre-join
+    assert cosine_neardup_pairs(_emb(spark, rows), threshold=0.0, max_bucket=5).count() == 0
+    # cap at the bucket size: all C(10,2) pairs survive
+    assert (
+        cosine_neardup_pairs(_emb(spark, rows), threshold=0.0, max_bucket=10).count()
+        == 45
+    )
