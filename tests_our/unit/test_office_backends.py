@@ -115,13 +115,50 @@ image::pic.png[]
     assert (model.SECTION_HEADER, "Section One") in items
     assert (model.TEXT, "Body paragraph over two lines.") in items
     lis = [n for n, _ in doc.iterate_items() if n.label == model.LIST_ITEM]
-    assert [li.text for li in lis] == ["alpha", "beta", "first", "second"]
-    assert [li.enumerated for li in lis] == [False, False, True, True]
-    assert doc.tables()[0].table.grid == [["H1", "H2"], ["a", "b"]]
+    # ". first"/". second" are NOT list items under the reference's marker
+    # grammar (needs \w+.) — they collect into the next caption instead
+    assert [li.text for li in lis] == ["alpha", "beta"]
+    assert [li.enumerated for li in lis] == [False, False]
+    table = doc.tables()[0]
+    assert table.table.grid == [["H1", "H2"], ["a", "b"]]
+    assert doc.nodes[table.caption_ref].text == " first . second"
     pics = [n for n, _ in doc.iterate_items() if n.label == model.PICTURE]
     assert len(pics) == 1
     caption = doc.nodes[pics[0].caption_ref]
     assert caption.text == "Figure caption"
+
+
+def test_asciidoc_nested_list_indent_machine():
+    """Indent-driven group stack (asciidoc_backend.py:128-159): deeper
+    indent opens a child group, dedent pops back, and ordered markers are
+    parsed but emitted unnumbered (the reference never passes the flag)."""
+    adoc = b"""* First item
+  * Nested item 1
+  * Nested item 2
+* Second item
+  1. Ordered 1
+  2. Ordered 2
+    * Deeper
+* Third item
+"""
+    doc = extract_asciidoc(adoc)
+    shape = [
+        (d, n.text)
+        for n, d in doc.iterate_items(with_groups=True)
+        if n.label == model.LIST_ITEM
+    ]
+    assert shape == [
+        (2, "First item"),
+        (3, "Nested item 1"),
+        (3, "Nested item 2"),
+        (2, "Second item"),
+        (3, "Ordered 1"),
+        (3, "Ordered 2"),
+        (4, "Deeper"),
+        (2, "Third item"),
+    ]
+    lis = [n for n, _ in doc.iterate_items() if n.label == model.LIST_ITEM]
+    assert all(not li.enumerated for li in lis)
 
 
 def test_xml_generic_extraction():
