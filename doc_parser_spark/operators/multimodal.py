@@ -6,13 +6,15 @@ resize / frame-sample run as Arrow-batched ``mapInPandas`` stages with
 per-executor codec state — exactly the shape the text-extraction kernel
 uses, so partitioning/skew/manifest plumbing is shared.
 
-Codec reality in this environment: no PIL/ffmpeg are installed, so the
-*real* image/audio decode path is stubbed behind a clearly-marked
-``NotImplementedError`` (``_decode_real``), and a deterministic fake
-container format (``FAKEIMG``/``FAKEAUD`` headers, documented below) stands
-in so the Spark-side plumbing — schemas, batch iteration, partitioning,
-failure isolation, feature extraction — is real and tested end-to-end.
-Swapping in PIL is a one-function change.
+Codec reality in this environment: **PNG is real** — ``core/png.py`` is a
+pure zlib/struct codec, so page rendering (``render_pdf_pages``), resizing
+(``resize_images``) and bbox crops (``crop_page_regions``) operate on
+actual image bytes end-to-end (reference analogs: pypdfium2 ``render`` in
+``docling/backend/docling_parse_v4_backend.py`` and ``Page.get_image``
+crops in ``docling/datamodel/base_models.py``). JPEG/audio/video codecs
+are not installed; those paths stay behind the clearly-marked
+``NotImplementedError`` in ``_decode_real``, with a deterministic fake
+container exercising the plumbing.
 
 Fake container formats (big-endian):
 
@@ -30,6 +32,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+from doc_parser_spark.core import png as pnglib
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -100,7 +104,18 @@ def _decode_one(payload: bytes) -> dict:
     if not payload:
         out["status"] = "empty"
         return out
-    if payload.startswith(b"FAKEIMG"):
+    if payload.startswith(pnglib.SIGNATURE):
+        try:
+            arr = pnglib.decode_png(payload)
+        except pnglib.PngError:
+            out["status"] = "corrupt"
+            return out
+        out.update(
+            width=int(arr.shape[1]), height=int(arr.shape[0]),
+            channels=int(arr.shape[2]),
+            features=_byte_histogram_features(arr.reshape(-1)),
+        )
+    elif payload.startswith(b"FAKEIMG"):
         width, height, channels = struct.unpack(">HHB", payload[7:12])
         raw = np.frombuffer(payload[12:], dtype=np.uint8)
         expected = width * height * channels
@@ -151,18 +166,48 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, schema=DECODED_SCHEMA)
 
 
+def _resize_one(payload: bytes, width: int, height: int) -> tuple[str, bytes | None]:
+    """One image → (status, resized PNG). PNG and FAKEIMG decode for real;
+    other formats report ``codec_unavailable`` (JPEG needs a DCT codec)."""
+    if not payload:
+        return "empty", None
+    if payload.startswith(pnglib.SIGNATURE):
+        arr = pnglib.decode_png(payload)
+    elif payload.startswith(b"FAKEIMG"):
+        w0, h0, c0 = struct.unpack(">HHB", payload[7:12])
+        raw = np.frombuffer(payload[12:], dtype=np.uint8)
+        if raw.size != w0 * h0 * c0 or c0 not in (1, 3, 4):
+            return "corrupt", None
+        arr = raw.reshape(h0, w0, c0)
+    else:
+        return "codec_unavailable", None
+    out = pnglib.resize_nearest(arr, width, height)
+    return "resized", pnglib.encode_png(out)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize stage — STUB (needs PIL). The mapInPandas wiring is in
-    place; each row reports ``codec_unavailable`` until a codec ships."""
+    """Arrow-batched image resize: PNG/FAKEIMG in → nearest-neighbor
+    resized PNG out, per-item failure isolation."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
+            statuses, payloads = [], []
+            for payload in batch["payload"]:
+                try:
+                    status, out = _resize_one(
+                        bytes(payload) if payload is not None else b"",
+                        width, height,
+                    )
+                except Exception as exc:  # noqa: BLE001 — corrupt bytes
+                    status, out = f"error:{type(exc).__name__}", None
+                statuses.append(status)
+                payloads.append(out)
             yield pd.DataFrame(
                 {
                     "url": batch["url"],
                     "media_type": batch["media_type"],
-                    "status": ["codec_unavailable"] * len(batch),
-                    "payload": batch["payload"],
+                    "status": statuses,
+                    "payload": payloads,
                 }
             )
 
@@ -175,6 +220,126 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
         ]
     )
     return media.mapInPandas(kernel, schema=schema)
+
+
+PAGE_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("image", T.BinaryType()),
+    ]
+)
+
+
+def render_pdf_pages(
+    pages: DataFrame, scale: float = 1.0, max_pages: int | None = None
+) -> DataFrame:
+    """(url, html=PDF bytes) → one row per page with a rendered PNG.
+
+    The page-image sink (reference: ``generate_page_images`` +
+    ``_export_documents`` page PNG loop in the docling CLI/pipeline). One
+    input row fans out to N page rows inside the same Arrow batch — no
+    shuffle; downstream repartition governs placement at scale."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from doc_parser_spark.pdf import minipdf
+        from doc_parser_spark.pdf.render import render_page
+
+        for batch in batches:
+            records = []
+            for url, payload in zip(batch["url"], batch["html"]):
+                try:
+                    parsed = minipdf.parse_pdf(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    if max_pages is not None:
+                        parsed = parsed[:max_pages]
+                    for page in parsed:
+                        img = render_page(page, scale=scale)
+                        records.append(
+                            {
+                                "url": url, "page_no": page.page_no,
+                                "status": "rendered",
+                                "width": int(img.shape[1]),
+                                "height": int(img.shape[0]),
+                                "image": pnglib.encode_png(img),
+                            }
+                        )
+                except Exception as exc:  # noqa: BLE001 — parse failures
+                    records.append(
+                        {
+                            "url": url, "page_no": 0,
+                            "status": f"failure:{type(exc).__name__}",
+                            "width": 0, "height": 0, "image": None,
+                        }
+                    )
+            yield pd.DataFrame.from_records(
+                records, columns=[f.name for f in PAGE_IMAGE_SCHEMA.fields]
+            )
+
+    return pages.mapInPandas(kernel, schema=PAGE_IMAGE_SCHEMA)
+
+
+CROP_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("region_no", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("crop", T.BinaryType()),
+    ]
+)
+
+
+def crop_page_regions(page_images: DataFrame) -> DataFrame:
+    """(url, page_no, image=PNG, bboxes=array<array<double>>) → one row per
+    cropped region (picture-crop sink; reference ``Page.get_image(scale,
+    cropbox)``). Bboxes are [l, t, r, b] normalized to [0, 1] — the
+    chunker's bbox contract."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from doc_parser_spark.pdf.render import crop_region
+
+        for batch in batches:
+            records = []
+            for url, page_no, payload, bboxes in zip(
+                batch["url"], batch["page_no"], batch["image"], batch["bboxes"]
+            ):
+                try:
+                    arr = pnglib.decode_png(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    for i, box in enumerate(bboxes):
+                        l, t, r, b = (float(v) for v in box)
+                        cropped = crop_region(arr, l, t, r, b)
+                        records.append(
+                            {
+                                "url": url, "page_no": int(page_no),
+                                "region_no": i, "status": "cropped",
+                                "width": int(cropped.shape[1]),
+                                "height": int(cropped.shape[0]),
+                                "crop": pnglib.encode_png(cropped),
+                            }
+                        )
+                except Exception as exc:  # noqa: BLE001
+                    records.append(
+                        {
+                            "url": url, "page_no": int(page_no),
+                            "region_no": 0,
+                            "status": f"failure:{type(exc).__name__}",
+                            "width": 0, "height": 0, "crop": None,
+                        }
+                    )
+            yield pd.DataFrame.from_records(
+                records, columns=[f.name for f in CROP_SCHEMA.fields]
+            )
+
+    return page_images.mapInPandas(kernel, schema=CROP_SCHEMA)
 
 
 def sample_video_frames(media: DataFrame, every_n_seconds: float = 1.0) -> DataFrame:

@@ -150,8 +150,68 @@ def test_multimodal_decode_and_features(spark):
     assert out["m://real.jpg"]["status"] == "codec_unavailable"
     assert out["m://empty"]["status"] == "empty"
 
-    resized = resize_images(media, 4, 4).collect()
-    assert all(r["status"] == "codec_unavailable" for r in resized)
+    resized = {r["url"]: r for r in resize_images(media, 4, 4).collect()}
+    # FAKEIMG and PNG payloads resize for real (nearest-neighbor → PNG out)
+    from doc_parser_spark.core.png import decode_png
+
+    for url in ("m://img0", "m://img1"):
+        assert resized[url]["status"] == "resized"
+        arr = decode_png(bytes(resized[url]["payload"]))
+        assert arr.shape[:2] == (4, 4)
+    # JPEG stays behind the codec boundary; corrupt/empty isolate per-item
+    assert resized["m://real.jpg"]["status"] == "codec_unavailable"
+    assert resized["m://bad"]["status"] == "corrupt"
+    assert resized["m://empty"]["status"] == "empty"
+
+
+def test_multimodal_page_render_and_crops(spark):
+    """PDF bytes → rendered page PNGs → bbox crops, end-to-end in Spark."""
+    from doc_parser_spark.core.png import decode_png
+    from doc_parser_spark.operators.multimodal import (
+        crop_page_regions,
+        render_pdf_pages,
+    )
+    from doc_parser_spark.pdf import writer
+
+    pdf = writer.write_pdf(
+        [
+            [(72, 700, 12, "Hello render"), (72, 650, 12, "Second line")],
+            [(100, 400, 14, "Page two")],
+        ]
+    )
+    pages = spark.createDataFrame(
+        [("p://a", pdf), ("p://broken", b"%PDF-1.4 not really")],
+        "url string, html binary",
+    )
+    rendered = render_pdf_pages(pages, scale=0.5).collect()
+    by_key = {(r["url"], r["page_no"]): r for r in rendered}
+    assert by_key[("p://a", 1)]["status"] == "rendered"
+    assert by_key[("p://a", 2)]["status"] == "rendered"
+    assert by_key[("p://broken", 0)]["status"].startswith("failure:")
+    img = decode_png(bytes(by_key[("p://a", 1)]["image"]))
+    assert img.shape == (
+        by_key[("p://a", 1)]["height"],
+        by_key[("p://a", 1)]["width"],
+        1,
+    )
+    # determinism: re-render → byte-identical PNGs
+    again = {(r["url"], r["page_no"]): r for r in render_pdf_pages(pages, scale=0.5).collect()}
+    assert bytes(again[("p://a", 1)]["image"]) == bytes(by_key[("p://a", 1)]["image"])
+
+    ok = [r for r in rendered if r["status"] == "rendered"]
+    with_boxes = spark.createDataFrame(
+        [
+            (r["url"], r["page_no"], bytes(r["image"]), [[0.0, 0.0, 0.5, 0.5], [0.5, 0.5, 1.0, 1.0]])
+            for r in ok
+        ],
+        "url string, page_no int, image binary, bboxes array<array<double>>",
+    )
+    crops = crop_page_regions(with_boxes).collect()
+    assert len(crops) == 2 * len(ok)
+    for c in crops:
+        assert c["status"] == "cropped"
+        arr = decode_png(bytes(c["crop"]))
+        assert arr.shape[:2] == (c["height"], c["width"])
 
 
 def test_multimodal_determinism(spark):
