@@ -24,6 +24,7 @@ FORMAT_CSV = "csv"
 FORMAT_JSON = "json"
 FORMAT_DOC_JSON = "doc_json"  # this engine's lossless document JSON
 FORMAT_TEXT = "text"
+FORMAT_AUDIO = "audio"
 FORMAT_UNKNOWN = "unknown"
 
 # reference: docling/datamodel/document.py:440-478 (_detect_html_xhtml)
@@ -48,6 +49,15 @@ def sniff_format(payload: bytes) -> str:
         return FORMAT_PDF
     if head.startswith(b"PK\x03\x04"):
         return FORMAT_ZIP
+    # audio containers (reference routes these to NoOpBackend + ASR,
+    # docling/backend/noop_backend.py + pipeline/asr_pipeline.py)
+    if (
+        (head.startswith(b"RIFF") and head[8:12] == b"WAVE")
+        or head.startswith((b"ID3", b"OggS", b"fLaC"))
+        or head[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2")  # MP3 frame sync
+        or head[4:8] == b"ftyp"  # MP4/M4A
+    ):
+        return FORMAT_AUDIO
 
     if _HTML_RE.match(head):
         return FORMAT_HTML

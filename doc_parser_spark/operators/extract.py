@@ -132,11 +132,17 @@ def _extract_text(payload: bytes):
 
 
 def _lazy_backends():
-    from doc_parser_spark.core.simple_backends import extract_asciidoc
+    from doc_parser_spark.core.simple_backends import (
+        extract_asciidoc,
+        extract_audio,
+    )
 
     return {
         sniff.FORMAT_ADOC: extract_asciidoc,
         sniff.FORMAT_XML: _extract_xml,
+        # NoOp + ASR plug-point: valid-but-empty doc without a transcriber
+        # (reference noop_backend.py; whisper is a provider boundary)
+        sniff.FORMAT_AUDIO: extract_audio,
     }
 
 

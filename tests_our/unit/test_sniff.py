@@ -25,7 +25,49 @@ pytestmark = pytest.mark.unit
         (b"", sniff.FORMAT_UNKNOWN),
         (bytes(range(32)), sniff.FORMAT_UNKNOWN),
         (b"\xef\xbb\xbf<html>bom", sniff.FORMAT_HTML),
+        # audio containers → NoOp/ASR route (noop_backend.py)
+        (b"RIFF\x24\x08\x00\x00WAVEfmt ", sniff.FORMAT_AUDIO),
+        (b"ID3\x04\x00\x00\x00\x00\x011TALB", sniff.FORMAT_AUDIO),  # tests/data/audio/sample_10s.mp3 header
+        (b"\xff\xfb\x90\x00mp3frame", sniff.FORMAT_AUDIO),
+        (b"OggS\x00\x02vorbis", sniff.FORMAT_AUDIO),
+        (b"fLaC\x00\x00\x00\x22", sniff.FORMAT_AUDIO),
+        (b"\x00\x00\x00\x20ftypM4A ", sniff.FORMAT_AUDIO),
     ],
 )
 def test_sniff(payload, expected):
     assert sniff.sniff_format(payload) == expected
+
+
+def test_audio_backend_noop_and_asr_plug_point():
+    from doc_parser_spark.core import model
+    from doc_parser_spark.core.simple_backends import (
+        conversation_item_to_string,
+        extract_audio,
+    )
+
+    wav = b"RIFF\x24\x08\x00\x00WAVEfmt payloadbytes"
+    # NoOp semantics: valid but empty without a transcriber
+    doc = extract_audio(wav)
+    assert list(doc.iterate_items()) == []
+    with pytest.raises(ValueError):
+        extract_audio(b"")
+
+    # transcript formatting mirrors _ConversationItem.to_string
+    # (asr_pipeline.py:85-96)
+    assert (
+        conversation_item_to_string("hello", 0.0, 2.5, "speaker-0")
+        == "[time: 0.0-2.5] [speaker:speaker-0] hello"
+    )
+    assert conversation_item_to_string("no times") == "no times"
+
+    def fake_asr(payload):
+        assert payload == wav
+        return [
+            {"text": " Hello there.", "start_time": 0.0, "end_time": 2.0},
+            {"text": " Bye.", "start_time": 2.0, "end_time": 3.0},
+        ]
+
+    doc = extract_audio(wav, asr_fn=fake_asr)
+    texts = [n.text for n, _ in doc.iterate_items()]
+    assert texts == ["[time: 0.0-2.0]  Hello there.", "[time: 2.0-3.0]  Bye."]
+    assert all(n.label == model.TEXT for n, _ in doc.iterate_items())
