@@ -25,6 +25,7 @@ FORMAT_JSON = "json"
 FORMAT_DOC_JSON = "doc_json"  # this engine's lossless document JSON
 FORMAT_TEXT = "text"
 FORMAT_AUDIO = "audio"
+FORMAT_CFB = "cfb"  # OLE2 compound file (HWP v5; legacy doc/xls/ppt)
 FORMAT_UNKNOWN = "unknown"
 
 # reference: docling/datamodel/document.py:440-478 (_detect_html_xhtml)
@@ -49,6 +50,11 @@ def sniff_format(payload: bytes) -> str:
         return FORMAT_PDF
     if head.startswith(b"PK\x03\x04"):
         return FORMAT_ZIP
+    if head.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
+        # OLE2 compound container — HWP v5 is the supported member
+        # (the FileHeader signature check needs the full payload, so the
+        # CFB→HWP disambiguation happens in the dispatcher)
+        return FORMAT_CFB
     # audio containers (reference routes these to NoOpBackend + ASR,
     # docling/backend/noop_backend.py + pipeline/asr_pipeline.py)
     if (

@@ -170,6 +170,12 @@ def convert_payload(payload: bytes, fmt: Optional[str] = None):
 
         doc, kind = extract_office(payload)
         return doc, kind, fallback
+    if fmt == sniff.FORMAT_CFB:
+        from doc_parser_spark.core.hwp_backend import extract_hwp, is_hwp
+
+        if is_hwp(payload):
+            return extract_hwp(payload), "hwp", fallback
+        raise ValueError("OLE2 container is not HWP (legacy doc/xls/ppt unsupported)")
     extractor = _DISPATCH.get(fmt) or _lazy_backends().get(fmt)
     if extractor is None:
         raise ValueError(f"unsupported format: {fmt}")
