@@ -91,3 +91,46 @@ def make_hwpx() -> bytes:
     )
 
 
+
+
+def make_hwp(i: int = 0) -> bytes:
+    """Deterministic HWP v5 container (CFB + deflated record stream)."""
+    import struct
+    import zlib
+
+    from doc_parser_spark.core.cfb import write_cfb
+
+    def rec(tag: int, payload: bytes) -> bytes:
+        return struct.pack("<I", tag | (len(payload) << 20)) + payload
+
+    paras = [
+        f"한글 문서 {i} 본문입니다.",
+        f"둘째 문단 {i}: pure-Python HWP fixture.",
+    ]
+    body = b"".join(
+        rec(66, b"\x00" * 8) + rec(67, p.encode("utf-16-le")) for p in paras
+    )
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    header = (
+        b"HWP Document File" + b"\x00" * 15
+        + struct.pack("<II", 0x05000300, 1)
+        + b"\x00" * 216
+    )
+    return write_cfb(
+        {"FileHeader": header, "BodyText/Section0": co.compress(body) + co.flush()}
+    )
+
+
+def make_wav(i: int = 0, n_samples: int = 256) -> bytes:
+    """Deterministic 8 kHz 16-bit mono WAV (triangle wave)."""
+    import struct
+
+    pcm = b"".join(
+        struct.pack("<h", ((s * (37 + i)) % 2048) - 1024) for s in range(n_samples)
+    )
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(pcm))
+    )
+    return hdr + pcm

@@ -105,6 +105,14 @@ def generate_rows(n: int, seed: int = 42) -> list[dict]:
         roll = i % 100
         if roll < 5:
             payload = _pdf_doc(rng, i)
+        elif roll == 90:
+            from doc_parser_spark.sources import office_fixtures
+
+            payload = office_fixtures.make_hwp(i)
+        elif roll == 91:
+            from doc_parser_spark.sources import office_fixtures
+
+            payload = office_fixtures.make_wav(i)
         elif roll == 92:
             from doc_parser_spark.sources import office_fixtures
 
