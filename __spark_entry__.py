@@ -279,6 +279,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": """
             SELECT doc_id,
                    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'
+                   )) AS BIGINT) AS n_tokens_bpe,
                    CAST(length(text) AS BIGINT) AS n_chars_actual,
                    floor(1e6 * (length(regexp_replace(text, '\\s+', '', 'g'))
                          / len(regexp_split_to_array(trim(text), '\\s+')))) / 1e6

@@ -32,11 +32,24 @@ def _trunc6(expr):
     return F.floor(expr * F.lit(1000000.0)) / F.lit(1000000.0)
 
 
+# GPT-2-style pre-tokenizer approximation: contractions, letter runs,
+# digit runs, punctuation runs (each optionally space-prefixed), whitespace
+# runs. The alternation is valid in BOTH Java regex (Spark) and RE2
+# (DuckDB) with identical match behaviour — verified bit-exact by the
+# doc_token_stats oracle.
+BPE_TOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
 def token_stats(documents: DataFrame) -> DataFrame:
-    """Per-document token/char statistics (whitespace tokenization)."""
+    """Per-document token/char statistics: whitespace tokenization plus a
+    BPE-ish pre-tokenizer count (the two standard corpus-size estimators)."""
+    bpe_sql = BPE_TOKEN_PATTERN.replace("\\", "\\\\").replace("'", "\\'")
     return documents.select(
         "doc_id",
         F.expr("size(split(trim(text), '\\\\s+'))").cast("long").alias("n_tokens"),
+        F.expr(f"size(regexp_extract_all(text, '{bpe_sql}', 0))")
+        .cast("long")
+        .alias("n_tokens_bpe"),
         F.length("text").cast("long").alias("n_chars_actual"),
         _trunc6(
             F.length(F.regexp_replace("text", r"\s+", ""))
