@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lsh_pairs": q(dedup.lsh_candidate_pairs, "documents"),
         "doc_ngram_jaccard": q(dedup.ngram_jaccard_pairs, "documents"),
         "doc_simhash": q(dedup.simhash, "documents"),
+        "doc_simhash_neardup": q(dedup.simhash_neardup_pairs, "documents"),
         # similarity search
         "emb_cosine_topk": q(similarity.cosine_topk, "embeddings"),
         "emb_ann_buckets": q(similarity.ann_buckets, "embeddings"),
@@ -373,6 +374,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE floor(1e6 * n_common / (sa.n_shingles + sb.n_shingles - n_common)) / 1e6 >= 0.5
         """,
         "doc_simhash": _simhash_sql(32),
+        "doc_simhash_neardup": f"""
+            WITH sig AS ({_simhash_sql(32)}),
+            banded AS (
+                SELECT doc_id, simhash, band_no,
+                       (simhash >> (band_no * 8)) & 255 AS band_val
+                FROM sig CROSS JOIN (
+                    SELECT unnest(generate_series(0, 3)) AS band_no
+                ) bands
+            ),
+            ok AS (
+                SELECT band_no, band_val FROM banded
+                GROUP BY band_no, band_val HAVING count(*) BETWEEN 2 AND 500
+            ),
+            surv AS (
+                SELECT b.* FROM banded b JOIN ok USING (band_no, band_val)
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                       a.simhash AS sa, b.simhash AS sb
+                FROM surv a JOIN surv b
+                  ON a.band_no = b.band_no AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT doc_id_a, doc_id_b, hamming FROM (
+                SELECT doc_id_a, doc_id_b,
+                       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+                FROM pairs
+            ) WHERE hamming <= 3
+        """,
         # frozen golden table (regenerate via scripts/freeze_extract_pages_golden.py
         # whenever extraction semantics intentionally change): pages_df(300, seed=7)
         # is sf-independent, so the expected output is a constant relation

@@ -199,3 +199,77 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
         term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sig = term if sig is None else (sig + term)
     return sums.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    documents: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via banded Hamming join.
+
+    The classic scale design (Manku et al., WWW'07 "Detecting
+    Near-Duplicates for Web Crawling"): split the signature into
+    ``bands`` equal bit-bands — any pair within ``max_hamming ≤ bands - 1``
+    must agree exactly on at least one band — so candidates come from a
+    band-value equi-join, never an all-pairs scan. Degenerate bands are
+    count-filtered BEFORE the self-join (same discipline as
+    ``lsh_candidate_pairs``); the final Hamming check is a JVM-side
+    ``bit_count(xor)``. At 100 TB the (band_no, band_val) pair is the
+    bucketing key and each band bucket joins locally."""
+    w = bits // bands
+    mask = (1 << w) - 1
+    sig = simhash(documents, bits)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_no"),
+                        F.shiftright(F.col("simhash"), i * w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_no", "band.band_val")
+    ok = (
+        banded.groupBy("band_no", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .select("band_no", "band_val")
+    )
+    surv = banded.join(ok, ["band_no", "band_val"])
+    a = surv.alias("a")
+    b = surv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()  # a pair may collide in several bands
+    )
+    return (
+        pairs.select(
+            "doc_id_a",
+            "doc_id_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

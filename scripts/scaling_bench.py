@@ -69,10 +69,39 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, stage: str, runs: int) -> dict:
+def quietest_cores(n: int, sample_sec: float = 8.0) -> list[int]:
+    """Pick the n cores with the least observed steal+busy time.
+
+    This is a shared VM: co-tenant steal is bursty and per-core (observed
+    0-8%/core over 15 s). Pinning to cores 0..n-1 blindly measures tenant
+    noise, not the engine; sampling /proc/stat and picking the quietest
+    cores measures the engine. Both levels use the SAME selected cores
+    (low = prefix of high) so they see identical hardware."""
+    import time as _time
+
+    def snap():
+        out = {}
+        for line in open("/proc/stat"):
+            if line.startswith("cpu") and line[3:4].isdigit():
+                f = line.split()
+                total = sum(map(int, f[1:]))
+                idle = int(f[4])
+                out[int(f[0][3:])] = (total, total - idle)
+        return out
+
+    a = snap()
+    _time.sleep(sample_sec)
+    b = snap()
+    load = {
+        c: (b[c][1] - a[c][1]) / max(b[c][0] - a[c][0], 1) for c in a
+    }
+    return sorted(sorted(load, key=load.get)[:n])
+
+
+def run_level(cpus: int, stage: str, runs: int, cores: list[int]) -> dict:
     cmd = [sys.executable, "-c", _RUNNER, str(cpus), stage, str(runs)]
     if os.path.exists("/usr/bin/taskset"):
-        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        cmd = ["taskset", "-c", ",".join(str(c) for c in cores[:cpus])] + cmd
     out = subprocess.run(
         cmd,
         capture_output=True, text=True, cwd=REPO, timeout=3000,
@@ -122,8 +151,10 @@ def main() -> None:
     spark.stop()
     print(f"staged {n_total} pages at {stage}", file=sys.stderr)
 
-    low = run_level(args.low, stage, args.runs)
-    high = run_level(args.high, stage, args.runs)
+    cores = quietest_cores(args.high)
+    print(f"pinning to cores {cores}", file=sys.stderr)
+    low = run_level(args.low, stage, args.runs, cores)
+    high = run_level(args.high, stage, args.runs, cores)
     eff = (high["docs_per_sec"] / low["docs_per_sec"]) / (args.high / args.low)
     result = {
         "n_pages": n_total,
