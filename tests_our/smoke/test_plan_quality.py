@@ -75,6 +75,8 @@ def test_no_fact_table_broadcast_hints(spark):
         assert plan.count("BroadcastHashJoin") == 2 * 3
         plan = plan_of(spark, "emb_cosine_neardup")
         assert "BroadcastHashJoin" not in plan  # corpus-sized self-join: no hints
+        plan = plan_of(spark, "doc_simhash_neardup")
+        assert "BroadcastHashJoin" not in plan  # band self-join: no hints
         plan = plan_of(spark, "doc_ngram_jaccard")
         # the only hinted broadcast is the (tiny) hot-shingle ANTI-join
         # side, which shows up once per side of the self-join; the
