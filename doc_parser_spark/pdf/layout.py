@@ -268,3 +268,26 @@ def block_bbox(block: list[TextCell]) -> tuple[float, float, float, float]:
         max(c.r for c in block),
         max(c.b for c in block),
     )
+
+
+def get_text_in_rect(
+    cells: list[TextCell], l: float, t: float, r: float, b: float
+) -> str:
+    """Text of all cells that lie >50% (by own area) inside the rect.
+
+    Reference semantics (``docling/backend/docling_parse_v2_backend.py:
+    99-141`` / ``pypdfium2_backend.py:269``): per-cell
+    ``intersection_over_self(query) > 0.5`` gate, matched cells joined with
+    a single space in cell order. Coordinates here are already top-left
+    origin (minipdf normalizes at parse time)."""
+    pieces: list[str] = []
+    for cell in cells:
+        area = max(0.0, cell.r - cell.l) * max(0.0, cell.b - cell.t)
+        if area <= 0:
+            continue
+        w = min(cell.r, r) - max(cell.l, l)
+        h = min(cell.b, b) - max(cell.t, t)
+        inter = w * h if w > 0 and h > 0 else 0.0
+        if inter / area > 0.5:
+            pieces.append(cell.text)
+    return " ".join(pieces)

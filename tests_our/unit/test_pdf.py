@@ -169,3 +169,27 @@ def test_xy_cut_three_columns_with_bands():
         "Wide Title Band\n\nA1 alpha. A2 alpha.\n\nB1 beta. B2 beta.\n\n"
         "C1 gamma. C2 gamma.\n\nFooter full width sentence."
     )
+
+
+def test_get_text_in_rect():
+    """Op-21: >50% own-area containment gate, space-joined in cell order
+    (docling_parse_v2_backend.py:99-141)."""
+    from doc_parser_spark.pdf.layout import get_text_in_rect
+
+    pdf = writer.write_pdf(
+        [[(72, 700, 12, "Alpha"), (200, 700, 12, "Beta"), (72, 100, 12, "Gamma")]]
+    )
+    page = minipdf.parse_pdf(pdf)[0]
+    # rect around the top-left cell only
+    assert get_text_in_rect(page.cells, 0, 0, 150, 200) == "Alpha"
+    # rect covering the whole top line
+    assert get_text_in_rect(page.cells, 0, 0, 300, 200) == "Alpha Beta"
+    # whole page
+    assert (
+        get_text_in_rect(page.cells, 0, 0, page.width, page.height)
+        == "Alpha Beta Gamma"
+    )
+    # rect overlapping <50% of a cell excludes it
+    c = page.cells[0]
+    half = (c.l + c.r) / 2
+    assert get_text_in_rect(page.cells, 0, 0, half - 1, 200) == ""
