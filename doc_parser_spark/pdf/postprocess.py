@@ -63,32 +63,32 @@ class LayoutCluster:
 
 
 class UnionFind:
-    """Rank + path-compression union-find (layout_postprocessor.py:17-48)."""
+    """Disjoint-set forest (same role as layout_postprocessor.py:17-48);
+    iterative path-halving find, size-weighted union."""
 
     def __init__(self, elements):
-        self.parent = {e: e for e in elements}
-        self.rank = dict.fromkeys(elements, 0)
+        self._up = {e: e for e in elements}
+        self._size = {e: 1 for e in elements}
 
     def find(self, x):
-        if self.parent[x] != x:
-            self.parent[x] = self.find(self.parent[x])
-        return self.parent[x]
+        up = self._up
+        while up[x] != x:
+            up[x] = up[up[x]]  # path halving
+            x = up[x]
+        return x
 
     def union(self, x, y):
         rx, ry = self.find(x), self.find(y)
         if rx == ry:
             return
-        if self.rank[rx] > self.rank[ry]:
-            self.parent[ry] = rx
-        elif self.rank[rx] < self.rank[ry]:
-            self.parent[rx] = ry
-        else:
-            self.parent[ry] = rx
-            self.rank[rx] += 1
+        if self._size[rx] < self._size[ry]:
+            rx, ry = ry, rx
+        self._up[ry] = rx
+        self._size[rx] += self._size[ry]
 
     def get_groups(self) -> dict:
         groups: dict = {}
-        for e in self.parent:
+        for e in self._up:
             groups.setdefault(self.find(e), []).append(e)
         return groups
 
