@@ -372,3 +372,135 @@ def sample_video_frames(media: DataFrame, every_n_seconds: float = 1.0) -> DataF
         ]
     )
     return media.mapInPandas(kernel, schema=schema)
+
+
+MULTIMODAL_PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("content_text", T.StringType()),
+        T.StructField(
+            "segments",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("index_in_doc", T.IntegerType()),
+                        T.StructField("label", T.StringType()),
+                        T.StructField("text", T.StringType()),
+                        T.StructField("bbox", T.ArrayType(T.DoubleType())),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "cells",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("text", T.StringType()),
+                        T.StructField("bbox", T.ArrayType(T.DoubleType())),
+                        T.StructField("ocr", T.BooleanType()),
+                        T.StructField("ocr_confidence", T.DoubleType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("width", T.DoubleType()),
+        T.StructField("height", T.DoubleType()),
+        T.StructField("image", T.BinaryType()),
+    ]
+)
+
+
+def multimodal_page_records(
+    pages: DataFrame, scale: float = 1.0, with_images: bool = False
+) -> DataFrame:
+    """(url, html=PDF bytes) → one multimodal training record per page.
+
+    Spark-first analog of the reference's ``generate_multimodal_pages``
+    (docling/utils/export.py:13-146): per page, the main-content text, the
+    labeled layout segments with [0,1]-normalized TOPLEFT bboxes, the raw
+    text cells with normalized bboxes + OCR provenance, and (optionally)
+    the rendered page PNG — the row shape a layout/VLM training pipeline
+    ingests. One Arrow-batched stage; the PDF is parsed once and shared
+    between cell extraction and the document build."""
+
+    def _norm(l, t, r, b, w, h):
+        return [l / w, t / h, r / w, b / h]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from doc_parser_spark.core import model
+        from doc_parser_spark.pdf import minipdf
+        from doc_parser_spark.pdf.extractor import extract_pdf
+        from doc_parser_spark.pdf.render import render_page
+
+        for batch in batches:
+            records = []
+            for url, payload in zip(batch["url"], batch["html"]):
+                try:
+                    raw = bytes(payload) if payload is not None else b""
+                    parsed = minipdf.parse_pdf(raw)
+                    doc, _fb = extract_pdf(raw, parsed_pages=parsed)
+                    by_page: dict[int, list] = {}
+                    for ix, (node, _d) in enumerate(doc.iterate_items()):
+                        by_page.setdefault(node.page_no, []).append((ix, node))
+                    for page in parsed:
+                        w, h = max(page.width, 1.0), max(page.height, 1.0)
+                        segs = []
+                        texts = []
+                        for ix, node in by_page.get(page.page_no, []):
+                            if node.text:
+                                texts.append(node.text)
+                            if node.bbox is None:
+                                continue
+                            l, t, r, b = node.bbox
+                            segs.append(
+                                {
+                                    "index_in_doc": ix,
+                                    "label": node.label,
+                                    "text": node.text or "",
+                                    "bbox": _norm(l, t, r, b, w, h),
+                                }
+                            )
+                        cells = [
+                            {
+                                "text": c.text,
+                                "bbox": _norm(c.l, c.t, c.r, c.b, w, h),
+                                # minipdf cells are structured-parse text
+                                # (an ocr_fn would mark its own cells)
+                                "ocr": False,
+                                "ocr_confidence": 1.0,
+                            }
+                            for c in page.cells
+                        ]
+                        img = (
+                            pnglib.encode_png(render_page(page, scale=scale))
+                            if with_images
+                            else None
+                        )
+                        records.append(
+                            {
+                                "url": url, "page_no": page.page_no,
+                                "status": "ok",
+                                "content_text": "\n\n".join(texts),
+                                "segments": segs, "cells": cells,
+                                "width": float(page.width),
+                                "height": float(page.height),
+                                "image": img,
+                            }
+                        )
+                except Exception as exc:  # noqa: BLE001
+                    records.append(
+                        {
+                            "url": url, "page_no": 0,
+                            "status": f"failure:{type(exc).__name__}",
+                            "content_text": "", "segments": [], "cells": [],
+                            "width": 0.0, "height": 0.0, "image": None,
+                        }
+                    )
+            yield pd.DataFrame.from_records(
+                records, columns=[f.name for f in MULTIMODAL_PAGE_SCHEMA.fields]
+            )
+
+    return pages.mapInPandas(kernel, schema=MULTIMODAL_PAGE_SCHEMA)

@@ -91,8 +91,13 @@ def extract_pdf(
     max_pages: int | None = None,
     page_range: tuple[int, int] | None = None,
     ocr_fn=None,
+    parsed_pages: list | None = None,
 ) -> tuple[Document, bool]:
     """PDF bytes → (Document, fallback_used).
+
+    ``parsed_pages`` lets a caller that already ran ``minipdf.parse_pdf``
+    (e.g. the multimodal page-record sink, which also needs the raw cells)
+    reuse the parse instead of paying it twice.
 
     ``max_pages`` / ``page_range`` mirror the reference's pagination limits
     (docling/datamodel/settings.py:22-25, enforced at
@@ -107,7 +112,7 @@ def extract_pdf(
     environment, so the default stays None.
     """
     try:
-        pages = minipdf.parse_pdf(payload)
+        pages = parsed_pages if parsed_pages is not None else minipdf.parse_pdf(payload)
         if page_range is not None:
             lo, hi = page_range
             pages = [p for p in pages if lo <= p.page_no <= hi]

@@ -247,3 +247,40 @@ def test_evaluation_spark_path(spark):
     docs.unpersist()
     assert row["TP"] > 0 and row["FP"] == 0 and row["FN"] == 0
     assert row["class_correct"] == row["TP"]
+
+
+def test_multimodal_page_records(spark):
+    """Per-page training records: text + normalized segment/cell bboxes +
+    optional page PNG (reference generate_multimodal_pages analog)."""
+    from doc_parser_spark.core.png import decode_png
+    from doc_parser_spark.operators.multimodal import multimodal_page_records
+    from doc_parser_spark.pdf import writer
+
+    pdf = writer.write_pdf(
+        [
+            [(72, 700, 18, "Big Title"), (72, 650, 10, "Body text here")],
+            [(90, 400, 10, "Second page body")],
+        ]
+    )
+    df = spark.createDataFrame(
+        [("p://ok", pdf), ("p://bad", b"%PDF-garbage")], "url string, html binary"
+    )
+    rows = {(r["url"], r["page_no"]): r for r in
+            multimodal_page_records(df, with_images=True).collect()}
+    assert rows[("p://bad", 0)]["status"].startswith("failure:")
+    p1 = rows[("p://ok", 1)]
+    assert p1["status"] == "ok"
+    assert "Big Title" in p1["content_text"]
+    labels = [s["label"] for s in p1["segments"]]
+    assert "title" in labels or "section_header" in labels
+    for seg in p1["segments"]:
+        assert len(seg["bbox"]) == 4
+        assert all(0.0 <= v <= 1.0 for v in seg["bbox"])
+    assert len(p1["cells"]) == 2
+    for cell in p1["cells"]:
+        assert cell["ocr"] is False
+        assert all(0.0 <= v <= 1.0 for v in cell["bbox"])
+    img = decode_png(bytes(p1["image"]))
+    assert img.shape[0] == round(p1["height"]) and img.shape[1] == round(p1["width"])
+    p2 = rows[("p://ok", 2)]
+    assert p2["content_text"] == "Second page body"
