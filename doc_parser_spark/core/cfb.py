@@ -149,9 +149,11 @@ def write_cfb(streams: dict[str, bytes]) -> bytes:
             sectors.append(chunk + b"\x00" * (ssz - len(chunk)))
         return sectors
 
-    # directory sector goes first, then stream data
+    # layout: [dir sectors][stream sectors][FAT sector(s)] — 4 entries per
+    # 512-byte directory sector, so the directory size is known up front
+    n_dir = (1 + len(streams) + 3) // 4
     stream_meta = []
-    next_sect = 1  # sector 0 = directory
+    next_sect = n_dir
     for name, blob in streams.items():
         secs = pad(blob)
         stream_meta.append((name, next_sect, len(blob), len(secs)))
@@ -172,20 +174,7 @@ def write_cfb(streams: dict[str, bytes]) -> bytes:
     while len(dir_entries) % 4:
         dir_entries.append(b"\x00" * 128)
     dir_sectors = pad(b"".join(dir_entries))
-
-    # layout: [dir sectors][stream sectors][FAT sector(s)]
-    n_dir = len(dir_sectors)
-    # re-number stream starts to come after the directory
-    stream_meta = [
-        (name, start - 1 + n_dir, size, n)
-        for name, start, size, n in stream_meta
-    ]
-    dir_entries = [dir_entry("Root Entry", 5, ENDOFCHAIN, 0, child=1)]
-    for name, start, size, _n in stream_meta:
-        dir_entries.append(dir_entry(name, 2, start, size))
-    while len(dir_entries) % 4:
-        dir_entries.append(b"\x00" * 128)
-    dir_sectors = pad(b"".join(dir_entries))
+    assert len(dir_sectors) == n_dir
 
     total_payload = n_dir + sum(n for _, _, _, n in stream_meta)
     n_fat = (total_payload * 4) // (ssz - 4) + 1

@@ -51,7 +51,7 @@ def is_hwp(data: bytes) -> bool:
         return False
     try:
         return HWP_SIGNATURE in read_cfb(data).get("FileHeader", b"")[:32]
-    except (CfbError, Exception):  # noqa: BLE001 — malformed container
+    except Exception:  # noqa: BLE001 — malformed container
         return False
 
 

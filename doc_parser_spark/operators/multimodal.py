@@ -95,6 +95,25 @@ def _byte_histogram_features(raw: np.ndarray) -> list[float]:
     return feats
 
 
+def _image_array(payload: bytes):
+    """Decodable raster payload → (status, uint8 (H, W, C) array | None).
+
+    The single decode point shared by metadata extraction and resizing
+    (PNG for real via ``core/png.py``; FAKEIMG for the plumbing tests)."""
+    if payload.startswith(pnglib.SIGNATURE):
+        try:
+            return "decoded", pnglib.decode_png(payload)
+        except pnglib.PngError:
+            return "corrupt", None
+    if payload.startswith(b"FAKEIMG"):
+        width, height, channels = struct.unpack(">HHB", payload[7:12])
+        raw = np.frombuffer(payload[12:], dtype=np.uint8)
+        if raw.size != width * height * channels or channels not in (1, 3, 4):
+            return "corrupt", None
+        return "decoded", raw.reshape(height, width, channels)
+    return "codec_unavailable", None
+
+
 def _decode_one(payload: bytes) -> dict:
     out = {
         "status": "decoded", "width": None, "height": None, "channels": None,
@@ -104,26 +123,16 @@ def _decode_one(payload: bytes) -> dict:
     if not payload:
         out["status"] = "empty"
         return out
-    if payload.startswith(pnglib.SIGNATURE):
-        try:
-            arr = pnglib.decode_png(payload)
-        except pnglib.PngError:
-            out["status"] = "corrupt"
+    if payload.startswith((pnglib.SIGNATURE, b"FAKEIMG")):
+        status, arr = _image_array(payload)
+        if status != "decoded":
+            out["status"] = status
             return out
         out.update(
             width=int(arr.shape[1]), height=int(arr.shape[0]),
             channels=int(arr.shape[2]),
             features=_byte_histogram_features(arr.reshape(-1)),
         )
-    elif payload.startswith(b"FAKEIMG"):
-        width, height, channels = struct.unpack(">HHB", payload[7:12])
-        raw = np.frombuffer(payload[12:], dtype=np.uint8)
-        expected = width * height * channels
-        if raw.size != expected:
-            out["status"] = "corrupt"
-            return out
-        out.update(width=width, height=height, channels=channels,
-                   features=_byte_histogram_features(raw))
     elif payload.startswith(b"FAKEAUD"):
         sample_rate, n_samples = struct.unpack(">II", payload[7:15])
         raw = np.frombuffer(payload[15:], dtype=np.uint8)
@@ -171,16 +180,9 @@ def _resize_one(payload: bytes, width: int, height: int) -> tuple[str, bytes | N
     other formats report ``codec_unavailable`` (JPEG needs a DCT codec)."""
     if not payload:
         return "empty", None
-    if payload.startswith(pnglib.SIGNATURE):
-        arr = pnglib.decode_png(payload)
-    elif payload.startswith(b"FAKEIMG"):
-        w0, h0, c0 = struct.unpack(">HHB", payload[7:12])
-        raw = np.frombuffer(payload[12:], dtype=np.uint8)
-        if raw.size != w0 * h0 * c0 or c0 not in (1, 3, 4):
-            return "corrupt", None
-        arr = raw.reshape(h0, w0, c0)
-    else:
-        return "codec_unavailable", None
+    status, arr = _image_array(payload)
+    if status != "decoded":
+        return status, None
     out = pnglib.resize_nearest(arr, width, height)
     return "resized", pnglib.encode_png(out)
 
@@ -430,7 +432,6 @@ def multimodal_page_records(
         return [l / w, t / h, r / w, b / h]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from doc_parser_spark.core import model
         from doc_parser_spark.pdf import minipdf
         from doc_parser_spark.pdf.extractor import extract_pdf
         from doc_parser_spark.pdf.render import render_page
