@@ -56,7 +56,10 @@ class PdfPage:
 
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+# spec says the keyword is followed by \r\n or \n, but real generators
+# (e.g. the reference's amt_handbook_sample.pdf) also emit bare \r on both
+# delimiters — accept any single EOL sequence on either side
+_STREAM_RE = re.compile(rb"stream(?:\r\n|\n|\r)(.*?)(?:\r\n|\n|\r)?endstream", re.DOTALL)
 _MEDIABOX_RE = re.compile(
     rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
 )
@@ -64,6 +67,125 @@ _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+
+
+class CMap:
+    """ToUnicode CMap: fixed-width CID codes → unicode strings.
+
+    Parses ``bfchar``/``bfrange`` sections (PDF 32000-1 §9.10.3); the code
+    byte-width comes from the bfchar/bfrange source hex length (2 bytes for
+    Identity-H CID fonts, 1 for simple fonts)."""
+
+    def __init__(self, data: bytes):
+        self.map: dict[int, str] = {}
+        self.width = 2
+
+        def uni(hexs: bytes) -> str:
+            raw = bytes.fromhex(hexs.decode())
+            return raw.decode("utf-16-be", errors="replace")
+
+        widths = set()
+        for section in _BFCHAR_RE.findall(data):
+            hexes = _HEX_RE.findall(section)
+            for src, dst in zip(hexes[0::2], hexes[1::2]):
+                src = re.sub(rb"\s", b"", src)
+                widths.add(len(src) // 2)
+                self.map[int(src, 16)] = uni(dst)
+        for section in _BFRANGE_RE.findall(data):
+            # ranges come as `<lo> <hi> <dst>` or `<lo> <hi> [<d1> <d2> ...]`
+            for m in re.finditer(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)",
+                section,
+            ):
+                lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+                widths.add(len(m.group(1)) // 2)
+                body = m.group(3)
+                if body.startswith(b"["):
+                    dsts = _HEX_RE.findall(body)
+                    for i, dst in enumerate(dsts):
+                        if lo + i <= hi:
+                            self.map[lo + i] = uni(dst)
+                else:
+                    base = bytes.fromhex(body[1:-1].decode())
+                    base_str = base.decode("utf-16-be", errors="replace")
+                    for code in range(lo, min(hi, lo + 0xFFFF) + 1):
+                        if base_str:
+                            self.map[code] = base_str[:-1] + chr(
+                                ord(base_str[-1]) + (code - lo)
+                            )
+        if widths:
+            self.width = max(widths)
+
+    def decode(self, raw: bytes) -> str:
+        w = self.width
+        out = []
+        for i in range(0, len(raw) - w + 1, w):
+            out.append(self.map.get(int.from_bytes(raw[i : i + w], "big"), ""))
+        return "".join(out)
+
+
+def _balanced_dict(data: bytes, start: int) -> bytes:
+    """The ``<<...>>`` dict starting at/after ``start`` (nesting-aware)."""
+    open_ix = data.find(b"<<", start)
+    if open_ix < 0:
+        return b""
+    depth = 0
+    i = open_ix
+    while i < len(data) - 1:
+        pair = data[i : i + 2]
+        if pair == b"<<":
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[open_ix:i]
+        else:
+            i += 1
+    return b""
+
+
+def _page_cmaps(body: bytes, objects: dict[int, bytes], cache: dict) -> dict[str, CMap]:
+    """Font resource name → ToUnicode CMap for one page dict.
+
+    Resolves /Resources (inline or ref) → /Font dict → per-font
+    /ToUnicode stream. Fonts without a ToUnicode entry are omitted — their
+    strings pass through the single-byte decode path unchanged."""
+    res_m = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", body)
+    if res_m:
+        resources = objects.get(int(res_m.group(1)), b"")
+    else:
+        ix = body.find(b"/Resources")
+        resources = _balanced_dict(body, ix) if ix >= 0 else b""
+    if not resources:
+        return {}
+    font_m = re.search(rb"/Font\s+(\d+)\s+\d+\s+R", resources)
+    if font_m:
+        font_dict = objects.get(int(font_m.group(1)), b"")
+    else:
+        ix = resources.find(b"/Font")
+        font_dict = _balanced_dict(resources, ix) if ix >= 0 else b""
+    cmaps: dict[str, CMap] = {}
+    for fm in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", font_dict):
+        name, ref = fm.group(1).decode("latin-1"), int(fm.group(2))
+        font_body = objects.get(ref, b"")
+        tu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", font_body)
+        if not tu:
+            continue
+        tu_ref = int(tu.group(1))
+        if tu_ref not in cache:
+            try:
+                stream = _object_stream(objects.get(tu_ref, b""))
+                cache[tu_ref] = CMap(stream) if stream else None
+            except PdfParseError:
+                cache[tu_ref] = None
+        if cache[tu_ref] is not None:
+            cmaps[name] = cache[tu_ref]
+    return cmaps
 
 
 class PdfParseError(Exception):
@@ -76,7 +198,38 @@ def _parse_objects(data: bytes) -> dict[int, bytes]:
         objects[int(m.group(1))] = m.group(3)
     if not objects:
         raise PdfParseError("no PDF objects found")
+    _expand_object_streams(objects)
     return objects
+
+
+def _expand_object_streams(objects: dict[int, bytes]) -> None:
+    """Inline the members of /ObjStm compressed object streams (PDF 1.5+).
+
+    Page-tree and content dictionaries routinely live inside object
+    streams in real-world files (e.g. the reference's
+    ``amt_handbook_sample.pdf``); without expansion the page walk sees no
+    /Pages objects at all. Stream layout per spec: the first ``First``
+    bytes hold N (objnum, offset) integer pairs; members follow at
+    ``First + offset`` with no obj/endobj wrappers."""
+    for body in list(objects.values()):
+        if not re.search(rb"/Type\s*/ObjStm", body):
+            continue
+        first_m = re.search(rb"/First\s+(\d+)", body)
+        n_m = re.search(rb"/N\s+(\d+)", body)
+        try:
+            payload = _object_stream(body)
+        except PdfParseError:
+            continue
+        if not (first_m and n_m and payload):
+            continue
+        first, n = int(first_m.group(1)), int(n_m.group(1))
+        ints = [int(x) for x in re.findall(rb"\d+", payload[:first])][: 2 * n]
+        pairs = list(zip(ints[0::2], ints[1::2]))
+        for idx, (objnum, off) in enumerate(pairs):
+            end = pairs[idx + 1][1] if idx + 1 < len(pairs) else len(payload) - first
+            member = payload[first + off : first + end]
+            # top-level (possibly incrementally-updated) definitions win
+            objects.setdefault(objnum, member)
 
 
 def _object_stream(body: bytes) -> bytes | None:
@@ -86,7 +239,9 @@ def _object_stream(body: bytes) -> bytes | None:
     payload = m.group(1)
     if b"/FlateDecode" in body:
         try:
-            payload = zlib.decompress(payload)
+            # decompressobj tolerates trailing bytes after the zlib frame
+            # (common when the endstream EOL guess over-captures)
+            payload = zlib.decompressobj().decompress(payload)
         except zlib.error as exc:
             raise PdfParseError(f"bad FlateDecode stream: {exc}") from exc
     return payload
@@ -159,7 +314,7 @@ def _decode_pdf_string(raw: bytes) -> str:
                 j = i + 1
                 while j < len(body) and j < i + 4 and body[j : j + 1].isdigit():
                     j += 1
-                out.append(chr(int(body[i + 1 : j], 8)))
+                out.append(chr(int(body[i + 1 : j], 8) & 0xFF))
                 i = j
                 continue
             i += 1
@@ -170,7 +325,8 @@ def _decode_pdf_string(raw: bytes) -> str:
 
 
 def extract_cells(
-    content: bytes, page_height: float, page_no: int
+    content: bytes, page_height: float, page_no: int,
+    cmaps: dict | None = None,
 ) -> list[TextCell]:
     """Run the text-state machine over one content stream.
 
@@ -180,6 +336,8 @@ def extract_cells(
     normalizes pypdfium2 rects (pypdfium2_backend.py:142-150).
     """
     cells: list[TextCell] = []
+    cmaps = cmaps or {}
+    cur_font = ""
     font_size = 12.0
     leading = 0.0
     x = y = 0.0
@@ -189,6 +347,11 @@ def extract_cells(
 
     def emit(text: str) -> None:
         nonlocal counter
+        cmap = cmaps.get(cur_font)
+        if cmap is not None:
+            # tokenization decoded bytes 1:1 via latin-1; recover them and
+            # run the font's ToUnicode CMap (CID-keyed fonts)
+            text = cmap.decode(text.encode("latin-1", errors="ignore"))
         if text == "":
             return
         width = AVG_GLYPH_EM * font_size * len(text)
@@ -235,6 +398,8 @@ def extract_cells(
                 in_text = False
             elif op == b"Tf" and len(stack) >= 2:
                 font_size = float(stack[-1][1])
+                if stack[-2][0] == "name":
+                    cur_font = stack[-2][1].lstrip("/")
             elif op == b"TL" and stack:
                 leading = float(stack[-1][1])
             elif op == b"Td" and len(stack) >= 2:
@@ -270,6 +435,7 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
         raise PdfParseError("missing %PDF- header")
     objects = _parse_objects(data)
     pages: list[PdfPage] = []
+    cmap_cache: dict = {}
     for page_no, obj_num in enumerate(_page_objects(objects), start=1):
         body = objects[obj_num]
         mb = _MEDIABOX_RE.search(body)
@@ -290,7 +456,8 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
             stream = _object_stream(objects.get(ref, b""))
             if stream:
                 content += stream + b"\n"
-        cells = extract_cells(content, height, page_no)
+        cmaps = _page_cmaps(body, objects, cmap_cache)
+        cells = extract_cells(content, height, page_no, cmaps=cmaps)
         pages.append(PdfPage(page_no=page_no, width=width, height=height, cells=cells))
     if not pages:
         raise PdfParseError("no pages found")

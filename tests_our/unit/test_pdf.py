@@ -193,3 +193,54 @@ def test_get_text_in_rect():
     c = page.cells[0]
     half = (c.l + c.r) / 2
     assert get_text_in_rect(page.cells, 0, 0, half - 1, 200) == ""
+
+
+def test_reference_pdfs_parse_structured():
+    """Real-world PDF features: /ObjStm-packed page trees, \r-delimited
+    streams, CID fonts with ToUnicode CMaps. All 9 committed reference
+    PDFs must parse structured (no fallback scan)."""
+    import glob
+    import os
+
+    results = {}
+    for p in sorted(glob.glob("/root/reference/tests/data/pdf/*.pdf")):
+        with open(p, "rb") as f:
+            raw = f.read()
+        doc, fallback = extract_pdf(raw)
+        results[os.path.basename(p)] = (fallback, export_text(doc))
+    assert all(not fb for fb, _ in results.values()), {
+        k: fb for k, (fb, _) in results.items() if fb
+    }
+    # ObjStm + \r delimiters (amt_handbook): real content extracted
+    assert "Self-Locking Nut" in results["amt_handbook_sample.pdf"][1]
+    # CID + ToUnicode: Arabic / Persian text decodes to real unicode
+    # (visual order as stored in the content stream; logical reordering is
+    # the reference's RTL model concern)
+    for name in ("right_to_left_02.pdf", "right_to_left_03.pdf"):
+        text = results[name][1]
+        n_arabic = sum(1 for ch in text if "؀" <= ch <= "ۿ")
+        assert n_arabic > 100, (name, text[:80])
+
+
+def test_cmap_parsing():
+    from doc_parser_spark.pdf.minipdf import CMap
+
+    data = b"""
+    begincodespacerange <0000> <FFFF> endcodespacerange
+    2 beginbfchar
+    <0003> <0020>
+    <0041> <00410042>
+    endbfchar
+    1 beginbfrange
+    <0010> <0012> <0061>
+    <0020> <0021> [<0058> <0059>]
+    endbfrange
+    """
+    cm = CMap(data)
+    assert cm.width == 2
+    assert cm.map[0x03] == " "
+    assert cm.map[0x41] == "AB"  # multi-char target
+    assert cm.map[0x10] == "a" and cm.map[0x12] == "c"  # range offset
+    assert cm.map[0x20] == "X" and cm.map[0x21] == "Y"  # array range
+    assert cm.decode(b"\x00\x03\x00\x10") == " a"
+    assert cm.decode(b"\x00\xff") == ""  # unmapped code drops cleanly
