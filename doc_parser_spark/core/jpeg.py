@@ -1,0 +1,550 @@
+"""Minimal pure-Python baseline JPEG codec (numpy + stdlib only).
+
+Turns the multimodal operators' JPEG path real: PDF ``/DCTDecode`` images
+and crawl JPEG payloads decode to arrays without PIL. Scope (deliberate):
+
+* decode — baseline sequential DCT (SOF0/SOF1), 8-bit, grayscale or
+  YCbCr (any h×v chroma sampling), Huffman entropy coding, restart
+  markers, 0xFF00 byte unstuffing. Progressive (SOF2), arithmetic coding,
+  12-bit and CMYK raise :class:`JpegError` — callers treat that as an
+  unsupported payload.
+* encode — baseline, 4:4:4, Annex-K standard tables with libjpeg-style
+  quality scaling; used for self-tests and deterministic fixtures.
+
+Validated against the 18 real Adobe-produced grayscale JPEGs embedded in
+the reference's ``amt_handbook_sample.pdf`` (dimensions + pixel-range
+sanity) and by encode→decode PSNR round-trips.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["JpegError", "decode_jpeg", "encode_jpeg"]
+
+
+class JpegError(ValueError):
+    pass
+
+
+# zigzag order: index in scan order → position in the 8x8 block
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# Annex K default quantization tables (luminance, chrominance)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+])
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+])
+
+# Annex K standard Huffman tables: (bits[1..16], values)
+_HT_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _idct_basis() -> np.ndarray:
+    u = np.arange(8)
+    x = np.arange(8)
+    m = np.cos((2 * x[None, :] + 1) * u[:, None] * np.pi / 16)
+    m[0, :] *= 1 / np.sqrt(2)
+    return m * 0.5  # includes the 1/2 normalization per dimension
+
+
+_IDCT_M = _idct_basis()
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    return _IDCT_M.T @ block @ _IDCT_M
+
+
+def _fdct2(block: np.ndarray) -> np.ndarray:
+    return _IDCT_M @ block @ _IDCT_M.T
+
+
+class _HuffDecoder:
+    """Canonical Huffman table: (code length, code) → symbol lookup."""
+
+    def __init__(self, bits: list, values: list):
+        self.lookup: dict[tuple, int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = values[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with FF00 unstuffing;
+    stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                self.bitbuf = (self.bitbuf << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            byte = d[self.pos]
+            if byte == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # restart marker: consumed by caller
+                    self.bitbuf = (self.bitbuf << 8) & 0xFFFFFFFF
+                    self.nbits += 8
+                    continue
+                else:  # real marker: pad with zeros
+                    self.bitbuf = (self.bitbuf << 8) & 0xFFFFFFFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.bitbuf = ((self.bitbuf << 8) | byte) & 0xFFFFFFFFFF
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: _HuffDecoder) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise JpegError("invalid Huffman code")
+
+    def align_restart(self) -> None:
+        """Skip to just past the next RSTn marker, resetting bit state."""
+        self.bitbuf = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+def _extend(v: int, size: int) -> int:
+    return v - (1 << size) + 1 if size and v < (1 << (size - 1)) else v
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JPEG bytes → uint8 (H, W) grayscale or (H, W, 3) RGB array."""
+    if not data.startswith(b"\xff\xd8"):
+        raise JpegError("not a JPEG (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq:
+                    raise JpegError("16-bit quant tables unsupported")
+                table = np.zeros(64, dtype=np.int32)
+                table[ZIGZAG] = np.frombuffer(seg[p : p + 64], np.uint8)
+                qt[tq] = table.reshape(8, 8)
+                p += 64
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+            precision = seg[0]
+            if precision != 8:
+                raise JpegError(f"{precision}-bit JPEG unsupported")
+            h, w = struct.unpack_from(">HH", seg, 1)
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + c * 3 : 9 + c * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError(f"non-baseline SOF marker 0xFF{marker:02X} unsupported")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nvals = sum(bits)
+                values = list(seg[p + 17 : p + 17 + nvals])
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(bits, values)
+                p += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — start entropy-coded scan
+            if frame is None:
+                raise JpegError("SOS before SOF")
+            ns = seg[0]
+            scan_tables = {}
+            for c in range(ns):
+                cs, tdta = seg[1 + c * 2], seg[2 + c * 2]
+                scan_tables[cs] = (tdta >> 4, tdta & 0xF)
+            return _decode_scan(
+                data, pos + 2 + seglen, frame, scan_tables, qt,
+                huff_dc, huff_ac, restart_interval,
+            )
+        pos += 2 + seglen
+    raise JpegError("no scan data found")
+
+
+def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac, dri):
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    planes = []
+    for c in comps:
+        pw, ph = mcus_x * c["h"] * 8, mcus_y * c["v"] * 8
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+
+    reader = _BitReader(data, pos)
+    dc_pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and mcu_count and mcu_count % dri == 0:
+                reader.align_restart()
+                dc_pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                td, ta = scan_tables.get(c["id"], (0, 0))
+                dct, act = huff_dc.get(td), huff_ac.get(ta)
+                if dct is None or act is None:
+                    raise JpegError("missing Huffman table")
+                q = qt.get(c["tq"])
+                if q is None:
+                    raise JpegError("missing quant table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeffs = np.zeros(64, dtype=np.int32)
+                        size = reader.decode_symbol(dct)
+                        diff = _extend(reader.read_bits(size), size) if size else 0
+                        dc_pred[ci] += diff
+                        coeffs[0] = dc_pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(act)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise JpegError("AC run overflow")
+                            coeffs[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[ZIGZAG] = coeffs
+                        spatial = _idct2(block.reshape(8, 8) * q) + 128.0
+                        py = (my * c["v"] + by) * 8
+                        px = (mx * c["h"] + bx) * 8
+                        planes[ci][py : py + 8, px : px + 8] = spatial
+            mcu_count += 1
+
+    # upsample to full resolution and crop
+    full = []
+    for ci, c in enumerate(comps):
+        plane = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return np.clip(full[0].round(), 0, 255).astype(np.uint8)
+    if len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=2)
+        return np.clip(rgb.round(), 0, 255).astype(np.uint8)
+    raise JpegError(f"{len(full)}-component JPEG unsupported")
+
+
+# -- encoder (baseline 4:4:4, standard tables) -------------------------------
+
+
+class _HuffEncoder:
+    def __init__(self, bits: list, values: list):
+        self.codes: dict[int, tuple] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.codes[values[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        while self.nbits:
+            self.write(1, 1)  # pad with 1s
+
+
+def _scale_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.clip((base * s + 50) // 100, 1, 255)
+    return q.astype(np.int32)
+
+
+def _mag(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_block(writer, enc_dc, enc_ac, q, block, dc_pred, ci):
+    coeffs = np.round(_fdct2(block - 128.0) / q).astype(np.int32)
+    zz = coeffs.reshape(-1)[ZIGZAG]
+    diff = int(zz[0]) - dc_pred[ci]
+    dc_pred[ci] = int(zz[0])
+    size = _mag(diff)
+    code, length = enc_dc.codes[size]
+    writer.write(code, length)
+    if size:
+        v = diff if diff > 0 else diff + (1 << size) - 1
+        writer.write(v, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = enc_ac.codes[0xF0]
+            writer.write(code, length)
+            run -= 16
+        size = _mag(v)
+        code, length = enc_ac.codes[(run << 4) | size]
+        writer.write(code, length)
+        vv = v if v > 0 else v + (1 << size) - 1
+        writer.write(vv, size)
+        run = 0
+    if last_nz < 63:
+        code, length = enc_ac.codes[0x00]
+        writer.write(code, length)
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """uint8 (H, W) gray or (H, W, 3) RGB → baseline JPEG bytes.
+
+    ``subsampling``: "444" (no chroma subsampling) or "420" (2×2 — the
+    common web default; exercises the decoder's upsampling path)."""
+    a = np.asarray(arr)
+    if a.dtype != np.uint8 or a.ndim not in (2, 3):
+        raise JpegError("encode_jpeg needs uint8 (H,W) or (H,W,3)")
+    gray = a.ndim == 2 or a.shape[2] == 1
+    if not gray and a.shape[2] != 3:
+        raise JpegError("only gray/RGB encode supported")
+    if subsampling not in ("444", "420"):
+        raise JpegError(f"unsupported subsampling {subsampling}")
+    sub = 2 if (subsampling == "420" and not gray) else 1
+    h, w = a.shape[:2]
+    if gray:
+        comps = [a.reshape(h, w).astype(np.float64)]
+    else:
+        rf, gf, bf = (a[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
+        cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+        comps = [y, cb, cr]
+
+    qts = [_scale_qt(_QT_LUMA.reshape(8, 8), quality)]
+    if not gray:
+        qts.append(_scale_qt(_QT_CHROMA.reshape(8, 8), quality))
+
+    enc_dc = [_HuffEncoder(*_HT_DC_LUMA), _HuffEncoder(*_HT_DC_CHROMA)]
+    enc_ac = [_HuffEncoder(*_HT_AC_LUMA), _HuffEncoder(*_HT_AC_CHROMA)]
+
+    mcu = 8 * sub
+    mh, mw = (h + mcu - 1) // mcu, (w + mcu - 1) // mcu
+
+    def pad_to(plane, ph, pw):
+        p = np.empty((ph, pw), dtype=np.float64)
+        sh, sw = plane.shape
+        p[:sh, :sw] = plane
+        p[sh:, :sw] = plane[-1:, :]
+        p[:, sw:] = p[:, sw - 1 : sw]
+        return p
+
+    padded = [pad_to(comps[0], mh * mcu, mw * mcu)]
+    if not gray:
+        for plane in comps[1:]:
+            if sub == 2:  # 2x2 box average
+                p = pad_to(plane, mh * mcu, mw * mcu)
+                plane = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+            else:
+                plane = pad_to(plane, mh * mcu, mw * mcu)
+            padded.append(plane)
+
+    writer = _BitWriter()
+    dc_pred = [0] * len(comps)
+    for my in range(mh):
+        for mx in range(mw):
+            # Y blocks (sub×sub per MCU), then one Cb and one Cr
+            for by in range(sub):
+                for bx in range(sub):
+                    py, px = (my * sub + by) * 8, (mx * sub + bx) * 8
+                    _encode_block(
+                        writer, enc_dc[0], enc_ac[0], qts[0],
+                        padded[0][py : py + 8, px : px + 8], dc_pred, 0,
+                    )
+            for ci in (1, 2) if not gray else ():
+                py, px = my * 8, mx * 8
+                _encode_block(
+                    writer, enc_dc[1], enc_ac[1], qts[1],
+                    padded[ci][py : py + 8, px : px + 8], dc_pred, ci,
+                )
+    writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    for i, q in enumerate(qts):
+        zz = np.empty(64, dtype=np.uint8)
+        zz[np.arange(64)] = q.reshape(-1)[ZIGZAG]
+        out += seg(0xDB, bytes([i]) + zz.tobytes())
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        hv = (sub << 4) | sub if c == 0 else 0x11
+        sof += bytes([c + 1, hv, 0 if c == 0 else 1])
+    out += seg(0xC0, sof)
+    for ti in range(1 if gray else 2):
+        for tc, tables in ((0, (_HT_DC_LUMA, _HT_DC_CHROMA)), (1, (_HT_AC_LUMA, _HT_AC_CHROMA))):
+            bits, values = tables[ti]
+            out += seg(0xC4, bytes([(tc << 4) | ti]) + bytes(bits) + bytes(values))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        ti = 0 if c == 0 else 1
+        sos += bytes([c + 1, (ti << 4) | ti])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -98,13 +98,27 @@ def _byte_histogram_features(raw: np.ndarray) -> list[float]:
 def _image_array(payload: bytes):
     """Decodable raster payload → (status, uint8 (H, W, C) array | None).
 
-    The single decode point shared by metadata extraction and resizing
-    (PNG for real via ``core/png.py``; FAKEIMG for the plumbing tests)."""
+    The single decode point shared by metadata extraction and resizing:
+    PNG (``core/png.py``) and baseline JPEG (``core/jpeg.py``) decode for
+    real; FAKEIMG serves the plumbing tests. Progressive JPEG and other
+    codecs report ``codec_unavailable``."""
     if payload.startswith(pnglib.SIGNATURE):
         try:
             return "decoded", pnglib.decode_png(payload)
         except pnglib.PngError:
             return "corrupt", None
+    if payload.startswith(b"\xff\xd8"):
+        from doc_parser_spark.core.jpeg import JpegError, decode_jpeg
+
+        try:
+            arr = decode_jpeg(payload)
+        except JpegError as exc:
+            if "unsupported" in str(exc):
+                return "codec_unavailable", None
+            return "corrupt", None
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return "decoded", arr
     if payload.startswith(b"FAKEIMG"):
         width, height, channels = struct.unpack(">HHB", payload[7:12])
         raw = np.frombuffer(payload[12:], dtype=np.uint8)
@@ -123,7 +137,7 @@ def _decode_one(payload: bytes) -> dict:
     if not payload:
         out["status"] = "empty"
         return out
-    if payload.startswith((pnglib.SIGNATURE, b"FAKEIMG")):
+    if payload.startswith((pnglib.SIGNATURE, b"FAKEIMG", b"\xff\xd8")):
         status, arr = _image_array(payload)
         if status != "decoded":
             out["status"] = status

@@ -129,12 +129,21 @@ def test_multimodal_decode_and_features(spark):
         resize_images,
     )
 
+    import numpy as np
+
+    from doc_parser_spark.core.jpeg import encode_jpeg
+
+    jpg = encode_jpeg(
+        np.linspace(0, 255, 12 * 10, dtype=np.uint8).reshape(10, 12)
+    )
     rows = [
         ("m://img0", "image", make_fake_image(8, 6, 3, seed=1)),
         ("m://img1", "image", make_fake_image(4, 4, 1, seed=2)),
         ("m://aud0", "audio", make_fake_audio(16000, 1000, seed=3)),
         ("m://bad", "image", b"FAKEIMG" + b"\x00\x08\x00\x06\x03short"),
-        ("m://real.jpg", "image", b"\xff\xd8\xff\xe0JFIF-unsupported"),
+        ("m://real.jpg", "image", jpg),
+        ("m://progressive.jpg", "image", b"\xff\xd8\xff\xc2\x00\x0b" + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"),
+        ("m://truncated.jpg", "image", b"\xff\xd8\xff\xe0JFIF-junk"),
         ("m://empty", "image", b""),
     ]
     media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
@@ -146,20 +155,24 @@ def test_multimodal_decode_and_features(spark):
     assert abs(sum(out["m://img0"]["features"][:16]) - 1.0) < 1e-5
     assert out["m://aud0"]["sample_rate"] == 16000
     assert out["m://bad"]["status"] == "corrupt"
-    # real codecs are stubbed: clearly marked, never crashing the batch
-    assert out["m://real.jpg"]["status"] == "codec_unavailable"
+    # baseline JPEG decodes for real now (core/jpeg.py)
+    assert out["m://real.jpg"]["status"] == "decoded"
+    assert (out["m://real.jpg"]["width"], out["m://real.jpg"]["height"]) == (12, 10)
+    # progressive stays behind the codec boundary; truncated isolates
+    assert out["m://progressive.jpg"]["status"] == "codec_unavailable"
+    assert out["m://truncated.jpg"]["status"] == "corrupt"
     assert out["m://empty"]["status"] == "empty"
 
     resized = {r["url"]: r for r in resize_images(media, 4, 4).collect()}
     # FAKEIMG and PNG payloads resize for real (nearest-neighbor → PNG out)
     from doc_parser_spark.core.png import decode_png
 
-    for url in ("m://img0", "m://img1"):
+    for url in ("m://img0", "m://img1", "m://real.jpg"):
         assert resized[url]["status"] == "resized"
         arr = decode_png(bytes(resized[url]["payload"]))
         assert arr.shape[:2] == (4, 4)
-    # JPEG stays behind the codec boundary; corrupt/empty isolate per-item
-    assert resized["m://real.jpg"]["status"] == "codec_unavailable"
+    # progressive JPEG stays behind the boundary; corrupt/empty isolate
+    assert resized["m://progressive.jpg"]["status"] == "codec_unavailable"
     assert resized["m://bad"]["status"] == "corrupt"
     assert resized["m://empty"]["status"] == "empty"
 
