@@ -6,13 +6,15 @@ resize / frame-sample run as Arrow-batched ``mapInPandas`` stages with
 per-executor codec state — exactly the shape the text-extraction kernel
 uses, so partitioning/skew/manifest plumbing is shared.
 
-Codec reality in this environment: **PNG is real** — ``core/png.py`` is a
-pure zlib/struct codec, so page rendering (``render_pdf_pages``), resizing
-(``resize_images``) and bbox crops (``crop_page_regions``) operate on
-actual image bytes end-to-end (reference analogs: pypdfium2 ``render`` in
-``docling/backend/docling_parse_v4_backend.py`` and ``Page.get_image``
-crops in ``docling/datamodel/base_models.py``). JPEG/audio/video codecs
-are not installed; those paths stay behind the clearly-marked
+Codec reality in this environment: **PNG and baseline JPEG are real** —
+``core/png.py`` (pure zlib/struct) and ``core/jpeg.py`` (pure numpy
+huffman+IDCT) decode/encode actual image bytes, so page rendering
+(``render_pdf_pages``), resizing (``resize_images``), bbox crops
+(``crop_page_regions``) and embedded-image extraction
+(``extract_pdf_images``) run end-to-end (reference analogs: pypdfium2
+``render`` in ``docling/backend/docling_parse_v4_backend.py`` and
+``Page.get_image`` crops in ``docling/datamodel/base_models.py``).
+Progressive JPEG and audio/video codecs stay behind the clearly-marked
 ``NotImplementedError`` in ``_decode_real``, with a deterministic fake
 container exercising the plumbing.
 
@@ -519,3 +521,72 @@ def multimodal_page_records(
             )
 
     return pages.mapInPandas(kernel, schema=MULTIMODAL_PAGE_SCHEMA)
+
+
+EMBEDDED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("colorspace", T.StringType()),
+        T.StructField("filter", T.StringType()),
+        T.StructField("image", T.BinaryType()),
+    ]
+)
+
+
+def extract_pdf_images(pages: DataFrame) -> DataFrame:
+    """(url, html=PDF bytes) → one row per embedded raster XObject.
+
+    The original picture payloads (figures + soft masks), not page
+    rasterizations: DCTDecode streams decode through ``core/jpeg.py`` and
+    re-encode as PNG; Flate bitmaps whose sample layout needs a palette
+    (/Indexed) ship as raw samples with declared metadata
+    (status=``raw_samples``)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from doc_parser_spark.core.jpeg import JpegError, decode_jpeg
+        from doc_parser_spark.pdf.minipdf import extract_page_images
+
+        for batch in batches:
+            records = []
+            for url, payload in zip(batch["url"], batch["html"]):
+                try:
+                    imgs = extract_page_images(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    records.append(
+                        {
+                            "url": url, "page_no": 0, "name": "",
+                            "status": f"failure:{type(exc).__name__}",
+                            "width": 0, "height": 0, "colorspace": "",
+                            "filter": "", "image": None,
+                        }
+                    )
+                    continue
+                for im in imgs:
+                    status, out = "raw_samples", im["payload"]
+                    if im["filter"] == "DCTDecode":
+                        try:
+                            out = pnglib.encode_png(decode_jpeg(im["payload"]))
+                            status = "decoded_png"
+                        except JpegError:
+                            status, out = "corrupt", None
+                    records.append(
+                        {
+                            "url": url, "page_no": im["page_no"],
+                            "name": im["name"], "status": status,
+                            "width": im["width"], "height": im["height"],
+                            "colorspace": im["colorspace"],
+                            "filter": im["filter"], "image": out,
+                        }
+                    )
+            yield pd.DataFrame.from_records(
+                records, columns=[f.name for f in EMBEDDED_IMAGE_SCHEMA.fields]
+            )
+
+    return pages.mapInPandas(kernel, schema=EMBEDDED_IMAGE_SCHEMA)

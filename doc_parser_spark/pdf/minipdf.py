@@ -478,3 +478,95 @@ def fallback_scan(data: bytes) -> list[PdfPage]:
         for i, raw in enumerate(runs)
     ]
     return [PdfPage(page_no=1, width=612.0, height=792.0, cells=cells)]
+
+
+_XOBJ_IMG_RE = re.compile(rb"/Subtype\s*/Image\b")
+
+
+def extract_page_images(data: bytes) -> list[dict]:
+    """Embedded raster XObjects per page → decodable payloads.
+
+    The reference serves picture crops from rendered pages
+    (``Page.get_image``); the embedded /Image XObjects are the original
+    payloads and extract without rasterizing. Returns one dict per image
+    reference in page order: ``{page_no, name, width, height, colorspace,
+    filter, payload}`` where payload is the raw stream (JPEG bytes for
+    DCTDecode, deflated-then-raw samples for FlateDecode)."""
+    objects = _parse_objects(data)
+    out: list[dict] = []
+
+    def xobject_refs(container: bytes) -> list:
+        """(name, ref) pairs of the /XObject dict in a resources blob."""
+        xo_m = re.search(rb"/XObject\s+(\d+)\s+\d+\s+R", container)
+        if xo_m:
+            xdict = objects.get(int(xo_m.group(1)), b"")
+        else:
+            ix = container.find(b"/XObject")
+            xdict = _balanced_dict(container, ix) if ix >= 0 else b""
+        return [
+            (m.group(1).decode("latin-1"), int(m.group(2)))
+            for m in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", xdict)
+        ]
+
+    def resources_of(body: bytes) -> bytes:
+        res_m = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", body)
+        if res_m:
+            return objects.get(int(res_m.group(1)), b"")
+        ix = body.find(b"/Resources")
+        return _balanced_dict(body, ix) if ix >= 0 else b""
+
+    def walk(container_body: bytes, page_no: int, seen: set, depth: int) -> None:
+        """Collect image XObjects, recursing through /Form XObjects
+        (real files nest figures inside forms — amt_handbook does)."""
+        if depth > 8:
+            return
+        for name, ref in xobject_refs(resources_of(container_body)):
+            if ref in seen:
+                continue
+            seen.add(ref)
+            xbody = objects.get(ref, b"")
+            if re.search(rb"/Subtype\s*/Form\b", xbody):
+                walk(xbody, page_no, seen, depth + 1)
+                continue
+            if not _XOBJ_IMG_RE.search(xbody):
+                continue
+            _collect(xbody, name, page_no)
+            # soft masks are separate image streams (frequently the JPEG
+            # part of an indexed-color figure, as in amt_handbook)
+            sm_ref = re.search(rb"/SMask\s+(\d+)\s+\d+\s+R", xbody)
+            if sm_ref and int(sm_ref.group(1)) not in seen:
+                seen.add(int(sm_ref.group(1)))
+                _collect(
+                    objects.get(int(sm_ref.group(1)), b""),
+                    f"{name}.smask", page_no,
+                )
+
+    def _collect(xbody: bytes, name: str, page_no: int) -> None:
+        sm = _STREAM_RE.search(xbody)
+        if sm is None:
+            return
+        w_m = re.search(rb"/Width\s+(\d+)", xbody)
+        h_m = re.search(rb"/Height\s+(\d+)", xbody)
+        cs_m = re.search(rb"/ColorSpace\s*/(\w+)", xbody)
+        is_dct = b"/DCTDecode" in xbody
+        payload = sm.group(1)
+        if not is_dct and b"/FlateDecode" in xbody:
+            try:
+                payload = zlib.decompressobj().decompress(payload)
+            except zlib.error:
+                return
+        out.append(
+            {
+                "page_no": page_no,
+                "name": name,
+                "width": int(w_m.group(1)) if w_m else 0,
+                "height": int(h_m.group(1)) if h_m else 0,
+                "colorspace": cs_m.group(1).decode("latin-1") if cs_m else "",
+                "filter": "DCTDecode" if is_dct else "FlateDecode" if b"/FlateDecode" in xbody else "raw",
+                "payload": payload,
+            }
+        )
+
+    for page_no, obj_num in enumerate(_page_objects(objects), start=1):
+        walk(objects[obj_num], page_no, set(), 0)
+    return out

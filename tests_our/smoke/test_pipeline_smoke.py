@@ -297,3 +297,23 @@ def test_multimodal_page_records(spark):
     assert img.shape[0] == round(p1["height"]) and img.shape[1] == round(p1["width"])
     p2 = rows[("p://ok", 2)]
     assert p2["content_text"] == "Second page body"
+
+
+def test_extract_pdf_embedded_images(spark):
+    """Embedded XObject images (figures + JPEG soft masks) extract with
+    real decoding — amt_handbook carries 9 indexed figures + 9 JPEG
+    smasks."""
+    from doc_parser_spark.core.png import decode_png
+    from doc_parser_spark.operators.multimodal import extract_pdf_images
+
+    with open("/root/reference/tests/data/pdf/amt_handbook_sample.pdf", "rb") as f:
+        pdf = f.read()
+    df = spark.createDataFrame([("p://amt", pdf)], "url string, html binary")
+    rows = extract_pdf_images(df).collect()
+    assert len(rows) == 18
+    decoded = [r for r in rows if r["status"] == "decoded_png"]
+    assert len(decoded) == 9
+    for r in decoded:
+        arr = decode_png(bytes(r["image"]))
+        assert arr.shape[:2] == (r["height"], r["width"])
+    assert all(r["status"] == "raw_samples" for r in rows if r not in decoded)
