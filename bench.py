@@ -36,7 +36,24 @@ def _force(df) -> int:
     return 0
 
 
+def _cpu_sample() -> tuple[int, int]:
+    """(total_ticks, steal_ticks) summed over all cpus from /proc/stat."""
+    with open("/proc/stat") as f:
+        fields = f.readline().split()
+    vals = [int(v) for v in fields[1:]]
+    return sum(vals), vals[7] if len(vals) > 7 else 0
+
+
+_STEAL0: tuple | None = None
+
+
 def main() -> None:
+    global _STEAL0
+    try:
+        _STEAL0 = _cpu_sample()
+    except OSError:
+        _STEAL0 = None
+
     from pyspark.sql import SparkSession
 
     spark = (
@@ -123,6 +140,14 @@ def main() -> None:
     shutil.rmtree(stage_dir, ignore_errors=True)
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs_extracted / timings["extract_pipeline"], 2)
+    # host context: this is a shared VM with bursty co-tenant load (see
+    # BASELINE.md variance disclosure); steal% over the run lets a reader
+    # tell a noisy-window measurement from a regression
+    t1, s1 = _cpu_sample()
+    steal_pct = (
+        round(100.0 * (s1 - _STEAL0[1]) / max(t1 - _STEAL0[0], 1), 2)
+        if _STEAL0 else None
+    )
     print(
         json.dumps(
             {
@@ -134,6 +159,7 @@ def main() -> None:
                 "n_pages": N_PAGES,
                 "docs_per_sec": docs_per_sec,
                 "cpus": CPUS,
+                "host_steal_pct": steal_pct,
             }
         )
     )
