@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             relational.supplier_balance_rank, "supplier", "nation"
         ),
         "events_daily": q(relational.events_daily, "events"),
+        "events_user_retention": q(relational.user_retention, "events"),
         "events_error_rate": q(relational.events_error_rate, "events"),
         "events_sessionize": q(relational.sessionize, "events"),
     }
@@ -590,6 +591,19 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC
                 ) AS rnk FROM rev
             ) WHERE rnk <= 3
+        """,
+        "events_user_retention": """
+            WITH days AS (
+                SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+                FROM events
+            )
+            SELECT a.day,
+                   count(*) AS n_active,
+                   count(b.user_id) AS n_retained,
+                   floor(1e6 * count(b.user_id) / count(*)) / 1e6 AS retention_rate
+            FROM days a LEFT JOIN days b
+              ON b.user_id = a.user_id AND b.day = a.day - INTERVAL 1 DAY
+            GROUP BY a.day
         """,
         "events_daily": """
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,

@@ -226,3 +226,31 @@ def supplier_balance_rank(supplier: DataFrame, nation: DataFrame) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def user_retention(events: DataFrame) -> DataFrame:
+    """Day-over-day returning users (classic retention analytics).
+
+    Per day: distinct active users, how many were also active the previous
+    calendar day, and the retention ratio (floor-truncated to 1e-6 for
+    engine-portable compare). Scale shape: one distinct on (day, user) —
+    map-side partial agg — then an equi-join on (user, day-1); both sides
+    shuffle on the same key family, no broadcast of a corpus-sized side."""
+    days = events.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "user_id"
+    ).distinct()
+    prev = days.select(
+        F.col("day").alias("prev_day"), F.col("user_id").alias("prev_user")
+    )
+    joined = days.join(
+        prev,
+        (F.col("user_id") == F.col("prev_user"))
+        & (F.col("prev_day") == F.date_sub(F.col("day"), 1)),
+        "left",
+    )
+    return joined.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.count("prev_user").alias("n_retained"),
+        (F.floor(F.count("prev_user") / F.count(F.lit(1)) * F.lit(1000000.0))
+         / F.lit(1000000.0)).alias("retention_rate"),
+    )
