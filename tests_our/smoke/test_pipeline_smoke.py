@@ -317,3 +317,75 @@ def test_extract_pdf_embedded_images(spark):
         arr = decode_png(bytes(r["image"]))
         assert arr.shape[:2] == (r["height"], r["width"])
     assert all(r["status"] == "raw_samples" for r in rows if r not in decoded)
+
+
+def test_streaming_watermark_drops_late_events(spark, tmp_path):
+    """True streaming semantics: once the watermark passes a window, a
+    late event for it is dropped — the finalized (append-mode) window
+    count never changes."""
+    import datetime as dt
+
+    from doc_parser_spark.streaming.stream import windowed_event_counts
+
+    src = str(tmp_path / "wm_in")
+    out = str(tmp_path / "wm_out")
+    ckpt = str(tmp_path / "wm_ckpt")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def t(hh, mm):
+        return dt.datetime(2024, 3, 1, hh, mm)
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            windowed_event_counts(
+                spark.readStream.schema(
+                    spark.read.parquet(src).schema
+                ).parquet(src),
+                window="10 minutes",
+                watermark="30 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: three on-time events in [10:00,10:10) + a 12:00 event that
+    # pushes the watermark to 11:30, finalizing the 10:00 window
+    run_batch(
+        [
+            (1, t(10, 0), 1, "view", 1.0, ""),
+            (2, t(10, 2), 2, "view", 1.0, ""),
+            (3, t(10, 5), 3, "view", 1.0, ""),
+            (4, t(12, 0), 4, "view", 1.0, ""),
+        ]
+    )
+    first = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert first[(t(10, 0), "view")] == 3
+
+    # batch 2: a LATE event for the finalized window (dropped) + a fresh
+    # 12:30 event that finalizes the 12:00 window
+    run_batch(
+        [
+            (5, t(10, 3), 5, "view", 1.0, ""),  # late: behind the watermark
+            (6, t(12, 45), 6, "view", 1.0, ""),  # watermark → 12:15 ≥ 12:10
+        ]
+    )
+    rows = spark.read.parquet(out).collect()
+    counts = {}
+    for r in rows:
+        key = (r["window_start"], r["event_type"])
+        counts[key] = counts.get(key, 0) + r["n_events"]
+    # the finalized window was emitted once, with the late event DROPPED
+    assert counts[(t(10, 0), "view")] == 3
+    # the 12:00 window finalized with only its on-time event
+    assert counts[(t(12, 0), "view")] == 1
