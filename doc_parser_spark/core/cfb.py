@@ -195,6 +195,11 @@ def write_cfb(streams: dict[str, bytes]) -> bytes:
     ]
     fat_start = total_payload
 
+    if n_fat > 109:
+        # chained DIFAT sectors are out of scope for a fixture writer
+        raise CfbError(
+            f"write_cfb supports at most 109 FAT sectors (~7 MB); got {n_fat}"
+        )
     difat = [fat_start + i for i in range(n_fat)] + [FREESECT] * (109 - n_fat)
     header = (
         MAGIC

@@ -94,8 +94,10 @@ def decode_para_text(payload: bytes) -> str:
                 out.append(" ")
             i += 8  # inline/extended control block
     text = "".join(out)
-    # rejoin utf-16 surrogate halves
-    return text.encode("utf-16", "surrogatepass").decode("utf-16")
+    # rejoin utf-16 surrogate halves; a LONE surrogate (corrupt record, or
+    # a control block the i+=8 skip landed mid-pair on) degrades to U+FFFD
+    # instead of raising out of the decode
+    return text.encode("utf-16", "surrogatepass").decode("utf-16", "replace")
 
 
 def extract_hwp(data: bytes) -> Document:

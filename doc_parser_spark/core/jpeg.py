@@ -213,7 +213,21 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """JPEG bytes → uint8 (H, W) grayscale or (H, W, 3) RGB array."""
+    """JPEG bytes → uint8 (H, W) grayscale or (H, W, 3) RGB array.
+
+    Every failure mode raises :class:`JpegError` — malformed segment
+    structure from truncated/corrupt files (struct/index/value errors)
+    must never escape as a different type, because callers use the
+    exception type to classify payloads per-item."""
+    try:
+        return _decode_jpeg(data)
+    except JpegError:
+        raise
+    except (struct.error, IndexError, ValueError, TypeError) as exc:
+        raise JpegError(f"malformed JPEG: {type(exc).__name__}: {exc}") from exc
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if not data.startswith(b"\xff\xd8"):
         raise JpegError("not a JPEG (no SOI)")
     pos = 2
@@ -348,6 +362,11 @@ def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac, dri):
     full = []
     for ci, c in enumerate(comps):
         plane = planes[ci]
+        if vmax % c["v"] or hmax % c["h"]:
+            raise JpegError(
+                f"non-integer sampling ratio {c['h']}x{c['v']} vs max "
+                f"{hmax}x{vmax} unsupported"
+            )
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)

@@ -56,12 +56,26 @@ def sniff_format(payload: bytes) -> str:
         # CFB→HWP disambiguation happens in the dispatcher)
         return FORMAT_CFB
     # audio containers (reference routes these to NoOpBackend + ASR,
-    # docling/backend/noop_backend.py + pipeline/asr_pipeline.py)
+    # docling/backend/noop_backend.py + pipeline/asr_pipeline.py).
+    # Short text-like magics are structurally validated so a CSV/text
+    # payload that merely STARTS with "ID3," or "fLaC..." is not misrouted:
+    # ID3v2 requires version-major 2/3/4 (text bytes are >= 0x20), a flags
+    # byte with the low nibble clear (spec: only the top bits are defined),
+    # and 4 syncsafe size bytes (< 0x80 each, spec §3.1);
+    # an MP4 ftyp box must have a sane 32-bit box size (high byte 0).
     if (
         (head.startswith(b"RIFF") and head[8:12] == b"WAVE")
-        or head.startswith((b"ID3", b"OggS", b"fLaC"))
+        or (
+            head.startswith(b"ID3")
+            and len(head) >= 10
+            and head[3] in (2, 3, 4)
+            and head[4] != 0xFF
+            and head[5] & 0x0F == 0
+            and all(b < 0x80 for b in head[6:10])
+        )
+        or head.startswith((b"OggS\x00", b"fLaC\x00"))
         or head[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2")  # MP3 frame sync
-        or head[4:8] == b"ftyp"  # MP4/M4A
+        or (head[4:8] == b"ftyp" and head[0:1] == b"\x00")  # MP4/M4A
     ):
         return FORMAT_AUDIO
 

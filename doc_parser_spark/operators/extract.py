@@ -156,6 +156,13 @@ _DISPATCH = {
 }
 
 
+class UnsupportedFormatError(ValueError):
+    """A recognized-but-deliberately-unsupported payload (e.g. legacy OLE2
+    office). Recorded as STATUS_SKIPPED, not STATUS_FAILURE — the document
+    is not broken, the engine just declines it (same status the unknown-
+    format gate uses)."""
+
+
 def convert_payload(payload: bytes, fmt: Optional[str] = None):
     """bytes → (Document, format, fallback_used). Raises on hard failure."""
     if fmt is None:
@@ -171,14 +178,21 @@ def convert_payload(payload: bytes, fmt: Optional[str] = None):
         doc, kind = extract_office(payload)
         return doc, kind, fallback
     if fmt == sniff.FORMAT_CFB:
-        from doc_parser_spark.core.hwp_backend import extract_hwp, is_hwp
+        from doc_parser_spark.core.hwp_backend import HwpError, extract_hwp
 
-        if is_hwp(payload):
+        # single container parse: extract_hwp itself rejects non-HWP CFB
+        # (missing FileHeader signature) — no is_hwp() pre-check that would
+        # read the whole compound file twice per document
+        try:
             return extract_hwp(payload), "hwp", fallback
-        raise ValueError("OLE2 container is not HWP (legacy doc/xls/ppt unsupported)")
+        except HwpError as exc:
+            raise UnsupportedFormatError(
+                f"OLE2 container is not supported HWP ({exc}); "
+                "legacy doc/xls/ppt are deliberately unsupported"
+            ) from exc
     extractor = _DISPATCH.get(fmt) or _lazy_backends().get(fmt)
     if extractor is None:
-        raise ValueError(f"unsupported format: {fmt}")
+        raise UnsupportedFormatError(f"unsupported format: {fmt}")
     return extractor(payload), fmt, fallback
 
 
@@ -241,6 +255,11 @@ def process_document(
             "chunks": vectors,
             "extract_ms": (time.perf_counter() - t0) * 1000.0,
         }
+    except UnsupportedFormatError as exc:
+        return _result(
+            url, fmt or "unknown", schemas.STATUS_SKIPPED,
+            error=str(exc)[:500], t0=t0,
+        )
     except Exception as exc:  # noqa: BLE001 — per-document isolation
         return _result(
             url, fmt or "unknown", schemas.STATUS_FAILURE,

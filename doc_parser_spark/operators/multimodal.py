@@ -574,7 +574,7 @@ def extract_pdf_images(pages: DataFrame) -> DataFrame:
                         try:
                             out = pnglib.encode_png(decode_jpeg(im["payload"]))
                             status = "decoded_png"
-                        except JpegError:
+                        except Exception:  # noqa: BLE001 — per-item isolation
                             status, out = "corrupt", None
                     records.append(
                         {

@@ -251,6 +251,9 @@ def user_retention(events: DataFrame) -> DataFrame:
     return joined.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_active"),
         F.count("prev_user").alias("n_retained"),
-        (F.floor(F.count("prev_user") / F.count(F.lit(1)) * F.lit(1000000.0))
+        # multiply BEFORE dividing — same op order as the oracle's
+        # floor(1e6 * a / b) (multiply-after-divide differs on .xx5-boundary
+        # doubles; see the float-parity recipes in __spark_entry__)
+        (F.floor(F.count("prev_user") * F.lit(1000000.0) / F.count(F.lit(1)))
          / F.lit(1000000.0)).alias("retention_rate"),
     )

@@ -240,8 +240,13 @@ def _object_stream(body: bytes) -> bytes | None:
     if b"/FlateDecode" in body:
         try:
             # decompressobj tolerates trailing bytes after the zlib frame
-            # (common when the endstream EOL guess over-captures)
-            payload = zlib.decompressobj().decompress(payload)
+            # (common when the endstream EOL guess over-captures) — but a
+            # stream cut mid-deflate must still error so the caller's
+            # fallback path triggers instead of silently losing tail text
+            d = zlib.decompressobj()
+            payload = d.decompress(payload)
+            if not d.eof:
+                raise PdfParseError("truncated FlateDecode stream")
         except zlib.error as exc:
             raise PdfParseError(f"bad FlateDecode stream: {exc}") from exc
     return payload

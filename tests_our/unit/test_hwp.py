@@ -108,5 +108,7 @@ def test_kernel_routing():
     doc, fmt, _fb = convert_payload(hwp)
     assert fmt == "hwp"
     assert [n.text for n, _ in doc.iterate_items()] == ["문단"]
-    with pytest.raises(ValueError, match="not HWP"):
+    from doc_parser_spark.operators.extract import UnsupportedFormatError
+
+    with pytest.raises(UnsupportedFormatError, match="not supported HWP"):
         convert_payload(write_cfb({"WordDocument": b"\x00" * 16}))

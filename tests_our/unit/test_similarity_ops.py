@@ -51,3 +51,30 @@ def test_neardup_viral_bucket_capped(spark):
         cosine_neardup_pairs(_emb(spark, rows), threshold=0.0, max_bucket=10).count()
         == 45
     )
+
+
+def test_user_retention_boundary_ratio(spark):
+    """41/80 retained hits a .xx5 double boundary: multiply-before-divide
+    (the oracle's op order) gives floor(1e6*41/80)=512500; the reversed
+    order gives 512499 — pin the parity-correct result."""
+    import datetime as dt
+
+    from doc_parser_spark.operators.relational import user_retention
+
+    d1, d2 = dt.datetime(2024, 5, 1, 9), dt.datetime(2024, 5, 2, 9)
+    rows = [(i, d1, i, "v", 0.0, "") for i in range(80)]
+    rows += [(1000 + i, d2, i, "v", 0.0, "") for i in range(41)]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {r["day"].isoformat(): r for r in user_retention(events).collect()}
+    day2 = out["2024-05-02"]
+    assert (day2["n_active"], day2["n_retained"]) == (41, 41)
+    day2_rate = out["2024-05-02"]["retention_rate"]
+    assert day2_rate == 1.0
+    # the boundary day: 41 of 80 retained
+    rows2 = [(2000 + i, d2, 500 + i, "v", 0.0, "") for i in range(39)]
+    events2 = events.union(spark.createDataFrame(rows2, events.schema))
+    out2 = {r["day"].isoformat(): r for r in user_retention(events2).collect()}
+    assert out2["2024-05-02"]["retention_rate"] == 0.5125

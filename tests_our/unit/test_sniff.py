@@ -32,6 +32,12 @@ pytestmark = pytest.mark.unit
         (b"OggS\x00\x02vorbis", sniff.FORMAT_AUDIO),
         (b"fLaC\x00\x00\x00\x22", sniff.FORMAT_AUDIO),
         (b"\x00\x00\x00\x20ftypM4A ", sniff.FORMAT_AUDIO),
+        # text that merely starts with an audio magic must NOT misroute:
+        # ID3v2 needs version-major 2/3/4 + clean flags + syncsafe sizes
+        (b"ID3,name,value\n1,foo,2\n", sniff.FORMAT_TEXT),
+        (b"ID3 tags are metadata containers used by mp3 files.", sniff.FORMAT_TEXT),
+        (b"fLaCid,product\n1,thing\n", sniff.FORMAT_TEXT),
+        (b"OggString is not an audio file at all here.", sniff.FORMAT_TEXT),
     ],
 )
 def test_sniff(payload, expected):
