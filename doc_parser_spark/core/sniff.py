@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import re
 
+from doc_parser_spark.core.image_backend import sniff_image
+
 FORMAT_PDF = "pdf"
 FORMAT_HTML = "html"
 FORMAT_XML = "xml"
@@ -25,6 +27,7 @@ FORMAT_JSON = "json"
 FORMAT_DOC_JSON = "doc_json"  # this engine's lossless document JSON
 FORMAT_TEXT = "text"
 FORMAT_AUDIO = "audio"
+FORMAT_IMAGE = "image"  # standalone raster payload (reference InputFormat.IMAGE)
 FORMAT_CFB = "cfb"  # OLE2 compound file (HWP v5; legacy doc/xls/ppt)
 FORMAT_UNKNOWN = "unknown"
 
@@ -55,6 +58,12 @@ def sniff_format(payload: bytes) -> str:
         # (the FileHeader signature check needs the full payload, so the
         # CFB→HWP disambiguation happens in the dispatcher)
         return FORMAT_CFB
+    # standalone raster images (reference InputFormat.IMAGE → pdf pipeline
+    # + OCR, document_converter.py:193-195; jpg/png/tif/bmp/webp/gif per
+    # base_models.py:82,107-112) — checked before audio so RIFF/WEBP wins
+    # over the RIFF prefix
+    if sniff_image(head) is not None:
+        return FORMAT_IMAGE
     # audio containers (reference routes these to NoOpBackend + ASR,
     # docling/backend/noop_backend.py + pipeline/asr_pipeline.py).
     # Short text-like magics are structurally validated so a CSV/text

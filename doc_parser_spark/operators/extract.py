@@ -132,6 +132,7 @@ def _extract_text(payload: bytes):
 
 
 def _lazy_backends():
+    from doc_parser_spark.core.image_backend import extract_image
     from doc_parser_spark.core.simple_backends import (
         extract_asciidoc,
         extract_audio,
@@ -143,6 +144,9 @@ def _lazy_backends():
         # NoOp + ASR plug-point: valid-but-empty doc without a transcriber
         # (reference noop_backend.py; whisper is a provider boundary)
         sniff.FORMAT_AUDIO: extract_audio,
+        # one-page picture doc + OCR plug-point (reference InputFormat.IMAGE
+        # → StandardPdfPipeline, document_converter.py:193-195)
+        sniff.FORMAT_IMAGE: extract_image,
     }
 
 
