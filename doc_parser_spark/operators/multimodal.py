@@ -14,9 +14,10 @@ huffman+IDCT) decode/encode actual image bytes, so page rendering
 (``extract_pdf_images``) run end-to-end (reference analogs: pypdfium2
 ``render`` in ``docling/backend/docling_parse_v4_backend.py`` and
 ``Page.get_image`` crops in ``docling/datamodel/base_models.py``).
-Progressive JPEG and audio/video codecs stay behind the clearly-marked
-``NotImplementedError`` in ``_decode_real``, with a deterministic fake
-container exercising the plumbing.
+JPEG covers baseline AND progressive (SOF2) streams; audio/video codecs
+stay behind the clearly-marked ``NotImplementedError`` in
+``_decode_real``, with a deterministic fake container exercising the
+plumbing.
 
 Fake container formats (big-endian):
 
@@ -101,9 +102,9 @@ def _image_array(payload: bytes):
     """Decodable raster payload → (status, uint8 (H, W, C) array | None).
 
     The single decode point shared by metadata extraction and resizing:
-    PNG (``core/png.py``) and baseline JPEG (``core/jpeg.py``) decode for
-    real; FAKEIMG serves the plumbing tests. Progressive JPEG and other
-    codecs report ``codec_unavailable``."""
+    PNG (``core/png.py``) and JPEG — baseline or progressive —
+    (``core/jpeg.py``) decode for real; FAKEIMG serves the plumbing
+    tests. Other codecs report ``codec_unavailable``."""
     if payload.startswith(pnglib.SIGNATURE):
         try:
             return "decoded", pnglib.decode_png(payload)

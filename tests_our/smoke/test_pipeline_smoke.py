@@ -131,18 +131,19 @@ def test_multimodal_decode_and_features(spark):
 
     import numpy as np
 
-    from doc_parser_spark.core.jpeg import encode_jpeg
+    from doc_parser_spark.core.jpeg import encode_jpeg, encode_jpeg_progressive
 
-    jpg = encode_jpeg(
-        np.linspace(0, 255, 12 * 10, dtype=np.uint8).reshape(10, 12)
-    )
+    gradient = np.linspace(0, 255, 12 * 10, dtype=np.uint8).reshape(10, 12)
+    jpg = encode_jpeg(gradient)
+    prog_jpg = encode_jpeg_progressive(gradient)
     rows = [
         ("m://img0", "image", make_fake_image(8, 6, 3, seed=1)),
         ("m://img1", "image", make_fake_image(4, 4, 1, seed=2)),
         ("m://aud0", "audio", make_fake_audio(16000, 1000, seed=3)),
         ("m://bad", "image", b"FAKEIMG" + b"\x00\x08\x00\x06\x03short"),
         ("m://real.jpg", "image", jpg),
-        ("m://progressive.jpg", "image", b"\xff\xd8\xff\xc2\x00\x0b" + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"),
+        ("m://progressive.jpg", "image", prog_jpg),
+        ("m://noscan.jpg", "image", b"\xff\xd8\xff\xc2\x00\x0b" + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"),
         ("m://truncated.jpg", "image", b"\xff\xd8\xff\xe0JFIF-junk"),
         ("m://empty", "image", b""),
     ]
@@ -158,8 +159,11 @@ def test_multimodal_decode_and_features(spark):
     # baseline JPEG decodes for real now (core/jpeg.py)
     assert out["m://real.jpg"]["status"] == "decoded"
     assert (out["m://real.jpg"]["width"], out["m://real.jpg"]["height"]) == (12, 10)
-    # progressive stays behind the codec boundary; truncated isolates
-    assert out["m://progressive.jpg"]["status"] == "codec_unavailable"
+    # progressive SOF2 decodes for real; a frame header with no scan
+    # data is corrupt, not codec_unavailable
+    assert out["m://progressive.jpg"]["status"] == "decoded"
+    assert (out["m://progressive.jpg"]["width"], out["m://progressive.jpg"]["height"]) == (12, 10)
+    assert out["m://noscan.jpg"]["status"] == "corrupt"
     assert out["m://truncated.jpg"]["status"] == "corrupt"
     assert out["m://empty"]["status"] == "empty"
 
@@ -167,12 +171,12 @@ def test_multimodal_decode_and_features(spark):
     # FAKEIMG and PNG payloads resize for real (nearest-neighbor → PNG out)
     from doc_parser_spark.core.png import decode_png
 
-    for url in ("m://img0", "m://img1", "m://real.jpg"):
+    for url in ("m://img0", "m://img1", "m://real.jpg", "m://progressive.jpg"):
         assert resized[url]["status"] == "resized"
         arr = decode_png(bytes(resized[url]["payload"]))
         assert arr.shape[:2] == (4, 4)
-    # progressive JPEG stays behind the boundary; corrupt/empty isolate
-    assert resized["m://progressive.jpg"]["status"] == "codec_unavailable"
+    # header-only progressive and corrupt/empty isolate per-item
+    assert resized["m://noscan.jpg"]["status"] == "corrupt"
     assert resized["m://bad"]["status"] == "corrupt"
     assert resized["m://empty"]["status"] == "empty"
 

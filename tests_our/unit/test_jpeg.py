@@ -55,10 +55,15 @@ def test_odd_dimensions_and_flat():
 def test_unsupported_and_corrupt():
     with pytest.raises(JpegError, match="SOI"):
         decode_jpeg(b"\x89PNG....")
-    # progressive SOF2 is an explicit codec boundary
+    # a progressive frame header with no scan data must error, not
+    # return an all-gray image
     sof2 = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
-    with pytest.raises(JpegError, match="unsupported"):
+    with pytest.raises(JpegError, match="no scans"):
         decode_jpeg(sof2)
+    # hierarchical / lossless SOFs stay an explicit boundary
+    sof3 = b"\xff\xd8\xff\xc3\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+    with pytest.raises(JpegError, match="unsupported"):
+        decode_jpeg(sof3)
     with pytest.raises(JpegError):
         decode_jpeg(b"\xff\xd8\xff\xe0JFIF-junk")
 
@@ -82,3 +87,76 @@ def test_reference_embedded_adobe_jpegs():
         assert arr.std() > 10
         n += 1
     assert n == 18
+
+
+# -- progressive (SOF2) -------------------------------------------------------
+
+
+def _gradient(h, w, color):
+    y, x = np.mgrid[0:h, 0:w]
+    base = ((x * 255 // max(w - 1, 1)) + y * 2) % 256
+    if color:
+        return np.stack([base, 255 - base, (x * y) % 256], 2).astype(np.uint8)
+    return base.astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "h,w,color,subs",
+    [(16, 16, False, "444"), (24, 40, True, "444"), (37, 53, True, "420"),
+     (8, 8, False, "444"), (64, 64, True, "420")],
+)
+def test_progressive_decode_matches_baseline(h, w, color, subs):
+    """Progressive and baseline encodes share _encoder_setup, so they
+    quantize to identical coefficients — decoding the progressive stream
+    (spectral selection + successive approximation + EOB runs) must give
+    bit-identical pixels to decoding the baseline stream. A symmetric
+    entropy-layer bug cannot hide here: the baseline decode path never
+    touches the progressive scan machinery."""
+    from doc_parser_spark.core.jpeg import encode_jpeg_progressive
+
+    a = _gradient(h, w, color)
+    d_base = decode_jpeg(encode_jpeg(a, quality=85, subsampling=subs))
+    d_prog = decode_jpeg(encode_jpeg_progressive(a, quality=85, subsampling=subs))
+    assert np.array_equal(d_base, d_prog)
+
+
+@pytest.mark.parametrize("dri", [1, 3])
+def test_progressive_restart_intervals(dri):
+    from doc_parser_spark.core.jpeg import encode_jpeg_progressive
+
+    a = _gradient(33, 29, True)
+    d_base = decode_jpeg(encode_jpeg(a, quality=75, subsampling="420"))
+    d_prog = decode_jpeg(
+        encode_jpeg_progressive(a, quality=75, subsampling="420", restart_interval=dri)
+    )
+    assert np.array_equal(d_base, d_prog)
+
+
+def test_progressive_noise_and_flat():
+    """Noise maximizes AC symbol diversity (ZRL, long runs); flat images
+    maximize EOB runs across blocks — the two EOBRUN-heavy extremes."""
+    from doc_parser_spark.core.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, (41, 23, 3)).astype(np.uint8)
+    flat = np.full((40, 56), 137, np.uint8)
+    for a, subs in ((noise, "444"), (flat, "444")):
+        d_base = decode_jpeg(encode_jpeg(a, quality=50, subsampling=subs))
+        d_prog = decode_jpeg(encode_jpeg_progressive(a, quality=50, subsampling=subs))
+        assert np.array_equal(d_base, d_prog)
+
+
+def test_progressive_truncated_mid_scan_raises_or_degrades():
+    """Cutting the stream mid-scan must raise JpegError (invalid Huffman
+    path) — never a non-JpegError exception escaping to callers."""
+    from doc_parser_spark.core.jpeg import encode_jpeg_progressive
+
+    a = _gradient(32, 32, True)
+    full = encode_jpeg_progressive(a, quality=85)
+    cut = full[: len(full) // 2]
+    try:
+        decode_jpeg(cut)
+    except JpegError:
+        pass  # acceptable: classified as corrupt
+    # also acceptable: decodes the scans that completed (progressive
+    # degradation) — any other exception type would have propagated
