@@ -143,6 +143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q(dedup.ngram_jaccard_pairs, "documents"),
         "doc_simhash": q(dedup.simhash, "documents"),
         "doc_simhash_neardup": q(dedup.simhash_neardup_pairs, "documents"),
+        "doc_dup_clusters": lambda spark, sf: dedup.dup_clusters(
+            dedup.lsh_candidate_pairs(_read(spark, sf, "documents")),
+            _read(spark, sf, "documents"),
+        ),
         # similarity search
         "emb_cosine_topk": q(similarity.cosine_topk, "embeddings"),
         "emb_ann_buckets": q(similarity.ann_buckets, "embeddings"),
@@ -373,6 +377,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE floor(1e6 * n_common / (sa.n_shingles + sb.n_shingles - n_common)) / 1e6 >= 0.5
+        """,
+        "doc_dup_clusters": f"""
+            WITH RECURSIVE {_shingle_cte()},
+            sigs AS (
+                SELECT doc_id, {minhash_cols}
+                FROM shingles GROUP BY doc_id
+            ),
+            bands AS ({bands_sql}),
+            bucket_sizes AS (
+                SELECT band, band_key, count(*) AS n
+                FROM bands GROUP BY band, band_key
+            ),
+            ok_bands AS (
+                SELECT b.* FROM bands b
+                JOIN bucket_sizes s ON b.band = s.band AND b.band_key = s.band_key
+                WHERE s.n > 1 AND s.n <= 50
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM ok_bands a
+                JOIN ok_bands b ON a.band = b.band AND a.band_key = b.band_key
+                WHERE a.doc_id < b.doc_id
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(doc_id, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+            )
+            SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
         """,
         "doc_simhash": _simhash_sql(32),
         "doc_simhash_neardup": f"""

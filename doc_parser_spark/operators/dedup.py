@@ -273,3 +273,100 @@ def simhash_neardup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    documents: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-duplicate pairs → connected components: (doc_id, cluster_id)
+    with cluster_id = the smallest doc_id in the component.
+
+    This is the step that turns pairwise candidates (``lsh_candidate_pairs``,
+    ``simhash_neardup_pairs``…) into dedup groups one canonical document
+    can be kept from. At 10^12 documents a driver-side union-find is
+    impossible, so this runs the alternating **large-star / small-star**
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SOCC'14): every iteration is two groupBy+join rounds over the
+    edge set, components collapse to stars rooted at their minimum in
+    O(log²) iterations (O(log) on real near-dup graphs, which are
+    overwhelmingly tiny cliques and short chains — typically 2-3 rounds).
+
+    Scale notes:
+
+    * each iteration ``localCheckpoint``s the edge set — iterative joins
+      otherwise stack lineage until planning itself dominates;
+    * convergence is an exact set comparison (two ``exceptAll`` probes on
+      the narrow 2-column edge set), not a count heuristic — equal counts
+      do not imply a fixpoint;
+    * ``pairs`` input is never collected; singletons never enter the
+      edge set at all (they join back at the end from ``documents``),
+      so the iteration cost scales with the number of *duplicated*
+      documents, a small fraction of the corpus.
+
+    ``documents`` (optional, needs ``doc_id``) adds singleton rows with
+    ``cluster_id = doc_id`` so the output labels the full corpus.
+    """
+    edges = (
+        pairs.select(F.col(pairs.columns[0]).alias("u"), F.col(pairs.columns[1]).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev = None
+    for _ in range(max_iter):
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: hang every larger neighbor of u onto min(Γ(u) ∪ {u})
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: orient high→low, hang u and its smaller neighbors
+        # onto min(Γ⁻(u) ∪ {u})
+        oriented = (
+            large.select(
+                F.greatest(F.col("u"), F.col("v")).alias("u"),
+                F.least(F.col("u"), F.col("v")).alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if prev is not None and (
+            small.exceptAll(prev).isEmpty() and prev.exceptAll(small).isEmpty()
+        ):
+            edges = small
+            break
+        prev = small
+        edges = small
+    member = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = (
+        edges.select(F.col("v").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    labels = (
+        member.union(roots).groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    if documents is not None:
+        labels = (
+            documents.select("doc_id")
+            .join(labels, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            )
+        )
+    return labels

@@ -1,0 +1,69 @@
+"""Connected-components dedup grouping (large-star/small-star)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from doc_parser_spark.operators.dedup import dup_clusters
+
+
+def _uf_reference(n_nodes, edges):
+    """Driver-side union-find ground truth: min doc_id per component."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in range(n_nodes):
+        comp.setdefault(find(i), []).append(i)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(23)
+    for _ in range(4):
+        n = rng.randint(10, 90)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randint(0, 2 * n))
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        ref = _uf_reference(n, edges)
+        pairs = spark.createDataFrame(edges or [(0, 1)], "doc_a long, doc_b long")
+        if not edges:
+            pairs = pairs.where(F.lit(False))
+        docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs, docs).collect()}
+        assert got == ref
+
+
+def test_worst_case_chain_converges(spark):
+    """A path graph maximizes diameter — the case plain min-label
+    propagation needs O(n) rounds for and star-contraction needs O(log n)."""
+    chain = [(i, i + 1) for i in range(63)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert len(got) == 64 and set(got.values()) == {0}
+
+
+def test_singletons_and_duplicate_pairs(spark):
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 5), (5, 9), (20, 21)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame([(i,) for i in range(25)], "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs, docs).collect()}
+    assert got[5] == got[9] == 5
+    assert got[20] == got[21] == 20
+    assert all(got[i] == i for i in range(25) if i not in (9, 21))
