@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from doc_parser_spark.core import png as pnglib
+from doc_parser_spark.core import wav as wavlib
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -77,12 +78,15 @@ def make_fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
 
 
 def _decode_real(payload: bytes) -> dict:
-    """The production decode path (PIL / soundfile / pyav).
+    """The production decode path for formats without an own codec here.
 
-    STUB: media codecs are not installed in this environment."""
+    PNG/JPEG (baseline+progressive)/WAV-PCM decode for real in
+    ``core/{png,jpeg,wav}.py``; everything else (MP3/AAC/video…) needs
+    PIL/soundfile/pyav, which are not installed in this environment."""
     raise NotImplementedError(
-        "real image/audio decode requires PIL/soundfile/pyav (not installed); "
-        "the FAKEIMG/FAKEAUD deterministic container exercises the plumbing"
+        "compressed audio/video decode requires soundfile/pyav (not "
+        "installed); the FAKEIMG/FAKEAUD deterministic container "
+        "exercises the plumbing"
     )
 
 
@@ -155,6 +159,24 @@ def _decode_one(payload: bytes) -> dict:
         raw = np.frombuffer(payload[15:], dtype=np.uint8)
         out.update(sample_rate=sample_rate, n_samples=n_samples,
                    features=_byte_histogram_features(raw))
+    elif payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        # real PCM decode (core/wav.py); compressed WAV tags report
+        # codec_unavailable like every other missing codec
+        try:
+            rate, frames = wavlib.decode_wav(payload)
+        except wavlib.WavError as exc:
+            out["status"] = (
+                "codec_unavailable" if "unsupported" in str(exc) else "corrupt"
+            )
+            return out
+        u8 = np.clip(
+            np.round(frames.reshape(-1) * 128.0 + 128.0), 0, 255
+        ).astype(np.uint8)
+        out.update(
+            sample_rate=int(rate), n_samples=int(frames.shape[0]),
+            channels=int(frames.shape[1]),
+            features=_byte_histogram_features(u8),
+        )
     else:
         try:
             out.update(_decode_real(payload))
