@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_buckets": q(similarity.ann_buckets, "embeddings"),
         "emb_ann_lsh_topk": q(similarity.ann_lsh_topk, "embeddings"),
         "emb_cosine_neardup": q(similarity.cosine_neardup_pairs, "embeddings"),
+        "emb_ivf_centroids": q(similarity.ivf_centroids, "embeddings"),
+        "emb_ivf_topk": q(similarity.ivf_topk, "embeddings"),
         # relational breadth
         "q1_pricing_summary": q(relational.pricing_summary, "lineitem"),
         "q3_top_unshipped": q(
@@ -225,6 +227,109 @@ def _simhash_sql(bits: int = 32) -> str:
             FROM hashed GROUP BY doc_id
         )
         SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
+    """
+
+
+def _ivf_ctes(dims: int = 64, k: int = 8, iters: int = 2) -> str:
+    """DuckDB twin of similarity.ivf_train: Lloyd's unrolled into CTE
+    chains. Parity contract with the Spark side: distances fold left in
+    double (list_sum ↔ aggregate(zip_with)), centroid updates sum exact
+    floor(x*1e6) BIGINTs and divide once in double ((s/n)/1e6 — the same
+    two IEEE divisions Python performs on the collected longs), argmin
+    ties break on cid."""
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {dims}), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i]) "
+        "* (CAST(e.embedding[i] AS DOUBLE) - c.c[i])))"
+    )
+    sums = ",\n                   ".join(
+        f"sum(CAST(floor(CAST(e.embedding[{d + 1}] AS DOUBLE) * 1e6) AS BIGINT)) AS s{d}"
+        for d in range(dims)
+    )
+    means = ", ".join(
+        f"(CAST(s.s{d} AS DOUBLE) / CAST(s.n AS DOUBLE)) / 1e6" for d in range(dims)
+    )
+    ctes = [
+        f"""cents0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, c FROM (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+                FROM embeddings ORDER BY vec_id LIMIT {k}
+            )
+        )"""
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"""asg{t} AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+                FROM embeddings e CROSS JOIN cents{t} c
+            ) WHERE rn = 1
+        )"""
+        )
+        ctes.append(
+            f"""sums{t} AS (
+            SELECT a.cid, count(*) AS n,
+                   {sums}
+            FROM embeddings e JOIN asg{t} a USING (vec_id) GROUP BY a.cid
+        )"""
+        )
+        ctes.append(
+            f"""cents{t + 1} AS (
+            SELECT c0.cid,
+                   CASE WHEN s.cid IS NULL THEN c0.c
+                        ELSE list_value({means}) END AS c
+            FROM cents{t} c0 LEFT JOIN sums{t} s ON s.cid = c0.cid
+        )"""
+        )
+    return ",\n        ".join(ctes)
+
+
+def _ivf_topk_sql(
+    dims: int = 64, k: int = 8, iters: int = 2,
+    nprobe: int = 2, n_queries: int = 5, knn: int = 5,
+) -> str:
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {dims}), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i]) "
+        "* (CAST(e.embedding[i] AS DOUBLE) - c.c[i])))"
+    )
+    cos = (
+        f"list_sum(list_transform(generate_series(1, {dims}), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / "
+        f"(sqrt(list_sum(list_transform(generate_series(1, {dims}), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) * "
+        f" sqrt(list_sum(list_transform(generate_series(1, {dims}), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"
+    )
+    return f"""
+        WITH {_ivf_ctes(dims, k, iters)},
+        asg_final AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+                FROM embeddings e CROSS JOIN cents{iters} c
+            ) WHERE rn = 1
+        ),
+        probe AS (
+            SELECT vec_id AS query_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+                FROM embeddings e CROSS JOIN cents{iters} c
+                WHERE e.vec_id < {n_queries}
+            ) WHERE rn <= {nprobe}
+        ),
+        scored AS (
+            SELECT p.query_id, b.vec_id AS neighbor_id,
+                   floor(1e6 * ({cos})) / 1e6 AS cosine
+            FROM probe p
+            JOIN embeddings q ON q.vec_id = p.query_id
+            JOIN asg_final af ON af.cid = p.cid
+            JOIN embeddings b ON b.vec_id = af.vec_id
+            WHERE b.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+            ) AS rank FROM scored
+        ) WHERE rank <= {knn}
     """
 
 
@@ -450,6 +555,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_chunks AS BIGINT) AS n_chunks
             FROM read_parquet('/root/repo/tests_our/data/extract_pages_golden.parquet')
         """,
+        "emb_ivf_centroids": f"""
+            WITH {_ivf_ctes()}
+            SELECT cid, c AS centroid FROM cents2
+        """,
+        "emb_ivf_topk": _ivf_topk_sql(),
         "emb_cosine_topk": """
             WITH scored AS (
                 SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -143,3 +143,157 @@ def ann_lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# -- IVF: k-means coarse quantizer + cell-probed ANN --------------------------
+#
+# The scale path the LSH buckets approximate: train a small codebook
+# (Lloyd's over a sample — centroids are MODEL STATE, a few KB held on
+# the driver exactly like MLlib's KMeans broadcasts them), assign every
+# vector to its nearest centroid once (one broadcast-literal pass, no
+# shuffle beyond the final write), and answer queries by probing only the
+# ``nprobe`` nearest cells — an equi-join on cell id replaces the cross
+# join. Everything is bit-exactly reproducible in DuckDB: centroid
+# updates sum floor(x*1e6) BIGINTs (exact, order-independent) and divide
+# once in double; distances fold left in double via aggregate(zip_with)
+# ↔ list_sum(list_transform); argmin ties break on centroid id.
+
+IVF_K = 8
+IVF_ITERS = 2
+IVF_NPROBE = 2
+
+
+def _sqdist_sql(centroid: list[float]) -> str:
+    lits = ", ".join(f"{c!r}d" for c in centroid)
+    return (
+        f"aggregate(zip_with(embedding, array({lits}), "
+        "(x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _nearest_cid(cents: list[list[float]]):
+    arr = F.array(
+        *[
+            F.struct(
+                F.expr(_sqdist_sql(c)).alias("d"), F.lit(ci).alias("cid")
+            )
+            for ci, c in enumerate(cents)
+        ]
+    )
+    return F.sort_array(arr)[0]["cid"].cast("long")
+
+
+def ivf_train(
+    embeddings: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS
+) -> list[list[float]]:
+    """Lloyd's iterations; returns the codebook (k lists of doubles).
+
+    Init = the k lowest vec_ids (deterministic). Update = per-dimension
+    mean via exact scaled-integer sums. Empty cells keep their previous
+    centroid. Each pass over the data is ONE aggregation with map-side
+    partial combine — nothing but (cid, count, 64 longs) shuffles."""
+    dims = len(embeddings.select("embedding").first()["embedding"])
+    init = embeddings.orderBy("vec_id").limit(k).collect()
+    cents = [[float(v) for v in r["embedding"]] for r in init]
+    for _ in range(iters):
+        aggs = [F.count(F.lit(1)).alias("n")] + [
+            F.sum(
+                F.floor(
+                    F.element_at("embedding", d + 1).cast("double") * F.lit(1000000.0)
+                )
+            ).alias(f"s{d}")
+            for d in range(dims)
+        ]
+        rows = (
+            embeddings.select(_nearest_cid(cents).alias("cid"), "embedding")
+            .groupBy("cid")
+            .agg(*aggs)
+            .collect()
+        )
+        by_cid = {int(r["cid"]): r for r in rows}
+        new = []
+        for ci in range(k):
+            r = by_cid.get(ci)
+            if r is None:
+                new.append(cents[ci])  # empty cell: keep previous centroid
+            else:
+                n = int(r["n"])
+                new.append([(int(r[f"s{d}"]) / n) / 1e6 for d in range(dims)])
+        cents = new
+    return cents
+
+
+def ivf_centroids(
+    embeddings: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS
+) -> DataFrame:
+    """Final codebook as a DataFrame (cid, centroid array<double>)."""
+    cents = ivf_train(embeddings, k, iters)
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(ci, c) for ci, c in enumerate(cents)],
+        "cid long, centroid array<double>",
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+    nprobe: int = IVF_NPROBE,
+    n_queries: int = 5,
+    knn: int = 5,
+) -> DataFrame:
+    """Cell-probed approximate top-k cosine: each query scans only its
+    ``nprobe`` nearest cells (an equi-join on cid — the IVF plan shape)."""
+    cents = ivf_train(embeddings, k, iters)
+    assigned = embeddings.select(
+        "vec_id", "embedding", _nearest_cid(cents).alias("cid")
+    )
+    dist_arr = F.array(
+        *[
+            F.struct(F.expr(_sqdist_sql(c)).alias("d"), F.lit(ci).alias("cid"))
+            for ci, c in enumerate(cents)
+        ]
+    )
+    probes = (
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding", F.posexplode(F.sort_array(dist_arr)))
+        .where(F.col("pos") < nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("col.cid").cast("long").alias("cid"),
+        )
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cid")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.floor(
+                    F.expr(
+                        COSINE.replace("a.embedding", "q_emb").replace(
+                            "b.embedding", "embedding"
+                        )
+                    )
+                    * F.lit(1000000.0)
+                )
+                / F.lit(1000000.0)
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= knn)
+        .select(
+            "query_id", "neighbor_id", "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

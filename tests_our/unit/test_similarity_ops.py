@@ -78,3 +78,46 @@ def test_user_retention_boundary_ratio(spark):
     events2 = events.union(spark.createDataFrame(rows2, events.schema))
     out2 = {r["day"].isoformat(): r for r in user_retention(events2).collect()}
     assert out2["2024-05-02"]["retention_rate"] == 0.5125
+
+
+def test_ivf_codebook_and_probe(spark):
+    """IVF: deterministic Lloyd's codebook + cell-probed top-k. The probe
+    plan must touch only nprobe cells per query, and every reported
+    neighbor must belong to one of the query's probed cells."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from doc_parser_spark.operators.similarity import (
+        _nearest_cid,
+        ivf_topk,
+        ivf_train,
+    )
+
+    rng = np.random.default_rng(5)
+    # three well-separated blobs so k-means has an unambiguous optimum
+    centers = np.array([[4.0] * 8, [-4.0] * 8, [4.0, -4.0] * 4])
+    rows = []
+    for i in range(90):
+        v = centers[i % 3] + rng.normal(0, 0.1, 8)
+        rows.append((i, [float(x) for x in v], i % 3))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cents = ivf_train(emb, k=3, iters=2)
+    assert len(cents) == 3 and len(cents[0]) == 8
+    # training is deterministic: same input → identical floats
+    assert cents == ivf_train(emb, k=3, iters=2)
+    # each blob lands in its own cell
+    assigned = emb.select("vec_id", "label", _nearest_cid(cents).alias("cid"))
+    per_label = (
+        assigned.groupBy("label").agg(F.countDistinct("cid").alias("k")).collect()
+    )
+    assert all(r["k"] == 1 for r in per_label)
+
+    out = ivf_topk(emb, k=3, iters=2, nprobe=1, n_queries=3, knn=4)
+    got = out.collect()
+    assert len(got) == 12
+    lab = {r[0]: r[2] for r in rows}
+    for r in got:
+        # nprobe=1 on separated blobs → neighbors share the query's blob
+        assert lab[r["neighbor_id"]] == lab[r["query_id"]]
