@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q(text_analysis.lang_id, "documents"),
         "doc_fingerprint": q(text_analysis.fingerprint, "documents"),
         "doc_length_histogram": q(text_analysis.length_histogram, "documents"),
+        "doc_gopher_filter": q(text_analysis.gopher_filter, "documents"),
+        "doc_pack_shards": q(text_analysis.pack_shards, "documents"),
         # dedup family
         "doc_exact_dedup": q(dedup.exact_dedup, "documents"),
         "doc_minhash_signatures": q(dedup.minhash_signatures, "documents"),
@@ -429,6 +431,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(length(text) / 100) * 100 AS BIGINT) AS bucket_lo,
                    count(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "doc_gopher_filter": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS w,
+                       list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ln,
+                       CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes,
+                       CAST(len(regexp_extract_all(text, '(\\.\\.\\.|…)', 0)) AS BIGINT) AS ellipses
+                FROM documents
+            ),
+            sig AS (
+                SELECT doc_id,
+                       CAST(len(w) AS BIGINT) AS n_words,
+                       floor(1e6 * (CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w))) / 1e6 AS mean_word_len,
+                       floor(1e6 * (CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(w))) / 1e6 AS frac_alpha_words,
+                       floor(1e6 * (CAST(hashes + ellipses AS DOUBLE) / len(w))) / 1e6 AS symbol_word_ratio,
+                       floor(1e6 * (CAST(len(list_filter(ln, l -> regexp_matches(trim(l), '^([-*•‣◦])'))) AS DOUBLE) / greatest(len(ln), 1))) / 1e6 AS frac_bullet_lines,
+                       floor(1e6 * (CAST(len(list_filter(ln, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) AS DOUBLE) / greatest(len(ln), 1))) / 1e6 AS frac_ellipsis_lines,
+                       CAST((CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords_present
+                FROM d
+            )
+            SELECT *,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_word_ratio <= 0.1
+                    AND frac_bullet_lines <= 0.9
+                    AND frac_ellipsis_lines <= 0.3
+                    AND frac_alpha_words >= 0.8
+                    AND n_stopwords_present >= 2) AS keep
+            FROM sig
+        """,
+        "doc_pack_shards": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS token_offset,
+                   CAST(floor(CAST(coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS DOUBLE) / 20000) AS BIGINT) AS shard_id
+            FROM t
         """,
         "doc_exact_dedup": f"""
             SELECT md5({_NORM_SQL}) AS content_hash,
