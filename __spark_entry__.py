@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q(text_analysis.fingerprint, "documents"),
         "doc_length_histogram": q(text_analysis.length_histogram, "documents"),
         "doc_gopher_filter": q(text_analysis.gopher_filter, "documents"),
+        "doc_repetition_filter": q(text_analysis.repetition_filter, "documents"),
         "doc_pack_shards": q(text_analysis.pack_shards, "documents"),
         # dedup family
         "doc_exact_dedup": q(dedup.exact_dedup, "documents"),
@@ -468,6 +469,84 @@ def oracle_sql() -> dict[str, str]:
                     AND frac_alpha_words >= 0.8
                     AND n_stopwords_present >= 2) AS keep
             FROM sig
+        """,
+        "doc_repetition_filter": """
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS total_chars,
+                       list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS w,
+                       list_transform(
+                           list_filter(string_split(text, chr(10)), l -> trim(l) <> ''),
+                           l -> trim(l)) AS ln
+                FROM documents
+            ),
+            stream AS (
+                SELECT doc_id, 0 AS n, gram
+                FROM d, LATERAL UNNEST(ln) AS t(gram)
+                UNION ALL
+                SELECT doc_id, 2 AS n, array_to_string(list_slice(w, i, i + 1), ' ') AS gram
+                FROM d, LATERAL UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 2
+                UNION ALL
+                SELECT doc_id, 3 AS n, array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+                FROM d, LATERAL UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+                WHERE len(w) >= 3
+                UNION ALL
+                SELECT doc_id, 4 AS n, array_to_string(list_slice(w, i, i + 3), ' ') AS gram
+                FROM d, LATERAL UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+                WHERE len(w) >= 4
+                UNION ALL
+                SELECT doc_id, 5 AS n, array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+                FROM d, LATERAL UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+                WHERE len(w) >= 5
+                UNION ALL
+                SELECT doc_id, 10 AS n, array_to_string(list_slice(w, i, i + 9), ' ') AS gram
+                FROM d, LATERAL UNNEST(generate_series(1, len(w) - 9)) AS t(i)
+                WHERE len(w) >= 10
+            ),
+            counts AS (
+                SELECT doc_id, n, gram, count(*) AS cnt
+                FROM stream GROUP BY doc_id, n, gram
+            ),
+            agg AS (
+                SELECT doc_id,
+                       sum(CASE WHEN n = 0 THEN cnt ELSE 0 END) AS n_lines,
+                       sum(CASE WHEN n = 0 AND cnt > 1 THEN cnt ELSE 0 END) AS dup_line_occ,
+                       sum(CASE WHEN n = 0 THEN cnt * length(gram) ELSE 0 END) AS line_chars,
+                       sum(CASE WHEN n = 0 AND cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dup_line_chars,
+                       max(CASE WHEN n = 2 THEN cnt * length(gram) END) AS top2_mass,
+                       max(CASE WHEN n = 3 THEN cnt * length(gram) END) AS top3_mass,
+                       max(CASE WHEN n = 4 THEN cnt * length(gram) END) AS top4_mass,
+                       sum(CASE WHEN n = 5 AND cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dup5_mass,
+                       sum(CASE WHEN n = 10 AND cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dup10_mass
+                FROM counts GROUP BY doc_id
+            ),
+            fr AS (
+                SELECT d.doc_id,
+                       floor(1e6 * (CAST(coalesce(a.dup_line_occ, 0) AS DOUBLE)
+                             / greatest(coalesce(a.n_lines, 0), 1))) / 1e6 AS dup_line_frac,
+                       floor(1e6 * (CAST(coalesce(a.dup_line_chars, 0) AS DOUBLE)
+                             / greatest(coalesce(a.line_chars, 0), 1))) / 1e6 AS dup_line_char_frac,
+                       floor(1e6 * (CAST(coalesce(a.top2_mass, 0) AS DOUBLE)
+                             / greatest(d.total_chars, 1))) / 1e6 AS top_2gram_char_frac,
+                       floor(1e6 * (CAST(coalesce(a.top3_mass, 0) AS DOUBLE)
+                             / greatest(d.total_chars, 1))) / 1e6 AS top_3gram_char_frac,
+                       floor(1e6 * (CAST(coalesce(a.top4_mass, 0) AS DOUBLE)
+                             / greatest(d.total_chars, 1))) / 1e6 AS top_4gram_char_frac,
+                       floor(1e6 * (CAST(coalesce(a.dup5_mass, 0) AS DOUBLE)
+                             / greatest(d.total_chars, 1))) / 1e6 AS dup_5gram_char_frac,
+                       floor(1e6 * (CAST(coalesce(a.dup10_mass, 0) AS DOUBLE)
+                             / greatest(d.total_chars, 1))) / 1e6 AS dup_10gram_char_frac
+                FROM d LEFT JOIN agg a USING (doc_id)
+            )
+            SELECT *,
+                   (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+                    AND top_2gram_char_frac <= 0.20
+                    AND top_3gram_char_frac <= 0.18
+                    AND top_4gram_char_frac <= 0.16
+                    AND dup_5gram_char_frac <= 0.15
+                    AND dup_10gram_char_frac <= 0.10) AS keep
+            FROM fr
         """,
         "doc_pack_shards": """
             WITH t AS (

@@ -184,6 +184,113 @@ def gopher_filter(documents: DataFrame) -> DataFrame:
     return out.withColumn("keep", keep)
 
 
+# -- Gopher repetition signals ------------------------------------------------
+
+# (n, kind, threshold): top-n-gram char mass for short n, duplicated-n-gram
+# char mass for long n — the Rae et al. 2021 §A1.1 repetition family.
+_REP_TOP_NS = ((2, 0.20), (3, 0.18), (4, 0.16))
+_REP_DUP_NS = ((5, 0.15), (10, 0.10))
+
+
+def repetition_filter(documents: DataFrame) -> DataFrame:
+    """Per-document repetition signals + keep verdict (Gopher §A1.1 family).
+
+    Signals (all char fractions are floor-truncated to 6 decimals, so the
+    Spark and DuckDB answers are bit-identical):
+
+    * ``dup_line_frac`` — fraction of non-empty trimmed lines whose exact
+      text occurs more than once in the document (all occurrences count).
+    * ``dup_line_char_frac`` — character share of those duplicate lines
+      (denominator: total chars across non-empty lines).
+    * ``top_{2,3,4}gram_char_frac`` — max over word n-grams of
+      ``count * len(gram)`` divided by ``length(text)``. Using char *mass*
+      (count×len) rather than "the most frequent gram" keeps the statistic
+      deterministic under count ties.
+    * ``dup_{5,10}gram_char_frac`` — summed char mass of n-grams occurring
+      more than once, over ``length(text)``.
+
+    Scale shape: ONE scan and effectively one shuffle — lines (tagged n=0)
+    and every n-gram size share a single exploded ``(n, gram)`` stream,
+    aggregated by (doc_id, n, gram) with map-side partial aggregation; the
+    second groupBy(doc_id) reduces an already-tiny relation. A sentinel
+    (n=-1) row per document guarantees every doc_id appears in the output
+    without a corpus-sized join back. The n-gram explode is the standard
+    Gopher/SlimPajama approach; volume is ~(|top_ns|+|dup_ns|)× tokens.
+    """
+    all_ns = [n for n, _ in _REP_TOP_NS] + [n for n, _ in _REP_DUP_NS]
+    parts = ["array(struct(-1 AS n, '' AS gram))"]
+    parts.append("transform(ln, l -> struct(0 AS n, l AS gram))")
+    for n in all_ns:
+        parts.append(
+            f"CASE WHEN size(w) >= {n} THEN "
+            f"transform(sequence(1, size(w) - {n} + 1), "
+            f"i -> struct({n} AS n, array_join(slice(w, i, {n}), ' ') AS gram)) "
+            "ELSE slice(array(struct(-1 AS n, '' AS gram)), 1, 0) END"
+        )
+    stream = (
+        documents.select(
+            "doc_id",
+            F.length("text").cast("long").alias("total_chars"),
+            F.expr("filter(split(trim(text), '\\\\s+'), t -> t <> '')").alias("w"),
+            F.expr(
+                "transform(filter(split(text, '\\n'), l -> trim(l) <> ''),"
+                " l -> trim(l))"
+            ).alias("ln"),
+        )
+        .select(
+            "doc_id",
+            "total_chars",
+            F.explode(F.expr("flatten(array(" + ", ".join(parts) + "))")).alias("e"),
+        )
+        .select("doc_id", "total_chars", F.col("e.n").alias("n"), F.col("e.gram").alias("gram"))
+    )
+    counts = stream.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("total_chars").alias("total_chars")
+    )
+    mass = F.col("cnt") * F.length("gram")
+    aggs = [
+        F.max("total_chars").alias("total_chars"),
+        F.sum(F.when(F.col("n") == 0, F.col("cnt")).otherwise(0)).alias("n_lines"),
+        F.sum(
+            F.when((F.col("n") == 0) & (F.col("cnt") > 1), F.col("cnt")).otherwise(0)
+        ).alias("dup_line_occ"),
+        F.sum(F.when(F.col("n") == 0, mass).otherwise(0)).alias("line_chars"),
+        F.sum(
+            F.when((F.col("n") == 0) & (F.col("cnt") > 1), mass).otherwise(0)
+        ).alias("dup_line_chars"),
+    ]
+    for n, _ in _REP_TOP_NS:
+        aggs.append(F.max(F.when(F.col("n") == n, mass)).alias(f"top{n}_mass"))
+    for n, _ in _REP_DUP_NS:
+        aggs.append(
+            F.sum(F.when((F.col("n") == n) & (F.col("cnt") > 1), mass).otherwise(0))
+            .alias(f"dup{n}_mass")
+        )
+    joined = counts.groupBy("doc_id").agg(*aggs)
+
+    def frac(num, den):
+        return _trunc6(
+            F.coalesce(num, F.lit(0)).cast("double")
+            / F.greatest(F.coalesce(den, F.lit(0)), F.lit(1))
+        )
+
+    cols = [
+        F.col("doc_id"),
+        frac(F.col("dup_line_occ"), F.col("n_lines")).alias("dup_line_frac"),
+        frac(F.col("dup_line_chars"), F.col("line_chars")).alias("dup_line_char_frac"),
+    ]
+    keep = (F.col("dup_line_frac") <= 0.30) & (F.col("dup_line_char_frac") <= 0.20)
+    for n, thr in _REP_TOP_NS:
+        name = f"top_{n}gram_char_frac"
+        cols.append(frac(F.col(f"top{n}_mass"), F.col("total_chars")).alias(name))
+        keep = keep & (F.col(name) <= thr)
+    for n, thr in _REP_DUP_NS:
+        name = f"dup_{n}gram_char_frac"
+        cols.append(frac(F.col(f"dup{n}_mass"), F.col("total_chars")).alias(name))
+        keep = keep & (F.col(name) <= thr)
+    return joined.select(*cols).withColumn("keep", keep)
+
+
 # -- token-budget shard packing ----------------------------------------------
 
 

@@ -37,3 +37,48 @@ def test_gopher_filter_rules(spark):
     assert out[1]["keep"] is False and out[1]["n_stopwords_present"] == 0
     assert out[2]["keep"] is False and out[2]["n_words"] == 3
     assert out[3]["keep"] is False and out[3]["symbol_word_ratio"] > 0.1
+
+
+def test_repetition_filter_signals(spark):
+    """Hand-computed Gopher repetition signals on crafted docs."""
+    from doc_parser_spark.operators.text_analysis import repetition_filter
+
+    # doc 0: distinct lines/words — every dup signal 0, top-gram mass small
+    # relative to doc length, keep
+    clean = "\n".join(
+        " ".join(f"w{i:02d}" for i in range(r * 10, r * 10 + 10)) for r in range(4)
+    )
+    # doc 1: "spam spam" line repeated 3x of 4 lines
+    liney = "spam spam\nspam spam\nspam spam\nunique line here okay"
+    # doc 2: one 10-gram (and everything under it) repeated — dup-gram heavy
+    gramy = ("one two three four five six seven eight nine ten " * 3).strip()
+    # doc 3: empty-ish (sentinel path: no words, no lines)
+    blank = "   "
+    docs = spark.createDataFrame(
+        [(0, clean), (1, liney), (2, gramy), (3, blank)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in repetition_filter(docs).collect()}
+    assert set(out) == {0, 1, 2, 3}
+
+    r0 = out[0]
+    assert r0["dup_line_frac"] == 0.0 and r0["dup_line_char_frac"] == 0.0
+    assert r0["dup_5gram_char_frac"] == 0.0 and r0["dup_10gram_char_frac"] == 0.0
+    assert r0["keep"] is True
+
+    r1 = out[1]
+    # 3 of 4 lines are the duplicate "spam spam" (9 chars each); line_chars =
+    # 9*3 + len("unique line here okay")=21 -> 48
+    assert r1["dup_line_frac"] == 0.75
+    assert r1["dup_line_char_frac"] == 27 / 48
+    assert r1["keep"] is False
+
+    r2 = out[2]
+    # text = 30 words, every 10-gram occurs >1 time across the 3 repeats
+    assert r2["dup_10gram_char_frac"] > 0.10
+    assert r2["dup_5gram_char_frac"] > 0.15
+    assert r2["top_2gram_char_frac"] > 0.20
+    assert r2["keep"] is False
+
+    r3 = out[3]  # sentinel row: all-zero signals, keep=True
+    assert r3["dup_line_frac"] == 0.0 and r3["top_4gram_char_frac"] == 0.0
+    assert r3["keep"] is True
