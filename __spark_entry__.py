@@ -139,8 +139,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_filter": q(text_analysis.gopher_filter, "documents"),
         "doc_repetition_filter": q(text_analysis.repetition_filter, "documents"),
         "doc_pack_shards": q(text_analysis.pack_shards, "documents"),
+        "doc_hash_sample": q(text_analysis.hash_sample, "documents"),
+        "doc_stratified_sample": q(text_analysis.stratified_sample, "documents"),
+        "doc_lm_fit": q(text_analysis.lm_fit_score, "documents"),
         # dedup family
         "doc_exact_dedup": q(dedup.exact_dedup, "documents"),
+        "doc_line_dedup": q(dedup.line_dedup, "documents"),
         "doc_minhash_signatures": q(dedup.minhash_signatures, "documents"),
         "doc_lsh_pairs": q(dedup.lsh_candidate_pairs, "documents"),
         "doc_ngram_jaccard": q(dedup.ngram_jaccard_pairs, "documents"),
@@ -359,6 +363,14 @@ def oracle_sql() -> dict[str, str]:
         for w in ["der", "die", "und", "das", "ist"]
     )
 
+    # 32-bit key from the first 8 md5 hex digits of 's0:<doc_id>' — pure
+    # arithmetic decode, mirrors text_analysis._hash_key bit-for-bit
+    key_sql = (
+        "CAST(list_sum(list_transform(generate_series(1, 8), "
+        "i -> CAST(strpos('0123456789abcdef', substr(md5('s0:' || doc_id), i, 1)) - 1 AS BIGINT)"
+        " * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)"
+    )
+
     return {
         "extract_wrapped_docs": """
             SELECT doc_id,
@@ -548,6 +560,54 @@ def oracle_sql() -> dict[str, str]:
                     AND dup_10gram_char_frac <= 0.10) AS keep
             FROM fr
         """,
+        "doc_hash_sample": f"""
+            WITH k AS (SELECT doc_id, {key_sql} AS sample_key FROM documents)
+            SELECT doc_id, sample_key FROM k
+            WHERE sample_key < {int(0.05 * 4294967296)}
+        """,
+        "doc_stratified_sample": f"""
+            WITH k AS (SELECT doc_id, lang, {key_sql} AS sample_key FROM documents),
+            r AS (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY lang ORDER BY sample_key, doc_id
+                ) AS BIGINT) AS rk
+                FROM k
+            )
+            SELECT doc_id, lang, sample_key, rk FROM r WHERE rk <= 20
+        """,
+        "doc_lm_fit": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS w
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+                FROM d, LATERAL UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 2
+            ),
+            c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+            c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+            v AS (
+                SELECT count(DISTINCT tok) AS v
+                FROM d, LATERAL UNNEST(w) AS u(tok)
+            ),
+            scored AS (
+                SELECT bg.doc_id,
+                       CAST(floor(1e12 * (CAST(c2.c2 + 1 AS DOUBLE)
+                            / CAST(c1.c1 + v.v AS DOUBLE))) AS BIGINT) AS p
+                FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+            ),
+            agg AS (
+                SELECT doc_id, sum(p) AS fit_sum, count(*) AS n_bigrams
+                FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   coalesce(floor(1e6 * ((CAST(a.fit_sum AS DOUBLE) / 1e12)
+                            / a.n_bigrams)) / 1e6, 0.0) AS lm_fit
+            FROM d LEFT JOIN agg a USING (doc_id)
+        """,
         "doc_pack_shards": """
             WITH t AS (
                 SELECT doc_id,
@@ -568,6 +628,34 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS canonical_id,
                    count(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "doc_line_dedup": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(string_split(text, chr(10)), l -> trim(l) <> ''),
+                           l -> trim(l)) AS ln
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id, i - 1 AS pos, ln[i] AS line
+                FROM d, LATERAL UNNEST(generate_series(1, len(ln))) AS t(i)
+            ),
+            hot AS (SELECT line FROM lines GROUP BY line HAVING count(*) > 1),
+            kept AS (
+                SELECT l.* FROM lines l ANTI JOIN hot h ON l.line = h.line
+            ),
+            reb AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
+                   CAST(len(d.ln) - coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_dropped
+            FROM d LEFT JOIN reb r USING (doc_id)
         """,
         "doc_minhash_signatures": f"""
             WITH {_shingle_cte()}

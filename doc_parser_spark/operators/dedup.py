@@ -370,3 +370,64 @@ def dup_clusters(
             )
         )
     return labels
+
+
+def line_dedup(documents: DataFrame, max_occurrences: int = 1) -> DataFrame:
+    """Corpus-global duplicate-line removal (the C4 / MassiveText
+    boilerplate pass): drop every line whose exact trimmed text occurs in
+    more than ``max_occurrences`` documents' line streams, then rebuild
+    each document from its surviving lines in original order.
+
+    Output: ``doc_id, clean_text, n_lines_kept, n_lines_dropped``.
+
+    Scale shape (10^12 docs):
+
+    * lines explode once (``posexplode`` keeps the rebuild order as data,
+      no window function);
+    * the global counts groupBy is map-side combined and its *output* is
+      filtered to the hot set (``cnt > max_occurrences``) before any join
+      — the blocklist is a tiny fraction of distinct lines, so the
+      ``LEFT ANTI`` join back shuffles the line stream against a small
+      relation instead of joining the full counts table;
+    * viral-line skew ("Home", "Copyright...") lives only on the counts
+      groupBy, where partial aggregation collapses it map-side; the
+      anti-join probe side is near-uniform because the stream is keyed by
+      the line text *after* the hot keys were reduced to one row each;
+    * rebuild is one groupBy(doc_id) over narrow (pos, line) structs with
+      ``sort_array`` + ``array_join`` — deterministic order, no
+      ``collect`` anywhere.
+    """
+    arr = documents.select(
+        "doc_id",
+        F.expr(
+            "transform(filter(split(text, '\\n'), l -> trim(l) <> ''),"
+            " l -> trim(l))"
+        ).alias("ln"),
+    )
+    lines = arr.select("doc_id", F.posexplode("ln").alias("pos", "line"))
+    hot = (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > max_occurrences)
+        .select("line")
+    )
+    kept = lines.join(hot, "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr("transform(sort_array(collect_list(struct(pos, line))), s -> s.line)"),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = arr.select("doc_id", F.size("ln").alias("n_lines_total"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+            (F.coalesce("n_lines_total", F.lit(0)) - F.coalesce("n_lines_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+    )

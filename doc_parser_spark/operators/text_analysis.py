@@ -350,3 +350,126 @@ def pack_shards(
             .alias("shard_id"),
         )
     )
+
+
+# -- deterministic sampling ---------------------------------------------------
+
+
+def _hash_key(salt: str):
+    """First 8 md5 hex digits of ``salt:doc_id`` as a uniform 32-bit key.
+
+    md5 (not xxhash/crc) so the DuckDB oracle reproduces the exact key via
+    pure hex arithmetic — same scheme as the simhash oracle."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def hash_sample(documents: DataFrame, rate: float = 0.05, salt: str = "s0") -> DataFrame:
+    """Deterministic Bernoulli sample: keep documents whose 32-bit hash key
+    falls below ``rate``·2³².  Unlike ``DataFrame.sample`` this is stable
+    across runs, partitionings, and engines (reproducible held-out splits,
+    A/B corpus slices), embarrassingly parallel, and pushes the filter into
+    the scan — no shuffle at all."""
+    threshold = int(rate * 4294967296)
+    return (
+        documents.select("doc_id", _hash_key(salt).alias("sample_key"))
+        .where(F.col("sample_key") < F.lit(threshold))
+    )
+
+
+def stratified_sample(documents: DataFrame, per_stratum: int = 20, salt: str = "s0") -> DataFrame:
+    """Deterministic stratified sample: the ``per_stratum`` documents with
+    the smallest hash keys per ``lang`` stratum (hash order = uniform random
+    order, but reproducible).  One shuffle on the stratum key; skew is
+    bounded because the per-partition ``row_number`` input is pre-reduced
+    nothing — rank over a stratum is the irreducible cost, and strata
+    (languages) are few and balanced relative to executor counts."""
+    w = Window.partitionBy("lang").orderBy("sample_key", "doc_id")
+    return (
+        documents.select("doc_id", "lang", _hash_key(salt).alias("sample_key"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= per_stratum)
+    )
+
+
+# -- corpus-fit (CCNet-style LM quality signal) -------------------------------
+
+
+def lm_fit_score(documents: DataFrame) -> DataFrame:
+    """Corpus-trained word-bigram fit score (the shape of CCNet's
+    KenLM-perplexity quality signal, trained on the corpus itself).
+
+    For each document: the mean add-one-smoothed conditional probability of
+    its word bigrams under the corpus bigram model,
+
+        fit = avg over bigrams of  (C(w1,w2) + 1) / (C(w1·) + V)
+
+    where ``C(w1,w2)`` is the corpus bigram count, ``C(w1·)`` the count of
+    ``w1`` as a bigram history, and ``V`` the corpus vocabulary size.
+    Repetitive/boilerplate text scores high, lexically odd text low —
+    CCNet buckets a corpus by exactly this kind of signal (head/middle/tail).
+
+    Bit-exactness: probabilities use only integer counts and IEEE
+    division/multiplication (correctly rounded, engine-independent — unlike
+    ``ln``, whose libm varies), each scaled to an integer with
+    ``floor(1e12·p)`` so the per-document sum is an **associative integer
+    sum** — immune to float summation order across partitions.
+
+    Scale shape: bigram counts and history counts are map-side-combined
+    groupBys; the score join streams bigrams against the counts relation
+    (shuffle join — the model is corpus-sized, never broadcast; hot-word
+    skew on the history join is AQE skew-split territory); the vocabulary
+    scalar is a one-row broadcast.
+    """
+    d = documents.select(
+        "doc_id",
+        F.expr("filter(split(trim(text), '\\\\s+'), t -> t <> '')").alias("w"),
+    )
+    bg = (
+        d.where(F.expr("size(w) >= 2"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = d.select(F.explode("w").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    p_scaled = F.floor(
+        F.lit(1e12)
+        * (
+            (F.col("c2") + F.lit(1)).cast("double")
+            / (F.col("c1") + F.col("v")).cast("double")
+        )
+    )
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", p_scaled.alias("p"))
+        .groupBy("doc_id")
+        .agg(F.sum("p").alias("fit_sum"), F.count(F.lit(1)).alias("n_bigrams"))
+    )
+    return d.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(
+            _trunc6(
+                (F.col("fit_sum").cast("double") / F.lit(1e12)) / F.col("n_bigrams")
+            ),
+            F.lit(0.0),
+        ).alias("lm_fit"),
+    )

@@ -67,3 +67,29 @@ def test_singletons_and_duplicate_pairs(spark):
     assert got[5] == got[9] == 5
     assert got[20] == got[21] == 20
     assert all(got[i] == i for i in range(25) if i not in (9, 21))
+
+
+def test_line_dedup_drops_global_boilerplate(spark):
+    from doc_parser_spark.operators.dedup import line_dedup
+
+    boiler = "Copyright 2024 Example Corp"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{boiler}\nunique alpha content\nmore alpha text"),
+            (1, f"{boiler}\nunique beta content"),
+            (2, "  \n\n"),  # only blank lines
+            (3, "solo gamma line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["clean_text"] == "unique alpha content\nmore alpha text"
+    assert out[0]["n_lines_kept"] == 2 and out[0]["n_lines_dropped"] == 1
+    assert out[1]["clean_text"] == "unique beta content"
+    assert out[2]["clean_text"] == "" and out[2]["n_lines_kept"] == 0
+    assert out[3]["clean_text"] == "solo gamma line"
+    # threshold: allow up to 2 occurrences -> boilerplate survives
+    out2 = {r["doc_id"]: r for r in line_dedup(docs, max_occurrences=2).collect()}
+    assert out2[0]["clean_text"].startswith(boiler)
+    assert out2[0]["n_lines_dropped"] == 0

@@ -82,3 +82,54 @@ def test_repetition_filter_signals(spark):
     r3 = out[3]  # sentinel row: all-zero signals, keep=True
     assert r3["dup_line_frac"] == 0.0 and r3["top_4gram_char_frac"] == 0.0
     assert r3["keep"] is True
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    from doc_parser_spark.operators.text_analysis import hash_sample
+
+    docs = spark.createDataFrame([(i, "x") for i in range(1000)], "doc_id long, text string")
+    a = sorted(r["doc_id"] for r in hash_sample(docs, rate=0.10).collect())
+    b = sorted(r["doc_id"] for r in hash_sample(docs.repartition(17), rate=0.10).collect())
+    assert a == b and len(a) > 0
+    # ~10% of 1000 with a uniform 32-bit key; generous 3-sigma-ish bounds
+    assert 60 <= len(a) <= 140
+    # nested: a lower rate is a strict subset (same key, smaller threshold)
+    c = sorted(r["doc_id"] for r in hash_sample(docs, rate=0.05).collect())
+    assert set(c) <= set(a)
+
+
+def test_stratified_sample_per_stratum(spark):
+    from doc_parser_spark.operators.text_analysis import stratified_sample
+
+    rows = [(i, "x", ["en", "de", "es"][i % 3]) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = stratified_sample(docs, per_stratum=7).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == {"en", "de", "es"}
+    for lang, rs in by_lang.items():
+        assert len(rs) == 7
+        assert sorted(r["rk"] for r in rs) == list(range(1, 8))
+        # ranked by hash key ascending
+        ks = [r["sample_key"] for r in sorted(rs, key=lambda r: r["rk"])]
+        assert ks == sorted(ks)
+
+
+def test_lm_fit_score_hand_computed(spark):
+    from doc_parser_spark.operators.text_analysis import lm_fit_score
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "z")], "doc_id long, text string"
+    )
+    # corpus bigram counts: (a,b):3 (b,a):1 (b,c):1; histories a:3 b:2; V=4
+    # P(ab)=(3+1)/(3+4)=4/7  P(ba)=(1+1)/(2+4)=2/6  P(bc)=(1+1)/(2+4)=2/6
+    out = {r["doc_id"]: r for r in lm_fit_score(docs).collect()}
+    p_ab = int(1e12 * (4 / 7))
+    p_b = int(1e12 * (2 / 6))
+    assert out[0]["n_bigrams"] == 3
+    import math
+    assert out[0]["lm_fit"] == math.floor(1e6 * (((2 * p_ab + p_b) / 1e12) / 3)) / 1e6
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["lm_fit"] == math.floor(1e6 * (((p_ab + p_b) / 1e12) / 2)) / 1e6
+    assert out[2]["n_bigrams"] == 0 and out[2]["lm_fit"] == 0.0
