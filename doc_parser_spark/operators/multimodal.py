@@ -383,31 +383,95 @@ def crop_page_regions(page_images: DataFrame) -> DataFrame:
     return page_images.mapInPandas(kernel, schema=CROP_SCHEMA)
 
 
-def sample_video_frames(media: DataFrame, every_n_seconds: float = 1.0) -> DataFrame:
-    """Video frame-sampling stage — STUB (needs pyav/ffmpeg).
+def _video_timeline(payload: bytes):
+    """Container sniff → ``(fmt, [(ts_ms, get_frame_bytes), ...])`` without
+    decoding any pixels up front (AVI frames are lazy slices; GIF must
+    composite sequentially so it decodes on demand inside the closure)."""
+    from doc_parser_spark.core import avi as avilib
+    from doc_parser_spark.core import gif as giflib
 
-    The Spark-side plumbing is the real contract: one input row per video,
-    one output row per sampled frame (posexplode shape), Arrow-batched with
-    per-executor decoder state. Until a codec ships every row reports
-    ``codec_unavailable`` with zero frames."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        usec, frames = avilib.parse_avi(payload)
+        return "jpeg", [
+            (i * usec / 1000.0, (lambda f=f: f)) for i, f in enumerate(frames)
+        ]
+    if payload[:6] in giflib.SIGNATURES:
+        _, _, frames = giflib.decode_gif(payload)
+        ts = 0.0
+        timeline = []
+        for arr, delay_ms in frames:
+            timeline.append((ts, (lambda a=arr: pnglib.encode_png(a))))
+            ts += delay_ms
+        return "png", timeline
+    return None, []
+
+
+def _sample_picks(timestamps: list[float], every_n_seconds: float) -> list[int]:
+    """ffmpeg-fps-filter semantics: for each target time 0, n, 2n, … pick
+    the last frame whose presentation timestamp is ≤ the target; emit each
+    source frame at most once."""
+    import bisect
+
+    step = max(every_n_seconds, 1e-3) * 1000.0
+    duration = timestamps[-1]
+    picks: list[int] = []
+    t = 0.0
+    while t <= duration + 1e-9:
+        i = bisect.bisect_right(timestamps, t) - 1
+        if i >= 0 and (not picks or picks[-1] != i):
+            picks.append(i)
+        t += step
+    return picks
+
+
+def sample_video_frames(media: DataFrame, every_n_seconds: float = 1.0) -> DataFrame:
+    """Video frame sampling: one input row per video, one output row per
+    sampled frame, Arrow-batched ``mapInPandas`` with per-executor decoder
+    state (the extraction-kernel shape — failures isolate per row).
+
+    Real paths, own codecs end-to-end:
+
+    * **MJPEG AVI** — RIFF walk (``core/avi.py``); sampled frames are the
+      original JPEG payloads (decodable by ``core/jpeg.py`` /
+      ``decode_images`` downstream), ``frame_format='jpeg'``.
+    * **Animated GIF** — full LZW decode + disposal compositing
+      (``core/gif.py``); sampled frames are re-encoded as PNG
+      (``core/png.py``), ``frame_format='png'``.
+
+    Inter-frame codecs (H.264/VP9/…) remain the marked codec boundary:
+    those rows report ``codec_unavailable`` with zero frames."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            yield pd.DataFrame(
-                {
-                    "url": batch["url"],
-                    "frame_no": [0] * len(batch),
-                    "ts_ms": [0.0] * len(batch),
-                    "status": ["codec_unavailable"] * len(batch),
-                    "frame": [None] * len(batch),
-                }
-            )
+            rows = {k: [] for k in ("url", "frame_no", "ts_ms", "frame_format", "status", "frame")}
+
+            def emit(url, frame_no, ts_ms, fmt, status, frame):
+                rows["url"].append(url)
+                rows["frame_no"].append(frame_no)
+                rows["ts_ms"].append(ts_ms)
+                rows["frame_format"].append(fmt)
+                rows["status"].append(status)
+                rows["frame"].append(frame)
+
+            for url, payload in zip(batch["url"], batch["payload"]):
+                try:
+                    fmt, timeline = _video_timeline(bytes(payload or b""))
+                    if fmt is None:
+                        emit(url, 0, 0.0, None, "codec_unavailable", None)
+                        continue
+                    stamps = [t for t, _ in timeline]
+                    for i in _sample_picks(stamps, every_n_seconds):
+                        emit(url, i, stamps[i], fmt, "sampled", timeline[i][1]())
+                except Exception:
+                    emit(url, 0, 0.0, None, "corrupt", None)
+            yield pd.DataFrame(rows)
 
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
             T.StructField("frame_no", T.IntegerType()),
             T.StructField("ts_ms", T.DoubleType()),
+            T.StructField("frame_format", T.StringType()),
             T.StructField("status", T.StringType()),
             T.StructField("frame", T.BinaryType()),
         ]
