@@ -26,13 +26,14 @@ Design for 10^12 documents:
 
 Local parquet stands in for the Iceberg catalog (not shipped in this
 environment); the write pattern (partitioned dirs + atomic manifest commit)
-is the same shape an Iceberg ``append`` + snapshot would give.
+is the same shape an Iceberg ``append`` + snapshot would give. Manifest IO
+goes through ``plans/manifests.ManifestStore`` — Hadoop ``FileSystem`` API
+for schemed paths (``hdfs://``/``s3a://``/``file://``), so resume works
+when the output lives on the cluster filesystem, not just the driver disk.
 """
 
 from __future__ import annotations
 
-import json
-import os
 import time
 import uuid
 from typing import Optional
@@ -40,36 +41,17 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from doc_parser_spark.operators.extract import explode_chunks, extract_documents
+from doc_parser_spark.plans.manifests import ManifestStore
+from doc_parser_spark.sources.catalog import TableIO
 
 
 def slice_predicate(num_slices: int, k: int):
     return F.pmod(F.xxhash64(F.col("url")), F.lit(num_slices)) == k
 
 
-def _manifest_path(output_dir: str, k: int) -> str:
-    return os.path.join(output_dir, "_manifests", f"slice_{k}.json")
-
-
-def _write_manifest_atomic(path: str, payload: dict) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(payload, f)
-    os.replace(tmp, path)  # atomic on POSIX
-
-
-def completed_slices(output_dir: str) -> set[int]:
-    mdir = os.path.join(output_dir, "_manifests")
-    if not os.path.isdir(mdir):
-        return set()
-    done = set()
-    for name in os.listdir(mdir):
-        if name.startswith("slice_") and name.endswith(".json"):
-            try:
-                done.add(int(name[len("slice_"):-len(".json")]))
-            except ValueError:
-                continue
-    return done
+def completed_slices(output_dir: str, spark: Optional[SparkSession] = None) -> set[int]:
+    """Slices with committed manifests (Hadoop-FS-aware via ManifestStore)."""
+    return ManifestStore(output_dir, spark).completed_slices()
 
 
 def partition_metrics(docs: DataFrame) -> DataFrame:
@@ -97,12 +79,18 @@ def run_extraction_job(
     salt_partitions: Optional[int] = None,
     reg_date: str = "1970-01-01T00:00:00Z",
     max_tokens: int = 2000,
+    table_io: Optional[TableIO] = None,
 ) -> dict:
     """Run (or resume) the full extraction over ``pages``.
 
+    ``table_io`` picks the output storage: default is partitioned parquet
+    under ``output_dir`` (this sandbox); an Iceberg-catalog ``TableIO``
+    swaps every write to atomic snapshot commits with the slice id as a
+    partition column — the manifest protocol is unchanged either way.
     Returns a summary dict with per-slice outcomes and fleet metrics.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
+    io = table_io or TableIO(spark, "parquet", root=output_dir)
     salt_partitions = salt_partitions or spark.sparkContext.defaultParallelism
 
     sc = spark.sparkContext
@@ -112,13 +100,12 @@ def run_extraction_job(
         "fallback": sc.accumulator(0),
     }
 
-    done = completed_slices(output_dir)
+    store = ManifestStore(output_dir, spark)
+    done = store.completed_slices()
     if done:
         # resuming with a different slice count would mix two incompatible
         # url-bucketings (duplicate + missing urls) — refuse loudly
-        sample = _manifest_path(output_dir, sorted(done)[0])
-        with open(sample) as f:
-            prior = json.load(f)
+        prior = store.read(sorted(done)[0])
         prior_slices = prior.get("num_slices")
         if prior_slices is not None and prior_slices != num_slices:
             raise ValueError(
@@ -145,34 +132,35 @@ def run_extraction_job(
 
         # output tables are day-partitioned (north_star: "written back ...
         # to a partitioned Iceberg output table") — crawl-time pruning for
-        # downstream readers; slice=K keeps the resume granularity
-        (
-            docs.drop("chunks")
-            .withColumn("warc_day", F.to_date("warc_ts"))
-            .write.mode("overwrite")
-            .partitionBy("warc_day")
-            .parquet(os.path.join(output_dir, "documents", f"slice={k}"))
-        )
-        (
-            explode_chunks(docs)
-            .withColumn("warc_day", F.to_date("warc_ts"))
-            .write.mode("overwrite")
-            .partitionBy("warc_day")
-            .parquet(os.path.join(output_dir, "chunks", f"slice={k}"))
-        )
+        # downstream readers; slice=K keeps the resume granularity: a
+        # parquet slice is its own directory, an Iceberg slice is a
+        # partition column so a re-run's overwritePartitions replaces
+        # exactly the slice it recomputes
+        def write_slice(df: DataFrame, name: str) -> None:
+            day = df.withColumn("warc_day", F.to_date("warc_ts"))
+            if io.mode == "parquet":
+                io.overwrite_partitioned(day, f"{name}/slice={k}", ["warc_day"])
+            else:
+                io.overwrite_partitioned(
+                    day.withColumn("slice", F.lit(k)), name, ["slice", "warc_day"]
+                )
+
+        write_slice(docs.drop("chunks"), "documents")
+        write_slice(explode_chunks(docs), "chunks")
 
         metrics = partition_metrics(docs).withColumn("slice", F.lit(k)).withColumn(
             "run_id", F.lit(run_id)
         )
-        metrics.write.mode("overwrite").parquet(
-            os.path.join(output_dir, "metrics", f"slice={k}")
-        )
+        if io.mode == "parquet":
+            io.overwrite_partitioned(metrics, f"metrics/slice={k}")
+        else:
+            io.overwrite_partitioned(metrics, "metrics", ["slice"])
         metric_rows = [r.asDict() for r in metrics.collect()]
         docs.unpersist()
 
         wall_ms = (time.perf_counter() - t0) * 1000.0
-        _write_manifest_atomic(
-            _manifest_path(output_dir, k),
+        store.write_atomic(
+            k,
             {
                 "run_id": run_id,
                 "num_slices": num_slices,

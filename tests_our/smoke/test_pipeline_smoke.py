@@ -393,3 +393,64 @@ def test_streaming_watermark_drops_late_events(spark, tmp_path):
     assert counts[(t(10, 0), "view")] == 3
     # the 12:00 window finalized with only its on-time event
     assert counts[(t(12, 0), "view")] == 1
+
+
+def test_manifest_store_hadoop_fs_roundtrip(spark, tmp_path):
+    """Schemed paths route through the Hadoop FileSystem API (the cluster
+    path — hdfs://, s3a://); file:// exercises that code against the same
+    local dir the os fast path sees, proving the two views agree."""
+    import pytest
+    from doc_parser_spark.plans.manifests import ManifestStore
+
+    out = str(tmp_path / "job_out")
+    hadoop = ManifestStore("file://" + out, spark)
+    local = ManifestStore(out)
+    assert hadoop._use_hadoop and not local._use_hadoop
+
+    assert hadoop.completed_slices() == set()
+    hadoop.write_atomic(3, {"slice": 3, "n_rows": 42, "num_slices": 8})
+    hadoop.write_atomic(5, {"slice": 5, "n_rows": 7, "num_slices": 8})
+    assert hadoop.completed_slices() == {3, 5}
+    # the os view of the same directory agrees (same files, same bytes)
+    assert local.completed_slices() == {3, 5}
+    assert local.read(3) == hadoop.read(3) == {
+        "slice": 3, "n_rows": 42, "num_slices": 8,
+    }
+    # overwrite is atomic-replace, not append
+    hadoop.write_atomic(3, {"slice": 3, "n_rows": 43, "num_slices": 8})
+    assert hadoop.read(3)["n_rows"] == 43
+    hadoop.remove(5)
+    assert hadoop.completed_slices() == {3}
+    # no leftover tmp files after commits
+    import os as _os
+    leftovers = [n for n in _os.listdir(out + "/_manifests") if ".tmp." in n]
+    assert leftovers == []
+    # schemed path without a session is refused loudly
+    with pytest.raises(ValueError):
+        ManifestStore("s3a://bucket/prefix")
+
+
+def test_table_io_parquet_roundtrip_and_validation(spark, tmp_path):
+    import pytest
+    from doc_parser_spark.sources.catalog import TableIO
+
+    io = TableIO(spark, "parquet", root=str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "id long, warc_day string"
+    )
+    io.overwrite_partitioned(df, "documents/slice=0", ["warc_day"])
+    back = io.read("documents/slice=0")
+    assert sorted(r["id"] for r in back.collect()) == [1, 2]
+    # partition layout on disk (pruning-ready)
+    assert (tmp_path / "documents" / "slice=0" / "warc_day=2024-01-01").exists()
+    io.append(df.where("id = 1"), "documents/slice=0", ["warc_day"])
+    assert io.read("documents/slice=0").count() == 3
+
+    ice = TableIO(spark, "iceberg", catalog="prod", namespace="crawl")
+    assert ice.identifier("documents") == "prod.crawl.documents"
+    with pytest.raises(ValueError):
+        TableIO(spark, "parquet")  # no root
+    with pytest.raises(ValueError):
+        TableIO(spark, "iceberg")  # no catalog
+    with pytest.raises(ValueError):
+        TableIO(spark, "delta", root="x")
