@@ -45,6 +45,8 @@ def _read_subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
 
 def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
     """GIF LZW: variable-width codes packed LSB-first, 12-bit cap."""
+    if not 2 <= min_code_size <= 11:
+        raise GifError(f"bad LZW minimum code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
     # bit reader over the whole stream as one integer-array window
@@ -111,15 +113,25 @@ def _deinterlace(idx: np.ndarray, w: int, h: int) -> np.ndarray:
     return out.ravel()
 
 
+MAX_PIXELS = 64_000_000  # reject absurd declared dimensions before allocating
+
+
 def decode_gif(data: bytes):
     """GIF bytes → ``(width, height, frames)`` with
     ``frames = [(rgb_array (H,W,3) uint8, delay_ms), ...]`` — each frame
     fully composited onto the canvas per its predecessors' disposal
     methods (0/1 leave, 2 restore-to-background, 3 restore-to-previous).
+
+    Untrusted-input hardening (this runs inside the extraction kernel over
+    crawled payloads): logical-screen and frame dimensions are validated
+    *before* any allocation — a corrupt header claiming 65535×65535 would
+    otherwise demand a 12 GB canvas.
     """
     if data[:6] not in SIGNATURES:
         raise GifError("not a GIF")
     w, h, packed, bg_index, _ = struct.unpack("<HHBBB", data[6:13])
+    if w == 0 or h == 0 or w * h > MAX_PIXELS:
+        raise GifError(f"unreasonable logical screen {w}x{h}")
     pos = 13
     gct = None
     if packed & 0x80:
@@ -153,6 +165,10 @@ def decode_gif(data: bytes):
             raise GifError(f"unexpected block 0x{block:02x}")
         left, top, fw, fh, fpacked = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
+        if fw == 0 or fh == 0 or left + fw > w or top + fh > h:
+            raise GifError(
+                f"frame rect {fw}x{fh}@({left},{top}) outside {w}x{h} screen"
+            )
         palette = gct
         if fpacked & 0x80:
             n = 2 << (fpacked & 0x07)

@@ -3,6 +3,7 @@
 
 import numpy as np
 import pytest
+from struct import error as struct_error
 from hypothesis import given, settings, strategies as st
 
 pytestmark = pytest.mark.unit
@@ -53,3 +54,63 @@ def test_png_decoder_never_hangs_on_garbage(data):
         decode_png(b"\x89PNG\r\n\x1a\n" + data)
     except Exception as exc:  # noqa: BLE001 — must raise cleanly, not hang
         assert isinstance(exc, (PngError, ValueError, Exception))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    n_frames=st.integers(1, 4),
+    pal_bits=st.sampled_from([2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(h, w, n_frames, pal_bits, seed):
+    """Index frames → encode → decode → exact palette-mapped pixels, with
+    disposal=1 compositing (full-frame paints make every frame exact)."""
+    from doc_parser_spark.core.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(seed)
+    n_colors = 1 << pal_bits
+    palette = rng.randint(0, 256, size=(n_colors, 3)).astype(np.uint8)
+    frames = [
+        (rng.randint(0, n_colors, size=(h, w)).astype(np.uint8), float(i * 10))
+        for i in range(n_frames)
+    ]
+    gw, gh, out = decode_gif(encode_gif(frames, palette, disposal=1))
+    assert (gw, gh) == (w, h) and len(out) == n_frames
+    for (idx, delay), (rgb, odelay) in zip(frames, out):
+        assert odelay == delay
+        assert np.array_equal(rgb, palette[idx])
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_gif_decoder_never_hangs_on_garbage(data):
+    from doc_parser_spark.core.gif import GifError, decode_gif
+
+    try:
+        decode_gif(b"GIF89a" + data)
+    except (GifError, IndexError, ValueError, struct_error):
+        pass
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    blobs=st.lists(st.binary(min_size=1, max_size=500), min_size=1, max_size=8),
+    fps=st.floats(1.0, 120.0),
+)
+def test_avi_roundtrip_property(blobs, fps):
+    from doc_parser_spark.core.avi import build_avi, parse_avi
+
+    usec, frames = parse_avi(build_avi(blobs, fps=fps))
+    assert frames == blobs
+    assert usec == int(1e6 / fps)
+
+
+def test_avi_empty_chunks_are_dropped_frames():
+    """Zero-length 00dc chunks are dropped-frame placeholders in real AVIs
+    — the parser must skip them, not emit empty payloads."""
+    from doc_parser_spark.core.avi import build_avi, parse_avi
+
+    _, frames = parse_avi(build_avi([b"", b"\xff\xd8x", b""], fps=10.0))
+    assert frames == [b"\xff\xd8x"]
