@@ -64,6 +64,7 @@ class TableCellData:
     end_col: int = 1
     column_header: bool = False
     row_header: bool = False
+    row_section: bool = False
 
 
 @dataclass
@@ -108,6 +109,21 @@ class Node:
     bold: bool = False
     italic: bool = False
     hyperlink: str = ""
+    underline: bool = False
+    strikethrough: bool = False
+    script: str = "baseline"
+    # emit a ``formatting`` object in the DoclingDocument JSON sink — mirrors
+    # "Formatting is not None" in the reference model (set by run-aware
+    # backends like DOCX even when every flag is False)
+    has_formatting: bool = False
+    # original text before sanitization when it differs (JSON ``orig`` field)
+    orig: Optional[str] = None
+    # provenance for geometry-aware backends: emitting a prov entry requires
+    # a charspan; coord_origin is BOTTOMLEFT for PPTX (EMU), TOPLEFT for XLSX
+    charspan: Optional[tuple[int, int]] = None
+    coord_origin: str = "TOPLEFT"
+    # embedded picture metadata for the JSON sink ({mimetype, dpi, size})
+    image_meta: Optional[dict] = None
 
     @property
     def is_group(self) -> bool:
@@ -163,6 +179,7 @@ class Document:
     ) -> Node:
         node = self._attach(label, parent, "texts")
         node.text = text
+        node.orig = text  # frozen at creation (docling add_text); later .text mutations don't touch it
         node.content_layer = content_layer
         node.page_no = page_no
         node.bbox = bbox
@@ -179,6 +196,7 @@ class Document:
     ) -> Node:
         node = self._attach(SECTION_HEADER, parent, "texts")
         node.text = text
+        node.orig = text  # frozen at creation (docling add_text); later .text mutations don't touch it
         node.level = level
         node.content_layer = content_layer
         node.page_no = page_no
@@ -194,6 +212,7 @@ class Document:
     ) -> Node:
         node = self._attach(CODE, parent, "texts")
         node.text = text
+        node.orig = text  # frozen at creation (docling add_text); later .text mutations don't touch it
         node.content_layer = content_layer
         node.page_no = page_no
         return node
@@ -231,6 +250,7 @@ class Document:
     ) -> Node:
         node = self._attach(LIST_ITEM, parent, "texts")
         node.text = text
+        node.orig = text  # frozen at creation (docling add_text); later .text mutations don't touch it
         node.enumerated = enumerated
         node.marker = marker
         node.content_layer = content_layer

@@ -778,17 +778,21 @@ def _parse_xml_table(table_xml: str) -> Optional[model.TableData]:
                 ]
                 if text:
                     is_row_empty = False
+                # the reference appends the SAME spanning cell once per
+                # covered column (uspto_backend.py:1635-1650 irep loop), so
+                # spans appear duplicated in table_cells — kept for JSON
+                # groundtruth parity
                 for _ in range(cell_range[0], cell_range[1] + 1):
                     ncols += 1
-                local_row.append(
-                    model.TableCellData(
-                        column_header=is_header, text=text,
-                        start_row=i_row_global, end_row=i_row_global + 1,
-                        row_span=1,
-                        start_col=cell_range[0], end_col=cell_range[1] + 1,
-                        col_span=cell_range[1] - cell_range[0] + 1,
+                    local_row.append(
+                        model.TableCellData(
+                            column_header=is_header, text=text,
+                            start_row=i_row_global, end_row=i_row_global + 1,
+                            row_span=1,
+                            start_col=cell_range[0], end_col=cell_range[1] + 1,
+                            col_span=cell_range[1] - cell_range[0] + 1,
+                        )
                     )
-                )
                 for cc in range(cell_range[0], min(cell_range[1] + 1, ncols_max)):
                     local_grid[cc] = text
             if wrong_nbr_cols:
