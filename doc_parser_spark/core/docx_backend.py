@@ -341,7 +341,8 @@ class DocxConverter:
     def _make_node(self, parent, text, fmt, hyperlink, label=model.PARAGRAPH):
         node = self.doc.add_text(text=text, label=label, parent=parent)
         if fmt is not None:
-            node.bold, node.italic = fmt[0], fmt[1]
+            node.bold, node.italic, node.underline = fmt
+            node.has_formatting = True
         if hyperlink:
             node.hyperlink = hyperlink
         return node
@@ -414,7 +415,8 @@ class DocxConverter:
                     parent=self.parents[level], text=text,
                 )
                 if fmt is not None:
-                    node.bold, node.italic = fmt[0], fmt[1]
+                    node.bold, node.italic, node.underline = fmt
+                    node.has_formatting = True
                 if hyperlink:
                     node.hyperlink = hyperlink
         else:
@@ -778,9 +780,57 @@ class DocxConverter:
 
     # -- pictures -----------------------------------------------------------------
 
-    def _handle_pictures(self) -> None:
+    def _handle_pictures(self, drawing_blip=None) -> None:
         level = self._get_level()
-        self.doc.add_picture(parent=self.parents[level - 1], caption=None)
+        node = self.doc.add_picture(parent=self.parents[level - 1], caption=None)
+        node.image_meta = self._image_meta_from_blip(drawing_blip)
+
+    def _image_meta_from_blip(self, drawing_blip) -> Optional[dict]:
+        """Decode the blip's media part into an ImageRef-shaped dict
+        (reference: msword_backend.py:1125-1163 — PIL load, dpi=72,
+        add_picture without image when the codec can't read it, e.g. EMF).
+
+        The data URI is OUR PNG encoder's byte stream: the committed
+        groundtruth URIs came from a zlib-ng-accelerated Pillow whose
+        deflate output stock zlib cannot reproduce, so parity on this one
+        field is pixel-level, not byte-level (see
+        tests_our/smoke/test_docling_json_parity.py)."""
+        if not drawing_blip:
+            return None
+        rid = drawing_blip[0].get(f"{_R_NS}embed")
+        target = self.rels.get(rid or "")
+        if not target:
+            return None
+        path = target if target.startswith("word/") else f"word/{target.lstrip('/')}"
+        try:
+            blob = self.zf.read(path)
+        except KeyError:
+            return None
+        try:
+            if blob[:8] == b"\x89PNG\r\n\x1a\n":
+                from .png import decode_png
+
+                arr = decode_png(blob)
+            elif blob[:2] == b"\xff\xd8":
+                from .jpeg import decode_jpeg
+
+                arr = decode_jpeg(blob)
+            else:  # EMF/WMF etc. — the reference's PIL load fails the same way
+                return None
+        except Exception:
+            return None
+        import base64
+
+        from .png import encode_png
+
+        h, w = arr.shape[:2]
+        uri = "data:image/png;base64," + base64.b64encode(encode_png(arr)).decode()
+        return {
+            "mimetype": "image/png",
+            "dpi": 72,
+            "size": {"width": float(w), "height": float(h)},
+            "uri": uri,
+        }
 
     # -- body walk ------------------------------------------------------------------
 
@@ -829,7 +879,7 @@ class DocxConverter:
                 except Exception:
                     pass  # broken docx table
             elif drawing_blip:
-                self._handle_pictures()
+                self._handle_pictures(drawing_blip)
                 if tag_name == "p" and element.find(f".//{_W}t") is not None:
                     self._handle_text_elements(element)
             elif tag_name == "sdt":
