@@ -23,6 +23,7 @@ Container routing sniffs ``[Content_Types].xml`` / well-known member paths
 from __future__ import annotations
 
 import io
+import posixpath
 import re
 import zipfile
 from xml.etree import ElementTree as ET
@@ -242,31 +243,68 @@ def _xlsx_sheet_targets(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
     return out
 
 
-def _xlsx_sheet_pictures(zf: zipfile.ZipFile, sheet_path: str) -> int:
-    """Number of embedded pictures on the sheet (openpyxl ``ws._images``:
-    <xdr:pic> elements of the sheet drawing; charts are graphicFrames and
-    are dropped, matching the reference)."""
+_XDR = "{http://schemas.openxmlformats.org/drawingml/2006/spreadsheetDrawing}"
+
+
+def _xlsx_sheet_images(
+    zf: zipfile.ZipFile, sheet_path: str
+) -> list[tuple[tuple[int, int, int, int], bytes]]:
+    """(anchor box, image bytes) per embedded picture, in drawing document
+    order (openpyxl ``ws._images``). The anchor is the TwoCellAnchor grid
+    box (from.col, from.row, to.col+1, to.row+1); one-cell/absolute anchors
+    yield (0, 0, 0, 0) (msexcel_backend.py:494-502). Charts are
+    graphicFrames and are dropped, matching the reference."""
     m = re.match(r"xl/worksheets/(sheet[^/]+)$", sheet_path)
     if not m:
-        return 0
+        return []
     rels_path = f"xl/worksheets/_rels/{m.group(1)}.rels"
     try:
         rroot = ET.fromstring(zf.read(rels_path))
     except (KeyError, ET.ParseError):
-        return 0
-    count = 0
-    xdr = "{http://schemas.openxmlformats.org/drawingml/2006/spreadsheetDrawing}"
-    for rel in rroot.iter(
-        "{http://schemas.openxmlformats.org/package/2006/relationships}Relationship"
-    ):
-        if rel.get("Type", "").endswith("/drawing"):
-            target = rel.get("Target", "").replace("../", "xl/")
+        return []
+    out: list[tuple[tuple[int, int, int, int], bytes]] = []
+    for rel in rroot.iter(f"{_REL_NS}Relationship"):
+        if not rel.get("Type", "").endswith("/drawing"):
+            continue
+        target = rel.get("Target", "").replace("../", "xl/")
+        try:
+            droot = ET.fromstring(zf.read(target))
+        except (KeyError, ET.ParseError):
+            continue
+        drels = _pptx_part_rels(zf, target)
+
+        def _cellref(el, tag):
+            node = el.find(f"{_XDR}{tag}")
             try:
-                droot = ET.fromstring(zf.read(target))
-            except (KeyError, ET.ParseError):
+                return (
+                    int(node.find(f"{_XDR}col").text),
+                    int(node.find(f"{_XDR}row").text),
+                )
+            except (AttributeError, TypeError, ValueError):
+                return 0, 0
+
+        for anchor_el in droot:
+            if anchor_el.tag == f"{_XDR}twoCellAnchor":
+                fc, fr = _cellref(anchor_el, "from")
+                tc, tr = _cellref(anchor_el, "to")
+                anchor = (fc, fr, tc + 1, tr + 1)
+            elif anchor_el.tag in (
+                f"{_XDR}oneCellAnchor", f"{_XDR}absoluteAnchor"
+            ):
+                anchor = (0, 0, 0, 0)
+            else:
                 continue
-            count += sum(1 for _ in droot.iter(f"{xdr}pic"))
-    return count
+            for pic in anchor_el.iter(f"{_XDR}pic"):
+                blip = pic.find(f".//{_A}blip")
+                rid = blip.get(f"{_R_NS}embed") if blip is not None else None
+                media = drels.get(rid or "")
+                if not media:
+                    continue
+                try:
+                    out.append((anchor, zf.read(media)))
+                except KeyError:
+                    continue
+    return out
 
 
 def extract_xlsx(payload: bytes) -> Document:
@@ -318,6 +356,16 @@ def extract_xlsx(payload: bytes) -> Document:
             name=f"sheet: {sheet_name}", label=model.GROUP_SECTION
         )
         page_no = sheet_idx + 1
+        # every item's TOPLEFT grid bbox; the page size is the overall
+        # extent (right-left, bottom-top) once the sheet is done
+        # (msexcel_backend.py:192-203, 521-545)
+        sheet_boxes: list[tuple[float, float, float, float]] = []
+
+        def set_prov(node, l, t, r, b):
+            node.bbox = (float(l), float(t), float(r), float(b))
+            node.coord_origin = "TOPLEFT"
+            node.charspan = (0, 0)
+            sheet_boxes.append(node.bbox)
 
         def merged_at(r: int, c: int):
             for mr in merged:
@@ -379,11 +427,27 @@ def extract_xlsx(payload: bytes) -> Document:
                                     if rr - sr < num_rows and cc - sc < num_cols:
                                         grid[rr - sr][cc - sc] = text
                     table.grid = grid
-                    doc.add_table(data=table, parent=group, page_no=page_no)
+                    node = doc.add_table(
+                        data=table, parent=group, page_no=page_no
+                    )
+                    set_prov(node, sc, sr, sc + num_cols, sr + num_rows)
                     visited.update(cell_visited)
 
-        for _ in range(_xlsx_sheet_pictures(zf, path)):
-            doc.add_picture(parent=group, page_no=page_no)
+        for anchor, blob in _xlsx_sheet_images(zf, path):
+            meta = _raster_image_meta(blob, dpi=72)
+            if meta is None:  # "could not extract the image from excel sheets"
+                continue
+            node = doc.add_picture(parent=group, page_no=page_no)
+            node.image_meta = meta
+            set_prov(node, *anchor)
+
+        if sheet_boxes:
+            doc.page_sizes[page_no] = (
+                max(b[2] for b in sheet_boxes) - min(b[0] for b in sheet_boxes),
+                max(b[3] for b in sheet_boxes) - min(b[1] for b in sheet_boxes),
+            )
+        else:
+            doc.page_sizes[page_no] = (0.0, 0.0)
     return doc
 
 
@@ -418,17 +482,198 @@ def _pptx_slide_targets(zf: zipfile.ZipFile) -> list[str]:
     return out
 
 
-def _pptx_para_text(p) -> str:
+def _pptx_para_text(p, br: str = " ") -> str:
     """python-pptx content_children walk: runs + fields keep their text,
-    line breaks become single spaces (mspowerpoint_backend.py:158-163)."""
+    line breaks become ``br`` — a single space in the reference's paragraph
+    accumulation (mspowerpoint_backend.py:158-163), a vertical tab in
+    python-pptx ``.text`` properties (used for charspans/cell text)."""
     parts = []
     for child in p:
         if child.tag in (f"{_A}r", f"{_A}fld"):
             t = child.find(f"{_A}t")
             parts.append(t.text or "" if t is not None else "")
         elif child.tag == f"{_A}br":
-            parts.append(" ")
+            parts.append(br)
     return "".join(parts)
+
+
+def _pptx_frame_text(body) -> str:
+    """python-pptx TextFrame.text: paragraphs joined with newlines, line
+    breaks as vertical tabs."""
+    return "\n".join(
+        _pptx_para_text(p, br="\v") for p in body.findall(f"{_A}p")
+    )
+
+
+# layout -> master placeholder-type fallback map
+# (python-pptx placeholder.py LayoutPlaceholder._base_placeholder)
+_PH_BASE_TYPE = {
+    "body": "body", "chart": "body", "clipArt": "body", "ctrTitle": "title",
+    "dgm": "body", "dt": "dt", "ftr": "ftr", "media": "body", "obj": "body",
+    "pic": "body", "sldNum": "sldNum", "subTitle": "body", "title": "title",
+    "tbl": "body",
+}
+
+
+def _pptx_ph(el):
+    """The shape's p:ph element (placeholder marker), if any."""
+    for tag in ("nvSpPr", "nvPicPr", "nvGraphicFramePr", "nvGrpSpPr"):
+        ph = el.find(f"{_P}{tag}/{_P}nvPr/{_P}ph")
+        if ph is not None:
+            return ph
+    return None
+
+
+def _pptx_shape_xfrm(el) -> dict:
+    """Directly-applied EMU geometry from the shape's own xfrm element
+    (python-pptx BaseShape.left/top/width/height; graphicFrames carry a
+    p:xfrm child, other shapes spPr/a:xfrm)."""
+    if el.tag == f"{_P}graphicFrame":
+        xfrm = el.find(f"{_P}xfrm")
+    else:
+        xfrm = el.find(f"{_P}spPr/{_A}xfrm")
+    vals: dict = {}
+    if xfrm is None:
+        return vals
+    off, ext = xfrm.find(f"{_A}off"), xfrm.find(f"{_A}ext")
+    try:
+        if off is not None:
+            vals["left"], vals["top"] = int(off.get("x")), int(off.get("y"))
+        if ext is not None:
+            vals["width"] = int(ext.get("cx"))
+            vals["height"] = int(ext.get("cy"))
+    except (TypeError, ValueError):
+        return {}
+    return vals
+
+
+def _pptx_part_rels(zf: zipfile.ZipFile, part_path: str) -> dict[str, str]:
+    """rId -> zip member path for a part's relationships."""
+    base = part_path.rsplit("/", 1)[0]
+    rels_path = f"{base}/_rels/{part_path.rsplit('/', 1)[1]}.rels"
+    out: dict[str, str] = {}
+    try:
+        rroot = ET.fromstring(zf.read(rels_path))
+    except (KeyError, ET.ParseError):
+        return out
+    for rel in rroot.iter(f"{_REL_NS}Relationship"):
+        target = rel.get("Target", "")
+        if target.startswith("/"):
+            resolved = target.lstrip("/")
+        else:
+            resolved = posixpath.normpath(posixpath.join(base, target))
+        out[rel.get("Id", "")] = resolved
+    return out
+
+
+def _pptx_rel_root(zf, rels: dict[str, str], rroot_types: dict[str, str],
+                   type_suffix: str):
+    """(path, parsed root) of the first relationship whose Type ends with
+    ``type_suffix``, or None."""
+    for rid, target in rels.items():
+        if rroot_types.get(rid, "").endswith(type_suffix):
+            try:
+                return target, ET.fromstring(zf.read(target))
+            except (KeyError, ET.ParseError):
+                return None
+    return None
+
+
+def _pptx_rel_types(zf: zipfile.ZipFile, part_path: str) -> dict[str, str]:
+    base = part_path.rsplit("/", 1)[0]
+    rels_path = f"{base}/_rels/{part_path.rsplit('/', 1)[1]}.rels"
+    try:
+        rroot = ET.fromstring(zf.read(rels_path))
+    except (KeyError, ET.ParseError):
+        return {}
+    return {
+        rel.get("Id", ""): rel.get("Type", "")
+        for rel in rroot.iter(f"{_REL_NS}Relationship")
+    }
+
+
+def _pptx_layout_geoms(zf: zipfile.ZipFile, slide_path: str,
+                       rels: dict[str, str]) -> dict[str, dict]:
+    """ph idx -> resolved layout placeholder geometry, layout values with
+    master fallback by mapped placeholder type (python-pptx
+    _InheritsGeometryMixin / LayoutPlaceholder._base_placeholder)."""
+    found = _pptx_rel_root(zf, rels, _pptx_rel_types(zf, slide_path),
+                           "/slideLayout")
+    if found is None:
+        return {}
+    layout_path, lroot = found
+    lrels = _pptx_part_rels(zf, layout_path)
+    master = _pptx_rel_root(zf, lrels, _pptx_rel_types(zf, layout_path),
+                            "/slideMaster")
+    master_by_type: dict[str, dict] = {}
+    if master is not None:
+        for sp in master[1].iter(f"{_P}sp"):
+            ph = _pptx_ph(sp)
+            if ph is not None:
+                master_by_type.setdefault(
+                    ph.get("type", "obj"), _pptx_shape_xfrm(sp)
+                )
+    out: dict[str, dict] = {}
+    for sp in lroot.iter(f"{_P}sp"):
+        ph = _pptx_ph(sp)
+        if ph is None:
+            continue
+        vals = dict(_pptx_shape_xfrm(sp))
+        base = master_by_type.get(
+            _PH_BASE_TYPE.get(ph.get("type", "obj"), ""), {}
+        )
+        for k, v in base.items():
+            vals.setdefault(k, v)
+        out.setdefault(ph.get("idx", "0"), vals)
+    return out
+
+
+class _PptxCtx:
+    """Per-slide walk context: zip handle, slide rels, resolved layout
+    placeholder geometry, slide size in EMU."""
+
+    def __init__(self, zf, rels, ph_geoms, slide_size):
+        self.zf = zf
+        self.rels = rels
+        self.ph_geoms = ph_geoms
+        self.slide_size = slide_size
+
+
+def _pptx_geom(el, ctx: "_PptxCtx") -> dict:
+    """Effective shape geometry: own xfrm attrs, missing ones inherited from
+    the layout placeholder with the same idx (python-pptx per-attribute
+    _effective_value)."""
+    vals = dict(_pptx_shape_xfrm(el))
+    ph = _pptx_ph(el)
+    if ph is not None:
+        for k, v in ctx.ph_geoms.get(ph.get("idx", "0"), {}).items():
+            vals.setdefault(k, v)
+    return vals
+
+
+def _pptx_set_prov(node, vals: dict, page_no: int, text: str,
+                   slide_size: tuple[int, int]) -> None:
+    """generate_prov (mspowerpoint_backend.py:103-121): a falsy left (absent
+    OR zero) yields the full-slide bbox; BoundingBox.from_tuple with
+    BOTTOMLEFT stores (l=left, b=top, r=left+w, t=top+h) with min/max
+    swaps; charspan is [0, len(text)]."""
+    if vals.get("left"):
+        left, top = vals["left"], vals.get("top") or 0
+        width = vals.get("width") or 0
+        height = vals.get("height") or 0
+    else:
+        left, top = 0, 0
+        width, height = slide_size
+    l, b = float(left), float(top)
+    r, t = float(left + width), float(top + height)
+    if r < l:
+        l, r = r, l
+    if b > t:
+        b, t = t, b
+    node.bbox = (l, t, r, b)
+    node.coord_origin = "BOTTOMLEFT"
+    node.charspan = (0, len(text))
+    node.page_no = page_no
 
 
 def _pptx_is_list_item(p) -> tuple[bool, bool]:
@@ -445,20 +690,16 @@ def _pptx_is_list_item(p) -> tuple[bool, bool]:
 
 
 def _pptx_cell_text(tc) -> str:
-    """python-pptx cell.text: paragraph texts joined with newlines, then
-    stripped (mspowerpoint_backend.py:297)."""
-    paras = []
+    """python-pptx cell.text: paragraph texts joined with newlines, breaks
+    as vertical tabs, then stripped (mspowerpoint_backend.py:297)."""
     body = tc.find(f"{_A}txBody")
     if body is None:
         return ""
-    for p in body.findall(f"{_A}p"):
-        paras.append("".join(
-            (t.text or "") for t in p.iter(f"{_A}t")
-        ))
-    return "\n".join(paras).strip()
+    return _pptx_frame_text(body).strip()
 
 
-def _pptx_handle_table(tbl, doc: Document, parent: model.Node, page_no: int) -> None:
+def _pptx_handle_table(tbl, doc: Document, parent: model.Node, page_no: int,
+                       vals: dict, slide_size: tuple[int, int]) -> None:
     rows = tbl.findall(f"{_A}tr")
     num_rows = len(rows)
     num_cols = max((len(tr.findall(f"{_A}tc")) for tr in rows), default=0)
@@ -486,7 +727,8 @@ def _pptx_handle_table(tbl, doc: Document, parent: model.Node, page_no: int) -> 
                     grid[rr][cc] = text
     table.grid = grid
     if any_cell:
-        doc.add_table(data=table, parent=parent, page_no=page_no)
+        node = doc.add_table(data=table, parent=parent, page_no=page_no)
+        _pptx_set_prov(node, vals, page_no, "", slide_size)
 
 
 def _pptx_placeholder_type(sp) -> str:
@@ -496,13 +738,16 @@ def _pptx_placeholder_type(sp) -> str:
     return ph.get("type", "body")
 
 
-def _pptx_handle_text(sp, doc: Document, parent: model.Node, page_no: int) -> None:
+def _pptx_handle_text(sp, doc: Document, parent: model.Node, page_no: int,
+                      vals: dict, slide_size: tuple[int, int]) -> None:
     body = sp.find(f"{_P}txBody")
     if body is None:
         return
     paras = body.findall(f"{_A}p")
-    shape_text = "\n".join(_pptx_para_text(p) for p in paras)
-    if not shape_text.strip():
+    # emptiness gate + charspan both use python-pptx shape.text.strip()
+    # (mspowerpoint_backend.py:128,361-363)
+    shape_text = _pptx_frame_text(body).strip()
+    if not shape_text:
         return
     ph_type = _pptx_placeholder_type(sp)
     is_title = ph_type in ("title", "ctrTitle")
@@ -519,7 +764,7 @@ def _pptx_handle_text(sp, doc: Document, parent: model.Node, page_no: int) -> No
             if enumerated:
                 enum_value += 1
                 marker = f"{enum_value}."
-            doc.add_list_item(
+            node = doc.add_list_item(
                 text=p_text, enumerated=enumerated, marker=marker,
                 parent=list_group, page_no=page_no,
             )
@@ -527,22 +772,142 @@ def _pptx_handle_text(sp, doc: Document, parent: model.Node, page_no: int) -> No
             # subtitle keeps PARAGRAPH (the reference's SECTION_HEADER
             # assignment is a bare no-op expression, mspowerpoint_backend.py:201)
             label = model.TITLE if is_title else model.PARAGRAPH
-            doc.add_text(text=p_text, label=label, parent=parent, page_no=page_no)
+            node = doc.add_text(
+                text=p_text, label=label, parent=parent, page_no=page_no
+            )
+        _pptx_set_prov(node, vals, page_no, shape_text, slide_size)
 
 
-def _pptx_walk_shapes(el, doc: Document, parent: model.Node, page_no: int) -> None:
+def _pptx_png_dpi(blob: bytes) -> float | None:
+    """PNG pHYs horizontal density as PIL reports it (meters -> dpi)."""
+    pos = 8
+    while pos + 8 <= len(blob):
+        length = int.from_bytes(blob[pos:pos + 4], "big")
+        ctype = blob[pos + 4:pos + 8]
+        if ctype == b"pHYs" and length >= 9:
+            ppux = int.from_bytes(blob[pos + 8:pos + 12], "big")
+            unit = blob[pos + 16]
+            if unit == 1:  # meters
+                return ppux * 0.0254
+            return None
+        if ctype == b"IDAT":
+            return None
+        pos += 12 + length
+    return None
+
+
+def _pptx_jpeg_dpi(blob: bytes) -> float | None:
+    """JFIF APP0 horizontal density (units 1=dpi, 2=dpcm)."""
+    if blob[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            return None
+        marker = blob[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = int.from_bytes(blob[pos + 2:pos + 4], "big")
+        if marker == 0xE0 and blob[pos + 4:pos + 9] == b"JFIF\x00":
+            units = blob[pos + 11]
+            xdens = int.from_bytes(blob[pos + 12:pos + 14], "big")
+            if units == 1:
+                return float(xdens)
+            if units == 2:
+                return xdens * 2.54
+            return None
+        if marker == 0xDA:
+            return None
+        pos += 2 + seglen
+    return None
+
+
+def _raster_image_meta(blob: bytes, dpi: int | None = None) -> dict | None:
+    """Decode an embedded raster into an ImageRef-shaped dict the way the
+    reference does (PIL open + ImageRef.from_pil; undecodable images return
+    None and the picture is dropped). With ``dpi=None`` the density comes
+    from the image header per python-pptx Image.dpi (rounded, clamped to
+    [1, 2048] else 72, mspowerpoint_backend.py:235-256); callers like XLSX
+    pass a fixed dpi (msexcel_backend.py:505)."""
+    dpi_raw = None
+    try:
+        if blob[:8] == b"\x89PNG\r\n\x1a\n":
+            from .png import decode_png
+
+            arr = decode_png(blob)
+            dpi_raw = _pptx_png_dpi(blob)
+        elif blob[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg
+
+            arr = decode_jpeg(blob)
+            dpi_raw = _pptx_jpeg_dpi(blob)
+        else:
+            return None
+    except Exception:
+        return None
+    if dpi is None:
+        try:
+            dpi = int(round(float(dpi_raw)))
+            if dpi < 1 or dpi > 2048:
+                dpi = 72
+        except (TypeError, ValueError):
+            dpi = 72
+    import base64
+
+    from .png import encode_png
+
+    h, w = arr.shape[:2]
+    uri = "data:image/png;base64," + base64.b64encode(encode_png(arr)).decode()
+    return {
+        "mimetype": "image/png",
+        "dpi": dpi,
+        "size": {"width": float(w), "height": float(h)},
+        "uri": uri,
+    }
+
+
+def _pptx_handle_picture(pic, doc: Document, parent: model.Node, page_no: int,
+                         vals: dict, ctx: "_PptxCtx") -> None:
+    blip = pic.find(f".//{_A}blip")
+    rid = blip.get(f"{_R_NS}embed") if blip is not None else None
+    target = ctx.rels.get(rid or "")
+    if not target:  # linked (not embedded) image: hasattr(shape,'image') False
+        return
+    try:
+        blob = ctx.zf.read(target)
+    except KeyError:
+        return
+    meta = _raster_image_meta(blob)
+    if meta is None:
+        return
+    node = doc.add_picture(parent=parent, page_no=page_no)
+    node.image_meta = meta
+    _pptx_set_prov(node, vals, page_no, "", ctx.slide_size)
+
+
+def _pptx_walk_shapes(el, doc: Document, parent: model.Node, page_no: int,
+                      ctx: "_PptxCtx") -> None:
     for child in el:
         tag = child.tag
         if tag == f"{_P}grpSp":  # groups recurse, members flatten in order
-            _pptx_walk_shapes(child, doc, parent, page_no)
+            _pptx_walk_shapes(child, doc, parent, page_no, ctx)
         elif tag == f"{_P}graphicFrame":
             tbl = child.find(f".//{_A}tbl")
             if tbl is not None:
-                _pptx_handle_table(tbl, doc, parent, page_no)
+                _pptx_handle_table(
+                    tbl, doc, parent, page_no, _pptx_geom(child, ctx),
+                    ctx.slide_size,
+                )
         elif tag == f"{_P}pic":
-            doc.add_picture(parent=parent, page_no=page_no)
+            _pptx_handle_picture(
+                child, doc, parent, page_no, _pptx_geom(child, ctx), ctx
+            )
         elif tag == f"{_P}sp":
-            _pptx_handle_text(child, doc, parent, page_no)
+            _pptx_handle_text(
+                child, doc, parent, page_no, _pptx_geom(child, ctx),
+                ctx.slide_size,
+            )
 
 
 def extract_pptx(payload: bytes) -> Document:
@@ -552,42 +917,62 @@ def extract_pptx(payload: bytes) -> Document:
     title placeholders → TITLE, other non-list paragraphs → PARAGRAPH,
     bullet/auto-numbered/indented paragraphs → one list group per shape
     with explicit ``N.`` markers for numbered items
-    (``mspowerpoint_backend.py:124-398``)."""
+    Geometry-aware like the reference: every item carries a prov entry with
+    the shape's EMU bbox (full-slide box when the effective left is falsy),
+    slide sizes land in ``pages``, and embedded pictures become ImageRef
+    data URIs (``mspowerpoint_backend.py:103-398``)."""
     zf = zipfile.ZipFile(io.BytesIO(payload))
     doc = Document()
+    slide_size = _pptx_slide_size(zf)
     for i, path in enumerate(_pptx_slide_targets(zf)):
         try:
             root = ET.fromstring(zf.read(path))
         except ET.ParseError:
             continue
         slide_group = doc.add_group(name=f"slide-{i}", label=model.GROUP_CHAPTER)
+        doc.page_sizes[i + 1] = (float(slide_size[0]), float(slide_size[1]))
+        rels = _pptx_part_rels(zf, path)
+        ctx = _PptxCtx(zf, rels, _pptx_layout_geoms(zf, path, rels), slide_size)
         sp_tree = root.find(f"{_P}cSld/{_P}spTree")
         if sp_tree is not None:
-            _pptx_walk_shapes(sp_tree, doc, slide_group, i + 1)
-        # notes → furniture text (mspowerpoint_backend.py:380-398)
-        m = re.match(r"ppt/slides/(slide[^/]+)\.xml$", path)
-        if m:
-            rels_path = f"ppt/slides/_rels/{m.group(1)}.xml.rels"
-            try:
-                rroot = ET.fromstring(zf.read(rels_path))
-            except (KeyError, ET.ParseError):
-                continue
-            for rel in rroot.iter(f"{_REL_NS}Relationship"):
-                if rel.get("Type", "").endswith("/notesSlide"):
-                    target = "ppt/" + rel.get("Target", "").replace("../", "")
-                    try:
-                        nroot = ET.fromstring(zf.read(target))
-                    except (KeyError, ET.ParseError):
-                        continue
-                    notes = "\n".join(
-                        _pptx_para_text(p) for p in nroot.iter(f"{_A}p")
-                    ).strip()
-                    if notes:
-                        doc.add_text(
-                            text=notes, label=model.TEXT, parent=slide_group,
-                            content_layer=model.FURNITURE, page_no=i + 1,
-                        )
+            _pptx_walk_shapes(sp_tree, doc, slide_group, i + 1, ctx)
+        # notes → furniture text with a zero TOPLEFT bbox
+        # (mspowerpoint_backend.py:380-398); only the body placeholder frame
+        # counts (python-pptx NotesSlide.notes_text_frame)
+        found = _pptx_rel_root(zf, rels, _pptx_rel_types(zf, path), "/notesSlide")
+        if found is not None:
+            for sp in found[1].iter(f"{_P}sp"):
+                ph = _pptx_ph(sp)
+                if ph is None or ph.get("type") != "body":
+                    continue
+                body = sp.find(f"{_P}txBody")
+                notes = _pptx_frame_text(body).strip() if body is not None else ""
+                if notes:
+                    node = doc.add_text(
+                        text=notes, label=model.TEXT, parent=slide_group,
+                        content_layer=model.FURNITURE, page_no=i + 1,
+                    )
+                    node.bbox = (0.0, 0.0, 0.0, 0.0)
+                    node.coord_origin = "TOPLEFT"
+                    node.charspan = (0, len(notes))
+                break
     return doc
+
+
+def _pptx_slide_size(zf: zipfile.ZipFile) -> tuple[int, int]:
+    """Presentation-level slide size in EMU (p:sldSz; python-pptx default
+    10x7.5in when absent)."""
+    try:
+        proot = ET.fromstring(zf.read("ppt/presentation.xml"))
+    except (KeyError, ET.ParseError):
+        return 9144000, 6858000
+    sldsz = proot.find(f"{_P}sldSz")
+    if sldsz is None:
+        return 9144000, 6858000
+    try:
+        return int(sldsz.get("cx")), int(sldsz.get("cy"))
+    except (TypeError, ValueError):
+        return 9144000, 6858000
 
 
 # -- HWPX --------------------------------------------------------------------
