@@ -26,6 +26,7 @@ Scale notes (these run over 10^12 documents in the target deployment):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from doc_parser_spark.operators.text_analysis import NORM
 
@@ -103,6 +104,14 @@ def lsh_candidate_pairs(
     all_bands = bands[0]
     for other in bands[1:]:
         all_bands = all_bands.unionAll(other)
+    # The banded projection is consumed three times below (bucket sizes,
+    # survivor join, pair self-join); without a persist each consumer
+    # recomputes the full minhash lineage (shingle explode x n_hashes md5),
+    # the dominant cost. The persisted relation is 3 narrow columns per
+    # (doc, band) — tiny next to the corpus text — so MEMORY_AND_DISK holds
+    # at cluster scale where the corpus itself never could; production
+    # minhash pipelines materialize exactly this table.
+    all_bands = all_bands.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Skew guard ordering matters at scale: COUNT the buckets first (a
     # count-only aggregate is map-side combinable and shuffles one long per
@@ -134,7 +143,13 @@ def ngram_jaccard_pairs(
     max_shingle_freq: int = 100,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over inverted-index candidate pairs."""
-    pairs = shingle_docs(documents, n)
+    # The exploded shingle table feeds the size aggregate, the document
+    # frequency aggregate, and both sides of the inverted-index self-join;
+    # unpersisted, each consumer re-runs the explode over the full corpus
+    # (~6 scans). One materialization across executor disks beats six
+    # corpus scans at any scale; swap to DISK_ONLY (or a parquet
+    # materialization seam) when the shingle table outgrows cluster memory.
+    pairs = shingle_docs(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     # Inverted-index self-join with a frequency cap on hot shingles. The
