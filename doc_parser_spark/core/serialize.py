@@ -758,3 +758,95 @@ def export_html(doc: Document, layers: tuple[str, ...] = (model.BODY,)) -> str:
         render(doc.nodes[ci])
     parts.append("</body></html>")
     return "\n".join(parts)
+
+
+def export_docling_html(doc: Document, *, name: str) -> str:
+    """DoclingDocument ``save_as_html`` byte-parity sink: full HTML page
+    with the docling-core serializer's head/CSS, a ``<div class='page'>``
+    content wrapper, and single-line ``<table><tbody>`` tables that emit
+    each spanning cell once with colspan/rowspan attributes (byte-pinned by
+    the reference's committed ``word_tables.docx.html`` groundtruth;
+    docling-core ``transforms/serializer/html.py``). Empty paragraphs are
+    kept (``<p></p>``), matching the serializer."""
+    import html as _html
+
+    from doc_parser_spark.core.docling_html_css import DOCLING_HTML_CSS
+    from doc_parser_spark.core.docling_json import _table_data_dict
+    from doc_parser_spark.core.model import TableData
+
+    def esc(s: str) -> str:
+        return _html.escape(s)
+
+    items: list[str] = []
+
+    def table_html(node: Node) -> str:
+        d = _table_data_dict(node.table or TableData())
+        rows = []
+        for r in range(d["num_rows"]):
+            tds = []
+            for c in range(d["num_cols"]):
+                cell = d["grid"][r][c]
+                # spanning cells render once, at their anchor position
+                if (
+                    cell["start_row_offset_idx"] != r
+                    or cell["start_col_offset_idx"] != c
+                ):
+                    continue
+                attrs = ""
+                if cell["col_span"] > 1:
+                    attrs += f' colspan="{cell["col_span"]}"'
+                if cell["row_span"] > 1:
+                    attrs += f' rowspan="{cell["row_span"]}"'
+                tag = "th" if cell["column_header"] else "td"
+                tds.append(f"<{tag}{attrs}>{esc(cell['text'])}</{tag}>")
+            rows.append("<tr>" + "".join(tds) + "</tr>")
+        return "<table><tbody>" + "".join(rows) + "</tbody></table>"
+
+    def render_list(group: Node) -> None:
+        tag = "ol" if group.label == model.GROUP_ORDERED_LIST else "ul"
+        body = []
+        for ci in group.children:
+            c = doc.nodes[ci]
+            if c.label == model.LIST_ITEM:
+                body.append(f"<li>{esc(c.text)}</li>")
+        items.append(f"<{tag}>" + "".join(body) + f"</{tag}>")
+
+    def render(node: Node) -> None:
+        label = node.label
+        if node.content_layer != model.BODY:
+            return
+        if node.is_group:
+            if label in _LIST_GROUPS:
+                render_list(node)
+            else:
+                for ci in node.children:
+                    render(doc.nodes[ci])
+            return
+        if label == model.TITLE:
+            items.append(f"<h1>{esc(node.text)}</h1>")
+        elif label == model.SECTION_HEADER:
+            lvl = min(node.level + 1, 6)
+            items.append(f"<h{lvl}>{esc(node.text)}</h{lvl}>")
+        elif label == model.CODE:
+            items.append(f"<pre><code>{esc(node.text)}</code></pre>")
+        elif label == model.FORMULA:
+            items.append(f'<div class="formula">{esc(node.text)}</div>')
+        elif label == model.TABLE:
+            items.append(table_html(node))
+        elif label == model.PICTURE:
+            items.append("<figure></figure>")
+        else:
+            items.append(f"<p>{esc(node.text)}</p>")
+        for ci in node.children:
+            render(doc.nodes[ci])
+
+    for ci in doc.root.children:
+        render(doc.nodes[ci])
+    head = (
+        "<!DOCTYPE html>\n<html>\n<head>\n"
+        '<meta charset="UTF-8">\n'
+        f"<title>{esc(name)}</title>\n"
+        '<meta name="generator" content="Docling HTML Serializer">\n'
+        f"{DOCLING_HTML_CSS}\n</head>\n<body>\n<div class='page'>\n"
+    )
+    return head + "\n".join(items) + "\n</div>\n</body>\n</html>"
