@@ -215,8 +215,11 @@ def process_document(
         if payload is None or len(payload) == 0:
             raise ValueError("empty payload")
         if len(payload) > max_bytes:
+            # the reference marks oversize inputs invalid -> FAILURE, not
+            # skipped (document.py:137-139 valid=False; pinned by
+            # test_invalid_input.py::test_convert_too_small_filesize_limit*)
             return _result(
-                url, "oversize", schemas.STATUS_SKIPPED,
+                url, "oversize", schemas.STATUS_FAILURE,
                 error=f"payload {len(payload)} bytes > max {max_bytes}",
                 t0=t0,
             )

@@ -126,7 +126,10 @@ def test_determinism_across_runs(spark):
 
 
 def test_oversize_gate(spark):
+    """Oversize payloads fail (reference valid=False -> FAILURE,
+    test_invalid_input.py), with the byte counts in the error."""
     df = pages_df(spark, 10, num_partitions=2)
     out = extract_documents(df, max_bytes=100)
-    statuses = {r["status"] for r in out.select("status").collect()}
-    assert "skipped" in statuses
+    rows = out.select("status", "error").collect()
+    assert {r["status"] for r in rows} == {"failure"}
+    assert all("bytes > max 100" in r["error"] for r in rows)
