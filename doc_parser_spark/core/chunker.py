@@ -114,7 +114,7 @@ def table_to_html(table: model.TableData) -> str:
     if table is None or not table.cells:
         return ""
     rows: dict[int, list] = {}
-    for c in table.cells:
+    for c in table.anchor_cells():  # grid view: duplicates render once
         rows.setdefault(c.start_row, []).append(c)
     lines = ["<table>"]
     for r in sorted(rows):
@@ -140,7 +140,9 @@ def extract_table_text(node: Node) -> str:
         if html and html.strip():
             return html
         cell_texts = [
-            c.text.strip() for c in node.table.cells if c.text and c.text.strip()
+            c.text.strip()
+            for c in node.table.anchor_cells()
+            if c.text and c.text.strip()
         ]
         if cell_texts:
             return " ".join(cell_texts)

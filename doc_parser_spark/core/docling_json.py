@@ -212,6 +212,8 @@ def export_docling_dict(
             d["enumerated"] = node.enumerated
             d["marker"] = node.marker
         elif node.label == model.CODE:
+            if node.has_formatting:  # TextItem declares formatting after text
+                d["formatting"] = formatting_dict(node)
             d["captions"] = []
             d["references"] = []
             d["footnotes"] = []
@@ -310,3 +312,33 @@ def export_docling_json(
         binary_hash=binary_hash_value,
     )
     return json.dumps(d, ensure_ascii=ensure_ascii, indent=2)
+
+
+def export_docling_yaml(
+    doc: Document,
+    *,
+    name: str,
+    filename: str,
+    mimetype: str,
+    data: Optional[bytes] = None,
+) -> str:
+    """Byte-exact twin of docling-core ``save_as_yaml`` (pyyaml safe_dump of
+    the exported dict, block style, keys sorted; the reference round-trips
+    through JSON first, so spanning grid cells lose their object identity
+    and no YAML anchors are emitted). Pinned by the committed
+    ``inline_and_formatting.md.yaml`` groundtruth."""
+    import yaml
+
+    d = export_docling_dict(
+        doc,
+        name=name,
+        filename=filename,
+        mimetype=mimetype,
+        binary_hash=binary_hash(data or b""),
+    )
+    return yaml.safe_dump(
+        json.loads(json.dumps(d)),
+        default_flow_style=False,
+        sort_keys=True,
+        allow_unicode=True,
+    )

@@ -239,6 +239,14 @@ class _MdParser:
                     )
                 )
         table.grid = grid
+        # the reference populates table_cells TWICE — once via the TableData
+        # constructor and once via an explicit append loop (md_backend.py
+        # _close_table "# Populate") — so markdown tables carry every cell
+        # duplicated in the serialized model (pinned by the committed
+        # inline_and_formatting.md.yaml groundtruth). Downstream text/HTML
+        # serializers are grid-anchor-based (docling-core) and see each
+        # cell once.
+        table.cells.extend(list(table.cells))
         self.doc.add_table(data=table)
 
     def _buffer_table_lines(self, lines: list[str], new_paragraph: bool) -> None:
@@ -310,6 +318,10 @@ class _MdParser:
         else:
             node = doc.add_text(text=text, label=model.TEXT, parent=parent)
         node.bold, node.italic, node.hyperlink = p.bold, p.italic, p.hyperlink
+        # the reference creates a Formatting object exactly when the leaf
+        # sits under Emphasis/StrongEmphasis (md_backend.py:320-328);
+        # plain/link-only leaves keep formatting=None
+        node.has_formatting = bool(p.bold or p.italic)
         return node
 
     def _emit_leaf(self, p: Piece, parent: Optional[model.Node]) -> model.Node:
@@ -324,6 +336,7 @@ class _MdParser:
         else:
             node = doc.add_text(text=p.text.strip(), label=model.TEXT, parent=parent)
         node.bold, node.italic, node.hyperlink = p.bold, p.italic, p.hyperlink
+        node.has_formatting = bool(p.bold or p.italic)
         return node
 
     def _emit_paragraph(
@@ -482,7 +495,28 @@ class _MdParser:
             )
             if pipe_idx is not None:
                 head = para_lines[:pipe_idx]
-                if head:
+                # the reference wraps the marko Paragraph in an inline group
+                # BEFORE iterating its children (md_backend.py:444-448);
+                # table-row children are then buffered, not emitted, so a
+                # table-only paragraph with >1 inline children leaves an
+                # EMPTY inline group in the document (pinned by the
+                # committed inline_and_formatting.md.yaml groundtruth)
+                n_children = len(para_lines) - 1  # LineBreak children
+                head_pieces: list[Piece] = []
+                for pl in head:
+                    sub = parse_inlines(pl)
+                    head_pieces.extend(sub)
+                    n_children += len(sub)
+                for tl in para_lines[pipe_idx:]:
+                    n_children += len(parse_inlines(tl))
+                if n_children > 1:
+                    holder = self.doc.add_group(
+                        name="group", label=model.GROUP_INLINE, parent=parent
+                    )
+                    for p in head_pieces:
+                        if p.kind == "image" or p.text.strip() or p.kind == "code":
+                            self._emit_leaf(p, holder)
+                elif head:
                     self._emit_paragraph(head, parent)
                 self._buffer_table_lines(para_lines[pipe_idx:], new_paragraph=False)
                 self._close_table()

@@ -80,6 +80,21 @@ class TableData:
     # groundtruth pnas/pntd); HTML-path tables keep raw cells
     escape_cells: bool = False
 
+    def anchor_cells(self) -> list[TableCellData]:
+        """Cells unique by their (start_row, start_col) anchor, first
+        occurrence wins — how docling-core's grid-based serializers see a
+        table whose cell list carries duplicates (the reference's markdown
+        backend double-populates table_cells, md_backend.py _close_table)."""
+        seen: set[tuple[int, int]] = set()
+        out: list[TableCellData] = []
+        for c in self.cells:
+            key = (c.start_row, c.start_col)
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append(c)
+        return out
+
 
 @dataclass
 class Node:

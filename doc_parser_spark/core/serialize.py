@@ -505,7 +505,9 @@ def flatten_spans(doc: Document) -> list[dict]:
                         "column_header": c.column_header,
                         "row_header": c.row_header,
                     }
-                    for c in node.table.cells
+                    # anchor view: the md backend's reference-faithful
+                    # duplicate cells stay a sink-only artifact
+                    for c in node.table.anchor_cells()
                 ],
             }
         bbox_payload = None
