@@ -485,6 +485,55 @@ def parse_created_date(date_text: Optional[str]) -> int:
     return 0
 
 
+def parse_authors(authors_data) -> list[str]:
+    """Author names from provider metadata (reference ``parse_authors``,
+    intelligent_processor.py:971-1020): list entries may be dicts keyed
+    ``이름``/``name`` or plain strings; a bare string splits on the first
+    separator found among ``, ; / \\n · •``; names are stripped, empties
+    dropped, duplicates removed. The reference dedups via ``list(set(...))``
+    whose order is hash-randomized across runs — this port keeps
+    first-seen order so the output is deterministic (same membership)."""
+    if not authors_data:
+        return []
+
+    def dedup(names: list[str]) -> list[str]:
+        seen: set[str] = set()
+        out = []
+        for n in names:
+            if n not in seen:
+                seen.add(n)
+                out.append(n)
+        return out
+
+    if isinstance(authors_data, list):
+        names = []
+        for author in authors_data:
+            if isinstance(author, dict):
+                # "이름" wins even when empty — the reference's elif chain
+                if "이름" in author:
+                    name = str(author["이름"]).strip()
+                elif "name" in author:
+                    name = str(author["name"]).strip()
+                else:
+                    continue
+                if name:
+                    names.append(name)
+            elif isinstance(author, str):
+                name = author.strip()
+                if name:
+                    names.append(name)
+        return dedup(names)
+    if isinstance(authors_data, str):
+        for sep in (",", ";", "/", "\n", "·", "•"):
+            if sep in authors_data:
+                return dedup(
+                    [n.strip() for n in authors_data.split(sep) if n.strip()]
+                )
+        name = authors_data.strip()
+        return [name] if name else []
+    return []
+
+
 def compose_vectors(
     doc: Document,
     chunks: list[Chunk],

@@ -160,3 +160,22 @@ def test_page_header_footer_text_blanked():
     doc.add_text(text="page 3 of 7", label=model.PAGE_FOOTER)
     chunks = chunk_document(doc)
     assert all("page 3 of 7" not in c.text for c in chunks)
+
+
+def test_parse_authors_shapes():
+    """intelligent_processor.py:971-1020 semantics with deterministic
+    dedup order."""
+    from doc_parser_spark.core.chunker import parse_authors
+
+    assert parse_authors(None) == []
+    assert parse_authors([]) == []
+    # dict list: Korean key wins even when empty; empties dropped; dedup
+    assert parse_authors(
+        [{"이름": "김철수"}, {"name": "Lee"}, {"이름": "", "name": "ignored"},
+         {"other": "x"}, "  Park ", "Lee"]
+    ) == ["김철수", "Lee", "Park"]
+    # string: first separator found wins
+    assert parse_authors("a, b; c") == ["a", "b; c"]
+    assert parse_authors("a·b") == ["a", "b"]
+    assert parse_authors("solo ") == ["solo"]
+    assert parse_authors("a, b, a") == ["a", "b"]
