@@ -96,6 +96,13 @@ def main() -> None:
             thunk()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # Release blocks persisted inside the query (LSH/jaccard persist
+        # their banded/shingle projections for intra-plan reuse). In
+        # production each job's caches die with the job; here all queries
+        # share one JVM, and leaked blocks were measured to slow every
+        # LATER query 3-6x via GC/eviction pressure (doc_simhash 3.7s vs
+        # 1.35s, emb_cosine_topk 4.5s vs 0.8s with isolation restored).
+        spark.catalog.clearCache()
 
     # 1. headline: full extraction pipeline over the synthetic page corpus.
     # The corpus is staged to parquet first: benching against a
