@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         relational,
         similarity,
         text_analysis,
+        web,
     )
 
     def q(fn, *tables):
@@ -179,6 +180,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_retention": q(relational.user_retention, "events"),
         "events_error_rate": q(relational.events_error_rate, "events"),
         "events_sessionize": q(relational.sessionize, "events"),
+        # web-corpus curation
+        "web_url_dedup": lambda spark, sf: web.url_dedup(
+            _read(spark, sf, "documents").select(
+                "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url")
+            )
+        ),
+        "doc_decontaminate": q(web.decontaminate, "documents"),
+        "doc_pii_stats": lambda spark, sf: web.pii_stats(
+            _read(spark, sf, "documents").select(
+                "doc_id", F.expr(web.SYNTH_PII_TEXT_SQL).alias("text")
+            )
+        ),
     }
 
 
@@ -188,6 +201,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+from doc_parser_spark.operators import web as _web  # noqa: E402
+
+
+def _duck_canonical_url(col: str) -> str:
+    """DuckDB mirror of web.canonical_url_col — same regexes and rules,
+    DuckDB list-function spellings (list_filter/list_sort/array_to_string
+    for Spark's filter/array_sort/array_join)."""
+    u = f"trim({col})"
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    hostport = f"lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+    host0 = (
+        f"CASE WHEN {hostport} LIKE 'www.%' THEN substring({hostport}, 5) "
+        f"ELSE {hostport} END"
+    )
+    host = (
+        f"CASE WHEN {scheme} = 'http' AND {host0} LIKE '%:80' "
+        f"THEN left({host0}, length({host0}) - 3) "
+        f"WHEN {scheme} = 'https' AND {host0} LIKE '%:443' "
+        f"THEN left({host0}, length({host0}) - 4) "
+        f"ELSE {host0} END"
+    )
+    path0 = f"regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    path1 = f"CASE WHEN {path0} = '' THEN '/' ELSE {path0} END"
+    path = (
+        f"CASE WHEN {path1} <> '/' AND {path1} LIKE '%/' "
+        f"THEN left({path1}, length({path1}) - 1) ELSE {path1} END"
+    )
+    q = (
+        f"array_to_string(list_sort(list_filter(string_split("
+        f"regexp_extract({u}, '[?]([^#]*)', 1), '&'), "
+        f"p -> {_web.TRACKING_PARAM_PREDICATE})), '&')"
+    )
+    return (
+        f"concat({scheme}, '://', {host}, {path}, "
+        f"CASE WHEN {q} <> '' THEN concat('?', {q}) ELSE '' END)"
+    )
 
 
 def _shingle_cte() -> str:
@@ -998,5 +1048,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_no, count(*) AS n_events,
                    CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
             FROM sessions GROUP BY user_id, session_no
+        """,
+        "web_url_dedup": f"""
+            WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url FROM documents),
+            c AS (SELECT doc_id, {_duck_canonical_url("url")} AS canonical_url FROM p)
+            SELECT canonical_url, min(doc_id) AS keep_doc_id,
+                   count(*) AS n_dups
+            FROM c GROUP BY canonical_url
+        """,
+        "doc_decontaminate": f"""
+            WITH d AS (
+                SELECT doc_id, source,
+                       list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS w
+                FROM documents
+            ),
+            bench AS (
+                SELECT DISTINCT array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+                FROM d, LATERAL UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+                WHERE source = 'src0' AND len(w) >= 3
+            ),
+            totals AS (
+                SELECT doc_id, CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_grams
+                FROM d WHERE source <> 'src0'
+            ),
+            hits AS (
+                SELECT doc_id, count(*) AS n_hit
+                FROM (
+                    SELECT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+                    FROM d, LATERAL UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+                    WHERE source <> 'src0' AND len(w) >= 3
+                ) s JOIN bench USING (gram)
+                GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_grams,
+                   CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+                   floor(1e6 * (CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                         / greatest(t.n_grams, 1))) / 1e6 AS overlap_frac,
+                   (floor(1e6 * (CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                         / greatest(t.n_grams, 1))) / 1e6 >= 0.5) AS contaminated
+            FROM totals t LEFT JOIN hits h USING (doc_id)
+        """,
+        "doc_pii_stats": f"""
+            WITH p AS (SELECT doc_id, {_web.SYNTH_PII_TEXT_SQL} AS text FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{_web.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{_web.PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+                   CAST(len(regexp_extract_all(text, '{_web.PII_IPV4_RE}')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '{_web.PII_EMAIL_RE}'))
+                      + len(regexp_extract_all(text, '{_web.PII_PHONE_RE}'))
+                      + len(regexp_extract_all(text, '{_web.PII_IPV4_RE}')) AS BIGINT) AS n_pii_total,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '{_web.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_web.PII_IPV4_RE}', '<IP>', 'g'),
+                       '{_web.PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_sig
+            FROM p
         """,
     }

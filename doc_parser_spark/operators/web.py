@@ -1,0 +1,245 @@
+"""Web-corpus curation operators: URL canonicalization/dedup, benchmark
+decontamination, PII detection/redaction.
+
+These are the remaining webtext-pipeline passes a Common-Crawl-scale
+training-data build runs between extraction and tokenization (the
+CCNet / RefinedWeb / Dolma curation family). Everything is pure
+DataFrame API — JVM-side, whole-stage-codegen friendly, no Python UDFs —
+and every regex/array expression is written in the dialect subset where
+Spark (Java regex) and DuckDB (RE2) behave identically, so the driver's
+value-hash oracle validates values, not just shapes.
+
+Scale notes (100 TB / 10^12 docs):
+
+* URL dedup is a single hash groupBy on the canonical URL — map-side
+  partial aggregation, no join, no broadcast. The canonical URL is also
+  the natural bucketing key for the output table.
+* Decontamination joins the corpus gram stream against the *benchmark*
+  gram set. The benchmark side is small in production (a few hundred
+  eval sets) but is still joined with a plain shuffle join here — never
+  broadcast blindly — so a pathological benchmark list cannot OOM
+  executors; AQE will pick a broadcast automatically when the side is
+  genuinely tiny.
+* PII counting/redaction is per-row projection work: zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text_analysis import NORM, _trunc6
+
+# --- deterministic fixtures ----------------------------------------------------
+#
+# The synthetic documents table has no URL or PII columns, so the driver
+# queries synthesize them deterministically FROM doc_id with a SQL
+# fragment that parses identically in Spark and DuckDB (verified: CASE /
+# concat int-coercion / LIKE all agree byte-for-byte). Both engines build
+# the same inputs, so the oracle still validates the operator itself.
+
+SYNTH_URL_SQL = (
+    "concat("
+    "CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END, "
+    "CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END, "
+    "'Site', cast(doc_id % 50 as int), '.Example.com', "
+    "CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END, "
+    "'/Path/', cast(doc_id % 20 as int), "
+    "CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END, "
+    "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1' "
+    "WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END, "
+    "CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)"
+)
+
+SYNTH_PII_TEXT_SQL = (
+    "concat(text, "
+    "CASE WHEN doc_id % 7 = 0 THEN concat(' Contact user', "
+    "cast(doc_id as int), '@example.com for details.') ELSE '' END, "
+    "CASE WHEN doc_id % 9 = 0 THEN ' Call 555-867-5309 or +1 415-555-0199.' "
+    "ELSE '' END, "
+    "CASE WHEN doc_id % 11 = 0 THEN concat(' Origin host 10.0.', "
+    "cast(doc_id % 256 as int), '.7 logged.') ELSE '' END)"
+)
+
+
+# --- URL canonicalization -----------------------------------------------------
+
+# Tracking parameters stripped by the canonicalizer (the usual suspects;
+# every predicate is a LIKE so Spark and DuckDB agree byte-for-byte).
+TRACKING_PARAM_PREDICATE = (
+    "p <> '' AND p NOT LIKE 'utm_%' AND p NOT LIKE 'gclid=%' "
+    "AND p NOT LIKE 'fbclid=%' AND p NOT LIKE 'ref=%'"
+)
+
+# Regexes shared verbatim with the DuckDB oracle. Bracket classes ([?])
+# instead of backslash escapes: Spark SQL string literals eat backslashes,
+# DuckDB's don't — bracket classes sidestep the divergence entirely.
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = "[?]([^#]*)"
+
+
+def canonical_url_col(url_col: str = "url"):
+    """Canonical form of a URL column, as a single JVM-side expression.
+
+    Rules (the RefinedWeb/CCNet-style normalization set):
+    scheme and host lowercased; ``www.`` prefix dropped; default ports
+    (``:80`` http, ``:443`` https) dropped; fragment dropped; tracking
+    params (utm_*/gclid/fbclid/ref) dropped; surviving query params
+    sorted; empty path → ``/``; trailing slash trimmed (except root).
+    Path case is preserved (paths are case-sensitive per RFC 3986).
+    """
+    u = f"trim({url_col})"
+    scheme = f"lower(regexp_extract({u}, '{_SCHEME_RE}', 1))"
+    hostport = f"lower(regexp_extract({u}, '{_HOST_RE}', 1))"
+    host0 = (
+        f"CASE WHEN {hostport} LIKE 'www.%' THEN substring({hostport}, 5) "
+        f"ELSE {hostport} END"
+    )
+    host = (
+        f"CASE WHEN {scheme} = 'http' AND {host0} LIKE '%:80' "
+        f"THEN left({host0}, length({host0}) - 3) "
+        f"WHEN {scheme} = 'https' AND {host0} LIKE '%:443' "
+        f"THEN left({host0}, length({host0}) - 4) "
+        f"ELSE {host0} END"
+    )
+    path0 = f"regexp_extract({u}, '{_PATH_RE}', 1)"
+    path1 = f"CASE WHEN {path0} = '' THEN '/' ELSE {path0} END"
+    path = (
+        f"CASE WHEN {path1} <> '/' AND {path1} LIKE '%/' "
+        f"THEN left({path1}, length({path1}) - 1) ELSE {path1} END"
+    )
+    q = (
+        f"array_join(array_sort(filter(split(regexp_extract({u}, '{_QUERY_RE}', 1), "
+        f"'&'), p -> {TRACKING_PARAM_PREDICATE})), '&')"
+    )
+    return F.expr(
+        f"concat({scheme}, '://', {host}, {path}, "
+        f"CASE WHEN {q} <> '' THEN concat('?', {q}) ELSE '' END)"
+    )
+
+
+def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-level exact dedup after canonicalization.
+
+    One hash groupBy on the canonical URL (map-side combine; the grouping
+    key is the output table's bucketing key at scale). ``keep_doc_id`` is
+    the deterministic survivor (min doc_id — in production min warc_ts,
+    same shape)."""
+    return (
+        pages.withColumn("canonical_url", canonical_url_col(url_col))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# --- benchmark decontamination -------------------------------------------------
+
+def decontaminate(
+    documents: DataFrame,
+    bench_source: str = "src0",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-overlap decontamination (the GPT-3 §C / FLAN n-gram rule).
+
+    Documents whose word-``n``-gram stream overlaps the benchmark set's
+    gram set by ≥ ``threshold`` (by gram *instances*, so repeated leakage
+    weighs more) are flagged contaminated. Production uses n=13 on real
+    text; n=3 here because the synthetic corpus vocabulary is ~30 words
+    (13-grams would never collide and the operator would be untested).
+
+    Scale shape: the corpus side is one explode → one shuffle join on the
+    gram value → one groupBy(doc_id). The benchmark gram set is DISTINCT
+    (tiny in production: eval sets, not corpora) and joined with a plain
+    shuffle join — AQE promotes it to broadcast when genuinely small. The
+    per-doc totals come from the documents table directly (no join back
+    through the exploded stream), so every doc appears in the output even
+    with zero grams."""
+    grams_expr = (
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(1, size(w) - {n} + 1), "
+        f"i -> array_join(slice(w, i, {n}), ' ')) "
+        "ELSE slice(array(''), 1, 0) END"
+    )
+    with_grams = documents.select(
+        "doc_id",
+        "source",
+        F.expr(f"filter(split({NORM}, ' '), t -> t <> '')").alias("w"),
+    ).select("doc_id", "source", F.expr(grams_expr).alias("grams"))
+
+    bench_grams = (
+        with_grams.where(F.col("source") == bench_source)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    cand = with_grams.where(F.col("source") != bench_source)
+    totals = cand.select(
+        "doc_id", F.expr("size(grams)").cast("long").alias("n_grams")
+    )
+    hits = (
+        cand.select("doc_id", F.explode("grams").alias("gram"))
+        .join(bench_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    joined = totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+    )
+    frac = _trunc6(F.col("n_hit") / F.greatest(F.col("n_grams"), F.lit(1)))
+    return joined.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        frac.alias("overlap_frac"),
+        (frac >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
+# --- PII detection / redaction --------------------------------------------------
+
+# Patterns valid with identical semantics in Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backrefs, no \b (Spark string literals turn
+# '\b' into backspace), bracket classes for literals.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_PHONE_RE = "([+][0-9]{1,2}[- ])?[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}"
+PII_IPV4_RE = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+
+
+def pii_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII counts + a redaction signature.
+
+    Email → ``<EMAIL>`` first (addresses contain digits), then IPv4 →
+    ``<IP>`` (dotted digits would half-match the phone pattern), then
+    phone → ``<PHONE>``. Counts are taken on the original text; the
+    signature is md5 of the fully redacted text (the driver compares
+    values without shipping the full redacted corpus through the hash).
+    Pure projection — zero shuffles at any scale."""
+    n_email = F.expr(
+        f"size(regexp_extract_all({text_col}, '{PII_EMAIL_RE}', 0))"
+    )
+    n_phone = F.expr(
+        f"size(regexp_extract_all({text_col}, '{PII_PHONE_RE}', 0))"
+    )
+    n_ipv4 = F.expr(
+        f"size(regexp_extract_all({text_col}, '{PII_IPV4_RE}', 0))"
+    )
+    redacted = (
+        f"regexp_replace(regexp_replace(regexp_replace({text_col}, "
+        f"'{PII_EMAIL_RE}', '<EMAIL>'), "
+        f"'{PII_IPV4_RE}', '<IP>'), "
+        f"'{PII_PHONE_RE}', '<PHONE>')"
+    )
+    return documents.select(
+        "doc_id",
+        n_email.cast("long").alias("n_emails"),
+        n_phone.cast("long").alias("n_phones"),
+        n_ipv4.cast("long").alias("n_ipv4"),
+        (n_email + n_phone + n_ipv4).cast("long").alias("n_pii_total"),
+        F.md5(F.expr(redacted)).alias("redacted_sig"),
+    )

@@ -1,0 +1,102 @@
+"""Web-corpus curation operators: URL canonicalization/dedup,
+benchmark decontamination, PII detection/redaction."""
+
+from pyspark.sql import Row, functions as F
+
+from doc_parser_spark.operators import web
+
+
+def _canon(spark, url: str) -> str:
+    df = spark.createDataFrame([Row(url=url)])
+    return df.select(web.canonical_url_col("url").alias("c")).collect()[0].c
+
+
+def test_canonical_url_rules(spark):
+    cases = {
+        # scheme+host lowercased, www stripped, default port dropped, frag dropped
+        "HTTPS://WWW.Ex.COM:443/A/B#frag": "https://ex.com/A/B",
+        "http://ex.com:80/": "http://ex.com/",
+        # non-default port survives; path case preserved
+        "http://ex.com:8080/Case/Path": "http://ex.com:8080/Case/Path",
+        # empty path -> '/', trailing slash trimmed elsewhere
+        "http://ex.com": "http://ex.com/",
+        "http://ex.com/a/": "http://ex.com/a",
+        # tracking params dropped, rest sorted
+        "http://ex.com/p?utm_source=x&b=2&a=1&gclid=9": "http://ex.com/p?a=1&b=2",
+        # all params tracking -> no query at all
+        "http://ex.com/p?utm_campaign=c": "http://ex.com/p",
+        # https :443 stripped but http :443 kept
+        "http://ex.com:443/x": "http://ex.com:443/x",
+    }
+    for raw, want in cases.items():
+        assert _canon(spark, raw) == want, raw
+
+
+def test_url_dedup_groups_variants(spark):
+    rows = [
+        Row(doc_id=1, url="http://WWW.ex.com:80/a?utm_source=1"),
+        Row(doc_id=2, url="http://ex.com/a"),
+        Row(doc_id=3, url="http://ex.com/b"),
+    ]
+    out = {
+        r.canonical_url: r
+        for r in web.url_dedup(spark.createDataFrame(rows)).collect()
+    }
+    assert out["http://ex.com/a"].n_dups == 2
+    assert out["http://ex.com/a"].keep_doc_id == 1
+    assert out["http://ex.com/b"].n_dups == 1
+
+
+def test_decontaminate_flags_verbatim_overlap(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        Row(doc_id=0, text=bench_text, source="src0"),
+        # full verbatim copy: every 3-gram hits
+        Row(doc_id=1, text=bench_text, source="src1"),
+        # no overlap at all
+        Row(doc_id=2, text="one two three four five six", source="src1"),
+        # partial: shares the prefix only
+        Row(doc_id=3, text="alpha beta gamma unrelated words here", source="src1"),
+        # too short for any 3-gram
+        Row(doc_id=4, text="tiny doc", source="src1"),
+    ]
+    out = {r.doc_id: r for r in web.decontaminate(
+        spark.createDataFrame(rows), bench_source="src0", n=3, threshold=0.5
+    ).collect()}
+    assert set(out) == {1, 2, 3, 4}  # benchmark docs excluded from output
+    assert out[1].n_grams == 4 and out[1].n_hit == 4 and out[1].contaminated
+    assert out[2].n_hit == 0 and not out[2].contaminated
+    assert out[3].n_grams == 4 and out[3].n_hit == 1 and not out[3].contaminated
+    assert out[4].n_grams == 0 and out[4].n_hit == 0 and not out[4].contaminated
+
+
+def test_pii_counts_and_redaction(spark):
+    rows = [
+        Row(doc_id=1, text="mail a.b+c@ex.org or x@y.co, host 10.0.3.7, call 555-123-4567"),
+        Row(doc_id=2, text="nothing sensitive here"),
+        Row(doc_id=3, text="+1 415-555-0199 twice 555-867-5309"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: r for r in web.pii_stats(df).collect()}
+    assert (out[1].n_emails, out[1].n_ipv4, out[1].n_phones) == (2, 1, 1)
+    assert out[1].n_pii_total == 4
+    assert out[2].n_pii_total == 0
+    assert out[3].n_phones == 2
+
+    # redaction signature corresponds to the actually-redacted text
+    red = df.where("doc_id = 1").select(
+        F.expr(
+            "regexp_replace(regexp_replace(regexp_replace(text, "
+            f"'{web.PII_EMAIL_RE}', '<EMAIL>'), "
+            f"'{web.PII_IPV4_RE}', '<IP>'), "
+            f"'{web.PII_PHONE_RE}', '<PHONE>')"
+        ).alias("t")
+    ).collect()[0].t
+    assert red == "mail <EMAIL> or <EMAIL>, host <IP>, call <PHONE>"
+
+
+def test_url_dedup_plan_is_single_agg_no_join(spark):
+    df = spark.createDataFrame([Row(doc_id=1, url="http://ex.com/a")])
+    plan = web.url_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # one hash groupBy, no join/broadcast
+    assert plan.count("Exchange") <= 1
