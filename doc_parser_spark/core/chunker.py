@@ -223,6 +223,45 @@ def collect_items(doc: Document) -> tuple[list[Node], list[dict]]:
 # ---------------------------------------------------------------------------
 
 
+def _gen_item_parts(
+    item: Node, item_headers: dict, current_section_headers: dict
+) -> tuple[list[str], dict]:
+    """One fold step of ``_generate_text``: the text parts ``item`` appends
+    given the running header state, plus the new header state. Factoring
+    the step out lets ``split_by_tokens`` grow a chunk incrementally in
+    O(1) per item instead of regenerating the whole chunk text per
+    candidate (O(n²) on item-heavy documents — a straggler source)."""
+    parts: list[str] = []
+    if item_headers != current_section_headers:
+        headers_to_add: list[str] = []
+        for level in sorted(item_headers.keys()):
+            if (
+                level not in current_section_headers
+                or current_section_headers[level] != item_headers[level]
+            ):
+                for lvl in sorted(item_headers.keys()):
+                    if lvl <= level:
+                        headers_to_add.append(item_headers[lvl])
+                break
+        if headers_to_add:
+            parts.append("\n".join(headers_to_add))
+        current_section_headers = dict(item_headers)
+
+    if item.label == model.TABLE:
+        table_text = extract_table_text(item)
+        if table_text:
+            parts.append(table_text)
+    elif item.label == model.PICTURE:
+        parts.append("")  # images contribute an empty part (:333-334)
+    elif item.text:
+        # section headers are skipped (already in the header block);
+        # TITLE is always included (:323-332)
+        if item.label != model.SECTION_HEADER:
+            parts.append(item.text)
+
+    return parts, current_section_headers
+
+
 def _generate_text(
     items: list[Node], header_info_list: list[dict]
 ) -> str:
@@ -230,38 +269,40 @@ def _generate_text(
     (basic_processor.py:286-337), including its header-diff insertion logic."""
     text_parts: list[str] = []
     current_section_headers: dict = {}
-
     for i, item in enumerate(items):
         item_headers = header_info_list[i] if i < len(header_info_list) else {}
-
-        if item_headers != current_section_headers:
-            headers_to_add: list[str] = []
-            for level in sorted(item_headers.keys()):
-                if (
-                    level not in current_section_headers
-                    or current_section_headers[level] != item_headers[level]
-                ):
-                    for lvl in sorted(item_headers.keys()):
-                        if lvl <= level:
-                            headers_to_add.append(item_headers[lvl])
-                    break
-            if headers_to_add:
-                text_parts.append("\n".join(headers_to_add))
-            current_section_headers = dict(item_headers)
-
-        if item.label == model.TABLE:
-            table_text = extract_table_text(item)
-            if table_text:
-                text_parts.append(table_text)
-        elif item.label == model.PICTURE:
-            text_parts.append("")  # images contribute an empty part (:333-334)
-        elif item.text:
-            # section headers are skipped (already in the header block);
-            # TITLE is always included (:323-332)
-            if item.label != model.SECTION_HEADER:
-                text_parts.append(item.text)
-
+        parts, current_section_headers = _gen_item_parts(
+            item, item_headers, current_section_headers
+        )
+        text_parts.extend(parts)
     return CHUNK_DELIM.join(text_parts)
+
+
+def _feed_tokens(state: tuple[int, str], part: str) -> tuple[int, str]:
+    """Advance the ``count_tokens`` packing state by one text part.
+
+    ``count_tokens`` is a fold over the lines of the joined chunk text
+    with state (total, trailing partial pack); because parts are joined
+    with "\\n", part boundaries are line boundaries and the state can be
+    carried across parts — ``_finalize_tokens(fold(parts))`` equals
+    ``count_tokens(CHUNK_DELIM.join(parts))`` exactly."""
+    total, current = state
+    for line in part.split("\n"):
+        candidate = current + "\n" + line if current else line
+        if len(candidate) <= 300:
+            current = candidate
+        else:
+            if current:
+                total += int(len(current.split()) * 1.3)
+            current = line
+    return total, current
+
+
+def _finalize_tokens(state: tuple[int, str]) -> int:
+    total, current = state
+    if current:
+        total += int(len(current.split()) * 1.3)
+    return total
 
 
 def _extract_used_headers(header_info_list: list[dict]) -> Optional[list[str]]:
@@ -288,20 +329,28 @@ def split_by_tokens(
     result: list[Chunk] = []
     current_items: list[Node] = []
     current_infos: list[dict] = []
+    # incremental chunk state: generated parts, header-diff state, and the
+    # count_tokens packing state — kept in lockstep with current_items so
+    # each candidate item is evaluated in O(item) instead of O(chunk)
+    cur_parts: list[str] = []
+    cur_hdr_state: dict = {}
+    cur_tok_state: tuple[int, str] = (0, "")
 
     def flush_current() -> None:
-        nonlocal current_items, current_infos
+        nonlocal current_items, current_infos, cur_parts, cur_hdr_state, cur_tok_state
         if current_items:
-            text = _generate_text(current_items, current_infos)
             result.append(
                 Chunk(
-                    text=text,
+                    text=CHUNK_DELIM.join(cur_parts),
                     items=list(current_items),
                     headings=_extract_used_headers(current_infos),
                 )
             )
             current_items = []
             current_infos = []
+        cur_parts = []
+        cur_hdr_state = {}
+        cur_tok_state = (0, "")
 
     for i, item in enumerate(items):
         info = header_info_list[i] if i < len(header_info_list) else {}
@@ -335,15 +384,25 @@ def split_by_tokens(
                 )
             continue
 
-        test_text = _generate_text(current_items + [item], current_infos + [info])
-        if count_tokens(test_text) <= max_tokens:
+        new_parts, new_hdr_state = _gen_item_parts(item, info, cur_hdr_state)
+        new_tok_state = cur_tok_state
+        for p in new_parts:
+            new_tok_state = _feed_tokens(new_tok_state, p)
+        if _finalize_tokens(new_tok_state) <= max_tokens:
             current_items.append(item)
             current_infos.append(info)
+            cur_parts.extend(new_parts)
+            cur_hdr_state = new_hdr_state
+            cur_tok_state = new_tok_state
         else:
             if current_items:
                 flush_current()
                 current_items = [item]
                 current_infos = [info]
+                cur_parts, cur_hdr_state = _gen_item_parts(item, info, {})
+                cur_tok_state = (0, "")
+                for p in cur_parts:
+                    cur_tok_state = _feed_tokens(cur_tok_state, p)
             else:
                 single_text = _generate_text([item], [info])
                 result.append(
