@@ -187,6 +187,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "doc_decontaminate": q(web.decontaminate, "documents"),
+        "web_host_cap": lambda spark, sf: web.host_cap(
+            _read(spark, sf, "documents").select(
+                "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url")
+            ),
+            max_per_host=5,
+        ),
+        "web_url_filter": lambda spark, sf: web.url_filter(
+            _read(spark, sf, "documents").select(
+                "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url")
+            )
+        ),
         "doc_pii_stats": lambda spark, sf: web.pii_stats(
             _read(spark, sf, "documents").select(
                 "doc_id", F.expr(web.SYNTH_PII_TEXT_SQL).alias("text")
@@ -1087,6 +1098,28 @@ def oracle_sql() -> dict[str, str]:
                    (floor(1e6 * (CAST(coalesce(h.n_hit, 0) AS DOUBLE)
                          / greatest(t.n_grams, 1))) / 1e6 >= 0.5) AS contaminated
             FROM totals t LEFT JOIN hits h USING (doc_id)
+        """,
+        "web_host_cap": f"""
+            WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url FROM documents),
+            h AS (
+                SELECT doc_id,
+                       regexp_extract({_duck_canonical_url("url")},
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                       md5(cast(doc_id AS VARCHAR)) AS pick
+                FROM p
+            )
+            SELECT doc_id, host,
+                   CAST(row_number() OVER (PARTITION BY host ORDER BY pick, doc_id)
+                        AS BIGINT) AS host_rank
+            FROM h
+            QUALIFY host_rank <= 5
+        """,
+        "web_url_filter": f"""
+            WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url FROM documents)
+            SELECT doc_id, {_duck_canonical_url("url")} AS canonical_url,
+                   NOT ({_web.URL_BLOCKLIST_PREDICATE.replace(
+                       "c LIKE", _duck_canonical_url("url") + " LIKE")}) AS keep
+            FROM p
         """,
         "doc_pii_stats": f"""
             WITH p AS (SELECT doc_id, {_web.SYNTH_PII_TEXT_SQL} AS text FROM documents)

@@ -44,6 +44,8 @@ SYNTH_URL_SQL = (
     "'Site', cast(doc_id % 50 as int), '.Example.com', "
     "CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END, "
     "'/Path/', cast(doc_id % 20 as int), "
+    "CASE WHEN doc_id % 13 = 0 THEN '/casino' "
+    "WHEN doc_id % 17 = 0 THEN '/spamlinks' ELSE '' END, "
     "CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END, "
     "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1' "
     "WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END, "
@@ -134,6 +136,62 @@ def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
             F.count(F.lit(1)).alias("n_dups"),
         )
     )
+
+
+# --- host-level corpus shaping --------------------------------------------------
+
+def host_cap(
+    pages: DataFrame, url_col: str = "url", max_per_host: int = 10
+) -> DataFrame:
+    """Per-host document cap (RefinedWeb-style domain balancing).
+
+    A handful of hosts dominate any crawl (Zipf); capping per-host
+    membership keeps them from dominating the training mix. Survivors are
+    the ``max_per_host`` lowest ``md5(doc_id)`` rows per host — a
+    deterministic, partition-invariant pick (NOT "first seen", which is
+    scheduling-dependent). One window over a host-hash shuffle; at 100 TB
+    the hot-host skew is bounded because rank only needs each host's
+    top-k maintained per partition before the merge (Spark's window
+    TopK pushdown via rank filter).
+
+    The host is taken from the CANONICAL url (www./default-port variants
+    of one host must share a cap bucket). Returns (doc_id, host,
+    host_rank) for survivors."""
+    from pyspark.sql.window import Window
+
+    with_host = pages.select(
+        "doc_id",
+        F.regexp_extract(
+            canonical_url_col(url_col), _HOST_RE, 1
+        ).alias("host"),
+        F.md5(F.col("doc_id").cast("string")).alias("pick"),
+    )
+    w = Window.partitionBy("host").orderBy("pick", "doc_id")
+    return (
+        with_host.withColumn("host_rank", F.row_number().over(w))
+        .where(F.col("host_rank") <= max_per_host)
+        .select("doc_id", "host", F.col("host_rank").cast("long").alias("host_rank"))
+    )
+
+
+# Substrings that disqualify a URL (the RefinedWeb/Dolma URL-filter shape:
+# a curated blocklist of domains + path words). LIKE-only so both engines
+# agree byte-for-byte.
+URL_BLOCKLIST_PREDICATE = (
+    "c LIKE '%casino%' OR c LIKE '%.xxx/%' OR c LIKE '%spam%' "
+    "OR c LIKE '%tracker%' OR c LIKE '%malware%'"
+)
+
+
+def url_filter(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL blocklist filter over the canonical form.
+
+    Pure projection + filter — pushed to the scan by Catalyst, zero
+    shuffles. Returns (doc_id, canonical_url, keep)."""
+    pred = URL_BLOCKLIST_PREDICATE.replace("c LIKE", "canonical_url LIKE")
+    return pages.select(
+        "doc_id", canonical_url_col(url_col).alias("canonical_url")
+    ).withColumn("keep", ~F.expr(f"({pred})"))
 
 
 # --- benchmark decontamination -------------------------------------------------

@@ -100,3 +100,37 @@ def test_url_dedup_plan_is_single_agg_no_join(spark):
     plan = web.url_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # one hash groupBy, no join/broadcast
     assert plan.count("Exchange") <= 1
+
+
+def test_host_cap_groups_canonical_variants(spark):
+    # 7 docs on one logical host through www/port variants + 1 other host
+    rows = [
+        Row(doc_id=i, url=u)
+        for i, u in enumerate(
+            [
+                "http://ex.com/1", "http://WWW.ex.com/2", "http://ex.com:80/3",
+                "https://ex.com/4", "http://ex.com/5", "http://ex.com/6",
+                "http://www.ex.com:80/7", "http://other.org/x",
+            ]
+        )
+    ]
+    out = web.host_cap(spark.createDataFrame(rows), max_per_host=3).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r)
+    assert len(by_host["ex.com"]) == 3  # capped despite 7 variants
+    assert len(by_host["other.org"]) == 1
+    assert sorted(r.host_rank for r in by_host["ex.com"]) == [1, 2, 3]
+    # deterministic survivor pick: re-run yields the same doc_ids
+    out2 = web.host_cap(spark.createDataFrame(rows), max_per_host=3).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in out2)
+
+
+def test_url_filter_blocklist(spark):
+    rows = [
+        Row(doc_id=1, url="http://ex.com/fun/casino/page"),
+        Row(doc_id=2, url="http://ex.com/fine"),
+        Row(doc_id=3, url="http://tracker.net/p"),
+    ]
+    out = {r.doc_id: r.keep for r in web.url_filter(spark.createDataFrame(rows)).collect()}
+    assert out == {1: False, 2: True, 3: False}
