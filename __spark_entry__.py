@@ -113,6 +113,7 @@ def _q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from doc_parser_spark.operators import (
+        curate,
         dedup,
         relational,
         similarity,
@@ -201,6 +202,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_stats": lambda spark, sf: web.pii_stats(
             _read(spark, sf, "documents").select(
                 "doc_id", F.expr(web.SYNTH_PII_TEXT_SQL).alias("text")
+            )
+        ),
+        # the composed production pass: quality -> repetition -> exact dedup
+        # -> near-dup clusters -> decontamination -> host cap, reported as a
+        # stage funnel from ONE aggregation job
+        "doc_curation_funnel": lambda spark, sf: curate.curation_funnel(
+            curate.curate_flags(
+                _read(spark, sf, "documents").withColumn(
+                    "url", F.expr(web.SYNTH_URL_SQL)
+                ),
+                bench_source="src0",
+                url_col="url",
+                max_per_host=5,
             )
         ),
     }
@@ -432,7 +446,7 @@ def oracle_sql() -> dict[str, str]:
         " * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)"
     )
 
-    return {
+    d = {
         "extract_wrapped_docs": """
             SELECT doc_id,
                    'Doc ' || doc_id AS title,
@@ -1137,3 +1151,58 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
     }
+
+    stages = (
+        "pass_quality",
+        "pass_repetition",
+        "is_exact_canonical",
+        "is_neardup_canonical",
+        "pass_decontamination",
+        "pass_host_cap",
+    )
+    cum = []
+    run = []
+    for s in stages:
+        run.append(s)
+        cum.append(
+            "CAST(sum(CASE WHEN "
+            + " AND ".join(run)
+            + f" THEN 1 ELSE 0 END) AS BIGINT) AS out_{s}"
+        )
+    funnel_rows = []
+    prev = "n_total"
+    for s in stages:
+        funnel_rows.append(
+            f"SELECT '{s}' AS stage, {prev} AS n_in, out_{s} AS n_out FROM agg"
+        )
+        prev = f"out_{s}"
+    d["doc_curation_funnel"] = f"""
+        WITH q AS ({d["doc_gopher_filter"]}),
+        rep AS ({d["doc_repetition_filter"]}),
+        ex AS ({d["doc_exact_dedup"]}),
+        cl AS ({d["doc_dup_clusters"]}),
+        dec AS ({d["doc_decontaminate"]}),
+        cap AS ({d["web_host_cap"]}),
+        flags AS (
+            SELECT doc.doc_id,
+                   coalesce(q.keep, FALSE) AS pass_quality,
+                   coalesce(rep.keep, FALSE) AS pass_repetition,
+                   (ex.canonical_id IS NOT NULL) AS is_exact_canonical,
+                   coalesce(cl.doc_id = cl.cluster_id, TRUE) AS is_neardup_canonical,
+                   coalesce(NOT dec.contaminated, FALSE) AS pass_decontamination,
+                   (cap.doc_id IS NOT NULL) AS pass_host_cap
+            FROM documents doc
+            LEFT JOIN q ON q.doc_id = doc.doc_id
+            LEFT JOIN rep ON rep.doc_id = doc.doc_id
+            LEFT JOIN ex ON ex.canonical_id = doc.doc_id
+            LEFT JOIN cl ON cl.doc_id = doc.doc_id
+            LEFT JOIN dec ON dec.doc_id = doc.doc_id
+            LEFT JOIN cap ON cap.doc_id = doc.doc_id
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_total, {", ".join(cum)}
+            FROM flags
+        )
+        {" UNION ALL ".join(funnel_rows)}
+    """
+    return d

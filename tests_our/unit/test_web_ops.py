@@ -134,3 +134,13 @@ def test_url_filter_blocklist(spark):
     ]
     out = {r.doc_id: r.keep for r in web.url_filter(spark.createDataFrame(rows)).collect()}
     assert out == {1: False, 2: True, 3: False}
+
+
+def test_canonicalization_is_idempotent(spark):
+    # canonical(canonical(u)) == canonical(u) over a messy generated set
+    df = spark.range(0, 300).toDF("doc_id").selectExpr(
+        f"{web.SYNTH_URL_SQL} AS url"
+    )
+    once = df.select(web.canonical_url_col("url").alias("url"))
+    twice = once.select(web.canonical_url_col("url").alias("url"))
+    assert once.collect() == twice.collect()
