@@ -108,3 +108,25 @@ def test_extraction_has_single_intentional_shuffle(spark):
     assert plan.count("Exchange") <= 2  # one per AQE plan rendering
     assert "xxhash64(url" in plan  # and it is the salt
     assert plan.count("MapInPandas") >= 1
+
+
+def test_web_ops_plan_shape(spark):
+    # URL dedup: one hash groupBy, no join; PII: pure projection, no exchange
+    plan = plan_of(spark, "web_url_dedup")
+    assert "Join" not in plan and plan.count("HashAggregate") >= 2
+    plan = plan_of(spark, "doc_pii_stats")
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_curation_funnel_no_cartesian(spark):
+    # the composed funnel joins 6 doc_id-keyed relations — all equi-joins;
+    # a cartesian/nested-loop anywhere would explode at corpus scale
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, "doc_curation_funnel")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" not in plan  # no corpus-sized broadcasts
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
