@@ -207,6 +207,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the composed production pass: quality -> repetition -> exact dedup
         # -> near-dup clusters -> decontamination -> host cap, reported as a
         # stage funnel from ONE aggregation job
+        "doc_curate_flags": lambda spark, sf: curate.curate_flags(
+            _read(spark, sf, "documents").withColumn(
+                "url", F.expr(web.SYNTH_URL_SQL)
+            ),
+            bench_source="src0",
+            url_col="url",
+            max_per_host=5,
+        ),
         "doc_curation_funnel": lambda spark, sf: curate.curation_funnel(
             curate.curate_flags(
                 _read(spark, sf, "documents").withColumn(
@@ -1176,7 +1184,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT '{s}' AS stage, {prev} AS n_in, out_{s} AS n_out FROM agg"
         )
         prev = f"out_{s}"
-    d["doc_curation_funnel"] = f"""
+    flags_cte = f"""
         WITH q AS ({d["doc_gopher_filter"]}),
         rep AS ({d["doc_repetition_filter"]}),
         ex AS ({d["doc_exact_dedup"]}),
@@ -1198,7 +1206,14 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN cl ON cl.doc_id = doc.doc_id
             LEFT JOIN dec ON dec.doc_id = doc.doc_id
             LEFT JOIN cap ON cap.doc_id = doc.doc_id
-        ),
+        )"""
+    keep_expr = " AND ".join(stages)
+    d["doc_curate_flags"] = f"""
+        {flags_cte}
+        SELECT *, ({keep_expr}) AS keep FROM flags
+    """
+    d["doc_curation_funnel"] = f"""
+        {flags_cte},
         agg AS (
             SELECT CAST(count(*) AS BIGINT) AS n_total, {", ".join(cum)}
             FROM flags
