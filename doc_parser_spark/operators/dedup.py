@@ -312,9 +312,12 @@ def dup_clusters(
 
     * each iteration ``localCheckpoint``s the edge set — iterative joins
       otherwise stack lineage until planning itself dominates;
-    * convergence is an exact set comparison (two ``exceptAll`` probes on
-      the narrow 2-column edge set), not a count heuristic — equal counts
-      do not imply a fixpoint;
+    * convergence is an exact set comparison, not a count heuristic —
+      equal counts do not imply a fixpoint. The cheap count (free on the
+      just-checkpointed relation) gates the exact probe: when counts
+      differ the sets cannot be equal and the probe is skipped, and the
+      probe itself is ONE full-outer-join job (a null on either side ⇒
+      difference) instead of two ``exceptAll`` scans;
     * ``pairs`` input is never collected; singletons never enter the
       edge set at all (they join back at the end from ``documents``),
       so the iteration cost scales with the number of *duplicated*
@@ -329,6 +332,7 @@ def dup_clusters(
         .distinct()
     )
     prev = None
+    prev_n = -1
     for _ in range(max_iter):
         sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # large-star: hang every larger neighbor of u onto min(Γ(u) ∪ {u})
@@ -359,12 +363,21 @@ def dup_clusters(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if prev is not None and (
-            small.exceptAll(prev).isEmpty() and prev.exceptAll(small).isEmpty()
-        ):
-            edges = small
-            break
+        n = small.count()  # free: relation was just checkpointed
+        if prev is not None and n == prev_n:
+            # counts equal → run the exact one-job set probe: both sides
+            # are distinct, so any full-outer row with a null half is a
+            # symmetric-difference witness
+            diff = small.join(
+                prev.select(F.col("u").alias("pu"), F.col("v").alias("pv")),
+                (F.col("u") == F.col("pu")) & (F.col("v") == F.col("pv")),
+                "full_outer",
+            ).where(F.col("u").isNull() | F.col("pu").isNull())
+            if diff.isEmpty():
+                edges = small
+                break
         prev = small
+        prev_n = n
         edges = small
     member = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
     roots = (
