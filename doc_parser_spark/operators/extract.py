@@ -182,17 +182,32 @@ def convert_payload(payload: bytes, fmt: Optional[str] = None):
         doc, kind = extract_office(payload)
         return doc, kind, fallback
     if fmt == sniff.FORMAT_CFB:
+        from doc_parser_spark.core.cfb import CfbError, read_cfb
         from doc_parser_spark.core.hwp_backend import HwpError, extract_hwp
+        from doc_parser_spark.core.legacy_office import (
+            LegacyOfficeError,
+            extract_legacy_office,
+        )
 
-        # single container parse: extract_hwp itself rejects non-HWP CFB
-        # (missing FileHeader signature) — no is_hwp() pre-check that would
-        # read the whole compound file twice per document
+        # parse the compound container ONCE, then route on stream names:
+        # HWP v5 (FileHeader) vs legacy Office (WordDocument / Workbook /
+        # PowerPoint Document — the formats the reference shells out to
+        # LibreOffice for, read natively here)
         try:
-            return extract_hwp(payload), "hwp", fallback
-        except HwpError as exc:
+            streams = read_cfb(payload)
+        except CfbError as exc:
+            raise UnsupportedFormatError(f"bad OLE2 container: {exc}") from exc
+        if "FileHeader" in streams:
+            try:
+                return extract_hwp(payload), "hwp", fallback
+            except HwpError as exc:
+                raise UnsupportedFormatError(f"bad HWP container: {exc}") from exc
+        try:
+            doc, kind = extract_legacy_office(streams)
+            return doc, kind, fallback
+        except LegacyOfficeError as exc:
             raise UnsupportedFormatError(
-                f"OLE2 container is not supported HWP ({exc}); "
-                "legacy doc/xls/ppt are deliberately unsupported"
+                f"unsupported OLE2 payload: {exc}"
             ) from exc
     extractor = _DISPATCH.get(fmt) or _lazy_backends().get(fmt)
     if extractor is None:

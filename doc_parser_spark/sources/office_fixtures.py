@@ -134,3 +134,151 @@ def make_wav(i: int = 0, n_samples: int = 256) -> bytes:
         + b"data" + struct.pack("<I", len(pcm))
     )
     return hdr + pcm
+
+
+def make_doc(i: int = 0) -> bytes:
+    """Deterministic legacy .doc (MS-DOC FIB + CLX piece table in 1Table).
+
+    Two text pieces — one CP1252-compressed, one UTF-16LE — plus a 2x2
+    table region, exercising both piece encodings and the cell/row marks."""
+    import struct
+
+    from doc_parser_spark.core.cfb import write_cfb
+
+    piece1 = f"Legacy doc {i} paragraph one.\r".encode("cp1252")
+    table_text = "A\x07B\x07\x07c\x07d\x07\x07"
+    piece2 = (f"Unicode piece – two ¶{i}.\r" + table_text).encode("utf-16-le")
+    n1 = len(piece1)
+    n2 = len(piece2) // 2
+    ccp_text = n1 + n2
+
+    header_len = 1024
+    fc1 = header_len  # compressed piece: fc stored doubled
+    fc2 = header_len + n1
+
+    fib = bytearray(header_len)
+    struct.pack_into("<HH", fib, 0, 0xA5EC, 0x00C1)
+    struct.pack_into("<H", fib, 0x0A, 0x0200)  # fWhichTblStm -> 1Table
+    struct.pack_into("<H", fib, 32, 14)  # csw
+    struct.pack_into("<H", fib, 62, 22)  # cslw
+    struct.pack_into("<i", fib, 64 + 3 * 4, ccp_text)  # FibRgLw97.ccpText
+    struct.pack_into("<H", fib, 152, 93)  # cbRgFcLcb (Word97)
+    # fcClx / lcbClx = pair 33 of the FcLcb blob at 154
+    clx_off = 0x20
+
+    pcd1 = struct.pack("<HIH", 0, (fc1 * 2) | 0x40000000, 0)
+    pcd2 = struct.pack("<HIH", 0, fc2, 0)
+    plc = struct.pack("<3i", 0, n1, ccp_text) + pcd1 + pcd2
+    clx = b"\x02" + struct.pack("<I", len(plc)) + plc
+    struct.pack_into("<II", fib, 154 + 33 * 8, clx_off, len(clx))
+
+    word_stream = bytes(fib) + piece1 + piece2
+    table_stream = b"\x00" * clx_off + clx
+    return write_cfb({"WordDocument": word_stream, "1Table": table_stream})
+
+
+def make_xls(i: int = 0) -> bytes:
+    """Deterministic legacy .xls (BIFF8): SST split across a Continue,
+    LABELSST/NUMBER/RK/MULRK cells, a merged header, two sheets."""
+    import struct
+
+    from doc_parser_spark.core.cfb import write_cfb
+
+    def rec(rtype: int, payload: bytes) -> bytes:
+        return struct.pack("<HH", rtype, len(payload)) + payload
+
+    def bof(dt: int) -> bytes:
+        return rec(0x0809, struct.pack("<HHHHII", 0x0600, dt, 0x0DBB, 0x07CC, 0, 0))
+
+    s0 = f"Header {i}".encode("latin-1")
+    s1 = "wide ¶ string"  # forces fHighByte
+    s2_head, s2_tail = "split", "string"  # spans the Continue boundary
+    sst_payload = (
+        struct.pack("<II", 4, 3)
+        + struct.pack("<HB", len(s0), 0) + s0
+        + struct.pack("<HB", len(s1), 1) + s1.encode("utf-16-le")
+        + struct.pack("<HB", len(s2_head + s2_tail), 0) + s2_head.encode("latin-1")
+    )
+    # Continue restarts with a fresh grbit byte, then the rest of the chars
+    continue_payload = b"\x00" + s2_tail.encode("latin-1")
+
+    def labelsst(rw: int, col: int, isst: int) -> bytes:
+        return rec(0x00FD, struct.pack("<HHHI", rw, col, 0, isst))
+
+    def number(rw: int, col: int, x: float) -> bytes:
+        return rec(0x0203, struct.pack("<HHHd", rw, col, 0, x))
+
+    def rk_int(v: int) -> int:
+        return ((v << 2) & 0xFFFFFFFF) | 0x02
+
+    sheet1 = (
+        bof(0x0010)
+        + labelsst(0, 0, 0)
+        + labelsst(0, 1, 1)
+        + labelsst(0, 2, 2)
+        + number(1, 0, 3.25)
+        + rec(0x027E, struct.pack("<HHHI", 1, 1, 0, rk_int(42)))
+        + rec(
+            0x00BD,
+            struct.pack("<HH", 1, 2)
+            + struct.pack("<HI", 0, rk_int(7))
+            + struct.pack("<H", 2),
+        )
+        + rec(0x00E5, struct.pack("<HHHHH", 1, 3, 3, 0, 1))  # merged A4:B4
+        + labelsst(3, 0, 0)
+        + rec(0x000A, b"")
+    )
+    sheet2 = bof(0x0010) + number(0, 0, float(100 + i)) + rec(0x000A, b"")
+
+    def bsheet(name: str, pos: int) -> bytes:
+        nm = name.encode("latin-1")
+        return rec(0x0085, struct.pack("<IHBB", pos, 0, len(nm), 0) + nm)
+
+    # two passes: globals size depends only on name lengths (offsets patched)
+    def globals_blob(p1: int, p2: int) -> bytes:
+        return (
+            bof(0x0005)
+            + rec(0x00FC, sst_payload)
+            + rec(0x003C, continue_payload)
+            + bsheet("Alpha", p1)
+            + bsheet("Beta", p2)
+            + rec(0x000A, b"")
+        )
+
+    glen = len(globals_blob(0, 0))
+    wb = globals_blob(glen, glen + len(sheet1)) + sheet1 + sheet2
+    return write_cfb({"Workbook": wb})
+
+
+def make_ppt(i: int = 0) -> bytes:
+    """Deterministic legacy .ppt: SlideListWithText with two slides
+    (title + body text atoms, both encodings)."""
+    import struct
+
+    from doc_parser_spark.core.cfb import write_cfb
+
+    def atom(rtype: int, payload: bytes, inst: int = 0) -> bytes:
+        return struct.pack("<HHI", inst << 4, rtype, len(payload)) + payload
+
+    def container(rtype: int, body: bytes) -> bytes:
+        return struct.pack("<HHI", 0x000F, rtype, len(body)) + body
+
+    def persist() -> bytes:
+        return atom(0x03F3, b"\x00" * 20)
+
+    def theader(kind: int) -> bytes:
+        return atom(0x0F9F, struct.pack("<I", kind))
+
+    slide_list = container(
+        0x0FF0,
+        persist()
+        + theader(0)
+        + atom(0x0FA0, f"Slide one title {i}".encode("utf-16-le"))
+        + theader(1)
+        + atom(0x0FA8, b"Body bullet one\rBody bullet two")
+        + persist()
+        + theader(0)
+        + atom(0x0FA0, "Zwölf title".encode("utf-16-le")),
+    )
+    document = container(0x03E8, slide_list)
+    return write_cfb({"PowerPoint Document": document, "Current User": b"\x00" * 8})

@@ -121,6 +121,18 @@ def generate_rows(n: int, seed: int = 42) -> list[dict]:
             from doc_parser_spark.sources import office_fixtures
 
             payload = office_fixtures.make_xlsx()
+        elif roll == 87:
+            from doc_parser_spark.sources import office_fixtures
+
+            payload = office_fixtures.make_doc(i)
+        elif roll == 88:
+            from doc_parser_spark.sources import office_fixtures
+
+            payload = office_fixtures.make_xls(i)
+        elif roll == 89:
+            from doc_parser_spark.sources import office_fixtures
+
+            payload = office_fixtures.make_ppt(i)
         elif roll == 94:
             payload = (
                 f"= Adoc {i}\n\n== Part\n\n{_para(rng, 2)}\n".encode()

@@ -34,8 +34,12 @@ def test_statuses_and_formats(docs):
         (r["format"], r["status"]): r["count"]
         for r in docs.groupBy("format", "status").count().collect()
     }
-    assert counts[("html", "success")] >= N_PAGES * 0.85
+    # 82/100 rolls are HTML after the legacy-office rolls joined the mix
+    assert counts[("html", "success")] >= N_PAGES * 0.80
     assert counts[("pdf", "success")] >= 5
+    # legacy binary Office payloads parse natively (no LibreOffice)
+    for kind in ("doc", "xls", "ppt"):
+        assert counts.get((kind, "success"), 0) >= 1, kind
     assert ("unknown", "skipped") in counts  # binary garbage rows
     # empty payloads isolate as failures, never kill the job
     assert ("unknown", "failure") in counts

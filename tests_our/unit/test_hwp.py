@@ -110,5 +110,10 @@ def test_kernel_routing():
     assert [n.text for n, _ in doc.iterate_items()] == ["문단"]
     from doc_parser_spark.operators.extract import UnsupportedFormatError
 
-    with pytest.raises(UnsupportedFormatError, match="not supported HWP"):
+    # WordDocument containers route to the legacy .doc reader now; a
+    # malformed one degrades to UnsupportedFormatError (skipped row),
+    # and a truly unknown OLE2 payload does too
+    with pytest.raises(UnsupportedFormatError, match="too short"):
         convert_payload(write_cfb({"WordDocument": b"\x00" * 16}))
+    with pytest.raises(UnsupportedFormatError, match="unrecognized OLE2"):
+        convert_payload(write_cfb({"Mystery": b"\x00" * 16}))
