@@ -29,6 +29,7 @@ FORMAT_TEXT = "text"
 FORMAT_AUDIO = "audio"
 FORMAT_IMAGE = "image"  # standalone raster payload (reference InputFormat.IMAGE)
 FORMAT_CFB = "cfb"  # OLE2 compound file (HWP v5; legacy doc/xls/ppt)
+FORMAT_MIME = "mime"  # MHTML web archive / RFC-822 email
 FORMAT_UNKNOWN = "unknown"
 
 # reference: docling/datamodel/document.py:440-478 (_detect_html_xhtml)
@@ -100,6 +101,26 @@ def sniff_format(payload: bytes) -> str:
         # leading tag that isn't a recognized html/xml root: treat as HTML
         # fragment (real-world crawl pages frequently omit <html>)
         return FORMAT_HTML
+
+    # MIME: MHTML page snapshots and RFC-822 mail. Conservative: a
+    # MIME-Version/Content-Type header line near the top PLUS a second
+    # classic header, so prose that merely mentions a header name is not
+    # misrouted.
+    header_block = head[:2048].split(b"\n\n", 1)[0].split(b"\r\n\r\n", 1)[0]
+    lines = header_block.splitlines()[:30]
+    has_mime = any(
+        l[:13].lower() == b"mime-version:" or l[:13].lower() == b"content-type:"
+        for l in lines
+    )
+    has_second = any(
+        l.split(b":", 1)[0].strip().lower()
+        in (b"from", b"to", b"subject", b"date", b"received", b"return-path",
+            b"snapshot-content-location")
+        for l in lines
+        if b":" in l
+    )
+    if has_mime and has_second:
+        return FORMAT_MIME
 
     # JSON payloads (docling-JSON analog routed by the "spans" key,
     # cf. the fork's JSON_DOCLING registration, document_converter.py:211-213)

@@ -209,6 +209,14 @@ def convert_payload(payload: bytes, fmt: Optional[str] = None):
             raise UnsupportedFormatError(
                 f"unsupported OLE2 payload: {exc}"
             ) from exc
+    if fmt == sniff.FORMAT_MIME:
+        from doc_parser_spark.core.mime_backend import MimeError, extract_mime
+
+        try:
+            doc, kind = extract_mime(payload)
+            return doc, kind, fallback
+        except MimeError as exc:
+            raise UnsupportedFormatError(f"bad MIME payload: {exc}") from exc
     extractor = _DISPATCH.get(fmt) or _lazy_backends().get(fmt)
     if extractor is None:
         raise UnsupportedFormatError(f"unsupported format: {fmt}")

@@ -282,3 +282,55 @@ def make_ppt(i: int = 0) -> bytes:
     )
     document = container(0x03E8, slide_list)
     return write_cfb({"PowerPoint Document": document, "Current User": b"\x00" * 8})
+
+
+def make_mhtml(i: int = 0) -> bytes:
+    """Deterministic MHTML snapshot: multipart/related with a
+    quoted-printable HTML root part and a dummy image part."""
+    import base64
+    import quopri
+
+    html = (
+        f"<html><head><title>Archived page {i}</title></head><body>"
+        f"<h1>Snapshot {i}</h1><p>Saved café content.</p>"
+        "<ul><li>alpha</li><li>beta</li></ul></body></html>"
+    ).encode("utf-8")
+    qp = quopri.encodestring(html).decode("ascii")
+    img = base64.b64encode(b"\x89PNG\r\n\x1a\nfakepng").decode("ascii")
+    return (
+        "From: <Saved by a crawler>\r\n"
+        f"Subject: Archived page {i}\r\n"
+        "Snapshot-Content-Location: https://example.org/page\r\n"
+        "MIME-Version: 1.0\r\n"
+        'Content-Type: multipart/related; type="text/html"; boundary="--bnd"\r\n'
+        "\r\n"
+        "----bnd\r\n"
+        "Content-Type: text/html; charset=utf-8\r\n"
+        "Content-Transfer-Encoding: quoted-printable\r\n"
+        "Content-Location: https://example.org/page\r\n"
+        "\r\n"
+        f"{qp}\r\n"
+        "----bnd\r\n"
+        "Content-Type: image/png\r\n"
+        "Content-Transfer-Encoding: base64\r\n"
+        "\r\n"
+        f"{img}\r\n"
+        "----bnd--\r\n"
+    ).encode("ascii")
+
+
+def make_eml(i: int = 0) -> bytes:
+    """Deterministic plain-text email."""
+    return (
+        f"From: sender{i}@example.com\r\n"
+        f"To: list@example.org\r\n"
+        f"Subject: Weekly report {i}\r\n"
+        "Date: Mon, 1 Jan 2024 00:00:00 +0000\r\n"
+        "MIME-Version: 1.0\r\n"
+        "Content-Type: text/plain; charset=utf-8\r\n"
+        "Content-Transfer-Encoding: 8bit\r\n"
+        "\r\n"
+        f"First paragraph of report {i}.\r\n"
+        "\r\n"
+        "Second paragraph with caf\xc3\xa9 bytes.\r\n".encode("latin-1").decode("latin-1")
+    ).encode("latin-1")

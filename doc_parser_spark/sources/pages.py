@@ -121,6 +121,14 @@ def generate_rows(n: int, seed: int = 42) -> list[dict]:
             from doc_parser_spark.sources import office_fixtures
 
             payload = office_fixtures.make_xlsx()
+        elif roll == 85:
+            from doc_parser_spark.sources import office_fixtures
+
+            payload = office_fixtures.make_mhtml(i)
+        elif roll == 86:
+            from doc_parser_spark.sources import office_fixtures
+
+            payload = office_fixtures.make_eml(i)
         elif roll == 87:
             from doc_parser_spark.sources import office_fixtures
 
