@@ -138,7 +138,10 @@ def _lazy_backends():
         extract_audio,
     )
 
+    from doc_parser_spark.core.rtf_backend import extract_rtf
+
     return {
+        sniff.FORMAT_RTF: extract_rtf,
         sniff.FORMAT_ADOC: extract_asciidoc,
         sniff.FORMAT_XML: _extract_xml,
         # NoOp + ASR plug-point: valid-but-empty doc without a transcriber

@@ -334,3 +334,16 @@ def make_eml(i: int = 0) -> bytes:
         "\r\n"
         "Second paragraph with caf\xc3\xa9 bytes.\r\n".encode("latin-1").decode("latin-1")
     ).encode("latin-1")
+
+
+def make_rtf(i: int = 0) -> bytes:
+    """Deterministic RTF: destinations, hex + unicode escapes, a table."""
+    return (
+        b"{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 Calibri;}}"
+        b"{\\*\\generator fixture;}"
+        b"\\pard Rtf fixture " + str(i).encode() + b" caf\\'e9 \\u8212? text.\\par "
+        b"Second paragraph " + str(i).encode() + b".\\par "
+        b"\\trowd\\cellx1\\cellx2 K\\cell V\\cell\\row "
+        b"\\trowd\\cellx1\\cellx2 k" + str(i).encode() + b"\\cell v\\cell\\row "
+        b"\\pard Tail.\\par }"
+    )

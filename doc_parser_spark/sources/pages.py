@@ -121,6 +121,10 @@ def generate_rows(n: int, seed: int = 42) -> list[dict]:
             from doc_parser_spark.sources import office_fixtures
 
             payload = office_fixtures.make_xlsx()
+        elif roll == 84:
+            from doc_parser_spark.sources import office_fixtures
+
+            payload = office_fixtures.make_rtf(i)
         elif roll == 85:
             from doc_parser_spark.sources import office_fixtures
 

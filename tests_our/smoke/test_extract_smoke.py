@@ -34,11 +34,11 @@ def test_statuses_and_formats(docs):
         (r["format"], r["status"]): r["count"]
         for r in docs.groupBy("format", "status").count().collect()
     }
-    # 82/100 rolls are HTML after the legacy-office rolls joined the mix
-    assert counts[("html", "success")] >= N_PAGES * 0.80
+    # 79/100 rolls are HTML after legacy-office/MIME/RTF joined the mix
+    assert counts[("html", "success")] >= N_PAGES * 0.75
     assert counts[("pdf", "success")] >= 5
-    # legacy binary Office payloads parse natively (no LibreOffice)
-    for kind in ("doc", "xls", "ppt"):
+    # crawl-reality formats parse natively (no LibreOffice, no subprocess)
+    for kind in ("doc", "xls", "ppt", "mhtml", "eml", "rtf"):
         assert counts.get((kind, "success"), 0) >= 1, kind
     assert ("unknown", "skipped") in counts  # binary garbage rows
     # empty payloads isolate as failures, never kill the job
