@@ -31,6 +31,8 @@ FORMAT_IMAGE = "image"  # standalone raster payload (reference InputFormat.IMAGE
 FORMAT_CFB = "cfb"  # OLE2 compound file (HWP v5; legacy doc/xls/ppt)
 FORMAT_MIME = "mime"  # MHTML web archive / RFC-822 email
 FORMAT_RTF = "rtf"
+FORMAT_WARC = "warc"
+FORMAT_GZIP = "gzip"  # transport wrapper: inflate + re-sniff
 FORMAT_UNKNOWN = "unknown"
 
 # reference: docling/datamodel/document.py:440-478 (_detect_html_xhtml)
@@ -57,6 +59,10 @@ def sniff_format(payload: bytes) -> str:
         return FORMAT_ZIP
     if head[:5].lower() == b"{\\rtf":
         return FORMAT_RTF
+    if head.startswith(b"WARC/"):
+        return FORMAT_WARC
+    if head[:2] == b"\x1f\x8b":
+        return FORMAT_GZIP
     if head.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
         # OLE2 compound container — HWP v5 is the supported member
         # (the FileHeader signature check needs the full payload, so the

@@ -1,0 +1,76 @@
+"""WARC record reader — the Common-Crawl container format itself.
+
+A page-table cell sometimes holds a raw WARC capture rather than bare
+HTML (crawlers hand around per-record slices of the big .warc.gz files).
+This reader walks the record chain, takes the first ``response`` /
+``resource`` record, strips the HTTP envelope, and routes the body back
+through the normal format dispatch — so a WARC-wrapped page produces
+exactly the same Document as its bare payload would (ISO 28500 record
+grammar; gzip members are transparently inflated).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from .model import Document
+
+
+class WarcError(ValueError):
+    pass
+
+
+def _split_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n")[1:]:  # first line is WARC/1.x
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().decode("ascii", "replace").lower()] = (
+                v.strip().decode("ascii", "replace")
+            )
+    return headers
+
+
+def warc_payload(data: bytes) -> tuple[bytes, str]:
+    """WARC bytes → (payload bytes of the first response/resource record,
+    target URI). Strips the HTTP response envelope when present."""
+    if data[:2] == b"\x1f\x8b":  # gzipped member(s)
+        try:
+            data = zlib.decompress(data, 47)
+        except zlib.error as exc:
+            raise WarcError(f"bad WARC gzip member: {exc}") from exc
+    pos = 0
+    while True:
+        if not data[pos:].startswith(b"WARC/"):
+            raise WarcError("no response record found")
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            raise WarcError("truncated WARC header")
+        headers = _split_headers(data[pos:head_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError as exc:
+            raise WarcError("missing Content-Length") from exc
+        body = data[head_end + 4 : head_end + 4 + length]
+        if headers.get("warc-type") in ("response", "resource"):
+            uri = headers.get("warc-target-uri", "")
+            if body.startswith(b"HTTP/"):
+                http_end = body.find(b"\r\n\r\n")
+                if http_end >= 0:
+                    body = body[http_end + 4 :]
+            return body, uri
+        pos = head_end + 4 + length
+        # records are separated by two CRLFs
+        while data[pos : pos + 2] == b"\r\n":
+            pos += 2
+
+
+def extract_warc(data: bytes) -> tuple[Document, str]:
+    """WARC bytes → (Document, 'warc:<inner format>')."""
+    from doc_parser_spark.operators.extract import convert_payload
+
+    body, _uri = warc_payload(data)
+    if not body:
+        raise WarcError("empty record payload")
+    doc, inner, _fb = convert_payload(body)
+    return doc, f"warc:{inner}"

@@ -170,11 +170,30 @@ class UnsupportedFormatError(ValueError):
     format gate uses)."""
 
 
-def convert_payload(payload: bytes, fmt: Optional[str] = None):
+def convert_payload(payload: bytes, fmt: Optional[str] = None, _depth: int = 0):
     """bytes → (Document, format, fallback_used). Raises on hard failure."""
     if fmt is None:
         fmt = sniff.sniff_format(payload)
     fallback = False
+    if fmt == sniff.FORMAT_GZIP:
+        # transport wrapper: inflate (bomb-bounded) and re-dispatch; depth
+        # guard stops gzip-of-gzip-of-... chains
+        if _depth >= 3:
+            raise UnsupportedFormatError("nested transport encodings too deep")
+        import zlib
+
+        d = zlib.decompressobj(47)
+        try:
+            inner = d.decompress(payload, DEFAULT_MAX_BYTES + 1)
+        except zlib.error as exc:
+            raise UnsupportedFormatError(f"bad gzip payload: {exc}") from exc
+        if len(inner) > DEFAULT_MAX_BYTES:
+            # mirrors the oversize gate: invalid -> FAILURE, not skip
+            raise ValueError(
+                f"inflated payload exceeds {DEFAULT_MAX_BYTES} bytes"
+            )
+        doc, kind, fb = convert_payload(inner, _depth=_depth + 1)
+        return doc, kind if kind.startswith("warc") else f"gz:{kind}", fb
     if fmt == sniff.FORMAT_PDF:
         extract_pdf = _get_pdf_extractor()
         doc, fallback = extract_pdf(payload)
@@ -212,6 +231,14 @@ def convert_payload(payload: bytes, fmt: Optional[str] = None):
             raise UnsupportedFormatError(
                 f"unsupported OLE2 payload: {exc}"
             ) from exc
+    if fmt == sniff.FORMAT_WARC:
+        from doc_parser_spark.core.warc_backend import WarcError, extract_warc
+
+        try:
+            doc, kind = extract_warc(payload)
+            return doc, kind, fallback
+        except WarcError as exc:
+            raise UnsupportedFormatError(f"bad WARC payload: {exc}") from exc
     if fmt == sniff.FORMAT_MIME:
         from doc_parser_spark.core.mime_backend import MimeError, extract_mime
 

@@ -347,3 +347,25 @@ def make_rtf(i: int = 0) -> bytes:
         b"\\trowd\\cellx1\\cellx2 k" + str(i).encode() + b"\\cell v\\cell\\row "
         b"\\pard Tail.\\par }"
     )
+
+
+def make_warc(i: int = 0) -> bytes:
+    """Deterministic WARC slice: warcinfo record + HTML response record."""
+    html = (
+        f"<html><body><h1>Crawled {i}</h1><p>Warc wrapped paragraph.</p>"
+        "</body></html>"
+    ).encode()
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    )
+    info = b"software: fixture\r\n"
+    rec1 = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        b"Content-Length: " + str(len(info)).encode() + b"\r\n\r\n" + info
+    )
+    rec2 = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://example.org/" + str(i).encode() + b"\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n" + http
+    )
+    return rec1 + b"\r\n\r\n" + rec2 + b"\r\n\r\n"

@@ -121,6 +121,15 @@ def generate_rows(n: int, seed: int = 42) -> list[dict]:
             from doc_parser_spark.sources import office_fixtures
 
             payload = office_fixtures.make_xlsx()
+        elif roll == 83:
+            import zlib
+
+            from doc_parser_spark.sources import office_fixtures
+
+            payload = office_fixtures.make_warc(i)
+            if i % 2 == 0:  # half arrive as gzip members (mtime-free header)
+                co = zlib.compressobj(9, zlib.DEFLATED, 31)
+                payload = co.compress(payload) + co.flush()
         elif roll == 84:
             from doc_parser_spark.sources import office_fixtures
 

@@ -38,7 +38,7 @@ def test_statuses_and_formats(docs):
     assert counts[("html", "success")] >= N_PAGES * 0.75
     assert counts[("pdf", "success")] >= 5
     # crawl-reality formats parse natively (no LibreOffice, no subprocess)
-    for kind in ("doc", "xls", "ppt", "mhtml", "eml", "rtf"):
+    for kind in ("doc", "xls", "ppt", "mhtml", "eml", "rtf", "warc:html"):
         assert counts.get((kind, "success"), 0) >= 1, kind
     assert ("unknown", "skipped") in counts  # binary garbage rows
     # empty payloads isolate as failures, never kill the job

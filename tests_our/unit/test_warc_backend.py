@@ -1,0 +1,62 @@
+"""WARC record reader: record chain walk, HTTP envelope strip, re-dispatch."""
+
+import gzip
+
+import pytest
+
+from doc_parser_spark.core import sniff
+from doc_parser_spark.core.serialize import export_text
+from doc_parser_spark.core.warc_backend import WarcError, extract_warc, warc_payload
+from doc_parser_spark.operators.extract import convert_payload
+from doc_parser_spark.sources.office_fixtures import make_warc
+
+
+def test_sniff_and_response_record():
+    w = make_warc(6)
+    assert sniff.sniff_format(w) == sniff.FORMAT_WARC
+    doc, kind = extract_warc(w)
+    assert kind == "warc:html"
+    txt = export_text(doc)
+    assert "Crawled 6" in txt and "Warc wrapped paragraph." in txt
+
+
+def test_warcinfo_skipped_and_uri_parsed():
+    body, uri = warc_payload(make_warc(2))
+    assert uri == "https://example.org/2"
+    assert body.startswith(b"<html>")  # HTTP envelope stripped
+
+
+def test_gzip_member_inflates():
+    gz = gzip.compress(make_warc(3))
+    doc, kind = extract_warc(gz)
+    assert kind == "warc:html"
+    assert "Crawled 3" in export_text(doc)
+
+
+def test_kernel_routing():
+    from doc_parser_spark.operators.extract import process_document
+
+    rec = process_document("u", make_warc(1))
+    assert (rec["status"], rec["format"]) == ("success", "warc:html")
+
+
+def test_truncated_rejected():
+    with pytest.raises(WarcError):
+        warc_payload(b"WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 2\r\n\r\nxx")
+
+
+def test_gzip_transport_routes_through_kernel():
+    import gzip as _gzip
+
+    from doc_parser_spark.operators.extract import process_document
+
+    rec = process_document("u", _gzip.compress(make_warc(4)))
+    assert (rec["status"], rec["format"]) == ("success", "warc:html")
+    rec = process_document("u", _gzip.compress(b"<html><body><p>hi</p></body></html>"))
+    assert (rec["status"], rec["format"]) == ("success", "gz:html")
+    # nested transport chains terminate
+    deep = b"<p>x</p>"
+    for _ in range(5):
+        deep = _gzip.compress(deep)
+    rec = process_document("u", deep)
+    assert rec["status"] == "skipped"
