@@ -140,3 +140,43 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_url_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Streaming URL-level dedup: first canonical-URL occurrence wins.
+
+    ``dropDuplicatesWithinWatermark`` keeps the dedup state BOUNDED — a
+    crawl stream revisits the same URLs for days, and an unbounded
+    ``dropDuplicates`` state would grow with the full URL universe. The
+    watermark on ``warc_ts`` is the crawl-recency horizon: re-fetches
+    inside it dedup exactly; a re-fetch after the horizon is a new
+    observation (which is what a training-data pipeline wants — content
+    may have changed). State survives restarts via the checkpoint."""
+    from doc_parser_spark.operators.web import canonical_url_col
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    deduped = (
+        stream.withColumn("canonical_url", canonical_url_col("url"))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -454,3 +454,35 @@ def test_table_io_parquet_roundtrip_and_validation(spark, tmp_path):
         TableIO(spark, "iceberg")  # no catalog
     with pytest.raises(ValueError):
         TableIO(spark, "delta", root="x")
+
+
+def test_streaming_url_dedup(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from pyspark.sql import Row
+
+    from doc_parser_spark.streaming.stream import stream_url_dedup
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ts = datetime(2024, 1, 1, 12, 0, tzinfo=timezone.utc)
+
+    def page(url):
+        return Row(url=url, warc_ts=ts, html=b"<p>x</p>", text="", lang="en")
+
+    batch1 = [page("http://WWW.ex.com:80/a?utm_source=1"), page("http://ex.com/b")]
+    spark.createDataFrame(batch1).write.parquet(in_dir)
+    q = stream_url_dedup(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    # second batch: a canonical re-fetch of /a plus a new url — state must
+    # survive the restart through the checkpoint
+    batch2 = [page("http://ex.com/a"), page("http://ex.com/c")]
+    spark.createDataFrame(batch2).write.mode("append").parquet(in_dir)
+    q2 = stream_url_dedup(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(out_dir)
+    urls = sorted(r.canonical_url for r in out.collect())
+    assert urls == ["http://ex.com/a", "http://ex.com/b", "http://ex.com/c"]
