@@ -121,6 +121,8 @@ def extract_doc(streams: dict[str, bytes]) -> Document:
     word = streams.get("WordDocument")
     if word is None:
         raise LegacyOfficeError("no WordDocument stream")
+    if len(word) < 0x200:
+        raise LegacyOfficeError("WordDocument stream too short")
     (flags,) = struct.unpack_from("<H", word, 0x0A)
     table = streams.get("1Table" if flags & 0x0200 else "0Table")
     if table is None:  # some writers store only one of the two

@@ -81,3 +81,24 @@ def test_doc_markdown_renders_table():
     doc, _ = extract_legacy_office(read_cfb(fx.make_doc(1)))
     md = export_markdown(doc)
     assert "| A" in md and "| c" in md
+
+
+def test_corruption_fuzz_never_crashes_kernel():
+    """Bit-flipped / truncated container payloads must isolate as
+    failure/skipped rows — never escape the per-document guard."""
+    import random
+
+    from doc_parser_spark.operators.extract import process_document
+    from doc_parser_spark.sources.office_fixtures import (
+        make_doc, make_mhtml, make_ppt, make_rtf, make_warc, make_xls,
+    )
+
+    rng = random.Random(1)
+    base = [make_doc(1), make_xls(1), make_ppt(1), make_warc(1), make_rtf(1), make_mhtml(1)]
+    for _ in range(120):
+        b = bytearray(rng.choice(base))
+        for _ in range(rng.randrange(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        b = bytes(b[: rng.randrange(10, len(b) + 1)])
+        rec = process_document("u", b)
+        assert rec["status"] in ("success", "failure", "skipped")
