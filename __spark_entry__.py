@@ -859,9 +859,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_chunks AS BIGINT) AS n_chunks
             FROM read_parquet('/root/repo/tests_our/data/extract_pages_golden.parquet')
         """,
+        # exploded scalar rows (cid, dim, value): the driver canonicalizes
+        # results as a sorted pandas frame, and an array<double> column is
+        # unsortable/unhashable there (r2 driver err) — scalars compare fine
         "emb_ivf_centroids": f"""
             WITH {_ivf_ctes()}
-            SELECT cid, c AS centroid FROM cents2
+            SELECT cid, CAST(g.i - 1 AS BIGINT) AS dim, c[g.i] AS value
+            FROM cents2 CROSS JOIN generate_series(1, 64) AS g(i)
         """,
         "emb_ivf_topk": _ivf_topk_sql(),
         "emb_cosine_topk": """
@@ -980,7 +984,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c_mktsegment,
                    count(*) AS n_customers,
-                   sum(n_orders) AS n_orders,
+                   CAST(sum(n_orders) AS BIGINT) AS n_orders,
                    CAST(round(sum(total_spend), 2) AS DOUBLE) AS segment_spend
             FROM per_customer GROUP BY c_mktsegment
         """,

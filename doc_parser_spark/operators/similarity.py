@@ -227,12 +227,20 @@ def ivf_train(
 def ivf_centroids(
     embeddings: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS
 ) -> DataFrame:
-    """Final codebook as a DataFrame (cid, centroid array<double>)."""
+    """Final codebook as exploded scalar rows (cid, dim, value).
+
+    Exploded rather than array<double> so the result is a plain sortable
+    relation — comparison harnesses that canonicalize via pandas frames
+    cannot sort/hash an array column."""
     cents = ivf_train(embeddings, k, iters)
     spark = embeddings.sparkSession
     return spark.createDataFrame(
-        [(ci, c) for ci, c in enumerate(cents)],
-        "cid long, centroid array<double>",
+        [
+            (ci, d, float(v))
+            for ci, c in enumerate(cents)
+            for d, v in enumerate(c)
+        ],
+        "cid long, dim long, value double",
     )
 
 

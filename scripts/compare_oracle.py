@@ -2,15 +2,25 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same sf dir, then compares row count, sorted column names,
-and the full sorted multiset of row values (exact equality after a portable
-canonicalization). Usage::
+and a value hash computed the way the DRIVER computes it: both results are
+canonicalized as *pandas frames* (Spark ``toPandas``, DuckDB ``fetchdf``),
+columns reordered by name, rows sorted by all columns, then hashed from the
+dtype-sensitive string rendering of every cell.  This is deliberately
+stricter than Python-value equality:
+
+- DuckDB HUGEINT (e.g. ``sum(BIGINT)``) comes back float64 in pandas while
+  Spark emits int64 — ``30595.0`` vs ``30595`` → hash MISMATCH (the r2
+  ``segment_order_stats`` driver red).  Oracles must CAST to BIGINT.
+- array columns are unsortable in a pandas frame → ERROR, like the driver
+  (the r2 ``emb_ivf_centroids`` red).  Queries must emit scalar columns.
+
+Local green here therefore predicts driver green.  Usage::
 
     python scripts/compare_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import math
 import sys
 
 import duckdb
@@ -23,25 +33,14 @@ TABLES = (
 ).split()
 
 
-def canon(v):
-    if v is None:
-        return ("none",)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("nan",)
-        return ("f", repr(v))
-    if isinstance(v, (int,)):
-        return ("i", int(v))
-    if hasattr(v, "isoformat"):
-        return ("t", v.isoformat())
-    if isinstance(v, (list, tuple)):
-        return ("l", tuple(canon(x) for x in v))
-    return ("s", str(v))
-
-
-def rows_key(df_rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in df_rows)
+def canon_frame(pdf):
+    """Driver-style canonicalization: sorted columns, rows sorted by all
+    columns (TypeError on unsortable cells, exactly like the driver), then
+    a list of dtype-sensitive string rows."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    pdf = pdf.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    return pdf.astype(str).values.tolist()
 
 
 def main():
@@ -74,29 +73,34 @@ def main():
         if only and name not in only:
             continue
         sdf = fn(spark, sf_dir)
-        srows = sdf.collect()
-        scols = sdf.columns
+        spdf = sdf.toPandas()
+        scols = list(spdf.columns)
         if name not in oracles:
-            print(f"{name:28s} rows={len(srows):6d}  (rows-only, no oracle)")
+            print(f"{name:28s} rows={len(spdf):6d}  (rows-only, no oracle)")
             continue
         try:
-            ddf = con.execute(oracles[name]).fetchall()
-            dcols = [d[0] for d in con.description]
+            dpdf = con.execute(oracles[name]).fetchdf()
         except Exception as exc:
             print(f"{name:28s} ORACLE SQL ERROR: {exc}")
             failures.append(name)
             continue
-        ok_count = len(srows) == len(ddf)
+        dcols = list(dpdf.columns)
+        ok_count = len(spdf) == len(dpdf)
         ok_cols = sorted(scols) == sorted(dcols)
         ok_vals = False
         if ok_count and ok_cols:
-            sk = rows_key([tuple(r) for r in srows], scols)
-            dk = rows_key(ddf, dcols)
+            try:
+                sk = canon_frame(spdf)
+                dk = canon_frame(dpdf)
+            except TypeError as exc:
+                # the driver's canonicalizer would raise here too
+                print(f"{name:28s} DRIVER-SHAPE ERROR (unsortable): {exc}")
+                failures.append(name)
+                print(f"{name:28s} rows={len(spdf):6d}  FAIL")
+                continue
             ok_vals = sk == dk
             if not ok_vals:
-                diffs = [
-                    (a, b) for a, b in zip(sk, dk) if a != b
-                ][:3]
+                diffs = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
                 print(f"{name:28s} VALUE MISMATCH ({len(diffs)}+ rows differ)")
                 for a, b in diffs:
                     print(f"   spark: {a}")
@@ -105,17 +109,17 @@ def main():
         if status == "FAIL":
             failures.append(name)
             if not ok_count:
-                print(f"{name:28s} ROWCOUNT spark={len(srows)} duck={len(ddf)}")
+                print(f"{name:28s} ROWCOUNT spark={len(spdf)} duck={len(dpdf)}")
             if not ok_cols:
                 print(f"{name:28s} COLS spark={sorted(scols)} duck={sorted(dcols)}")
-        print(f"{name:28s} rows={len(srows):6d}  {status}")
+        print(f"{name:28s} rows={len(spdf):6d}  {status}")
 
     spark.stop()
     print()
     if failures:
-        print("FAILURES:", failures)
+        print("FAILURES:", sorted(set(failures)))
         sys.exit(1)
-    print("all queries match their oracles")
+    print("all queries match their oracles (driver-style canonicalization)")
 
 
 if __name__ == "__main__":
