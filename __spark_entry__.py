@@ -267,9 +267,11 @@ def _duck_canonical_url(col: str) -> str:
         f"regexp_extract({u}, '[?]([^#]*)', 1), '&'), "
         f"p -> {_web.TRACKING_PARAM_PREDICATE})), '&')"
     )
+    # scheme-less fallback: mirror of web.canonical_url_col's CASE
     return (
+        f"CASE WHEN {scheme} = '' THEN {u} ELSE "
         f"concat({scheme}, '://', {host}, {path}, "
-        f"CASE WHEN {q} <> '' THEN concat('?', {q}) ELSE '' END)"
+        f"CASE WHEN {q} <> '' THEN concat('?', {q}) ELSE '' END) END"
     )
 
 
@@ -571,7 +573,8 @@ def oracle_sql() -> dict[str, str]:
                        CAST(length(text) AS BIGINT) AS total_chars,
                        list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS w,
                        list_transform(
-                           list_filter(string_split(text, chr(10)), l -> trim(l) <> ''),
+                           list_filter(string_split(coalesce(text, ''), chr(10)),
+                                       l -> trim(l) <> ''),
                            l -> trim(l)) AS ln
                 FROM documents
             ),
@@ -716,7 +719,8 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (
                 SELECT doc_id,
                        list_transform(
-                           list_filter(string_split(text, chr(10)), l -> trim(l) <> ''),
+                           list_filter(string_split(coalesce(text, ''), chr(10)),
+                                       l -> trim(l) <> ''),
                            l -> trim(l)) AS ln
                 FROM documents
             ),

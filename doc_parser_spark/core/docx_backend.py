@@ -28,6 +28,7 @@ from typing import Optional
 from xml.etree import ElementTree as ET
 
 from doc_parser_spark.core import model
+from doc_parser_spark.core.limits import BoundedZipFile
 from doc_parser_spark.core.model import Document
 from doc_parser_spark.core.omml import M_NS, omath_to_latex
 
@@ -904,5 +905,5 @@ class DocxConverter:
 
 def extract_docx(payload: bytes) -> Document:
     """DOCX bytes → Document (msword_backend.py-equivalent walk)."""
-    zf = zipfile.ZipFile(io.BytesIO(payload))
+    zf = BoundedZipFile(io.BytesIO(payload))
     return DocxConverter(zf).convert()

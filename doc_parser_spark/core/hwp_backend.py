@@ -25,10 +25,13 @@ from __future__ import annotations
 
 import re
 import struct
-import zlib
-
 from doc_parser_spark.core import model
 from doc_parser_spark.core.cfb import CfbError, read_cfb
+from doc_parser_spark.core.limits import (
+    DEFAULT_MAX_BYTES,
+    BombError,
+    inflate_bounded,
+)
 from doc_parser_spark.core.model import Document
 
 HWP_SIGNATURE = b"HWP Document File"
@@ -139,7 +142,12 @@ def extract_hwp(data: bytes) -> Document:
     for _no, name in sections:
         raw = streams[name]
         if compressed:
-            raw = zlib.decompress(raw, -15)
+            # bomb-bounded: a section stream must not inflate past the
+            # document size gate (limits.py)
+            try:
+                raw = inflate_bounded(raw, DEFAULT_MAX_BYTES, wbits=-15)
+            except BombError as exc:
+                raise HwpError(str(exc)) from exc
         for tag, _level, payload in iter_records(raw):
             if tag != HWPTAG_PARA_TEXT:
                 continue

@@ -29,6 +29,7 @@ import zipfile
 from xml.etree import ElementTree as ET
 
 from doc_parser_spark.core import model
+from doc_parser_spark.core.limits import BoundedZipFile
 from doc_parser_spark.core.model import Document
 
 _W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
@@ -39,7 +40,7 @@ _P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
 def detect_zip_kind(payload: bytes) -> str:
     """docx | xlsx | pptx | hwpx | zip (unknown container)."""
     try:
-        zf = zipfile.ZipFile(io.BytesIO(payload))
+        zf = BoundedZipFile(io.BytesIO(payload))
         names = set(zf.namelist())
     except zipfile.BadZipFile:
         return "zip"
@@ -317,7 +318,7 @@ def extract_xlsx(payload: bytes) -> Document:
     collected (gaps inside the rectangle read back ``str(None)``, merged
     ranges carry row/col spans). Sheets become ``section`` groups named
     ``sheet: <name>`` in workbook order; pictures follow the tables."""
-    zf = zipfile.ZipFile(io.BytesIO(payload))
+    zf = BoundedZipFile(io.BytesIO(payload))
     shared = _xlsx_shared_strings(zf)
     date_styles = _xlsx_date_styles(zf)
     doc = Document()
@@ -921,7 +922,7 @@ def extract_pptx(payload: bytes) -> Document:
     the shape's EMU bbox (full-slide box when the effective left is falsy),
     slide sizes land in ``pages``, and embedded pictures become ImageRef
     data URIs (``mspowerpoint_backend.py:103-398``)."""
-    zf = zipfile.ZipFile(io.BytesIO(payload))
+    zf = BoundedZipFile(io.BytesIO(payload))
     doc = Document()
     slide_size = _pptx_slide_size(zf)
     for i, path in enumerate(_pptx_slide_targets(zf)):
@@ -1040,7 +1041,7 @@ def extract_hwpx(payload: bytes) -> Document:
     * list symbols 'square/o/-/*' open nested list groups via a level
       stack (:115-163)
     """
-    zf = zipfile.ZipFile(io.BytesIO(payload))
+    zf = BoundedZipFile(io.BytesIO(payload))
     doc = Document()
     sections = sorted(
         (n for n in zf.namelist()

@@ -20,6 +20,8 @@ import zlib
 
 import numpy as np
 
+from doc_parser_spark.core.limits import MAX_PIXELS, BombError, inflate_bounded
+
 SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -136,8 +138,16 @@ def decode_png(data: bytes) -> np.ndarray:
     if color_type not in _CHANNELS:
         raise PngError(f"unsupported color type {color_type}")
     bpp = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (w * bpp + 1):
+    if w == 0 or h == 0 or w * h > MAX_PIXELS:
+        raise PngError(f"implausible dimensions {w}x{h}")
+    # inflate with the output cap derived from the declared dimensions —
+    # a small deflate bomb must not expand past w*h*bpp+h (limits.py)
+    expected = h * (w * bpp + 1)
+    try:
+        raw = inflate_bounded(bytes(idat), expected)
+    except BombError as exc:
+        raise PngError(str(exc)) from exc
+    if len(raw) != expected:
         raise PngError("truncated pixel data")
     pixels = _unfilter(raw, h, w, bpp).reshape(h, w, bpp)
     if color_type == 3:

@@ -6,13 +6,15 @@ This reader walks the record chain, takes the first ``response`` /
 ``resource`` record, strips the HTTP envelope, and routes the body back
 through the normal format dispatch — so a WARC-wrapped page produces
 exactly the same Document as its bare payload would (ISO 28500 record
-grammar; gzip members are transparently inflated).
+grammar; ALL gzip members are inflated — standard .warc.gz is one member
+per record — under a cumulative DEFAULT_MAX_BYTES output cap).
 """
 
 from __future__ import annotations
 
 import zlib
 
+from .limits import DEFAULT_MAX_BYTES, BombError, gunzip_members
 from .model import Document
 
 
@@ -34,9 +36,11 @@ def _split_headers(block: bytes) -> dict[str, str]:
 def warc_payload(data: bytes) -> tuple[bytes, str]:
     """WARC bytes → (payload bytes of the first response/resource record,
     target URI). Strips the HTTP response envelope when present."""
-    if data[:2] == b"\x1f\x8b":  # gzipped member(s)
+    if data[:2] == b"\x1f\x8b":  # gzipped member(s) — inflate ALL of them
         try:
-            data = zlib.decompress(data, 47)
+            data = gunzip_members(data, DEFAULT_MAX_BYTES)
+        except BombError as exc:
+            raise WarcError(str(exc)) from exc
         except zlib.error as exc:
             raise WarcError(f"bad WARC gzip member: {exc}") from exc
     pos = 0

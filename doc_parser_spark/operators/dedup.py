@@ -234,6 +234,17 @@ def simhash_neardup_pairs(
     ``lsh_candidate_pairs``); the final Hamming check is a JVM-side
     ``bit_count(xor)``. At 100 TB the (band_no, band_val) pair is the
     bucketing key and each band bucket joins locally."""
+    if bits % bands != 0:
+        raise ValueError(
+            f"bits ({bits}) must be divisible by bands ({bands}); "
+            "otherwise the high bits silently fall out of every band"
+        )
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be <= bands - 1 "
+            f"({bands - 1}): the pigeonhole band-agreement guarantee "
+            "does not hold past that, silently losing recall"
+        )
     w = bits // bands
     mask = (1 << w) - 1
     sig = simhash(documents, bits)
@@ -425,11 +436,13 @@ def line_dedup(documents: DataFrame, max_occurrences: int = 1) -> DataFrame:
       ``sort_array`` + ``array_join`` — deterministic order, no
       ``collect`` anywhere.
     """
+    # coalesce: split(NULL) yields NULL, and size(NULL) is -1 under
+    # non-ANSI Spark defaults — a NULL-text doc must count 0 lines
     arr = documents.select(
         "doc_id",
         F.expr(
-            "transform(filter(split(text, '\\n'), l -> trim(l) <> ''),"
-            " l -> trim(l))"
+            "transform(filter(split(coalesce(text, ''), '\\n'),"
+            " l -> trim(l) <> ''), l -> trim(l))"
         ).alias("ln"),
     )
     lines = arr.select("doc_id", F.posexplode("ln").alias("pos", "line"))

@@ -54,7 +54,7 @@ from doc_parser_spark.html.extractor import extract_html
 # real guard (reference caps pages/file-size instead: datamodel/settings.py:22-25)
 _RECURSION_LIMIT = 20000
 
-DEFAULT_MAX_BYTES = 20 * 1024 * 1024  # max_file_size gate (document.py:133-169)
+from doc_parser_spark.core.limits import DEFAULT_MAX_BYTES  # max_file_size gate
 DEFAULT_REG_DATE = "1970-01-01T00:00:00Z"
 
 
@@ -182,16 +182,18 @@ def convert_payload(payload: bytes, fmt: Optional[str] = None, _depth: int = 0):
             raise UnsupportedFormatError("nested transport encodings too deep")
         import zlib
 
-        d = zlib.decompressobj(47)
+        from doc_parser_spark.core.limits import BombError, gunzip_members
+
+        # ALL members, cumulative output cap: standard .warc.gz is one
+        # gzip member per record, and the first is usually warcinfo —
+        # a first-member-only inflate loses every response record
         try:
-            inner = d.decompress(payload, DEFAULT_MAX_BYTES + 1)
+            inner = gunzip_members(payload, DEFAULT_MAX_BYTES)
+        except BombError as exc:
+            # mirrors the oversize gate: invalid -> FAILURE, not skip
+            raise ValueError(str(exc)) from exc
         except zlib.error as exc:
             raise UnsupportedFormatError(f"bad gzip payload: {exc}") from exc
-        if len(inner) > DEFAULT_MAX_BYTES:
-            # mirrors the oversize gate: invalid -> FAILURE, not skip
-            raise ValueError(
-                f"inflated payload exceeds {DEFAULT_MAX_BYTES} bytes"
-            )
         doc, kind, fb = convert_payload(inner, _depth=_depth + 1)
         return doc, kind if kind.startswith("warc") else f"gz:{kind}", fb
     if fmt == sniff.FORMAT_PDF:

@@ -115,9 +115,13 @@ def canonical_url_col(url_col: str = "url"):
         f"array_join(array_sort(filter(split(regexp_extract({u}, '{_QUERY_RE}', 1), "
         f"'&'), p -> {TRACKING_PARAM_PREDICATE})), '&')"
     )
+    # scheme-less / protocol-relative URLs ('example.com/a', '//cdn.com/x')
+    # don't match the component regexes — without this fallback they all
+    # collapse to ':///' and dedup/host-cap treat them as one URL
     return F.expr(
+        f"CASE WHEN {scheme} = '' THEN {u} ELSE "
         f"concat({scheme}, '://', {host}, {path}, "
-        f"CASE WHEN {q} <> '' THEN concat('?', {q}) ELSE '' END)"
+        f"CASE WHEN {q} <> '' THEN concat('?', {q}) ELSE '' END) END"
     )
 
 

@@ -60,3 +60,33 @@ def test_gzip_transport_routes_through_kernel():
         deep = _gzip.compress(deep)
     rec = process_document("u", deep)
     assert rec["status"] == "skipped"
+
+
+def test_multi_member_gzip_warc():
+    # standard .warc.gz: ONE GZIP MEMBER PER RECORD. The first member holds
+    # only the warcinfo record — a one-shot zlib.decompress sees just that
+    # member and dies with "no response record found".
+    import gzip as _gzip
+
+    raw = make_warc(9)
+    split = raw.index(b"WARC/1.0", 8)
+    blob = _gzip.compress(raw[:split]) + _gzip.compress(raw[split:])
+    body, uri = warc_payload(blob)
+    assert uri == "https://example.org/9"
+    assert b"Crawled 9" in body
+    doc, kind = extract_warc(blob)
+    assert kind == "warc:html"
+
+
+def test_multi_member_gzip_warc_through_kernel():
+    # the TRANSPORT path (sniffed gzip -> inflate -> re-dispatch) must also
+    # inflate every member, not just the warcinfo-only first one
+    import gzip as _gzip
+
+    from doc_parser_spark.operators.extract import process_document
+
+    raw = make_warc(7)
+    split = raw.index(b"WARC/1.0", 8)
+    blob = _gzip.compress(raw[:split]) + _gzip.compress(raw[split:])
+    rec = process_document("u", blob)
+    assert (rec["status"], rec["format"]) == ("success", "warc:html")

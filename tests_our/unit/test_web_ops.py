@@ -144,3 +144,37 @@ def test_canonicalization_is_idempotent(spark):
     once = df.select(web.canonical_url_col("url").alias("url"))
     twice = once.select(web.canonical_url_col("url").alias("url"))
     assert once.collect() == twice.collect()
+
+
+def test_canonical_url_schemeless_fallback(spark):
+    # scheme-less / protocol-relative URLs must NOT collapse to ':///'
+    assert _canon(spark, "example.com/a") == "example.com/a"
+    assert _canon(spark, "//cdn.com/x") == "//cdn.com/x"
+    assert _canon(spark, "  spaced.com/y ") == "spaced.com/y"
+    # and therefore dedup keeps them distinct
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=1, url="example.com/a"),
+        Row(doc_id=2, url="//cdn.com/x"),
+        Row(doc_id=3, url="example.com/a"),
+    ]
+    out = web.url_dedup(spark.createDataFrame(rows)).collect()
+    assert len(out) == 2
+
+
+def test_canonical_url_duckdb_twin_schemeless(spark):
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    urls = ["example.com/a", "//cdn.com/x", "HTTPS://WWW.Ex.COM:443/A/B#f",
+            "http://ex.com/p?utm_source=x&b=2&a=1", "  spaced.com/y "]
+    con = duckdb.connect()
+    expr = entry._duck_canonical_url("url")
+    duck = [
+        con.execute(f"SELECT {expr} FROM (SELECT ? AS url)", [u]).fetchone()[0]
+        for u in urls
+    ]
+    mine = [_canon(spark, u) for u in urls]
+    assert duck == mine
