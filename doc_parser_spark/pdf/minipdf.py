@@ -149,43 +149,94 @@ def _balanced_dict(data: bytes, start: int) -> bytes:
     return b""
 
 
-def _page_cmaps(body: bytes, objects: dict[int, bytes], cache: dict) -> dict[str, CMap]:
-    """Font resource name → ToUnicode CMap for one page dict.
-
-    Resolves /Resources (inline or ref) → /Font dict → per-font
-    /ToUnicode stream. Fonts without a ToUnicode entry are omitted — their
-    strings pass through the single-byte decode path unchanged."""
+def _resources_of(body: bytes, objects: dict[int, bytes]) -> bytes:
+    """/Resources dict bytes of a page/XObject body (inline or ref)."""
     res_m = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", body)
     if res_m:
-        resources = objects.get(int(res_m.group(1)), b"")
-    else:
-        ix = body.find(b"/Resources")
-        resources = _balanced_dict(body, ix) if ix >= 0 else b""
-    if not resources:
-        return {}
+        return objects.get(int(res_m.group(1)), b"")
+    ix = body.find(b"/Resources")
+    return _balanced_dict(body, ix) if ix >= 0 else b""
+
+
+def _fonts_of(
+    resources: bytes,
+    objects: dict[int, bytes],
+    cmap_cache: dict,
+    font_cache: dict,
+) -> dict:
+    """Font resource name → textengine.Font (widths, encoding, ToUnicode)."""
+    from doc_parser_spark.pdf.textengine import parse_font
+
     font_m = re.search(rb"/Font\s+(\d+)\s+\d+\s+R", resources)
     if font_m:
         font_dict = objects.get(int(font_m.group(1)), b"")
     else:
         ix = resources.find(b"/Font")
         font_dict = _balanced_dict(resources, ix) if ix >= 0 else b""
-    cmaps: dict[str, CMap] = {}
-    for fm in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", font_dict):
+    fonts: dict = {}
+    for fm in re.finditer(rb"/([^\s/\[\]<>()]+)\s+(\d+)\s+\d+\s+R", font_dict):
         name, ref = fm.group(1).decode("latin-1"), int(fm.group(2))
-        font_body = objects.get(ref, b"")
-        tu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", font_body)
-        if not tu:
-            continue
-        tu_ref = int(tu.group(1))
-        if tu_ref not in cache:
+        if ref not in font_cache:
             try:
-                stream = _object_stream(objects.get(tu_ref, b""))
-                cache[tu_ref] = CMap(stream) if stream else None
-            except PdfParseError:
-                cache[tu_ref] = None
-        if cache[tu_ref] is not None:
-            cmaps[name] = cache[tu_ref]
-    return cmaps
+                font_cache[ref] = parse_font(
+                    objects.get(ref, b""), objects, cmap_cache, cmap_cls=CMap
+                )
+            except Exception:
+                font_cache[ref] = None
+        if font_cache[ref] is not None:
+            fonts[name] = font_cache[ref]
+    return fonts
+
+
+def _xobject_resolver(
+    resources: bytes,
+    objects: dict[int, bytes],
+    cmap_cache: dict,
+    font_cache: dict,
+    depth: int = 0,
+):
+    """name → (form content, its fonts, nested resolver) for ``Do`` ops."""
+
+    def resolve(name: str):
+        if depth > 8:
+            return None
+        xo_m = re.search(rb"/XObject\s+(\d+)\s+\d+\s+R", resources)
+        if xo_m:
+            xdict = objects.get(int(xo_m.group(1)), b"")
+        else:
+            ix = resources.find(b"/XObject")
+            xdict = _balanced_dict(resources, ix) if ix >= 0 else b""
+        m = re.search(
+            rb"/" + re.escape(name.encode("latin-1")) + rb"\s+(\d+)\s+\d+\s+R",
+            xdict,
+        )
+        if not m:
+            return None
+        xbody = objects.get(int(m.group(1)), b"")
+        if not re.search(rb"/Subtype\s*/Form\b", xbody):
+            return None
+        try:
+            content = _object_stream(xbody) or b""
+        except PdfParseError:
+            return None
+        mtx = re.search(rb"/Matrix\s*\[([^\]]*)\]", xbody)
+        if mtx:
+            nums = re.findall(rb"[-+]?\d*\.?\d+", mtx.group(1))[:6]
+            if len(nums) == 6:
+                content = (
+                    b" ".join(nums) + b" cm\n" + content
+                )
+        xres = _resources_of(xbody, objects)
+        xfonts = _fonts_of(xres, objects, cmap_cache, font_cache)
+        return (
+            content,
+            xfonts,
+            _xobject_resolver(
+                xres or resources, objects, cmap_cache, font_cache, depth + 1
+            ),
+        )
+
+    return resolve
 
 
 class PdfParseError(Exception):
@@ -330,108 +381,23 @@ def _decode_pdf_string(raw: bytes) -> str:
 
 
 def extract_cells(
-    content: bytes, page_height: float, page_no: int,
-    cmaps: dict | None = None,
+    content: bytes,
+    page_height: float,
+    page_no: int,
+    fonts: dict | None = None,
+    xobjects=None,
 ) -> list[TextCell]:
-    """Run the text-state machine over one content stream.
+    """Run the glyph-metric text engine over one content stream and
+    assemble positioned glyphs into textline cells (textengine.py).
 
-    Tracks ``Tf`` (font size), ``Td/TD/Tm/T*`` (line matrix), ``TL``
-    (leading) and emits one cell per ``Tj``/``'``/TJ-segment, converting the
-    baseline coordinate to a top-left-origin bbox exactly as the reference
-    normalizes pypdfium2 rects (pypdfium2_backend.py:142-150).
-    """
-    cells: list[TextCell] = []
-    cmaps = cmaps or {}
-    cur_font = ""
-    font_size = 12.0
-    leading = 0.0
-    x = y = 0.0
-    in_text = False
-    stack: list = []
-    counter = 0
+    Bboxes convert the baseline coordinate to a top-left origin exactly
+    as the reference normalizes pypdfium2 rects
+    (pypdfium2_backend.py:142-150)."""
+    from doc_parser_spark.pdf.textengine import TextEngine, assemble_cells
 
-    def emit(text: str) -> None:
-        nonlocal counter
-        cmap = cmaps.get(cur_font)
-        if cmap is not None:
-            # tokenization decoded bytes 1:1 via latin-1; recover them and
-            # run the font's ToUnicode CMap (CID-keyed fonts)
-            text = cmap.decode(text.encode("latin-1", errors="ignore"))
-        if text == "":
-            return
-        width = AVG_GLYPH_EM * font_size * len(text)
-        ascent, descent = 0.8 * font_size, 0.2 * font_size
-        top = page_height - (y + ascent)
-        bottom = page_height - (y - descent)
-        cells.append(
-            TextCell(
-                index=counter, text=text,
-                l=x, t=top, r=x + width, b=bottom,
-                font_size=font_size, page_no=page_no,
-            )
-        )
-        counter += 1
-
-    for m in _TOKEN_RE.finditer(content):
-        kind = m.lastgroup
-        if kind == "str":
-            stack.append(("str", _decode_pdf_string(m.group())))
-        elif kind == "hex":
-            hex_body = re.sub(rb"\s", b"", m.group()[1:-1])
-            if len(hex_body) % 2:
-                hex_body += b"0"
-            stack.append(("str", bytes.fromhex(hex_body.decode()).decode("latin-1")))
-        elif kind == "num":
-            stack.append(("num", float(m.group())))
-        elif kind == "arr_open":
-            stack.append(("mark", None))
-        elif kind == "arr_close":
-            items = []
-            while stack and stack[-1][0] != "mark":
-                items.append(stack.pop())
-            if stack:
-                stack.pop()
-            stack.append(("arr", list(reversed(items))))
-        elif kind == "name":
-            stack.append(("name", m.group().decode("latin-1")))
-        elif kind == "op":
-            op = m.group()
-            if op == b"BT":
-                in_text = True
-                x = y = 0.0
-            elif op == b"ET":
-                in_text = False
-            elif op == b"Tf" and len(stack) >= 2:
-                font_size = float(stack[-1][1])
-                if stack[-2][0] == "name":
-                    cur_font = stack[-2][1].lstrip("/")
-            elif op == b"TL" and stack:
-                leading = float(stack[-1][1])
-            elif op == b"Td" and len(stack) >= 2:
-                x += float(stack[-2][1])
-                y += float(stack[-1][1])
-            elif op == b"TD" and len(stack) >= 2:
-                leading = -float(stack[-1][1])
-                x += float(stack[-2][1])
-                y += float(stack[-1][1])
-            elif op == b"Tm" and len(stack) >= 6:
-                x = float(stack[-2][1])
-                y = float(stack[-1][1])
-            elif op == b"T*":
-                y -= leading
-            elif op == b"Tj" and in_text and stack and stack[-1][0] == "str":
-                emit(stack[-1][1])
-            elif op == b"'" and in_text and stack and stack[-1][0] == "str":
-                y -= leading
-                emit(stack[-1][1])
-            elif op == b"TJ" and in_text and stack and stack[-1][0] == "arr":
-                # kerning offsets in the TJ array shift glyphs sub-point;
-                # the 0.5-em width model absorbs them, so only text is kept
-                text_parts = [v for t, v in stack[-1][1] if t == "str"]
-                emit("".join(text_parts))
-            stack.clear()
-
-    return cells
+    engine = TextEngine(fonts or {}, xobjects)
+    engine.run(content, _TOKEN_RE, _decode_pdf_string)
+    return assemble_cells(engine.glyphs, page_height, page_no, TextCell)
 
 
 def parse_pdf(data: bytes) -> list[PdfPage]:
@@ -441,13 +407,16 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
     objects = _parse_objects(data)
     pages: list[PdfPage] = []
     cmap_cache: dict = {}
+    font_cache: dict = {}
     for page_no, obj_num in enumerate(_page_objects(objects), start=1):
         body = objects[obj_num]
         mb = _MEDIABOX_RE.search(body)
         width, height = (612.0, 792.0)
+        mb_x0 = mb_y0 = 0.0
         if mb:
-            width = float(mb.group(3)) - float(mb.group(1))
-            height = float(mb.group(4)) - float(mb.group(2))
+            mb_x0, mb_y0 = float(mb.group(1)), float(mb.group(2))
+            width = float(mb.group(3)) - mb_x0
+            height = float(mb.group(4)) - mb_y0
         content = b""
         m = _CONTENTS_RE.search(body)
         refs: list[int] = []
@@ -461,8 +430,17 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
             stream = _object_stream(objects.get(ref, b""))
             if stream:
                 content += stream + b"\n"
-        cmaps = _page_cmaps(body, objects, cmap_cache)
-        cells = extract_cells(content, height, page_no, cmaps=cmaps)
+        if mb_x0 or mb_y0:
+            # shift device space so the MediaBox origin lands at (0, 0)
+            content = (
+                f"1 0 0 1 {-mb_x0:g} {-mb_y0:g} cm\n".encode() + content
+            )
+        resources = _resources_of(body, objects)
+        fonts = _fonts_of(resources, objects, cmap_cache, font_cache)
+        xobjects = _xobject_resolver(resources, objects, cmap_cache, font_cache)
+        cells = extract_cells(
+            content, height, page_no, fonts=fonts, xobjects=xobjects
+        )
         pages.append(PdfPage(page_no=page_no, width=width, height=height, cells=cells))
     if not pages:
         raise PdfParseError("no pages found")

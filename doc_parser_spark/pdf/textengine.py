@@ -1,0 +1,698 @@
+"""Glyph-metric PDF text engine: fonts, matrices, positioned glyph runs.
+
+Replaces the fixed-advance (0.5 em) text pass with the real PDF text
+model (PDF 32000-1 §9): per-glyph advances from font /Widths (simple
+fonts) and /W (CID fonts), the full Tm/Tlm/CTM matrix chain including
+``cm``, ``q/Q`` and Form-XObject ``Do`` recursion, char/word spacing
+(Tc/Tw), horizontal scaling (Tz) and TJ kern offsets.  Accurate glyph
+origins are what make the downstream line assembly able to recover the
+*spaces* and *column splits* that generators like TeX encode purely as
+positioning (no space glyphs) — the behaviour the reference inherits
+from docling-parse/pypdfium2 (``docling/backend/pypdfium2_backend.py:
+120-252``, textline cells in ``tests/data/groundtruth/docling_v2/
+*.pages.json``).
+
+Fonts without usable metrics (e.g. non-embedded base-14 in synthetic
+fixtures) fall back to the historical 0.5 em estimate with
+position-derived spacing disabled, so explicit space glyphs remain the
+only word separators — exactly the old engine's semantics.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from dataclasses import dataclass, field
+
+AVG_GLYPH_EM = 0.5  # historical fixed-advance estimate (metricless fonts)
+
+# word gap as a fraction of font size; TeX inter-word kerns are ~0.25-0.35 em,
+# intra-word kerning stays well under 0.1 em
+SPACE_GAP_EM = 0.16
+# gap that splits a visual row into separate cells. docling-parse splits
+# textlines at sentence-size kerns (~0.55 em, measured against the
+# *.pages.json goldens) and at font changes; metricless fonts keep the
+# historical merge_horizontal_cells 1.0×height criterion
+CELL_SPLIT_EM = 0.45
+CELL_SPLIT_EM_UNSPACED = 1.0
+# baseline clustering tolerance
+LINE_TOL_EM = 0.4
+
+Matrix = tuple[float, float, float, float, float, float]
+IDENTITY: Matrix = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def mmul(m1: Matrix, m2: Matrix) -> Matrix:
+    """m1 × m2 (both 2×3 affine, row-vector convention: p' = p·m1·m2)."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def translate(tx: float, ty: float) -> Matrix:
+    return (1.0, 0.0, 0.0, 1.0, tx, ty)
+
+
+# -- glyph-name → unicode (compact AGL subset) --------------------------------
+
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "fi": "ﬁ", "fl": "ﬂ",
+    "ff": "ﬀ", "ffi": "ﬃ", "ffl": "ﬄ",
+    "germandbls": "ß", "ae": "æ", "AE": "Æ",
+    "oe": "œ", "OE": "Œ", "oslash": "ø", "Oslash": "Ø",
+    "cent": "¢", "sterling": "£", "yen": "¥",
+    "florin": "ƒ", "fraction": "⁄", "dagger": "†",
+    "daggerdbl": "‡", "periodcentered": "·",
+    "paragraph": "¶", "section": "§", "copyright": "©",
+    "registered": "®", "trademark": "™", "degree": "°",
+    "plusminus": "±", "multiply": "×", "divide": "÷",
+    "exclamdown": "¡", "questiondown": "¿",
+    "guillemotleft": "«", "guillemotright": "»",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "perthousand": "‰", "minus": "−", "middot": "·",
+    "dotlessi": "ı", "circumflex": "ˆ", "caron": "ˇ",
+    "breve": "˘", "dotaccent": "˙", "ring": "˚",
+    "ogonek": "˛", "tilde": "˜", "hungarumlaut": "˝",
+    "cedilla": "¸", "dieresis": "¨", "macron": "¯",
+    "acute": "´", "Euro": "€", "currency": "¤",
+    "brokenbar": "¦", "ordfeminine": "ª",
+    "ordmasculine": "º", "nbspace": " ",
+}
+
+
+def glyph_name_to_unicode(name: str) -> str:
+    if len(name) == 1:
+        return name
+    if name in _GLYPH_NAMES:
+        return _GLYPH_NAMES[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return "".join(
+                chr(int(name[i : i + 4], 16))
+                for i in range(3, len(name) - 3, 4)
+            )
+        except ValueError:
+            return ""
+    if name.startswith("u") and len(name) in (5, 7):
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return ""
+    # accented composites: 'aacute', 'Ecircumflex', 'ntilde', ...
+    m = re.fullmatch(r"([A-Za-z])(grave|acute|circumflex|tilde|dieresis|"
+                     r"ring|cedilla|macron|breve|caron|hungarumlaut|"
+                     r"ogonek|dotaccent|slash)", name)
+    if m:
+        combining = {
+            "grave": "̀", "acute": "́", "circumflex": "̂",
+            "tilde": "̃", "macron": "̄", "breve": "̆",
+            "dotaccent": "̇", "dieresis": "̈", "ring": "̊",
+            "hungarumlaut": "̋", "caron": "̌", "cedilla": "̧",
+            "ogonek": "̨", "slash": "̸",
+        }[m.group(2)]
+        return unicodedata.normalize("NFC", m.group(1) + combining)
+    return ""
+
+
+# -- font model ----------------------------------------------------------------
+
+
+@dataclass
+class Font:
+    """Per-resource font: code decoding + glyph advances (text-space em)."""
+
+    name: str = ""
+    bytes_per_code: int = 1
+    widths: dict[int, float] = field(default_factory=dict)  # code → em
+    default_width: float = AVG_GLYPH_EM
+    has_metrics: bool = False
+    to_unicode: object | None = None  # minipdf.CMap
+    diffs: dict[int, str] = field(default_factory=dict)  # code → unicode
+    base_encoding: str = ""  # 'WinAnsiEncoding' | 'MacRomanEncoding' | ''
+
+    def _uni(self, code: int) -> str:
+        if self.to_unicode is not None:
+            u = self.to_unicode.map.get(code)
+            if u is not None:
+                return u
+            if self.bytes_per_code == 2:
+                return ""  # unmapped CID: no sensible fallback
+        if code in self.diffs:
+            return self.diffs[code]
+        if self.base_encoding == "WinAnsiEncoding":
+            return bytes([code & 0xFF]).decode("cp1252", errors="replace")
+        if self.base_encoding == "MacRomanEncoding":
+            return bytes([code & 0xFF]).decode("mac_roman", errors="replace")
+        return bytes([code & 0xFF]).decode("latin-1")
+
+    def iter_codes(self, raw: bytes):
+        """yield (code, unicode, advance_em, is_space_code)."""
+        n = self.bytes_per_code
+        for i in range(0, len(raw) - n + 1, n):
+            code = int.from_bytes(raw[i : i + n], "big")
+            w = self.widths.get(code, self.default_width)
+            yield code, self._uni(code), w, (n == 1 and code == 32)
+
+
+def _resolve_array(body: bytes, key: bytes, objects: dict) -> bytes:
+    """``/Key [ ... ]`` inline or ``/Key N 0 R`` → the array bytes."""
+    m = re.search(key + rb"\s*\[", body)
+    if m:
+        end = body.find(b"]", m.end())
+        return body[m.end() : end] if end > 0 else b""
+    m = re.search(key + rb"\s+(\d+)\s+\d+\s+R", body)
+    if m:
+        ref_body = objects.get(int(m.group(1)), b"")
+        a, b = ref_body.find(b"["), ref_body.rfind(b"]")
+        if 0 <= a < b:
+            return ref_body[a + 1 : b]
+    return b""
+
+
+_NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+
+
+def parse_font(font_body: bytes, objects: dict, cmap_cache: dict, *,
+               cmap_cls) -> Font:
+    """Font dict bytes → Font (widths, encoding, ToUnicode)."""
+    f = Font()
+    sub = re.search(rb"/Subtype\s*/(\w+)", font_body)
+    subtype = sub.group(1).decode() if sub else ""
+
+    tu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", font_body)
+    if tu:
+        ref = int(tu.group(1))
+        if ref not in cmap_cache:
+            try:
+                from doc_parser_spark.pdf.minipdf import _object_stream
+
+                stream = _object_stream(objects.get(ref, b""))
+                cmap_cache[ref] = cmap_cls(stream) if stream else None
+            except Exception:
+                cmap_cache[ref] = None
+        f.to_unicode = cmap_cache[ref]
+
+    if subtype == "Type0":
+        f.bytes_per_code = 2
+        f.default_width = 1.0  # CID default DW = 1000/1000
+        desc = re.search(
+            rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R", font_body
+        ) or re.search(rb"/DescendantFonts\s+(\d+)\s+\d+\s+R", font_body)
+        dbody = b""
+        if desc:
+            dbody = objects.get(int(desc.group(1)), b"")
+            if re.fullmatch(rb"\s*\[\s*\d+\s+\d+\s+R\s*\]\s*", dbody or b""):
+                inner = re.search(rb"(\d+)\s+\d+\s+R", dbody)
+                dbody = objects.get(int(inner.group(1)), b"")
+        if dbody:
+            dw = re.search(rb"/DW\s+([-\d.]+)", dbody)
+            if dw:
+                f.default_width = float(dw.group(1)) / 1000.0
+            warr = _resolve_array(dbody, rb"/W", objects)
+            if warr:
+                f.has_metrics = True
+                # format: c [w1 w2 ...] | cfirst clast w
+                toks = re.findall(rb"\[|\]|[-+]?\d*\.?\d+", warr)
+                i = 0
+                while i < len(toks):
+                    if toks[i] in (b"[", b"]"):
+                        i += 1
+                        continue
+                    start = int(float(toks[i]))
+                    if i + 1 < len(toks) and toks[i + 1] == b"[":
+                        j = i + 2
+                        c = start
+                        while j < len(toks) and toks[j] != b"]":
+                            f.widths[c] = float(toks[j]) / 1000.0
+                            c += 1
+                            j += 1
+                        i = j + 1
+                    elif i + 2 < len(toks):
+                        last = int(float(toks[i + 1]))
+                        w = float(toks[i + 2]) / 1000.0
+                        for c in range(start, min(last, start + 65535) + 1):
+                            f.widths[c] = w
+                        i += 3
+                    else:
+                        break
+        return f
+
+    # simple fonts: /FirstChar + /Widths
+    fc = re.search(rb"/FirstChar\s+(\d+)", font_body)
+    warr = _resolve_array(font_body, rb"/Widths", objects)
+    if fc and warr:
+        first = int(fc.group(1))
+        vals = [float(x) for x in _NUM_RE.findall(warr)]
+        if vals:
+            f.has_metrics = True
+            for i, w in enumerate(vals):
+                if w > 0:
+                    f.widths[first + i] = w / 1000.0
+            mw = re.search(rb"/MissingWidth\s+([\d.]+)", font_body)
+            f.default_width = (
+                float(mw.group(1)) / 1000.0 if mw else AVG_GLYPH_EM
+            )
+
+    enc_name = re.search(rb"/Encoding\s*/(\w+)", font_body)
+    if enc_name:
+        f.base_encoding = enc_name.group(1).decode()
+    else:
+        enc_ref = re.search(rb"/Encoding\s+(\d+)\s+\d+\s+R", font_body)
+        enc_body = b""
+        if enc_ref:
+            enc_body = objects.get(int(enc_ref.group(1)), b"")
+        else:
+            ix = font_body.find(b"/Encoding")
+            if ix >= 0:
+                from doc_parser_spark.pdf.minipdf import _balanced_dict
+
+                enc_body = _balanced_dict(font_body, ix)
+        if enc_body:
+            base = re.search(rb"/BaseEncoding\s*/(\w+)", enc_body)
+            if base:
+                f.base_encoding = base.group(1).decode()
+            darr = _resolve_array(enc_body, rb"/Differences", objects)
+            if darr:
+                code = 0
+                for tok in re.findall(rb"/[^\s/\[\]<>()]+|[-+]?\d+", darr):
+                    if tok.startswith(b"/"):
+                        u = glyph_name_to_unicode(
+                            tok[1:].decode("latin-1")
+                        )
+                        if u:
+                            f.diffs[code] = u
+                        code += 1
+                    else:
+                        code = int(tok)
+    return f
+
+
+# -- glyphs & assembly ---------------------------------------------------------
+
+
+@dataclass
+class Glyph:
+    text: str
+    x0: float
+    x1: float
+    y: float  # baseline, PDF bottom-left device space
+    size: float  # effective (device) font size
+    spaced: bool  # font has real metrics → positional spacing trustworthy
+    font: int = 0  # font resource identity (cells split at font changes)
+
+
+_RTL_RE = re.compile(
+    "[֐-׿؀-ۿ܀-ݏݐ-ݿࢠ-ࣿ"
+    "יִ-﷿ﹰ-﻿]"
+)
+_LTR_RE = re.compile(r"[A-Za-z0-9À-ɏͰ-ϿЀ-ӿ]")
+
+
+def _direction(ch: str) -> int:
+    if _RTL_RE.match(ch):
+        return -1
+    if _LTR_RE.match(ch):
+        return 1
+    return 0
+
+
+def _bidi_cell_text(glyphs: list[Glyph]) -> list[list[Glyph]]:
+    """Visual-order glyphs → logical-order direction runs.
+
+    PDF shows RTL scripts in visual (left-to-right) glyph order; readers
+    want logical order.  Split the visual sequence at strong-direction
+    boundaries; if the line is RTL-dominant, reverse the run order and
+    reverse the glyphs inside each RTL run (docling-parse emits one
+    textline cell per direction run — tests/data/groundtruth
+    right_to_left_*.pages.json)."""
+    strong = [_direction(g.text[:1]) for g in glyphs]
+    n_rtl = sum(1 for s in strong if s < 0)
+    n_ltr = sum(1 for s in strong if s > 0)
+    if n_rtl == 0:
+        return [glyphs]
+    # assign neutrals to the nearest preceding strong direction (fallback:
+    # following), then split maximal runs
+    dirs: list[int] = []
+    prev = 0
+    for s in strong:
+        if s != 0:
+            prev = s
+        dirs.append(prev)
+    nxt = 0
+    for i in range(len(dirs) - 1, -1, -1):
+        if strong[i] != 0:
+            nxt = strong[i]
+        elif dirs[i] == 0:
+            dirs[i] = nxt
+    runs: list[list[Glyph]] = []
+    run_dirs: list[int] = []
+    for g, d in zip(glyphs, dirs):
+        if runs and d == run_dirs[-1]:
+            runs[-1].append(g)
+        else:
+            runs.append([g])
+            run_dirs.append(d)
+    rtl_line = n_rtl >= n_ltr
+    out: list[list[Glyph]] = []
+    order = range(len(runs) - 1, -1, -1) if rtl_line else range(len(runs))
+    for i in order:
+        run = runs[i]
+        if run_dirs[i] < 0:
+            run = list(reversed(run))
+            # combining marks share their base's position; reversal put
+            # them BEFORE the base — restore base-then-mark logical order
+            j = 0
+            while j < len(run) - 1:
+                if (
+                    run[j].text
+                    and unicodedata.combining(run[j].text[0])
+                    and not (
+                        run[j + 1].text
+                        and unicodedata.combining(run[j + 1].text[0])
+                    )
+                ):
+                    run[j], run[j + 1] = run[j + 1], run[j]
+                    j += 2
+                else:
+                    j += 1
+        out.append(run)
+    return out
+
+
+def assemble_cells(
+    glyphs: list[Glyph],
+    page_height: float,
+    page_no: int,
+    cell_cls,
+) -> list:
+    """Positioned glyphs → textline cells.
+
+    Baseline clustering → x-sort → cell split on gaps > 1 em (column
+    gutters / table cells, mirroring merge_horizontal_cells' criterion)
+    → positional space insertion (metric fonts only) → bidi runs."""
+    if not glyphs:
+        return []
+    # cluster baselines (y in device space)
+    glyphs = sorted(glyphs, key=lambda g: (-g.y, g.x0))
+    lines: list[list[Glyph]] = []
+    cur: list[Glyph] = [glyphs[0]]
+    cur_y = glyphs[0].y
+    for g in glyphs[1:]:
+        tol = LINE_TOL_EM * max(g.size, cur[0].size, 1.0)
+        if abs(g.y - cur_y) <= tol:
+            cur.append(g)
+        else:
+            lines.append(cur)
+            cur = [g]
+            cur_y = g.y
+    lines.append(cur)
+
+    cells: list = []
+    counter = 0
+    for line in lines:
+        line.sort(key=lambda g: g.x0)
+        rtl_line = any(_direction(g.text[:1]) < 0 for g in line)
+        # split into cells on big gaps and — LTR lines only — font changes
+        # (docling-parse starts a new textline cell per font run: the
+        # zero-gap 'di|ffi|cult' / italic-span splits in the goldens; on
+        # RTL lines font flips at every Latin digit/punct glyph and the
+        # goldens keep those inside the run, splitting on gaps alone);
+        # boundary spaces attach to the PREVIOUS group ('Note in ' |
+        # 'Figure 7-26')
+        groups: list[list[Glyph]] = [[line[0]]]
+        last_solid_font = (
+            line[0].font if not line[0].text.isspace() else None
+        )
+        for g in line[1:]:
+            prev = groups[-1][-1]
+            size = max(prev.size, g.size, 1.0)
+            split_em = CELL_SPLIT_EM if (g.spaced and prev.spaced) \
+                else CELL_SPLIT_EM_UNSPACED
+            font_changed = (
+                not rtl_line
+                and not g.text.isspace()
+                and last_solid_font is not None
+                and g.font != last_solid_font
+            )
+            if g.x0 - prev.x1 > split_em * size or font_changed:
+                groups.append([g])
+            else:
+                groups[-1].append(g)
+            if not g.text.isspace():
+                last_solid_font = g.font
+        if True:
+            sub_runs = [
+                run for group in groups for run in _bidi_cell_text(group)
+            ]
+            for run in sub_runs:
+                parts: list[str] = []
+                prev_g = None
+                for g in run:
+                    if (
+                        prev_g is not None
+                        and g.spaced
+                        and prev_g.spaced
+                        and not g.text[:1].isspace()
+                        and not (prev_g.text[-1:].isspace())
+                        and g.x0 - prev_g.x1
+                        > SPACE_GAP_EM * max(g.size, prev_g.size)
+                    ):
+                        parts.append(" ")
+                    parts.append(g.text)
+                    prev_g = g
+                text = "".join(parts)
+                if text == "":
+                    continue
+                size = max(g.size for g in run)
+                x_l = min(g.x0 for g in run)
+                x_r = max(g.x1 for g in run)
+                y = max(g.y for g in run)
+                ascent, descent = 0.8 * size, 0.2 * size
+                cells.append(
+                    cell_cls(
+                        index=counter,
+                        text=text,
+                        l=x_l,
+                        t=page_height - (y + ascent),
+                        r=x_r,
+                        b=page_height - (y - descent),
+                        font_size=size,
+                        page_no=page_no,
+                    )
+                )
+                counter += 1
+    return cells
+
+
+# -- content-stream interpreter -------------------------------------------------
+
+_BI_RE = re.compile(rb"\bBI\b.*?\bEI\b", re.DOTALL)
+
+
+class TextEngine:
+    """Interprets content streams, accumulating positioned glyphs."""
+
+    def __init__(self, fonts: dict[str, Font], xobjects=None):
+        """``xobjects``: name → (content bytes, fonts dict, inner xobjects)
+        resolver for Form XObject ``Do`` recursion (may be a callable)."""
+        self.fonts = fonts
+        self.xobjects = xobjects or {}
+        self.glyphs: list[Glyph] = []
+
+    def run(self, content: bytes, token_re, decode_str, depth: int = 0):
+        if depth > 8:
+            return
+        content = _BI_RE.sub(b" ", content)
+        fonts = self.fonts
+        ctm: Matrix = IDENTITY
+        gstack: list = []
+        tm: Matrix = IDENTITY
+        tlm: Matrix = IDENTITY
+        font: Font | None = None
+        tfs = 12.0
+        tc = 0.0
+        tw = 0.0
+        tz = 1.0
+        tl = 0.0
+        ts = 0.0
+        in_text = False
+        stack: list = []
+
+        def show(raw_text: str):
+            nonlocal tm
+            f = font or Font()
+            raw = raw_text.encode("latin-1", errors="ignore")
+            for code, uni, w_em, is_space in f.iter_codes(raw):
+                trm = mmul((tfs * tz, 0.0, 0.0, tfs, 0.0, ts), mmul(tm, ctm))
+                adv = (w_em * tfs + tc + (tw if is_space else 0.0)) * tz
+                tm = mmul(translate(adv, 0.0), tm)
+                if uni:
+                    trm2 = mmul(
+                        (tfs * tz, 0.0, 0.0, tfs, 0.0, ts), mmul(tm, ctm)
+                    )
+                    size = abs(trm[3]) or abs(trm[0]) or tfs
+                    self.glyphs.append(
+                        Glyph(
+                            text=uni,
+                            x0=trm[4],
+                            x1=trm2[4],
+                            y=trm[5],
+                            size=size,
+                            spaced=f.has_metrics,
+                            font=id(f),
+                        )
+                    )
+
+        for m in token_re.finditer(content):
+            kind = m.lastgroup
+            if kind == "str":
+                stack.append(("str", decode_str(m.group())))
+            elif kind == "hex":
+                hex_body = re.sub(rb"\s", b"", m.group()[1:-1])
+                if len(hex_body) % 2:
+                    hex_body += b"0"
+                stack.append(
+                    ("str", bytes.fromhex(hex_body.decode()).decode("latin-1"))
+                )
+            elif kind == "num":
+                stack.append(("num", float(m.group())))
+            elif kind == "arr_open":
+                stack.append(("mark", None))
+            elif kind == "arr_close":
+                items = []
+                while stack and stack[-1][0] != "mark":
+                    items.append(stack.pop())
+                if stack:
+                    stack.pop()
+                stack.append(("arr", list(reversed(items))))
+            elif kind == "name":
+                stack.append(("name", m.group().decode("latin-1")))
+            elif kind == "op":
+                op = m.group()
+                nums = [v for t, v in stack if t == "num"]
+                if op == b"q":
+                    gstack.append((ctm, font, tfs, tc, tw, tz, tl, ts))
+                elif op == b"Q":
+                    if gstack:
+                        ctm, font, tfs, tc, tw, tz, tl, ts = gstack.pop()
+                elif op == b"cm" and len(nums) >= 6:
+                    ctm = mmul(tuple(nums[-6:]), ctm)
+                elif op == b"BT":
+                    in_text = True
+                    tm = tlm = IDENTITY
+                elif op == b"ET":
+                    in_text = False
+                elif op == b"Tf" and len(stack) >= 2:
+                    if nums:
+                        tfs = nums[-1]
+                    names = [v for t, v in stack if t == "name"]
+                    if names:
+                        fname = names[-1].lstrip("/")
+                        font = fonts.get(fname, font)
+                elif op == b"Tc" and nums:
+                    tc = nums[-1]
+                elif op == b"Tw" and nums:
+                    tw = nums[-1]
+                elif op == b"Tz" and nums:
+                    tz = nums[-1] / 100.0
+                elif op == b"TL" and nums:
+                    tl = nums[-1]
+                elif op == b"Ts" and nums:
+                    ts = nums[-1]
+                elif op == b"Td" and len(nums) >= 2:
+                    tlm = mmul(translate(nums[-2], nums[-1]), tlm)
+                    tm = tlm
+                elif op == b"TD" and len(nums) >= 2:
+                    tl = -nums[-1]
+                    tlm = mmul(translate(nums[-2], nums[-1]), tlm)
+                    tm = tlm
+                elif op == b"Tm" and len(nums) >= 6:
+                    tm = tlm = tuple(nums[-6:])
+                elif op == b"T*":
+                    tlm = mmul(translate(0.0, -tl), tlm)
+                    tm = tlm
+                elif op == b"Tj" and in_text and stack and stack[-1][0] == "str":
+                    show(stack[-1][1])
+                elif op == b"'" and in_text and stack and stack[-1][0] == "str":
+                    tlm = mmul(translate(0.0, -tl), tlm)
+                    tm = tlm
+                    show(stack[-1][1])
+                elif op == b'"' and in_text and stack and stack[-1][0] == "str":
+                    if len(nums) >= 2:
+                        tw, tc = nums[-2], nums[-1]
+                    tlm = mmul(translate(0.0, -tl), tlm)
+                    tm = tlm
+                    show(stack[-1][1])
+                elif op == b"TJ" and in_text and stack and stack[-1][0] == "arr":
+                    for t, v in stack[-1][1]:
+                        if t == "str":
+                            show(v)
+                        elif t == "num":
+                            tm = mmul(
+                                translate(-v / 1000.0 * tfs * tz, 0.0), tm
+                            )
+                elif op == b"Do" and stack and stack[-1][0] == "name":
+                    xname = stack[-1][1].lstrip("/")
+                    resolved = (
+                        self.xobjects(xname)
+                        if callable(self.xobjects)
+                        else self.xobjects.get(xname)
+                    )
+                    if resolved is not None:
+                        xcontent, xfonts, xxobjects = resolved
+                        # form glyphs map through the invoking CTM
+                        self._run_form(
+                            xcontent,
+                            xfonts or fonts,
+                            xxobjects or self.xobjects,
+                            ctm,
+                            token_re,
+                            decode_str,
+                            depth + 1,
+                        )
+                stack.clear()
+
+    def _run_form(
+        self, content, fonts, xobjects, ctm, token_re, decode_str, depth
+    ):
+        sub = TextEngine(fonts, xobjects)
+        sub.run(content, token_re, decode_str, depth)
+        # re-map the sub-engine's device coords through the invoking CTM
+        a, b, c, d, e, f = ctm
+        for g in sub.glyphs:
+            x0 = g.x0 * a + g.y * c + e
+            y0 = g.x0 * b + g.y * d + f
+            x1 = g.x1 * a + g.y * c + e
+            scale = abs(d) or abs(a) or 1.0
+            self.glyphs.append(
+                Glyph(
+                    text=g.text,
+                    x0=x0,
+                    x1=x1,
+                    y=y0,
+                    size=g.size * scale,
+                    spaced=g.spaced,
+                    font=g.font,
+                )
+            )
