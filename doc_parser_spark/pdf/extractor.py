@@ -25,7 +25,7 @@ import numpy as np
 
 from doc_parser_spark.core import model
 from doc_parser_spark.core.model import Document
-from doc_parser_spark.pdf import layout, minipdf
+from doc_parser_spark.pdf import layout, minipdf, ocr_regions
 
 _HEADING_SIZE_FACTOR = 1.25
 
@@ -92,6 +92,7 @@ def extract_pdf(
     page_range: tuple[int, int] | None = None,
     ocr_fn=None,
     parsed_pages: list | None = None,
+    force_full_page_ocr: bool = False,
 ) -> tuple[Document, bool]:
     """PDF bytes → (Document, fallback_used).
 
@@ -105,10 +106,15 @@ def extract_pdf(
     never parsed.
 
     ``ocr_fn`` is the OCR plug-point (reference Op-26..28: engines behind a
-    factory, off by default in production — basic_processor.py:843). When
-    provided it is called as ``ocr_fn(page) -> list[TextCell]`` for pages
-    whose structured parse yields no cells (scanned pages), running
-    per-executor inside the Arrow batch. No engine ships in this
+    factory, off by default in production — basic_processor.py:843). Region
+    detection around it is real (pdf/ocr_regions.py, the numpy port of
+    base_ocr_model.py:40-113): painted-bitmap rects are dilated and
+    clustered, and the engine is called as ``ocr_fn(page, ocr_rects) ->
+    list[TextCell]`` (or legacy ``ocr_fn(page)``) for pages whose bitmap
+    coverage crosses the 5% threshold — plus, as before, for pages whose
+    structured parse yields no cells at all. Returned cells are filtered
+    against programmatic cells and merged (base_ocr_model.py:115-170),
+    running per-executor inside the Arrow batch. No engine ships in this
     environment, so the default stays None.
     """
     try:
@@ -119,9 +125,46 @@ def extract_pdf(
         if max_pages is not None:
             pages = pages[:max_pages]
         if ocr_fn is not None:
+            import inspect
+
+            try:
+                n_params = len(
+                    [
+                        p
+                        for p in inspect.signature(
+                            ocr_fn
+                        ).parameters.values()
+                        if p.kind
+                        in (
+                            p.POSITIONAL_ONLY,
+                            p.POSITIONAL_OR_KEYWORD,
+                            p.VAR_POSITIONAL,
+                        )
+                    ]
+                )
+            except (TypeError, ValueError):
+                n_params = 2
             for page in pages:
-                if not page.cells:
-                    page.cells = list(ocr_fn(page) or [])
+                _cov, rects = ocr_regions.find_ocr_rects(
+                    page.width,
+                    page.height,
+                    getattr(page, "bitmap_rects", []),
+                    force_full_page_ocr=force_full_page_ocr,
+                )
+                if not rects and not page.cells:
+                    # legacy scanned-page trigger: zero text parsed but no
+                    # raster placements recovered either — full-page OCR
+                    rects = [(0.0, 0.0, page.width, page.height)]
+                if not rects:
+                    continue
+                ocr_cells = (
+                    ocr_fn(page, rects) if n_params >= 2 else ocr_fn(page)
+                )
+                page.cells = ocr_regions.combine_cells(
+                    page.cells,
+                    list(ocr_cells or []),
+                    force_full_page_ocr=force_full_page_ocr,
+                )
         doc, _score = _build_document(pages)
         if doc.has_text_items() or not payload:
             return doc, False

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import re
 import zlib
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 AVG_GLYPH_EM = 0.5  # average Helvetica glyph width as a fraction of font size
 
@@ -53,6 +53,9 @@ class PdfPage:
     width: float
     height: float
     cells: list
+    # painted raster rects (l, t, r, b), top-left origin — feeds OCR
+    # region detection (pdf/ocr_regions.py)
+    bitmap_rects: list = field(default_factory=list)
 
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
@@ -195,7 +198,10 @@ def _xobject_resolver(
     font_cache: dict,
     depth: int = 0,
 ):
-    """name → (form content, its fonts, nested resolver) for ``Do`` ops."""
+    """name → tagged XObject for ``Do`` ops: ``("form", content, fonts,
+    nested resolver)`` or ``("image",)`` (raster placements feed the OCR
+    region detector, the analog of pypdfium2_backend.py:254-268
+    ``get_bitmap_rects``)."""
 
     def resolve(name: str):
         if depth > 8:
@@ -213,6 +219,8 @@ def _xobject_resolver(
         if not m:
             return None
         xbody = objects.get(int(m.group(1)), b"")
+        if re.search(rb"/Subtype\s*/Image\b", xbody):
+            return ("image",)
         if not re.search(rb"/Subtype\s*/Form\b", xbody):
             return None
         try:
@@ -229,6 +237,7 @@ def _xobject_resolver(
         xres = _resources_of(xbody, objects)
         xfonts = _fonts_of(xres, objects, cmap_cache, font_cache)
         return (
+            "form",
             content,
             xfonts,
             _xobject_resolver(
@@ -386,18 +395,23 @@ def extract_cells(
     page_no: int,
     fonts: dict | None = None,
     xobjects=None,
-) -> list[TextCell]:
+) -> tuple[list[TextCell], list[tuple[float, float, float, float]]]:
     """Run the glyph-metric text engine over one content stream and
     assemble positioned glyphs into textline cells (textengine.py).
 
-    Bboxes convert the baseline coordinate to a top-left origin exactly
-    as the reference normalizes pypdfium2 rects
-    (pypdfium2_backend.py:142-150)."""
+    Returns ``(cells, bitmap_rects)``; both convert PDF bottom-left
+    device coords to a top-left origin exactly as the reference
+    normalizes pypdfium2 rects (pypdfium2_backend.py:142-150, 254-268)."""
     from doc_parser_spark.pdf.textengine import TextEngine, assemble_cells
 
     engine = TextEngine(fonts or {}, xobjects)
     engine.run(content, _TOKEN_RE, _decode_pdf_string)
-    return assemble_cells(engine.glyphs, page_height, page_no, TextCell)
+    cells = assemble_cells(engine.glyphs, page_height, page_no, TextCell)
+    rects = [
+        (x0, page_height - y1, x1, page_height - y0)
+        for x0, y0, x1, y1 in engine.image_rects
+    ]
+    return cells, rects
 
 
 def parse_pdf(data: bytes) -> list[PdfPage]:
@@ -438,10 +452,15 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
         resources = _resources_of(body, objects)
         fonts = _fonts_of(resources, objects, cmap_cache, font_cache)
         xobjects = _xobject_resolver(resources, objects, cmap_cache, font_cache)
-        cells = extract_cells(
+        cells, bitmap_rects = extract_cells(
             content, height, page_no, fonts=fonts, xobjects=xobjects
         )
-        pages.append(PdfPage(page_no=page_no, width=width, height=height, cells=cells))
+        pages.append(
+            PdfPage(
+                page_no=page_no, width=width, height=height,
+                cells=cells, bitmap_rects=bitmap_rects,
+            )
+        )
     if not pages:
         raise PdfParseError("no pages found")
     return pages

@@ -519,6 +519,10 @@ class TextEngine:
         self.fonts = fonts
         self.xobjects = xobjects or {}
         self.glyphs: list[Glyph] = []
+        # raster /Image Do placements: (x0, y0, x1, y1) in device space,
+        # bottom-left origin (unit square mapped through the CTM) — the
+        # engine's get_bitmap_rects analog (pypdfium2_backend.py:254-268)
+        self.image_rects: list[tuple[float, float, float, float]] = []
 
     def run(self, content: bytes, token_re, decode_str, depth: int = 0):
         if depth > 8:
@@ -659,8 +663,17 @@ class TextEngine:
                         if callable(self.xobjects)
                         else self.xobjects.get(xname)
                     )
-                    if resolved is not None:
-                        xcontent, xfonts, xxobjects = resolved
+                    if resolved is not None and resolved[0] == "image":
+                        # image space is the unit square; its CTM image
+                        # is the painted rect (PDF 32000-1 §8.9.5.2)
+                        a, b_, c, d, e, f_ = ctm
+                        xs = (e, a + e, c + e, a + c + e)
+                        ys = (f_, b_ + f_, d + f_, b_ + d + f_)
+                        self.image_rects.append(
+                            (min(xs), min(ys), max(xs), max(ys))
+                        )
+                    elif resolved is not None and resolved[0] == "form":
+                        _tag, xcontent, xfonts, xxobjects = resolved
                         # form glyphs map through the invoking CTM
                         self._run_form(
                             xcontent,
@@ -680,6 +693,10 @@ class TextEngine:
         sub.run(content, token_re, decode_str, depth)
         # re-map the sub-engine's device coords through the invoking CTM
         a, b, c, d, e, f = ctm
+        for rx0, ry0, rx1, ry1 in sub.image_rects:
+            xs = tuple(x * a + y * c + e for x in (rx0, rx1) for y in (ry0, ry1))
+            ys = tuple(x * b + y * d + f for x in (rx0, rx1) for y in (ry0, ry1))
+            self.image_rects.append((min(xs), min(ys), max(xs), max(ys)))
         for g in sub.glyphs:
             x0 = g.x0 * a + g.y * c + e
             y0 = g.x0 * b + g.y * d + f

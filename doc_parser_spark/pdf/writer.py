@@ -79,6 +79,72 @@ def write_pdf(pages: list[list[tuple[float, float, float, str]]]) -> bytes:
     return bytes(out)
 
 
+def write_pdf_with_images(
+    pages: list[
+        tuple[
+            list[tuple[float, float, float, str]],
+            list[tuple[float, float, float, float]],
+        ]
+    ],
+) -> bytes:
+    """pages: (text runs, image placements) per page → PDF bytes.
+
+    Image placements are ``(x, y, w, h)`` in bottom-left points; each
+    paints a 1x1 /DeviceGray raster XObject scaled through ``cm`` —
+    the shape OCR region detection consumes (scanned-page fixtures)."""
+    objects: list[bytes] = []
+    n_pages = len(pages)
+    first_page_obj = 3
+    kids = " ".join(f"{first_page_obj + 2 * i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    font_obj = first_page_obj + 2 * n_pages
+    img_obj = font_obj + 1
+    for i, (runs, images) in enumerate(pages):
+        content = _content_stream(runs)
+        for x, y, w, h in images:
+            content += (
+                f"\nq {w:g} 0 0 {h:g} {x:g} {y:g} cm /Im1 Do Q".encode()
+            )
+        page_num = first_page_obj + 2 * i
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:g} {PAGE_H:g}] "
+                f"/Contents {page_num + 1} 0 R "
+                f"/Resources << /Font << /F1 {font_obj} 0 R >> "
+                f"/XObject << /Im1 {img_obj} 0 R >> >> >>"
+            ).encode()
+        )
+        objects.append(
+            f"<< /Length {len(content)} >>\nstream\n".encode()
+            + content
+            + b"\nendstream"
+        )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    objects.append(
+        b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 1 >>\n"
+        b"stream\n\x80\nendstream"
+    )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
 def paragraph_runs(
     lines: list[str],
     x: float = 72.0,
