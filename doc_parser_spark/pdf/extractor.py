@@ -25,7 +25,7 @@ import numpy as np
 
 from doc_parser_spark.core import model
 from doc_parser_spark.core.model import Document
-from doc_parser_spark.pdf import layout, minipdf, ocr_regions
+from doc_parser_spark.pdf import layout, minipdf, ocr_regions, tables
 
 _HEADING_SIZE_FACTOR = 1.25
 
@@ -43,6 +43,30 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
         if not math.isnan(score):
             parse_scores.append(score)
 
+        # ruled-table grids (pdf/tables.py): consumed cells leave the text
+        # flow and re-emerge as table structs at their reading-order slot
+        regions = tables.detect_tables(
+            merged, getattr(page, "rulings", [])
+        )
+        consumed: set[int] = set()
+        for region in regions:
+            consumed |= region.cell_ids
+        if consumed:
+            merged = [c for c in merged if id(c) not in consumed]
+        pending = list(regions)  # already sorted by (top, left)
+
+        def flush_tables(up_to_y: float | None) -> None:
+            while pending and (
+                up_to_y is None or pending[0].bbox[1] <= up_to_y
+            ):
+                region = pending.pop(0)
+                doc.add_table(
+                    region.data,
+                    parent=current_parent,
+                    page_no=page.page_no,
+                    bbox=region.bbox,
+                )
+
         ordered = layout.order_cells(merged, page.width)
         blocks = layout.cluster_blocks(ordered)
         if merged:
@@ -58,6 +82,7 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
             if not text:
                 continue
             bbox = layout.block_bbox(block)
+            flush_tables(bbox[1])
             block_size = max(c.font_size for c in block)
             is_heading = (
                 len(block) == 1 and block_size >= median_size * _HEADING_SIZE_FACTOR
@@ -81,6 +106,7 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
                     text=text, label=model.TEXT, parent=current_parent,
                     page_no=page.page_no, bbox=bbox,
                 )
+        flush_tables(None)
 
     parse_score = float(np.mean(parse_scores)) if parse_scores else 0.0
     return doc, parse_score

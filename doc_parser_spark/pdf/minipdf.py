@@ -56,6 +56,9 @@ class PdfPage:
     # painted raster rects (l, t, r, b), top-left origin — feeds OCR
     # region detection (pdf/ocr_regions.py)
     bitmap_rects: list = field(default_factory=list)
+    # painted axis-aligned segments (x0, y0, x1, y1), top-left origin —
+    # feeds ruled-table grid detection (pdf/tables.py)
+    rulings: list = field(default_factory=list)
 
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
@@ -411,7 +414,11 @@ def extract_cells(
         (x0, page_height - y1, x1, page_height - y0)
         for x0, y0, x1, y1 in engine.image_rects
     ]
-    return cells, rects
+    rulings = [
+        (x0, page_height - y0, x1, page_height - y1)
+        for x0, y0, x1, y1 in engine.rulings
+    ]
+    return cells, rects, rulings
 
 
 def parse_pdf(data: bytes) -> list[PdfPage]:
@@ -452,13 +459,13 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
         resources = _resources_of(body, objects)
         fonts = _fonts_of(resources, objects, cmap_cache, font_cache)
         xobjects = _xobject_resolver(resources, objects, cmap_cache, font_cache)
-        cells, bitmap_rects = extract_cells(
+        cells, bitmap_rects, rulings = extract_cells(
             content, height, page_no, fonts=fonts, xobjects=xobjects
         )
         pages.append(
             PdfPage(
                 page_no=page_no, width=width, height=height,
-                cells=cells, bitmap_rects=bitmap_rects,
+                cells=cells, bitmap_rects=bitmap_rects, rulings=rulings,
             )
         )
     if not pages:

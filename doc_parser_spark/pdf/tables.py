@@ -1,0 +1,208 @@
+"""Ruled-table grid recovery for born-digital PDFs.
+
+The reference recovers PDF table structure with the TableFormer NN
+(``docling/models/table_structure_model.py`` — ML-scoped out per
+SURVEY.md §7, so until now PDF pages emitted no ``table`` struct at
+all). Born-digital tables, however, usually *paint their grid*: the
+ruling lines are right there in the content stream. This module turns
+the painted axis-aligned segments (``PdfPage.rulings``) into the same
+``TableData`` struct the HTML/DOCX/XLSX backends emit, so every
+downstream serializer (markdown pipes, HTML ``<table>``, DocTags,
+chunker row-serialization) works unchanged on PDF tables.
+
+Heuristic:
+
+1. merge collinear overlapping segments; split into horizontal and
+   vertical families
+2. union-find connected components over H x V crossings — each
+   component is one candidate grid
+3. a component with >=3 distinct row lines and >=3 distinct column
+   lines (i.e. a >=2x2 cell lattice) whose lattice is materially
+   complete becomes a table; text cells inside are binned into grid
+   positions by their bbox (spanning cells cross boundaries and get
+   row/col spans naturally)
+
+Everything is geometry over a handful of segments per page — pure
+Python, no NN, deterministic.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left, bisect_right
+from dataclasses import dataclass
+
+from doc_parser_spark.core import model
+
+TOL = 2.0  # coordinate clustering / crossing tolerance (pt)
+MIN_SPAN = 8.0  # segments shorter than this are decorations
+# fraction of lattice crossings that must actually be painted — rejects
+# accidental alignments of unrelated rules (underlines, hr separators)
+MIN_LATTICE_FILL = 0.7
+
+
+@dataclass
+class TableRegion:
+    bbox: tuple[float, float, float, float]  # (l, t, r, b) top-left origin
+    data: model.TableData
+    cell_ids: set[int]  # id() of consumed text cells
+
+
+def _cluster_1d(vals: list[float], tol: float = TOL) -> list[float]:
+    """Sorted cluster centers of 1-D coordinates."""
+    out: list[float] = []
+    group: list[float] = []
+    for v in sorted(vals):
+        if group and v - group[-1] > tol:
+            out.append(sum(group) / len(group))
+            group = []
+        group.append(v)
+    if group:
+        out.append(sum(group) / len(group))
+    return out
+
+
+def _merge_segments(
+    segs: list[tuple[float, float, float]], tol: float = TOL
+) -> list[tuple[float, float, float]]:
+    """(coord, lo, hi) segments — merge same-coordinate overlapping runs
+    (dashed rules, butt-joined strokes, rect edges drawn twice)."""
+    out: list[tuple[float, float, float]] = []
+    by_coord: dict[float, list[tuple[float, float]]] = {}
+    centers = _cluster_1d([s[0] for s in segs], tol)
+    for coord, lo, hi in segs:
+        c = min(centers, key=lambda x: abs(x - coord))
+        by_coord.setdefault(c, []).append((lo, hi))
+    for c, ivals in by_coord.items():
+        ivals.sort()
+        cur_lo, cur_hi = ivals[0]
+        for lo, hi in ivals[1:]:
+            if lo <= cur_hi + 3 * tol:
+                cur_hi = max(cur_hi, hi)
+            else:
+                out.append((c, cur_lo, cur_hi))
+                cur_lo, cur_hi = lo, hi
+        out.append((c, cur_lo, cur_hi))
+    return [s for s in out if s[2] - s[1] >= MIN_SPAN]
+
+
+def detect_tables(cells: list, rulings: list) -> list[TableRegion]:
+    """Text cells + painted segments (top-left coords) → table regions."""
+    if not rulings:
+        return []
+    hs_raw = []  # (y, x0, x1)
+    vs_raw = []  # (x, y0, y1)
+    for x0, y0, x1, y1 in rulings:
+        if abs(y1 - y0) <= 0.5 and abs(x1 - x0) >= MIN_SPAN:
+            hs_raw.append(((y0 + y1) / 2, min(x0, x1), max(x0, x1)))
+        elif abs(x1 - x0) <= 0.5 and abs(y1 - y0) >= MIN_SPAN:
+            vs_raw.append(((x0 + x1) / 2, min(y0, y1), max(y0, y1)))
+    hs = _merge_segments(hs_raw)
+    vs = _merge_segments(vs_raw)
+    if len(hs) < 3 or len(vs) < 3:
+        return []
+
+    # union-find over H x V crossings
+    n = len(hs) + len(vs)
+    parent = list(range(n))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    crossings: set[tuple[int, int]] = set()
+    for i, (y, hx0, hx1) in enumerate(hs):
+        for j, (x, vy0, vy1) in enumerate(vs):
+            if hx0 - TOL <= x <= hx1 + TOL and vy0 - TOL <= y <= vy1 + TOL:
+                crossings.add((i, j))
+                ra, rb = find(i), find(len(hs) + j)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+
+    comps: dict[int, tuple[list[int], list[int]]] = {}
+    for i in range(len(hs)):
+        comps.setdefault(find(i), ([], []))[0].append(i)
+    for j in range(len(vs)):
+        comps.setdefault(find(len(hs) + j), ([], []))[1].append(j)
+
+    regions: list[TableRegion] = []
+    for h_idx, v_idx in comps.values():
+        if len(h_idx) < 3 or len(v_idx) < 3:
+            continue
+        row_lines = _cluster_1d([hs[i][0] for i in h_idx])
+        col_lines = _cluster_1d([vs[j][0] for j in v_idx])
+        if len(row_lines) < 3 or len(col_lines) < 3:
+            continue
+        # lattice completeness: painted crossings / ideal crossings
+        n_cross = sum(
+            1 for i, j in crossings if i in set(h_idx) and j in set(v_idx)
+        )
+        if n_cross < MIN_LATTICE_FILL * len(row_lines) * len(col_lines):
+            continue
+        top, bot = row_lines[0], row_lines[-1]
+        left, right = col_lines[0], col_lines[-1]
+        n_rows, n_cols = len(row_lines) - 1, len(col_lines) - 1
+
+        # bin text cells into the lattice
+        inner_rows = row_lines[1:-1]
+        inner_cols = col_lines[1:-1]
+        binned: dict[tuple[int, int], list] = {}
+        spans: dict[tuple[int, int], tuple[int, int]] = {}
+        consumed: set[int] = set()
+        for c in cells:
+            cx, cy = (c.l + c.r) / 2, (c.t + c.b) / 2
+            if not (
+                left - TOL <= cx <= right + TOL
+                and top - TOL <= cy <= bot + TOL
+            ):
+                continue
+            r0 = bisect_right(inner_rows, c.t + 1.0)
+            r1 = bisect_left(inner_rows, c.b - 1.0)
+            c0 = bisect_right(inner_cols, c.l + 1.0)
+            c1 = bisect_left(inner_cols, c.r - 1.0)
+            r0, r1 = min(r0, n_rows - 1), min(max(r1, r0), n_rows - 1)
+            c0, c1 = min(c0, n_cols - 1), min(max(c1, c0), n_cols - 1)
+            consumed.add(id(c))
+            key = (r0, c0)
+            binned.setdefault(key, []).append(c)
+            pr, pc = spans.get(key, (r0, c0))
+            spans[key] = (max(pr, r1), max(pc, c1))
+        if not binned:
+            continue
+
+        data = model.TableData(num_rows=n_rows, num_cols=n_cols, cells=[])
+        for (r0, c0), group in sorted(binned.items()):
+            group.sort(key=lambda c: (round(c.t, 1), c.l))
+            text = " ".join(
+                c.text.strip() for c in group if c.text.strip()
+            ).strip()
+            r1, c1 = spans[(r0, c0)]
+            data.cells.append(
+                model.TableCellData(
+                    text=text,
+                    row_span=r1 - r0 + 1,
+                    col_span=c1 - c0 + 1,
+                    start_row=r0,
+                    end_row=r1 + 1,
+                    start_col=c0,
+                    end_col=c1 + 1,
+                )
+            )
+        grid: list[list[str | None]] = [
+            [None] * n_cols for _ in range(n_rows)
+        ]
+        for cd in data.cells:
+            for rr in range(cd.start_row, min(cd.end_row, n_rows)):
+                for cc in range(cd.start_col, min(cd.end_col, n_cols)):
+                    grid[rr][cc] = cd.text
+        data.grid = grid
+        regions.append(
+            TableRegion(
+                bbox=(left, top, right, bot),
+                data=data,
+                cell_ids=consumed,
+            )
+        )
+    regions.sort(key=lambda r: (r.bbox[1], r.bbox[0]))
+    return regions

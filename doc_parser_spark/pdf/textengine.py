@@ -523,6 +523,9 @@ class TextEngine:
         # bottom-left origin (unit square mapped through the CTM) — the
         # engine's get_bitmap_rects analog (pypdfium2_backend.py:254-268)
         self.image_rects: list[tuple[float, float, float, float]] = []
+        # painted axis-aligned path segments (x0, y0, x1, y1), device
+        # space, bottom-left origin — table ruling lines (pdf/tables.py)
+        self.rulings: list[tuple[float, float, float, float]] = []
 
     def run(self, content: bytes, token_re, decode_str, depth: int = 0):
         if depth > 8:
@@ -542,6 +545,26 @@ class TextEngine:
         ts = 0.0
         in_text = False
         stack: list = []
+        # path construction state (PDF 32000-1 §8.5): segments collect in
+        # user space until a paint op commits them (stroke/fill) or ``n``
+        # discards them (clip-only paths)
+        path_segs: list[tuple[float, float, float, float]] = []
+        cur_pt: tuple[float, float] | None = None
+        start_pt: tuple[float, float] | None = None
+
+        def dev(x: float, y: float) -> tuple[float, float]:
+            a, b_, c, d, e, f_ = ctm
+            return (x * a + y * c + e, x * b_ + y * d + f_)
+
+        def commit_path():
+            # keep axis-aligned, non-degenerate segments: ruling lines
+            for x0, y0, x1, y1 in path_segs:
+                if len(self.rulings) >= 20000:
+                    break
+                dx, dy = abs(x1 - x0), abs(y1 - y0)
+                if (dx <= 0.5 or dy <= 0.5) and max(dx, dy) >= 4.0:
+                    self.rulings.append((x0, y0, x1, y1))
+            path_segs.clear()
 
         def show(raw_text: str):
             nonlocal tm
@@ -656,6 +679,41 @@ class TextEngine:
                             tm = mmul(
                                 translate(-v / 1000.0 * tfs * tz, 0.0), tm
                             )
+                elif op == b"m" and len(nums) >= 2:
+                    cur_pt = start_pt = dev(nums[-2], nums[-1])
+                elif op == b"l" and len(nums) >= 2:
+                    pt = dev(nums[-2], nums[-1])
+                    if cur_pt is not None:
+                        path_segs.append((*cur_pt, *pt))
+                    cur_pt = pt
+                elif op in (b"c", b"v", b"y") and len(nums) >= 2:
+                    # curves: endpoints only (rulings are straight lines)
+                    cur_pt = dev(nums[-2], nums[-1])
+                elif op == b"re" and len(nums) >= 4:
+                    x, y, w, h = nums[-4:]
+                    p00, p10 = dev(x, y), dev(x + w, y)
+                    p11, p01 = dev(x + w, y + h), dev(x, y + h)
+                    path_segs.extend(
+                        [
+                            (*p00, *p10),
+                            (*p10, *p11),
+                            (*p11, *p01),
+                            (*p01, *p00),
+                        ]
+                    )
+                    cur_pt = start_pt = p00
+                elif op == b"h":
+                    if cur_pt is not None and start_pt is not None:
+                        path_segs.append((*cur_pt, *start_pt))
+                        cur_pt = start_pt
+                elif op in (b"S", b"f", b"F", b"f*", b"B", b"B*"):
+                    commit_path()
+                elif op in (b"s", b"b", b"b*"):
+                    if cur_pt is not None and start_pt is not None:
+                        path_segs.append((*cur_pt, *start_pt))
+                    commit_path()
+                elif op == b"n":
+                    path_segs.clear()  # clipping path, nothing painted
                 elif op == b"Do" and stack and stack[-1][0] == "name":
                     xname = stack[-1][1].lstrip("/")
                     resolved = (
@@ -697,6 +755,15 @@ class TextEngine:
             xs = tuple(x * a + y * c + e for x in (rx0, rx1) for y in (ry0, ry1))
             ys = tuple(x * b + y * d + f for x in (rx0, rx1) for y in (ry0, ry1))
             self.image_rects.append((min(xs), min(ys), max(xs), max(ys)))
+        for sx0, sy0, sx1, sy1 in sub.rulings:
+            self.rulings.append(
+                (
+                    sx0 * a + sy0 * c + e,
+                    sx0 * b + sy0 * d + f,
+                    sx1 * a + sy1 * c + e,
+                    sx1 * b + sy1 * d + f,
+                )
+            )
         for g in sub.glyphs:
             x0 = g.x0 * a + g.y * c + e
             y0 = g.x0 * b + g.y * d + f

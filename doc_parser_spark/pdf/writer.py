@@ -30,8 +30,14 @@ def _content_stream(runs: list[tuple[float, float, float, str]]) -> bytes:
     return ("\n".join(parts)).encode("latin-1", errors="replace")
 
 
-def write_pdf(pages: list[list[tuple[float, float, float, str]]]) -> bytes:
-    """pages: one list of text runs per page → PDF bytes."""
+def write_pdf(
+    pages: list[list[tuple[float, float, float, str]]],
+    extra_content: list[bytes] | None = None,
+) -> bytes:
+    """pages: one list of text runs per page → PDF bytes.
+
+    ``extra_content``: optional raw content-stream bytes appended per page
+    (graphics ops for ruled-table fixtures)."""
     objects: list[bytes] = []
 
     n_pages = len(pages)
@@ -47,6 +53,8 @@ def write_pdf(pages: list[list[tuple[float, float, float, str]]]) -> bytes:
     font_obj = first_page_obj + 2 * n_pages
     for i, runs in enumerate(pages):
         content = _content_stream(runs)
+        if extra_content is not None and extra_content[i]:
+            content += b"\n" + extra_content[i]
         page_num = first_page_obj + 2 * i
         objects.append(
             (
@@ -143,6 +151,62 @@ def write_pdf_with_images(
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out)
+
+
+def table_ops(
+    x: float,
+    y_top: float,
+    col_widths: list[float],
+    row_heights: list[float],
+) -> str:
+    """Content-stream ops painting a full table grid (strokes) with the
+    top-left corner at ``(x, y_top)`` in bottom-left page coords."""
+    total_w = sum(col_widths)
+    total_h = sum(row_heights)
+    ops = []
+    yy = y_top
+    for h in [0.0, *row_heights]:
+        yy -= h
+        ops.append(f"{x:g} {yy:g} m {x + total_w:g} {yy:g} l S")
+    xx = x
+    for w in [0.0, *col_widths]:
+        xx += w
+        ops.append(f"{xx:g} {y_top - total_h:g} m {xx:g} {y_top:g} l S")
+    return " ".join(ops)
+
+
+def table_cell_runs(
+    x: float,
+    y_top: float,
+    col_widths: list[float],
+    row_heights: list[float],
+    texts: list[list[str]],
+    size: float = 9.0,
+) -> list[tuple[float, float, float, str]]:
+    """Text runs centered-ish inside each grid cell of ``table_ops``."""
+    runs = []
+    yy = y_top
+    for r, h in enumerate(row_heights):
+        xx = x
+        for c, w in enumerate(col_widths):
+            if r < len(texts) and c < len(texts[r]) and texts[r][c]:
+                runs.append((xx + 4, yy - h / 2 - size / 2, size, texts[r][c]))
+            xx += w
+        yy -= h
+    return runs
+
+
+def write_pdf_with_graphics(
+    pages: list[tuple[list[tuple[float, float, float, str]], str]],
+) -> bytes:
+    """pages: (text runs, raw graphics ops) per page → PDF bytes.
+
+    Graphics ops (``m``/``l``/``re``/``S``/``f`` path paints) append after
+    the text; used for ruled-table fixtures (pdf/tables.py)."""
+    return write_pdf(
+        [runs for runs, _ in pages],
+        extra_content=[ops.encode("latin-1") for _, ops in pages],
+    )
 
 
 def paragraph_runs(

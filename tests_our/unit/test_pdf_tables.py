@@ -1,0 +1,130 @@
+"""Ruled-table grid recovery (pdf/tables.py): painted grid lines ->
+TableData structs, the deterministic stand-in for the reference's
+TableFormer NN path (docling/models/table_structure_model.py, ML-scoped
+out per SURVEY.md §7 — PDFs previously emitted no table struct at all)."""
+
+from doc_parser_spark.core.serialize import export_markdown, export_text
+from doc_parser_spark.pdf import minipdf, tables, writer
+from doc_parser_spark.pdf.extractor import extract_pdf
+
+COLS = [100.0, 120.0, 90.0]
+ROWS = [24.0, 24.0, 24.0]
+TEXTS = [
+    ["name", "qty", "price"],
+    ["bolt", "12", "0.40"],
+    ["nut", "7", "0.15"],
+]
+
+
+def _ruled_pdf(extra_runs=None, x=72.0, y_top=700.0):
+    runs = writer.table_cell_runs(x, y_top, COLS, ROWS, TEXTS)
+    if extra_runs:
+        runs = list(extra_runs) + runs
+    ops = writer.table_ops(x, y_top, COLS, ROWS)
+    return writer.write_pdf_with_graphics([(runs, ops)])
+
+
+def test_rulings_recovered_from_content_stream():
+    (page,) = minipdf.parse_pdf(_ruled_pdf())
+    hs = [r for r in page.rulings if abs(r[1] - r[3]) <= 0.5]
+    vs = [r for r in page.rulings if abs(r[0] - r[2]) <= 0.5]
+    assert len(hs) == 4 and len(vs) == 4  # 3x3 grid = 4 lines each way
+
+
+def test_detect_3x3_grid():
+    (page,) = minipdf.parse_pdf(_ruled_pdf())
+    regions = tables.detect_tables(page.cells, page.rulings)
+    assert len(regions) == 1
+    data = regions[0].data
+    assert (data.num_rows, data.num_cols) == (3, 3)
+    assert data.grid == TEXTS
+    # every text cell was consumed out of the flow
+    assert len(regions[0].cell_ids) == 9
+
+
+def test_spanning_cell_gets_col_span():
+    # header row: one cell spanning all three columns (no inner v-lines
+    # crossing it is irrelevant — span comes from the text bbox)
+    x, y_top = 72.0, 700.0
+    runs = writer.table_cell_runs(
+        x, y_top, COLS, ROWS, [["", "", ""], *TEXTS[1:]]
+    )
+    # wide header text crossing both inner column boundaries
+    runs.append(
+        (
+            x + 10,
+            y_top - 16,
+            9.0,
+            "hardware inventory summary table for the whole warehouse floor",
+        )
+    )
+    ops = writer.table_ops(x, y_top, COLS, ROWS)
+    pdf = writer.write_pdf_with_graphics([(runs, ops)])
+    (page,) = minipdf.parse_pdf(pdf)
+    regions = tables.detect_tables(page.cells, page.rulings)
+    assert len(regions) == 1
+    header = [c for c in regions[0].data.cells if c.start_row == 0]
+    assert len(header) == 1 and header[0].col_span == 3
+
+
+def test_unrelated_rules_do_not_make_tables():
+    # underlines + a horizontal separator: no vertical family -> no table
+    runs = writer.paragraph_runs(["alpha beta", "gamma delta"])
+    ops = "72 690 m 300 690 l S 72 660 m 540 660 l S 72 640 m 200 640 l S"
+    (page,) = minipdf.parse_pdf(writer.write_pdf_with_graphics([(runs, ops)]))
+    assert tables.detect_tables(page.cells, page.rulings) == []
+
+
+def test_clip_only_paths_ignored():
+    runs = writer.paragraph_runs(["clip test"])
+    ops = "0 0 612 792 re W n"  # clipping rect, never painted
+    (page,) = minipdf.parse_pdf(writer.write_pdf_with_graphics([(runs, ops)]))
+    assert page.rulings == []
+
+
+def test_extract_pdf_emits_table_struct_in_reading_order():
+    before = (72.0, 740.0, 11.0, "Intro paragraph above the table.")
+    after = (72.0, 560.0, 11.0, "Closing remarks below the table.")
+    pdf = _ruled_pdf(extra_runs=[before])
+    # splice the closing line in: rebuild with both
+    runs = [before, after] + writer.table_cell_runs(
+        72.0, 700.0, COLS, ROWS, TEXTS
+    )
+    ops = writer.table_ops(72.0, 700.0, COLS, ROWS)
+    pdf = writer.write_pdf_with_graphics([(runs, ops)])
+    doc, fallback = extract_pdf(pdf)
+    assert not fallback
+    tbls = doc.tables()
+    assert len(tbls) == 1 and tbls[0].table.grid == TEXTS
+    md = export_markdown(doc)
+    assert "| name" in md and "qty" in md and "bolt" in md
+    # reading order: intro, table, closing
+    assert (
+        md.index("Intro paragraph")
+        < md.index("| name")
+        < md.index("Closing remarks")
+    )
+    # table text does not double-emit as body text
+    txt_wo_tables = " ".join(
+        n.text for n in doc.nodes if n.label == "text"
+    )
+    assert "bolt" not in txt_wo_tables
+
+
+def test_two_tables_on_one_page():
+    t2_y = 540.0
+    runs = writer.table_cell_runs(72.0, 700.0, COLS, ROWS, TEXTS)
+    texts2 = [["a", "b"], ["c", "d"]]
+    runs += writer.table_cell_runs(
+        300.0, t2_y, [80.0, 80.0], [20.0, 20.0], texts2
+    )
+    ops = (
+        writer.table_ops(72.0, 700.0, COLS, ROWS)
+        + " "
+        + writer.table_ops(300.0, t2_y, [80.0, 80.0], [20.0, 20.0])
+    )
+    (page,) = minipdf.parse_pdf(writer.write_pdf_with_graphics([(runs, ops)]))
+    regions = tables.detect_tables(page.cells, page.rulings)
+    assert len(regions) == 2
+    assert regions[0].data.grid == TEXTS  # sorted by top coordinate
+    assert regions[1].data.grid == texts2
