@@ -74,6 +74,60 @@ def test_streaming_extraction(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == 80
 
 
+def test_streaming_kill_resume_exactly_once_parity(spark, tmp_path):
+    """Kill the extraction stream mid-backlog, resume from checkpoint,
+    and require the final sink to be row-exact vs the batch run — the
+    file sink's commit log (_spark_metadata) is the exactly-once
+    mechanism: files from uncommitted batches are invisible to readers."""
+    import time
+
+    from doc_parser_spark.operators.extract import extract_documents
+    from doc_parser_spark.sources.pages import pages_df
+    from doc_parser_spark.streaming.stream import stream_extract
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    total = 120
+    # many small files -> many micro-batches at maxFilesPerTrigger=1,
+    # so a stop after the first committed batch lands mid-backlog
+    pages_df(spark, total, num_partitions=24).write.parquet(in_dir)
+
+    batch = extract_documents(
+        spark.read.parquet(in_dir), with_markdown=False
+    ).select("url", "document_hash", "status")
+    expected = {tuple(r) for r in batch.collect()}
+    assert len(expected) == total
+
+    q = stream_extract(
+        spark, in_dir, out_dir, ckpt,
+        available_now=True, max_files_per_trigger=1,
+    )
+    deadline = time.time() + 120
+    while q.isActive and time.time() < deadline:
+        p = q.lastProgress
+        if p and p.get("numInputRows", 0) > 0:
+            break  # >=1 micro-batch committed; backlog still pending
+        time.sleep(0.1)
+    q.stop()  # kill mid-stream
+    q.awaitTermination(60)
+    mid = spark.read.parquet(out_dir).count()
+    assert 0 < mid < total, f"stream not killed mid-backlog (mid={mid})"
+
+    # resume from the same checkpoint; drain the rest
+    q2 = stream_extract(
+        spark, in_dir, out_dir, ckpt,
+        available_now=True, max_files_per_trigger=1,
+    )
+    q2.awaitTermination(180)
+    out = spark.read.parquet(out_dir).select(
+        "url", "document_hash", "status"
+    )
+    rows = out.collect()
+    assert len(rows) == total  # no replays, no losses
+    assert {tuple(r) for r in rows} == expected  # value parity with batch
+
+
 def test_streaming_windowed_counts(spark, tmp_path):
     from doc_parser_spark.streaming.stream import windowed_event_counts
 
