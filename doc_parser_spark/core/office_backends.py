@@ -843,6 +843,10 @@ def _raster_image_meta(blob: bytes, dpi: int | None = None) -> dict | None:
 
             arr = decode_jpeg(blob)
             dpi_raw = _pptx_jpeg_dpi(blob)
+        elif blob[:2] == b"BM":
+            from .wmf import decode_bmp
+
+            arr = decode_bmp(blob)
         else:
             return None
     except Exception:
@@ -979,6 +983,44 @@ def _pptx_slide_size(zf: zipfile.ZipFile) -> tuple[int, int]:
 # -- HWPX --------------------------------------------------------------------
 
 _HP = "{http://www.hancom.co.kr/hwpml/2011/paragraph}"
+_HC = "{http://www.hancom.co.kr/hwpml/2011/core}"
+
+# BinData lookup order mirrors the reference's extension probe
+# (hwpx_backend.py:1199-1214); we include .wmf because core/wmf.py can
+# rasterize it natively (the reference needs ImageMagick/Wand and drops
+# WMF without it). .tif stays a documented waiver (no TIFF codec here).
+_HWPX_IMG_EXTS = (".bmp", ".png", ".jpg", ".jpeg", ".wmf", ".tif")
+
+
+def _hwpx_image_meta(zf, pic_el) -> dict | None:
+    """<hp:pic> → ImageRef-shaped dict (hwpx_backend.py:217-241): read
+    the hc:img binaryItemIDRef payload from BinData/, converting WMF to
+    PNG through the native rasterizer first."""
+    img = pic_el.find(f".//{_HC}img")
+    if img is None:
+        return None
+    bin_id = img.get("binaryItemIDRef")
+    if not bin_id:
+        return None
+    blob = None
+    for ext in _HWPX_IMG_EXTS:
+        try:
+            blob = zf.read(f"BinData/{bin_id}{ext}")
+            break
+        except KeyError:
+            continue
+    if not blob:
+        return None
+    if blob[:4] in (b"\xd7\xcd\xc6\x9a",) or (
+        len(blob) >= 6 and blob[:2] in (b"\x01\x00", b"\x02\x00")
+        and blob[2:4] == b"\x09\x00"
+    ):
+        from .wmf import wmf_to_png
+
+        blob = wmf_to_png(blob)
+        if blob is None:
+            return None
+    return _raster_image_meta(blob, dpi=72)
 
 
 _ROMAN_HEADER = re.compile("^(?:\\d+\\.\\s+|[\u2160\u2161\u2162\u2163\u2164\u2165\u2166\u2167\u2168\u2169]+\\.\\s*)")
@@ -1162,6 +1204,14 @@ def extract_hwpx(payload: bytes) -> Document:
                             _hwpx_table(child, doc, current_section, page_no)
                             consumed_runs.add(ri)
                         break
+                    if tag == "pic":
+                        meta = _hwpx_image_meta(zf, child)
+                        if meta is not None:
+                            node = doc.add_picture(
+                                parent=current_section, page_no=page_no
+                            )
+                            node.image_meta = meta
+                        continue
                     if tag == "rect":
                         draw = child.find(f".//{_HP}drawText")
                         if draw is None:
