@@ -12,6 +12,8 @@ chunker row-serialization) works unchanged on PDF tables.
 
 Heuristic:
 
+Pass A — fully ruled grids:
+
 1. merge collinear overlapping segments; split into horizontal and
    vertical families
 2. union-find connected components over H x V crossings — each
@@ -21,6 +23,15 @@ Heuristic:
    complete becomes a table; text cells inside are binned into grid
    positions by their bbox (spanning cells cross boundaries and get
    row/col spans naturally)
+
+Pass B — horizontal-rules-only tables (LaTeX booktabs: toprule /
+midrule / bottomrule, no vertical lines). Column boundaries come from
+whitespace: >=3 stacked rules sharing the same x-extent bound a band;
+cells inside are clustered into rows; x-gutters that NO cell crosses
+become column separators. Guards against tableizing ordinary prose
+between horizontal separators: >=2 columns required, most rows must be
+multi-cell, and cells must be short (tables hold entries, not
+paragraphs).
 
 Everything is geometry over a handful of segments per page — pure
 Python, no NN, deterministic.
@@ -98,7 +109,7 @@ def detect_tables(cells: list, rulings: list) -> list[TableRegion]:
             vs_raw.append(((x0 + x1) / 2, min(y0, y1), max(y0, y1)))
     hs = _merge_segments(hs_raw)
     vs = _merge_segments(vs_raw)
-    if len(hs) < 3 or len(vs) < 3:
+    if len(hs) < 3:
         return []
 
     # union-find over H x V crossings
@@ -127,6 +138,7 @@ def detect_tables(cells: list, rulings: list) -> list[TableRegion]:
         comps.setdefault(find(len(hs) + j), ([], []))[1].append(j)
 
     regions: list[TableRegion] = []
+    accepted_h: set[int] = set()
     for h_idx, v_idx in comps.values():
         if len(h_idx) < 3 or len(v_idx) < 3:
             continue
@@ -142,67 +154,177 @@ def detect_tables(cells: list, rulings: list) -> list[TableRegion]:
             continue
         top, bot = row_lines[0], row_lines[-1]
         left, right = col_lines[0], col_lines[-1]
-        n_rows, n_cols = len(row_lines) - 1, len(col_lines) - 1
-
-        # bin text cells into the lattice
-        inner_rows = row_lines[1:-1]
-        inner_cols = col_lines[1:-1]
-        binned: dict[tuple[int, int], list] = {}
-        spans: dict[tuple[int, int], tuple[int, int]] = {}
-        consumed: set[int] = set()
-        for c in cells:
-            cx, cy = (c.l + c.r) / 2, (c.t + c.b) / 2
-            if not (
-                left - TOL <= cx <= right + TOL
-                and top - TOL <= cy <= bot + TOL
-            ):
-                continue
-            r0 = bisect_right(inner_rows, c.t + 1.0)
-            r1 = bisect_left(inner_rows, c.b - 1.0)
-            c0 = bisect_right(inner_cols, c.l + 1.0)
-            c1 = bisect_left(inner_cols, c.r - 1.0)
-            r0, r1 = min(r0, n_rows - 1), min(max(r1, r0), n_rows - 1)
-            c0, c1 = min(c0, n_cols - 1), min(max(c1, c0), n_cols - 1)
-            consumed.add(id(c))
-            key = (r0, c0)
-            binned.setdefault(key, []).append(c)
-            pr, pc = spans.get(key, (r0, c0))
-            spans[key] = (max(pr, r1), max(pc, c1))
-        if not binned:
-            continue
-
-        data = model.TableData(num_rows=n_rows, num_cols=n_cols, cells=[])
-        for (r0, c0), group in sorted(binned.items()):
-            group.sort(key=lambda c: (round(c.t, 1), c.l))
-            text = " ".join(
-                c.text.strip() for c in group if c.text.strip()
-            ).strip()
-            r1, c1 = spans[(r0, c0)]
-            data.cells.append(
-                model.TableCellData(
-                    text=text,
-                    row_span=r1 - r0 + 1,
-                    col_span=c1 - c0 + 1,
-                    start_row=r0,
-                    end_row=r1 + 1,
-                    start_col=c0,
-                    end_col=c1 + 1,
-                )
-            )
-        grid: list[list[str | None]] = [
-            [None] * n_cols for _ in range(n_rows)
+        inside = [
+            c
+            for c in cells
+            if left - TOL <= (c.l + c.r) / 2 <= right + TOL
+            and top - TOL <= (c.t + c.b) / 2 <= bot + TOL
         ]
-        for cd in data.cells:
-            for rr in range(cd.start_row, min(cd.end_row, n_rows)):
-                for cc in range(cd.start_col, min(cd.end_col, n_cols)):
-                    grid[rr][cc] = cd.text
-        data.grid = grid
+        built = _bin_into_lattice(inside, row_lines, col_lines)
+        if built is None:
+            continue
+        data, consumed = built
+        accepted_h.update(h_idx)
         regions.append(
             TableRegion(
-                bbox=(left, top, right, bot),
-                data=data,
-                cell_ids=consumed,
+                bbox=(left, top, right, bot), data=data, cell_ids=consumed
             )
         )
+
+    consumed_all: set[int] = set()
+    for r in regions:
+        consumed_all |= r.cell_ids
+    regions.extend(
+        _detect_rules_only(
+            [hs[i] for i in range(len(hs)) if i not in accepted_h],
+            [c for c in cells if id(c) not in consumed_all],
+        )
+    )
     regions.sort(key=lambda r: (r.bbox[1], r.bbox[0]))
+    return regions
+
+
+def _bin_into_lattice(
+    cells_in: list, row_lines: list[float], col_lines: list[float]
+):
+    """Bin pre-filtered cells into boundary lattices → (TableData, ids)."""
+    n_rows, n_cols = len(row_lines) - 1, len(col_lines) - 1
+    inner_rows = row_lines[1:-1]
+    inner_cols = col_lines[1:-1]
+    binned: dict[tuple[int, int], list] = {}
+    spans: dict[tuple[int, int], tuple[int, int]] = {}
+    consumed: set[int] = set()
+    for c in cells_in:
+        r0 = bisect_right(inner_rows, c.t + 1.0)
+        r1 = bisect_left(inner_rows, c.b - 1.0)
+        c0 = bisect_right(inner_cols, c.l + 1.0)
+        c1 = bisect_left(inner_cols, c.r - 1.0)
+        r0, r1 = min(r0, n_rows - 1), min(max(r1, r0), n_rows - 1)
+        c0, c1 = min(c0, n_cols - 1), min(max(c1, c0), n_cols - 1)
+        consumed.add(id(c))
+        key = (r0, c0)
+        binned.setdefault(key, []).append(c)
+        pr, pc = spans.get(key, (r0, c0))
+        spans[key] = (max(pr, r1), max(pc, c1))
+    if not binned:
+        return None
+
+    data = model.TableData(num_rows=n_rows, num_cols=n_cols, cells=[])
+    for (r0, c0), group in sorted(binned.items()):
+        group.sort(key=lambda c: (round(c.t, 1), c.l))
+        text = " ".join(
+            c.text.strip() for c in group if c.text.strip()
+        ).strip()
+        r1, c1 = spans[(r0, c0)]
+        data.cells.append(
+            model.TableCellData(
+                text=text,
+                row_span=r1 - r0 + 1,
+                col_span=c1 - c0 + 1,
+                start_row=r0,
+                end_row=r1 + 1,
+                start_col=c0,
+                end_col=c1 + 1,
+            )
+        )
+    grid: list[list[str | None]] = [[None] * n_cols for _ in range(n_rows)]
+    for cd in data.cells:
+        for rr in range(cd.start_row, min(cd.end_row, n_rows)):
+            for cc in range(cd.start_col, min(cd.end_col, n_cols)):
+                grid[rr][cc] = cd.text
+    data.grid = grid
+    return data, consumed
+
+
+# pass B tunables
+MIN_GUTTER = 6.0  # pt of whitespace that separates columns
+MAX_CELL_WORDS = 6  # tables hold entries, not prose
+MIN_SHORT_FRAC = 0.7  # share of cells that must be entry-like
+_STACK_OVERLAP = 0.8  # mutual x-extent overlap for rules of one table
+
+
+def _detect_rules_only(
+    free_h: list[tuple[float, float, float]], cells: list
+) -> list[TableRegion]:
+    """Booktabs-style tables: >=3 stacked horizontal rules sharing an
+    x-extent, columns recovered from whitespace gutters no cell crosses."""
+    regions: list[TableRegion] = []
+    stacks: list[list[tuple[float, float, float]]] = []
+    for seg in sorted(free_h):
+        y, x0, x1 = seg
+        placed = False
+        for stack in stacks:
+            s_x0 = min(s[1] for s in stack)
+            s_x1 = max(s[2] for s in stack)
+            ov = min(x1, s_x1) - max(x0, s_x0)
+            if ov >= _STACK_OVERLAP * min(x1 - x0, s_x1 - s_x0):
+                stack.append(seg)
+                placed = True
+                break
+        if not placed:
+            stacks.append([seg])
+    for stack in stacks:
+        ys = _cluster_1d([s[0] for s in stack])
+        if len(ys) < 3:
+            continue
+        left = min(s[1] for s in stack)
+        right = max(s[2] for s in stack)
+        top, bot = ys[0], ys[-1]
+        band = [
+            c
+            for c in cells
+            if top + 1.0 < (c.t + c.b) / 2 < bot - 1.0
+            and c.l >= left - TOL
+            and c.r <= right + TOL
+            and c.text.strip()
+        ]
+        if len(band) < 4:
+            continue
+        short = sum(
+            1 for c in band if len(c.text.split()) <= MAX_CELL_WORDS
+        )
+        if short < MIN_SHORT_FRAC * len(band):
+            continue  # prose between separators, not a table
+        heights = sorted(c.b - c.t for c in band)
+        med_h = heights[len(heights) // 2]
+        rows_y = _cluster_1d(
+            [(c.t + c.b) / 2 for c in band], tol=max(TOL, 0.6 * med_h)
+        )
+        if len(rows_y) < 2:
+            continue
+        # whitespace gutters: x ranges inside [left, right] covered by
+        # no cell — these are the column separators
+        ivals = sorted((c.l, c.r) for c in band)
+        gutters: list[float] = []
+        cover_hi = ivals[0][0]  # leading margin never counts as a gutter
+        for lo, hi in ivals:
+            if lo - cover_hi >= MIN_GUTTER and cover_hi > left:
+                gutters.append((cover_hi + lo) / 2)
+            cover_hi = max(cover_hi, hi)
+        if not gutters:
+            continue  # single column = not a table
+        row_bounds = (
+            [top]
+            + [
+                (rows_y[i] + rows_y[i + 1]) / 2
+                for i in range(len(rows_y) - 1)
+            ]
+            + [bot]
+        )
+        col_bounds = [left] + gutters + [right]
+        built = _bin_into_lattice(band, row_bounds, col_bounds)
+        if built is None:
+            continue
+        data, consumed = built
+        # demand real tabular shape: >=2 rows whose cells split columns
+        by_row: dict[int, int] = {}
+        for cd in data.cells:
+            by_row[cd.start_row] = by_row.get(cd.start_row, 0) + 1
+        if sum(1 for v in by_row.values() if v >= 2) < 2:
+            continue
+        regions.append(
+            TableRegion(
+                bbox=(left, top, right, bot), data=data, cell_ids=consumed
+            )
+        )
     return regions

@@ -111,6 +111,65 @@ def test_extract_pdf_emits_table_struct_in_reading_order():
     assert "bolt" not in txt_wo_tables
 
 
+def _rule(x0, x1, y):
+    return f"{x0:g} {y:g} m {x1:g} {y:g} l S"
+
+
+def test_booktabs_rules_only_table():
+    # LaTeX booktabs: toprule/midrule/bottomrule, NO vertical lines;
+    # columns come from whitespace gutters
+    x, w = 72.0, 300.0
+    rows = [
+        ("name", "qty", "price"),
+        ("bolt", "12", "0.40"),
+        ("nut", "7", "0.15"),
+    ]
+    runs = []
+    y = 690.0
+    for r, row in enumerate(rows):
+        for c, txt in enumerate(row):
+            runs.append((x + 8 + c * 110, y - 20 * r, 9.0, txt))
+    ops = " ".join(
+        [
+            _rule(x, x + w, 700),  # toprule
+            _rule(x, x + w, 680),  # midrule under the header
+            _rule(x, x + w, 640),  # bottomrule
+        ]
+    )
+    (page,) = minipdf.parse_pdf(writer.write_pdf_with_graphics([(runs, ops)]))
+    regions = tables.detect_tables(page.cells, page.rulings)
+    assert len(regions) == 1
+    data = regions[0].data
+    assert data.num_cols == 3 and data.num_rows == 3
+    assert data.grid == [list(r) for r in rows]
+
+
+def test_prose_between_separators_not_tableized():
+    # 3 full-width horizontal separators with ordinary sentences between
+    # them: long cells fail the entry-length gate -> no table
+    runs = writer.paragraph_runs(
+        [
+            "This is an ordinary full sentence of running prose text.",
+            "Another long line of body text that is clearly a paragraph.",
+            "Third wordy sentence keeps the share of short cells low.",
+            "And a fourth one so the band has enough cells to qualify.",
+        ],
+        x=80,
+        top_y=690,
+    )
+    ops = " ".join([_rule(72, 540, 700), _rule(72, 540, 660), _rule(72, 540, 620)])
+    (page,) = minipdf.parse_pdf(writer.write_pdf_with_graphics([(runs, ops)]))
+    assert tables.detect_tables(page.cells, page.rulings) == []
+
+
+def test_single_column_band_not_tableized():
+    # short entries but no whitespace gutter -> not a table
+    runs = [(80, 690 - 18 * i, 9.0, f"item{i}") for i in range(4)]
+    ops = " ".join([_rule(72, 300, 700), _rule(72, 300, 676), _rule(72, 300, 612)])
+    (page,) = minipdf.parse_pdf(writer.write_pdf_with_graphics([(runs, ops)]))
+    assert tables.detect_tables(page.cells, page.rulings) == []
+
+
 def test_two_tables_on_one_page():
     t2_y = 540.0
     runs = writer.table_cell_runs(72.0, 700.0, COLS, ROWS, TEXTS)
