@@ -38,21 +38,27 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
 
     for page in pages:
         doc.page_sizes[page.page_no] = (page.width, page.height)
-        merged = layout.merge_horizontal_cells(page.cells)
-        score = layout.page_parse_score(merged)
-        if not math.isnan(score):
-            parse_scores.append(score)
-
-        # ruled-table grids (pdf/tables.py): consumed cells leave the text
-        # flow and re-emerge as table structs at their reading-order slot
+        # ruled-table grids (pdf/tables.py): detected on RAW cells — the
+        # horizontal-merge pass below glues adjacent table columns into
+        # one fragment (its gap threshold is tuned for broken words, not
+        # column gutters); consumed cells leave the text flow and
+        # re-emerge as table structs at their reading-order slot
         regions = tables.detect_tables(
-            merged, getattr(page, "rulings", [])
+            page.cells, getattr(page, "rulings", [])
         )
         consumed: set[int] = set()
         for region in regions:
             consumed |= region.cell_ids
-        if consumed:
-            merged = [c for c in merged if id(c) not in consumed]
+        remaining = (
+            [c for c in page.cells if id(c) not in consumed]
+            if consumed
+            else page.cells
+        )
+        merged = layout.merge_horizontal_cells(remaining)
+        score = layout.page_parse_score(merged)
+        if not math.isnan(score):
+            parse_scores.append(score)
+
         pending = list(regions)  # already sorted by (top, left)
 
         def flush_tables(up_to_y: float | None) -> None:

@@ -152,6 +152,22 @@ def detect_tables(cells: list, rulings: list) -> list[TableRegion]:
         )
         if n_cross < MIN_LATTICE_FILL * len(row_lines) * len(col_lines):
             continue
+        # borderless outer columns/rows (LaTeX `{l|l|l}` without outer
+        # pipes): when the h-rules overhang the outermost v-line, the
+        # overhang is a real column whose boundary is the rule end —
+        # extend the lattice so those cells aren't clipped out
+        h_left = min(hs[i][1] for i in h_idx)
+        h_right = max(hs[i][2] for i in h_idx)
+        if col_lines[0] - h_left > 2 * TOL:
+            col_lines.insert(0, h_left)
+        if h_right - col_lines[-1] > 2 * TOL:
+            col_lines.append(h_right)
+        v_top = min(vs[j][1] for j in v_idx)
+        v_bot = max(vs[j][2] for j in v_idx)
+        if row_lines[0] - v_top > 2 * TOL:
+            row_lines.insert(0, v_top)
+        if v_bot - row_lines[-1] > 2 * TOL:
+            row_lines.append(v_bot)
         top, bot = row_lines[0], row_lines[-1]
         left, right = col_lines[0], col_lines[-1]
         inside = [

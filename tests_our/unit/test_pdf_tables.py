@@ -111,6 +111,44 @@ def test_extract_pdf_emits_table_struct_in_reading_order():
     assert "bolt" not in txt_wo_tables
 
 
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_rows=st.integers(2, 5),
+    n_cols=st.integers(2, 4),
+    col_w=st.integers(60, 120),
+    row_h=st.integers(18, 30),
+    x=st.integers(40, 150),
+    y_top=st.integers(400, 720),
+    seed=st.integers(0, 10_000),
+)
+def test_property_ruled_grid_roundtrip(
+    n_rows, n_cols, col_w, row_h, x, y_top, seed
+):
+    """Any fully ruled grid the writer paints is recovered exactly:
+    same dimensions, same per-cell text placement."""
+    import random
+
+    rng = random.Random(seed)
+    cols = [float(col_w + rng.randint(0, 30)) for _ in range(n_cols)]
+    rows = [float(row_h) for _ in range(n_rows)]
+    texts = [
+        [f"c{r}x{c}" if rng.random() > 0.15 else "" for c in range(n_cols)]
+        for r in range(n_rows)
+    ]
+    runs = writer.table_cell_runs(x, y_top, cols, rows, texts)
+    ops = writer.table_ops(x, y_top, cols, rows)
+    (page,) = minipdf.parse_pdf(writer.write_pdf_with_graphics([(runs, ops)]))
+    regions = tables.detect_tables(page.cells, page.rulings)
+    assert len(regions) == 1
+    data = regions[0].data
+    assert (data.num_rows, data.num_cols) == (n_rows, n_cols)
+    expect = [[t if t else None for t in row] for row in texts]
+    assert data.grid == expect
+
+
 def _rule(x0, x1, y):
     return f"{x0:g} {y:g} m {x1:g} {y:g} l S"
 
