@@ -199,6 +199,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url")
             )
         ),
+        "web_host_stats": lambda spark, sf: web.host_stats(
+            _read(spark, sf, "documents").select(
+                "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url"), "text"
+            )
+        ),
+        "doc_top_terms": q(text_analysis.top_terms, "documents"),
         "doc_pii_stats": lambda spark, sf: web.pii_stats(
             _read(spark, sf, "documents").select(
                 "doc_id", F.expr(web.SYNTH_PII_TEXT_SQL).alias("text")
@@ -1150,6 +1156,54 @@ def oracle_sql() -> dict[str, str]:
                    NOT ({_web.URL_BLOCKLIST_PREDICATE.replace(
                        "c LIKE", _duck_canonical_url("url") + " LIKE")}) AS keep
             FROM p
+        """,
+        "web_host_stats": f"""
+            WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url, text FROM documents),
+            c AS (
+                SELECT doc_id,
+                       regexp_extract({_duck_canonical_url("url")},
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                       {_duck_canonical_url("url")} AS curl,
+                       length(coalesce(text, '')) AS n_chars
+                FROM p
+            )
+            SELECT host, count(*) AS n_docs,
+                   CAST(count(DISTINCT curl) AS BIGINT) AS n_urls,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM c GROUP BY host
+        """,
+        # linear (log-free) tf-idf: score = 1e6 * tf * N DIV doc_freq stays
+        # in exact BIGINT arithmetic on both engines — a log() would ride
+        # libm and can flip a floor at the ulp
+        "doc_top_terms": """
+            WITH toks AS (
+                SELECT doc_id, lang, t.term
+                FROM documents,
+                     LATERAL UNNEST(string_split_regex(lower(coalesce(text, '')),
+                         '[^a-z]+')) AS t(term)
+                WHERE length(t.term) >= 2
+            ),
+            tf AS (
+                SELECT lang, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY lang, term
+            ),
+            dfreq AS (
+                SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+                FROM toks GROUP BY term
+            ),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents),
+            scored AS (
+                SELECT lang, term, tf, doc_freq,
+                       CAST((1000000 * tf * (SELECT n_corpus FROM n)) // doc_freq
+                            AS BIGINT) AS score
+                FROM tf JOIN dfreq USING (term)
+            )
+            SELECT lang, term, tf, doc_freq, score, rnk FROM (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY lang ORDER BY score DESC, term) AS BIGINT) AS rnk
+                FROM scored
+            ) WHERE rnk <= 10
         """,
         "doc_pii_stats": f"""
             WITH p AS (SELECT doc_id, {_web.SYNTH_PII_TEXT_SQL} AS text FROM documents)

@@ -473,3 +473,63 @@ def lm_fit_score(documents: DataFrame) -> DataFrame:
             F.lit(0.0),
         ).alias("lm_fit"),
     )
+
+
+def top_terms(
+    documents: DataFrame, k: int = 10, min_len: int = 2
+) -> DataFrame:
+    """Per-language top-k terms by integer-exact linear TF-IDF.
+
+    Corpus vocabulary analytics (what dominates each language's token
+    mass after stopword-ish downweighting). The idf factor is the LINEAR
+    rarity ratio ``N / df`` rather than its log: the ranking this
+    produces is the same family, and the score stays in exact BIGINT
+    arithmetic (``1e6 * tf * N DIV df``) so distributed evaluation and
+    the DuckDB oracle agree bit-for-bit — a log would ride libm and can
+    flip a floor at the ulp.
+
+    Plan shape: one explode → two aggregations (per-(lang,term) tf with
+    map-side combine; per-term document frequency) → shuffle join on
+    term → per-lang rank window with WindowGroupLimit pushdown. The
+    corpus-size scalar joins as a broadcast literal row. Nothing
+    collects; token explosion is the only data blowup and it is linear
+    in corpus size."""
+    toks = documents.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "filter(split(lower(coalesce(text, '')), '[^a-z]+'),"
+                f" t -> length(t) >= {int(min_len)})"
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("lang", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("doc_freq")
+    )
+    n_docs = documents.select(
+        F.count("*").cast("long").alias("n_corpus")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang",
+            "term",
+            "tf",
+            "doc_freq",
+            F.expr("(1000000 * tf * n_corpus) div doc_freq")
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )

@@ -187,6 +187,33 @@ URL_BLOCKLIST_PREDICATE = (
 )
 
 
+def host_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host crawl statistics: doc count, distinct canonical URLs,
+    character mass. The crawl-ops rollup behind host capping / blocklist
+    decisions (which hosts dominate the mix, which serve giant pages).
+
+    One groupBy on the canonical host; all aggregates but the distinct
+    count combine map-side. At 100 TB the host key is Zipf-skewed but the
+    aggregation state per host is O(1) (AQE handles the reduce-side
+    imbalance); nothing broadcasts or collects."""
+    curl = canonical_url_col(url_col)
+    with_host = pages.select(
+        "doc_id",
+        F.regexp_extract(curl, _HOST_RE, 1).alias("host"),
+        curl.alias("curl"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"),
+    )
+    return (
+        with_host.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("curl").cast("long").alias("n_urls"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
 def url_filter(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """URL blocklist filter over the canonical form.
 

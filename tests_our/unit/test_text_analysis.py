@@ -133,3 +133,31 @@ def test_lm_fit_score_hand_computed(spark):
     assert out[1]["n_bigrams"] == 2
     assert out[1]["lm_fit"] == math.floor(1e6 * (((p_ab + p_b) / 1e12) / 2)) / 1e6
     assert out[2]["n_bigrams"] == 0 and out[2]["lm_fit"] == 0.0
+
+
+def test_top_terms_linear_tfidf(spark):
+    from doc_parser_spark.operators.text_analysis import top_terms
+
+    rows = [
+        (1, "en", "apple apple banana"),
+        (2, "en", "apple cherry"),
+        (3, "de", "banana banana banana"),
+        (4, "de", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = top_terms(df, k=2).collect()
+    by = {(r["lang"], r["term"]): r for r in out}
+    # en/apple: tf=3, df=2, N=4 -> 1e6*3*4 // 2
+    assert by[("en", "apple")]["score"] == 1_000_000 * 3 * 4 // 2
+    assert by[("en", "apple")]["rnk"] == 1
+    # banana: df=2 (docs 1 and 3); de tf=3 -> score 6e6
+    assert by[("de", "banana")]["score"] == 1_000_000 * 3 * 4 // 2
+    # k=2 cap per language
+    assert max(r["rnk"] for r in out) <= 2
+    # deterministic tie-break: same score -> lexicographic term
+    en = sorted(
+        (r for r in out if r["lang"] == "en"), key=lambda r: r["rnk"]
+    )
+    assert [r["term"] for r in en] == ["apple", "banana"] or [
+        r["term"] for r in en
+    ] == ["apple", "cherry"]

@@ -178,3 +178,19 @@ def test_canonical_url_duckdb_twin_schemeless(spark):
     ]
     mine = [_canon(spark, u) for u in urls]
     assert duck == mine
+
+
+def test_host_stats_rollup(spark):
+    rows = [
+        (1, "http://a.com/x", "hello"),
+        (2, "https://WWW.A.com/y?utm_source=z", "worldly"),
+        (3, "http://a.com/x", None),  # dup canonical url, NULL text
+        (4, "http://b.com/only", "bb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {r["host"]: r for r in web.host_stats(df).collect()}
+    assert out["a.com"]["n_docs"] == 3
+    assert out["a.com"]["n_urls"] == 2  # x twice (canonical), y once
+    assert out["a.com"]["total_chars"] == 12  # 5 + 7 + 0 (NULL -> '')
+    assert out["a.com"]["max_chars"] == 7
+    assert out["b.com"]["n_docs"] == 1
