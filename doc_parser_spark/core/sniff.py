@@ -106,6 +106,10 @@ def sniff_format(payload: bytes) -> str:
         if re.search(rb"<html\b", head, re.IGNORECASE):
             return FORMAT_HTML
         return FORMAT_XML
+    if re.match(rb"\s*<\s*(rss|feed|rdf:RDF)[\s>]", head, re.IGNORECASE):
+        # syndication feeds served without an xml declaration — routed
+        # as XML so the feed backend gets them, not the HTML walk
+        return FORMAT_XML
     if _ANY_TAG_RE.match(head):
         # leading tag that isn't a recognized html/xml root: treat as HTML
         # fragment (real-world crawl pages frequently omit <html>)

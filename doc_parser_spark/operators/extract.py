@@ -110,6 +110,7 @@ def _extract_xml(payload: bytes):
     """XML router: USPTO patents and JATS articles get their structured
     backends, everything else the generic walk — mirroring the reference's
     XML format detection (docling/datamodel/document.py)."""
+    from doc_parser_spark.core.feed_backend import extract_feed, looks_like_feed
     from doc_parser_spark.core.jats_backend import extract_jats, looks_like_jats
     from doc_parser_spark.core.simple_backends import extract_xml_generic
     from doc_parser_spark.core.uspto_backend import extract_uspto, uspto_dialect
@@ -118,6 +119,8 @@ def _extract_xml(payload: bytes):
         return extract_uspto(payload)
     if looks_like_jats(payload):
         return extract_jats(payload)
+    if looks_like_feed(payload):
+        return extract_feed(payload)
     return extract_xml_generic(payload)
 
 
