@@ -29,7 +29,7 @@ from doc_parser_spark.core import model
 from doc_parser_spark.core.model import Document
 
 _FEED_ROOT_RE = re.compile(
-    rb"<\s*(rss|feed|rdf:RDF)[\s>]", re.IGNORECASE
+    rb"<\s*(rss|feed|rdf:RDF|urlset|sitemapindex)[\s>]", re.IGNORECASE
 )
 _BLOCK_BREAK_RE = re.compile(
     r"<\s*(?:/p|br\s*/?|/div|/li|/h[1-6]|/tr)\s*>", re.IGNORECASE
@@ -101,6 +101,23 @@ def extract_feed(payload: bytes) -> Document:
 
     doc = Document()
     rootname = _local(root.tag)
+    if rootname in ("urlset", "sitemapindex"):
+        # XML sitemaps (sitemaps.org): a crawl-frontier artifact, not
+        # prose — emit the URL list as a list group so downstream
+        # quality/lang filters see it for what it is
+        group = doc.add_list_group(name="list")
+        for entry in root:
+            if _local(entry.tag) not in ("url", "sitemap"):
+                continue
+            loc = _child_text(entry, "loc")
+            lastmod = _child_text(entry, "lastmod")
+            if loc:
+                doc.add_text(
+                    text=f"{loc} ({lastmod})" if lastmod else loc,
+                    label=model.PARAGRAPH,
+                    parent=group,
+                )
+        return doc
     if rootname == "rss":
         channels = [ch for ch in root if _local(ch.tag) == "channel"]
         container = channels[0] if channels else root

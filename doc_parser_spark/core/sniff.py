@@ -106,7 +106,11 @@ def sniff_format(payload: bytes) -> str:
         if re.search(rb"<html\b", head, re.IGNORECASE):
             return FORMAT_HTML
         return FORMAT_XML
-    if re.match(rb"\s*<\s*(rss|feed|rdf:RDF)[\s>]", head, re.IGNORECASE):
+    if re.match(
+        rb"\s*<\s*(rss|feed|rdf:RDF|urlset|sitemapindex)[\s>]",
+        head,
+        re.IGNORECASE,
+    ):
         # syndication feeds served without an xml declaration — routed
         # as XML so the feed backend gets them, not the HTML walk
         return FORMAT_XML

@@ -130,3 +130,24 @@ def test_curation_funnel_no_cartesian(spark):
         assert "BroadcastHashJoin" not in plan  # no corpus-sized broadcasts
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_top_terms_plan_shape(spark):
+    # per-lang rank must ride the WindowGroupLimit pushdown (top-k
+    # maintained per partition before the final sort — without it every
+    # (lang, term) row crosses the window shuffle); the corpus-size
+    # scalar must broadcast, never shuffle the term table against it
+    plan = plan_of(spark, "doc_top_terms")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row n_corpus scalar
+    assert plan.count("HashAggregate") >= 4  # partial+final for tf and df
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas and all("source" not in l for l in read_schemas)
+
+
+def test_host_stats_plan_shape(spark):
+    # one aggregation tree on the canonical host (the exact-distinct adds
+    # an Expand, not a join); nothing corpus-sized joins or broadcasts
+    plan = plan_of(spark, "web_host_stats")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial combine

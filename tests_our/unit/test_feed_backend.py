@@ -103,6 +103,30 @@ def test_truncated_feed_salvaged():
     assert "First post" in text and "Second post" not in text
 
 
+def test_sitemap_urlset():
+    sm = (
+        b'<?xml version="1.0"?>'
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<url><loc>https://ex.com/a</loc><lastmod>2024-01-01</lastmod></url>"
+        b"<url><loc>https://ex.com/b</loc></url></urlset>"
+    )
+    assert sniff.sniff_format(sm) == sniff.FORMAT_XML
+    doc = extract_feed(sm)
+    text = export_text(doc)
+    assert "https://ex.com/a (2024-01-01)" in text
+    assert "https://ex.com/b" in text
+
+
+def test_sitemap_index():
+    sm = (
+        b"<sitemapindex><sitemap><loc>https://ex.com/s1.xml</loc></sitemap>"
+        b"<sitemap><loc>https://ex.com/s2.xml</loc></sitemap></sitemapindex>"
+    )
+    assert sniff.sniff_format(sm) == sniff.FORMAT_XML
+    text = export_text(extract_feed(sm))
+    assert "s1.xml" in text and "s2.xml" in text
+
+
 def test_feed_through_process_document():
     rec = process_document("https://example.com/feed.xml", RSS)
     assert rec["status"] == "success"
