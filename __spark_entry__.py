@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "doc_top_terms": q(text_analysis.top_terms, "documents"),
+        "doc_dup_spans": q(text_analysis.dup_spans, "documents"),
         "doc_pii_stats": lambda spark, sf: web.pii_stats(
             _read(spark, sf, "documents").select(
                 "doc_id", F.expr(web.SYNTH_PII_TEXT_SQL).alias("text")
@@ -1204,6 +1205,39 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY lang ORDER BY score DESC, term) AS BIGINT) AS rnk
                 FROM scored
             ) WHERE rnk <= 10
+        """,
+        # exact-substring dedup signal (Lee et al. 2022): distinct 10-word
+        # spans per doc; a span is duplicated when >=2 docs carry it
+        "doc_dup_spans": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS w
+                FROM documents
+            ),
+            spans AS (
+                SELECT DISTINCT doc_id,
+                       md5(array_to_string(list_slice(w, i, i + 9), ' ')) AS sh
+                FROM d, LATERAL UNNEST(generate_series(1, len(w) - 9)) AS t(i)
+                WHERE len(w) >= 10
+            ),
+            hot AS (
+                SELECT sh FROM (
+                    SELECT sh, count(*) AS c FROM spans GROUP BY sh
+                ) WHERE c >= 2
+            ),
+            totals AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+            dups AS (
+                SELECT doc_id, count(*) AS n_dup
+                FROM spans JOIN hot USING (sh) GROUP BY doc_id
+            )
+            SELECT documents.doc_id,
+                   CAST(coalesce(t.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(coalesce(u.n_dup, 0) AS BIGINT) AS n_dup_spans,
+                   floor(1e6 * CAST(coalesce(u.n_dup, 0) AS DOUBLE)
+                         / greatest(coalesce(t.n_spans, 0), 1)) / 1e6 AS dup_span_frac
+            FROM documents
+            LEFT JOIN totals t ON documents.doc_id = t.doc_id
+            LEFT JOIN dups u ON documents.doc_id = u.doc_id
         """,
         "doc_pii_stats": f"""
             WITH p AS (SELECT doc_id, {_web.SYNTH_PII_TEXT_SQL} AS text FROM documents)

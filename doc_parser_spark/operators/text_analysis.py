@@ -533,3 +533,74 @@ def top_terms(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
     )
+
+
+def dup_spans(documents: DataFrame, n: int = 10) -> DataFrame:
+    """Cross-document duplicate-span mass (exact substring dedup signal,
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better", §3 ExactSubstr — the shingle-counting formulation).
+
+    For each document: how much of it is made of ``n``-word spans that
+    also appear in OTHER documents. Output ``doc_id, n_spans,
+    n_dup_spans, dup_span_frac`` where spans are distinct per document
+    (a span repeated inside one document is self-repetition —
+    ``repetition_filter``'s job — not cross-doc duplication).
+
+    Scale shape (10^12 docs): the shingle stream explodes once and is
+    projected to ``md5`` hashes immediately (narrow rows); the
+    hot-shingle relation is the *output* of a map-side-combined count
+    aggregation filtered to ``n_docs >= 2`` BEFORE the membership join,
+    so the join probes the stream against the duplicated subset only;
+    nothing broadcasts the corpus and nothing collects. Suffix-automaton
+    exactness (arbitrary-length longest match) is traded for fixed-n
+    shingles — the standard distributed relaxation."""
+    # words materialized ONCE per row — inlining the split in the lambda
+    # makes Catalyst re-evaluate it per shingle, O(words²) (dedup.py:40-45);
+    # size < n must special-case (Spark's sequence(1, 0) counts DOWN)
+    spans = (
+        documents.select(
+            "doc_id",
+            F.expr(
+                f"filter(split({NORM}, ' '), t -> t <> '')"
+            ).alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN w IS NULL OR size(w) < {n} THEN array() "
+                    f"ELSE transform(sequence(1, size(w) - {n - 1}), "
+                    f"i -> md5(array_join(slice(w, i, {n}), ' '))) END"
+                )
+            ).alias("sh"),
+        )
+        .distinct()  # distinct per (doc_id, shingle)
+    )
+    hot = (
+        spans.groupBy("sh")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("sh")
+    )
+    flagged = spans.join(hot, "sh", "left_semi").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_spans")
+    )
+    totals = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans")
+    )
+    base = documents.select("doc_id")
+    return (
+        base.join(totals, "doc_id", "left")
+        .join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            _trunc6(
+                F.coalesce("n_dup_spans", F.lit(0))
+                / F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1))
+            ).alias("dup_span_frac"),
+        )
+    )

@@ -161,3 +161,26 @@ def test_top_terms_linear_tfidf(spark):
     assert [r["term"] for r in en] == ["apple", "banana"] or [
         r["term"] for r in en
     ] == ["apple", "cherry"]
+
+
+def test_dup_spans_cross_doc_only(spark):
+    from doc_parser_spark.operators.text_analysis import dup_spans
+
+    ten = "a b c d e f g h i j"
+    rows = [
+        (1, ten + " unique tail one"),       # shares the 10-gram with 2
+        (2, ten + " different ending two"),  # shares with 1
+        (3, "totally different words " * 5), # self-repeats, no cross-doc dup
+        (4, "short doc"),                    # < 10 words -> 0 spans
+        (5, None),                           # NULL text -> 0 spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_spans(df).collect()}
+    assert len(out) == 5
+    assert out[1]["n_dup_spans"] >= 1 and out[2]["n_dup_spans"] >= 1
+    # within-doc repetition is NOT cross-doc duplication
+    assert out[3]["n_dup_spans"] == 0 and out[3]["n_spans"] > 0
+    assert out[4] == out[4].__class__(doc_id=4, n_spans=0, n_dup_spans=0, dup_span_frac=0.0) or (
+        out[4]["n_spans"] == 0 and out[4]["dup_span_frac"] == 0.0
+    )
+    assert out[5]["n_spans"] == 0 and out[5]["n_dup_spans"] == 0
