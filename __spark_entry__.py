@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_neardup": q(similarity.cosine_neardup_pairs, "embeddings"),
         "emb_ivf_centroids": q(similarity.ivf_centroids, "embeddings"),
         "emb_ivf_topk": q(similarity.ivf_topk, "embeddings"),
+        "emb_semdedup": q(similarity.semdedup, "embeddings"),
         # relational breadth
         "q1_pricing_summary": q(relational.pricing_summary, "lineitem"),
         "q3_top_unshipped": q(
@@ -429,6 +430,45 @@ def _ivf_topk_sql(
                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
             ) AS rank FROM scored
         ) WHERE rank <= {knn}
+    """
+
+
+def _semdedup_sql(
+    dims: int = 64, k: int = 8, iters: int = 2, threshold: float = 0.30
+) -> str:
+    """DuckDB twin of similarity.semdedup: final-codebook assignment, then
+    within-cluster pairs with floor-1e6 cosine, survivor = min vec_id."""
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {dims}), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i]) "
+        "* (CAST(e.embedding[i] AS DOUBLE) - c.c[i])))"
+    )
+    cos = (
+        f"list_sum(list_transform(generate_series(1, {dims}), i -> CAST(qa.embedding[i] AS DOUBLE) * CAST(qb.embedding[i] AS DOUBLE))) / "
+        f"(sqrt(list_sum(list_transform(generate_series(1, {dims}), i -> CAST(qa.embedding[i] AS DOUBLE) * CAST(qa.embedding[i] AS DOUBLE)))) * "
+        f" sqrt(list_sum(list_transform(generate_series(1, {dims}), i -> CAST(qb.embedding[i] AS DOUBLE) * CAST(qb.embedding[i] AS DOUBLE)))))"
+    )
+    return f"""
+        WITH {_ivf_ctes(dims, k, iters)},
+        asg_final AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+                FROM embeddings e CROSS JOIN cents{iters} c
+            ) WHERE rn = 1
+        ),
+        dup AS (
+            SELECT a.vec_id, min(b.vec_id) AS dup_of
+            FROM asg_final a
+            JOIN asg_final b ON b.cid = a.cid AND b.vec_id < a.vec_id
+            JOIN embeddings qa ON qa.vec_id = a.vec_id
+            JOIN embeddings qb ON qb.vec_id = b.vec_id
+            WHERE floor(1e6 * ({cos})) / 1e6 >= {threshold!r}
+            GROUP BY a.vec_id
+        )
+        SELECT a.vec_id, a.cid, d.dup_of IS NULL AS keep,
+               coalesce(d.dup_of, -1) AS dup_of
+        FROM asg_final a LEFT JOIN dup d USING (vec_id)
     """
 
 
@@ -879,6 +919,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cents2 CROSS JOIN generate_series(1, 64) AS g(i)
         """,
         "emb_ivf_topk": _ivf_topk_sql(),
+        "emb_semdedup": _semdedup_sql(),
         "emb_cosine_topk": """
             WITH scored AS (
                 SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -305,3 +305,65 @@ def ivf_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+    threshold: float = 0.30,
+) -> DataFrame:
+    """SemDeDup: semantic deduplication via embedding clusters (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication", arXiv:2303.09540).
+
+    The paper's algorithm: k-means-cluster the embedding space, then
+    compare pairs ONLY within each cluster and drop all but one member of
+    every group whose pairwise cosine exceeds the threshold. Clustering is
+    what makes it tractable at web scale — the cross-document comparison
+    is cluster-local, never corpus-all-pairs.
+
+    Determinism/portability contract (matches the rest of this module):
+    the codebook comes from :func:`ivf_train` (exact scaled-integer
+    Lloyd's, argmin ties on cid), cosine folds left in double and is
+    floor-truncated to 1e-6 before the threshold compare, and the survivor
+    of a duplicate group is the **lowest vec_id** (the convention
+    ``web.url_dedup`` uses). The paper keeps the member with the lowest
+    centroid-distance; min-id is used here so the result is reproducible
+    under re-embedding noise — documented deviation.
+
+    Output: one row per vector — ``(vec_id, cid, keep, dup_of)`` where
+    ``dup_of`` is the smallest same-cluster vec_id with cosine >=
+    threshold (-1 when none; then ``keep`` is true).
+
+    Scale shape: assignment is a stateless projection against the
+    driver-held codebook (like MLlib KMeansModel.transform); the pairing
+    is a self-equi-join ON cid, so cid is the shuffle key and at 100 TB
+    the bucketing key; with k grown ~ sqrt(n) per the paper, per-cluster
+    membership stays bounded. No corpus broadcast, no cross join.
+    """
+    cents = ivf_train(embeddings, k, iters)
+    assigned = embeddings.select(
+        "vec_id", "embedding", _nearest_cid(cents).alias("cid")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dup_of = (
+        a.join(b, F.col("a.cid") == F.col("b.cid"))
+        .where(F.col("b.vec_id") < F.col("a.vec_id"))
+        .where(
+            (F.floor(F.expr(COSINE) * F.lit(1000000.0)) / F.lit(1000000.0))
+            >= F.lit(threshold)
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("b.vec_id")).alias("dup_of"))
+    )
+    return (
+        assigned.join(dup_of, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.col("dup_of").isNull().alias("keep"),
+            F.coalesce("dup_of", F.lit(-1)).cast("long").alias("dup_of"),
+        )
+    )

@@ -121,3 +121,58 @@ def test_ivf_codebook_and_probe(spark):
     for r in got:
         # nprobe=1 on separated blobs → neighbors share the query's blob
         assert lab[r["neighbor_id"]] == lab[r["query_id"]]
+
+
+def test_semdedup_toy_clusters(spark):
+    """SemDeDup contract on hand-checkable vectors: two tight groups far
+    apart → two clusters; within each group the min vec_id survives, the
+    rest point their dup_of at it; a lone outlier below threshold keeps."""
+    from doc_parser_spark.operators.similarity import semdedup
+
+    g1 = [10.0] * 4 + [0.0] * 4
+    g1b = [10.0, 10.0, 10.0, 9.0, 0.5, 0.0, 0.0, 0.0]  # cos(g1,g1b) ~ 0.998
+    g2 = [0.0] * 4 + [10.0] * 4
+    g2b = [0.0, 0.5, 0.0, 0.0, 9.0, 10.0, 10.0, 10.0]
+    lone = [5.0, -5.0, 5.0, -5.0, 5.0, -5.0, 5.0, -5.0]  # near-orthogonal
+    rows = [(0, g1, 0), (1, g1b, 0), (2, g2, 0), (3, g2b, 0), (4, lone, 0)]
+    got = {
+        r.vec_id: r
+        for r in semdedup(_emb(spark, rows), k=2, iters=2, threshold=0.9).collect()
+    }
+    assert len(got) == 5
+    # min-id survivor per duplicate group
+    assert got[0].keep and got[0].dup_of == -1
+    assert not got[1].keep and got[1].dup_of == 0
+    # second group: whichever of 2/3 is in a cluster with the other, min id wins
+    assert got[2].keep and got[2].dup_of == -1
+    assert not got[3].keep and got[3].dup_of == 2
+    # outlier never crosses the 0.9 threshold with anything
+    assert got[4].keep and got[4].dup_of == -1
+
+
+def test_semdedup_cluster_locality(spark):
+    """Duplicate pairs split across clusters are NOT compared — the
+    paper's accepted recall trade for cluster-local pairing."""
+    from doc_parser_spark.operators.similarity import (
+        ivf_train,
+        _nearest_cid,
+        semdedup,
+    )
+    import pyspark.sql.functions as F
+
+    g1 = [10.0] * 4 + [0.0] * 4
+    g2 = [0.0] * 4 + [10.0] * 4
+    rows = [(0, g1, 0), (1, g1, 0), (2, g2, 0), (3, g2, 0)]
+    df = _emb(spark, rows)
+    cents = ivf_train(df, k=2, iters=2)
+    cids = {
+        r.vec_id: r.cid
+        for r in df.select("vec_id", _nearest_cid(cents).alias("cid")).collect()
+    }
+    got = {r.vec_id: r for r in semdedup(df, k=2, iters=2, threshold=0.9).collect()}
+    for a, b in ((0, 1), (2, 3)):
+        assert cids[a] == cids[b]
+        assert got[max(a, b)].dup_of == min(a, b)
+    # identical vectors in DIFFERENT clusters would not pair; here the two
+    # groups land in different clusters and indeed never reference each other
+    assert {got[i].cid for i in (0, 1)} != {got[i].cid for i in (2, 3)}
