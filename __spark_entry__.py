@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hash_sample": q(text_analysis.hash_sample, "documents"),
         "doc_stratified_sample": q(text_analysis.stratified_sample, "documents"),
         "doc_lm_fit": q(text_analysis.lm_fit_score, "documents"),
+        "doc_dsir_weights": q(text_analysis.dsir_weights, "documents"),
         # dedup family
         "doc_exact_dedup": q(dedup.exact_dedup, "documents"),
         "doc_line_dedup": q(dedup.line_dedup, "documents"),
@@ -740,6 +741,41 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(floor(1e6 * ((CAST(a.fit_sum AS DOUBLE) / 1e12)
                             / a.n_bigrams)) / 1e6, 0.0) AS lm_fit
             FROM d LEFT JOIN agg a USING (doc_id)
+        """,
+        "doc_dsir_weights": f"""
+            WITH d AS (
+                SELECT doc_id, (lang = 'en') AS is_target,
+                       list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS w
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, is_target,
+                       CAST(list_sum(list_transform(generate_series(1, 8),
+                           hx -> CAST(strpos('0123456789abcdef', substr(md5(w[i] || ' ' || w[i + 1]), hx, 1)) - 1 AS BIGINT)
+                                * CAST(power(16, 8 - hx) AS BIGINT))) AS BIGINT) % 1024 AS bucket
+                FROM d, LATERAL UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 2
+            ),
+            counts AS (
+                SELECT bucket, count(*) AS cr,
+                       sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+                FROM g GROUP BY bucket
+            ),
+            tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM counts),
+            model AS (
+                SELECT bucket,
+                       CAST(1000000 * (ct + 1) * (nr + 1024) AS BIGINT)
+                       // CAST((cr + 1) * (nt + 1024) AS BIGINT) AS wgt
+                FROM counts CROSS JOIN tot
+            ),
+            agg AS (
+                SELECT doc_id, sum(wgt) AS s, count(*) AS n_grams
+                FROM g JOIN model USING (bucket) GROUP BY doc_id
+            )
+            SELECT doc.doc_id,
+                   CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+                   coalesce(floor(1e6 * ((CAST(a.s AS DOUBLE) / 1e6) / a.n_grams)) / 1e6, 0.0) AS imp_weight
+            FROM documents doc LEFT JOIN agg a USING (doc_id)
         """,
         "doc_pack_shards": """
             WITH t AS (

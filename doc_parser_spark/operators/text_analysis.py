@@ -604,3 +604,102 @@ def dup_spans(documents: DataFrame, n: int = 10) -> DataFrame:
             ).alias("dup_span_frac"),
         )
     )
+
+
+def dsir_weights(
+    documents: DataFrame,
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance weights over hashed n-gram features (Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169).
+
+    DSIR scores every raw document by how much more likely its features
+    are under a *target* distribution (the data you want more of) than
+    under the raw-corpus distribution, then resamples by that weight. As
+    in the paper, features are word n-grams hashed into a fixed number of
+    buckets and both distributions are add-one-smoothed bag-of-buckets
+    models. ``target_pred`` is a SQL predicate selecting the in-corpus
+    target slice (default: English docs — in practice a trusted
+    high-quality subset).
+
+    Deviation from the paper, following this module's engine-portability
+    precedent (see ``top_terms``' log-free TF-IDF): the weight is the
+    **mean per-occurrence likelihood ratio** rather than the summed
+    log-ratio — ``ln``'s libm varies between engines while integer
+    ratios scaled with floor(1e6·r) sum associatively and bit-match the
+    DuckDB oracle. Monotone per bucket, so resampling ranks are preserved
+    within single-bucket differences.
+
+    Scale shape: grams are exploded once and projected immediately to a
+    hashed bucket id (narrow rows); both models come from ONE map-side
+    combined groupBy (cr = raw count, ct = target count per bucket); the
+    model relation is bounded by ``n_buckets`` so the scoring join
+    broadcasts it — the corpus side never shuffles for the join, only the
+    final per-doc aggregation shuffles on doc_id. At a 10^12-gram corpus
+    the 1e6 scale constant must shrink (or the ratio move to DECIMAL) to
+    keep ``1e6·(ct+1)·(Nr+B)`` inside int64 — documented, not silent.
+    """
+    d = documents.select(
+        "doc_id",
+        F.expr(target_pred).alias("is_target"),
+        F.expr("filter(split(trim(text), '\\\\s+'), t -> t <> '')").alias("w"),
+    )
+    grams = (
+        d.where(F.expr("size(w) >= 2"))
+        .select(
+            "doc_id",
+            "is_target",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            (
+                F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+                % F.lit(n_buckets)
+            ).alias("bucket"),
+        )
+    )
+    counts = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.col("is_target").cast("long")).alias("ct"),
+    )
+    # corpus totals via an unpartitioned window over the counts relation:
+    # at most n_buckets rows pass through the SinglePartition exchange, and
+    # the counts subtree is computed ONCE (a separate totals aggregation
+    # would re-run the corpus-wide gram pass — Catalyst does not reuse the
+    # common subplan)
+    w_all = Window.partitionBy()
+    model = counts.select(
+        "bucket",
+        "cr",
+        "ct",
+        F.sum("cr").over(w_all).alias("nr"),
+        F.sum("ct").over(w_all).alias("nt"),
+    ).select(
+        "bucket",
+        F.expr(
+            f"CAST(1000000 * (ct + 1) * (nr + {n_buckets}) AS BIGINT) "
+            f"DIV CAST((cr + 1) * (nt + {n_buckets}) AS BIGINT)"
+        ).alias("wgt"),
+    )
+    scored = (
+        grams.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("wgt").alias("s"), F.count(F.lit(1)).alias("n_grams"))
+    )
+    return documents.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(
+            _trunc6((F.col("s").cast("double") / F.lit(1e6)) / F.col("n_grams")),
+            F.lit(0.0),
+        ).alias("imp_weight"),
+    )

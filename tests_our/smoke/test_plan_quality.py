@@ -151,3 +151,28 @@ def test_host_stats_plan_shape(spark):
     plan = plan_of(spark, "web_host_stats")
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2  # map-side partial combine
+
+
+def test_dsir_plan_shape(spark):
+    # the bucket model (<= n_buckets rows) must BROADCAST into the scoring
+    # join — the corpus side never shuffles for it; exactly ONE bucket-key
+    # exchange (totals ride a window over the counts relation, not a
+    # second corpus-wide gram aggregation)
+    plan = plan_of(spark, "doc_dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    lines = plan.splitlines()
+    bucket_exchanges = [
+        l for l in lines if "hashpartitioning(bucket" in l
+    ]
+    assert len(bucket_exchanges) == 1, bucket_exchanges
+    read_schemas = [l for l in lines if "ReadSchema" in l]
+    assert read_schemas and all("source" not in l for l in read_schemas)
+
+
+def test_semdedup_plan_shape(spark):
+    # cluster-local pairing: the self-join must be a shuffle equi-join ON
+    # cid (cid is the 100 TB bucketing key) — never a cartesian/nested-loop
+    # over the corpus
+    plan = plan_of(spark, "emb_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

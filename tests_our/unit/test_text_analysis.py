@@ -184,3 +184,55 @@ def test_dup_spans_cross_doc_only(spark):
         out[4]["n_spans"] == 0 and out[4]["dup_span_frac"] == 0.0
     )
     assert out[5]["n_spans"] == 0 and out[5]["n_dup_spans"] == 0
+
+
+def test_dsir_weights_hand_computed(spark):
+    """DSIR contract on a collision-free toy corpus: the ratio model is
+    exactly (ct+1)(Nr+B) // ((cr+1)(Nt+B)) per gram occurrence, target
+    grams score above 1, off-target grams below, short docs get 0."""
+    import hashlib
+    import math
+
+    from doc_parser_spark.operators.text_analysis import dsir_weights
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b", "en"),      # target; gram "a b"
+            (1, "a b", "en"),      # target; gram "a b"
+            (2, "x y", "de"),      # raw-only gram "x y"
+            (3, "solo", "de"),     # <2 words -> no grams
+        ],
+        "doc_id long, text string, lang string",
+    )
+    B = 1024
+    out = {r["doc_id"]: r for r in dsir_weights(docs, n_buckets=B).collect()}
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    assert bucket("a b") != bucket("x y")  # no collision in the fixture
+    # counts: "a b" cr=2 ct=2; "x y" cr=1 ct=0; Nr=3 Nt=2
+    w_ab = (1000000 * 3 * (3 + B)) // (3 * (2 + B))
+    w_xy = (1000000 * 1 * (3 + B)) // (2 * (2 + B))
+    assert out[0]["n_grams"] == 1
+    assert out[0]["imp_weight"] == math.floor(1e6 * (w_ab / 1e6)) / 1e6
+    assert out[0]["imp_weight"] > 1.0  # target-heavy gram upweighted
+    assert out[2]["imp_weight"] == math.floor(1e6 * (w_xy / 1e6)) / 1e6
+    assert out[2]["imp_weight"] < 1.0  # target-absent gram downweighted
+    assert out[3]["n_grams"] == 0 and out[3]["imp_weight"] == 0.0
+    assert len(out) == 4  # every doc present (left join)
+
+
+def test_dsir_weights_custom_target_pred(spark):
+    """target_pred is an arbitrary SQL predicate, not hardwired to lang."""
+    from doc_parser_spark.operators.text_analysis import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(0, "p q", "xx"), (1, "p q", "xx"), (2, "r s", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["doc_id"]: r["imp_weight"]
+        for r in dsir_weights(docs, target_pred="doc_id < 2").collect()
+    }
+    assert out[0] == out[1] > 1.0 > out[2]
