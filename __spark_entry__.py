@@ -208,6 +208,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "doc_top_terms": q(text_analysis.top_terms, "documents"),
         "doc_dup_spans": q(text_analysis.dup_spans, "documents"),
+        "doc_ppl_buckets": q(text_analysis.perplexity_buckets, "documents"),
+        "doc_domain_mix": q(text_analysis.domain_mix_weights, "documents"),
+        "doc_classifier_label": lambda spark, sf: text_analysis.linear_classifier(
+            _read(spark, sf, "documents"),
+            text_analysis.demo_classifier_weights(spark),
+        ),
+        "doc_bloom_seen": lambda spark, sf: dedup.bloom_seen(
+            _read(spark, sf, "documents"),
+            _read(spark, sf, "documents").where("doc_id % 3 = 0"),
+            m_bits=2048,
+            k=2,
+        ),
         "doc_pii_stats": lambda spark, sf: web.pii_stats(
             _read(spark, sf, "documents").select(
                 "doc_id", F.expr(web.SYNTH_PII_TEXT_SQL).alias("text")
@@ -471,6 +483,17 @@ def _semdedup_sql(
                coalesce(d.dup_of, -1) AS dup_of
         FROM asg_final a LEFT JOIN dup d USING (vec_id)
     """
+
+
+def _hex_key(expr: str, ndigits: int) -> str:
+    """DuckDB arithmetic decode of the first ``ndigits`` hex chars of a
+    string expression to BIGINT — mirrors Spark's ``conv(substring(x, 1,
+    n), 16, 10)`` bit-for-bit (n <= 15 keeps the value inside int64)."""
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {ndigits}), "
+        f"hx -> CAST(strpos('0123456789abcdef', substr({expr}, hx, 1)) - 1 AS BIGINT)"
+        f" * CAST(power(16, {ndigits} - hx) AS BIGINT))) AS BIGINT)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1315,6 +1338,144 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             LEFT JOIN totals t ON documents.doc_id = t.doc_id
             LEFT JOIN dups u ON documents.doc_id = u.doc_id
+        """,
+        # CCNet head/middle/tail: per-language terciles of the lm_fit score
+        # (ordering totalized by the doc_id tie-break; ntile is SQL-standard
+        # in both engines)
+        "doc_ppl_buckets": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS w
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+                FROM d, LATERAL UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+                WHERE len(w) >= 2
+            ),
+            c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+            c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+            v AS (
+                SELECT count(DISTINCT tok) AS v
+                FROM d, LATERAL UNNEST(w) AS u(tok)
+            ),
+            scored AS (
+                SELECT bg.doc_id,
+                       CAST(floor(1e12 * (CAST(c2.c2 + 1 AS DOUBLE)
+                            / CAST(c1.c1 + v.v AS DOUBLE))) AS BIGINT) AS p
+                FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+            ),
+            agg AS (
+                SELECT doc_id, sum(p) AS fit_sum, count(*) AS n_bigrams
+                FROM scored GROUP BY doc_id
+            ),
+            fit AS (
+                SELECT d.doc_id,
+                       coalesce(floor(1e6 * ((CAST(a.fit_sum AS DOUBLE) / 1e12)
+                                / a.n_bigrams)) / 1e6, 0.0) AS lm_fit
+                FROM d LEFT JOIN agg a USING (doc_id)
+            )
+            SELECT doc_id, lang, lm_fit,
+                   CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM (
+                SELECT f.doc_id, doc.lang, f.lm_fit,
+                       ntile(3) OVER (PARTITION BY doc.lang
+                                      ORDER BY f.lm_fit DESC, f.doc_id) AS nt
+                FROM fit f JOIN documents doc ON f.doc_id = doc.doc_id
+            )
+        """,
+        # temperature-scaled (alpha=0.5 -> sqrt, IEEE-exact) domain sampling
+        # weights; sqrt(p) scaled to int so the normalizing sum is associative
+        "doc_domain_mix": """
+            WITH per AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(len(list_filter(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> ''))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+            ),
+            s AS (
+                SELECT source, n_docs, n_tokens,
+                       CAST(floor(1e9 * sqrt(CAST(n_tokens AS DOUBLE)
+                            / CAST(sum(n_tokens) OVER () AS DOUBLE))) AS BIGINT) AS wi
+                FROM per
+            )
+            SELECT source, n_docs, n_tokens,
+                   floor(1e6 * (CAST(wi AS DOUBLE)
+                         / CAST(sum(wi) OVER () AS DOUBLE))) / 1e6 AS mix_weight,
+                   CAST(CAST(100000 * wi AS BIGINT)
+                        // CAST(sum(wi) OVER () AS BIGINT) AS BIGINT) AS sample_quota
+            FROM s
+        """,
+        # fastText-style hashed-unigram linear classifier inference with the
+        # deterministic demo weight table (bucket:cls md5 -> [-1000, 1000])
+        "doc_classifier_label": f"""
+            WITH feats AS (
+                SELECT doc_id,
+                       {_hex_key("md5(tok)", 8)} % 4096 AS bucket
+                FROM (
+                    SELECT doc_id,
+                           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                       t -> t <> '') AS w
+                    FROM documents
+                ), LATERAL UNNEST(w) AS u(tok)
+            ),
+            wts AS (
+                SELECT b.bucket, c.cls,
+                       {_hex_key("md5(CAST(b.bucket AS VARCHAR) || ':' || c.cls)", 8)}
+                           % 2001 - 1000 AS wgt
+                FROM (SELECT UNNEST(generate_series(0, 4095)) AS bucket) b
+                CROSS JOIN (SELECT UNNEST(['clean', 'boiler', 'spam']) AS cls) c
+            ),
+            scores AS (
+                SELECT doc_id, cls, CAST(sum(wgt) AS BIGINT) AS score
+                FROM feats JOIN wts USING (bucket) GROUP BY doc_id, cls
+            ),
+            ranked AS (
+                SELECT doc_id, cls, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, cls ASC) AS rn
+                FROM scores
+            ),
+            best AS (
+                SELECT doc_id,
+                       max(CASE WHEN rn = 1 THEN cls END) AS label,
+                       max(CASE WHEN rn = 1 THEN score END) AS score,
+                       max(CASE WHEN rn = 1 THEN score END)
+                           - coalesce(max(CASE WHEN rn = 2 THEN score END),
+                                      max(CASE WHEN rn = 1 THEN score END)) AS margin
+                FROM ranked GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(b.label, '') AS label,
+                   CAST(coalesce(b.score, 0) AS BIGINT) AS score,
+                   CAST(coalesce(b.margin, 0) AS BIGINT) AS margin
+            FROM documents d LEFT JOIN best b USING (doc_id)
+        """,
+        # Bloom-filter membership probe (m=2048, k=2; seen set = doc_id%3=0)
+        # with the exact anti-join ridealong exposing false positives
+        "doc_bloom_seen": f"""
+            WITH pos AS (
+                SELECT doc_id,
+                       {_hex_key("md5(CAST(j AS VARCHAR) || ':' || md5(text))", 12)}
+                           % 2048 AS pos
+                FROM documents, LATERAL UNNEST([0, 1]) AS t(j)
+            ),
+            bits AS (SELECT DISTINCT pos FROM pos WHERE doc_id % 3 = 0),
+            hits AS (
+                SELECT p.doc_id, (count(b.pos) = 2) AS bloom_seen
+                FROM pos p LEFT JOIN bits b USING (pos) GROUP BY p.doc_id
+            ),
+            seen_keys AS (
+                SELECT DISTINCT md5(text) AS key FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT d.doc_id,
+                   coalesce(h.bloom_seen, FALSE) AS bloom_seen,
+                   (s.key IS NOT NULL) AS exact_seen
+            FROM documents d
+            LEFT JOIN hits h USING (doc_id)
+            LEFT JOIN seen_keys s ON md5(d.text) = s.key
         """,
         "doc_pii_stats": f"""
             WITH p AS (SELECT doc_id, {_web.SYNTH_PII_TEXT_SQL} AS text FROM documents)

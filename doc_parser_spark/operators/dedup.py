@@ -472,3 +472,87 @@ def line_dedup(documents: DataFrame, max_occurrences: int = 1) -> DataFrame:
             .alias("n_lines_dropped"),
         )
     )
+
+
+def bloom_seen(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-filter membership test for incremental crawl dedup: which of
+    ``new_docs`` carry content already present in ``seen_docs``?
+
+    The production shape for "have we crawled this before" when the seen
+    set is too large to anti-join every batch (Broder & Mitzenmacher
+    2004, "Network Applications of Bloom Filters"; CommonCrawl-style
+    frontier dedup): the seen side is reduced once to a fixed ``m_bits``
+    sketch, new batches probe it. Each document's content key is
+    ``md5(text)``; hash function *j* sets bit
+    ``h_j = int(md5(j ':' key)[:12 hex]) mod m`` — 48-bit arithmetic
+    decode, engine-portable. A probe is *seen* iff all ``k`` of its bits
+    are set; false positives are possible by construction (rate
+    ``(1 - e^(-kn/m))^k``), false negatives are not. The output keeps an
+    ``exact_seen`` comparison column so the false-positive rate is
+    directly observable.
+
+    Scale shape: the set-bit relation is ``distinct (bit position)`` —
+    bounded above by ``m_bits`` regardless of corpus size — so Spark's
+    planner broadcasts it to the probe join and the probe side never
+    shuffles; the all-k reduction groups on doc_id (one shuffle). On a
+    real cluster the same sketch compacts further into
+    ``m/64`` longs via ``bit_or`` aggregation (or
+    ``DataFrame.stat.bloomFilter``) and ships as one broadcast bitmap;
+    the relational form is kept here because it is oracle-checkable
+    bit-for-bit. ``exact_seen`` is a hash anti-join — the exact
+    (shuffling) path the sketch replaces at scale; it rides along here
+    for observability at test sizes.
+    """
+    if m_bits <= 0 or k <= 0:
+        raise ValueError(f"m_bits ({m_bits}) and k ({k}) must be positive")
+
+    def positions(col: str):
+        return [
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(":", F.lit(str(j)), F.md5(col))), 1, 12),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit(m_bits)
+            ).alias(f"p{j}")
+            for j in range(k)
+        ]
+
+    bits = (
+        seen_docs.select(F.explode(F.array(*positions("text"))).alias("pos"))
+        .distinct()
+    )
+    probe = new_docs.select(
+        "doc_id", F.explode(F.array(*positions("text"))).alias("pos")
+    )
+    hits = (
+        probe.join(bits.withColumn("hit", F.lit(1)), "pos", "left")
+        .groupBy("doc_id")
+        .agg((F.sum(F.coalesce("hit", F.lit(0))) == F.lit(k)).alias("bloom_seen"))
+    )
+    exact = (
+        new_docs.select("doc_id", F.md5("text").alias("key"))
+        .join(
+            seen_docs.select(F.md5("text").alias("key")).distinct()
+            .withColumn("ex", F.lit(True)),
+            "key",
+            "left",
+        )
+        .select("doc_id", F.coalesce("ex", F.lit(False)).alias("exact_seen"))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("bloom_seen", F.lit(False)).alias("bloom_seen"),
+            F.coalesce("exact_seen", F.lit(False)).alias("exact_seen"),
+        )
+    )

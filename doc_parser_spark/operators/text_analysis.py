@@ -703,3 +703,189 @@ def dsir_weights(
             F.lit(0.0),
         ).alias("imp_weight"),
     )
+
+
+def perplexity_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet head/middle/tail quality bucketing (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data", arXiv:1911.00359 §4.3).
+
+    CCNet partitions each language's crawl into three equal-mass buckets
+    by LM perplexity against a trusted-corpus model; downstream recipes
+    keep *head* (and often *middle*) and drop *tail*. Here the quality
+    signal is this module's corpus-trained :func:`lm_fit_score` (higher
+    fit = more ordinary text), so ``head`` = highest fit tercile per
+    language. The tie-break on ``doc_id`` makes the tercile assignment a
+    total order — bit-stable across engines and partitionings.
+
+    Scale shape: ``ntile`` over ``PARTITION BY lang`` sorts each language
+    within one task — exact, and acceptable while per-language volume
+    fits a task's spill budget. At true crawl scale the same output
+    contract is produced by the standard two-pass variant: aggregate
+    per-language approximate fit quantiles (``percentile_approx``, one
+    map-side-combined pass), broadcast the two cut points, and bucket by
+    comparison — no global sort. The exact form is kept here because the
+    oracle gate needs determinism, and the swap is local to this
+    function.
+    """
+    fit = lm_fit_score(documents)
+    d = documents.select("doc_id", "lang").join(fit, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("lm_fit"), F.asc("doc_id"))
+    return d.select(
+        "doc_id",
+        "lang",
+        "lm_fit",
+        F.ntile(3).over(w).alias("tile"),
+    ).select(
+        "doc_id",
+        "lang",
+        "lm_fit",
+        F.expr(
+            "CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+            "ELSE 'tail' END"
+        ).alias("ppl_bucket"),
+    )
+
+
+def domain_mix_weights(
+    documents: DataFrame,
+    epoch_docs: int = 100_000,
+) -> DataFrame:
+    """Temperature-scaled domain sampling weights (the multilingual /
+    data-mixing recipe of Lample & Conneau 2019 §3.1 and GPT-3 §2.2:
+    sample source *i* with probability proportional to ``p_i^alpha``,
+    ``alpha < 1`` up-weighting small domains).
+
+    ``alpha`` is fixed at 0.5 so the power is ``sqrt`` — IEEE-754
+    correctly rounded in every engine, unlike ``pow``/``ln`` whose libm
+    results vary by platform (the same portability rule as ``top_terms``'
+    log-free TF-IDF). Each source's raw mass is its whitespace-token
+    count; ``sqrt(p_i)`` is scaled to an integer with ``floor(1e9·x)`` so
+    the normalizing sum is associative and partition-order-proof.
+
+    Output per source: ``n_docs``, ``n_tokens``, ``mix_weight`` (the
+    normalized sampling probability, 6-dp truncated) and ``sample_quota``
+    (integer docs drawn from this source in an ``epoch_docs``-document
+    epoch, floor semantics).
+
+    Scale shape: one map-side-combined groupBy on ``source``; the
+    normalizing total flows through an unpartitioned window over the
+    per-source relation (bounded by the number of domains), never over
+    the corpus.
+    """
+    per_src = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(F.expr("filter(split(trim(text), '\\\\s+'), t -> t <> '')"))
+        ).cast("long").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    scaled = per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(
+            F.lit(1e9)
+            * F.sqrt(
+                F.col("n_tokens").cast("double")
+                / F.sum("n_tokens").over(w_all).cast("double")
+            )
+        ).cast("long").alias("wi"),
+    )
+    return scaled.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        _trunc6(
+            F.col("wi").cast("double") / F.sum("wi").over(w_all).cast("double")
+        ).alias("mix_weight"),
+        F.expr(f"CAST({epoch_docs} * wi AS BIGINT) DIV SUM(wi) OVER ()")
+        .cast("long")
+        .alias("sample_quota"),
+    )
+
+
+def linear_classifier(
+    documents: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """fastText-style linear text classifier *inference* (Joulin et al.
+    2016, "Bag of Tricks for Efficient Text Classification",
+    arXiv:1607.01759) — the mechanism behind crawl-scale quality/topic
+    classifiers (e.g. GPT-3's WebText-vs-crawl quality model, §A;
+    FineWeb-Edu / DCLM educational-value filters).
+
+    ``weights`` is the trained model: one row per ``(bucket, cls)`` with
+    an integer weight ``wgt`` (fixed-point — training frameworks quantize
+    to int for exactly this kind of portable serving). Features are
+    hashed unigrams (md5 → ``n_buckets`` buckets, the fastText hashing
+    trick); a document's per-class score is the sum of its features'
+    class weights, its label the argmax (ties broken by class name).
+    ``margin`` = best minus runner-up score, the usual
+    keep-threshold knob. All-integer scoring — bit-identical across
+    engines and partition orders.
+
+    Scale shape: features are exploded once and reduced to
+    ``(doc_id, bucket)``; the model relation is bounded by
+    ``n_buckets × |classes|`` so the scoring join is a broadcast — the
+    corpus never shuffles for it; per-class sums and the argmax window
+    both group on ``doc_id`` (one shuffle; the window partitions are
+    |classes|-row slivers).
+    """
+    feats = (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.expr("filter(split(trim(text), '\\\\s+'), t -> t <> '')")
+            ).alias("t"),
+        )
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+                % F.lit(n_buckets)
+            ).alias("bucket"),
+        )
+    )
+    scores = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "cls")
+        .agg(F.sum("wgt").cast("long").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
+    ranked = scores.select("doc_id", "cls", "score", F.row_number().over(w).alias("rn"))
+    best = ranked.groupBy("doc_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cls"))).alias("label"),
+        F.max(F.when(F.col("rn") == 1, F.col("score"))).cast("long").alias("score"),
+        (
+            F.max(F.when(F.col("rn") == 1, F.col("score")))
+            - F.coalesce(
+                F.max(F.when(F.col("rn") == 2, F.col("score"))),
+                F.max(F.when(F.col("rn") == 1, F.col("score"))),
+            )
+        ).cast("long").alias("margin"),
+    )
+    return documents.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("label", F.lit("")).alias("label"),
+        F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+        F.coalesce("margin", F.lit(0)).cast("long").alias("margin"),
+    )
+
+
+def demo_classifier_weights(spark, n_buckets: int = 4096, classes=("clean", "boiler", "spam")):
+    """Deterministic stand-in weight table for :func:`linear_classifier`
+    (a real deployment loads trained weights from parquet): for every
+    ``(bucket, cls)``, ``wgt = (first-8-hex-of-md5 mod 2001) - 1000`` —
+    integer in [-1000, 1000], reproducible in any engine."""
+    cls_rows = ", ".join(f"('{c}')" for c in classes)
+    return spark.sql(
+        f"""
+        SELECT b.bucket, c.cls,
+               CAST(conv(substring(md5(concat(b.bucket, ':', c.cls)), 1, 8), 16, 10)
+                    AS BIGINT) % 2001 - 1000 AS wgt
+        FROM (SELECT explode(sequence(0, {n_buckets - 1})) AS bucket) b
+        CROSS JOIN (SELECT col1 AS cls FROM (VALUES {cls_rows})) c
+        """
+    )

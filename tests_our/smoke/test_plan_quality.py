@@ -176,3 +176,47 @@ def test_semdedup_plan_shape(spark):
     plan = plan_of(spark, "emb_semdedup")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_classifier_plan_shape(spark):
+    # the model relation (n_buckets x |classes| rows) must BROADCAST into
+    # the scoring join — the corpus side never shuffles for it — and the
+    # scan must read only (doc_id, text)
+    plan = plan_of(spark, "doc_classifier_label")
+    assert "BroadcastHashJoin" in plan
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas and all(
+        "lang" not in l and "source" not in l for l in read_schemas
+    )
+
+
+def test_bloom_seen_plan_shape(spark):
+    # both the sketch probe and the exact ridealong must be equi-joins —
+    # a membership test that degenerates to a cartesian would melt at scale
+    plan = plan_of(spark, "doc_bloom_seen")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_domain_mix_plan_shape(spark):
+    # one map-side-combined aggregation on source; the normalizing window
+    # runs over the per-source relation (SinglePartition over ~|domains|
+    # rows), never over the corpus
+    plan = plan_of(spark, "doc_domain_mix")
+    lines = plan.splitlines()
+    assert any("partial" in l.lower() for l in lines)
+    src_exchanges = [l for l in lines if "hashpartitioning(source" in l]
+    assert len(src_exchanges) == 1, src_exchanges
+    read_schemas = [l for l in lines if "ReadSchema" in l]
+    assert read_schemas and all("doc_id" not in l for l in read_schemas)
+
+
+def test_ppl_buckets_plan_shape(spark):
+    # lm_fit model joins stay equi-joins; the scan reads only the three
+    # needed columns
+    plan = plan_of(spark, "doc_ppl_buckets")
+    assert "CartesianProduct" not in plan
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas and all(
+        "source" not in l and "n_chars" not in l for l in read_schemas
+    )

@@ -236,3 +236,89 @@ def test_dsir_weights_custom_target_pred(spark):
         for r in dsir_weights(docs, target_pred="doc_id < 2").collect()
     }
     assert out[0] == out[1] > 1.0 > out[2]
+
+
+def test_perplexity_buckets_terciles(spark):
+    """Per-language terciles: equal-size buckets when divisible, and the
+    head bucket holds the highest lm_fit values (CCNet §4.3 contract)."""
+    from doc_parser_spark.operators.text_analysis import perplexity_buckets
+
+    rows = []
+    # en: 6 docs of varying repetitiveness; de: 3 docs
+    for i in range(6):
+        body = " ".join(["alpha beta"] * (i + 2)) + f" tail{i} end{i}"
+        rows.append((i, body, "en"))
+    for i in range(3):
+        rows.append((10 + i, " ".join(["der satz"] * (i + 2)) + f" w{i}", "de"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_buckets(docs).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert sorted(r["ppl_bucket"] for r in by_lang["en"]) == [
+        "head", "head", "middle", "middle", "tail", "tail"]
+    assert sorted(r["ppl_bucket"] for r in by_lang["de"]) == [
+        "head", "middle", "tail"]
+    for lang, rs in by_lang.items():
+        head = [r["lm_fit"] for r in rs if r["ppl_bucket"] == "head"]
+        mid = [r["lm_fit"] for r in rs if r["ppl_bucket"] == "middle"]
+        tail = [r["lm_fit"] for r in rs if r["ppl_bucket"] == "tail"]
+        assert min(head) >= max(mid) >= min(mid) >= max(tail)
+
+
+def test_domain_mix_weights_hand_computed(spark):
+    import math
+
+    from doc_parser_spark.operators.text_analysis import domain_mix_weights
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(["t"] * 90), "big"), (1, " ".join(["t"] * 10), "small")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in domain_mix_weights(docs).collect()}
+    wi = {s: math.floor(1e9 * math.sqrt(n / 100.0)) for s, n in
+          (("big", 90), ("small", 10))}
+    tot = sum(wi.values())
+    for s, n in (("big", 90), ("small", 10)):
+        assert out[s]["n_docs"] == 1 and out[s]["n_tokens"] == n
+        assert out[s]["mix_weight"] == math.floor(1e6 * wi[s] / tot) / 1e6
+        assert out[s]["sample_quota"] == (100_000 * wi[s]) // tot
+    # alpha=0.5 up-weights the small domain vs its raw share
+    assert out["small"]["mix_weight"] > 0.1
+
+
+def test_linear_classifier_argmax_and_tiebreak(spark):
+    import hashlib
+
+    from doc_parser_spark.operators.text_analysis import linear_classifier
+
+    n_buckets = 64
+    bkt = {w: int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % n_buckets
+           for w in ("aa", "bb")}
+    assert bkt["aa"] != bkt["bb"]  # fixture sanity
+    weights = spark.createDataFrame(
+        [
+            (bkt["aa"], "clean", 5), (bkt["aa"], "spam", 1),
+            (bkt["bb"], "clean", -2), (bkt["bb"], "spam", 9),
+        ],
+        "bucket long, cls string, wgt long",
+    )
+    docs = spark.createDataFrame(
+        [(0, "aa aa bb"), (1, ""), (2, "bb")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           linear_classifier(docs, weights, n_buckets=n_buckets).collect()}
+    # doc0: clean = 2*5 - 2 = 8, spam = 2*1 + 9 = 11
+    assert (out[0]["label"], out[0]["score"], out[0]["margin"]) == ("spam", 11, 3)
+    # empty doc: no features -> sentinel row
+    assert (out[1]["label"], out[1]["score"], out[1]["margin"]) == ("", 0, 0)
+    assert (out[2]["label"], out[2]["score"], out[2]["margin"]) == ("spam", 9, 11)
+    # tie -> lexicographically smallest class, margin 0
+    tie = spark.createDataFrame(
+        [(bkt["aa"], "clean", 5), (bkt["aa"], "spam", 5)],
+        "bucket long, cls string, wgt long",
+    )
+    r = linear_classifier(docs.where("doc_id = 0"), tie, n_buckets=n_buckets).collect()[0]
+    # doc0 has no bb weights in this table: both classes score 2*5 = 10
+    assert (r["label"], r["margin"]) == ("clean", 0)
