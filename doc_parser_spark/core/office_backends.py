@@ -986,9 +986,9 @@ _HP = "{http://www.hancom.co.kr/hwpml/2011/paragraph}"
 _HC = "{http://www.hancom.co.kr/hwpml/2011/core}"
 
 # BinData lookup order mirrors the reference's extension probe
-# (hwpx_backend.py:1199-1214); we include .wmf because core/wmf.py can
-# rasterize it natively (the reference needs ImageMagick/Wand and drops
-# WMF without it). .tif stays a documented waiver (no TIFF codec here).
+# (hwpx_backend.py:1199-1214); we include .wmf and .tif because
+# core/wmf.py and core/tiff.py can decode them natively (the reference
+# needs ImageMagick/Wand for both and drops them without it).
 _HWPX_IMG_EXTS = (".bmp", ".png", ".jpg", ".jpeg", ".wmf", ".tif")
 
 
@@ -1018,6 +1018,12 @@ def _hwpx_image_meta(zf, pic_el) -> dict | None:
         from .wmf import wmf_to_png
 
         blob = wmf_to_png(blob)
+        if blob is None:
+            return None
+    elif blob[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import tiff_to_png
+
+        blob = tiff_to_png(blob)
         if blob is None:
             return None
     return _raster_image_meta(blob, dpi=72)

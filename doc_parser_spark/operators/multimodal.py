@@ -106,9 +106,10 @@ def _image_array(payload: bytes):
     """Decodable raster payload → (status, uint8 (H, W, C) array | None).
 
     The single decode point shared by metadata extraction and resizing:
-    PNG (``core/png.py``) and JPEG — baseline or progressive —
-    (``core/jpeg.py``) decode for real; FAKEIMG serves the plumbing
-    tests. Other codecs report ``codec_unavailable``."""
+    PNG (``core/png.py``), JPEG — baseline or progressive —
+    (``core/jpeg.py``) and baseline TIFF (``core/tiff.py``) decode for
+    real; FAKEIMG serves the plumbing tests. Other codecs report
+    ``codec_unavailable``."""
     if payload.startswith(pnglib.SIGNATURE):
         try:
             return "decoded", pnglib.decode_png(payload)
@@ -125,6 +126,16 @@ def _image_array(payload: bytes):
             return "corrupt", None
         if arr.ndim == 2:
             arr = arr[:, :, None]
+        return "decoded", arr
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from doc_parser_spark.core.tiff import TiffError, decode_tiff
+
+        try:
+            arr = decode_tiff(payload)
+        except TiffError as exc:
+            if "unsupported" in str(exc):
+                return "codec_unavailable", None
+            return "corrupt", None
         return "decoded", arr
     if payload.startswith(b"FAKEIMG"):
         width, height, channels = struct.unpack(">HHB", payload[7:12])
@@ -144,7 +155,9 @@ def _decode_one(payload: bytes) -> dict:
     if not payload:
         out["status"] = "empty"
         return out
-    if payload.startswith((pnglib.SIGNATURE, b"FAKEIMG", b"\xff\xd8")):
+    if payload.startswith(
+        (pnglib.SIGNATURE, b"FAKEIMG", b"\xff\xd8", b"II*\x00", b"MM\x00*")
+    ):
         status, arr = _image_array(payload)
         if status != "decoded":
             out["status"] = status
