@@ -201,6 +201,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url")
             )
         ),
+        "web_host_pagerank": lambda spark, sf: web.host_pagerank(
+            _read(spark, sf, "documents").selectExpr(
+                "concat('site', cast(doc_id % 50 as int)) AS src",
+                "explode(array("
+                + ", ".join(
+                    f"concat('site', cast((doc_id * 7 + {o}) % 50 as int))"
+                    for o in web.SYNTH_EDGE_OFFSETS
+                )
+                + ")) AS dst",
+            )
+        ),
         "web_host_stats": lambda spark, sf: web.host_stats(
             _read(spark, sf, "documents").select(
                 "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url"), "text"
@@ -483,6 +494,50 @@ def _semdedup_sql(
                coalesce(d.dup_of, -1) AS dup_of
         FROM asg_final a LEFT JOIN dup d USING (vec_id)
     """
+
+
+def _pagerank_sql(iterations: int = 5) -> str:
+    """DuckDB twin of web.host_pagerank over the synthesized host edges:
+    the damped integer-exact iteration fully unrolled as chained CTEs."""
+    from doc_parser_spark.operators import web as _w
+
+    offs = ", ".join(str(o) for o in _w.SYNTH_EDGE_OFFSETS)
+    ctes = [
+        f"""e AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT concat('site', CAST(doc_id % 50 AS INT)) AS src,
+                       concat('site', CAST((doc_id * 7 + t.o) % 50 AS INT)) AS dst
+                FROM documents, LATERAL UNNEST([{offs}]) AS t(o)
+            ) WHERE src <> dst
+        )""",
+        "nodes AS (SELECT src AS h FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        "r0 AS (SELECT h, CAST(1000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""r{i} AS (
+                SELECT n.h,
+                       CAST(150000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS h, sum(p.r // d.outdeg) AS c
+                    FROM e JOIN {prev} p ON e.src = p.h
+                           JOIN deg d ON e.src = d.src
+                    GROUP BY e.dst
+                ) s ON n.h = s.h
+            )"""
+        )
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT h AS host, r AS rank_scaled,
+               CAST(r AS DOUBLE) / 1e6 AS rank
+        FROM {prev}
+        """
+    )
 
 
 def _hex_key(expr: str, ndigits: int) -> str:
@@ -1258,6 +1313,7 @@ def oracle_sql() -> dict[str, str]:
                        "c LIKE", _duck_canonical_url("url") + " LIKE")}) AS keep
             FROM p
         """,
+        "web_host_pagerank": _pagerank_sql(),
         "web_host_stats": f"""
             WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url, text FROM documents),
             c AS (

@@ -338,3 +338,75 @@ def pii_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
         (n_email + n_phone + n_ipv4).cast("long").alias("n_pii_total"),
         F.md5(F.expr(redacted)).alias("redacted_sig"),
     )
+
+
+SYNTH_EDGE_OFFSETS = (1, 14, 27)  # shared with the DuckDB oracle twin
+
+
+def host_pagerank(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """Damped PageRank over the host link graph — the crawl-curation
+    quality prior (Common Crawl publishes exactly this as its host-level
+    ranks; Brin & Page 1998). Input ``edges(src, dst)`` is the anchor
+    graph rolled up to hosts; output is one row per host with its rank
+    after ``iterations`` damped sweeps.
+
+    Integer-exact iteration (the oracle-portability rule of this
+    package): ranks are ``1e6``-scaled BIGINTs, a node's per-edge
+    contribution is ``rank DIV outdeg`` and the damped update is
+    ``150000 + (85 · Σ contrib) DIV 100`` — floors at every step, so the
+    fixpoint trajectory is identical in any engine and under any
+    partitioning / summation order. Self-loops are dropped and the edge
+    set deduplicated (host-graph convention); dangling hosts simply
+    contribute nothing (standard simplification), sink-only hosts still
+    get rank rows.
+
+    Scale shape (10^8-host graphs): every step is an equi-join on the
+    host key plus one map-side-combined groupBy — no broadcasts of
+    anything corpus-sized, no cartesian; the edge relation is persisted
+    once and each iteration ``localCheckpoint``s the rank relation so
+    the plan does not deepen with the iteration count (same lineage
+    discipline as ``dedup.dup_clusters``).
+    """
+    if iterations <= 0:
+        raise ValueError(f"iterations ({iterations}) must be positive")
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("h"))
+        .union(e.select(F.col("dst").alias("h")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.select("h", F.lit(1_000_000).cast("long").alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["h"])
+            .join(deg, "src")
+            .select(F.col("dst").alias("h"), F.expr("r DIV outdeg").alias("c"))
+            .groupBy("h")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "h", "left")
+            .select(
+                "h",
+                (
+                    F.lit(150_000)
+                    + F.expr("(85 * coalesce(c, 0)) DIV 100")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = ranks.select(
+        F.col("h").alias("host"),
+        F.col("r").alias("rank_scaled"),
+        (F.col("r").cast("double") / F.lit(1e6)).alias("rank"),
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out

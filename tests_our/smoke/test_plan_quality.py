@@ -220,3 +220,11 @@ def test_ppl_buckets_plan_shape(spark):
     assert read_schemas and all(
         "source" not in l and "n_chars" not in l for l in read_schemas
     )
+
+
+def test_pagerank_plan_shape(spark):
+    # every sweep is an equi-join on the host key + a map-side-combined
+    # aggregation; a cartesian anywhere would melt on a 10^8-host graph
+    plan = plan_of(spark, "web_host_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

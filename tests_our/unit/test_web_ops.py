@@ -194,3 +194,34 @@ def test_host_stats_rollup(spark):
     assert out["a.com"]["total_chars"] == 12  # 5 + 7 + 0 (NULL -> '')
     assert out["a.com"]["max_chars"] == 7
     assert out["b.com"]["n_docs"] == 1
+
+
+def test_host_pagerank_hand_computed(spark):
+    import pytest
+
+    from doc_parser_spark.operators.web import host_pagerank
+
+    # A->B, A->C, B->C, C->A; self-loop and duplicate edges must be ignored
+    edges = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("A", "A"), ("A", "B")],
+        "src string, dst string",
+    )
+    r = {row["host"]: row["rank_scaled"]
+         for row in host_pagerank(edges, iterations=2).collect()}
+    # iter1: A=150000+85%*1000000=1000000; B=150000+85%*500000=575000;
+    #        C=150000+85%*(500000+1000000)=1425000
+    # iter2: A=150000+85%*1425000=1361250; B=575000;
+    #        C=150000+85%*(500000+575000)=1063750
+    assert r == {"A": 1361250, "B": 575000, "C": 1063750}
+
+    # sink-only host keeps a rank row; dangling rank mass just vanishes
+    sink = spark.createDataFrame([("A", "B")], "src string, dst string")
+    r1 = {row["host"]: row["rank_scaled"]
+          for row in host_pagerank(sink, iterations=1).collect()}
+    assert r1 == {"A": 150000, "B": 1000000}
+    r2 = {row["host"]: row["rank_scaled"]
+          for row in host_pagerank(sink, iterations=2).collect()}
+    assert r2 == {"A": 150000, "B": 277500}
+
+    with pytest.raises(ValueError):
+        host_pagerank(sink, iterations=0)
