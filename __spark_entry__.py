@@ -183,6 +183,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_retention": q(relational.user_retention, "events"),
         "events_error_rate": q(relational.events_error_rate, "events"),
         "events_sessionize": q(relational.sessionize, "events"),
+        "events_asof_click": lambda spark, sf: relational.asof_join(
+            _read(spark, sf, "events")
+            .where("event_type = 'error'")
+            .select("event_id", "user_id", "ts", "value"),
+            _read(spark, sf, "events")
+            .where("event_type = 'click'")
+            .select("user_id", "ts", "event_id"),
+            on="user_id",
+            ts="ts",
+            right_cols=("event_id",),
+        ).withColumn(
+            "gap_us", F.expr("timestampdiff(MICROSECOND, ts_asof, ts)")
+        ),
         # web-corpus curation
         "web_url_dedup": lambda spark, sf: web.url_dedup(
             _read(spark, sf, "documents").select(
@@ -1251,6 +1264,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_no, count(*) AS n_events,
                    CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
             FROM sessions GROUP BY user_id, session_no
+        """,
+        # the Spark side is the merge-sorted-union rewrite; DuckDB runs its
+        # NATIVE ASOF LEFT JOIN — an independent implementation of the
+        # operator semantics, not a mirror of the rewrite
+        "events_asof_click": """
+            WITH l AS (
+                SELECT event_id, user_id, ts, value
+                FROM events WHERE event_type = 'error'
+            ),
+            r AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   r.ts AS ts_asof,
+                   r.event_id AS event_id_asof,
+                   CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS gap_us
+            FROM l ASOF LEFT JOIN r
+                 ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "web_url_dedup": f"""
             WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url FROM documents),

@@ -257,3 +257,54 @@ def user_retention(events: DataFrame) -> DataFrame:
         (F.floor(F.count("prev_user") * F.lit(1000000.0) / F.count(F.lit(1)))
          / F.lit(1000000.0)).alias("retention_rate"),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts",
+    right_cols: tuple[str, ...] = ("event_id",),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """AS-OF join: every ``left`` row picks the most recent ``right`` row
+    at-or-before its timestamp within the same key (time-series point
+    lookup — kdb+ ``aj``, DuckDB/QuestDB ``ASOF JOIN``).
+
+    Spark has no native ASOF operator; the naive rewrites either explode
+    (range-condition theta join → O(|L|·|R|) per key) or collapse to a
+    per-key driver loop. The scalable declarative form used here is the
+    merge-sorted union + keyed last-non-null carry-forward: both inputs
+    union into one relation, a single window partitioned by key and
+    ordered by (ts, side, payload) carries the latest right payload
+    forward, and left rows read their match off the carry — ONE shuffle
+    on the key, linear work, AQE-skew-splittable like any window. The
+    DuckDB oracle runs its *native* ``ASOF LEFT JOIN``, so the rewrite is
+    validated against the real operator semantics, not a mirror of
+    itself.
+
+    Semantics: ties at equal timestamps match (``>=``); right rows
+    should be unique per ``(on, ts)`` — with duplicates the carry
+    deterministically picks the max payload struct (total order via the
+    payload tie-break), where a native ASOF's pick is unspecified.
+    Unmatched left rows keep NULL match columns (left-outer flavor).
+    """
+    rpay = F.struct(
+        F.col(ts).alias("rts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    r2 = right.select(
+        F.col(on), F.col(ts), F.lit(0).alias("__is_l"), rpay.alias("__rpay")
+    )
+    l2 = left.withColumn("__is_l", F.lit(1))
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("__is_l").asc(), F.col("__rpay").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("__m", F.last("__rpay", ignorenulls=True).over(w))
+    return u.where(F.col("__is_l") == 1).select(
+        *left.columns,
+        F.col("__m.rts").alias(ts + suffix),
+        *[F.col(f"__m.{c}").alias(c + suffix) for c in right_cols],
+    )

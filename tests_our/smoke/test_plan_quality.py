@@ -228,3 +228,16 @@ def test_pagerank_plan_shape(spark):
     plan = plan_of(spark, "web_host_pagerank")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_plan_shape(spark):
+    # the merge-sorted-union rewrite must cost exactly ONE key shuffle
+    # (the window) — no range/theta join, no cartesian — and the
+    # event_type filters must reach both parquet scans
+    plan = plan_of(spark, "events_asof_click")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    lines = plan.splitlines()
+    key_exchanges = [l for l in lines if "hashpartitioning(user_id" in l]
+    assert len(key_exchanges) == 1, key_exchanges
+    pushed = [l for l in lines if "PushedFilters" in l]
+    assert pushed and all("EqualTo(event_type" in l for l in pushed)

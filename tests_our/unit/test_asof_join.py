@@ -1,0 +1,40 @@
+"""AS-OF join rewrite semantics (relational.asof_join): most recent
+right row at-or-before each left timestamp per key; ties match; left
+rows without history keep NULLs."""
+
+from datetime import datetime
+
+
+def test_asof_join_hand_computed(spark):
+    from doc_parser_spark.operators.relational import asof_join
+
+    t = lambda s: datetime(2024, 1, 1, *s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, "A", t((10, 0, 5)), 1.0),
+            (2, "A", t((10, 0, 0)), 2.0),   # equal-ts tie: must match
+            (3, "B", t((9, 0, 0)), 3.0),    # before any B quote: NULLs
+        ],
+        "event_id long, user_id string, ts timestamp_ntz, value double",
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", t((10, 0, 0)), 100),
+            ("A", t((10, 0, 4)), 104),
+            ("A", t((10, 0, 6)), 106),      # after every left row: never used
+            ("B", t((12, 0, 0)), 200),
+        ],
+        "user_id string, ts timestamp_ntz, quote long",
+    )
+    out = {
+        r["event_id"]: (r["ts_asof"], r["quote_asof"])
+        for r in asof_join(
+            left, right, on="user_id", ts="ts", right_cols=("quote",)
+        ).collect()
+    }
+    assert out[1] == (t((10, 0, 4)), 104)
+    assert out[2] == (t((10, 0, 0)), 100)
+    assert out[3] == (None, None)
+    # original left columns survive untouched
+    cols = asof_join(left, right, right_cols=("quote",)).columns
+    assert cols == ["event_id", "user_id", "ts", "value", "ts_asof", "quote_asof"]
