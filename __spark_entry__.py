@@ -111,6 +111,32 @@ def _q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_error_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-join demo: clicks landing in the 10-minute window after each
+    error, per user (bucketized interval join + per-error rollup)."""
+    from doc_parser_spark.operators import relational
+
+    events = _read(spark, sf_dir, "events")
+    errors = events.where("event_type = 'error'").selectExpr(
+        "event_id", "user_id", "ts AS start_ts",
+        "ts + INTERVAL 10 MINUTES AS end_ts",
+    )
+    clicks = events.where("event_type = 'click'").select("user_id", "ts")
+    pairs = relational.interval_join(
+        clicks, errors, on="user_id", left_ts="ts",
+        right_start="start_ts", right_end="end_ts", bucket_seconds=600,
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_10m")
+    )
+    return errors.select("event_id", "user_id", "start_ts").join(
+        counts, "event_id", "left"
+    ).select(
+        "event_id", "user_id", "start_ts",
+        F.coalesce("n_clicks_10m", F.lit(0)).cast("long").alias("n_clicks_10m"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from doc_parser_spark.operators import (
         curate,
@@ -183,6 +209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_retention": q(relational.user_retention, "events"),
         "events_error_rate": q(relational.events_error_rate, "events"),
         "events_sessionize": q(relational.sessionize, "events"),
+        "events_error_click_window": _q_error_click_window,
         "events_asof_click": lambda spark, sf: relational.asof_join(
             _read(spark, sf, "events")
             .where("event_type = 'error'")
@@ -1264,6 +1291,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_no, count(*) AS n_events,
                    CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
             FROM sessions GROUP BY user_id, session_no
+        """,
+        # the Spark side is the bucketized-equi-join rewrite; the oracle is
+        # the plain range-predicate join
+        "events_error_click_window": """
+            WITH e AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'error'
+            ),
+            c AS (
+                SELECT user_id, ts FROM events WHERE event_type = 'click'
+            )
+            SELECT e.event_id, e.user_id, e.ts AS start_ts,
+                   CAST(count(c.ts) AS BIGINT) AS n_clicks_10m
+            FROM e LEFT JOIN c ON e.user_id = c.user_id
+                 AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+            GROUP BY e.event_id, e.user_id, e.ts
         """,
         # the Spark side is the merge-sorted-union rewrite; DuckDB runs its
         # NATIVE ASOF LEFT JOIN — an independent implementation of the

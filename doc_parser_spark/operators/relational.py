@@ -308,3 +308,60 @@ def asof_join(
         F.col("__m.rts").alias(ts + suffix),
         *[F.col(f"__m.{c}").alias(c + suffix) for c in right_cols],
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    left_ts: str = "ts",
+    right_start: str = "start_ts",
+    right_end: str = "end_ts",
+    bucket_seconds: int = 600,
+) -> DataFrame:
+    """Range (interval) join: each ``left`` event paired with every
+    ``right`` interval of the same key that contains it
+    (``start <= ts < end``) — the other join Spark's planner has no
+    native strategy for (a range predicate alone degenerates to a
+    per-key nested loop).
+
+    The scalable form is the *bucketized* rewrite (what Databricks'
+    RANGE_JOIN hint does under the hood): time is cut into
+    ``bucket_seconds`` buckets, each interval explodes onto the buckets
+    it covers, events map to their single bucket, and the join becomes a
+    plain equi-join on (key, bucket) + the exact containment filter.
+    Work is O(events + intervals · interval_len/bucket) with a shuffle
+    Catalyst plans like any equi-join (AQE skew-split applies) — no
+    cartesian per key. Bucket coverage over-approximates (the exact
+    filter trims); matches are never lost. Pick ``bucket_seconds`` near
+    the median interval length so the explode factor stays ~1-2.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds ({bucket_seconds}) must be positive")
+
+    def epoch(col: str) -> Column:
+        return F.expr(
+            f"timestampdiff(SECOND, CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), "
+            f"CAST({col} AS TIMESTAMP_NTZ))"
+        )
+
+    l2 = left.withColumn(
+        "__b", F.floor(epoch(left_ts) / F.lit(bucket_seconds))
+    )
+    r2 = right.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(epoch(right_start) / F.lit(bucket_seconds)),
+                F.floor(epoch(right_end) / F.lit(bucket_seconds)),
+            )
+        ),
+    )
+    return (
+        l2.join(r2, [on, "__b"])
+        .where(
+            (F.col(left_ts) >= F.col(right_start))
+            & (F.col(left_ts) < F.col(right_end))
+        )
+        .drop("__b")
+    )

@@ -241,3 +241,11 @@ def test_asof_join_plan_shape(spark):
     assert len(key_exchanges) == 1, key_exchanges
     pushed = [l for l in lines if "PushedFilters" in l]
     assert pushed and all("EqualTo(event_type" in l for l in pushed)
+
+
+def test_interval_join_plan_shape(spark):
+    # the bucketized rewrite must plan as an EQUI-join on (key, bucket) —
+    # a raw range predicate would fall back to a per-key nested loop
+    plan = plan_of(spark, "events_error_click_window")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

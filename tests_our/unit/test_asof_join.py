@@ -38,3 +38,37 @@ def test_asof_join_hand_computed(spark):
     # original left columns survive untouched
     cols = asof_join(left, right, right_cols=("quote",)).columns
     assert cols == ["event_id", "user_id", "ts", "value", "ts_asof", "quote_asof"]
+
+
+def test_interval_join_hand_computed(spark):
+    import pytest
+
+    from doc_parser_spark.operators.relational import interval_join
+
+    t = lambda s: datetime(2024, 1, 1, *s)  # noqa: E731
+    events = spark.createDataFrame(
+        [
+            (1, "A", t((10, 0, 0))),   # == start: inside (half-open)
+            (2, "A", t((10, 9, 59))),  # inside
+            (3, "A", t((10, 10, 0))),  # == end: OUTSIDE
+            (4, "A", t((9, 59, 59))),  # before
+            (5, "B", t((10, 5, 0))),   # right key, other user's window
+        ],
+        "event_id long, user_id string, ts timestamp_ntz",
+    )
+    windows = spark.createDataFrame(
+        [("w1", "A", t((10, 0, 0)), t((10, 10, 0))),
+         ("w2", "B", t((10, 0, 0)), t((10, 10, 0)))],
+        "win string, user_id string, start_ts timestamp_ntz, end_ts timestamp_ntz",
+    )
+    # bucket smaller than the interval so one window explodes onto
+    # several buckets — events must still match exactly once
+    out = interval_join(
+        events, windows, on="user_id", left_ts="ts",
+        right_start="start_ts", right_end="end_ts", bucket_seconds=120,
+    ).select("event_id", "win").collect()
+    got = sorted((r["event_id"], r["win"]) for r in out)
+    assert got == [(1, "w1"), (2, "w1"), (5, "w2")]
+
+    with pytest.raises(ValueError):
+        interval_join(events, windows, bucket_seconds=0)
