@@ -209,6 +209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_retention": q(relational.user_retention, "events"),
         "events_error_rate": q(relational.events_error_rate, "events"),
         "events_sessionize": q(relational.sessionize, "events"),
+        "events_props_stats": q(relational.props_stats, "events"),
+        "doc_corpus_profile": q(text_analysis.corpus_profile, "documents"),
         "events_error_click_window": _q_error_click_window,
         "events_asof_click": lambda spark, sf: relational.asof_join(
             _read(spark, sf, "events")
@@ -577,6 +579,35 @@ def _pagerank_sql(iterations: int = 5) -> str:
                CAST(r AS DOUBLE) / 1e6 AS rank
         FROM {prev}
         """
+    )
+
+
+def _profile_sql(cols: tuple[str, ...] = ("doc_id", "text", "lang", "source", "n_chars")) -> str:
+    """DuckDB twin of text_analysis.corpus_profile: one aggregate row over
+    all columns, unpivoted into per-column rows."""
+    aggs = ["count(*) AS n"]
+    for c in cols:
+        aggs += [
+            f"count({c}) AS {c}_nn",
+            f"count(DISTINCT {c}) AS {c}_nd",
+            f"CAST(min({c}) AS VARCHAR) AS {c}_min",
+            f"CAST(max({c}) AS VARCHAR) AS {c}_max",
+            f"sum(length(CAST({c} AS VARCHAR))) AS {c}_len",
+        ]
+    branches = []
+    for c in cols:
+        branches.append(
+            f"""SELECT '{c}' AS "column", CAST(n AS BIGINT) AS n_rows,
+                   CAST(n - {c}_nn AS BIGINT) AS n_null,
+                   CAST({c}_nd AS BIGINT) AS n_distinct,
+                   {c}_min AS min_value, {c}_max AS max_value,
+                   coalesce(floor(1e6 * CAST({c}_len AS DOUBLE) / {c}_nn) / 1e6,
+                            0.0) AS avg_len
+            FROM a"""
+        )
+    return (
+        "WITH a AS (SELECT " + ", ".join(aggs) + " FROM documents)\n"
+        + "\nUNION ALL\n".join(branches)
     )
 
 
@@ -1292,6 +1323,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
             FROM sessions GROUP BY user_id, session_no
         """,
+        # schema-on-read JSON field extraction, all-integer rollup
+        "events_props_stats": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(k) AS BIGINT) AS n_with_field,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(min(k) AS BIGINT) AS min_k,
+                   CAST(max(k) AS BIGINT) AS max_k
+            FROM (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events
+            ) GROUP BY event_type
+        """,
+        "doc_corpus_profile": _profile_sql(),
         # the Spark side is the bucketized-equi-join rewrite; the oracle is
         # the plain range-predicate join
         "events_error_click_window": """

@@ -365,3 +365,23 @@ def interval_join(
         )
         .drop("__b")
     )
+
+
+def props_stats(events: DataFrame, field: str = "k") -> DataFrame:
+    """Semi-structured payload analytics: extract an integer field from
+    the JSON ``props`` column (schema-on-read — no pre-parsing into a
+    typed column) and roll up per event type.
+
+    ``get_json_object`` evaluates JVM-side inside codegen; at crawl scale
+    the same shape handles arbitrary sidecar metadata (crawler fetch
+    stats, HTTP headers) without a schema migration. All-integer
+    aggregates — engine-exact.
+    """
+    k = F.expr(f"CAST(get_json_object(props, '$.{field}') AS BIGINT)")
+    return events.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_field"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )

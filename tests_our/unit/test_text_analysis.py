@@ -322,3 +322,23 @@ def test_linear_classifier_argmax_and_tiebreak(spark):
     r = linear_classifier(docs.where("doc_id = 0"), tie, n_buckets=n_buckets).collect()[0]
     # doc0 has no bb weights in this table: both classes score 2*5 = 10
     assert (r["label"], r["margin"]) == ("clean", 0)
+
+
+def test_corpus_profile_nulls_and_stats(spark):
+    from doc_parser_spark.operators.text_analysis import corpus_profile
+
+    df = spark.createDataFrame(
+        [(1, "ab", "en"), (2, None, "en"), (3, "abcd", None)],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["column"]: r for r in corpus_profile(df).collect()}
+    assert set(out) == {"doc_id", "text", "lang"}
+    assert all(r["n_rows"] == 3 for r in out.values())
+    t = out["text"]
+    assert (t["n_null"], t["n_distinct"]) == (1, 2)
+    assert (t["min_value"], t["max_value"]) == ("ab", "abcd")
+    assert t["avg_len"] == 3.0  # (2 + 4) / 2 non-null
+    d = out["doc_id"]
+    assert (d["n_null"], d["n_distinct"], d["min_value"], d["max_value"]) == (
+        0, 3, "1", "3")
+    assert out["lang"]["n_null"] == 1
