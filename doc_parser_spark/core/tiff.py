@@ -53,6 +53,8 @@ def is_tiff(data: bytes) -> bool:
 
 def _read_ifd(data: bytes, endian: str) -> dict[int, list[int]]:
     """First IFD → {tag: [values...]} (integer types only)."""
+    if len(data) < 8:
+        raise TiffError("truncated header")
     (off,) = struct.unpack(endian + "I", data[4:8])
     if off + 2 > len(data):
         raise TiffError("IFD offset out of range")

@@ -92,3 +92,40 @@ def test_props_stats_json_extraction(spark):
         3, 2, 12, 5, 7)
     v = out["view"]
     assert (v["n_events"], v["n_with_field"], v["sum_k"]) == (1, 0, None)
+
+
+def test_asof_join_matches_bruteforce_random(spark):
+    import random
+    from datetime import timedelta
+
+    from doc_parser_spark.operators.relational import asof_join
+
+    rnd = random.Random(42)
+    base = datetime(2024, 1, 1)
+    lefts = [
+        (i, f"u{rnd.randrange(8)}", base + timedelta(seconds=rnd.randrange(5000)))
+        for i in range(120)
+    ]
+    # right unique per (key, ts) per the operator contract
+    rmap = {}
+    for i in range(200):
+        k = (f"u{rnd.randrange(8)}",
+             base + timedelta(seconds=rnd.randrange(5000)))
+        rmap.setdefault(k, 1000 + i)
+    rights = [(k, ts, v) for (k, ts), v in rmap.items()]
+
+    left = spark.createDataFrame(
+        lefts, "event_id long, user_id string, ts timestamp_ntz")
+    right = spark.createDataFrame(
+        rights, "user_id string, ts timestamp_ntz, quote long")
+
+    expected = {}
+    for eid, k, ts in lefts:
+        cand = [(rts, v) for (rk, rts, v) in rights if rk == k and rts <= ts]
+        expected[eid] = max(cand) if cand else (None, None)
+
+    got = {
+        r["event_id"]: (r["ts_asof"], r["quote_asof"])
+        for r in asof_join(left, right, right_cols=("quote",)).collect()
+    }
+    assert got == expected

@@ -114,3 +114,69 @@ def test_avi_empty_chunks_are_dropped_frames():
 
     _, frames = parse_avi(build_avi([b"", b"\xff\xd8x", b""], fps=10.0))
     assert frames == [b"\xff\xd8x"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 24),
+    c=st.sampled_from([1, 3]),
+    compression=st.sampled_from([1, 5, 32773]),
+    rows_per_strip=st.integers(1, 16),
+    endian=st.sampled_from(["<", ">"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tiff_roundtrip_property(h, w, c, compression, rows_per_strip, endian, seed):
+    from test_tiff import build_tiff, lzw_encode, packbits_encode
+
+    from doc_parser_spark.core.tiff import decode_tiff
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, c), dtype=np.uint8)
+    entries = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * c),
+        (259, 3, [compression]), (262, 3, [2 if c == 3 else 1]),
+        (277, 3, [c]), (278, 4, [rows_per_strip]),
+    ]
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = img[y0 : y0 + rows_per_strip].tobytes()
+        if compression == 5:
+            raw = lzw_encode(raw)
+        elif compression == 32773:
+            raw = packbits_encode(raw)
+        strips.append(raw)
+    out = decode_tiff(build_tiff(entries, strips, endian=endian))
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    cut=st.integers(4, 160),
+    stomp_at=st.integers(0, 159),
+    stomp_val=st.integers(0, 255),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tiff_fuzz_never_hangs_or_crashes(cut, stomp_at, stomp_val, seed):
+    """Untrusted-crawl contract: truncated or bit-flipped TIFFs either
+    decode or raise TiffError — never any other exception, never an
+    unbounded allocation."""
+    from test_tiff import build_tiff
+
+    from doc_parser_spark.core.tiff import TiffError, decode_tiff
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (4, 6), dtype=np.uint8)
+    entries = [
+        (256, 4, [6]), (257, 4, [4]), (258, 3, [8]),
+        (259, 3, [1]), (262, 3, [1]), (277, 3, [1]), (278, 4, [4]),
+    ]
+    data = bytearray(build_tiff(entries, [img.tobytes()]))
+    data = data[:cut] if cut < len(data) else data
+    if stomp_at < len(data):
+        data[stomp_at] = stomp_val
+    try:
+        out = decode_tiff(bytes(data))
+        assert out.dtype == np.uint8 and out.ndim == 3
+    except TiffError:
+        pass
