@@ -111,6 +111,26 @@ def _q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densitometric boilerplate blocks over the wrapped corpus. The
+    wrapper's fixed shape (h1 title + one paragraph) makes every block
+    feature — and the NumWordsRules verdict — derivable from the raw
+    text column, so the kernel gets a true SQL oracle."""
+    from doc_parser_spark.operators.extract import boilerplate_blocks
+
+    out = boilerplate_blocks(_wrapped_pages(spark, sf_dir))
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.col("block_id").cast("long").alias("block_id"),
+        "text",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "heading",
+        "content",
+        F.expr("floor(1e6 * text_density) / 1e6").alias("text_density"),
+    )
+
+
 def _q_error_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-join demo: clicks landing in the 10-minute window after each
     error, per user (bucketized interval join + per-error rollup)."""
@@ -158,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_wrapped_docs": _q_extract_wrapped,
         "extract_pages": _q_extract_pages,
         "extract_chunks": _q_chunks,
+        "extract_boilerplate_blocks": _q_boilerplate,
         # text analysis
         "doc_token_stats": q(text_analysis.token_stats, "documents"),
         "doc_quality_score": q(text_analysis.quality_score, "documents"),
@@ -683,6 +704,41 @@ def oracle_sql() -> dict[str, str]:
                            regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS full_text
                 FROM documents
             )
+        """,
+        # the wrapper emits <h1>Doc N</h1><p>text</p>; block 0 is the
+        # heading (2 words, rescued by the NumWordsRules verdict of the
+        # paragraph), block 1 the paragraph (content iff > 16 words, the
+        # tree's prev<=4/curr<=16/next<=15 path); empty docs emit no
+        # paragraph block
+        "extract_boilerplate_blocks": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id, t,
+                       CAST(len(list_filter(string_split(t, ' '),
+                            x -> x <> '')) AS BIGINT) AS p_words,
+                       CAST(length(t) AS BIGINT) AS p_chars,
+                       CAST(4 + length(CAST(doc_id AS VARCHAR)) AS BIGINT)
+                           AS h_chars
+                FROM norm
+            )
+            SELECT doc_id, CAST(0 AS BIGINT) AS block_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS text,
+                   CAST(2 AS BIGINT) AS n_words, h_chars AS n_chars,
+                   TRUE AS heading,
+                   (p_chars > 0 AND p_words > 16) AS content,
+                   floor(1e6 * (2.0 / ceil(CAST(h_chars AS DOUBLE) / 80)))
+                       / 1e6 AS text_density
+            FROM feat
+            UNION ALL
+            SELECT doc_id, CAST(1 AS BIGINT), t, p_words, p_chars, FALSE,
+                   p_words > 16,
+                   floor(1e6 * (CAST(p_words AS DOUBLE)
+                         / ceil(CAST(p_chars AS DOUBLE) / 80))) / 1e6
+            FROM feat WHERE p_chars > 0
         """,
         "doc_token_stats": """
             SELECT doc_id,

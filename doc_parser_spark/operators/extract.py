@@ -437,3 +437,67 @@ def explode_chunks(documents_out: DataFrame) -> DataFrame:
         )
         .select("url", "warc_ts", "lang", "format", "document_hash", "chunk.*")
     )
+
+
+BOILERPLATE_BLOCKS_SCHEMA = None  # built lazily to keep import cheap
+
+
+def _boilerplate_schema():
+    global BOILERPLATE_BLOCKS_SCHEMA
+    if BOILERPLATE_BLOCKS_SCHEMA is None:
+        from pyspark.sql import types as T
+
+        BOILERPLATE_BLOCKS_SCHEMA = T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("block_id", T.IntegerType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("n_words", T.IntegerType()),
+                T.StructField("n_chars", T.IntegerType()),
+                T.StructField("link_density", T.DoubleType()),
+                T.StructField("text_density", T.DoubleType()),
+                T.StructField("heading", T.BooleanType()),
+                T.StructField("discarded", T.BooleanType()),
+                T.StructField("content", T.BooleanType()),
+            ]
+        )
+    return BOILERPLATE_BLOCKS_SCHEMA
+
+
+def boilerplate_blocks(pages: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES) -> DataFrame:
+    """pages(url, html) → per-block densitometric features + the
+    NumWordsRules content verdict (``html/boilerplate.py``) — the signal
+    table a crawl-quality model trains on, and the precision complement
+    to the structural extractor for markup-free crawl pages.
+
+    Same execution contract as the extraction kernel: one Arrow-batched
+    ``mapInPandas`` stage, per-document failure isolation (a pathological
+    page contributes zero block rows, never a dead batch)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if sys.getrecursionlimit() < _RECURSION_LIMIT:
+            sys.setrecursionlimit(_RECURSION_LIMIT)
+        from doc_parser_spark.html.boilerplate import block_features
+
+        for batch in batches:
+            records = []
+            for url, payload in zip(batch["url"], batch["html"]):
+                if payload is None or len(payload) > max_bytes:
+                    continue
+                try:
+                    feats = block_features(bytes(payload))
+                except Exception:  # noqa: BLE001 — per-doc isolation
+                    continue
+                for f in feats:
+                    f["url"] = url
+                    records.append(f)
+            schema = _boilerplate_schema()
+            out = pd.DataFrame(
+                records,
+                columns=[f.name for f in schema.fields],
+            )
+            yield out
+
+    return pages.select("url", "html").mapInPandas(
+        kernel, schema=_boilerplate_schema()
+    )
