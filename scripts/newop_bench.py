@@ -1,0 +1,55 @@
+"""One-off timing of the round-3 session's new operators at sf0.1
+(local[32], same noop-sink forcing as bench.py). Results recorded in
+BASELINE.md; not part of the driver's headline bench."""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+NEW_OPS = [
+    "doc_ppl_buckets", "doc_domain_mix", "doc_classifier_label",
+    "doc_bloom_seen", "web_host_pagerank", "events_asof_click",
+    "events_error_click_window", "events_props_stats",
+    "doc_corpus_profile", "extract_boilerplate_blocks",
+]
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .appName("newop-bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry.queries()
+    results = {}
+    for name in NEW_OPS:
+        fn = queries[name]
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warmup
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        results[name] = round(best, 3)
+        spark.catalog.clearCache()
+    print(json.dumps({"sf_dir": SF_DIR, "cpus": CPUS, "sec": results}))
+
+
+if __name__ == "__main__":
+    main()
