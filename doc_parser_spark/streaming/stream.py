@@ -180,3 +180,89 @@ def stream_url_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# -- streaming sessionization (event-time gap sessions) -----------------------
+
+SESSION_GAP_US = 1_800_000_000  # 30 min, matches operators.relational.sessionize
+
+_SESS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_no", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+_SESS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_no", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def _update_sessions(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Per-user gap sessionizer. State = the one OPEN session; a session
+    CLOSES (and is emitted) when a new event arrives more than the gap
+    after the last one, or when the event-time watermark passes
+    last_ts + gap (GroupStateTimeout.EventTimeTimeout) — so closed
+    sessions are final exactly when no in-watermark event can reopen
+    them."""
+    (user_id,) = key
+    closed = []
+    if state.hasTimedOut:
+        sn, last, n, sv = state.get
+        closed.append((user_id, sn, n, round(sv, 2)))
+        state.remove()
+    else:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        if state.exists:
+            sn, last, n, sv = state.get
+        else:
+            sn, last, n, sv = 0, None, 0, 0.0
+        for ts, value in zip(batch["ts"], batch["value"]):
+            ts_us = int(ts.value) // 1000  # pandas ns -> us
+            if last is not None and ts_us - last > SESSION_GAP_US:
+                closed.append((user_id, sn, n, round(sv, 2)))
+                sn += 1
+                n, sv = 0, 0.0
+            n += 1
+            sv += float(value)
+            last = ts_us
+        state.update((sn, int(last), int(n), float(sv)))
+        state.setTimeoutTimestamp((int(last) + SESSION_GAP_US) // 1000)
+    yield pd.DataFrame(
+        closed, columns=["user_id", "session_no", "n_events", "sum_value"]
+    )
+
+
+def streaming_sessionize(events_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful streaming operator: event-time gap sessionization
+    (the streaming twin of ``relational.sessionize``, same 30-min gap and
+    output shape). State is ONE open session per user — bounded by the
+    active-user set, not by history; the event-time timeout closes idle
+    sessions as the watermark advances, so state cannot leak.
+
+    At crawl scale this is the per-host fetch-session/politeness tracker:
+    keyed state partitioned across executors, Arrow-batched updates, no
+    driver involvement."""
+    # watermarks require TIMESTAMP (ltz); crawl tables carry TIMESTAMP_NTZ —
+    # the cast shifts both event times and the watermark identically, so
+    # gap arithmetic is unchanged
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_sessions,
+            outputStructType=_SESS_OUT_SCHEMA,
+            stateStructType=_SESS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

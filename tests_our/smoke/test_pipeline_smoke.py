@@ -540,3 +540,76 @@ def test_streaming_url_dedup(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     urls = sorted(r.canonical_url for r in out.collect())
     assert urls == ["http://ex.com/a", "http://ex.com/b", "http://ex.com/c"]
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Event-time gap sessionization under applyInPandasWithState: every
+    closed session emitted by the stream must equal the batch
+    sessionize row bit-for-bit (same gap, numbering, aggregates), and
+    the stream must close every session the watermark has sealed."""
+    from pyspark.sql import functions as F
+
+    from doc_parser_spark.operators.relational import sessionize
+    from doc_parser_spark.streaming.stream import streaming_sessionize
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # 4 time-sliced files -> 4 micro-batches in event-time order (per-user
+    # order is preserved because slices don't overlap in time)
+    epoch = ("timestampdiff(SECOND, "
+             "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), ts)")
+    bounds = [r[0] for r in events.selectExpr(
+        f"percentile({epoch}, array(0.25, 0.5, 0.75))").collect()][0]
+    src = str(tmp_path / "sess_in")
+    import os
+
+    os.makedirs(src)
+    lo = None
+    for i, hi in enumerate(list(bounds) + [None]):
+        sl = events
+        if lo is not None:
+            sl = sl.where(F.expr(f"{epoch} >= {lo}"))
+        if hi is not None:
+            sl = sl.where(F.expr(f"{epoch} < {hi}"))
+        sl.coalesce(1).write.parquet(f"{src}/slice={i}")
+        lo = hi
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/slice=*")
+    )
+    q = (
+        streaming_sessionize(stream, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_no"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from sessions_stream").collect()
+    }
+    expected = {
+        (r["user_id"], r["session_no"]): (r["n_events"], r["sum_value"])
+        for r in sessionize(events).collect()
+    }
+    # exactness: every closed session equals its batch twin
+    assert got, "stream closed no sessions"
+    for k, (n, sv) in got.items():
+        assert k in expected, k
+        en, esv = expected[k]
+        assert n == en and abs(sv - esv) < 1e-6, (k, (n, sv), (en, esv))
+    # completeness: nothing the watermark sealed may be missing. With a
+    # 0-second watermark every session except possibly each user's final
+    # (still-open or sealed only after the last batch) must be emitted.
+    last_per_user = {}
+    for (u, sn) in expected:
+        last_per_user[u] = max(last_per_user.get(u, -1), sn)
+    must_close = {
+        (u, sn) for (u, sn) in expected if sn < last_per_user[u]
+    }
+    missing = must_close - set(got)
+    assert not missing, sorted(missing)[:5]
