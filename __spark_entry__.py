@@ -264,6 +264,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url")
             )
         ),
+        "web_host_kmv": lambda spark, sf: web.distinct_kmv(
+            _read(spark, sf, "documents").selectExpr(
+                "concat('h', cast(doc_id % 5 as int)) AS host",
+                f"{web.SYNTH_URL_SQL} AS url",
+            ),
+            key="host",
+            value="url",
+            k=16,
+        ),
         "web_host_pagerank": lambda spark, sf: web.host_pagerank(
             _read(spark, sf, "documents").selectExpr(
                 "concat('site', cast(doc_id % 50 as int)) AS src",
@@ -1489,6 +1498,41 @@ def oracle_sql() -> dict[str, str]:
                    NOT ({_web.URL_BLOCKLIST_PREDICATE.replace(
                        "c LIKE", _duck_canonical_url("url") + " LIKE")}) AS keep
             FROM p
+        """,
+        # KMV sketch twin: same 48-bit hashes, same k-smallest ranking,
+        # same integer estimator
+        "web_host_kmv": f"""
+            WITH u AS (
+                SELECT concat('h', CAST(doc_id % 5 AS INT)) AS host,
+                       {_web.SYNTH_URL_SQL} AS url
+                FROM documents
+            ),
+            d AS (
+                SELECT DISTINCT host,
+                       {_hex_key("md5(url)", 12)} AS h
+                FROM u
+            ),
+            ranked AS (
+                SELECT host, h,
+                       row_number() OVER (PARTITION BY host ORDER BY h) AS rn
+                FROM d
+            ),
+            per AS (
+                SELECT host, count(*) AS n_min,
+                       max(CASE WHEN rn = 16 THEN h END) AS kth
+                FROM ranked WHERE rn <= 16 GROUP BY host
+            ),
+            exact AS (
+                SELECT host, CAST(count(DISTINCT url) AS BIGINT)
+                       AS n_distinct_exact
+                FROM u GROUP BY host
+            )
+            SELECT per.host,
+                   CAST(CASE WHEN n_min < 16 THEN n_min
+                        ELSE CAST(15 * 281474976710656 AS BIGINT) // kth
+                        END AS BIGINT) AS kmv_estimate,
+                   n_distinct_exact
+            FROM per JOIN exact ON per.host = exact.host
         """,
         "web_host_pagerank": _pagerank_sql(),
         "web_host_stats": f"""

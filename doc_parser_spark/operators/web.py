@@ -410,3 +410,63 @@ def host_pagerank(edges: DataFrame, iterations: int = 5) -> DataFrame:
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def distinct_kmv(
+    df: DataFrame,
+    key: str = "host",
+    value: str = "url",
+    k: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per key (Bar-Yossef
+    et al. 2002; the ``theta``/KMV family behind DataSketches) — the
+    bounded-memory stand-in for exact ``countDistinct`` when per-key
+    cardinalities reach billions.
+
+    Each value hashes to 48 bits (md5-derived — deterministic, unlike
+    HLL register layouts, so a DuckDB twin reproduces the sketch
+    bit-for-bit); the sketch is the k smallest distinct hashes per key;
+    the estimator is ``(k-1) · 2^48 / h_(k)`` with exact fallback when a
+    key holds fewer than k distinct values. All-integer arithmetic.
+    The exact count rides along for observability — it is the
+    (corpus-shuffling) aggregate the sketch replaces at scale.
+
+    Scale shape: one distinct on (key, hash) — narrow rows — then a
+    rank-limit window Spark rewrites to WindowGroupLimit (pre-shuffle
+    per-partition top-k, like ``host_cap``); sketch state per key is k
+    longs regardless of cardinality.
+    """
+    if k < 2:
+        raise ValueError(f"k ({k}) must be >= 2")
+    two48 = 1 << 48
+    d = (
+        df.select(
+            F.col(key),
+            (
+                F.conv(F.substring(F.md5(F.col(value)), 1, 12), 16, 10)
+                .cast("long")
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy("h")
+    ranked = d.select(key, "h", F.row_number().over(w).alias("rn")).where(
+        F.col("rn") <= k
+    )
+    per = ranked.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_min"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
+    )
+    exact = df.groupBy(key).agg(
+        F.countDistinct(value).cast("long").alias("n_distinct_exact")
+    )
+    return per.join(exact, key).select(
+        key,
+        F.when(F.col("n_min") < k, F.col("n_min"))
+        .otherwise(F.expr(f"CAST({k - 1} * {two48} AS BIGINT) DIV kth"))
+        .cast("long")
+        .alias("kmv_estimate"),
+        "n_distinct_exact",
+    )

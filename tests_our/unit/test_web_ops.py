@@ -225,3 +225,24 @@ def test_host_pagerank_hand_computed(spark):
 
     with pytest.raises(ValueError):
         host_pagerank(sink, iterations=0)
+
+
+def test_distinct_kmv_estimator(spark):
+    import pytest
+
+    from doc_parser_spark.operators.web import distinct_kmv
+
+    # small key: fewer than k distincts -> exact fallback
+    # big key: 600 distincts, k=32 -> estimate within KMV error bounds
+    rows = [("small", f"u{i}") for i in range(10)]
+    rows += [("big", f"v{i}") for i in range(600)]
+    rows += [("big", "v0")] * 5  # duplicates must not inflate
+    df = spark.createDataFrame(rows, "host string, url string")
+    out = {r["host"]: r for r in distinct_kmv(df, k=32).collect()}
+    assert out["small"]["kmv_estimate"] == 10
+    assert out["small"]["n_distinct_exact"] == 10
+    assert out["big"]["n_distinct_exact"] == 600
+    # KMV relative error ~ 1/sqrt(k-2) ≈ 18%; allow 3 sigma
+    assert 300 <= out["big"]["kmv_estimate"] <= 1000
+    with pytest.raises(ValueError):
+        distinct_kmv(df, k=1)
