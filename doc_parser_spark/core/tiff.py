@@ -220,7 +220,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if samples not in (1, 3, 4):
         raise TiffError(f"unsupported SamplesPerPixel {samples}")
     if samples > 1 and bits != 8:
-        raise TiffError("multi-sample images must be 8-bit")
+        raise TiffError("unsupported BitsPerSample for multi-sample image")
     if bits not in (1, 4, 8):
         raise TiffError(f"unsupported BitsPerSample {bits}")
     if predictor not in (1, 2):

@@ -32,8 +32,8 @@ _BLOCK_TAGS = {
     "address", "article", "aside", "blockquote", "body", "br", "caption",
     "dd", "div", "dl", "dt", "fieldset", "figcaption", "figure", "footer",
     "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr", "li",
-    "main", "nav", "ol", "p", "pre", "section", "table", "td", "th",
-    "tr", "ul",
+    "main", "nav", "noscript", "ol", "p", "pre", "section", "table",
+    "td", "th", "tr", "ul",
 }
 
 # subtrees that are boilerplate by construction (structural prior;

@@ -826,8 +826,10 @@ def linear_classifier(
     keep-threshold knob. All-integer scoring — bit-identical across
     engines and partition orders.
 
-    Scale shape: features are exploded once and reduced to
-    ``(doc_id, bucket)``; the model relation is bounded by
+    Scale shape: features are exploded once and projected straight to
+    ``(doc_id, bucket)`` — one narrow row per token *occurrence*
+    (fastText scores per occurrence, so no dedup happens or should);
+    the model relation is bounded by
     ``n_buckets × |classes|`` so the scoring join is a broadcast — the
     corpus never shuffles for it; per-class sums and the argmax window
     both group on ``doc_id`` (one shuffle; the window partitions are

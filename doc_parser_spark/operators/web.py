@@ -440,7 +440,8 @@ def distinct_kmv(
         raise ValueError(f"k ({k}) must be >= 2")
     two48 = 1 << 48
     d = (
-        df.select(
+        df.where(F.col(value).isNotNull())
+        .select(
             F.col(key),
             (
                 F.conv(F.substring(F.md5(F.col(value)), 1, 12), 16, 10)

@@ -191,7 +191,8 @@ _SESS_STATE_SCHEMA = T.StructType(
         T.StructField("session_no", T.LongType()),
         T.StructField("last_ts_us", T.LongType()),
         T.StructField("n_events", T.LongType()),
-        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("sum_scaled", T.LongType()),  # 1e-4 units, exact
+        T.StructField("has_open", T.BooleanType()),
     ]
 )
 
@@ -205,36 +206,66 @@ _SESS_OUT_SCHEMA = T.StructType(
 )
 
 
+def _scale4(value: float) -> int:
+    """double -> exact 1e-4-unit integer, HALF_UP — the same result as
+    Spark's CAST(value AS DECIMAL(18,4)) (BigDecimal of the shortest
+    decimal repr, setScale(4, HALF_UP)), so streaming sums are integer-
+    exact twins of the batch DECIMAL sums."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(float(value))).scaleb(4).to_integral_value(ROUND_HALF_UP)
+    )
+
+
+def _round2(sum_scaled: int) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(sum_scaled).scaleb(-4).quantize(Decimal("0.01"), ROUND_HALF_UP)
+    )
+
+
 def _update_sessions(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
-    """Per-user gap sessionizer. State = the one OPEN session; a session
-    CLOSES (and is emitted) when a new event arrives more than the gap
-    after the last one, or when the event-time watermark passes
-    last_ts + gap (GroupStateTimeout.EventTimeTimeout) — so closed
-    sessions are final exactly when no in-watermark event can reopen
-    them."""
+    """Per-user gap sessionizer. State = the one OPEN session plus the
+    numbering residue. A session CLOSES (and is emitted) when a new
+    event arrives more than the gap after the session's latest event, or
+    when the event-time watermark passes last_ts + gap
+    (GroupStateTimeout.EventTimeTimeout) — final exactly when no
+    in-watermark event can reopen it. On timeout the open-session
+    aggregates are emitted and dropped but the (session_no, last_ts)
+    residue is kept WITHOUT a new timeout, so a user who returns after
+    idling continues batch-identical numbering (and a late-but-admitted
+    event never reopens a sealed session — it starts the next one).
+    In-watermark late events join the open session without regressing
+    its high-water mark (gap and timeout always derive from the session
+    max event time)."""
     (user_id,) = key
     closed = []
     if state.hasTimedOut:
-        sn, last, n, sv = state.get
-        closed.append((user_id, sn, n, round(sv, 2)))
-        state.remove()
+        sn, last, n, sv, has_open = state.get
+        if has_open and n > 0:
+            closed.append((user_id, sn, n, _round2(sv)))
+        # keep the numbering residue; no further timeout until new data
+        state.update((sn + 1, last, 0, 0, False))
     else:
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
         if state.exists:
-            sn, last, n, sv = state.get
+            sn, last, n, sv, has_open = state.get
         else:
-            sn, last, n, sv = 0, None, 0, 0.0
+            sn, last, n, sv, has_open = 0, None, 0, 0, False
         for ts, value in zip(batch["ts"], batch["value"]):
             ts_us = int(ts.value) // 1000  # pandas ns -> us
-            if last is not None and ts_us - last > SESSION_GAP_US:
-                closed.append((user_id, sn, n, round(sv, 2)))
+            if has_open and ts_us - last > SESSION_GAP_US:
+                closed.append((user_id, sn, n, _round2(sv)))
                 sn += 1
-                n, sv = 0, 0.0
+                n, sv = 0, 0
             n += 1
-            sv += float(value)
-            last = ts_us
-        state.update((sn, int(last), int(n), float(sv)))
+            sv += _scale4(value)
+            last = ts_us if last is None or not has_open else max(last, ts_us)
+            has_open = True
+        state.update((sn, int(last), int(n), int(sv), bool(has_open)))
         state.setTimeoutTimestamp((int(last) + SESSION_GAP_US) // 1000)
     yield pd.DataFrame(
         closed, columns=["user_id", "session_no", "n_events", "sum_value"]
@@ -243,17 +274,24 @@ def _update_sessions(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
 
 def streaming_sessionize(events_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Custom stateful streaming operator: event-time gap sessionization
-    (the streaming twin of ``relational.sessionize``, same 30-min gap and
-    output shape). State is ONE open session per user — bounded by the
-    active-user set, not by history; the event-time timeout closes idle
-    sessions as the watermark advances, so state cannot leak.
+    (the streaming twin of ``relational.sessionize``, same 30-min gap,
+    output shape, DECIMAL-exact sums, and — thanks to the numbering
+    residue kept after timeouts — identical session numbering). The
+    open-session AGGREGATES are dropped as soon as the watermark seals a
+    session; what persists per ever-seen key is a 3-long numbering
+    residue (session_no, last_ts), the price of batch-identical
+    numbering. If global numbering is not needed, key the output on the
+    session's start timestamp instead and remove() on timeout for fully
+    bounded state.
 
     At crawl scale this is the per-host fetch-session/politeness tracker:
     keyed state partitioned across executors, Arrow-batched updates, no
     driver involvement."""
-    # watermarks require TIMESTAMP (ltz); crawl tables carry TIMESTAMP_NTZ —
-    # the cast shifts both event times and the watermark identically, so
-    # gap arithmetic is unchanged
+    # watermarks require TIMESTAMP (ltz); crawl tables carry TIMESTAMP_NTZ.
+    # The cast interprets NTZ in the session timezone — run production
+    # pipelines in UTC (the cluster default): under a DST-shifting session
+    # timezone, wall-clock gaps straddling a transition are distorted by
+    # the offset change relative to the batch twin's pure-NTZ arithmetic.
     return (
         events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)

@@ -106,3 +106,17 @@ def test_boilerplate_blocks_operator(spark):
     kept = " ".join(r["text"] for r in u1 if r["content"])
     assert "buyback" in kept and "Copyright" not in kept
     assert [r["block_id"] for r in u1] == list(range(len(u1)))
+
+
+def test_noscript_is_discarded():
+    # noscript is flow-level and a hard-discard container: its fallback
+    # text (tracking pixels, "enable JavaScript" banners) must never
+    # reach main text, however fluent
+    page = (b"<html><body><p>real article prose " + b"word " * 30 +
+            b"</p><noscript>Please enable JavaScript to view the "
+            b"comments powered by a tracking vendor with many words "
+            b"in this fallback banner text block here</noscript>"
+            b"</body></html>")
+    text = extract_main_text(page)
+    assert "real article prose" in text
+    assert "enable JavaScript" not in text

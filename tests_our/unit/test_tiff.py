@@ -271,3 +271,16 @@ def test_tiff_to_png_and_operator_dispatch():
     assert tiff_to_png(b"II*\x00garbage") is None
     status, arr = _image_array(data)
     assert status == "decoded" and np.array_equal(arr, img)
+
+
+def test_out_of_scope_reports_codec_unavailable_not_corrupt():
+    from doc_parser_spark.operators.multimodal import _image_array
+
+    img16 = np.zeros((2, 2, 3), dtype=np.uint8)
+    entries = [
+        (256, 4, [2]), (257, 4, [2]), (258, 3, [16, 16, 16]),
+        (259, 3, [1]), (262, 3, [2]), (277, 3, [3]), (278, 4, [2]),
+    ]
+    data = build_tiff(entries, [img16.tobytes()])
+    status, arr = _image_array(data)
+    assert status == "codec_unavailable" and arr is None

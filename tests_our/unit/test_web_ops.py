@@ -246,3 +246,13 @@ def test_distinct_kmv_estimator(spark):
     assert 300 <= out["big"]["kmv_estimate"] <= 1000
     with pytest.raises(ValueError):
         distinct_kmv(df, k=1)
+
+
+def test_distinct_kmv_ignores_nulls(spark):
+    from doc_parser_spark.operators.web import distinct_kmv
+
+    rows = [("h", f"u{i}") for i in range(10)] + [("h", None)] * 3
+    df = spark.createDataFrame(rows, "host string, url string")
+    r = distinct_kmv(df, k=16).collect()[0]
+    # countDistinct ignores NULLs; the sketch must too (no off-by-one)
+    assert r["kmv_estimate"] == 10 and r["n_distinct_exact"] == 10
