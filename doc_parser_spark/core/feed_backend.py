@@ -151,15 +151,15 @@ def extract_feed(payload: bytes) -> Document:
             if ititle
             else parent
         )
-        bodies = []
-        for name in ("encoded", "content", "description", "summary"):
-            body = _child_text(item, name)
-            if body:
-                bodies.append(body)
-                break  # first non-empty body wins (encoded > description)
-        for body in bodies:
-            for para in _strip_html(body):
-                doc.add_text(
-                    text=para, label=model.PARAGRAPH, parent=header
-                )
+        # first non-empty body wins (encoded > content > description)
+        body = next(
+            (
+                b
+                for name in ("encoded", "content", "description", "summary")
+                if (b := _child_text(item, name))
+            ),
+            "",
+        )
+        for para in _strip_html(body):
+            doc.add_text(text=para, label=model.PARAGRAPH, parent=header)
     return doc

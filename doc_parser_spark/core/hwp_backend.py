@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import re
 import struct
+import zlib
 from doc_parser_spark.core import model
 from doc_parser_spark.core.cfb import CfbError, read_cfb
 from doc_parser_spark.core.limits import (
@@ -144,10 +145,18 @@ def extract_hwp(data: bytes) -> Document:
         if compressed:
             # bomb-bounded: a section stream must not inflate past the
             # document size gate (limits.py)
+            # require_end: HWP section streams declare no inflated size,
+            # so a truncated deflate must FAIL the document (matching the
+            # pre-bounded zlib.decompress semantics) rather than silently
+            # succeed with missing paragraphs
             try:
-                raw = inflate_bounded(raw, DEFAULT_MAX_BYTES, wbits=-15)
+                raw = inflate_bounded(
+                    raw, DEFAULT_MAX_BYTES, wbits=-15, require_end=True
+                )
             except BombError as exc:
                 raise HwpError(str(exc)) from exc
+            except zlib.error as exc:
+                raise HwpError(f"corrupt section stream: {exc}") from exc
         for tag, _level, payload in iter_records(raw):
             if tag != HWPTAG_PARA_TEXT:
                 continue

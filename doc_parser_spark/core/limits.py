@@ -25,15 +25,10 @@ class BombError(ValueError):
     """Inflated output exceeded its declared/allowed bound."""
 
 
-def inflate_bounded(data: bytes, cap: int, wbits: int = 15) -> bytes:
-    """zlib-inflate with a hard output cap enforced *during* inflation.
-
-    Streams through ``zlib.decompressobj`` so at most ``cap`` bytes are
-    ever materialized; raises :class:`BombError` the moment output would
-    exceed ``cap``.  Truncated input returns the bytes inflated so far
-    (callers validate expected lengths themselves)."""
-    d = zlib.decompressobj(wbits)
-    out = bytearray()
+def _inflate_into(d, data: bytes, out: bytearray, cap: int) -> None:
+    """Drive one decompressobj over ``data`` into ``out``, enforcing the
+    cumulative ``cap`` while inflating (shared by every bounded path —
+    the cap arithmetic lives exactly once)."""
     buf = data
     while True:
         out += d.decompress(buf, cap + 1 - len(out))
@@ -42,6 +37,25 @@ def inflate_bounded(data: bytes, cap: int, wbits: int = 15) -> bytes:
         if d.eof or not d.unconsumed_tail:
             break
         buf = d.unconsumed_tail
+
+
+def inflate_bounded(
+    data: bytes, cap: int, wbits: int = 15, require_end: bool = False
+) -> bytes:
+    """zlib-inflate with a hard output cap enforced *during* inflation.
+
+    Streams through ``zlib.decompressobj`` so at most ``cap`` bytes are
+    ever materialized; raises :class:`BombError` the moment output would
+    exceed ``cap``.  Truncated input returns the bytes inflated so far
+    unless ``require_end`` is set, in which case a stream that does not
+    reach its deflate end-marker raises ``zlib.error`` — callers whose
+    format declares no expected length (e.g. HWP section streams) use
+    this so silent truncation cannot masquerade as success."""
+    d = zlib.decompressobj(wbits)
+    out = bytearray()
+    _inflate_into(d, data, out, cap)
+    if require_end and not d.eof:
+        raise zlib.error("truncated deflate stream")
     return bytes(out)
 
 
@@ -56,14 +70,7 @@ def gunzip_members(data: bytes, cap: int = DEFAULT_MAX_BYTES) -> bytes:
     out = bytearray()
     while data[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(47)
-        buf = data
-        while True:
-            out += d.decompress(buf, cap + 1 - len(out))
-            if len(out) > cap:
-                raise BombError(f"inflated data exceeds {cap} bytes")
-            if d.eof or not d.unconsumed_tail:
-                break
-            buf = d.unconsumed_tail
+        _inflate_into(d, data, out, cap)
         if not d.eof:
             break  # truncated final member
         data = d.unused_data

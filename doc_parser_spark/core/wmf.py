@@ -238,8 +238,14 @@ def decode_wmf(data: bytes) -> np.ndarray:
         pos += 2 * size_w
         if func == 0x0000:  # META_EOF
             break
-        ints = struct.unpack(f"<{len(params) // 2}h", params[: len(params) - len(params) % 2])
-        uints = struct.unpack(f"<{len(params) // 2}H", params[: len(params) - len(params) % 2])
+        # every handler reads a bounded word prefix except POLYGON/POLYLINE
+        # (whose point list IS the record); a multi-MB DIB blit must not be
+        # unpacked into two full Python int tuples first
+        n_words = len(params) // 2
+        int_words = n_words if func in (0x0324, 0x0325) else min(n_words, 16)
+        ints = struct.unpack(f"<{int_words}h", params[: 2 * int_words])
+        u_words = min(n_words, 16)
+        uints = struct.unpack(f"<{u_words}H", params[: 2 * u_words])
         if func == 0x02FA and len(uints) >= 5:  # CREATEPENINDIRECT
             style = uints[0]
             color = _colorref(uints[3], uints[4])

@@ -198,7 +198,18 @@ def extract_pdf(
                     force_full_page_ocr=force_full_page_ocr,
                 )
         doc, _score = _build_document(pages)
-        if doc.has_text_items() or not payload:
+        # has_text_items mirrors the reference's emptiness contract (empty
+        # STRUCTURELESS tables count, populated ones don't) — but here a
+        # page whose entire text landed inside a recovered ruled table is
+        # real content, not an empty parse; falling back would throw the
+        # table away and re-extract its cells as loose text
+        has_table_cells = any(
+            node.label == model.TABLE
+            and node.table is not None
+            and node.table.cells
+            for node, _ in doc.iterate_items(layers=(model.BODY,))
+        )
+        if doc.has_text_items() or has_table_cells or not payload:
             return doc, False
         # parsed but produced nothing: retry with the naive scan
         raise minipdf.PdfParseError("structured parse yielded no text")

@@ -122,10 +122,22 @@ def detect_tables(cells: list, rulings: list) -> list[TableRegion]:
             a = parent[a]
         return a
 
+    # crossings via an x-sorted index over the v-segments: O(|hs|·log|vs|
+    # + matches) instead of the full |hs|×|vs| product — a crawl PDF can
+    # paint thousands of rulings per page and per-document time isolation
+    # must hold
+    import bisect
+
+    vs_order = sorted(range(len(vs)), key=lambda j: vs[j][0])
+    vx = [vs[j][0] for j in vs_order]
     crossings: set[tuple[int, int]] = set()
     for i, (y, hx0, hx1) in enumerate(hs):
-        for j, (x, vy0, vy1) in enumerate(vs):
-            if hx0 - TOL <= x <= hx1 + TOL and vy0 - TOL <= y <= vy1 + TOL:
+        lo = bisect.bisect_left(vx, hx0 - TOL)
+        hi = bisect.bisect_right(vx, hx1 + TOL)
+        for jj in range(lo, hi):
+            j = vs_order[jj]
+            _x, vy0, vy1 = vs[j]
+            if vy0 - TOL <= y <= vy1 + TOL:
                 crossings.add((i, j))
                 ra, rb = find(i), find(len(hs) + j)
                 if ra != rb:
@@ -136,10 +148,14 @@ def detect_tables(cells: list, rulings: list) -> list[TableRegion]:
         comps.setdefault(find(i), ([], []))[0].append(i)
     for j in range(len(vs)):
         comps.setdefault(find(len(hs) + j), ([], []))[1].append(j)
+    cross_by_root: dict[int, int] = {}
+    for i, _j in crossings:
+        r = find(i)
+        cross_by_root[r] = cross_by_root.get(r, 0) + 1
 
     regions: list[TableRegion] = []
     accepted_h: set[int] = set()
-    for h_idx, v_idx in comps.values():
+    for root, (h_idx, v_idx) in comps.items():
         if len(h_idx) < 3 or len(v_idx) < 3:
             continue
         row_lines = _cluster_1d([hs[i][0] for i in h_idx])
@@ -147,9 +163,7 @@ def detect_tables(cells: list, rulings: list) -> list[TableRegion]:
         if len(row_lines) < 3 or len(col_lines) < 3:
             continue
         # lattice completeness: painted crossings / ideal crossings
-        n_cross = sum(
-            1 for i, j in crossings if i in set(h_idx) and j in set(v_idx)
-        )
+        n_cross = cross_by_root.get(root, 0)
         if n_cross < MIN_LATTICE_FILL * len(row_lines) * len(col_lines):
             continue
         # borderless outer columns/rows (LaTeX `{l|l|l}` without outer

@@ -175,12 +175,27 @@ class Font:
             yield code, self._uni(code), w, (n == 1 and code == 32)
 
 
+# sentinel for text shown while no font resource resolved — one shared
+# identity so id()-keyed cell segmentation stays deterministic
+_UNRESOLVED_FONT = Font()
+
+
 def _resolve_array(body: bytes, key: bytes, objects: dict) -> bytes:
     """``/Key [ ... ]`` inline or ``/Key N 0 R`` → the array bytes."""
     m = re.search(key + rb"\s*\[", body)
     if m:
-        end = body.find(b"]", m.end())
-        return body[m.end() : end] if end > 0 else b""
+        # balanced scan: CID /W arrays nest bracket groups
+        # (``[65 [500] 66 [600 700]]``) — a find(']') would truncate at
+        # the first group and default every later code's advance
+        depth, i = 1, m.end()
+        while i < len(body) and depth:
+            c = body[i]
+            if c == 0x5B:
+                depth += 1
+            elif c == 0x5D:
+                depth -= 1
+            i += 1
+        return body[m.end() : i - 1] if depth == 0 else b""
     m = re.search(key + rb"\s+(\d+)\s+\d+\s+R", body)
     if m:
         ref_body = objects.get(int(m.group(1)), b"")
@@ -461,47 +476,46 @@ def assemble_cells(
                 groups[-1].append(g)
             if not g.text.isspace():
                 last_solid_font = g.font
-        if True:
-            sub_runs = [
-                run for group in groups for run in _bidi_cell_text(group)
-            ]
-            for run in sub_runs:
-                parts: list[str] = []
-                prev_g = None
-                for g in run:
-                    if (
-                        prev_g is not None
-                        and g.spaced
-                        and prev_g.spaced
-                        and not g.text[:1].isspace()
-                        and not (prev_g.text[-1:].isspace())
-                        and g.x0 - prev_g.x1
-                        > SPACE_GAP_EM * max(g.size, prev_g.size)
-                    ):
-                        parts.append(" ")
-                    parts.append(g.text)
-                    prev_g = g
-                text = "".join(parts)
-                if text == "":
-                    continue
-                size = max(g.size for g in run)
-                x_l = min(g.x0 for g in run)
-                x_r = max(g.x1 for g in run)
-                y = max(g.y for g in run)
-                ascent, descent = 0.8 * size, 0.2 * size
-                cells.append(
-                    cell_cls(
-                        index=counter,
-                        text=text,
-                        l=x_l,
-                        t=page_height - (y + ascent),
-                        r=x_r,
-                        b=page_height - (y - descent),
-                        font_size=size,
-                        page_no=page_no,
-                    )
+        sub_runs = [
+            run for group in groups for run in _bidi_cell_text(group)
+        ]
+        for run in sub_runs:
+            parts: list[str] = []
+            prev_g = None
+            for g in run:
+                if (
+                    prev_g is not None
+                    and g.spaced
+                    and prev_g.spaced
+                    and not g.text[:1].isspace()
+                    and not (prev_g.text[-1:].isspace())
+                    and g.x0 - prev_g.x1
+                    > SPACE_GAP_EM * max(g.size, prev_g.size)
+                ):
+                    parts.append(" ")
+                parts.append(g.text)
+                prev_g = g
+            text = "".join(parts)
+            if text == "":
+                continue
+            size = max(g.size for g in run)
+            x_l = min(g.x0 for g in run)
+            x_r = max(g.x1 for g in run)
+            y = max(g.y for g in run)
+            ascent, descent = 0.8 * size, 0.2 * size
+            cells.append(
+                cell_cls(
+                    index=counter,
+                    text=text,
+                    l=x_l,
+                    t=page_height - (y + ascent),
+                    r=x_r,
+                    b=page_height - (y - descent),
+                    font_size=size,
+                    page_no=page_no,
                 )
-                counter += 1
+            )
+            counter += 1
     return cells
 
 
@@ -568,7 +582,10 @@ class TextEngine:
 
         def show(raw_text: str):
             nonlocal tm
-            f = font or Font()
+            # shared sentinel, not a per-call Font(): glyphs key cell
+            # splits on id(font), and a transient object's id is
+            # allocation-order-dependent (nondeterministic segmentation)
+            f = font or _UNRESOLVED_FONT
             raw = raw_text.encode("latin-1", errors="ignore")
             for code, uni, w_em, is_space in f.iter_codes(raw):
                 trm = mmul((tfs * tz, 0.0, 0.0, tfs, 0.0, ts), mmul(tm, ctm))

@@ -117,3 +117,22 @@ def test_kernel_routing():
         convert_payload(write_cfb({"WordDocument": b"\x00" * 16}))
     with pytest.raises(UnsupportedFormatError, match="unrecognized OLE2"):
         convert_payload(write_cfb({"Mystery": b"\x00" * 16}))
+
+
+def test_truncated_section_stream_fails_not_partial():
+    """A compressed section whose deflate stream is cut off must FAIL the
+    document (HwpError) — not silently succeed with missing paragraphs."""
+    import pytest
+
+    from doc_parser_spark.core.cfb import write_cfb
+    from doc_parser_spark.core.hwp_backend import HwpError, extract_hwp
+
+    import zlib as _z
+
+    streams = {"FileHeader": _file_header(True)}
+    body = _rec(0x43, _para_text("only paragraph in this section"))
+    comp = _z.compress(body)[2:-4]  # raw deflate
+    streams["BodyText/Section0"] = comp[: len(comp) // 2]  # truncate
+    blob = write_cfb(streams)
+    with pytest.raises(HwpError, match="corrupt section stream"):
+        extract_hwp(blob)

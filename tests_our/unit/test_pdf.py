@@ -244,3 +244,20 @@ def test_cmap_parsing():
     assert cm.map[0x20] == "X" and cm.map[0x21] == "Y"  # array range
     assert cm.decode(b"\x00\x03\x00\x10") == " a"
     assert cm.decode(b"\x00\xff") == ""  # unmapped code drops cleanly
+
+
+def test_cid_w_array_multiple_nested_groups():
+    """CID /W arrays with several bracket groups — the common real-world
+    shape — must parse every group (a first-']' scan truncates after
+    group one and defaults all later advances)."""
+    from doc_parser_spark.pdf.minipdf import CMap
+    from doc_parser_spark.pdf.textengine import parse_font
+
+    font_body = b"/Subtype /Type0 /DescendantFonts [5 0 R]"
+    objects = {
+        5: b"<< /DW 1000 /W [65 [500] 66 [600 700] 70 72 250] >>",
+    }
+    f = parse_font(font_body, objects, {}, cmap_cls=CMap)
+    assert f.widths[65] == 0.5
+    assert f.widths[66] == 0.6 and f.widths[67] == 0.7
+    assert f.widths[70] == f.widths[71] == f.widths[72] == 0.25

@@ -225,3 +225,20 @@ def test_two_tables_on_one_page():
     assert len(regions) == 2
     assert regions[0].data.grid == TEXTS  # sorted by top coordinate
     assert regions[1].data.grid == texts2
+
+
+def test_table_only_page_does_not_fall_back():
+    """A page whose ENTIRE text is consumed by a detected ruled table is
+    real content: the extractor must keep the structured parse (table
+    struct intact, fallback=False), not retry with the naive scan."""
+    doc, fallback = extract_pdf(_ruled_pdf())
+    assert fallback is False
+    from doc_parser_spark.core import model
+
+    tbl = [
+        n for n, _ in doc.iterate_items(layers=(model.BODY,))
+        if n.label == model.TABLE and n.table is not None
+    ]
+    assert tbl and tbl[0].table.cells  # the recovered table survived
+    md = export_markdown(doc)
+    assert "bolt" in md and "price" in md
