@@ -336,7 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracles
 # ---------------------------------------------------------------------------
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_NORM_SQL = "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
 _WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
 
 from doc_parser_spark.operators import web as _web  # noqa: E402
@@ -1481,8 +1481,8 @@ def oracle_sql() -> dict[str, str]:
             WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url FROM documents),
             h AS (
                 SELECT doc_id,
-                       regexp_extract({_duck_canonical_url("url")},
-                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                       lower(regexp_extract({_duck_canonical_url("url")},
+                           '{_web._ANY_HOST_RE}', 1)) AS host,
                        md5(cast(doc_id AS VARCHAR)) AS pick
                 FROM p
             )
@@ -1527,20 +1527,20 @@ def oracle_sql() -> dict[str, str]:
                        AS n_distinct_exact
                 FROM u GROUP BY host
             )
-            SELECT per.host,
-                   CAST(CASE WHEN n_min < 16 THEN n_min
+            SELECT exact.host,
+                   CAST(coalesce(CASE WHEN n_min < 16 THEN n_min
                         ELSE CAST(15 * 281474976710656 AS BIGINT) // kth
-                        END AS BIGINT) AS kmv_estimate,
+                        END, 0) AS BIGINT) AS kmv_estimate,
                    n_distinct_exact
-            FROM per JOIN exact ON per.host = exact.host
+            FROM exact LEFT JOIN per ON per.host = exact.host
         """,
         "web_host_pagerank": _pagerank_sql(),
         "web_host_stats": f"""
             WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url, text FROM documents),
             c AS (
                 SELECT doc_id,
-                       regexp_extract({_duck_canonical_url("url")},
-                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                       lower(regexp_extract({_duck_canonical_url("url")},
+                           '{_web._ANY_HOST_RE}', 1)) AS host,
                        {_duck_canonical_url("url")} AS curl,
                        length(coalesce(text, '')) AS n_chars
                 FROM p

@@ -89,6 +89,12 @@ def lsh_candidate_pairs(
     max_bucket: int = 50,
 ) -> DataFrame:
     """Candidate near-dup pairs sharing at least one LSH band."""
+    if n_bands <= 0 or n_hashes % n_bands != 0:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must divide into n_bands ({n_bands}) "
+            "evenly — a remainder silently discards hash functions "
+            "(weaker LSH recall than requested)"
+        )
     sigs = minhash_signatures(documents, n_hashes)
     rows_per_band = n_hashes // n_bands
     bands = []

@@ -193,9 +193,15 @@ def ivf_train(
     mean via exact scaled-integer sums. Empty cells keep their previous
     centroid. Each pass over the data is ONE aggregation with map-side
     partial combine — nothing but (cid, count, 64 longs) shuffles."""
-    dims = len(embeddings.select("embedding").first()["embedding"])
+    first = embeddings.select("embedding").first()
+    if first is None:
+        raise ValueError("ivf_train: embeddings table is empty")
+    dims = len(first["embedding"])
     init = embeddings.orderBy("vec_id").limit(k).collect()
-    cents = [[float(v) for v in r["embedding"]] for r in init]
+    # fewer vectors than requested cells: shrink the codebook (every
+    # assignment cid stays a valid index) rather than indexing past it
+    k = min(k, len(init))
+    cents = [[float(v) for v in r["embedding"]] for r in init[:k]]
     for _ in range(iters):
         aggs = [F.count(F.lit(1)).alias("n")] + [
             F.sum(

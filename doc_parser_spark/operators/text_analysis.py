@@ -17,8 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-# normalization used for fingerprints/dedup: lowercase, collapse whitespace
-NORM = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+# normalization used for fingerprints/dedup: lowercase, collapse
+# whitespace; NULL text (extraction-failure rows) normalizes like the
+# empty document instead of poisoning hashes/sizes with SQL NULLs
+NORM = "trim(regexp_replace(lower(coalesce(text, '')), '\\\\s+', ' '))"
 
 _STOPWORDS = {
     "en": ["the", "and", "of", "to", "is"],
@@ -41,9 +43,18 @@ def _trunc6(expr):
 BPE_TOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 
 
+def _nn_text(documents: DataFrame) -> DataFrame:
+    """NULL text (extraction-failure rows) behaves as the EMPTY document
+    throughout this module: under non-ANSI Spark, size(split(NULL)) is -1
+    and NULL-valued aggregates silently poison counts/ratios/groupings
+    (the hazard line_dedup/top_terms/dup_spans already guard locally)."""
+    return documents.withColumn("text", F.coalesce("text", F.lit("")))
+
+
 def token_stats(documents: DataFrame) -> DataFrame:
     """Per-document token/char statistics: whitespace tokenization plus a
     BPE-ish pre-tokenizer count (the two standard corpus-size estimators)."""
+    documents = _nn_text(documents)
     bpe_sql = BPE_TOKEN_PATTERN.replace("\\", "\\\\").replace("'", "\\'")
     return documents.select(
         "doc_id",
@@ -62,6 +73,7 @@ def token_stats(documents: DataFrame) -> DataFrame:
 def quality_score(documents: DataFrame) -> DataFrame:
     """Heuristic quality scoring: length, punctuation/digit density,
     stopword ratio (the readability/trafilatura-style signal family)."""
+    documents = _nn_text(documents)
     toks = F.expr("size(split(trim(text), '\\\\s+'))")
     stop_hits = None
     for w in _STOPWORDS["en"]:
@@ -73,10 +85,12 @@ def quality_score(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.length("text").cast("long").alias("n_chars_actual"),
         _trunc6(
-            F.length(F.regexp_replace("text", r"[^\p{Punct}]", "")) / F.length("text")
+            F.length(F.regexp_replace("text", r"[^\p{Punct}]", ""))
+            / F.greatest(F.length("text"), F.lit(1))
         ).alias("punct_ratio"),
         _trunc6(
-            F.length(F.regexp_replace("text", r"[^0-9]", "")) / F.length("text")
+            F.length(F.regexp_replace("text", r"[^0-9]", ""))
+            / F.greatest(F.length("text"), F.lit(1))
         ).alias("digit_ratio"),
         _trunc6(stop_hits / toks).alias("stopword_ratio"),
     )
@@ -85,6 +99,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
 def lang_id(documents: DataFrame) -> DataFrame:
     """Stopword-overlap language ID (n-gram-free heuristic): argmax of
     per-language stopword hit counts, 'und' when all zero."""
+    documents = _nn_text(documents)
     cols = []
     for lang, words in _STOPWORDS.items():
         hits = None
@@ -95,16 +110,25 @@ def lang_id(documents: DataFrame) -> DataFrame:
             hits = hit if hits is None else (hits + hit)
         cols.append(hits.cast("long").alias(f"hits_{lang}"))
     scored = documents.select("doc_id", *cols)
+    # argmax derived from _STOPWORDS (ties -> earliest key), so adding a
+    # language to the dict extends both the hit columns AND the verdict
+    langs = list(_STOPWORDS)
+    all_zero = " AND ".join(f"hits_{lg} = 0" for lg in langs)
+    branches = []
+    for i, lg in enumerate(langs[:-1]):
+        geq = " AND ".join(
+            f"hits_{lg} >= hits_{other}" for other in langs[i + 1 :]
+        )
+        branches.append(f"WHEN {geq} THEN '{lg}'")
+    case = (
+        f"CASE WHEN {all_zero} THEN 'und' "
+        + " ".join(branches)
+        + f" ELSE '{langs[-1]}' END"
+    )
     return scored.select(
         "doc_id",
-        "hits_en",
-        "hits_es",
-        "hits_de",
-        F.expr(
-            "CASE WHEN hits_en = 0 AND hits_es = 0 AND hits_de = 0 THEN 'und' "
-            "WHEN hits_en >= hits_es AND hits_en >= hits_de THEN 'en' "
-            "WHEN hits_es >= hits_de THEN 'es' ELSE 'de' END"
-        ).alias("pred_lang"),
+        *[f"hits_{lg}" for lg in langs],
+        F.expr(case).alias("pred_lang"),
     )
 
 
@@ -117,6 +141,7 @@ def fingerprint(documents: DataFrame) -> DataFrame:
 
 def length_histogram(documents: DataFrame, bucket: int = 100) -> DataFrame:
     """n_chars histogram in fixed-width buckets."""
+    documents = _nn_text(documents)
     return (
         documents.select(
             (F.floor(F.length("text") / bucket) * bucket).cast("long").alias("bucket_lo")
@@ -141,6 +166,7 @@ def gopher_filter(documents: DataFrame) -> DataFrame:
     All signals are exact integer counts or floor-truncated ratios so the
     keep decision compares identically in Spark and DuckDB. Pure native
     expressions — one codegen stage over the scan, trivially 100 TB-safe."""
+    documents = _nn_text(documents)
     words = F.expr("filter(split(trim(text), '\\\\s+'), t -> t <> '')")
     lines = F.expr("filter(split(text, '\\n'), l -> trim(l) <> '')")
     d = documents.select("doc_id", "text", words.alias("w"), lines.alias("ln"))
@@ -217,6 +243,7 @@ def repetition_filter(documents: DataFrame) -> DataFrame:
     without a corpus-sized join back. The n-gram explode is the standard
     Gopher/SlimPajama approach; volume is ~(|top_ns|+|dup_ns|)× tokens.
     """
+    documents = _nn_text(documents)
     all_ns = [n for n, _ in _REP_TOP_NS] + [n for n, _ in _REP_DUP_NS]
     parts = ["array(struct(-1 AS n, '' AS gram))"]
     parts.append("transform(ln, l -> struct(0 AS n, l AS gram))")
@@ -308,6 +335,9 @@ def pack_shards(
     into broadcast offsets on the driver, and adds per-partition local
     cumsums — two passes, no single-task bottleneck, exact BIGINT
     arithmetic end-to-end."""
+    documents = _nn_text(documents)
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens ({budget_tokens}) must be positive")
     spark = documents.sparkSession
     if num_partitions <= 0:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -426,6 +456,7 @@ def lm_fit_score(documents: DataFrame) -> DataFrame:
     skew on the history join is AQE skew-split territory); the vocabulary
     scalar is a one-row broadcast.
     """
+    documents = _nn_text(documents)
     d = documents.select(
         "doc_id",
         F.expr("filter(split(trim(text), '\\\\s+'), t -> t <> '')").alias("w"),
@@ -641,6 +672,7 @@ def dsir_weights(
     the 1e6 scale constant must shrink (or the ratio move to DECIMAL) to
     keep ``1e6·(ct+1)·(Nr+B)`` inside int64 — documented, not silent.
     """
+    documents = _nn_text(documents)
     d = documents.select(
         "doc_id",
         F.expr(target_pred).alias("is_target"),
@@ -773,6 +805,7 @@ def domain_mix_weights(
     per-source relation (bounded by the number of domains), never over
     the corpus.
     """
+    documents = _nn_text(documents)
     per_src = documents.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(
@@ -835,6 +868,7 @@ def linear_classifier(
     both group on ``doc_id`` (one shuffle; the window partitions are
     |classes|-row slivers).
     """
+    documents = _nn_text(documents)
     feats = (
         documents.select(
             "doc_id",

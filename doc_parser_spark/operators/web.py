@@ -67,8 +67,11 @@ SYNTH_PII_TEXT_SQL = (
 
 # Tracking parameters stripped by the canonicalizer (the usual suspects;
 # every predicate is a LIKE so Spark and DuckDB agree byte-for-byte).
+# 'utm_' is matched with substring, not LIKE: LIKE's '_' is a one-char
+# wildcard, so LIKE 'utm_%' would also strip legitimate params such as
+# 'utmost=...' (and escape syntax differs between the engines).
 TRACKING_PARAM_PREDICATE = (
-    "p <> '' AND p NOT LIKE 'utm_%' AND p NOT LIKE 'gclid=%' "
+    "p <> '' AND substring(p, 1, 4) <> 'utm_' AND p NOT LIKE 'gclid=%' "
     "AND p NOT LIKE 'fbclid=%' AND p NOT LIKE 'ref=%'"
 )
 
@@ -77,8 +80,15 @@ TRACKING_PARAM_PREDICATE = (
 # DuckDB's don't — bracket classes sidestep the divergence entirely.
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+# host from a CANONICAL url, scheme-less forms included ('siteA.com/x',
+# '//cdn.com/x') — without this, every scheme-less page lands in one ''
+# host bucket and host_cap rations unrelated hosts against each other
+_ANY_HOST_RE = "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?://)?([^/?#]*)"
 _PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = "[?]([^#]*)"
+# query starts at the first '?' BEFORE any fragment: '[?]([^#]*)' alone
+# would match a '?' living inside the fragment ('http://h/p#a?b=1' has no
+# query) and resurrect fragment content into the canonical form
+_QUERY_RE = "^[^#?]*[?]([^#]*)"
 
 
 def canonical_url_col(url_col: str = "url"):
@@ -165,8 +175,8 @@ def host_cap(
 
     with_host = pages.select(
         "doc_id",
-        F.regexp_extract(
-            canonical_url_col(url_col), _HOST_RE, 1
+        F.lower(
+            F.regexp_extract(canonical_url_col(url_col), _ANY_HOST_RE, 1)
         ).alias("host"),
         F.md5(F.col("doc_id").cast("string")).alias("pick"),
     )
@@ -199,7 +209,7 @@ def host_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
     curl = canonical_url_col(url_col)
     with_host = pages.select(
         "doc_id",
-        F.regexp_extract(curl, _HOST_RE, 1).alias("host"),
+        F.lower(F.regexp_extract(curl, _ANY_HOST_RE, 1)).alias("host"),
         curl.alias("curl"),
         F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"),
     )
@@ -463,10 +473,16 @@ def distinct_kmv(
     exact = df.groupBy(key).agg(
         F.countDistinct(value).cast("long").alias("n_distinct_exact")
     )
-    return per.join(exact, key).select(
+    # left join FROM the exact side: a key whose values are all NULL has
+    # no sketch rows but still owns an (estimate=0, exact=0) output row
+    return exact.join(per, key, "left").select(
         key,
-        F.when(F.col("n_min") < k, F.col("n_min"))
-        .otherwise(F.expr(f"CAST({k - 1} * {two48} AS BIGINT) DIV kth"))
+        F.coalesce(
+            F.when(F.col("n_min") < k, F.col("n_min")).otherwise(
+                F.expr(f"CAST({k - 1} * {two48} AS BIGINT) DIV kth")
+            ),
+            F.lit(0),
+        )
         .cast("long")
         .alias("kmv_estimate"),
         "n_distinct_exact",

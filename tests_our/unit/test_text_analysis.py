@@ -342,3 +342,58 @@ def test_corpus_profile_nulls_and_stats(spark):
     assert (d["n_null"], d["n_distinct"], d["min_value"], d["max_value"]) == (
         0, 3, "1", "3")
     assert out["lang"]["n_null"] == 1
+
+
+def test_null_text_behaves_as_empty_document(spark):
+    """Extraction failure rows carry text=NULL; every operator must treat
+    them as the empty document, never as size(NULL) = -1 poison."""
+    from doc_parser_spark.operators.text_analysis import (
+        fingerprint,
+        lang_id,
+        pack_shards,
+        repetition_filter,
+        token_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "the cat and the dog is of to")],
+        "doc_id long, text string",
+    )
+    ts = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert ts[1]["n_tokens"] == 1 and ts[1]["n_chars_actual"] == 0
+    li = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert li[1] == "und" and li[3] == "en"
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
+    assert fp[1] == fp[2] and fp[1] is not None  # empty-doc identity, not NULL
+    # the sentinel design must keep null-text docs in the output
+    assert {r["doc_id"] for r in repetition_filter(docs).collect()} == {1, 2, 3}
+    assert {r["doc_id"] for r in pack_shards(docs).collect()} == {1, 2, 3}
+
+
+def test_parameter_validation(spark):
+    import pytest
+
+    from doc_parser_spark.operators.dedup import lsh_candidate_pairs
+    from doc_parser_spark.operators.text_analysis import pack_shards
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="budget_tokens"):
+        pack_shards(docs, budget_tokens=0)
+    with pytest.raises(ValueError, match="n_hashes"):
+        lsh_candidate_pairs(docs, n_hashes=10, n_bands=4)
+
+
+def test_ivf_train_small_and_empty_tables(spark):
+    import pytest
+
+    from doc_parser_spark.operators.similarity import ivf_train
+
+    few = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ivf_train(few, k=8, iters=2)  # fewer vectors than cells
+    assert len(cents) == 3 and all(len(c) == 2 for c in cents)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        ivf_train(empty, k=4)

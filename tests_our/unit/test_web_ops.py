@@ -256,3 +256,14 @@ def test_distinct_kmv_ignores_nulls(spark):
     r = distinct_kmv(df, k=16).collect()[0]
     # countDistinct ignores NULLs; the sketch must too (no off-by-one)
     assert r["kmv_estimate"] == 10 and r["n_distinct_exact"] == 10
+
+
+def test_distinct_kmv_all_null_key_kept(spark):
+    from doc_parser_spark.operators.web import distinct_kmv
+
+    rows = [("h", f"u{i}") for i in range(4)] + [("empty", None)] * 2
+    df = spark.createDataFrame(rows, "host string, url string")
+    out = {r["host"]: r for r in distinct_kmv(df, k=8).collect()}
+    assert out["empty"]["kmv_estimate"] == 0
+    assert out["empty"]["n_distinct_exact"] == 0
+    assert out["h"]["kmv_estimate"] == 4
