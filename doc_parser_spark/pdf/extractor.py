@@ -6,10 +6,13 @@ Assembly order mirrors the reference's paginated pipeline
 quality score → reading order → block clustering → sanitize → items;
 then concatenate pages into one document.
 
-Heading detection is the engine's rule-based stand-in for the reference's
-layout NN (``docling/models/layout_model.py:148-219``, out of deterministic
-scope per SURVEY.md §7): a single-line block whose font size clearly exceeds
-the page median becomes TITLE (first, page 1) or SECTION_HEADER.
+Labeling is the engine's rule-based stand-in for the reference's layout NN
+(``docling/models/layout_model.py:148-219``, out of deterministic scope per
+SURVEY.md §7): a single-line block whose font size clearly exceeds the page
+median becomes TITLE (first, page 1) or SECTION_HEADER, and ``pdf/labels.py``
+recovers PAGE_HEADER/PAGE_FOOTER furniture (cross-page repetition +
+page-number patterns), LIST_ITEM groups (bullet/enumerator markers), CAPTION
+blocks (cross-referenced onto adjacent tables), and monospace CODE blocks.
 
 The fallback chain mirrors ``doc_preprocessors/basic_processor.py:887-903``:
 if the structured parse fails, the whole document is retried with the naive
@@ -25,7 +28,7 @@ import numpy as np
 
 from doc_parser_spark.core import model
 from doc_parser_spark.core.model import Document
-from doc_parser_spark.pdf import layout, minipdf, ocr_regions, tables
+from doc_parser_spark.pdf import labels, layout, minipdf, ocr_regions, tables
 
 _HEADING_SIZE_FACTOR = 1.25
 
@@ -36,6 +39,10 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
     title_emitted = False
     current_parent: model.Node | None = None
 
+    # -- pass 1: parse geometry per page; collect band blocks for the
+    # cross-page furniture statistic (labels.repeated_furniture_keys)
+    page_data = []  # (page, regions, blocks, median_size)
+    band_blocks: list[tuple[int, str]] = []
     for page in pages:
         doc.page_sizes[page.page_no] = (page.width, page.height)
         # ruled-table grids (pdf/tables.py): detected on RAW cells — the
@@ -59,28 +66,72 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
         if not math.isnan(score):
             parse_scores.append(score)
 
-        pending = list(regions)  # already sorted by (top, left)
-
-        def flush_tables(up_to_y: float | None) -> None:
-            while pending and (
-                up_to_y is None or pending[0].bbox[1] <= up_to_y
-            ):
-                region = pending.pop(0)
-                doc.add_table(
-                    region.data,
-                    parent=current_parent,
-                    page_no=page.page_no,
-                    bbox=region.bbox,
-                )
-
         ordered = layout.order_cells(merged, page.width)
         blocks = layout.cluster_blocks(ordered)
         if merged:
             median_size = float(np.median([c.font_size for c in merged]))
         else:
             median_size = 12.0
-
+        page_data.append((page, regions, blocks, median_size))
         for block in blocks:
+            bbox = layout.block_bbox(block)
+            if labels.band_of(bbox, page.height) is not None:
+                text = " ".join(
+                    c.text.strip() for c in block if c.text.strip()
+                )
+                band_blocks.append(
+                    (page.page_no, labels.furniture_key(text))
+                )
+    repeated = (
+        labels.repeated_furniture_keys(band_blocks)
+        if len(pages) >= 2
+        else set()
+    )
+
+    # -- pass 2: classify and emit
+    for page, regions, blocks, median_size in page_data:
+        pending = list(regions)  # already sorted by (top, left)
+        last_table: model.Node | None = None
+        last_table_bottom = 0.0
+        pending_caption: model.Node | None = None
+        pending_caption_bottom = 0.0
+
+        def flush_tables(up_to_y: float | None) -> None:
+            nonlocal last_table, last_table_bottom, pending_caption
+            while pending and (
+                up_to_y is None or pending[0].bbox[1] <= up_to_y
+            ):
+                region = pending.pop(0)
+                cap = None
+                if (
+                    pending_caption is not None
+                    and region.bbox[1] - pending_caption_bottom
+                    <= labels.CAPTION_GAP_PT
+                ):
+                    cap = pending_caption
+                    pending_caption = None
+                last_table = doc.add_table(
+                    region.data,
+                    parent=current_parent,
+                    page_no=page.page_no,
+                    bbox=region.bbox,
+                    caption=cap,
+                )
+                last_table_bottom = region.bbox[3]
+
+        sub_blocks = [
+            sub for b in blocks for sub in labels.split_label_runs(b)
+        ]
+        # the folio is the bottom-most (top-most) block on its page —
+        # stronger evidence than a fixed band when margins are generous
+        page_max_b = max(
+            (layout.block_bbox(b)[3] for b in sub_blocks), default=0.0
+        )
+        page_min_t = min(
+            (layout.block_bbox(b)[1] for b in sub_blocks),
+            default=page.height,
+        )
+        for block in sub_blocks:
             lines = [c.text.replace("\x02", "-").strip() for c in block if c.text.strip()]
             if not lines:
                 continue
@@ -89,6 +140,114 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
                 continue
             bbox = layout.block_bbox(block)
             flush_tables(bbox[1])
+
+            # furniture: band-resident + (repeats across pages | page
+            # number). Bare folios additionally qualify as the page's
+            # extreme block inside a generous margin (LaTeX drops the
+            # folio ~0.82h on A4 — outside any safe fixed band).
+            band = labels.band_of(bbox, page.height)
+            if labels.is_page_number(text) and band is None:
+                band = labels.band_of(
+                    bbox, page.height, labels.PAGENO_BAND_FRACTION
+                )
+                if band is None:
+                    if (
+                        bbox[3] >= page_max_b - 2.0
+                        and bbox[1] >= 0.7 * page.height
+                    ):
+                        band = "footer"
+                    elif (
+                        bbox[1] <= page_min_t + 2.0
+                        and bbox[3] <= 0.3 * page.height
+                    ):
+                        band = "header"
+            if band is not None and (
+                labels.furniture_key(text) in repeated
+                or labels.is_page_number(text)
+            ):
+                doc.add_text(
+                    text=text,
+                    label=model.PAGE_HEADER
+                    if band == "header"
+                    else model.PAGE_FOOTER,
+                    content_layer=model.FURNITURE,
+                    page_no=page.page_no,
+                    bbox=bbox,
+                )
+                continue
+
+            # code: whole block set in a monospace /BaseFont; a listing the
+            # clusterer split (blank line / caption between runs) re-joins
+            # when the immediately preceding node is code on the same page
+            if labels.is_mono_block(block):
+                prev = doc.nodes[-1] if doc.nodes else None
+                if (
+                    prev is not None
+                    and prev.label == model.CODE
+                    and prev.page_no == page.page_no
+                    and prev.bbox is not None
+                    and bbox[1] - prev.bbox[3] <= labels.CODE_MERGE_GAP_PT
+                ):
+                    prev.text += "\n" + "\n".join(lines)
+                    prev.orig = prev.text
+                    prev.bbox = (
+                        min(prev.bbox[0], bbox[0]),
+                        prev.bbox[1],
+                        max(prev.bbox[2], bbox[2]),
+                        bbox[3],
+                    )
+                    continue
+                node = doc.add_code(
+                    text="\n".join(lines),
+                    parent=current_parent,
+                    page_no=page.page_no,
+                )
+                node.bbox = bbox
+                continue
+
+            # display formula: TeX math faces + an operator glyph
+            if labels.is_formula_block(block):
+                doc.add_text(
+                    text=text, label=model.FORMULA, parent=current_parent,
+                    page_no=page.page_no, bbox=bbox,
+                )
+                continue
+
+            # list: ≥2 marker-led lines → one group of items
+            items = labels.split_list_items(lines)
+            if items:
+                enum = items[0][1]
+                group = doc.add_list_group(
+                    name="ordered list" if enum else "list",
+                    parent=current_parent,
+                )
+                for item_text, item_enum in items:
+                    doc.add_list_item(
+                        text=layout.sanitize_text([item_text]),
+                        enumerated=item_enum,
+                        parent=group,
+                        page_no=page.page_no,
+                        bbox=bbox,
+                    )
+                continue
+
+            # caption: "Figure N" / "Table N" block, cross-ref an adjacent table
+            if labels.is_caption(text):
+                cap_node = doc.add_text(
+                    text=text, label=model.CAPTION, parent=current_parent,
+                    page_no=page.page_no, bbox=bbox,
+                )
+                if (
+                    last_table is not None
+                    and last_table.caption_ref is None
+                    and bbox[1] - last_table_bottom <= labels.CAPTION_GAP_PT
+                ):
+                    last_table.caption_ref = cap_node.index
+                else:
+                    pending_caption = cap_node
+                    pending_caption_bottom = bbox[3]
+                continue
+
             block_size = max(c.font_size for c in block)
             is_heading = (
                 len(block) == 1 and block_size >= median_size * _HEADING_SIZE_FACTOR

@@ -1,0 +1,204 @@
+"""Deterministic layout labeling — the rules half of the reference's layout NN.
+
+The reference labels layout clusters with an ML model
+(``docling/models/layout_model.py:148-219``, out of deterministic scope per
+SURVEY.md §7); this pass recovers the label classes a rules engine can decide
+from geometry, typography, and cross-page statistics alone:
+
+* ``PAGE_HEADER`` / ``PAGE_FOOTER`` furniture — a block confined to the top or
+  bottom page band whose digit-normalized text repeats on ≥2 pages, or that
+  matches a page-number pattern. Mirrors the reference's furniture split
+  (``AssembledUnit.headers`` vs ``.body``, ``docling/datamodel/
+  base_models.py:260-264``; page_header/page_footer labels in the layout
+  model's class map).
+* ``LIST_ITEM`` — lines opening with bullet glyphs or ``1.`` / ``1)`` / ``(1)``
+  enumerators; consecutive marker lines in one block become one list group
+  (reference emits list_item clusters that the reading-order model groups).
+* ``CAPTION`` — short blocks opening with ``Figure N`` / ``Table N``; when a
+  table sits adjacent the caption is cross-referenced onto it the way docling
+  attaches ``captions`` refs to tables/pictures.
+* ``CODE`` — blocks set entirely in a monospace ``/BaseFont`` (Courier/Mono/
+  Consolas families). Deterministic half of reference Op-59
+  (``docling/models/code_formula_model.py`` — the VLM stays a provider
+  boundary; font-based detection needs no model).
+
+Everything here is pure-Python over already-parsed cells and runs inside the
+extraction ``mapInPandas`` batch — no Spark shuffle, no driver work.
+"""
+
+from __future__ import annotations
+
+import re
+
+# bullet glyphs + dash bullets + enumerators: "1." "1)" "(1)" "a." "a)"
+_BULLET_RE = re.compile(
+    "^[•◦▪●○‣⁃·∙\\-–—*]\\s+"
+)
+_ENUM_RE = re.compile(r"^\(?(\d{1,3}|[a-z])[.)]\s+")
+_PAGENO_RE = re.compile(
+    r"^(?:page\s+)?[-–—]?\s*\d{1,5}\s*[-–—]?"
+    r"(?:\s*(?:of|/)\s*\d{1,5})?$",
+    re.IGNORECASE,
+)
+_CAPTION_RE = re.compile(
+    r"^(?:fig(?:ure)?\.?|table|tab\.|listing)\s+\d+", re.IGNORECASE
+)
+_MONO_RE = re.compile(
+    # common monospace families + CMTT (Computer Modern Typewriter, the
+    # TeX monospace — what LaTeX-produced PDFs set code in)
+    r"courier|mono|consol|cmtt|menlo|inconsolata|sourcecode|dejavusansm",
+    re.IGNORECASE,
+)
+# TeX math faces (Computer Modern Math Italic / Symbols / Extension, the
+# AMS symbol fonts) + anything self-describing as a math face
+_MATH_FONT_RE = re.compile(r"cmmi|cmsy|cmex|msam|msbm|math", re.IGNORECASE)
+# a displayed formula contains at least one relation/operator glyph —
+# guards against an italic-variable line opening a prose paragraph
+_MATH_OP_RE = re.compile(r"[=±∑∏∫√≤≥≠∞→⇒∈∂∇<>+×÷]")
+FORMULA_MAX_CHARS = 200
+_DIGITS_RE = re.compile(r"\d+")
+
+# vertical page fraction counted as header/footer band (the reference's
+# layout model finds furniture anywhere, but in practice running heads
+# live inside ~8% margins; conservative to avoid eating body text)
+BAND_FRACTION = 0.08
+# bare page numbers sit above generous bottom margins (LaTeX puts the
+# folio ~1.3in up an 11in page); a digits-only line is unambiguous, so
+# the band can be wider without eating body text
+PAGENO_BAND_FRACTION = 0.15
+# max caption block length — real captions are short; guards against a
+# body paragraph that happens to open with "Table 1 shows ..."
+CAPTION_MAX_CHARS = 300
+# caption ↔ table adjacency window (pt)
+CAPTION_GAP_PT = 36.0
+# consecutive mono blocks this close re-join into one code listing (a
+# blank source line splits the cluster but not the listing)
+CODE_MERGE_GAP_PT = 30.0
+
+
+def furniture_key(text: str) -> str:
+    """Digit-normalized repetition key ("Chapter 3" == "Chapter 7")."""
+    return _DIGITS_RE.sub("#", " ".join(text.split())).lower()
+
+
+def band_of(
+    bbox: tuple, page_height: float, frac: float = BAND_FRACTION
+) -> str | None:
+    """'header' / 'footer' when the block sits fully inside a page band."""
+    if bbox[3] <= page_height * frac:
+        return "header"
+    if bbox[1] >= page_height * (1.0 - frac):
+        return "footer"
+    return None
+
+
+def repeated_furniture_keys(
+    band_blocks: list[tuple[int, str]],
+) -> set[str]:
+    """Keys seen in a band on ≥2 distinct pages → furniture.
+
+    ``band_blocks``: (page_no, key) pairs for every band-resident block.
+    """
+    pages_by_key: dict[str, set[int]] = {}
+    for page_no, key in band_blocks:
+        pages_by_key.setdefault(key, set()).add(page_no)
+    return {k for k, pages in pages_by_key.items() if len(pages) >= 2}
+
+
+def is_page_number(text: str) -> bool:
+    return bool(_PAGENO_RE.match(text.strip()))
+
+
+def is_caption(text: str) -> bool:
+    return bool(_CAPTION_RE.match(text)) and len(text) <= CAPTION_MAX_CHARS
+
+
+def is_mono_block(cells: list) -> bool:
+    """Every cell carries a monospace /BaseFont (and at least one does)."""
+    names = [getattr(c, "font_name", "") for c in cells]
+    return bool(names) and all(n and _MONO_RE.search(n) for n in names)
+
+
+def is_formula_block(cells: list) -> bool:
+    """Every cell opens in a TeX math face, the text shows a relation or
+    operator glyph, and it's display-equation sized."""
+    names = [getattr(c, "font_name", "") for c in cells]
+    if not (names and all(n and _MATH_FONT_RE.search(n) for n in names)):
+        return False
+    text = " ".join(c.text for c in cells)
+    return bool(_MATH_OP_RE.search(text)) and len(text) <= FORMULA_MAX_CHARS
+
+
+def _cell_class(c) -> str:
+    name = getattr(c, "font_name", "")
+    if name and _MONO_RE.search(name):
+        return "mono"
+    if name and _MATH_FONT_RE.search(name):
+        return "math"
+    return "text"
+
+
+def split_label_runs(cells: list) -> list[list]:
+    """Split a mixed block into maximal same-class cell runs.
+
+    A caption set in a text face often clusters with the code listing
+    under it, and a display equation with the paragraph that follows;
+    splitting lets the mono run label CODE / the math run FORMULA while
+    the prose stays prose. Qualification guards false splits: a mono run
+    needs ≥2 cells (an inline ``word`` stays in its paragraph); a math
+    run needs an operator glyph (``is_formula_block``). Unqualified runs
+    merge back into the adjacent prose. Returns ``[cells]`` unchanged
+    for uniform blocks.
+    """
+    runs: list[tuple[list, str]] = []
+    for c in cells:
+        cls = _cell_class(c)
+        if runs and runs[-1][1] == cls:
+            runs[-1][0].append(c)
+        else:
+            runs.append(([c], cls))
+    if len(runs) == 1:
+        return [cells]
+    out: list[list] = []
+    qual: list[bool] = []
+    for run, cls in runs:
+        q = (cls == "mono" and len(run) >= 2) or (
+            cls == "math" and is_formula_block(run)
+        )
+        if not q and qual and not qual[-1]:
+            out[-1].extend(run)
+        else:
+            out.append(run)
+            qual.append(q)
+    return out if len(out) > 1 else [cells]
+
+
+def split_list_items(
+    lines: list[str],
+) -> list[tuple[str, bool]] | None:
+    """Marker-led line groups → [(item_text_with_marker_stripped, enumerated)].
+
+    Returns None unless ≥2 lines open with markers (a lone leading dash is
+    more likely a dehyphenation artifact than a list). Non-marker lines are
+    continuations of the item above; a non-marker FIRST line disqualifies
+    the block.
+    """
+    if not lines:
+        return None
+    first = lines[0]
+    if not (_BULLET_RE.match(first) or _ENUM_RE.match(first)):
+        return None
+    n_markers = sum(
+        1 for ln in lines if _BULLET_RE.match(ln) or _ENUM_RE.match(ln)
+    )
+    if n_markers < 2:
+        return None
+    items: list[tuple[list[str], bool]] = []
+    for ln in lines:
+        bm = _BULLET_RE.match(ln)
+        em = None if bm else _ENUM_RE.match(ln)
+        if bm or em:
+            items.append(([ln[(bm or em).end():]], em is not None))
+        else:
+            items[-1][0].append(ln)
+    return [(" ".join(parts).strip(), enum) for parts, enum in items]

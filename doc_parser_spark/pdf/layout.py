@@ -64,17 +64,26 @@ def merge_horizontal_cells(
         if len(group) == 1:
             return group[0]
         ordered = sorted(group, key=lambda c: c.l)
-        # reference re-extracts text from the merged bbox via the pdfium text
-        # page; cell-order concatenation is the equivalent for stream cells
+        # reference re-extracts text from the merged bbox via the pdfium
+        # text page, which renders a space across inter-cell gaps; the
+        # stream-cell equivalent joins with ' ' when the gap is space-sized
+        # (zero-gap font-change splits still re-join seamlessly)
+        parts = [ordered[0].text]
+        for prev, cur in zip(ordered, ordered[1:]):
+            sz = min(prev.font_size, cur.font_size) or prev.height or 1.0
+            if cur.l - prev.r > 0.16 * sz:
+                parts.append(" ")
+            parts.append(cur.text)
         return TextCell(
             index=group[0].index,
-            text="".join(c.text for c in ordered),
+            text="".join(parts),
             l=min(c.l for c in group),
             t=min(c.t for c in group),
             r=max(c.r for c in group),
             b=max(c.b for c in group),
             font_size=group[0].font_size,
             page_no=group[0].page_no,
+            font_name=group[0].font_name,
         )
 
     def merge_row(row: list[TextCell]) -> list[TextCell]:

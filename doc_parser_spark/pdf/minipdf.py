@@ -37,6 +37,7 @@ class TextCell:
     b: float
     font_size: float
     page_no: int
+    font_name: str = ""  # /BaseFont sans subset prefix ("" when unresolved)
 
     @property
     def height(self) -> float:
@@ -447,10 +448,24 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
             m_arr = _CONTENTS_ARR_RE.search(body)
             if m_arr:
                 refs = [int(r.group(1)) for r in _REF_RE.finditer(m_arr.group(1))]
-        for ref in refs:
-            stream = _object_stream(objects.get(ref, b""))
+        # /Contents may be a stream ref, an inline array, or a ref to an
+        # ARRAY object of stream refs (ISO 32000 7.7.3.3) — follow refs
+        # with a cycle-guarded worklist so all three shapes resolve
+        seen: set[int] = set()
+        work = list(refs)
+        while work:
+            ref = work.pop(0)
+            if ref in seen:
+                continue
+            seen.add(ref)
+            obody = objects.get(ref, b"")
+            stream = _object_stream(obody)
             if stream:
                 content += stream + b"\n"
+            elif obody.strip().startswith(b"["):
+                work.extend(
+                    int(r.group(1)) for r in _REF_RE.finditer(obody)
+                )
         if mb_x0 or mb_y0:
             # shift device space so the MediaBox origin lands at (0, 0)
             content = (

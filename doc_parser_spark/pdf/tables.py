@@ -190,6 +190,8 @@ def detect_tables(cells: list, rulings: list) -> list[TableRegion]:
             if left - TOL <= (c.l + c.r) / 2 <= right + TOL
             and top - TOL <= (c.t + c.b) / 2 <= bot + TOL
         ]
+        if _is_code_listing(inside):
+            continue
         built = _bin_into_lattice(inside, row_lines, col_lines)
         if built is None:
             continue
@@ -267,6 +269,21 @@ def _bin_into_lattice(
 
 
 # pass B tunables
+def _is_code_listing(band: list) -> bool:
+    """Majority-monospace content = a framed/ruled code listing, not a
+    table (LaTeX lstlisting/tcolorbox paints rules that otherwise pass
+    the lattice tests); ``pdf/labels.py`` will label it CODE instead."""
+    from doc_parser_spark.pdf import labels
+
+    mono = sum(
+        1
+        for c in band
+        if getattr(c, "font_name", "")
+        and labels._MONO_RE.search(c.font_name)
+    )
+    return mono * 2 >= len(band) > 0
+
+
 MIN_GUTTER = 6.0  # pt of whitespace that separates columns
 MAX_CELL_WORDS = 6  # tables hold entries, not prose
 MIN_SHORT_FRAC = 0.7  # share of cells that must be entry-like
@@ -315,6 +332,8 @@ def _detect_rules_only(
         )
         if short < MIN_SHORT_FRAC * len(band):
             continue  # prose between separators, not a table
+        if _is_code_listing(band):
+            continue
         heights = sorted(c.b - c.t for c in band)
         med_h = heights[len(heights) // 2]
         rows_y = _cluster_1d(
@@ -346,11 +365,18 @@ def _detect_rules_only(
         if built is None:
             continue
         data, consumed = built
-        # demand real tabular shape: >=2 rows whose cells split columns
+        # demand real tabular shape: >=2 rows whose cells split columns,
+        # and >=2 columns actually holding text (indented prose/code makes
+        # phantom gutter columns that stay empty)
         by_row: dict[int, int] = {}
+        cols_used: set[int] = set()
         for cd in data.cells:
             by_row[cd.start_row] = by_row.get(cd.start_row, 0) + 1
+            if cd.text.strip():
+                cols_used.add(cd.start_col)
         if sum(1 for v in by_row.values() if v >= 2) < 2:
+            continue
+        if len(cols_used) < 2:
             continue
         regions.append(
             TableRegion(

@@ -214,6 +214,12 @@ def parse_font(font_body: bytes, objects: dict, cmap_cache: dict, *,
     f = Font()
     sub = re.search(rb"/Subtype\s*/(\w+)", font_body)
     subtype = sub.group(1).decode() if sub else ""
+    bf = re.search(rb"/BaseFont\s*/([^\s/<>\[\]()]+)", font_body)
+    if bf:
+        # strip the 6-letter subset prefix (ABCDEF+CourierNew → CourierNew)
+        f.name = re.sub(
+            r"^[A-Z]{6}\+", "", bf.group(1).decode("latin-1")
+        )
 
     tu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", font_body)
     if tu:
@@ -335,6 +341,7 @@ class Glyph:
     size: float  # effective (device) font size
     spaced: bool  # font has real metrics → positional spacing trustworthy
     font: int = 0  # font resource identity (cells split at font changes)
+    font_name: str = ""  # /BaseFont sans subset prefix (layout labeling)
 
 
 _RTL_RE = re.compile(
@@ -513,6 +520,9 @@ def assemble_cells(
                     b=page_height - (y - descent),
                     font_size=size,
                     page_no=page_no,
+                    font_name=next(
+                        (g.font_name for g in run if g.font_name), ""
+                    ),
                 )
             )
             counter += 1
@@ -605,6 +615,7 @@ class TextEngine:
                             size=size,
                             spaced=f.has_metrics,
                             font=id(f),
+                            font_name=f.name,
                         )
                     )
 
@@ -795,5 +806,6 @@ class TextEngine:
                     size=g.size * scale,
                     spaced=g.spaced,
                     font=g.font,
+                    font_name=g.font_name,
                 )
             )

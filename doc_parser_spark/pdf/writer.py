@@ -20,12 +20,17 @@ def _escape(text: str) -> str:
     return text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def _content_stream(runs: list[tuple[float, float, float, str]]) -> bytes:
-    """runs: (x, y_baseline, font_size, text) in PDF bottom-left coords."""
+def _content_stream(runs: list[tuple]) -> bytes:
+    """runs: (x, y_baseline, font_size, text[, tag]) in PDF bottom-left
+    coords; a 5th element of ``"mono"`` sets the run in /F2 (Courier),
+    ``"math"`` in /F3 (CMMI10, the TeX math-italic face)."""
     parts = []
-    for x, y, size, text in runs:
+    for run in runs:
+        x, y, size, text = run[:4]
+        tag = run[4] if len(run) > 4 else ""
+        font = {"mono": "/F2", "math": "/F3"}.get(tag, "/F1")
         parts.append(
-            f"BT /F1 {size:g} Tf {x:g} {y:g} Td ({_escape(text)}) Tj ET"
+            f"BT {font} {size:g} Tf {x:g} {y:g} Td ({_escape(text)}) Tj ET"
         )
     return ("\n".join(parts)).encode("latin-1", errors="replace")
 
@@ -60,7 +65,8 @@ def write_pdf(
             (
                 f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:g} {PAGE_H:g}] "
                 f"/Contents {page_num + 1} 0 R "
-                f"/Resources << /Font << /F1 {font_obj} 0 R >> >> >>"
+                f"/Resources << /Font << /F1 {font_obj} 0 R "
+                f"/F2 {font_obj + 1} 0 R /F3 {font_obj + 2} 0 R >> >> >>"
             ).encode()
         )
         objects.append(
@@ -69,6 +75,8 @@ def write_pdf(
             + b"\nendstream"
         )
     objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /ABCDEF+CMMI10 >>")
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]

@@ -1,0 +1,238 @@
+"""Deterministic layout labeling (Op-24 rules stand-in; pdf/labels.py).
+
+Reference behaviors mirrored: furniture split (docling AssembledUnit
+headers/body, base_models.py:260-264; page_header/page_footer layout
+classes), list_item clusters, caption refs on tables, code blocks
+(code_formula_model.py — font-based detection here, VLM scoped out).
+"""
+
+import pytest
+
+from doc_parser_spark.core import model
+from doc_parser_spark.core.serialize import export_markdown, export_text
+from doc_parser_spark.pdf import labels, writer
+from doc_parser_spark.pdf.extractor import extract_pdf
+
+pytestmark = pytest.mark.unit
+
+
+def _page(body_lines, page_no, header=None, footer=None):
+    runs = []
+    if header:
+        runs.append((72.0, 760.0, 10.0, header))
+    runs += writer.paragraph_runs(body_lines, top_y=600)
+    if footer:
+        runs.append((280.0, 30.0, 10.0, footer))
+    return runs
+
+
+def test_repeated_header_footer_become_furniture():
+    pages = [
+        _page([f"Body paragraph {i} with real flowing prose."], i,
+              header="Journal of Deterministic Tests",
+              footer=f"Page {i}")
+        for i in (1, 2, 3)
+    ]
+    doc, fallback = extract_pdf(writer.write_pdf(pages))
+    assert not fallback
+    body = export_text(doc)
+    assert "Journal of Deterministic Tests" not in body
+    assert "Page 1" not in body
+    furn = [
+        (n.label, n.text)
+        for n, _ in doc.iterate_items(layers=(model.FURNITURE,))
+    ]
+    assert ([l for l, _ in furn].count(model.PAGE_HEADER)) == 3
+    assert ([l for l, _ in furn].count(model.PAGE_FOOTER)) == 3
+    assert ("Body paragraph 2" in body)
+
+
+def test_band_text_without_repetition_stays_body():
+    # single page, non-numeric header text: no repetition evidence → body
+    doc, _ = extract_pdf(
+        writer.write_pdf([_page(["Body text."], 1, header="Running Head")])
+    )
+    assert "Running Head" in export_text(doc)
+
+
+def test_page_number_is_furniture_even_on_one_page():
+    doc, _ = extract_pdf(
+        writer.write_pdf([_page(["Body text."], 1, footer="7")])
+    )
+    assert export_text(doc) == "Body text."
+    furn = [n.label for n, _ in doc.iterate_items(layers=(model.FURNITURE,))]
+    assert furn == [model.PAGE_FOOTER]
+
+
+def test_bullet_list_groups_items():
+    runs = writer.paragraph_runs(
+        ["- alpha item one", "- beta item two", "- gamma item three"],
+        top_y=600,
+    )
+    doc, _ = extract_pdf(writer.write_pdf([runs]))
+    items = [
+        (n.label, n.text) for n, _ in doc.iterate_items(with_groups=True)
+    ]
+    assert (model.GROUP_LIST, "") in items
+    li = [t for l, t in items if l == model.LIST_ITEM]
+    assert li == ["alpha item one", "beta item two", "gamma item three"]
+    md = export_markdown(doc)
+    assert "- alpha item one\n- beta item two" in md
+
+
+def test_enumerated_list_renders_numbers():
+    runs = writer.paragraph_runs(["1. first step", "2. second step"], top_y=600)
+    doc, _ = extract_pdf(writer.write_pdf([runs]))
+    md = export_markdown(doc)
+    assert "1. first step" in md and "2. second step" in md
+    li = [
+        n for n, _ in doc.iterate_items() if n.label == model.LIST_ITEM
+    ]
+    assert all(n.enumerated for n in li)
+
+
+def test_lone_dash_line_is_not_a_list():
+    # a single marker line is more likely dehyphenation debris than a list
+    runs = writer.paragraph_runs(["- only one marker line"], top_y=600)
+    doc, _ = extract_pdf(writer.write_pdf([runs]))
+    labels_seen = [n.label for n, _ in doc.iterate_items()]
+    assert model.LIST_ITEM not in labels_seen
+
+
+def test_mono_font_block_becomes_code():
+    runs = [
+        (72.0, 600.0, 11.0, "x = compute(1)", "mono"),
+        (72.0, 586.0, 11.0, "emit(x + 2)", "mono"),
+    ]
+    runs += writer.paragraph_runs(["Prose after the snippet."], top_y=520)
+    doc, _ = extract_pdf(writer.write_pdf([runs]))
+    code = [n for n, _ in doc.iterate_items() if n.label == model.CODE]
+    assert len(code) == 1
+    assert code[0].text == "x = compute(1)\nemit(x + 2)"
+    assert "```\nx = compute(1)\nemit(x + 2)\n```" in export_markdown(doc)
+    assert "Prose after the snippet." in export_text(doc)
+
+
+def test_caption_below_table_cross_references():
+    cols, rows = [90.0, 90.0], [20.0, 20.0]
+    runs = writer.table_cell_runs(
+        72.0, 700.0, cols, rows, [["h1", "h2"], ["a", "b"]]
+    )
+    ops = writer.table_ops(72.0, 700.0, cols, rows)
+    runs.append((72.0, 630.0, 10.0, "Table 1. Determinism results."))
+    doc, _ = extract_pdf(writer.write_pdf_with_graphics([(runs, ops)]))
+    tables = [n for n, _ in doc.iterate_items() if n.label == model.TABLE]
+    caps = [n for n, _ in doc.iterate_items() if n.label == model.CAPTION]
+    assert len(tables) == 1 and len(caps) == 1
+    assert tables[0].caption_ref == caps[0].index
+
+
+def test_caption_above_table_cross_references():
+    cols, rows = [90.0, 90.0], [20.0, 20.0]
+    runs = writer.table_cell_runs(
+        72.0, 690.0, cols, rows, [["h1", "h2"], ["a", "b"]]
+    )
+    ops = writer.table_ops(72.0, 690.0, cols, rows)
+    runs.append((72.0, 710.0, 10.0, "Table 1. Placed above the grid."))
+    doc, _ = extract_pdf(writer.write_pdf_with_graphics([(runs, ops)]))
+    tables = [n for n, _ in doc.iterate_items() if n.label == model.TABLE]
+    caps = [n for n, _ in doc.iterate_items() if n.label == model.CAPTION]
+    assert len(tables) == 1 and len(caps) == 1
+    assert tables[0].caption_ref == caps[0].index
+
+
+def test_split_list_items_pure():
+    assert labels.split_list_items(["- a", "- b"]) == [("a", False), ("b", False)]
+    assert labels.split_list_items(["1. a", "cont", "2. b"]) == [
+        ("a cont", True),
+        ("b", True),
+    ]
+    assert labels.split_list_items(["- a"]) is None
+    assert labels.split_list_items(["text", "- a", "- b"]) is None
+    assert labels.split_list_items([]) is None
+
+
+def test_adjacent_code_blocks_merge_into_one_listing():
+    # a blank source line splits the cluster but not the listing
+    runs = [
+        (72.0, 600.0, 11.0, "def f():", "mono"),
+        (72.0, 586.0, 11.0, "return 1", "mono"),
+        (72.0, 558.0, 11.0, "print(f())", "mono"),  # after a blank line
+    ]
+    doc, _ = extract_pdf(writer.write_pdf([runs]))
+    code = [n for n, _ in doc.iterate_items() if n.label == model.CODE]
+    assert len(code) == 1
+    assert code[0].text == "def f():\nreturn 1\nprint(f())"
+
+
+def test_math_font_block_becomes_formula():
+    runs = [(200.0, 600.0, 11.0, "E = mc2", "math")]
+    runs += writer.paragraph_runs(
+        ["Prose paragraph following the display equation."], top_y=560
+    )
+    doc, _ = extract_pdf(writer.write_pdf([runs]))
+    formulas = [
+        n for n, _ in doc.iterate_items() if n.label == model.FORMULA
+    ]
+    assert [n.text for n in formulas] == ["E = mc2"]
+    assert "Prose paragraph following" in export_text(doc)
+
+
+def test_math_font_without_operator_stays_text():
+    # an italic variable name alone is not a display equation
+    runs = [(72.0, 600.0, 11.0, "x", "math")]
+    runs += writer.paragraph_runs(["denotes the unknown."], top_y=586)
+    doc, _ = extract_pdf(writer.write_pdf([runs]))
+    assert not [
+        n for n, _ in doc.iterate_items() if n.label == model.FORMULA
+    ]
+
+
+def test_split_label_runs_pure():
+    class C:
+        def __init__(self, font_name, text="t"):
+            self.font_name = font_name
+            self.text = text
+
+    mono, prose = C("Courier"), C("Helvetica")
+    # uniform block: no split
+    assert labels.split_label_runs([prose, prose]) == [[prose, prose]]
+    # caption + 2-cell code run splits
+    out = labels.split_label_runs([prose, mono, mono])
+    assert len(out) == 2 and out[1] == [mono, mono]
+    # a single inline mono cell stays in the paragraph
+    assert labels.split_label_runs([prose, mono, prose]) == [
+        [prose, mono, prose]
+    ]
+    # math run with an operator splits out
+    math = C("CMMI10", "a + b = c")
+    out = labels.split_label_runs([math, prose])
+    assert len(out) == 2 and out[0] == [math]
+    # math cell without an operator merges back into prose
+    bare = C("CMMI10", "x")
+    assert labels.split_label_runs([bare, prose]) == [[bare, prose]]
+
+
+def test_folio_outside_band_still_footer_when_bottommost():
+    # LaTeX-style folio ~0.82h: below the 15% band but the page's lowest
+    # block → footer (reference labels these page_footer)
+    runs = writer.paragraph_runs(["Body text paragraph."], top_y=600)
+    runs.append((290.0, 145.0, 10.0, "3"))  # y=145/792 → top≈0.81h
+    doc, _ = extract_pdf(writer.write_pdf([runs]))
+    furn = [
+        n.label for n, _ in doc.iterate_items(layers=(model.FURNITURE,))
+    ]
+    assert furn == [model.PAGE_FOOTER]
+    assert export_text(doc) == "Body text paragraph."
+
+
+def test_font_name_reaches_cells():
+    from doc_parser_spark.pdf import minipdf
+
+    pdf = writer.write_pdf(
+        [[(72.0, 700.0, 12.0, "plain"), (72.0, 660.0, 12.0, "typed", "mono")]]
+    )
+    (page,) = minipdf.parse_pdf(pdf)
+    by_text = {c.text: c.font_name for c in page.cells}
+    assert by_text["plain"] == "Helvetica"
+    assert by_text["typed"] == "Courier"

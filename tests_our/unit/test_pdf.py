@@ -38,8 +38,15 @@ def test_horizontal_merge_exact_math():
         return minipdf.TextCell(index=i, text=f"c{i}", l=l, t=t, r=r, b=b,
                                 font_size=11, page_no=1)
 
+    # space-sized gap (5pt at 11pt font > 0.16em): the reference re-extracts
+    # the merged bbox via pdfium, which renders the gap as a space
     near = [cell(0, 72, 100), cell(1, 105, 130)]  # gap 5 <= 11
     merged = layout.merge_horizontal_cells(near)
+    assert len(merged) == 1 and merged[0].text == "c0 c1"
+
+    # zero-gap split (font change mid-word: 'di|ffi|cult') re-joins seamlessly
+    tight = [cell(0, 72, 100), cell(1, 100.5, 130)]
+    merged = layout.merge_horizontal_cells(tight)
     assert len(merged) == 1 and merged[0].text == "c0c1"
 
     far = [cell(0, 72, 100), cell(1, 130, 150)]  # gap 30 > 11
