@@ -31,6 +31,7 @@ FORMULA = "formula"  # JATS tex-math (jats_backend.py:476-484)
 CODE = "code"
 LIST_ITEM = "list_item"
 CAPTION = "caption"
+FOOTNOTE = "footnote"
 PICTURE = "picture"
 TABLE = "table"
 PAGE_HEADER = "page_header"

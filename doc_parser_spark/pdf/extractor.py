@@ -213,6 +213,20 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
                 )
                 continue
 
+            # footnote: marker-led small print near the page bottom
+            if labels.is_footnote(
+                text,
+                bbox,
+                page.height,
+                max(c.font_size for c in block),
+                median_size,
+            ):
+                doc.add_text(
+                    text=text, label=model.FOOTNOTE, parent=current_parent,
+                    page_no=page.page_no, bbox=bbox,
+                )
+                continue
+
             # list: ≥2 marker-led lines → one group of items
             items = labels.split_list_items(lines)
             if items:

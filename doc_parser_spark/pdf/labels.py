@@ -52,9 +52,10 @@ _MONO_RE = re.compile(
 # TeX math faces (Computer Modern Math Italic / Symbols / Extension, the
 # AMS symbol fonts) + anything self-describing as a math face
 _MATH_FONT_RE = re.compile(r"cmmi|cmsy|cmex|msam|msbm|math", re.IGNORECASE)
-# a displayed formula contains at least one relation/operator glyph —
-# guards against an italic-variable line opening a prose paragraph
-_MATH_OP_RE = re.compile(r"[=±∑∏∫√≤≥≠∞→⇒∈∂∇<>+×÷]")
+# a displayed formula contains at least one relation glyph — guards
+# against prose that merely mentions an italic variable ('+' and '<'
+# alone are too common in prose to qualify)
+_MATH_OP_RE = re.compile(r"[=±∑∏∫√≤≥≠∞→⇒∈∂∇÷]")
 FORMULA_MAX_CHARS = 200
 _DIGITS_RE = re.compile(r"\d+")
 
@@ -74,6 +75,10 @@ CAPTION_GAP_PT = 36.0
 # consecutive mono blocks this close re-join into one code listing (a
 # blank source line splits the cluster but not the listing)
 CODE_MERGE_GAP_PT = 30.0
+# footnotes: marker + bottom fifth of the page + clearly reduced size
+_FOOTNOTE_RE = re.compile(r"^(?:\d{1,2}|[*†‡§])\s+\S")
+FOOTNOTE_BAND_FRACTION = 0.20
+FOOTNOTE_SIZE_FACTOR = 0.9
 
 
 def furniture_key(text: str) -> str:
@@ -113,27 +118,58 @@ def is_caption(text: str) -> bool:
     return bool(_CAPTION_RE.match(text)) and len(text) <= CAPTION_MAX_CHARS
 
 
+def is_footnote(
+    text: str,
+    bbox: tuple,
+    page_height: float,
+    block_size: float,
+    median_size: float,
+) -> bool:
+    """Marker-led small-print block near the page bottom.
+
+    The reference's layout NN labels these ``footnote`` (body layer, cf.
+    redp5110 golden: '1   http://…' at ~0.9h in 0.8× body size); the
+    deterministic cues are the same three the eye uses — a bare
+    digit/dagger marker, bottom-of-page position, reduced type size.
+    """
+    return (
+        bool(_FOOTNOTE_RE.match(text))
+        and bbox[1] >= page_height * (1.0 - FOOTNOTE_BAND_FRACTION)
+        and block_size <= median_size * FOOTNOTE_SIZE_FACTOR
+    )
+
+
 def is_mono_block(cells: list) -> bool:
-    """Every cell carries a monospace /BaseFont (and at least one does)."""
-    names = [getattr(c, "font_name", "") for c in cells]
-    return bool(names) and all(n and _MONO_RE.search(n) for n in names)
+    """Every cell is set entirely in monospace /BaseFonts."""
+    return bool(cells) and all(_cell_class(c) == "mono" for c in cells)
+
+
+def _cell_faces(c) -> tuple:
+    names = getattr(c, "font_names", ()) or ()
+    if not names:
+        single = getattr(c, "font_name", "")
+        names = (single,) if single else ()
+    return names
 
 
 def is_formula_block(cells: list) -> bool:
-    """Every cell opens in a TeX math face, the text shows a relation or
-    operator glyph, and it's display-equation sized."""
-    names = [getattr(c, "font_name", "") for c in cells]
-    if not (names and all(n and _MATH_FONT_RE.search(n) for n in names)):
+    """Every cell carries a TeX math face (a display equation merges the
+    CMMI variable with CMR digits — ANY math face in the line counts),
+    the text shows a relation glyph, and it's display-equation sized."""
+    if not cells:
         return False
+    for c in cells:
+        if _cell_class(c) != "math":
+            return False
     text = " ".join(c.text for c in cells)
     return bool(_MATH_OP_RE.search(text)) and len(text) <= FORMULA_MAX_CHARS
 
 
 def _cell_class(c) -> str:
-    name = getattr(c, "font_name", "")
-    if name and _MONO_RE.search(name):
+    names = _cell_faces(c)
+    if names and all(_MONO_RE.search(n) for n in names):
         return "mono"
-    if name and _MATH_FONT_RE.search(name):
+    if any(_MATH_FONT_RE.search(n) for n in names):
         return "math"
     return "text"
 

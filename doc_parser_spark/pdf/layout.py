@@ -46,7 +46,20 @@ def merge_horizontal_cells(
         row_height = cells[0].height
         for cell in cells[1:]:
             vt = row_height * vertical_threshold_factor
-            if abs(cell.t - row_top) <= vt and abs(cell.b - row_bottom) <= vt:
+            # superscript/subscript joins: a clearly smaller cell that
+            # vertically overlaps the row (footnote markers, exponents)
+            # belongs to it even though its t/b offsets exceed vt
+            overlap = min(cell.b, row_bottom) - max(cell.t, row_top)
+            small_h = min(cell.height, row_height)
+            big_h = max(cell.height, row_height)
+            sup = (
+                small_h > 0
+                and overlap >= 0.6 * small_h
+                and small_h < 0.85 * big_h
+            )
+            if (
+                abs(cell.t - row_top) <= vt and abs(cell.b - row_bottom) <= vt
+            ) or sup:
                 current.append(cell)
                 row_top = min(row_top, cell.t)
                 row_bottom = max(row_bottom, cell.b)
@@ -64,6 +77,7 @@ def merge_horizontal_cells(
         if len(group) == 1:
             return group[0]
         ordered = sorted(group, key=lambda c: c.l)
+        _dom = max(group, key=lambda c: (c.height, c.r - c.l))
         # reference re-extracts text from the merged bbox via the pdfium
         # text page, which renders a space across inter-cell gaps; the
         # stream-cell equivalent joins with ' ' when the gap is space-sized
@@ -71,7 +85,10 @@ def merge_horizontal_cells(
         parts = [ordered[0].text]
         for prev, cur in zip(ordered, ordered[1:]):
             sz = min(prev.font_size, cur.font_size) or prev.height or 1.0
-            if cur.l - prev.r > 0.16 * sz:
+            sup_boundary = min(prev.height, cur.height) < 0.85 * max(
+                prev.height, cur.height
+            )  # sub/superscript joins separate ('a' + '2' → 'a 2')
+            if cur.l - prev.r > 0.16 * sz or sup_boundary:
                 parts.append(" ")
             parts.append(cur.text)
         return TextCell(
@@ -81,9 +98,16 @@ def merge_horizontal_cells(
             t=min(c.t for c in group),
             r=max(c.r for c in group),
             b=max(c.b for c in group),
-            font_size=group[0].font_size,
+            # dominant cell's typography: a superscript marker sorting
+            # first must not stamp its 7pt face on the whole line
+            font_size=_dom.font_size,
             page_no=group[0].page_no,
-            font_name=group[0].font_name,
+            font_name=_dom.font_name,
+            font_names=tuple(
+                dict.fromkeys(
+                    n for c in ordered for n in (c.font_names or ())
+                )
+            ),
         )
 
     def merge_row(row: list[TextCell]) -> list[TextCell]:

@@ -38,6 +38,9 @@ class TextCell:
     font_size: float
     page_no: int
     font_name: str = ""  # /BaseFont sans subset prefix ("" when unresolved)
+    # every distinct face in the cell (a merged line mixes faces — e.g. a
+    # display equation sets the variable in CMMI and digits in CMR)
+    font_names: tuple = ()
 
     @property
     def height(self) -> float:

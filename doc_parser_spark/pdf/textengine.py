@@ -523,6 +523,11 @@ def assemble_cells(
                     font_name=next(
                         (g.font_name for g in run if g.font_name), ""
                     ),
+                    font_names=tuple(
+                        dict.fromkeys(
+                            g.font_name for g in run if g.font_name
+                        )
+                    ),
                 )
             )
             counter += 1

@@ -226,6 +226,36 @@ def test_folio_outside_band_still_footer_when_bottommost():
     assert export_text(doc) == "Body text paragraph."
 
 
+def test_footnote_marker_small_print_at_page_bottom():
+    runs = writer.paragraph_runs(["Body paragraph in full size."], top_y=600)
+    # footnote: digit marker + reduced size, low on the page (y=120/792)
+    runs.append((72.0, 120.0, 8.0, "1 http://example.org/source"))
+    doc, _ = extract_pdf(writer.write_pdf([runs]))
+    fns = [n for n, _ in doc.iterate_items() if n.label == model.FOOTNOTE]
+    assert [n.text for n in fns] == ["1 http://example.org/source"]
+    # body-layer content (docling keeps footnotes in the body)
+    assert "example.org" in export_text(doc)
+
+
+def test_superscript_marker_joins_its_line():
+    from doc_parser_spark.pdf import minipdf
+
+    # 6pt superscript '1' overlapping an 8pt line → one merged cell
+    def cell(i, text, l, r, t, b, fs):
+        return minipdf.TextCell(index=i, text=text, l=l, t=t, r=r, b=b,
+                                font_size=fs, page_no=1,
+                                font_name="F", font_names=("F",))
+
+    sup = cell(0, "1", 136.8, 146.3, 715.0, 721.4, 6.4)
+    url = cell(1, "http://x.org", 146.4, 258.4, 717.0, 725.0, 8.0)
+    from doc_parser_spark.pdf import layout
+
+    merged = layout.merge_horizontal_cells([sup, url])
+    assert len(merged) == 1
+    assert merged[0].text.split() == ["1", "http://x.org"]
+    assert merged[0].font_size == 8.0  # dominant face, not the superscript
+
+
 def test_font_name_reaches_cells():
     from doc_parser_spark.pdf import minipdf
 
