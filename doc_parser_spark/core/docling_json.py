@@ -54,6 +54,7 @@ _TEXTISH = {
     model.CODE,
     model.LIST_ITEM,
     model.CAPTION,
+    model.FOOTNOTE,
     model.PAGE_HEADER,
     model.PAGE_FOOTER,
 }

@@ -256,6 +256,34 @@ def test_superscript_marker_joins_its_line():
     assert merged[0].font_size == 8.0  # dominant face, not the superscript
 
 
+def test_new_labels_flow_through_every_sink():
+    # footnote/formula/code must serialize in json/doctags/html — the
+    # docling-json bucketer raises on labels missing from its text set
+    import json as _json
+
+    from doc_parser_spark.core.docling_json import export_docling_json
+    from doc_parser_spark.core.serialize import export_doctags, export_html
+
+    runs = writer.paragraph_runs(["Body."], top_y=640)
+    runs.append((200.0, 600.0, 11.0, "E = mc2", "math"))
+    runs.append((72.0, 560.0, 11.0, "x = 1", "mono"))
+    runs.append((72.0, 546.0, 11.0, "y = 2", "mono"))
+    runs.append((72.0, 120.0, 8.0, "1 see http://example.org"))
+    doc, _ = extract_pdf(writer.write_pdf([runs]))
+    j = _json.loads(
+        export_docling_json(
+            doc, name="t", filename="t.pdf",
+            mimetype="application/pdf", data=b"t",
+        )
+    )
+    got = {t["label"] for t in j["texts"]}
+    assert {"formula", "code", "footnote"} <= got
+    dt = export_doctags(doc)
+    assert "<formula>" in dt and "<code>" in dt and "<footnote>" in dt
+    html = export_html(doc)
+    assert "<pre><code>" in html
+
+
 def test_font_name_reaches_cells():
     from doc_parser_spark.pdf import minipdf
 
