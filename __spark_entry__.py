@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_neardup": q(similarity.cosine_neardup_pairs, "embeddings"),
         "emb_ivf_centroids": q(similarity.ivf_centroids, "embeddings"),
         "emb_ivf_topk": q(similarity.ivf_topk, "embeddings"),
+        "emb_pq_codes": q(similarity.pq_codes, "embeddings"),
+        "emb_pq_adc_topk": q(similarity.pq_adc_topk, "embeddings"),
         "emb_semdedup": q(similarity.semdedup, "embeddings"),
         # relational breadth
         "q1_pricing_summary": q(relational.pricing_summary, "lineitem"),
@@ -565,6 +567,119 @@ def _semdedup_sql(
         SELECT a.vec_id, a.cid, d.dup_of IS NULL AS keep,
                coalesce(d.dup_of, -1) AS dup_of
         FROM asg_final a LEFT JOIN dup d USING (vec_id)
+    """
+
+
+def _pq_ctes(
+    dims: int = 64, m: int = 4, ksub: int = 4, iters: int = 2
+) -> str:
+    """DuckDB twin of similarity.pq_train: per-subspace Lloyd's, all M
+    subspaces in one CTE chain keyed by ``sub``. Parity contract matches
+    ``_ivf_ctes``: left-fold double distances, exact floor(x*1e6) BIGINT
+    centroid sums divided once in double, argmin ties on code id, init =
+    subvectors of the ``ksub`` lowest vec_ids."""
+    dsub = dims // m
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {dsub}), "
+        f"i -> (CAST(e.embedding[b.sub * {dsub} + i] AS DOUBLE) - b.c[i]) "
+        f"* (CAST(e.embedding[b.sub * {dsub} + i] AS DOUBLE) - b.c[i])))"
+    )
+    sums = ",\n                   ".join(
+        f"sum(CAST(floor(CAST(e.embedding[a.sub * {dsub} + {d + 1}] AS DOUBLE)"
+        f" * 1e6) AS BIGINT)) AS s{d}"
+        for d in range(dsub)
+    )
+    means = ", ".join(
+        f"(CAST(s.s{d} AS DOUBLE) / CAST(s.n AS DOUBLE)) / 1e6"
+        for d in range(dsub)
+    )
+    ctes = [
+        f"""books0 AS (
+            SELECT s.sub,
+                   row_number() OVER (PARTITION BY s.sub ORDER BY b.vec_id) - 1 AS code,
+                   list_transform(generate_series(1, {dsub}),
+                                  i -> CAST(b.embedding[s.sub * {dsub} + i] AS DOUBLE)) AS c
+            FROM (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
+            CROSS JOIN (
+                SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {ksub}
+            ) b
+        )"""
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"""pasg{t} AS (
+            SELECT vec_id, sub, code FROM (
+                SELECT e.vec_id, b.sub, b.code,
+                       row_number() OVER (PARTITION BY e.vec_id, b.sub
+                                          ORDER BY {dist}, b.code) AS rn
+                FROM embeddings e CROSS JOIN books{t} b
+            ) WHERE rn = 1
+        )"""
+        )
+        ctes.append(
+            f"""psums{t} AS (
+            SELECT a.sub, a.code, count(*) AS n,
+                   {sums}
+            FROM embeddings e JOIN pasg{t} a USING (vec_id)
+            GROUP BY a.sub, a.code
+        )"""
+        )
+        ctes.append(
+            f"""books{t + 1} AS (
+            SELECT b0.sub, b0.code,
+                   CASE WHEN s.sub IS NULL THEN b0.c
+                        ELSE list_value({means}) END AS c
+            FROM books{t} b0
+            LEFT JOIN psums{t} s ON s.sub = b0.sub AND s.code = b0.code
+        )"""
+        )
+    ctes.append(
+        f"""pasg_final AS (
+            SELECT vec_id, sub, code FROM (
+                SELECT e.vec_id, b.sub, b.code,
+                       row_number() OVER (PARTITION BY e.vec_id, b.sub
+                                          ORDER BY {dist}, b.code) AS rn
+                FROM embeddings e CROSS JOIN books{iters} b
+            ) WHERE rn = 1
+        )"""
+    )
+    return ",\n        ".join(ctes)
+
+
+def _pq_adc_topk_sql(
+    dims: int = 64, m: int = 4, ksub: int = 4, iters: int = 2,
+    n_queries: int = 5, knn: int = 5,
+) -> str:
+    dsub = dims // m
+    qdist = (
+        f"list_sum(list_transform(generate_series(1, {dsub}), "
+        f"i -> (CAST(q.embedding[b.sub * {dsub} + i] AS DOUBLE) - b.c[i]) "
+        f"* (CAST(q.embedding[b.sub * {dsub} + i] AS DOUBLE) - b.c[i])))"
+    )
+    return f"""
+        WITH {_pq_ctes(dims, m, ksub, iters)},
+        lut AS (
+            SELECT q.vec_id AS query_id, b.sub, b.code,
+                   CAST(floor({qdist} * 1e6) AS BIGINT) AS d
+            FROM embeddings q CROSS JOIN books{iters} b
+            WHERE q.vec_id < {n_queries}
+        ),
+        scored AS (
+            SELECT l.query_id, a.vec_id AS neighbor_id, sum(l.d) AS adist
+            FROM pasg_final a
+            JOIN lut l ON l.sub = a.sub AND l.code = a.code
+            WHERE l.query_id <> a.vec_id
+            GROUP BY l.query_id, a.vec_id
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(neighbor_id AS BIGINT) AS neighbor_id,
+               CAST(adist AS BIGINT) AS adist,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+            ) AS rank FROM scored
+        ) WHERE rank <= {knn}
     """
 
 
@@ -1169,6 +1284,14 @@ def oracle_sql() -> dict[str, str]:
             FROM cents2 CROSS JOIN generate_series(1, 64) AS g(i)
         """,
         "emb_ivf_topk": _ivf_topk_sql(),
+        "emb_pq_codes": f"""
+            WITH {_pq_ctes()}
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(sub AS BIGINT) AS sub,
+                   CAST(code AS BIGINT) AS code
+            FROM pasg_final
+        """,
+        "emb_pq_adc_topk": _pq_adc_topk_sql(),
         "emb_semdedup": _semdedup_sql(),
         "emb_cosine_topk": """
             WITH scored AS (

@@ -17,6 +17,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -371,5 +373,209 @@ def semdedup(
             "cid",
             F.col("dup_of").isNull().alias("keep"),
             F.coalesce("dup_of", F.lit(-1)).cast("long").alias("dup_of"),
+        )
+    )
+
+
+# -- PQ: product quantization + asymmetric-distance ANN -----------------------
+#
+# The compression path 100 TB ANN actually runs on (Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 33(1); the
+# IVF-PQ layout in faiss/SCANN): the D-dim vector splits into M
+# subvectors, each quantized by its own KSUB-centroid codebook, so a
+# vector stores as M small codes (here 4 bytes vs 256 bytes of floats —
+# the corpus fits in RAM and scans touch codes, not vectors). Queries
+# never decompress: asymmetric distance (ADC) sums per-subspace lookup
+# distances between the RAW query subvector and each centroid.
+#
+# Determinism/oracle contract (same as IVF above): per-subspace Lloyd's
+# with init = subvectors of the KSUB lowest vec_ids, exact scaled-integer
+# centroid sums, argmin ties on code id; ADC entries floor(d * 1e6) to
+# BIGINT so the per-vector sum is integer-exact and order-independent.
+#
+# Scale shape: training shuffles only (sub, code, count, D/M sums) per
+# iteration — ONE aggregation job for all subspaces (codes explode to
+# narrow rows, map-side combine collapses them before the exchange).
+# Encoding is a stateless projection against the driver-held codebooks
+# (model state, like MLlib's KMeansModel). ADC is a broadcast equi-join
+# of the (query, sub, code) lookup table against the codes relation —
+# shuffle key (query_id, vec_id), k rows per query survive.
+
+PQ_M = 4
+PQ_KSUB = 4
+PQ_ITERS = 2
+
+
+def _sub_sqdist_sql(centroid: list[float], off: int) -> str:
+    """Squared L2 between embedding[off+1 .. off+len] and a literal
+    centroid, folded left in double (zip_with ↔ list_transform parity)."""
+    lits = ", ".join(f"{c!r}d" for c in centroid)
+    return (
+        f"aggregate(zip_with(slice(embedding, {off + 1}, {len(centroid)}), "
+        f"array({lits}), "
+        "(x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _nearest_code(book: list[list[float]], off: int):
+    arr = F.array(
+        *[
+            F.struct(
+                F.expr(_sub_sqdist_sql(c, off)).alias("d"),
+                F.lit(ci).alias("code"),
+            )
+            for ci, c in enumerate(book)
+        ]
+    )
+    return F.sort_array(arr)[0]["code"].cast("long")
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's; returns ``codebooks[sub][code] -> centroid``.
+
+    One aggregation job per iteration covers ALL subspaces: each vector
+    projects to M narrow (sub, code, x0..x{dsub-1}) structs, explodes,
+    and groupBy(sub, code) partial-combines map-side — the exchange
+    carries M * KSUB rows of (count, dsub longs), nothing else."""
+    first = embeddings.select("embedding").first()
+    if first is None:
+        raise ValueError("pq_train: embeddings table is empty")
+    dims = len(first["embedding"])
+    if dims % m != 0:
+        raise ValueError(f"dims ({dims}) must divide into m ({m}) subspaces")
+    dsub = dims // m
+    init = embeddings.orderBy("vec_id").limit(ksub).collect()
+    ksub = min(ksub, len(init))
+    books = [
+        [
+            [float(v) for v in r["embedding"][j * dsub : (j + 1) * dsub]]
+            for r in init
+        ]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("sub"),
+                    _nearest_code(books[j], j * dsub).alias("code"),
+                    *[
+                        F.element_at("embedding", j * dsub + d + 1)
+                        .cast("double")
+                        .alias(f"x{d}")
+                        for d in range(dsub)
+                    ],
+                )
+                for j in range(m)
+            ]
+        )
+        aggs = [F.count(F.lit(1)).alias("n")] + [
+            F.sum(F.floor(F.col(f"x{d}") * F.lit(1000000.0))).alias(f"s{d}")
+            for d in range(dsub)
+        ]
+        rows = (
+            embeddings.select(F.explode(structs).alias("s"))
+            .select("s.*")
+            .groupBy("sub", "code")
+            .agg(*aggs)
+            .collect()
+        )
+        by_key = {(int(r["sub"]), int(r["code"])): r for r in rows}
+        for j in range(m):
+            new = []
+            for ci in range(ksub):
+                r = by_key.get((j, ci))
+                if r is None:
+                    new.append(books[j][ci])  # empty cell keeps centroid
+                else:
+                    n = int(r["n"])
+                    new.append(
+                        [(int(r[f"s{d}"]) / n) / 1e6 for d in range(dsub)]
+                    )
+            books[j] = new
+    return books
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """Every vector's PQ code as exploded scalar rows (vec_id, sub, code).
+
+    Encoding is a stateless JVM projection against the driver-held
+    codebooks — no shuffle, no Python in the executor path."""
+    books = pq_train(embeddings, m, ksub, iters)
+    first = embeddings.select("embedding").first()
+    dsub = len(first["embedding"]) // m
+    codes_arr = F.array(
+        *[_nearest_code(books[j], j * dsub) for j in range(m)]
+    )
+    return embeddings.select(
+        "vec_id", F.posexplode(codes_arr).alias("sub", "code")
+    ).select(F.col("vec_id").cast("long"), F.col("sub").cast("long"), "code")
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    n_queries: int = 5,
+    knn: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k: queries scan CODES, never raw vectors.
+
+    The (query, sub, code) -> distance lookup table is M*KSUB rows per
+    query (driver-computed model state, broadcast); approx distance =
+    integer sum of the M looked-up entries (each floor(d*1e6) — exact,
+    order-independent). Output (query_id, neighbor_id, adist, rank)."""
+    books = pq_train(embeddings, m, ksub, iters)
+    first = embeddings.select("embedding").first()
+    dsub = len(first["embedding"]) // m
+    spark = embeddings.sparkSession
+    queries = (
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    lut_rows = []
+    for q in queries:
+        emb = [float(v) for v in q["embedding"]]
+        for j in range(m):
+            sub = emb[j * dsub : (j + 1) * dsub]
+            for ci, cent in enumerate(books[j]):
+                d = 0.0
+                for x, c in zip(sub, cent):  # left fold, same as SQL
+                    d += (x - c) * (x - c)
+                lut_rows.append(
+                    (int(q["vec_id"]), j, ci, int(math.floor(d * 1e6)))
+                )
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, sub long, code long, d long"
+    )
+    codes = pq_codes(embeddings, m, ksub, iters)
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= knn)
+        .select(
+            "query_id", "neighbor_id", "adist",
+            F.col("rank").cast("long").alias("rank"),
         )
     )

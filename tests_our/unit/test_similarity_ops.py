@@ -176,3 +176,67 @@ def test_semdedup_cluster_locality(spark):
     # identical vectors in DIFFERENT clusters would not pair; here the two
     # groups land in different clusters and indeed never reference each other
     assert {got[i].cid for i in (0, 1)} != {got[i].cid for i in (2, 3)}
+
+
+def test_pq_codebooks_and_adc(spark):
+    """PQ: per-subspace codebooks reconstruct blob structure; ADC ranks
+    same-blob vectors ahead of other blobs (Jégou et al. 2011 contract:
+    approximate distance preserves coarse neighborhood order)."""
+    import numpy as np
+
+    from doc_parser_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codes,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[4.0] * 8, [-4.0] * 8])
+    rows = []
+    for i in range(60):
+        v = centers[i % 2] + rng.normal(0, 0.1, 8)
+        rows.append((i, [float(x) for x in v], i % 2))
+    emb = _emb(spark, rows)
+
+    books = pq_train(emb, m=2, ksub=2, iters=2)
+    assert len(books) == 2 and len(books[0]) == 2 and len(books[0][0]) == 4
+    # deterministic: same input → identical floats
+    assert books == pq_train(emb, m=2, ksub=2, iters=2)
+
+    codes = pq_codes(emb, m=2, ksub=2, iters=2).collect()
+    assert len(codes) == 60 * 2  # one row per (vector, subspace)
+    assert all(0 <= r["code"] < 2 for r in codes)
+    # two separated blobs → each vector's subspace codes agree across
+    # subspaces and split the corpus exactly by blob
+    by_vec = {}
+    for r in codes:
+        by_vec.setdefault(r["vec_id"], set()).add(r["code"])
+    assert all(len(s) == 1 for s in by_vec.values())
+    lab = {i: i % 2 for i in range(60)}
+    blob_codes = {lab[v]: s.pop() for v, s in by_vec.items()}
+    assert blob_codes[0] != blob_codes[1]
+
+    out = pq_adc_topk(emb, m=2, ksub=2, iters=2, n_queries=2, knn=5).collect()
+    assert len(out) == 10
+    for r in out:
+        # ADC top-k stays inside the query's blob
+        assert lab[r["neighbor_id"]] == lab[r["query_id"]]
+        assert r["adist"] >= 0
+    # ranks are dense and ordered by (adist, neighbor_id)
+    for qid in (0, 1):
+        rs = sorted(
+            (r for r in out if r["query_id"] == qid), key=lambda r: r["rank"]
+        )
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        assert all(
+            (a["adist"], a["neighbor_id"]) <= (b["adist"], b["neighbor_id"])
+            for a, b in zip(rs, rs[1:])
+        )
+
+
+def test_pq_validates_dims_divisible(spark):
+    from doc_parser_spark.operators.similarity import pq_train
+
+    emb = _emb(spark, [(0, [1.0] * 6, 0)])
+    with pytest.raises(ValueError):
+        pq_train(emb, m=4, ksub=2, iters=1)
