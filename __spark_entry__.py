@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": q(similarity.ivf_topk, "embeddings"),
         "emb_pq_codes": q(similarity.pq_codes, "embeddings"),
         "emb_pq_adc_topk": q(similarity.pq_adc_topk, "embeddings"),
+        "emb_ivfpq_topk": q(similarity.ivfpq_topk, "embeddings"),
         "emb_semdedup": q(similarity.semdedup, "embeddings"),
         # relational breadth
         "q1_pricing_summary": q(relational.pricing_summary, "lineitem"),
@@ -668,6 +669,72 @@ def _pq_adc_topk_sql(
             SELECT l.query_id, a.vec_id AS neighbor_id, sum(l.d) AS adist
             FROM pasg_final a
             JOIN lut l ON l.sub = a.sub AND l.code = a.code
+            WHERE l.query_id <> a.vec_id
+            GROUP BY l.query_id, a.vec_id
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(neighbor_id AS BIGINT) AS neighbor_id,
+               CAST(adist AS BIGINT) AS adist,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+            ) AS rank FROM scored
+        ) WHERE rank <= {knn}
+    """
+
+
+def _ivfpq_topk_sql(
+    dims: int = 64, k: int = 8, iters: int = 2, nprobe: int = 2,
+    m: int = 4, ksub: int = 4, n_queries: int = 5, knn: int = 5,
+) -> str:
+    """DuckDB twin of similarity.ivfpq_topk: coarse cells (the IVF CTE
+    chain) restrict candidates, PQ ADC (the PQ CTE chain) ranks them."""
+    dsub = dims // m
+    dist_ec = (
+        f"list_sum(list_transform(generate_series(1, {dims}), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i]) "
+        "* (CAST(e.embedding[i] AS DOUBLE) - c.c[i])))"
+    )
+    dist_qc = dist_ec.replace("e.embedding", "q.embedding")
+    qdist = (
+        f"list_sum(list_transform(generate_series(1, {dsub}), "
+        f"i -> (CAST(q.embedding[b.sub * {dsub} + i] AS DOUBLE) - b.c[i]) "
+        f"* (CAST(q.embedding[b.sub * {dsub} + i] AS DOUBLE) - b.c[i])))"
+    )
+    return f"""
+        WITH {_ivf_ctes(dims, k, iters)},
+        {_pq_ctes(dims, m, ksub, iters)},
+        ivf_final AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {dist_ec}, c.cid) AS rn
+                FROM embeddings e CROSS JOIN cents{iters} c
+            ) WHERE rn = 1
+        ),
+        probe AS (
+            SELECT vec_id AS query_id, cid FROM (
+                SELECT q.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY {dist_qc}, c.cid) AS rn
+                FROM embeddings q CROSS JOIN cents{iters} c
+                WHERE q.vec_id < {n_queries}
+            ) WHERE rn <= {nprobe}
+        ),
+        lut AS (
+            SELECT q.vec_id AS query_id, b.sub, b.code,
+                   CAST(floor({qdist} * 1e6) AS BIGINT) AS d
+            FROM embeddings q CROSS JOIN books{iters} b
+            WHERE q.vec_id < {n_queries}
+        ),
+        scored AS (
+            SELECT l.query_id, a.vec_id AS neighbor_id, sum(l.d) AS adist
+            FROM pasg_final a
+            JOIN ivf_final v ON v.vec_id = a.vec_id
+            JOIN probe p ON p.cid = v.cid
+            JOIN lut l ON l.query_id = p.query_id
+                      AND l.sub = a.sub AND l.code = a.code
             WHERE l.query_id <> a.vec_id
             GROUP BY l.query_id, a.vec_id
         )
@@ -1292,6 +1359,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pasg_final
         """,
         "emb_pq_adc_topk": _pq_adc_topk_sql(),
+        "emb_ivfpq_topk": _ivfpq_topk_sql(),
         "emb_semdedup": _semdedup_sql(),
         "emb_cosine_topk": """
             WITH scored AS (

@@ -240,3 +240,28 @@ def test_pq_validates_dims_divisible(spark):
     emb = _emb(spark, [(0, [1.0] * 6, 0)])
     with pytest.raises(ValueError):
         pq_train(emb, m=4, ksub=2, iters=1)
+
+
+def test_ivfpq_topk_blob_locality(spark):
+    """IVF-PQ composition: candidates come only from probed coarse
+    cells; ADC ranking keeps same-blob neighbors first."""
+    import numpy as np
+
+    from doc_parser_spark.operators.similarity import ivfpq_topk
+
+    rng = np.random.default_rng(11)
+    centers = np.array([[5.0] * 8, [-5.0] * 8, [5.0, -5.0] * 4])
+    rows = []
+    for i in range(90):
+        v = centers[i % 3] + rng.normal(0, 0.1, 8)
+        rows.append((i, [float(x) for x in v], i % 3))
+    emb = _emb(spark, rows)
+    out = ivfpq_topk(
+        emb, k=3, iters=2, nprobe=1, m=2, ksub=3, n_queries=3, knn=4
+    ).collect()
+    assert len(out) == 12
+    lab = {r[0]: r[2] for r in rows}
+    for r in out:
+        # nprobe=1 on separated blobs → neighbors share the query's blob
+        assert lab[r["neighbor_id"]] == lab[r["query_id"]]
+        assert r["adist"] >= 0
