@@ -12,7 +12,9 @@ SURVEY.md §7): a single-line block whose font size clearly exceeds the page
 median becomes TITLE (first, page 1) or SECTION_HEADER, and ``pdf/labels.py``
 recovers PAGE_HEADER/PAGE_FOOTER furniture (cross-page repetition +
 page-number patterns), LIST_ITEM groups (bullet/enumerator markers), CAPTION
-blocks (cross-referenced onto adjacent tables), and monospace CODE blocks.
+blocks (cross-referenced onto adjacent tables/pictures), monospace CODE,
+TeX-math-face FORMULA, FOOTNOTE small print, and PICTURE items clustered
+from bitmap placements (``labels.cluster_picture_rects``).
 
 The fallback chain mirrors ``doc_preprocessors/basic_processor.py:887-903``:
 if the structured parse fails, the whole document is retried with the naive
@@ -72,7 +74,10 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
             median_size = float(np.median([c.font_size for c in merged]))
         else:
             median_size = 12.0
-        page_data.append((page, regions, blocks, median_size))
+        pics = labels.cluster_picture_rects(
+            getattr(page, "bitmap_rects", [])
+        )
+        page_data.append((page, regions, pics, blocks, median_size))
         for block in blocks:
             bbox = layout.block_bbox(block)
             if labels.band_of(bbox, page.height) is not None:
@@ -89,35 +94,56 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
     )
 
     # -- pass 2: classify and emit
-    for page, regions, blocks, median_size in page_data:
+    for page, regions, pics, blocks, median_size in page_data:
         pending = list(regions)  # already sorted by (top, left)
-        last_table: model.Node | None = None
-        last_table_bottom = 0.0
+        pending_pics = list(pics)  # ditto
+        last_anchor: model.Node | None = None  # table/picture captions ref
+        last_anchor_bottom = 0.0
         pending_caption: model.Node | None = None
         pending_caption_bottom = 0.0
 
-        def flush_tables(up_to_y: float | None) -> None:
-            nonlocal last_table, last_table_bottom, pending_caption
-            while pending and (
-                up_to_y is None or pending[0].bbox[1] <= up_to_y
-            ):
-                region = pending.pop(0)
+        def flush_regions(up_to_y: float | None) -> None:
+            """Emit queued tables AND picture clusters whose top precedes
+            ``up_to_y``, interleaved in reading order; a pending 'Figure
+            N'/'Table N' caption within the gap window attaches."""
+            nonlocal last_anchor, last_anchor_bottom, pending_caption
+            while pending or pending_pics:
+                t_top = pending[0].bbox[1] if pending else None
+                p_top = pending_pics[0][1] if pending_pics else None
+                take_table = p_top is None or (
+                    t_top is not None and t_top <= p_top
+                )
+                top = t_top if take_table else p_top
+                if up_to_y is not None and top > up_to_y:
+                    break
                 cap = None
                 if (
                     pending_caption is not None
-                    and region.bbox[1] - pending_caption_bottom
+                    and top - pending_caption_bottom
                     <= labels.CAPTION_GAP_PT
                 ):
                     cap = pending_caption
                     pending_caption = None
-                last_table = doc.add_table(
-                    region.data,
-                    parent=current_parent,
-                    page_no=page.page_no,
-                    bbox=region.bbox,
-                    caption=cap,
-                )
-                last_table_bottom = region.bbox[3]
+                if take_table:
+                    region = pending.pop(0)
+                    last_anchor = doc.add_table(
+                        region.data,
+                        parent=current_parent,
+                        page_no=page.page_no,
+                        bbox=region.bbox,
+                        caption=cap,
+                    )
+                    last_anchor_bottom = region.bbox[3]
+                else:
+                    box = pending_pics.pop(0)
+                    node = doc.add_picture(
+                        parent=current_parent,
+                        caption=cap,
+                        page_no=page.page_no,
+                    )
+                    node.bbox = box
+                    last_anchor = node
+                    last_anchor_bottom = box[3]
 
         sub_blocks = [
             sub for b in blocks for sub in labels.split_label_runs(b)
@@ -139,7 +165,7 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
             if not text:
                 continue
             bbox = layout.block_bbox(block)
-            flush_tables(bbox[1])
+            flush_regions(bbox[1])
 
             # furniture: band-resident + (repeats across pages | page
             # number). Bare folios additionally qualify as the page's
@@ -252,11 +278,12 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
                     page_no=page.page_no, bbox=bbox,
                 )
                 if (
-                    last_table is not None
-                    and last_table.caption_ref is None
-                    and bbox[1] - last_table_bottom <= labels.CAPTION_GAP_PT
+                    last_anchor is not None
+                    and last_anchor.caption_ref is None
+                    and bbox[1] - last_anchor_bottom
+                    <= labels.CAPTION_GAP_PT
                 ):
-                    last_table.caption_ref = cap_node.index
+                    last_anchor.caption_ref = cap_node.index
                 else:
                     pending_caption = cap_node
                     pending_caption_bottom = bbox[3]
@@ -285,7 +312,7 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
                     text=text, label=model.TEXT, parent=current_parent,
                     page_no=page.page_no, bbox=bbox,
                 )
-        flush_tables(None)
+        flush_regions(None)
 
     parse_score = float(np.mean(parse_scores)) if parse_scores else 0.0
     return doc, parse_score
@@ -382,7 +409,19 @@ def extract_pdf(
             and node.table.cells
             for node, _ in doc.iterate_items(layers=(model.BODY,))
         )
-        if doc.has_text_items() or has_table_cells or not payload:
+        # likewise a picture-only page (scan/figure sheet) is content —
+        # the naive string scan would discard the picture items for
+        # nothing in return
+        has_pictures = any(
+            node.label == model.PICTURE
+            for node, _ in doc.iterate_items(layers=(model.BODY,))
+        )
+        if (
+            doc.has_text_items()
+            or has_table_cells
+            or has_pictures
+            or not payload
+        ):
             return doc, False
         # parsed but produced nothing: retry with the naive scan
         raise minipdf.PdfParseError("structured parse yielded no text")

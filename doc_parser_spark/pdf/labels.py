@@ -209,6 +209,64 @@ def split_label_runs(cells: list) -> list[list]:
     return out if len(out) > 1 else [cells]
 
 
+PICTURE_GAP_PT = 6.0
+PICTURE_MIN_AREA = 400.0  # < ~20x20pt placements are rules/decoration
+PICTURE_MIN_SIDE = 8.0  # hairline rules are long but thin — not figures
+
+
+def cluster_picture_rects(
+    rects: list,
+    gap: float = PICTURE_GAP_PT,
+    min_area: float = PICTURE_MIN_AREA,
+) -> list[tuple[float, float, float, float]]:
+    """Union overlapping/adjacent bitmap placements into picture boxes.
+
+    The reference's layout NN emits one picture cluster per figure even
+    when the PDF paints it as several tiled XObjects; the deterministic
+    equivalent is connected components over rect overlap (padded by
+    ``gap``). Tiny clusters (decorative rules, bullets-as-images) drop.
+    """
+    rects = [tuple(float(v) for v in r) for r in rects]
+    n = len(rects)
+    parent = list(range(n))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(n):
+        x0, y0, x1, y1 = rects[i]
+        for j in range(i + 1, n):
+            a0, b0, a1, b1 = rects[j]
+            if (
+                x0 - gap <= a1
+                and a0 - gap <= x1
+                and y0 - gap <= b1
+                and b0 - gap <= y1
+            ):
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    groups: dict[int, list] = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(rects[i])
+    out = []
+    for grp in groups.values():
+        box = (
+            min(r[0] for r in grp),
+            min(r[1] for r in grp),
+            max(r[2] for r in grp),
+            max(r[3] for r in grp),
+        )
+        w, h = box[2] - box[0], box[3] - box[1]
+        if w * h >= min_area and min(w, h) >= PICTURE_MIN_SIDE:
+            out.append(box)
+    out.sort(key=lambda b: (b[1], b[0]))
+    return out
+
+
 def split_list_items(
     lines: list[str],
 ) -> list[tuple[str, bool]] | None:

@@ -294,3 +294,33 @@ def test_font_name_reaches_cells():
     by_text = {c.text: c.font_name for c in page.cells}
     assert by_text["plain"] == "Helvetica"
     assert by_text["typed"] == "Courier"
+
+
+def test_picture_clusters_from_bitmap_rects():
+    from doc_parser_spark.pdf import labels
+
+    # two tiled halves of one figure + one separate figure + a 4pt rule
+    rects = [
+        (100, 100, 200, 180),
+        (202, 100, 300, 180),  # 2pt gap → same cluster
+        (100, 400, 300, 560),
+        (72, 700, 540, 703),  # decorative rule: area < threshold
+    ]
+    boxes = labels.cluster_picture_rects(rects)
+    assert boxes == [(100.0, 100.0, 300.0, 180.0), (100.0, 400.0, 300.0, 560.0)]
+
+
+def test_reference_pdf_pictures_and_caption_ref():
+    """picture_classification: both figures emit PICTURE items with
+    their 'Figure N' captions cross-referenced (the golden's shape)."""
+    doc, _ = extract_pdf(
+        open(
+            "/root/reference/tests/data/pdf/picture_classification.pdf",
+            "rb",
+        ).read()
+    )
+    pics = [n for n, _ in doc.iterate_items() if n.label == model.PICTURE]
+    assert len(pics) == 2
+    from doc_parser_spark.core.serialize import export_markdown
+
+    assert export_markdown(doc).count("<!-- image -->") == 2
