@@ -290,10 +290,16 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
                 continue
 
             block_size = max(c.font_size for c in block)
-            is_heading = (
-                len(block) == 1 and block_size >= median_size * _HEADING_SIZE_FACTOR
+            size_heading = (
+                len(block) == 1
+                and block_size >= median_size * _HEADING_SIZE_FACTOR
             )
-            if is_heading and not title_emitted and page.page_no == 1:
+            # bold-at-body-size headings (Word-converted PDFs) rank as
+            # section headers only — docling's TITLE needs display size
+            is_heading = size_heading or labels.is_bold_heading(
+                block, text, median_size
+            )
+            if size_heading and not title_emitted and page.page_no == 1:
                 current_parent = doc.add_text(
                     text=text, label=model.TITLE,
                     page_no=page.page_no, bbox=bbox,

@@ -139,6 +139,28 @@ def is_footnote(
     )
 
 
+_BOLD_RE = re.compile(r"bold|black|heavy|semibold|demibold", re.IGNORECASE)
+HEADING_MAX_CHARS = 120
+
+
+def is_bold_heading(cells: list, text: str, median_size: float) -> bool:
+    """Single-line block set entirely in a bold face at >= body size.
+
+    Catches Word/DOCX-converted PDFs whose headings are bold at nearly
+    body size (e.g. 13.4pt over a 12pt median — under any safe size
+    factor). Sentence-ending periods disqualify: a bold full sentence is
+    emphasis, not a heading.
+    """
+    if len(cells) != 1 or not text or len(text) > HEADING_MAX_CHARS:
+        return False
+    if text.rstrip().endswith("."):
+        return False
+    faces = _cell_faces(cells[0])
+    if not faces or not all(_BOLD_RE.search(n) for n in faces):
+        return False
+    return cells[0].font_size >= median_size - 0.1
+
+
 def is_mono_block(cells: list) -> bool:
     """Every cell is set entirely in monospace /BaseFonts."""
     return bool(cells) and all(_cell_class(c) == "mono" for c in cells)
@@ -236,19 +258,40 @@ def cluster_picture_rects(
             a = parent[a]
         return a
 
-    for i in range(n):
-        x0, y0, x1, y1 = rects[i]
-        for j in range(i + 1, n):
-            a0, b0, a1, b1 = rects[j]
-            if (
-                x0 - gap <= a1
-                and a0 - gap <= x1
-                and y0 - gap <= b1
-                and b0 - gap <= y1
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    # spatial-grid union instead of the O(n²) pairwise sweep: a tiled
+    # scan can paint thousands of placements per page and per-document
+    # time isolation must hold (same contract as tables.detect_tables).
+    # Rects expanded by gap/2 that share a grid cell are overlap
+    # CANDIDATES; the exact test runs only within a cell's occupants.
+    cell = 64.0
+    grid: dict[tuple[int, int], list[int]] = {}
+    for i, (x0, y0, x1, y1) in enumerate(rects):
+        for gx in range(int((x0 - gap) // cell), int((x1 + gap) // cell) + 1):
+            for gy in range(
+                int((y0 - gap) // cell), int((y1 + gap) // cell) + 1
             ):
-                ra, rb = find(i), find(j)
-                if ra != rb:
-                    parent[max(ra, rb)] = min(ra, rb)
+                grid.setdefault((gx, gy), []).append(i)
+    for occupants in grid.values():
+        for ii in range(len(occupants)):
+            i = occupants[ii]
+            x0, y0, x1, y1 = rects[i]
+            for jj in range(ii + 1, len(occupants)):
+                j = occupants[jj]
+                if find(i) == find(j):
+                    continue
+                a0, b0, a1, b1 = rects[j]
+                if (
+                    x0 - gap <= a1
+                    and a0 - gap <= x1
+                    and y0 - gap <= b1
+                    and b0 - gap <= y1
+                ):
+                    union(i, j)
     groups: dict[int, list] = {}
     for i in range(n):
         groups.setdefault(find(i), []).append(rects[i])

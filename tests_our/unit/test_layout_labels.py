@@ -324,3 +324,41 @@ def test_reference_pdf_pictures_and_caption_ref():
     from doc_parser_spark.core.serialize import export_markdown
 
     assert export_markdown(doc).count("<!-- image -->") == 2
+
+
+def test_bold_body_size_line_becomes_section_header():
+    # Word-converted PDFs: headings are bold at nearly body size —
+    # under any safe size factor, so boldness is the signal
+    from doc_parser_spark.pdf import minipdf
+
+    def cell(i, text, name, t, size=12.0):
+        return minipdf.TextCell(
+            index=i, text=text, l=72.0, t=t, r=400.0, b=t + size,
+            font_size=size, page_no=1, font_name=name,
+            font_names=(name,),
+        )
+
+    # build through labels directly (writer has no bold face)
+    assert labels.is_bold_heading(
+        [cell(0, "Pre-Digital Era", "TimesNewRomanPS-BoldMT", 100.0)],
+        "Pre-Digital Era",
+        12.0,
+    )
+    # a bold full sentence is emphasis, not a heading
+    assert not labels.is_bold_heading(
+        [cell(0, "This whole sentence is bold.", "Arial-Bold", 100.0)],
+        "This whole sentence is bold.",
+        12.0,
+    )
+    # regular face never qualifies
+    assert not labels.is_bold_heading(
+        [cell(0, "Plain line", "TimesNewRomanPSMT", 100.0)],
+        "Plain line",
+        12.0,
+    )
+    # below body size never qualifies
+    assert not labels.is_bold_heading(
+        [cell(0, "Tiny bold", "Arial-Bold", 100.0, size=9.0)],
+        "Tiny bold",
+        12.0,
+    )
