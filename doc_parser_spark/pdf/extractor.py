@@ -146,7 +146,12 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
                     last_anchor_bottom = box[3]
 
         sub_blocks = [
-            sub for b in blocks for sub in labels.split_label_runs(b)
+            sub2
+            for b in blocks
+            for sub in labels.split_label_runs(b)
+            for sub2 in labels.split_leading_bold_heading(
+                sub, median_size
+            )
         ]
         # the folio is the bottom-most (top-most) block on its page —
         # stronger evidence than a fixed band when margins are generous

@@ -161,6 +161,26 @@ def is_bold_heading(cells: list, text: str, median_size: float) -> bool:
     return cells[0].font_size >= median_size - 0.1
 
 
+def split_leading_bold_heading(
+    cells: list, median_size: float
+) -> list[list]:
+    """Split a qualifying bold first line off a mixed block.
+
+    A heading set tight above its paragraph clusters into one block; if
+    the first cell alone passes ``is_bold_heading`` and the rest of the
+    block is not bold, the heading becomes its own block. Returns
+    ``[cells]`` unchanged otherwise."""
+    if len(cells) < 2:
+        return [cells]
+    first = cells[0]
+    if not is_bold_heading([first], first.text.strip(), median_size):
+        return [cells]
+    rest_faces = [n for c in cells[1:] for n in _cell_faces(c)]
+    if rest_faces and all(_BOLD_RE.search(n) for n in rest_faces):
+        return [cells]  # uniformly bold block — emphasis, not a heading
+    return [[first], cells[1:]]
+
+
 def is_mono_block(cells: list) -> bool:
     """Every cell is set entirely in monospace /BaseFonts."""
     return bool(cells) and all(_cell_class(c) == "mono" for c in cells)

@@ -520,12 +520,22 @@ def assemble_cells(
                     b=page_height - (y - descent),
                     font_size=size,
                     page_no=page_no,
+                    # whitespace glyphs carry no typographic signal (a
+                    # trailing space often rides the surrounding body
+                    # face and would poison all-bold/all-mono tests)
                     font_name=next(
-                        (g.font_name for g in run if g.font_name), ""
+                        (
+                            g.font_name
+                            for g in run
+                            if g.font_name and not g.text.isspace()
+                        ),
+                        "",
                     ),
                     font_names=tuple(
                         dict.fromkeys(
-                            g.font_name for g in run if g.font_name
+                            g.font_name
+                            for g in run
+                            if g.font_name and not g.text.isspace()
                         )
                     ),
                 )

@@ -362,3 +362,23 @@ def test_bold_body_size_line_becomes_section_header():
         "Tiny bold",
         12.0,
     )
+
+
+def test_leading_bold_heading_splits_from_paragraph():
+    from doc_parser_spark.pdf import minipdf
+
+    def cell(i, text, names, t):
+        return minipdf.TextCell(
+            index=i, text=text, l=72.0, t=t, r=400.0, b=t + 12.0,
+            font_size=12.0, page_no=1, font_name=names[0],
+            font_names=tuple(names),
+        )
+
+    head = cell(0, "Heading Line", ("Arial-Bold",), 100.0)
+    body1 = cell(1, "Body sentence one.", ("Arial",), 114.0)
+    body2 = cell(2, "Body sentence two.", ("Arial",), 128.0)
+    out = labels.split_leading_bold_heading([head, body1, body2], 12.0)
+    assert out == [[head], [body1, body2]]
+    # uniformly bold block: emphasis, no split
+    b1 = cell(1, "All bold.", ("Arial-Bold",), 114.0)
+    assert labels.split_leading_bold_heading([head, b1], 12.0) == [[head, b1]]
