@@ -502,24 +502,53 @@ def pq_train(
     return books
 
 
+def _codes_arr(books: list, dsub: int):
+    """JVM expression: array of the M nearest-code ids for a vector."""
+    return F.array(
+        *[_nearest_code(book, j * dsub) for j, book in enumerate(books)]
+    )
+
+
+def _adc_lut_rows(
+    queries: list, books: list, dsub: int
+) -> list[tuple[int, int, int, int]]:
+    """(query_id, sub, code, floor(d*1e6)) rows for the ADC lookup table.
+
+    Left-fold double accumulation — the same order the SQL twins'
+    ``list_sum(list_transform(...))`` uses, so the scaled-integer entry
+    is bit-identical on both sides."""
+    rows = []
+    for q in queries:
+        emb = [float(v) for v in q["embedding"]]
+        qid = int(q["vec_id"])
+        for j, book in enumerate(books):
+            sub = emb[j * dsub : (j + 1) * dsub]
+            for ci, cent in enumerate(book):
+                d = 0.0
+                for x, c in zip(sub, cent):
+                    d += (x - c) * (x - c)
+                rows.append((qid, j, ci, int(math.floor(d * 1e6))))
+    return rows
+
+
 def pq_codes(
     embeddings: DataFrame,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     iters: int = PQ_ITERS,
+    books: list | None = None,
 ) -> DataFrame:
     """Every vector's PQ code as exploded scalar rows (vec_id, sub, code).
 
     Encoding is a stateless JVM projection against the driver-held
-    codebooks — no shuffle, no Python in the executor path."""
-    books = pq_train(embeddings, m, ksub, iters)
+    codebooks — no shuffle, no Python in the executor path. Pass
+    pre-trained ``books`` to skip the training scans."""
+    if books is None:
+        books = pq_train(embeddings, m, ksub, iters)
     first = embeddings.select("embedding").first()
     dsub = len(first["embedding"]) // m
-    codes_arr = F.array(
-        *[_nearest_code(books[j], j * dsub) for j in range(m)]
-    )
     return embeddings.select(
-        "vec_id", F.posexplode(codes_arr).alias("sub", "code")
+        "vec_id", F.posexplode(_codes_arr(books, dsub)).alias("sub", "code")
     ).select(F.col("vec_id").cast("long"), F.col("sub").cast("long"), "code")
 
 
@@ -546,22 +575,11 @@ def pq_adc_topk(
         .select("vec_id", "embedding")
         .collect()
     )
-    lut_rows = []
-    for q in queries:
-        emb = [float(v) for v in q["embedding"]]
-        for j in range(m):
-            sub = emb[j * dsub : (j + 1) * dsub]
-            for ci, cent in enumerate(books[j]):
-                d = 0.0
-                for x, c in zip(sub, cent):  # left fold, same as SQL
-                    d += (x - c) * (x - c)
-                lut_rows.append(
-                    (int(q["vec_id"]), j, ci, int(math.floor(d * 1e6)))
-                )
     lut = spark.createDataFrame(
-        lut_rows, "query_id long, sub long, code long, d long"
+        _adc_lut_rows(queries, books, dsub),
+        "query_id long, sub long, code long, d long",
     )
-    codes = pq_codes(embeddings, m, ksub, iters)
+    codes = pq_codes(embeddings, m, ksub, iters, books=books)
     scored = (
         codes.join(F.broadcast(lut), ["sub", "code"])
         .where(F.col("query_id") != F.col("vec_id"))
@@ -613,13 +631,10 @@ def ivfpq_topk(
     dsub = len(first["embedding"]) // m
     spark = embeddings.sparkSession
 
-    codes_arr = F.array(
-        *[_nearest_code(books[j], j * dsub) for j in range(m)]
-    )
     corpus = embeddings.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         _nearest_cid(cents).alias("cid"),
-        F.posexplode(codes_arr).alias("sub", "code"),
+        F.posexplode(_codes_arr(books, dsub)).alias("sub", "code"),
     )
 
     queries = (
@@ -627,7 +642,7 @@ def ivfpq_topk(
         .select("vec_id", "embedding")
         .collect()
     )
-    probe_rows, lut_rows = [], []
+    probe_rows = []
     for qr in queries:
         emb = [float(v) for v in qr["embedding"]]
         qid = int(qr["vec_id"])
@@ -641,16 +656,10 @@ def ivfpq_topk(
             dists.append((d, ci))
         dists.sort()
         probe_rows += [(qid, ci) for _, ci in dists[:nprobe]]
-        for j in range(m):
-            sub = emb[j * dsub : (j + 1) * dsub]
-            for ci, cent in enumerate(books[j]):
-                d = 0.0
-                for x, cc in zip(sub, cent):
-                    d += (x - cc) * (x - cc)
-                lut_rows.append((qid, j, ci, int(math.floor(d * 1e6))))
     probes = spark.createDataFrame(probe_rows, "query_id long, cid long")
     lut = spark.createDataFrame(
-        lut_rows, "query_id long, sub long, code long, d long"
+        _adc_lut_rows(queries, books, dsub),
+        "query_id long, sub long, code long, d long",
     )
 
     scored = (

@@ -121,6 +121,9 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
                     pending_caption is not None
                     and top - pending_caption_bottom
                     <= labels.CAPTION_GAP_PT
+                    # kind must match: 'Table N' never captions a figure
+                    and labels.caption_kind(pending_caption.text)
+                    == ("table" if take_table else "figure")
                 ):
                     cap = pending_caption
                     pending_caption = None
@@ -287,6 +290,12 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
                     and last_anchor.caption_ref is None
                     and bbox[1] - last_anchor_bottom
                     <= labels.CAPTION_GAP_PT
+                    and labels.caption_kind(text)
+                    == (
+                        "table"
+                        if last_anchor.label == model.TABLE
+                        else "figure"
+                    )
                 ):
                     last_anchor.caption_ref = cap_node.index
                 else:
@@ -360,6 +369,7 @@ def extract_pdf(
     running per-executor inside the Arrow batch. No engine ships in this
     environment, so the default stays None.
     """
+    pic_doc: Document | None = None
     try:
         pages = parsed_pages if parsed_pages is not None else minipdf.parse_pdf(payload)
         if page_range is not None:
@@ -420,23 +430,24 @@ def extract_pdf(
             and node.table.cells
             for node, _ in doc.iterate_items(layers=(model.BODY,))
         )
-        # likewise a picture-only page (scan/figure sheet) is content —
-        # the naive string scan would discard the picture items for
-        # nothing in return
-        has_pictures = any(
-            node.label == model.PICTURE
-            for node, _ in doc.iterate_items(layers=(model.BODY,))
-        )
-        if (
-            doc.has_text_items()
-            or has_table_cells
-            or has_pictures
-            or not payload
-        ):
+        if doc.has_text_items() or has_table_cells or not payload:
             return doc, False
-        # parsed but produced nothing: retry with the naive scan
+        # parsed but produced no text: a picture-only doc is kept ONLY
+        # if the naive scan recovers no text either — a text-bearing PDF
+        # whose fonts defeated the structured parse must still fall back
+        # rather than return just its figures
+        pic_doc = (
+            doc
+            if any(
+                node.label == model.PICTURE
+                for node, _ in doc.iterate_items(layers=(model.BODY,))
+            )
+            else None
+        )
         raise minipdf.PdfParseError("structured parse yielded no text")
     except Exception:
         pages = minipdf.fallback_scan(payload)
         doc, _score = _build_document(pages)
+        if pic_doc is not None and not doc.has_text_items():
+            return pic_doc, False  # genuine picture-only document
         return doc, True

@@ -56,6 +56,9 @@ _MATH_FONT_RE = re.compile(r"cmmi|cmsy|cmex|msam|msbm|math", re.IGNORECASE)
 # against prose that merely mentions an italic variable ('+' and '<'
 # alone are too common in prose to qualify)
 _MATH_OP_RE = re.compile(r"[=±∑∏∫√≤≥≠∞→⇒∈∂∇÷]")
+# ...and never reads as running prose: three consecutive >=3-letter
+# words ('... is the learning rate') means a sentence, not math
+_PROSE_RUN_RE = re.compile(r"(?:[A-Za-z]{3,}\s+){2,}[A-Za-z]{3,}")
 FORMULA_MAX_CHARS = 200
 _DIGITS_RE = re.compile(r"\d+")
 
@@ -116,6 +119,14 @@ def is_page_number(text: str) -> bool:
 
 def is_caption(text: str) -> bool:
     return bool(_CAPTION_RE.match(text)) and len(text) <= CAPTION_MAX_CHARS
+
+
+def caption_kind(text: str) -> str:
+    """'table' for Table/Tab. captions, else 'figure' — so a 'Table N'
+    caption never cross-references a picture sitting closer than the
+    table it names (and vice versa)."""
+    head = text.lstrip().lower()
+    return "table" if head.startswith(("table", "tab.")) else "figure"
 
 
 def is_footnote(
@@ -182,8 +193,12 @@ def split_leading_bold_heading(
 
 
 def is_mono_block(cells: list) -> bool:
-    """Every cell is set entirely in monospace /BaseFonts."""
-    return bool(cells) and all(_cell_class(c) == "mono" for c in cells)
+    """Every solid cell is set entirely in monospace /BaseFonts
+    (whitespace-only cells carry no signal and are ignored)."""
+    classes = [_cell_class(c) for c in cells]
+    return "mono" in classes and all(
+        cls in ("mono", "any") for cls in classes
+    )
 
 
 def _cell_faces(c) -> tuple:
@@ -195,19 +210,29 @@ def _cell_faces(c) -> tuple:
 
 
 def is_formula_block(cells: list) -> bool:
-    """Every cell carries a TeX math face (a display equation merges the
-    CMMI variable with CMR digits — ANY math face in the line counts),
-    the text shows a relation glyph, and it's display-equation sized."""
-    if not cells:
+    """Every solid cell carries a TeX math face (a display equation
+    merges the CMMI variable with CMR digits — ANY math face in the line
+    counts), the text shows a relation glyph, reads as symbols rather
+    than running prose, and is display-equation sized."""
+    solid = [c for c in cells if c.text.strip()]
+    if not solid:
         return False
-    for c in cells:
+    for c in solid:
         if _cell_class(c) != "math":
             return False
-    text = " ".join(c.text for c in cells)
-    return bool(_MATH_OP_RE.search(text)) and len(text) <= FORMULA_MAX_CHARS
+    text = " ".join(c.text for c in solid)
+    return (
+        bool(_MATH_OP_RE.search(text))
+        and not _PROSE_RUN_RE.search(text)
+        and len(text) <= FORMULA_MAX_CHARS
+    )
 
 
 def _cell_class(c) -> str:
+    """'mono' | 'math' | 'text' | 'any' (whitespace-only: no signal —
+    joins whatever run surrounds it)."""
+    if not getattr(c, "text", " ").strip():
+        return "any"
     names = _cell_faces(c)
     if names and all(_MONO_RE.search(n) for n in names):
         return "mono"
@@ -231,7 +256,7 @@ def split_label_runs(cells: list) -> list[list]:
     runs: list[tuple[list, str]] = []
     for c in cells:
         cls = _cell_class(c)
-        if runs and runs[-1][1] == cls:
+        if runs and (runs[-1][1] == cls or cls == "any"):
             runs[-1][0].append(c)
         else:
             runs.append(([c], cls))

@@ -85,9 +85,15 @@ def merge_horizontal_cells(
         parts = [ordered[0].text]
         for prev, cur in zip(ordered, ordered[1:]):
             sz = min(prev.font_size, cur.font_size) or prev.height or 1.0
-            sup_boundary = min(prev.height, cur.height) < 0.85 * max(
-                prev.height, cur.height
-            )  # sub/superscript joins separate ('a' + '2' → 'a 2')
+            # sub/superscript joins separate ('a' + '2' → 'a 2'): a
+            # clearly smaller cell OFF the shared baseline. The baseline
+            # test keeps small-caps/drop-cap mixes ('V'+'ATICAN', same
+            # bottom) joining seamlessly at zero gap.
+            big_h = max(prev.height, cur.height)
+            sup_boundary = (
+                min(prev.height, cur.height) < 0.85 * big_h
+                and abs(prev.b - cur.b) > 0.2 * big_h
+            )
             if cur.l - prev.r > 0.16 * sz or sup_boundary:
                 parts.append(" ")
             parts.append(cur.text)

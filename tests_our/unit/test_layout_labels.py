@@ -382,3 +382,78 @@ def test_leading_bold_heading_splits_from_paragraph():
     # uniformly bold block: emphasis, no split
     b1 = cell(1, "All bold.", ("Arial-Bold",), 114.0)
     assert labels.split_leading_bold_heading([head, b1], 12.0) == [[head, b1]]
+
+
+def test_smallcaps_zero_gap_does_not_get_space():
+    # small-caps share the baseline: 'V'+'ATICAN' must join seamlessly
+    from doc_parser_spark.pdf import minipdf
+
+    def cell(i, text, l, r, t, b, fs):
+        return minipdf.TextCell(index=i, text=text, l=l, t=t, r=r, b=b,
+                                font_size=fs, page_no=1)
+
+    big = cell(0, "V", 72.0, 80.0, 100.0, 110.0, 10.0)
+    small = cell(1, "ATICAN", 80.1, 120.0, 102.5, 110.0, 7.5)
+    from doc_parser_spark.pdf import layout
+
+    merged = layout.merge_horizontal_cells([big, small])
+    assert len(merged) == 1 and merged[0].text == "VATICAN"
+
+
+def test_inline_math_in_prose_stays_text():
+    # 'where α = 0.05 is the learning rate' — math face present and '='
+    # present, but it reads as prose → never a formula
+    class C:
+        text = "where a = 0.05 is the learning rate"
+        font_name = "CMMI10"
+        font_names = ("CMMI10", "CMR10")
+        font_size = 10.0
+
+    assert not labels.is_formula_block([C()])
+
+
+def test_whitespace_cell_does_not_declassify_code():
+    class Mono:
+        def __init__(self, text):
+            self.text = text
+            self.font_name = "Courier"
+            self.font_names = ("Courier",)
+
+    class Blank:
+        text = "   "
+        font_name = ""
+        font_names = ()
+
+    assert labels.is_mono_block([Mono("def f():"), Blank(), Mono("x = 1")])
+    # the 'any' cell joins the surrounding run — no split
+    out = labels.split_label_runs([Mono("a"), Blank(), Mono("b")])
+    assert len(out) == 1 and len(out[0]) == 3
+
+
+def test_caption_kind_matching():
+    assert labels.caption_kind("Table 3: results") == "table"
+    assert labels.caption_kind("Tab. 2 overview") == "table"
+    assert labels.caption_kind("Figure 1: pipeline") == "figure"
+    assert labels.caption_kind("Listing 1: code") == "figure"
+
+
+def test_text_pdf_with_logo_still_falls_back_for_text(monkeypatch):
+    """A text-bearing PDF whose structured parse yields no cells but DOES
+    place a bitmap must still recover text via the naive scan."""
+    from doc_parser_spark.pdf import minipdf as mp
+
+    pdf = writer.write_pdf([writer.paragraph_runs(["Recoverable text."], top_y=600)])
+
+    real_parse = mp.parse_pdf
+
+    def broken_parse(data):
+        pages = real_parse(data)
+        for p in pages:
+            p.cells = []  # fonts defeated the structured parse
+            p.bitmap_rects = [(100.0, 100.0, 200.0, 200.0)]
+        return pages
+
+    monkeypatch.setattr(mp, "parse_pdf", broken_parse)
+    doc, fallback = extract_pdf(pdf)
+    assert fallback
+    assert "Recoverable text." in export_text(doc)
