@@ -143,6 +143,7 @@ def main() -> None:
         "doc_ngram_jaccard",
         "doc_simhash",
         "emb_cosine_topk",
+        "emb_ivfpq_topk",
         "q1_pricing_summary",
         "q3_top_unshipped",
         "events_sessionize",

@@ -18,9 +18,18 @@ from geometry, typography, and cross-page statistics alone:
   table sits adjacent the caption is cross-referenced onto it the way docling
   attaches ``captions`` refs to tables/pictures.
 * ``CODE`` — blocks set entirely in a monospace ``/BaseFont`` (Courier/Mono/
-  Consolas families). Deterministic half of reference Op-59
+  Consolas/CMTT families). Deterministic half of reference Op-59
   (``docling/models/code_formula_model.py`` — the VLM stays a provider
   boundary; font-based detection needs no model).
+* ``FORMULA`` — display equations in TeX math faces (CMMI/CMSY/CMEX/AMS)
+  showing a relation glyph and not reading as running prose.
+* ``FOOTNOTE`` — marker-led small print near the page bottom.
+* ``SECTION_HEADER`` (bold rule) — single-line all-bold blocks at >= body
+  size (Word-converted PDFs put headings under any safe size factor), with
+  a leading-bold split when the heading clusters with its paragraph.
+* ``PICTURE`` — bitmap placements clustered by spatial-grid overlap
+  union (tiled figure halves join; hairline rules and decoration drop),
+  interleaved with tables in reading order, caption cross-refs by kind.
 
 Everything here is pure-Python over already-parsed cells and runs inside the
 extraction ``mapInPandas`` batch — no Spark shuffle, no driver work.

@@ -249,3 +249,24 @@ def test_interval_join_plan_shape(spark):
     plan = plan_of(spark, "events_error_click_window")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_ivfpq_plan_broadcasts_model_state_only(spark):
+    """IVF-PQ: the probe set and ADC lookup table (driver-held model
+    state, a few hundred rows) broadcast; the corpus never does, and
+    nothing degenerates to a cartesian product."""
+    plan = plan_of(spark, "emb_ivfpq_topk")
+    assert "BroadcastHashJoin" in plan  # probes + lut ride broadcasts
+    assert "CartesianProduct" not in plan
+    # the only exchange keys are the final per-(query, vector) agg /
+    # rank window — the corpus side is a stateless projection (no
+    # corpus-wide broadcast exchange of the embeddings relation)
+    assert "embeddings" not in [
+        l for l in plan.splitlines() if "BroadcastExchange" in l
+    ]
+
+
+def test_pq_adc_plan_no_cartesian(spark):
+    plan = plan_of(spark, "emb_pq_adc_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
