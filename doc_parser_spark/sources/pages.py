@@ -87,7 +87,19 @@ def _pdf_doc(rng: random.Random, i: int) -> bytes:
         top_y=680.0,
     )
     runs += writer.fragmented_runs(_sentence(rng, 6), 72.0, 600.0)
+    # rotate the deterministic label classes through the corpus so the
+    # pipeline (batch, streaming, bench) exercises every labeler path
+    variant = i % 4
+    if variant == 0:  # monospace code listing
+        runs.append((72.0, 560.0, 10.0, f"def gen_{i}():", "mono"))
+        runs.append((72.0, 547.0, 10.0, f"return {i}", "mono"))
+    elif variant == 1:  # display formula in a TeX math face
+        runs.append((220.0, 560.0, 11.0, f"E = m + {i}", "math"))
+    elif variant == 2:  # marker-led small-print footnote
+        runs.append((72.0, 120.0, 8.0, f"1 footnote source {i}"))
+    runs.append((290.0, 40.0, 10.0, "1"))  # folio
     page2 = writer.paragraph_runs([_sentence(rng, 10), _sentence(rng, 7)], top_y=700.0)
+    page2.append((290.0, 40.0, 10.0, "2"))
     return writer.write_pdf([runs, page2])
 
 
