@@ -38,6 +38,7 @@ from doc_parser_spark.core.model import Document, Node
 MAX_TOKENS_DEFAULT = 2000  # reference: basic_processor.py:908-912
 TABLE_SPLIT_TOKENS = 4096  # reference: basic_processor.py:481
 CHUNK_DELIM = "\n"  # docling-core BaseChunker.delim
+_MAX_CHUNK_LENGTH = 300  # the packing-line cap inside the token estimate
 
 
 @dataclass
@@ -45,7 +46,6 @@ class Chunk:
     text: str
     items: list[Node] = field(default_factory=list)
     headings: Optional[list[str]] = None
-    header_info_list: list[dict] = field(default_factory=list)
     # mirrors the reference's ad-hoc ``_header_info_list`` attribute: only
     # set for merge candidates created inside _merge_small_chunks
     merge_header_infos: Optional[list[dict]] = None
@@ -53,23 +53,15 @@ class Chunk:
 
 def count_tokens(text: str) -> int:
     """Token estimate (reference ``_count_tokens``, basic_processor.py:247-284,
-    always on its fallback branch — see module docstring)."""
+    always on its fallback branch — see module docstring).
+
+    The packing rule lives ONCE, in ``_feed_tokens``/``_finalize_tokens``
+    (the incremental fold ``split_by_tokens`` relies on); this is the
+    single-text convenience form.
+    """
     if not text:
         return 0
-    max_chunk_length = 300
-    total = 0
-    current = ""
-    for line in text.split("\n"):
-        candidate = current + "\n" + line if current else line
-        if len(candidate) <= max_chunk_length:
-            current = candidate
-        else:
-            if current:
-                total += int(len(current.split()) * 1.3)
-            current = line
-    if current:
-        total += int(len(current.split()) * 1.3)
-    return total
+    return _finalize_tokens(_feed_tokens((0, ""), text))
 
 
 def _split_text_by_tokens(text: str, chunk_size: int) -> list[str]:
@@ -83,25 +75,28 @@ def _split_text_by_tokens(text: str, chunk_size: int) -> list[str]:
         candidate = "\n".join(current + [line])
         if count_tokens(candidate) <= chunk_size or not current:
             current.append(line)
-            # a single line over budget: split it on words
-            if count_tokens("\n".join(current)) > chunk_size:
-                long_line = current.pop()
-                if current:
-                    pieces.append("\n".join(current))
-                    current = []
-                words = long_line.split(" ")
-                buf: list[str] = []
-                for w in words:
-                    buf.append(w)
-                    if count_tokens(" ".join(buf)) > chunk_size and len(buf) > 1:
-                        buf.pop()
-                        pieces.append(" ".join(buf))
-                        buf = [w]
-                if buf:
-                    current = [" ".join(buf)]
         else:
             pieces.append("\n".join(current))
             current = [line]
+        # a single line over budget: split it on words. Checked on BOTH
+        # paths — a long line that flushes the previous chunk (else
+        # branch) is just as over-budget as one appended to an empty
+        # current, and used to be emitted whole.
+        if count_tokens("\n".join(current)) > chunk_size:
+            long_line = current.pop()
+            if current:
+                pieces.append("\n".join(current))
+                current = []
+            words = long_line.split(" ")
+            buf: list[str] = []
+            for w in words:
+                buf.append(w)
+                if count_tokens(" ".join(buf)) > chunk_size and len(buf) > 1:
+                    buf.pop()
+                    pieces.append(" ".join(buf))
+                    buf = [w]
+            if buf:
+                current = [" ".join(buf)]
     if current:
         pieces.append("\n".join(current))
     return pieces
@@ -289,7 +284,7 @@ def _feed_tokens(state: tuple[int, str], part: str) -> tuple[int, str]:
     total, current = state
     for line in part.split("\n"):
         candidate = current + "\n" + line if current else line
-        if len(candidate) <= 300:
+        if len(candidate) <= _MAX_CHUNK_LENGTH:
             current = candidate
         else:
             if current:
@@ -364,14 +359,16 @@ def split_by_tokens(
                 # oversized table: split the bare table text at the 4096
                 # budget and re-splice each part (basic_processor.py:477-502)
                 table_only = extract_table_text(item)
+                headings = _extract_used_headers([info])
                 for part in _split_text_by_tokens(table_only, TABLE_SPLIT_TOKENS):
-                    full_text = _generate_text([item], [info])
-                    full_text = full_text.replace(table_only, part)
+                    # table_text == _generate_text([item], [info]) — the
+                    # loop-invariant base each part splices into
+                    full_text = table_text.replace(table_only, part)
                     result.append(
                         Chunk(
                             text=full_text,
                             items=[item],
-                            headings=_extract_used_headers([info]),
+                            headings=headings,
                         )
                     )
             else:

@@ -214,7 +214,7 @@ class _IceHandler(_BaseHandler):
                 self.text = ""
             elif tag == "heading":
                 level_attr = attributes.get("level", "")
-                new_level = int(level_attr) if level_attr.isnumeric() else 1
+                new_level = int(level_attr) if level_attr.isdecimal() else 1
                 max_level = min(self.parents.keys())
                 self.level = (
                     new_level + 1 if (new_level + 1) in self.parents else max_level
@@ -301,7 +301,7 @@ class _GrantV2Handler(_BaseHandler):
         if tag in self.ALL_TAGS:
             if tag == "H" and "SDOCL" not in self.property:
                 level_attr = attributes.get("LVL", "")
-                new_level = int(level_attr) if level_attr.isnumeric() else 1
+                new_level = int(level_attr) if level_attr.isdecimal() else 1
                 max_level = min(self.parents.keys())
                 self.level = (
                     new_level + 1 if (new_level + 1) in self.parents else max_level
@@ -414,7 +414,7 @@ class _AppV1Handler(_BaseHandler):
                 self.text = ""
             elif tag == "heading":
                 level_attr = attributes.get("lvl", "")
-                new_level = int(level_attr) if level_attr.isnumeric() else 1
+                new_level = int(level_attr) if level_attr.isdecimal() else 1
                 max_level = min(self.parents.keys())
                 self.level = (
                     new_level + 1 if (new_level + 1) in self.parents else max_level
@@ -760,10 +760,10 @@ def _parse_xml_table(table_xml: str) -> Optional[model.TableData]:
                 nameend = entry.attrs.get("nameend")
                 start = (
                     int(namest)
-                    if isinstance(namest, str) and namest.isnumeric()
+                    if isinstance(namest, str) and namest.isdecimal()
                     else ientry + 1
                 )
-                if isinstance(nameend, str) and nameend.isnumeric():
+                if isinstance(nameend, str) and nameend.isdecimal():
                     end = int(nameend)
                     shift = 0
                 else:

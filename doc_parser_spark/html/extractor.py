@@ -95,17 +95,26 @@ class HtmlExtractor:
 
     def walk(self, tag: Tag) -> None:
         text = ""
-        for element in tag.children:
+        children = tag.children
+        n = len(children)
+        # suffix flag: does any LATER sibling open a node-item tag?
+        # Precomputed once so the per-text-child check is O(1) — the
+        # old next_siblings() scan (index + tail sweep per text child)
+        # was O(n²) in a tag's child count, a partition straggler on
+        # crawl pages with one huge flat <div>.
+        item_after = [False] * (n + 1)
+        for i in range(n - 1, -1, -1):
+            item_after[i] = item_after[i + 1] or (
+                isinstance(children[i], Tag)
+                and children[i].name in TAGS_FOR_NODE_ITEMS
+            )
+        for i, element in enumerate(children):
             if isinstance(element, Tag):
                 self.analyze_tag(element)
             elif element.is_text:
                 # floating text outside analyzed tags
                 text += element.data
-                following = tag.next_siblings(element)
-                sibling_tags = [s for s in following if isinstance(s, Tag)]
-                if not following or any(
-                    s.name in TAGS_FOR_NODE_ITEMS for s in sibling_tags
-                ):
+                if i == n - 1 or item_after[i + 1]:
                     text = text.strip()
                     if text and tag.name == "div":
                         self.doc.add_text(
@@ -221,7 +230,11 @@ class HtmlExtractor:
         is_ordered = element.name == "ol"
         if is_ordered:
             start_attr = element.get("start")
-            if isinstance(start_attr, str) and start_attr.isnumeric():
+            # isdecimal(), not the reference's isnumeric()
+            # (html_backend.py:308): '²'/'½' are isnumeric but int()
+            # raises, killing the whole document — isdecimal is exactly
+            # int()'s accepted subset (identical on every fixture)
+            if isinstance(start_attr, str) and start_attr.isdecimal():
                 start = int(start_attr)
             name = "ordered list" + (f" start {start}" if start is not None else "")
         else:
@@ -327,7 +340,9 @@ class HtmlExtractor:
 
 
 def _span_int(value, default: int = 1) -> int:
-    return int(value) if (isinstance(value, str) and value.isnumeric()) else default
+    # isdecimal, not the reference's isnumeric (html_backend.py:402):
+    # int('²') raises ValueError and would fail the whole document
+    return int(value) if (isinstance(value, str) and value.isdecimal()) else default
 
 
 def parse_table_data(element: Tag) -> Optional[model.TableData]:
@@ -404,6 +419,11 @@ def parse_table_data(element: Tag) -> Optional[model.TableData]:
             col_span = _span_int(cell.get("colspan", "1"))
             row_span = _span_int(cell.get("rowspan", "1"))
             if row_header:
+                # reference-faithful (html_backend.py:455-456) including
+                # its quirk: a header cell whose decremented span hits 0
+                # never occupies the grid, so the next cell can land on
+                # the same (row, col) anchor and dedup away — kept for
+                # byte parity
                 row_span -= 1
             while (
                 col_idx < num_cols

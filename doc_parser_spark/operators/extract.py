@@ -419,8 +419,13 @@ def extract_documents(
                 if rec["fallback"] and acc_fallback is not None:
                     acc_fallback.add(1)
 
-            out = pd.DataFrame(records)
-            yield out[[f.name for f in schemas.DOCUMENTS_OUT_SCHEMA.fields]]
+            # columns= keeps a 0-row batch schema-correct (an empty
+            # pd.DataFrame([]) has no columns and the projection KeyErrors)
+            out = pd.DataFrame(
+                records,
+                columns=[f.name for f in schemas.DOCUMENTS_OUT_SCHEMA.fields],
+            )
+            yield out
 
     return df.mapInPandas(kernel, schema=schemas.DOCUMENTS_OUT_SCHEMA)
 

@@ -613,3 +613,28 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     }
     missing = must_close - set(got)
     assert not missing, sorted(missing)[:5]
+
+
+def test_extraction_kernel_handles_empty_input(spark):
+    """A zero-row input must yield a zero-row, schema-correct output
+    (an empty pandas batch has no columns without columns=)."""
+    from pyspark.sql import types as T
+
+    from doc_parser_spark.core import schemas
+    from doc_parser_spark.operators.extract import extract_documents
+
+    pages_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    empty = spark.createDataFrame([], pages_schema)
+    out = extract_documents(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        f.name for f in schemas.DOCUMENTS_OUT_SCHEMA.fields
+    ]

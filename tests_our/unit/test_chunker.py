@@ -179,3 +179,36 @@ def test_parse_authors_shapes():
     assert parse_authors("a·b") == ["a", "b"]
     assert parse_authors("solo ") == ["solo"]
     assert parse_authors("a, b, a") == ["a", "b"]
+
+
+def test_split_text_by_tokens_budget_holds_after_short_line():
+    """A long line following a short one used to be emitted whole (the
+    word-split only ran on the empty-current path)."""
+    from doc_parser_spark.core.chunker import _split_text_by_tokens, count_tokens
+
+    text = "short\n" + " ".join(f"word{i}" for i in range(200))
+    pieces = _split_text_by_tokens(text, 50)
+    assert len(pieces) > 1
+    assert all(count_tokens(p) <= 50 for p in pieces)
+    # nothing lost
+    joined = " ".join(" ".join(p.split()) for p in pieces)
+    assert "word0" in joined and "word199" in joined and "short" in joined
+
+
+def test_count_tokens_single_shared_packing_rule():
+    from doc_parser_spark.core.chunker import (
+        _feed_tokens,
+        _finalize_tokens,
+        count_tokens,
+    )
+
+    samples = [
+        "",
+        "one two three",
+        "a\n" * 50 + "b",
+        "x" * 400 + "\nshort tail",
+    ]
+    for s in samples:
+        assert count_tokens(s) == (
+            0 if not s else _finalize_tokens(_feed_tokens((0, ""), s))
+        )

@@ -210,3 +210,38 @@ def test_spans_are_ordered_and_refd():
 def test_malformed_html_does_not_crash():
     doc = extract_html(b"<html><body><p>unclosed<div><b>bold</p></div>")
     assert "unclosed" in export_text(doc, layers=(model.BODY, model.FURNITURE))
+
+
+def test_exotic_numeric_attrs_do_not_fail_document():
+    """isnumeric() superset ('²', '½') crashes int() in the reference
+    (html_backend.py:308/402); isdecimal keeps the document alive."""
+    from doc_parser_spark.html.extractor import extract_html
+
+    html = (
+        "<html><body>"
+        '<ol start="²"><li>a</li><li>b</li></ol>'
+        '<table><tr><td colspan="½">x</td><td>y</td></tr></table>'
+        "<p>body survives</p></body></html>"
+    ).encode()
+    doc = extract_html(html)
+    from doc_parser_spark.core.serialize import export_text
+
+    text = export_text(doc)
+    assert "body survives" in text
+    assert "x" in text and "y" in text  # spans fell back to 1
+
+
+def test_flat_div_floating_text_linear_behavior():
+    """Many interleaved text/anchor children in one flat div: same output
+    as before (suffix-flag rewrite), covering the flush conditions."""
+    from doc_parser_spark.core.serialize import export_text
+    from doc_parser_spark.html.extractor import extract_html
+
+    inner = "".join(
+        f"t{i} <a href='#'>l{i}</a> " for i in range(50)
+    ) + "<p>para</p> tail"
+    doc = extract_html(f"<html><body><div>{inner}</div></body></html>".encode())
+    text = export_text(doc)
+    # floating text before the <p> flushes as one text node; the tail
+    # (last child, no following item tag) flushes at end-of-children
+    assert "t0" in text and "t49" in text and "tail" in text
