@@ -46,8 +46,16 @@ class ManifestStore:
     def __init__(self, output_dir: str, spark: Optional[SparkSession] = None):
         self.output_dir = output_dir
         self._spark = spark
-        self._use_hadoop = _has_scheme(output_dir)
-        if self._use_hadoop and spark is None:
+        # Route through Hadoop whenever a session is available, scheme or
+        # not: Spark resolves scheme-less output paths against
+        # fs.defaultFS, so on an HDFS-default cluster `--output /data/out`
+        # is HDFS — an os.* fast path would put manifests on the driver's
+        # local disk, away from the data (the split-brain this module
+        # exists to prevent). Path.getFileSystem applies the identical
+        # defaultFS resolution. The os fast path remains only for
+        # session-less (unit-test) use of bare local paths.
+        self._use_hadoop = spark is not None or _has_scheme(output_dir)
+        if _has_scheme(output_dir) and spark is None:
             raise ValueError(
                 f"{output_dir!r} has a filesystem scheme; a SparkSession is "
                 "required to reach it through the Hadoop FileSystem API"

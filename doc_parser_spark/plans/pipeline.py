@@ -15,7 +15,14 @@ Design for 10^12 documents:
   exists — resume granularity is a slice, commit atomicity is Spark's own
   job-commit protocol, and no anti-join against the (huge) output is ever
   needed. The slice predicate is a pure column expression, so Catalyst
-  pushes it into the input scan.
+  pushes it into the input scan. Trade-off stated plainly: a hash
+  predicate prunes FILES only when the input is bucketed/clustered by
+  the same url hash — on unclustered input each slice job re-reads the
+  full scan's bytes, i.e. ``num_slices`` passes total. That is the
+  price of slice-granular resume on arbitrary input; bucket the input
+  table by ``xxhash64(url) % num_slices`` (Iceberg: ``bucket(url)``
+  partition transform) to make every slice read ~1/num_slices of the
+  bytes, or run ``num_slices=1`` when resume granularity is not needed.
 * **Lineage/metrics sidecar.** Per (slice, task-partition) rows aggregated
   JVM-side from the ``partition_id`` column the kernel stamps:
   row/success/failure/fallback counts, wall estimates, url range. Appended
@@ -151,14 +158,20 @@ def run_extraction_job(
         metrics = partition_metrics(docs).withColumn("slice", F.lit(k)).withColumn(
             "run_id", F.lit(run_id)
         )
-        if io.mode == "parquet":
-            io.overwrite_partitioned(metrics, f"metrics/slice={k}")
-        else:
-            io.overwrite_partitioned(metrics, "metrics", ["slice"])
+        # aggregate ONCE: collect the (tiny) per-partition metric rows,
+        # then write the sidecar from the collected relation — writing
+        # the lazy frame and collecting it separately ran the whole
+        # groupBy over the cached docs twice per slice
         metric_rows = [r.asDict() for r in metrics.collect()]
+        metrics_local = spark.createDataFrame(metric_rows, metrics.schema)
+        if io.mode == "parquet":
+            io.overwrite_partitioned(metrics_local, f"metrics/slice={k}")
+        else:
+            io.overwrite_partitioned(metrics_local, "metrics", ["slice"])
         docs.unpersist()
 
         wall_ms = (time.perf_counter() - t0) * 1000.0
+        n_rows = int(sum(r["n_rows"] for r in metric_rows))
         store.write_atomic(
             k,
             {
@@ -167,7 +180,7 @@ def run_extraction_job(
                 "slice": k,
                 "wall_ms": wall_ms,
                 "partitions": metric_rows,
-                "n_rows": int(sum(r["n_rows"] for r in metric_rows)),
+                "n_rows": n_rows,
                 "n_failure": int(sum(r["n_failure"] for r in metric_rows)),
                 "n_fallback": int(sum(r["n_fallback"] for r in metric_rows)),
             },
@@ -175,7 +188,7 @@ def run_extraction_job(
         summary["slices"][k] = {
             "status": "completed",
             "wall_ms": round(wall_ms, 1),
-            "n_rows": int(sum(r["n_rows"] for r in metric_rows)),
+            "n_rows": n_rows,
         }
 
     summary["accumulators"] = {

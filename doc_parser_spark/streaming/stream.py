@@ -22,6 +22,7 @@ Three entry points:
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Iterable
 
 import pandas as pd
@@ -189,10 +190,12 @@ SESSION_GAP_US = 1_800_000_000  # 30 min, matches operators.relational.sessioniz
 _SESS_STATE_SCHEMA = T.StructType(
     [
         T.StructField("session_no", T.LongType()),
-        T.StructField("last_ts_us", T.LongType()),
-        T.StructField("n_events", T.LongType()),
-        T.StructField("sum_scaled", T.LongType()),  # 1e-4 units, exact
-        T.StructField("has_open", T.BooleanType()),
+        # UNSEALED events only (ts plus 1e-4-scaled values; a null value
+        # stays null — the batch twin's SUM skips it). Bounded by the
+        # watermark: only events newer than (watermark - gap) can still
+        # be unsealed, so the buffer never outgrows the lateness window.
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -211,62 +214,97 @@ def _scale4(value: float) -> int:
     Spark's CAST(value AS DECIMAL(18,4)) (BigDecimal of the shortest
     decimal repr, setScale(4, HALF_UP)), so streaming sums are integer-
     exact twins of the batch DECIMAL sums."""
-    from decimal import ROUND_HALF_UP, Decimal
-
     return int(
         Decimal(repr(float(value))).scaleb(4).to_integral_value(ROUND_HALF_UP)
     )
 
 
 def _round2(sum_scaled: int) -> float:
-    from decimal import ROUND_HALF_UP, Decimal
-
     return float(
         Decimal(sum_scaled).scaleb(-4).quantize(Decimal("0.01"), ROUND_HALF_UP)
     )
 
 
+def _watermark_us(state: GroupState) -> int:
+    try:
+        return int(state.getCurrentWatermarkMs()) * 1000
+    except Exception:  # pragma: no cover - API absent in stubbed tests
+        return 0
+
+
 def _update_sessions(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
-    """Per-user gap sessionizer. State = the one OPEN session plus the
-    numbering residue. A session CLOSES (and is emitted) when a new
-    event arrives more than the gap after the session's latest event, or
-    when the event-time watermark passes last_ts + gap
-    (GroupStateTimeout.EventTimeTimeout) — final exactly when no
-    in-watermark event can reopen it. On timeout the open-session
-    aggregates are emitted and dropped but the (session_no, last_ts)
-    residue is kept WITHOUT a new timeout, so a user who returns after
-    idling continues batch-identical numbering (and a late-but-admitted
-    event never reopens a sealed session — it starts the next one).
-    In-watermark late events join the open session without regressing
-    its high-water mark (gap and timeout always derive from the session
-    max event time)."""
+    """Per-user gap sessionizer, sealed strictly by the WATERMARK.
+
+    State = the UNSEALED event buffer plus the numbering residue. New
+    events merge into the buffer; the buffer splits into gap sessions in
+    event-time order, and a session is emitted exactly when the
+    watermark passes its last event + gap — only then can no admissible
+    late event extend or bridge it. (Closing on an in-arrival-order gap
+    — the previous design — emitted too early: a late-but-in-watermark
+    event bridging the gap merges sessions in the batch twin, and the
+    stream must agree.) The timeout re-fires at the first unsealed
+    session's seal time so sessions close without new data arriving
+    (GroupStateTimeout.EventTimeTimeout). After everything seals, the
+    numbering residue (session_no, empty buffer) is kept WITHOUT a new
+    timeout so a returning user continues batch-identical numbering.
+    Null event values stay null in the buffer: the batch twin's
+    SUM(DECIMAL) skips them while n_events still counts the row —
+    an all-null session emits a null sum the same way."""
     (user_id,) = key
-    closed = []
-    if state.hasTimedOut:
-        sn, last, n, sv, has_open = state.get
-        if has_open and n > 0:
-            closed.append((user_id, sn, n, _round2(sv)))
-        # keep the numbering residue; no further timeout until new data
-        state.update((sn + 1, last, 0, 0, False))
+    if state.exists:
+        sn, buf_ts, buf_vals = state.get
+        buf_ts, buf_vals = list(buf_ts), list(buf_vals)
     else:
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
-        if state.exists:
-            sn, last, n, sv, has_open = state.get
+        sn, buf_ts, buf_vals = 0, [], []
+    if not state.hasTimedOut:
+        for batch in pdfs:
+            for ts, value in zip(batch["ts"], batch["value"]):
+                buf_ts.append(int(ts.value) // 1000)  # pandas ns -> us
+                buf_vals.append(
+                    None if pd.isna(value) else _scale4(value)
+                )
+    order = sorted(range(len(buf_ts)), key=lambda i: buf_ts[i])
+    events = [(buf_ts[i], buf_vals[i]) for i in order]
+
+    sessions: list[list[tuple]] = []
+    for ev in events:
+        if sessions and ev[0] - sessions[-1][-1][0] <= SESSION_GAP_US:
+            sessions[-1].append(ev)
         else:
-            sn, last, n, sv, has_open = 0, None, 0, 0, False
-        for ts, value in zip(batch["ts"], batch["value"]):
-            ts_us = int(ts.value) // 1000  # pandas ns -> us
-            if has_open and ts_us - last > SESSION_GAP_US:
-                closed.append((user_id, sn, n, _round2(sv)))
-                sn += 1
-                n, sv = 0, 0
-            n += 1
-            sv += _scale4(value)
-            last = ts_us if last is None or not has_open else max(last, ts_us)
-            has_open = True
-        state.update((sn, int(last), int(n), int(sv), bool(has_open)))
-        state.setTimeoutTimestamp((int(last) + SESSION_GAP_US) // 1000)
+            sessions.append([ev])
+
+    wm_us = _watermark_us(state)
+    closed = []
+    kept: list[list[tuple]] = []
+    for s in sessions:
+        # seal in order only (seal times are monotone across sessions,
+        # the guard just makes that structural)
+        if not kept and s[-1][0] + SESSION_GAP_US <= wm_us:
+            vals = [v for _, v in s if v is not None]
+            closed.append(
+                (
+                    user_id,
+                    sn,
+                    len(s),
+                    _round2(sum(vals)) if vals else None,
+                )
+            )
+            sn += 1
+        else:
+            kept.append(s)
+
+    if kept:
+        flat = [ev for s in kept for ev in s]
+        state.update(
+            (sn, [t for t, _ in flat], [v for _, v in flat])
+        )
+        # re-fire when the first unsealed session becomes sealable
+        state.setTimeoutTimestamp(
+            (kept[0][-1][0] + SESSION_GAP_US) // 1000
+        )
+    else:
+        # numbering residue only; no timeout until new data
+        state.update((sn, [], []))
     yield pd.DataFrame(
         closed, columns=["user_id", "session_no", "n_events", "sum_value"]
     )
@@ -275,14 +313,14 @@ def _update_sessions(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
 def streaming_sessionize(events_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Custom stateful streaming operator: event-time gap sessionization
     (the streaming twin of ``relational.sessionize``, same 30-min gap,
-    output shape, DECIMAL-exact sums, and — thanks to the numbering
-    residue kept after timeouts — identical session numbering). The
-    open-session AGGREGATES are dropped as soon as the watermark seals a
-    session; what persists per ever-seen key is a 3-long numbering
-    residue (session_no, last_ts), the price of batch-identical
-    numbering. If global numbering is not needed, key the output on the
-    session's start timestamp instead and remove() on timeout for fully
-    bounded state.
+    output shape, DECIMAL-exact sums, and — because sessions seal
+    strictly at the watermark, with unsealed events buffered in state —
+    identical sessions AND numbering for every admitted event, late ones
+    included). Per-key state is bounded by the lateness window: only
+    events newer than (watermark - gap) can still be unsealed. After a
+    user's buffer drains, a one-long numbering residue persists — the
+    price of batch-identical numbering; key the output on session start
+    and ``remove()`` instead if global numbering is not needed.
 
     At crawl scale this is the per-host fetch-session/politeness tracker:
     keyed state partitioned across executors, Arrow-batched updates, no

@@ -1,9 +1,16 @@
 """Kernel-level tests for the streaming sessionizer state machine
-(_update_sessions driven directly with a fake GroupState): timeout
-numbering continuity, late-event high-water-mark handling, and
-decimal-exact sums."""
+(_update_sessions driven directly with a fake GroupState): watermark
+sealing, late-event bridging, timeout numbering continuity, null-value
+semantics, and decimal-exact sums."""
 
 import pandas as pd
+
+US = 1_000_000
+GAP_US = 1_800_000_000  # 30 min
+
+
+def _us(ts: str) -> int:
+    return int(pd.Timestamp(ts).value) // 1000
 
 
 class FakeState:
@@ -11,6 +18,7 @@ class FakeState:
         self._val = None
         self.hasTimedOut = False
         self.timeout_ms = None
+        self.watermark_ms = 0
 
     @property
     def exists(self):
@@ -29,6 +37,9 @@ class FakeState:
     def setTimeoutTimestamp(self, ms):
         self.timeout_ms = ms
 
+    def getCurrentWatermarkMs(self):
+        return self.watermark_ms
+
 
 def _batch(rows):
     return pd.DataFrame(
@@ -40,10 +51,12 @@ def _batch(rows):
     )
 
 
-def _run(state, rows=None, timed_out=False):
+def _run(state, rows=None, timed_out=False, watermark=None):
     from doc_parser_spark.streaming.stream import _update_sessions
 
     state.hasTimedOut = timed_out
+    if watermark is not None:
+        state.watermark_ms = _us(watermark) // 1000
     out = list(
         _update_sessions(
             (7,), [] if rows is None else [_batch(rows)], state
@@ -57,33 +70,67 @@ def test_timeout_preserves_session_numbering():
     out = _run(st, [(1, "2024-01-01 10:00:00", 1.0),
                     (2, "2024-01-01 10:10:00", 2.0)])
     assert out.empty  # session still open
-    # watermark passes 10:10 + 30min -> timeout closes session 0
-    closed = _run(st, timed_out=True)
+    # watermark passes 10:10 + 30min -> timeout seals session 0
+    closed = _run(st, timed_out=True, watermark="2024-01-01 10:40:00")
     assert list(closed.itertuples(index=False)) == [
         (7, 0, 2, 3.0)
     ]
     assert st.exists  # numbering residue kept
+    assert st.get[1] == [] and st.get[2] == []  # buffer drained
     # the user returns: numbering continues at 1, exactly like batch
     out = _run(st, [(3, "2024-01-02 09:00:00", 5.0)])
     assert out.empty
-    closed = _run(st, timed_out=True)
+    closed = _run(st, timed_out=True, watermark="2024-01-02 09:30:00")
     assert list(closed.itertuples(index=False)) == [(7, 1, 1, 5.0)]
 
 
-def test_late_event_does_not_regress_high_water_mark():
+def test_in_batch_gap_waits_for_watermark_and_late_event_bridges():
+    """The batch twin merges 10:00/10:20/10:40 into ONE session; a
+    stream that sealed on the in-arrival 10:00->10:40 gap could never
+    agree once the late 10:20 arrived."""
     st = FakeState()
-    _run(st, [(1, "2024-01-01 10:00:00", 1.0)])
-    # in-watermark late event (09:45) joins; the session max stays 10:00
-    _run(st, [(2, "2024-01-01 09:45:00", 1.0)])
-    sn, last, n, sv, has_open = st.get
-    assert n == 2 and has_open
-    assert last == int(pd.Timestamp("2024-01-01 10:00:00").value) // 1000
-    # 10:20 is within gap of the session max (20 min) -> same session,
-    # even though it is 35 min after the late event
-    out = _run(st, [(3, "2024-01-01 10:20:00", 1.0)])
-    assert out.empty and st.get[2] == 3
-    # timeout timestamp derives from the max, not the late event
-    assert st.timeout_ms == (st.get[1] + 1_800_000_000) // 1000
+    closed = _run(st, [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (2, "2024-01-01 10:40:00", 2.0),  # 40-min in-batch gap
+    ])
+    assert closed.empty  # NOT sealed: watermark hasn't passed 10:30
+    # the bridging late event arrives while still admissible
+    closed = _run(st, [(3, "2024-01-01 10:20:00", 3.0)])
+    assert closed.empty
+    # watermark passes 10:40 + gap -> one merged session, batch-identical
+    closed = _run(st, timed_out=True, watermark="2024-01-01 11:20:00")
+    assert list(closed.itertuples(index=False)) == [(7, 0, 3, 6.0)]
+
+
+def test_watermark_seals_leading_session_keeps_trailing_open():
+    st = FakeState()
+    closed = _run(
+        st,
+        [
+            (1, "2024-01-01 10:00:00", 1.0),
+            (2, "2024-01-01 12:00:00", 2.0),  # separate gap session
+        ],
+        watermark="2024-01-01 11:00:00",  # seals 10:00+30min, not 12:00
+    )
+    assert list(closed.itertuples(index=False)) == [(7, 0, 1, 1.0)]
+    sn, ts_buf, _ = st.get
+    assert sn == 1 and ts_buf == [_us("2024-01-01 12:00:00")]
+    # timeout re-fires at the kept session's seal time
+    assert st.timeout_ms == (_us("2024-01-01 12:30:00")) // 1000
+
+
+def test_null_values_skip_sum_but_count_events():
+    st = FakeState()
+    _run(st, [(1, "2024-01-01 10:00:00", 1.5),
+              (2, "2024-01-01 10:05:00", float("nan"))])
+    closed = _run(st, timed_out=True, watermark="2024-01-01 10:40:00")
+    assert list(closed.itertuples(index=False)) == [(7, 0, 2, 1.5)]
+    # an all-null session emits a null sum (batch SUM over all NULLs)
+    st2 = FakeState()
+    _run(st2, [(1, "2024-01-01 10:00:00", float("nan"))])
+    closed = _run(st2, timed_out=True, watermark="2024-01-01 10:40:00")
+    row = list(closed.itertuples(index=False))[0]
+    assert (row[0], row[1], row[2]) == (7, 0, 1) and pd.isna(row[3])
 
 
 def test_sum_matches_decimal_half_up():
@@ -91,17 +138,23 @@ def test_sum_matches_decimal_half_up():
     # diverge; the kernel must take the batch (HALF_UP) side
     st = FakeState()
     _run(st, [(1, "2024-01-01 10:00:00", 2.675)])
-    closed = _run(st, timed_out=True)
+    closed = _run(st, timed_out=True, watermark="2024-01-01 11:00:00")
     assert closed["sum_value"][0] == 2.68
 
 
-def test_gap_split_emits_batch_identical_numbering():
+def test_sealed_sessions_emit_in_numbering_order():
     st = FakeState()
-    closed = _run(st, [
-        (1, "2024-01-01 10:00:00", 1.0),
-        (2, "2024-01-01 10:40:00", 2.0),   # 40 min gap -> new session
-        (3, "2024-01-01 10:50:00", 3.0),
-    ])
-    assert list(closed.itertuples(index=False)) == [(7, 0, 1, 1.0)]
-    sn, last, n, sv, has_open = st.get
-    assert (sn, n) == (1, 2) and has_open
+    closed = _run(
+        st,
+        [
+            (1, "2024-01-01 09:00:00", 1.0),
+            (2, "2024-01-01 10:00:00", 2.0),
+            (3, "2024-01-01 11:00:00", 3.0),
+        ],
+        watermark="2024-01-01 11:00:00",  # seals the first two sessions
+    )
+    assert list(closed.itertuples(index=False)) == [
+        (7, 0, 1, 1.0),
+        (7, 1, 1, 2.0),
+    ]
+    assert st.get[0] == 2  # next session number
