@@ -382,6 +382,26 @@ def _duck_canonical_url(col: str) -> str:
     )
 
 
+def _duck_host(col: str) -> str:
+    """DuckDB twin of web.host_col: canonical host bucket with the
+    www./default-port strip re-applied for scheme-less passthroughs."""
+    from doc_parser_spark.operators import web as _w
+
+    h0 = (
+        f"lower(regexp_extract({_duck_canonical_url(col)}, "
+        f"'{_w._ANY_HOST_RE}', 1))"
+    )
+    h1 = (
+        f"CASE WHEN {h0} LIKE 'www.%' THEN substring({h0}, 5) "
+        f"ELSE {h0} END"
+    )
+    return (
+        f"CASE WHEN {h1} LIKE '%:80' THEN left({h1}, length({h1}) - 3) "
+        f"WHEN {h1} LIKE '%:443' THEN left({h1}, length({h1}) - 4) "
+        f"ELSE {h1} END"
+    )
+
+
 def _shingle_cte() -> str:
     """(doc_id, shingle) distinct word-3-grams — mirrors dedup._shingles."""
     return f"""
@@ -933,13 +953,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_stats": """
             SELECT doc_id,
-                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       t -> t <> '')) AS BIGINT) AS n_tokens,
                    CAST(len(regexp_extract_all(text,
                        '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'
                    )) AS BIGINT) AS n_tokens_bpe,
                    CAST(length(text) AS BIGINT) AS n_chars_actual,
                    floor(1e6 * (length(regexp_replace(text, '\\s+', '', 'g'))
-                         / len(regexp_split_to_array(trim(text), '\\s+')))) / 1e6
+                         / greatest(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> t <> '')), 1))) / 1e6
                        AS avg_token_len
             FROM documents
         """,
@@ -1672,8 +1694,7 @@ def oracle_sql() -> dict[str, str]:
             WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url FROM documents),
             h AS (
                 SELECT doc_id,
-                       lower(regexp_extract({_duck_canonical_url("url")},
-                           '{_web._ANY_HOST_RE}', 1)) AS host,
+                       {_duck_host("url")} AS host,
                        md5(cast(doc_id AS VARCHAR)) AS pick
                 FROM p
             )
@@ -1723,15 +1744,14 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(15 * 281474976710656 AS BIGINT) // kth
                         END, 0) AS BIGINT) AS kmv_estimate,
                    n_distinct_exact
-            FROM exact LEFT JOIN per ON per.host = exact.host
+            FROM exact LEFT JOIN per ON per.host IS NOT DISTINCT FROM exact.host
         """,
         "web_host_pagerank": _pagerank_sql(),
         "web_host_stats": f"""
             WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url, text FROM documents),
             c AS (
                 SELECT doc_id,
-                       lower(regexp_extract({_duck_canonical_url("url")},
-                           '{_web._ANY_HOST_RE}', 1)) AS host,
+                       {_duck_host("url")} AS host,
                        {_duck_canonical_url("url")} AS curl,
                        length(coalesce(text, '')) AS n_chars
                 FROM p
@@ -1946,7 +1966,9 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN seen_keys s ON md5(d.text) = s.key
         """,
         "doc_pii_stats": f"""
-            WITH p AS (SELECT doc_id, {_web.SYNTH_PII_TEXT_SQL} AS text FROM documents)
+            WITH p AS (SELECT doc_id,
+                       coalesce({_web.SYNTH_PII_TEXT_SQL}, '') AS text
+                       FROM documents)
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '{_web.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
                    CAST(len(regexp_extract_all(text, '{_web.PII_PHONE_RE}')) AS BIGINT) AS n_phones,

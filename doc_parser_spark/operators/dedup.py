@@ -89,11 +89,11 @@ def lsh_candidate_pairs(
     max_bucket: int = 50,
 ) -> DataFrame:
     """Candidate near-dup pairs sharing at least one LSH band."""
-    if n_bands <= 0 or n_hashes % n_bands != 0:
+    if n_hashes <= 0 or n_bands <= 0 or n_hashes % n_bands != 0:
         raise ValueError(
-            f"n_hashes ({n_hashes}) must divide into n_bands ({n_bands}) "
-            "evenly — a remainder silently discards hash functions "
-            "(weaker LSH recall than requested)"
+            f"n_bands ({n_bands}) must divide n_hashes ({n_hashes}) "
+            "evenly and both must be positive — a remainder silently "
+            "discards hash functions (weaker LSH recall than requested)"
         )
     sigs = minhash_signatures(documents, n_hashes)
     rows_per_band = n_hashes // n_bands
@@ -518,10 +518,15 @@ def bloom_seen(
         raise ValueError(f"m_bits ({m_bits}) and k ({k}) must be positive")
 
     def positions(col: str):
+        # NULL text keys as '' (the module's null-text convention —
+        # md5(NULL) is NULL, concat_ws silently drops it, and every
+        # NULL-text doc would share one bit set while the exact join
+        # below could never match them)
+        key = F.md5(F.coalesce(F.col(col), F.lit("")))
         return [
             (
                 F.conv(
-                    F.substring(F.md5(F.concat_ws(":", F.lit(str(j)), F.md5(col))), 1, 12),
+                    F.substring(F.md5(F.concat_ws(":", F.lit(str(j)), key)), 1, 12),
                     16,
                     10,
                 ).cast("long")
@@ -543,9 +548,13 @@ def bloom_seen(
         .agg((F.sum(F.coalesce("hit", F.lit(0))) == F.lit(k)).alias("bloom_seen"))
     )
     exact = (
-        new_docs.select("doc_id", F.md5("text").alias("key"))
+        new_docs.select(
+            "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("key")
+        )
         .join(
-            seen_docs.select(F.md5("text").alias("key")).distinct()
+            seen_docs.select(
+                F.md5(F.coalesce("text", F.lit(""))).alias("key")
+            ).distinct()
             .withColumn("ex", F.lit(True)),
             "key",
             "left",

@@ -56,16 +56,19 @@ def token_stats(documents: DataFrame) -> DataFrame:
     BPE-ish pre-tokenizer count (the two standard corpus-size estimators)."""
     documents = _nn_text(documents)
     bpe_sql = BPE_TOKEN_PATTERN.replace("\\", "\\\\").replace("'", "\\'")
+    # empty-token filter: split('') yields [''] — an empty/NULL doc must
+    # count 0 tokens, not a phantom 1 (pack_shards/gopher agree on 0)
+    toks = "size(filter(split(trim(text), '\\\\s+'), t -> t <> ''))"
     return documents.select(
         "doc_id",
-        F.expr("size(split(trim(text), '\\\\s+'))").cast("long").alias("n_tokens"),
+        F.expr(toks).cast("long").alias("n_tokens"),
         F.expr(f"size(regexp_extract_all(text, '{bpe_sql}', 0))")
         .cast("long")
         .alias("n_tokens_bpe"),
         F.length("text").cast("long").alias("n_chars_actual"),
         _trunc6(
             F.length(F.regexp_replace("text", r"\s+", ""))
-            / F.expr("size(split(trim(text), '\\\\s+'))")
+            / F.expr(f"greatest({toks}, 1)")
         ).alias("avg_token_len"),
     )
 

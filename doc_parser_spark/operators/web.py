@@ -101,6 +101,10 @@ def canonical_url_col(url_col: str = "url"):
     sorted; empty path → ``/``; trailing slash trimmed (except root).
     Path case is preserved (paths are case-sensitive per RFC 3986).
     """
+    return F.expr(_canonical_url_sql(url_col))
+
+
+def _canonical_url_sql(url_col: str = "url") -> str:
     u = f"trim({url_col})"
     scheme = f"lower(regexp_extract({u}, '{_SCHEME_RE}', 1))"
     hostport = f"lower(regexp_extract({u}, '{_HOST_RE}', 1))"
@@ -128,10 +132,31 @@ def canonical_url_col(url_col: str = "url"):
     # scheme-less / protocol-relative URLs ('example.com/a', '//cdn.com/x')
     # don't match the component regexes — without this fallback they all
     # collapse to ':///' and dedup/host-cap treat them as one URL
-    return F.expr(
+    return (
         f"CASE WHEN {scheme} = '' THEN {u} ELSE "
         f"concat({scheme}, '://', {host}, {path}, "
         f"CASE WHEN {q} <> '' THEN concat('?', {q}) ELSE '' END) END"
+    )
+
+
+def host_col(url_col: str = "url"):
+    """Canonical HOST bucket of a URL column — the one shared expression
+    ``host_cap`` and ``host_stats`` key on (and the DuckDB twins mirror).
+
+    Schemed URLs already lose ``www.``/default ports inside the
+    canonical form; scheme-less URLs ride the raw passthrough, so the
+    normalization re-applies here — 'www.site.com/x', 'site.com:80/y'
+    and 'http://www.site.com/x' must all share one cap bucket."""
+    curl = f"({_canonical_url_sql(url_col)})"
+    h0 = f"lower(regexp_extract({curl}, '{_ANY_HOST_RE}', 1))"
+    h1 = (
+        f"CASE WHEN {h0} LIKE 'www.%' THEN substring({h0}, 5) "
+        f"ELSE {h0} END"
+    )
+    return F.expr(
+        f"CASE WHEN {h1} LIKE '%:80' THEN left({h1}, length({h1}) - 3) "
+        f"WHEN {h1} LIKE '%:443' THEN left({h1}, length({h1}) - 4) "
+        f"ELSE {h1} END"
     )
 
 
@@ -175,9 +200,7 @@ def host_cap(
 
     with_host = pages.select(
         "doc_id",
-        F.lower(
-            F.regexp_extract(canonical_url_col(url_col), _ANY_HOST_RE, 1)
-        ).alias("host"),
+        host_col(url_col).alias("host"),
         F.md5(F.col("doc_id").cast("string")).alias("pick"),
     )
     w = Window.partitionBy("host").orderBy("pick", "doc_id")
@@ -209,7 +232,7 @@ def host_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
     curl = canonical_url_col(url_col)
     with_host = pages.select(
         "doc_id",
-        F.lower(F.regexp_extract(curl, _ANY_HOST_RE, 1)).alias("host"),
+        host_col(url_col).alias("host"),
         curl.alias("curl"),
         F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"),
     )
@@ -324,18 +347,22 @@ def pii_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     phone → ``<PHONE>``. Counts are taken on the original text; the
     signature is md5 of the fully redacted text (the driver compares
     values without shipping the full redacted corpus through the hash).
-    Pure projection — zero shuffles at any scale."""
+    Pure projection — zero shuffles at any scale.
+
+    NULL text counts as empty (0 PII, not the non-ANSI ``size(NULL)=-1``
+    that would subtract 3 from every failure row's corpus rollup)."""
+    t = f"coalesce({text_col}, '')"
     n_email = F.expr(
-        f"size(regexp_extract_all({text_col}, '{PII_EMAIL_RE}', 0))"
+        f"size(regexp_extract_all({t}, '{PII_EMAIL_RE}', 0))"
     )
     n_phone = F.expr(
-        f"size(regexp_extract_all({text_col}, '{PII_PHONE_RE}', 0))"
+        f"size(regexp_extract_all({t}, '{PII_PHONE_RE}', 0))"
     )
     n_ipv4 = F.expr(
-        f"size(regexp_extract_all({text_col}, '{PII_IPV4_RE}', 0))"
+        f"size(regexp_extract_all({t}, '{PII_IPV4_RE}', 0))"
     )
     redacted = (
-        f"regexp_replace(regexp_replace(regexp_replace({text_col}, "
+        f"regexp_replace(regexp_replace(regexp_replace({t}, "
         f"'{PII_EMAIL_RE}', '<EMAIL>'), "
         f"'{PII_IPV4_RE}', '<IP>'), "
         f"'{PII_PHONE_RE}', '<PHONE>')"
@@ -474,9 +501,16 @@ def distinct_kmv(
         F.countDistinct(value).cast("long").alias("n_distinct_exact")
     )
     # left join FROM the exact side: a key whose values are all NULL has
-    # no sketch rows but still owns an (estimate=0, exact=0) output row
-    return exact.join(per, key, "left").select(
-        key,
+    # no sketch rows but still owns an (estimate=0, exact=0) output row.
+    # Null-SAFE on the key: a NULL grouping key groups on both sides but
+    # a plain equi-join would drop its sketch (NULL never equals NULL),
+    # silently reporting estimate=0 against a nonzero exact count
+    ex = exact.alias("ex")
+    pm = per.alias("pm")
+    return ex.join(
+        pm, F.col(f"ex.{key}").eqNullSafe(F.col(f"pm.{key}")), "left"
+    ).select(
+        F.col(f"ex.{key}").alias(key),
         F.coalesce(
             F.when(F.col("n_min") < k, F.col("n_min")).otherwise(
                 F.expr(f"CAST({k - 1} * {two48} AS BIGINT) DIV kth")

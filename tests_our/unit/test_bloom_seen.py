@@ -57,3 +57,31 @@ def test_bloom_seen_validates_args(spark):
         bloom_seen(df, df, m_bits=0)
     with pytest.raises(ValueError):
         bloom_seen(df, df, k=0)
+
+
+def test_bloom_and_exact_agree_on_null_text(spark):
+    """NULL text keys as '' on BOTH paths — previously every NULL-text
+    doc shared one bit set while the exact join could never match."""
+    from doc_parser_spark.operators.dedup import bloom_seen
+
+    seen = spark.createDataFrame(
+        [(1, None), (2, "real text")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, None), (11, ""), (12, "fresh")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bloom_seen(new, seen).collect()}
+    # NULL and '' key identically; both were 'seen' (doc 1 had NULL->'' )
+    assert out[10]["exact_seen"] and out[10]["bloom_seen"]
+    assert out[11]["exact_seen"] and out[11]["bloom_seen"]
+    assert not out[12]["exact_seen"]
+
+
+def test_lsh_rejects_nonpositive_hashes(spark):
+    import pytest
+
+    from doc_parser_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        lsh_candidate_pairs(docs, n_hashes=0, n_bands=4)

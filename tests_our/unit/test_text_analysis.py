@@ -360,7 +360,9 @@ def test_null_text_behaves_as_empty_document(spark):
         "doc_id long, text string",
     )
     ts = {r["doc_id"]: r for r in token_stats(docs).collect()}
-    assert ts[1]["n_tokens"] == 1 and ts[1]["n_chars_actual"] == 0
+    # empty/NULL doc counts ZERO tokens (split('') yields [''] — the
+    # phantom token is filtered; pack_shards agrees on 0)
+    assert ts[1]["n_tokens"] == 0 and ts[1]["n_chars_actual"] == 0
     li = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
     assert li[1] == "und" and li[3] == "en"
     fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}

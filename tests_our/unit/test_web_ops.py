@@ -267,3 +267,49 @@ def test_distinct_kmv_all_null_key_kept(spark):
     assert out["empty"]["kmv_estimate"] == 0
     assert out["empty"]["n_distinct_exact"] == 0
     assert out["h"]["kmv_estimate"] == 4
+
+
+def test_pii_stats_null_text_counts_zero(spark):
+    from doc_parser_spark.operators.web import pii_stats
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "mail me: a@b.com")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in pii_stats(docs).collect()}
+    assert out[1]["n_emails"] == 0 and out[1]["n_pii_total"] == 0
+    assert out[1]["redacted_sig"] is not None  # md5('') — never NULL
+    assert out[2]["n_emails"] == 1
+
+
+def test_distinct_kmv_null_key_keeps_sketch(spark):
+    from doc_parser_spark.operators.web import distinct_kmv
+
+    df = spark.createDataFrame(
+        [(None, f"u{i}") for i in range(5)] + [("h1", "x")],
+        "host string, url string",
+    )
+    out = {
+        r["host"]: r
+        for r in distinct_kmv(df, key="host", value="url").collect()
+    }
+    assert out[None]["n_distinct_exact"] == 5
+    assert out[None]["kmv_estimate"] == 5  # sketch kept via null-safe join
+    assert out["h1"]["kmv_estimate"] == 1
+
+
+def test_host_bucket_normalizes_schemeless_variants(spark):
+    from doc_parser_spark.operators.web import host_col
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("http://www.site.com/x",),
+            ("www.site.com/x",),
+            ("site.com:80/y",),
+            ("//www.site.com:443/z",),
+        ],
+        "url string",
+    )
+    hosts = {r[0] for r in df.select(host_col("url")).collect()}
+    assert hosts == {"site.com"}
