@@ -158,3 +158,78 @@ def test_sealed_sessions_emit_in_numbering_order():
         (7, 1, 1, 2.0),
     ]
     assert st.get[0] == 2  # next session number
+
+
+def test_randomized_out_of_order_delivery_matches_batch_reference():
+    """Property: for ANY admissible delivery order and batch chunking,
+    the sealed sessions equal a straightforward batch reference
+    (sort -> gap-split -> aggregate) once the watermark passes
+    everything. Late events are only delivered while still admissible
+    (ts >= watermark), mirroring Spark's pre-filter."""
+    import random
+
+    base = pd.Timestamp("2024-01-01 08:00:00")
+    rng = random.Random(1234)
+    for trial in range(25):
+        n = rng.randint(1, 24)
+        # event times with a mix of tight and session-breaking gaps
+        offsets, cur = [], 0
+        for _ in range(n):
+            cur += rng.choice([60, 300, 900, 1801, 3600, 7200])
+            offsets.append(cur)
+        events = [
+            (i, base + pd.Timedelta(seconds=off), round(rng.uniform(0, 9), 3))
+            for i, off in enumerate(offsets)
+        ]
+
+        from doc_parser_spark.streaming.stream import _round2, _scale4
+
+        # streamed delivery: shuffle, chunk; an event is ADMITTED only
+        # while ts >= watermark (Spark's pre-filter drops the rest
+        # before the function); the watermark advances to the max event
+        # time seen so far (0s lateness — aggressive sealing)
+        st = FakeState()
+        shuffled = events[:]
+        rng.shuffle(shuffled)
+        delivered, got = [], []
+        wm_ms, i = 0, 0
+        while i < len(shuffled):
+            size = rng.randint(1, 4)
+            raw = shuffled[i : i + size]
+            i += size
+            chunk = [
+                e for e in raw if int(e[1].value) // 1_000_000 >= wm_ms
+            ]
+            if not chunk:
+                continue
+            delivered += chunk
+            st.watermark_ms = wm_ms
+            out = _run(st, [(e[0], str(e[1]), e[2]) for e in chunk])
+            got += list(out.itertuples(index=False, name=None))
+            wm_ms = max(
+                wm_ms,
+                max(int(e[1].value) // 1_000_000 for e in chunk),
+            )
+        # drain: push the watermark past everything
+        st.watermark_ms = (
+            int((base + pd.Timedelta(seconds=cur + 4000)).value)
+            // 1_000_000
+        )
+        out = _run(st, timed_out=True)
+        got += list(out.itertuples(index=False, name=None))
+
+        # batch reference over the ADMITTED events: sort by ts, split on
+        # >30min gaps — the parity contract covers every admitted event
+        ref, cur_s = [], []
+        for ev in sorted(delivered, key=lambda e: e[1]):
+            if cur_s and (ev[1] - cur_s[-1][1]).total_seconds() > 1800:
+                ref.append(cur_s)
+                cur_s = []
+            cur_s.append(ev)
+        if cur_s:
+            ref.append(cur_s)
+        expected = [
+            (7, j, len(s), _round2(sum(_scale4(v) for _, _, v in s)))
+            for j, s in enumerate(ref)
+        ]
+        assert got == expected, f"trial {trial}: {got} != {expected}"
