@@ -38,7 +38,7 @@ _A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 _P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
 
 def detect_zip_kind(payload: bytes) -> str:
-    """docx | xlsx | pptx | hwpx | zip (unknown container)."""
+    """docx | xlsx | pptx | hwpx | epub | odt | ods | odp | zip (unknown)."""
     try:
         zf = BoundedZipFile(io.BytesIO(payload))
         names = set(zf.namelist())
@@ -52,6 +52,19 @@ def detect_zip_kind(payload: bytes) -> str:
         return "pptx"
     if any(n.startswith("Contents/section") for n in names) or "Contents/content.hpf" in names:
         return "hwpx"
+    mimetype = b""
+    if "mimetype" in names:
+        try:
+            mimetype = zf.read("mimetype").strip()
+        except Exception:
+            mimetype = b""
+    if mimetype == b"application/epub+zip" or "META-INF/container.xml" in names:
+        return "epub"
+    from doc_parser_spark.core.odf_backend import detect_odf_kind
+
+    odf = detect_odf_kind(names, mimetype)
+    if odf:
+        return odf
     return "zip"
 
 
@@ -1285,4 +1298,12 @@ def extract_office(payload: bytes) -> tuple[Document, str]:
         return extract_pptx(payload), kind
     if kind == "hwpx":
         return extract_hwpx(payload), kind
+    if kind == "epub":
+        from doc_parser_spark.core.epub_backend import extract_epub
+
+        return extract_epub(payload), kind
+    if kind in ("odt", "ods", "odp", "odf"):
+        from doc_parser_spark.core.odf_backend import extract_odf
+
+        return extract_odf(payload)
     raise ValueError("unrecognized zip container")

@@ -369,3 +369,125 @@ def make_warc(i: int = 0) -> bytes:
         b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n" + http
     )
     return rec1 + b"\r\n\r\n" + rec2 + b"\r\n\r\n"
+
+
+def make_epub(i: int = 0) -> bytes:
+    """Deterministic EPUB 3: OCF container, 2-chapter spine, nav excluded."""
+    ch1 = f"""<?xml version="1.0"?>
+<html xmlns="http://www.w3.org/1999/xhtml"><head><title>c1</title></head>
+<body><h1>Book {i}</h1><p>Opening paragraph {i}.</p>
+<ul><li>first point</li><li>second point</li></ul></body></html>"""
+    ch2 = f"""<?xml version="1.0"?>
+<html xmlns="http://www.w3.org/1999/xhtml"><head><title>c2</title></head>
+<body><h2>Chapter Two</h2><p>Closing paragraph {i}.</p>
+<table><tr><th>k</th><th>v</th></tr><tr><td>a{i}</td><td>b</td></tr></table>
+</body></html>"""
+    opf = f"""<?xml version="1.0"?>
+<package xmlns="http://www.idpf.org/2007/opf" version="3.0" unique-identifier="id">
+<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
+<dc:title>Fixture Book {i}</dc:title><dc:identifier id="id">urn:f{i}</dc:identifier>
+</metadata>
+<manifest>
+<item id="c1" href="ch1.xhtml" media-type="application/xhtml+xml"/>
+<item id="c2" href="ch2.xhtml" media-type="application/xhtml+xml"/>
+</manifest>
+<spine><itemref idref="c1"/><itemref idref="c2"/></spine>
+</package>"""
+    container = """<?xml version="1.0"?>
+<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">
+<rootfiles><rootfile full-path="OEBPS/content.opf"
+ media-type="application/oebps-package+xml"/></rootfiles></container>"""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        # OCF: mimetype first, stored uncompressed
+        zf.writestr("mimetype", "application/epub+zip",
+                    compress_type=zipfile.ZIP_STORED)
+        zf.writestr("META-INF/container.xml", container)
+        zf.writestr("OEBPS/content.opf", opf)
+        zf.writestr("OEBPS/ch1.xhtml", ch1)
+        zf.writestr("OEBPS/ch2.xhtml", ch2)
+    return buf.getvalue()
+
+
+_ODF_OFFICE = (
+    'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+    'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+    'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+    'xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0" '
+    'xmlns:presentation="urn:oasis:names:tc:opendocument:xmlns:presentation:1.0"'
+)
+
+
+def _odf_zip(mimetype: str, content: str) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", mimetype, compress_type=zipfile.ZIP_STORED)
+        zf.writestr("meta.xml", '<?xml version="1.0"?><meta/>')
+        zf.writestr("content.xml", content)
+    return buf.getvalue()
+
+
+def make_odt(i: int = 0) -> bytes:
+    """Deterministic ODT: heading, paragraphs (tab/space runs), list, table."""
+    content = f"""<?xml version="1.0"?>
+<office:document-content {_ODF_OFFICE}><office:body><office:text>
+<text:h text:outline-level="1">Odt Report {i}</text:h>
+<text:p>Lead<text:s text:c="2"/>paragraph<text:tab/>{i}.</text:p>
+<text:list text:style-name="Numbering_20_1">
+<text:list-item><text:p>alpha step</text:p></text:list-item>
+<text:list-item><text:p>beta step</text:p></text:list-item>
+</text:list>
+<table:table table:name="T1">
+<table:table-row><table:table-cell><text:p>k</text:p></table:table-cell>
+<table:table-cell><text:p>v</text:p></table:table-cell></table:table-row>
+<table:table-row><table:table-cell><text:p>row{i}</text:p></table:table-cell>
+<table:table-cell><text:p>val</text:p></table:table-cell></table:table-row>
+</table:table>
+<text:p>Tail paragraph.</text:p>
+</office:text></office:body></office:document-content>"""
+    return _odf_zip("application/vnd.oasis.opendocument.text", content)
+
+
+def make_ods(i: int = 0) -> bytes:
+    """Deterministic ODS: two sheets, repeated columns, trailing padding."""
+    content = f"""<?xml version="1.0"?>
+<office:document-content {_ODF_OFFICE}><office:body><office:spreadsheet>
+<table:table table:name="Data">
+<table:table-row><table:table-cell><text:p>h1</text:p></table:table-cell>
+<table:table-cell table:number-columns-repeated="2"><text:p>h2</text:p></table:table-cell>
+</table:table-row>
+<table:table-row><table:table-cell><text:p>{i}</text:p></table:table-cell>
+<table:table-cell><text:p>x</text:p></table:table-cell>
+<table:table-cell table:number-columns-repeated="1000"/></table:table-row>
+<table:table-row table:number-rows-repeated="500">
+<table:table-cell table:number-columns-repeated="1003"/></table:table-row>
+</table:table>
+<table:table table:name="Empty"/>
+</office:spreadsheet></office:body></office:document-content>"""
+    return _odf_zip("application/vnd.oasis.opendocument.spreadsheet", content)
+
+
+def make_odp(i: int = 0) -> bytes:
+    """Deterministic ODP: title slide + bullet slide with a table."""
+    content = f"""<?xml version="1.0"?>
+<office:document-content {_ODF_OFFICE}><office:body><office:presentation>
+<draw:page draw:name="page1">
+<draw:frame presentation:class="title"><draw:text-box>
+<text:p>Deck {i}</text:p></draw:text-box></draw:frame>
+<draw:frame presentation:class="subtitle"><draw:text-box>
+<text:p>Subtitle line.</text:p></draw:text-box></draw:frame>
+</draw:page>
+<draw:page draw:name="page2">
+<draw:frame presentation:class="title"><draw:text-box>
+<text:p>Points</text:p></draw:text-box></draw:frame>
+<draw:frame><draw:text-box>
+<text:list><text:list-item><text:p>point one</text:p></text:list-item>
+<text:list-item><text:p>point two {i}</text:p></text:list-item></text:list>
+</draw:text-box></draw:frame>
+<draw:frame><table:table>
+<table:table-row><table:table-cell><text:p>c</text:p></table:table-cell>
+<table:table-cell><text:p>d{i}</text:p></table:table-cell></table:table-row>
+</table:table></draw:frame>
+</draw:page>
+</office:presentation></office:body></office:document-content>"""
+    return _odf_zip("application/vnd.oasis.opendocument.presentation", content)

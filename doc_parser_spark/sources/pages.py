@@ -133,6 +133,22 @@ def generate_rows(n: int, seed: int = 42) -> list[dict]:
             from doc_parser_spark.sources import office_fixtures
 
             payload = office_fixtures.make_xlsx()
+        elif roll == 80:
+            from doc_parser_spark.sources import office_fixtures
+
+            payload = office_fixtures.make_epub(i)
+        elif roll == 81:
+            from doc_parser_spark.sources import office_fixtures
+
+            payload = office_fixtures.make_odt(i)
+        elif roll == 82:
+            from doc_parser_spark.sources import office_fixtures
+
+            payload = (
+                office_fixtures.make_odp(i)
+                if (i // 100) % 2
+                else office_fixtures.make_ods(i)
+            )
         elif roll == 83:
             import zlib
 
