@@ -192,6 +192,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q(text_analysis.stratified_sample, "documents"),
         "doc_lm_fit": q(text_analysis.lm_fit_score, "documents"),
         "doc_dsir_weights": q(text_analysis.dsir_weights, "documents"),
+        "doc_c4_clean": lambda spark, sf: text_analysis.c4_clean(
+            _read(spark, sf, "documents").select(
+                "doc_id",
+                F.expr(text_analysis.SYNTH_C4_TEXT_SQL).alias("text"),
+            )
+        ),
         # dedup family
         "doc_exact_dedup": q(dedup.exact_dedup, "documents"),
         "doc_line_dedup": q(dedup.line_dedup, "documents"),
@@ -266,6 +272,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "documents").select(
                 "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url")
             )
+        ),
+        "web_robots_filter": lambda spark, sf: web.robots_filter(
+            _read(spark, sf, "documents").select(
+                "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url")
+            ),
+            robots=web.synth_robots(_read(spark, sf, "documents")),
         ),
         "web_host_kmv": lambda spark, sf: web.distinct_kmv(
             _read(spark, sf, "documents").selectExpr(
@@ -342,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _NORM_SQL = "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
 _WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
 
+from doc_parser_spark.operators import text_analysis as _ta  # noqa: E402
 from doc_parser_spark.operators import web as _web  # noqa: E402
 
 
@@ -1160,6 +1173,47 @@ def oracle_sql() -> dict[str, str]:
                             / a.n_bigrams)) / 1e6, 0.0) AS lm_fit
             FROM d LEFT JOIN agg a USING (doc_id)
         """,
+        "doc_c4_clean": f"""
+            WITH src AS (
+                SELECT doc_id, {_ta.SYNTH_C4_TEXT_SQL} AS text FROM documents
+            ),
+            d AS (
+                SELECT doc_id,
+                       coalesce(text, '') AS raw,
+                       list_transform(
+                           list_filter(string_split(coalesce(text, ''), chr(10)),
+                                       l -> trim(l) <> ''),
+                           l -> trim(l)) AS ln
+                FROM src
+            ),
+            k AS (
+                SELECT doc_id, raw, ln,
+                       list_filter(ln,
+                           l -> right(l, 1) IN ('.', '!', '?', '"')
+                                AND len(regexp_split_to_array(l, '\\s+')) >= 5
+                                AND NOT contains(lower(l), 'javascript')) AS kept
+                FROM d
+            ),
+            s AS (
+                SELECT doc_id, raw, ln, kept,
+                       -- array_to_string([]) is NULL in DuckDB, '' in Spark
+                       coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+                FROM k
+            )
+            SELECT doc_id,
+                   clean_text,
+                   CAST(len(ln) AS BIGINT) AS n_lines_total,
+                   CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                   CAST(len(ln) - len(kept) AS BIGINT) AS n_lines_dropped,
+                   CAST(length(clean_text)
+                        - length(translate(clean_text, '.!?', '')) AS BIGINT)
+                       AS n_sentences,
+                   (length(clean_text)
+                        - length(translate(clean_text, '.!?', '')) >= 3
+                    AND NOT contains(lower(raw), 'lorem ipsum')
+                    AND NOT contains(raw, '{{')) AS keep
+            FROM s
+        """,
         "doc_dsir_weights": f"""
             WITH d AS (
                 SELECT doc_id, (lang = 'en') AS is_target,
@@ -1657,6 +1711,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, min(doc_id) AS keep_doc_id,
                    count(*) AS n_dups
             FROM c GROUP BY canonical_url
+        """,
+        "web_robots_filter": f"""
+            WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url FROM documents),
+            base AS (
+                SELECT doc_id,
+                       regexp_extract({_duck_canonical_url("url")},
+                                      '{_web._ANY_HOST_RE}', 1) AS host,
+                       CASE WHEN regexp_extract({_duck_canonical_url("url")},
+                                      '{_web._PATH_RE}', 1) = '' THEN '/'
+                            ELSE regexp_extract({_duck_canonical_url("url")},
+                                      '{_web._PATH_RE}', 1) END AS path
+                FROM p
+            ),
+            robots AS ({_web.SYNTH_ROBOTS_SQL}),
+            m AS (
+                SELECT b.doc_id, r.rule, r.prefix
+                FROM base b JOIN robots r ON b.host = r.host
+                WHERE r.prefix <> ''
+                  AND substring(b.path, 1, length(r.prefix)) = r.prefix
+            ),
+            w AS (
+                SELECT doc_id, rule, prefix,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY length(prefix) DESC,
+                                    (rule = 'allow') DESC,
+                                    prefix DESC) AS rn
+                FROM m
+            )
+            SELECT b.doc_id, b.host, b.path,
+                   coalesce(w.rule = 'disallow', FALSE) AS blocked,
+                   CASE WHEN w.rule IS NULL THEN 'none' ELSE w.rule END
+                       AS verdict_rule,
+                   coalesce(w.prefix, '') AS matched_prefix
+            FROM base b
+            LEFT JOIN (SELECT * FROM w WHERE rn = 1) w USING (doc_id)
         """,
         "doc_decontaminate": f"""
             WITH d AS (

@@ -973,3 +973,100 @@ def corpus_profile(documents: DataFrame) -> DataFrame:
         for c in cols
     ]
     return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+# The synthetic documents table carries no punctuation or newlines, so a
+# C4 pass over it is all-drop — the driver query decorates the text into a
+# multi-line page with varying terminal punctuation / word counts /
+# javascript / lorem-ipsum / brace injections. Dialect-shared with the
+# DuckDB oracle (chr(10), substring, CASE, concat with coalesced text all
+# agree byte-for-byte; Spark concat is NULL-propagating, DuckDB's is not,
+# hence the coalesce).
+SYNTH_C4_TEXT_SQL = (
+    "concat("
+    "'Intro sentence for doc ', cast(doc_id as int), ' with enough words.', chr(10), "
+    "CASE WHEN doc_id % 2 = 0 THEN concat(substring(coalesce(text, ''), 1, 80), "
+    "' tail words padding here.', chr(10)) ELSE '' END, "
+    "CASE WHEN doc_id % 3 = 0 THEN 'short line.' "
+    "ELSE 'Second proper sentence with plenty of words today!' END, chr(10), "
+    "CASE WHEN doc_id % 5 = 0 THEN concat('Enable javascript to continue reading now.', chr(10)) ELSE '' END, "
+    "CASE WHEN doc_id % 7 = 0 THEN concat('Lorem ipsum dolor sit amet now.', chr(10)) ELSE '' END, "
+    "CASE WHEN doc_id % 11 = 0 THEN concat('Code sample { x } appears now.', chr(10)) ELSE '' END, "
+    "CASE WHEN doc_id % 4 = 0 THEN 'Third full sentence with plenty of words here?' "
+    "ELSE 'no terminal punctuation in this trailing line' END)"
+)
+
+
+def c4_clean(documents: DataFrame) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2, the "Colossal Clean
+    Crawled Corpus" heuristics) — line-level filters plus page-level
+    discard verdicts, flags-not-filters so the funnel stays observable:
+
+    line kept iff (all three):
+      * ends in terminal punctuation (``.`` ``!`` ``?`` ``"``) — C4's
+        "retained lines that ended in a terminal punctuation mark";
+      * carries >= 5 whitespace-separated words;
+      * does not contain the word "javascript" (case-insensitive).
+
+    page ``keep`` iff (all three, evaluated on the ORIGINAL page text —
+    C4 removes the page outright when these fire):
+      * >= 3 sentences survive the line filters (deterministic proxy:
+        terminal-punctuation marks in the kept text — C4 uses an English
+        sentence splitter, a model dependency this engine keeps out of
+        the exact path);
+      * no "lorem ipsum" anywhere (case-insensitive);
+      * no curly brace ``{`` anywhere (C4's code-page heuristic).
+
+    C4's fourth page rule (bad-words blocklist) is `web.url_filter`-style
+    policy input, not a fixed constant — plug the list in as a filter on
+    top. Its three-sentence-span dedup is the corpus-global pass
+    implemented by `dup_spans` / `line_dedup`.
+
+    Scale shape: one projection, zero joins, zero shuffles — every rule
+    is a codegen'd higher-order array expression over the line split, so
+    this runs at scan speed and composes with any downstream filter.
+    """
+    lines = (
+        "transform(filter(split(coalesce(text, ''), '\\n'),"
+        " l -> trim(l) <> ''), l -> trim(l))"
+    )
+    kept = (
+        f"filter({lines}, l -> substring(l, -1, 1) IN ('.', '!', '?', '\"')"
+        " AND size(split(l, '\\\\s+')) >= 5"
+        " AND NOT contains(lower(l), 'javascript'))"
+    )
+    stage = documents.select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("_raw"),
+        F.expr(f"array_join({kept}, '\\n')").alias("clean_text"),
+        F.expr(f"size({lines})").cast("long").alias("n_lines_total"),
+        F.expr(f"size({kept})").cast("long").alias("n_lines_kept"),
+    ).select(
+        "doc_id",
+        "_raw",
+        "clean_text",
+        "n_lines_total",
+        "n_lines_kept",
+        (F.col("n_lines_total") - F.col("n_lines_kept"))
+        .cast("long")
+        .alias("n_lines_dropped"),
+        (
+            F.length("clean_text")
+            - F.length(F.translate("clean_text", ".!?", ""))
+        )
+        .cast("long")
+        .alias("n_sentences"),
+    )
+    return stage.select(
+        "doc_id",
+        "clean_text",
+        "n_lines_total",
+        "n_lines_kept",
+        "n_lines_dropped",
+        "n_sentences",
+        (
+            (F.col("n_sentences") >= 3)
+            & ~F.lower("_raw").contains("lorem ipsum")
+            & ~F.col("_raw").contains("{")
+        ).alias("keep"),
+    )

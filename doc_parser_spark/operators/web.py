@@ -25,6 +25,8 @@ Scale notes (100 TB / 10^12 docs):
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, functions as F
 
 from .text_analysis import NORM, _trunc6
@@ -520,4 +522,152 @@ def distinct_kmv(
         .cast("long")
         .alias("kmv_estimate"),
         "n_distinct_exact",
+    )
+
+
+# --- robots.txt exclusion ------------------------------------------------------
+
+# deterministic robots rules synthesized from the documents table's host
+# space (doc_id % 50 hosts) — dialect-shared with the DuckDB oracle, same
+# pattern as SYNTH_URL_SQL. Exercises: prefix match ('/Path/1' also hits
+# '/Path/10'..'/Path/19'), longer-allow override, site-wide disallow '/',
+# empty-disallow (matches nothing), and the equal-length allow-wins tie.
+SYNTH_ROBOTS_SQL = """
+    SELECT DISTINCT concat('site', cast(doc_id % 50 as int), '.example.com') AS host,
+           'disallow' AS rule, '/Path/1' AS prefix
+    FROM documents WHERE (doc_id % 50) % 2 = 0
+    UNION ALL
+    SELECT DISTINCT concat('site', cast(doc_id % 50 as int), '.example.com'),
+           'allow', '/Path/13'
+    FROM documents WHERE (doc_id % 50) % 4 = 0
+    UNION ALL
+    SELECT DISTINCT concat('site', cast(doc_id % 50 as int), '.example.com'),
+           'disallow', '/'
+    FROM documents WHERE (doc_id % 50) % 5 = 0
+    UNION ALL
+    SELECT DISTINCT concat('site', cast(doc_id % 50 as int), '.example.com'),
+           'allow', '/Path/2'
+    FROM documents WHERE (doc_id % 50) % 5 = 0
+    UNION ALL
+    SELECT DISTINCT concat('site', cast(doc_id % 50 as int), '.example.com'),
+           'disallow', ''
+    FROM documents WHERE (doc_id % 50) % 3 = 0
+    UNION ALL
+    SELECT DISTINCT concat('site', cast(doc_id % 50 as int), '.example.com'),
+           'disallow', '/Path/3'
+    FROM documents WHERE (doc_id % 50) % 7 = 0
+    UNION ALL
+    SELECT DISTINCT concat('site', cast(doc_id % 50 as int), '.example.com'),
+           'allow', '/Path/3'
+    FROM documents WHERE (doc_id % 50) % 7 = 0
+"""
+
+
+def synth_robots(documents: DataFrame) -> DataFrame:
+    """The SYNTH_ROBOTS_SQL rule relation as a DataFrame (templated table
+    reference, no temp-view registration)."""
+    return documents.sparkSession.sql(
+        SYNTH_ROBOTS_SQL.replace("FROM documents", "FROM {documents}"),
+        documents=documents,
+    )
+
+
+def parse_robots(payload) -> list[tuple[str, str]]:
+    """robots.txt bytes/str -> [(rule, path_prefix)] for User-agent ``*``.
+
+    Standard REP grouping (RFC 9309 §2.1): consecutive ``User-agent``
+    lines open a group; ``Allow``/``Disallow`` lines bind to the open
+    group; only groups naming ``*`` contribute. Comments (``#``) are
+    stripped; field names are case-insensitive; unknown fields (and
+    ``Sitemap``, which is group-independent) are ignored. Empty
+    ``Disallow:`` is preserved as a rule with an empty prefix — it
+    matches nothing, per §2.2.2.
+
+    Pure function: runs per-row inside an Arrow batch when robots bodies
+    arrive as crawl payloads; the relational twin (host, rule, prefix)
+    feeds :func:`robots_filter`.
+    """
+    if isinstance(payload, bytes):
+        payload = payload.decode("utf-8", errors="replace")
+    rules: list[tuple[str, str]] = []
+    in_star = False
+    group_open = False  # consecutive UA lines extend the same group
+    for raw in payload.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not group_open:
+                in_star = False
+                group_open = True
+            if value == "*":
+                in_star = True
+            continue
+        group_open = False
+        if field in ("allow", "disallow") and in_star:
+            rules.append((field, value))
+    return rules
+
+
+def robots_filter(
+    pages: DataFrame,
+    robots: Optional[DataFrame] = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Crawl-politeness verdict per page against robots.txt rules.
+
+    ``robots`` is a (host, rule, prefix) relation — ``parse_robots``
+    output exploded over the fetched robots.txt corpus (synthesized via
+    ``SYNTH_ROBOTS_SQL`` in the driver query). Verdict follows Google's
+    REP longest-match semantics (RFC 9309 §2.2.2): among the host's
+    rules whose prefix is a string prefix of the canonical path, the
+    longest wins; on equal length ``allow`` beats ``disallow``; no match
+    (or an empty-prefix rule, which never matches) means allowed. Prefix
+    test is ``substring(path, 1, len(prefix)) = prefix`` — no LIKE, so
+    rule bytes like ``%``/``_`` can't wildcard.
+
+    Flags-not-filters: every page rides through with ``blocked`` +
+    winning rule/prefix, so the block rate per host is one groupBy away.
+
+    Scale shape: rules equi-join on canonical host (robots relations are
+    tiny next to the corpus — Catalyst broadcasts them); winner pick is
+    one max(struct) aggregation keyed by doc_id; the page side shuffles
+    once. Nothing collects.
+    """
+    if robots is None:
+        robots = synth_robots(pages)
+    canon = _canonical_url_sql(url_col)
+    path0 = f"regexp_extract({canon}, '{_PATH_RE}', 1)"
+    base = pages.select(
+        "doc_id",
+        F.expr(f"regexp_extract({canon}, '{_ANY_HOST_RE}', 1)").alias("host"),
+        F.expr(f"CASE WHEN {path0} = '' THEN '/' ELSE {path0} END").alias(
+            "path"
+        ),
+    )
+    matched = base.join(robots, "host").where(
+        "prefix <> '' AND substring(path, 1, length(prefix)) = prefix"
+    )
+    winner = matched.groupBy("doc_id").agg(
+        F.max(
+            F.struct(
+                F.length("prefix").alias("plen"),
+                (F.col("rule") == "allow").alias("is_allow"),
+                F.col("prefix").alias("prefix"),
+            )
+        ).alias("w")
+    )
+    return base.join(winner, "doc_id", "left").select(
+        "doc_id",
+        "host",
+        "path",
+        F.coalesce(~F.col("w.is_allow"), F.lit(False)).alias("blocked"),
+        F.when(F.col("w.is_allow").isNull(), "none")
+        .when(F.col("w.is_allow"), "allow")
+        .otherwise("disallow")
+        .alias("verdict_rule"),
+        F.coalesce(F.col("w.prefix"), F.lit("")).alias("matched_prefix"),
     )

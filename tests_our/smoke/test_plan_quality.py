@@ -116,6 +116,15 @@ def test_web_ops_plan_shape(spark):
     assert "Join" not in plan and plan.count("HashAggregate") >= 2
     plan = plan_of(spark, "doc_pii_stats")
     assert "Exchange" not in plan and "Join" not in plan
+    # C4 cleaning: codegen'd array expressions only — scan-speed projection
+    plan = plan_of(spark, "doc_c4_clean")
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # robots verdict: equi-joins only (host, then doc_id) — a nested-loop
+    # against the corpus would be quadratic at crawl scale
+    plan = plan_of(spark, "web_robots_filter")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_curation_funnel_no_cartesian(spark):

@@ -399,3 +399,54 @@ def test_ivf_train_small_and_empty_tables(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         ivf_train(empty, k=4)
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    from doc_parser_spark.operators.text_analysis import c4_clean
+
+    rows = [
+        # 3 kept sentences -> keep
+        (1, "Good long sentence with many words here.\n"
+            "short line.\n"                       # <5 words: dropped
+            "No terminal punctuation in this one\n"  # dropped
+            "Another proper sentence with enough words too!\n"
+            "A third proper sentence with enough words here?"),
+        # javascript line dropped; lorem ipsum kills the page
+        (2, "Enable javascript to view this page properly now.\n"
+            "Lorem ipsum dolor sit amet consectetur adipiscing elit today.\n"
+            "Second proper sentence with plenty of words inside.\n"
+            "Third proper sentence with plenty of words inside."),
+        # curly brace kills the page even when lines pass
+        (3, "function f() { return 1; } is mentioned in this sentence.\n"
+            "Second full sentence with plenty of words inside.\n"
+            "Third full sentence with plenty of words inside."),
+        (4, None),  # NULL text -> zero counts, keep=False
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in c4_clean(docs).collect()}
+
+    assert out[1]["n_lines_kept"] == 3 and out[1]["n_lines_dropped"] == 2
+    assert out[1]["keep"] is True
+    assert "short line." not in out[1]["clean_text"]
+
+    # the javascript line is gone but page-kill comes from lorem ipsum
+    assert "javascript" not in out[2]["clean_text"]
+    assert out[2]["n_lines_kept"] == 3 and out[2]["keep"] is False
+
+    assert out[3]["n_lines_kept"] == 3 and out[3]["keep"] is False
+
+    assert out[4] == {"doc_id": 4, "clean_text": "", "n_lines_total": 0,
+                      "n_lines_kept": 0, "n_lines_dropped": 0,
+                      "n_sentences": 0, "keep": False}
+
+
+def test_c4_clean_terminal_quote_counts(spark):
+    from doc_parser_spark.operators.text_analysis import c4_clean
+
+    # closing-quote terminal (C4 keeps quoted dialogue lines)
+    rows = [(1, 'He said the words were "good enough for anyone."\n'
+                "A second proper sentence with enough words here.\n"
+                "A third proper sentence with enough words here.")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    row = c4_clean(docs).collect()[0]
+    assert row["n_lines_kept"] == 3 and row["keep"] is True

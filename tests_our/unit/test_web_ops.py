@@ -313,3 +313,75 @@ def test_host_bucket_normalizes_schemeless_variants(spark):
     )
     hosts = {r[0] for r in df.select(host_col("url")).collect()}
     assert hosts == {"site.com"}
+
+
+def test_parse_robots_grouping_and_fields():
+    from doc_parser_spark.operators.web import parse_robots
+
+    txt = b"""
+# crawl policy
+User-agent: BigBot
+Disallow: /private
+
+User-agent: *
+User-agent: other
+Disallow: /tmp/   # trailing comment
+Allow: /tmp/ok
+Disallow:
+Sitemap: https://x.example/sitemap.xml
+Crawl-delay: 10
+
+User-agent: Another
+Allow: /
+"""
+    assert parse_robots(txt) == [
+        ("disallow", "/tmp/"), ("allow", "/tmp/ok"), ("disallow", ""),
+    ]
+    # a second group that also names * contributes too
+    txt2 = "User-agent: *\nDisallow: /a\nUser-agent: *\nDisallow: /b\n"
+    assert parse_robots(txt2) == [("disallow", "/a"), ("disallow", "/b")]
+    assert parse_robots("") == []
+
+
+def test_robots_filter_longest_match_semantics(spark):
+    from doc_parser_spark.operators.web import robots_filter
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.example/docs/guide"),   # disallow /docs wins
+            (2, "https://a.example/docs/api/x"),   # longer allow /docs/api
+            (3, "https://a.example/open"),         # no match
+            (4, "https://b.example/anything"),     # site-wide disallow /
+            (5, "https://b.example/pub/page"),     # allow /pub overrides /
+            (6, "https://c.example/tie"),          # equal length: allow wins
+            (7, "https://nruleshost.example/x"),   # host with no rules
+        ],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("a.example", "disallow", "/docs"),
+            ("a.example", "allow", "/docs/api"),
+            ("a.example", "disallow", ""),      # empty: matches nothing
+            ("b.example", "disallow", "/"),
+            ("b.example", "allow", "/pub"),
+            ("c.example", "disallow", "/tie"),
+            ("c.example", "allow", "/tie"),
+        ],
+        "host string, rule string, prefix string",
+    )
+    out = {r["doc_id"]: r for r in robots_filter(pages, robots).collect()}
+    assert out[1]["blocked"] and out[1]["matched_prefix"] == "/docs"
+    assert not out[2]["blocked"] and out[2]["matched_prefix"] == "/docs/api"
+    assert not out[3]["blocked"] and out[3]["verdict_rule"] == "none"
+    assert out[4]["blocked"] and out[4]["matched_prefix"] == "/"
+    assert not out[5]["blocked"]
+    assert not out[6]["blocked"]  # RFC 9309: least-restrictive on tie
+    assert not out[7]["blocked"]
+    # canonical path feeds the match: trailing slash trimmed, host lowered
+    pages2 = spark.createDataFrame(
+        [(8, "HTTPS://WWW.A.Example:443/docs/")], "doc_id long, url string"
+    )
+    row = robots_filter(pages2, robots).collect()[0]
+    assert row["host"] == "a.example" and row["path"] == "/docs"
+    assert row["blocked"]
