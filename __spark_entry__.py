@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q(text_analysis.stratified_sample, "documents"),
         "doc_lm_fit": q(text_analysis.lm_fit_score, "documents"),
         "doc_dsir_weights": q(text_analysis.dsir_weights, "documents"),
+        "doc_bpe_merges": q(text_analysis.bpe_train, "documents"),
         "doc_c4_clean": lambda spark, sf: text_analysis.c4_clean(
             _read(spark, sf, "documents").select(
                 "doc_id",
@@ -356,6 +357,49 @@ _WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
 
 from doc_parser_spark.operators import text_analysis as _ta  # noqa: E402
 from doc_parser_spark.operators import web as _web  # noqa: E402
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Fully-unrolled DuckDB twin of text_analysis.bpe_train: one CTE
+    trio (pairs -> best -> re-tokenized vocab) per merge iteration, the
+    merge applied with the same greedy left-to-right fold (list_reduce
+    over singleton lists — DuckDB's aggregate-HOF spelling). The 1-row
+    best relation cross-joins the vocab so the lambda captures (lhs,
+    rhs) as row columns, mirroring Spark's broadcast of the argmax."""
+    ctes = [
+        f"w0 AS (SELECT list_filter({_WORDS_SQL}, t -> t <> '') AS ws"
+        " FROM documents)",
+        "wc AS (SELECT word, count(*) AS cnt FROM w0,"
+        " LATERAL UNNEST(ws) AS u(word) GROUP BY word)",
+        "v0 AS (SELECT word, cnt, string_split(word, '') AS toks FROM wc)",
+    ]
+    selects = []
+    for k in range(1, n_merges + 1):
+        prev = f"v{k - 1}"
+        ctes.append(
+            f"p{k} AS (SELECT toks[i] AS lhs, toks[i + 1] AS rhs,"
+            f" CAST(sum(cnt) AS BIGINT) AS n FROM {prev},"
+            " LATERAL UNNEST(generate_series(1, len(toks) - 1)) AS t(i)"
+            " GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{k} AS (SELECT lhs, rhs, n FROM p{k}"
+            " ORDER BY n DESC, lhs, rhs LIMIT 1)"
+        )
+        ctes.append(
+            f"v{k} AS (SELECT word, cnt,"
+            " list_reduce(list_transform(toks, x -> [x]),"
+            " (acc, y) -> CASE WHEN len(acc) > 0 AND acc[-1] = lhs"
+            " AND y[1] = rhs"
+            " THEN list_concat(acc[1:len(acc) - 1], [lhs || rhs])"
+            " ELSE list_concat(acc, y) END) AS toks"
+            f" FROM {prev}, b{k})"
+        )
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS merge_rank, lhs, rhs,"
+            f" lhs || rhs AS merged, n AS pair_count FROM b{k}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 
 
 def _duck_canonical_url(col: str) -> str:
@@ -1173,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
                             / a.n_bigrams)) / 1e6, 0.0) AS lm_fit
             FROM d LEFT JOIN agg a USING (doc_id)
         """,
+        "doc_bpe_merges": _bpe_oracle_sql(6),
         "doc_c4_clean": f"""
             WITH src AS (
                 SELECT doc_id, {_ta.SYNTH_C4_TEXT_SQL} AS text FROM documents

@@ -1070,3 +1070,88 @@ def c4_clean(documents: DataFrame) -> DataFrame:
             & ~F.col("_raw").contains("{")
         ).alias("keep"),
     )
+
+
+def bpe_train(documents: DataFrame, n_merges: int = 6) -> DataFrame:
+    """Learn the first ``n_merges`` byte-pair-encoding merges over the
+    corpus (Sennrich et al. 2016 `learn_bpe`; the tokenizer-training
+    pass every LM data pipeline runs before token counting/packing).
+
+    Algorithm (reference-faithful): words are whitespace tokens of the
+    normalized text; each starts as its character sequence; per
+    iteration the corpus-wide most frequent adjacent token pair
+    (frequency-weighted by word count, ties broken lexicographically on
+    (left, right)) becomes a merge, and every vocabulary word re-tokenizes
+    with that merge applied greedily left-to-right. Output: one row per
+    merge — ``(merge_rank, lhs, rhs, merged, pair_count)``.
+
+    Scale shape: after ONE corpus pass (explode words → groupBy word),
+    everything runs on the *distinct-word* relation — the fastBPE
+    insight: web corpora have ~10M distinct words regardless of corpus
+    size, so per-iteration work is a small explode + map-side-combined
+    groupBy + 1-row argmax collect (bounded driver model state, the
+    MLlib-estimator pattern shared with `ivf_train`). The fold that
+    applies a merge is a codegen'd `aggregate` HOF — no Python. Lineage
+    is truncated per iteration with `localCheckpoint` (the
+    `dup_clusters` / `host_pagerank` iteration pattern).
+    """
+    if n_merges <= 0:
+        raise ValueError(f"n_merges ({n_merges}) must be positive")
+    spark = documents.sparkSession
+    vocab = (
+        documents.select(
+            F.explode(
+                F.expr(f"filter(split({NORM}, ' '), w -> w <> '')")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("word", "cnt", F.expr("split(word, '')").alias("toks"))
+        .localCheckpoint()
+    )
+    fold = (
+        "aggregate(toks, cast(array() as array<string>), "
+        "(acc, t) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = lhs "
+        "AND t = rhs "
+        "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(lhs, rhs))) "
+        "ELSE concat(acc, array(t)) END)"
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = vocab.where(F.expr("size(toks) >= 2")).select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(element_at(toks, i) AS a, "
+                    "element_at(toks, i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("lhs"), F.col("p.b").alias("rhs"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        row = best[0]
+        merges.append(
+            (rank, row["lhs"], row["rhs"], row["lhs"] + row["rhs"],
+             int(row["n"]))
+        )
+        best_df = spark.createDataFrame(
+            [(row["lhs"], row["rhs"])], "lhs string, rhs string"
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best_df))
+            .select("word", "cnt", F.expr(fold).alias("toks"))
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, lhs string, rhs string, merged string, "
+        "pair_count long",
+    )

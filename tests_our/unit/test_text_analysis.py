@@ -450,3 +450,44 @@ def test_c4_clean_terminal_quote_counts(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     row = c4_clean(docs).collect()[0]
     assert row["n_lines_kept"] == 3 and row["keep"] is True
+
+
+def test_bpe_train_hand_computed(spark):
+    from doc_parser_spark.operators.text_analysis import bpe_train
+
+    # Sennrich et al. toy corpus shape: 'low' x3 dominates
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    rows = bpe_train(docs, 5).orderBy("merge_rank").collect()
+    got = [(r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+           for r in rows]
+    # (l,o) appears in low/lower/lowest x4 + low = 6; then (lo,w) = 6;
+    # (e,w) in new/newer/newest = 3; (n,ew) = 3; ties broken lexicographic
+    assert got[:4] == [(1, "l", "o", "lo", 6), (2, "lo", "w", "low", 6),
+                       (3, "e", "w", "ew", 3), (4, "n", "ew", "new", 3)]
+    assert got[4] == (5, "e", "r", "er", 2)
+
+
+def test_bpe_merge_application_is_greedy_left_to_right(spark):
+    from doc_parser_spark.operators.text_analysis import bpe_train
+
+    # 'aaaa': pairs (a,a) x3 -> merge (a,a). Greedy reapply gives
+    # [aa, aa]; rank-2 merge must therefore be (aa, aa), NOT (a, a) again
+    # and NOT an overlap artifact like (aa, a)
+    docs = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    rows = bpe_train(docs, 2).orderBy("merge_rank").collect()
+    assert (rows[0]["lhs"], rows[0]["rhs"]) == ("a", "a")
+    assert (rows[1]["lhs"], rows[1]["rhs"], rows[1]["merged"]) == ("aa", "aa", "aaaa")
+
+
+def test_bpe_train_early_stop_and_validation(spark):
+    from doc_parser_spark.operators.text_analysis import bpe_train
+    import pytest
+
+    # single-char words only: no pairs exist -> 0 merges, empty result
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert bpe_train(docs, 3).count() == 0
+    with pytest.raises(ValueError):
+        bpe_train(docs, 0)
