@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_fit": q(text_analysis.lm_fit_score, "documents"),
         "doc_dsir_weights": q(text_analysis.dsir_weights, "documents"),
         "doc_bpe_merges": q(text_analysis.bpe_train, "documents"),
+        "doc_bpe_tokens": q(text_analysis.bpe_apply, "documents"),
         "doc_c4_clean": lambda spark, sf: text_analysis.c4_clean(
             _read(spark, sf, "documents").select(
                 "doc_id",
@@ -359,13 +360,14 @@ from doc_parser_spark.operators import text_analysis as _ta  # noqa: E402
 from doc_parser_spark.operators import web as _web  # noqa: E402
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
-    """Fully-unrolled DuckDB twin of text_analysis.bpe_train: one CTE
-    trio (pairs -> best -> re-tokenized vocab) per merge iteration, the
-    merge applied with the same greedy left-to-right fold (list_reduce
-    over singleton lists — DuckDB's aggregate-HOF spelling). The 1-row
-    best relation cross-joins the vocab so the lambda captures (lhs,
-    rhs) as row columns, mirroring Spark's broadcast of the argmax."""
+def _bpe_ctes(n_merges: int) -> tuple[list, list]:
+    """Shared CTE chain for the BPE twins: one trio (pairs -> best ->
+    re-tokenized vocab) per merge iteration, the merge applied with the
+    same greedy left-to-right fold (list_reduce over singleton lists —
+    DuckDB's aggregate-HOF spelling). The 1-row best relation
+    cross-joins the vocab so the lambda captures (lhs, rhs) as row
+    columns, mirroring Spark's broadcast of the argmax. Returns
+    (ctes, per-merge selects)."""
     ctes = [
         f"w0 AS (SELECT list_filter({_WORDS_SQL}, t -> t <> '') AS ws"
         " FROM documents)",
@@ -399,7 +401,49 @@ def _bpe_oracle_sql(n_merges: int) -> str:
             f"SELECT CAST({k} AS BIGINT) AS merge_rank, lhs, rhs,"
             f" lhs || rhs AS merged, n AS pair_count FROM b{k}"
         )
+    return ctes, selects
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Fully-unrolled DuckDB twin of text_analysis.bpe_train."""
+    ctes, selects = _bpe_ctes(n_merges)
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def _bpe_apply_oracle_sql(n_merges: int) -> str:
+    """DuckDB twin of text_analysis.bpe_apply: the same unrolled merge
+    chain, then per-document sums of the final vocab's token counts via
+    the exploded (doc_id, word) relation."""
+    ctes, _ = _bpe_ctes(n_merges)
+    ctes.append(
+        f"wd AS (SELECT doc_id, word FROM (SELECT doc_id,"
+        f" list_filter({_WORDS_SQL}, t -> t <> '') AS ws FROM documents),"
+        " LATERAL UNNEST(ws) AS u(word))"
+    )
+    ctes.append(
+        f"sized AS (SELECT word, CAST(len(toks) AS BIGINT) AS n_toks"
+        f" FROM v{n_merges})"
+    )
+    ctes.append(
+        "per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,"
+        " CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens"
+        " FROM wd JOIN sized USING (word) GROUP BY doc_id)"
+    )
+    ctes.append(
+        f"base AS (SELECT doc_id, CAST(length({_NORM_SQL}) AS BIGINT)"
+        " AS n_chars_norm FROM documents)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT base.doc_id,"
+        " coalesce(p.n_words, 0) AS n_words,"
+        " coalesce(p.n_bpe_tokens, 0) AS n_bpe_tokens,"
+        " base.n_chars_norm,"
+        " CAST(CASE WHEN base.n_chars_norm > 0 THEN"
+        " (coalesce(p.n_bpe_tokens, 0) * 100) // base.n_chars_norm"
+        " ELSE 0 END AS BIGINT) AS compression_pct"
+        " FROM base LEFT JOIN per_doc p USING (doc_id)"
+    )
 
 
 def _duck_canonical_url(col: str) -> str:
@@ -1218,6 +1262,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d LEFT JOIN agg a USING (doc_id)
         """,
         "doc_bpe_merges": _bpe_oracle_sql(6),
+        "doc_bpe_tokens": _bpe_apply_oracle_sql(6),
         "doc_c4_clean": f"""
             WITH src AS (
                 SELECT doc_id, {_ta.SYNTH_C4_TEXT_SQL} AS text FROM documents

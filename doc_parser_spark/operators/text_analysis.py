@@ -1155,3 +1155,78 @@ def bpe_train(documents: DataFrame, n_merges: int = 6) -> DataFrame:
         "merge_rank long, lhs string, rhs string, merged string, "
         "pair_count long",
     )
+
+
+def bpe_apply(documents: DataFrame, n_merges: int = 6) -> DataFrame:
+    """Tokenize the corpus with the merges :func:`bpe_train` learns from
+    it (the train-then-count pass that sizes a pre-training mix in model
+    tokens rather than whitespace words).
+
+    Per document: ``n_words`` (whitespace tokens of the normalized
+    text), ``n_bpe_tokens`` (tokens after applying the learned merges in
+    rank order, greedy left-to-right per word — Sennrich's `apply_bpe`),
+    and ``compression_pct`` (integer percent ``100·bpe/chars`` —
+    division-free so both engines agree exactly).
+
+    Scale shape: merges are bounded driver model state (the vocab-size
+    constant, ~30k entries in production — broadcast, never shuffled);
+    tokenization runs on the *distinct-word* relation and joins back to
+    the exploded corpus on the word key, so the expensive fold runs once
+    per distinct word, not once per occurrence. Two shuffles total
+    (distinct words, per-doc sum) regardless of merge count.
+    """
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(documents, n_merges).collect()
+    ]
+    words = documents.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"filter(split({NORM}, ' '), w -> w <> '')")
+        ).alias("word"),
+    )
+    vocab = words.select("word").distinct().select(
+        "word", F.expr("split(word, '')").alias("toks")
+    )
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    for lhs, rhs in merges:
+        fold = (
+            "aggregate(toks, cast(array() as array<string>), "
+            f"(acc, t) -> CASE WHEN size(acc) > 0 "
+            f"AND element_at(acc, -1) = {lit(lhs)} AND t = {lit(rhs)} "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), "
+            f"array({lit(lhs + rhs)})) "
+            "ELSE concat(acc, array(t)) END)"
+        )
+        vocab = vocab.select("word", F.expr(fold).alias("toks"))
+    sized = vocab.select(
+        "word", F.size("toks").cast("long").alias("n_toks")
+    )
+    per_doc = (
+        words.join(sized, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_bpe_tokens"),
+        )
+    )
+    # left join back so empty/NULL-text docs keep a (0, 0) row
+    base = documents.select(
+        "doc_id",
+        F.length(F.expr(NORM)).cast("long").alias("n_chars_norm"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
+        "n_chars_norm",
+        # integer-exact percent: DIV sidesteps IEEE division entirely
+        F.expr(
+            "CASE WHEN n_chars_norm > 0 THEN "
+            "(coalesce(n_bpe_tokens, 0) * 100) DIV n_chars_norm "
+            "ELSE 0 END"
+        ).cast("long").alias("compression_pct"),
+    )

@@ -491,3 +491,23 @@ def test_bpe_train_early_stop_and_validation(spark):
     assert bpe_train(docs, 3).count() == 0
     with pytest.raises(ValueError):
         bpe_train(docs, 0)
+
+
+def test_bpe_apply_hand_computed(spark):
+    from doc_parser_spark.operators.text_analysis import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low"),
+         (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bpe_apply(docs, 5).collect()}
+    # merges: lo, low, ew, new, er. doc1: low x3 = 1 tok each,
+    # lower -> [low, er] = 2, lowest -> [low, e, s, t] = 4 -> 9 total
+    assert out[1]["n_words"] == 5 and out[1]["n_bpe_tokens"] == 9
+    # doc2: new=1, newer -> [new, er]=2, newest -> [new, e, s, t]=4, low=1
+    assert out[2]["n_words"] == 4 and out[2]["n_bpe_tokens"] == 8
+    assert out[3].asDict() == {"doc_id": 3, "n_words": 0, "n_bpe_tokens": 0,
+                               "n_chars_norm": 0, "compression_pct": 0}
+    # compression: doc1 norm chars = 24, 9*100 DIV 24 = 37
+    assert out[1]["compression_pct"] == 37
