@@ -234,6 +234,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "customer", "orders", "lineitem", "supplier", "nation", "region",
         ),
         "segment_order_stats": q(relational.segment_order_stats, "customer", "orders"),
+        "q4_order_priority": q(
+            relational.order_priority_pending, "orders", "lineitem"
+        ),
+        "q22_inactive_customers": q(
+            relational.inactive_customers, "customer", "orders"
+        ),
         "supplier_balance_rank": q(
             relational.supplier_balance_rank, "supplier", "nation"
         ),
@@ -1646,6 +1652,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_orders) AS BIGINT) AS n_orders,
                    CAST(round(sum(total_spend), 2) AS DOUBLE) AS segment_spend
             FROM per_customer GROUP BY c_mktsegment
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o
+            SEMI JOIN lineitem l
+              ON l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+            GROUP BY o_orderpriority
+        """,
+        "q22_inactive_customers": """
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_inactive,
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS sum_acctbal_cents
+            FROM customer c
+            ANTI JOIN (SELECT o_custkey FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '1998-01-01') o
+              ON c.c_custkey = o.o_custkey
+            GROUP BY c_mktsegment
         """,
         "supplier_balance_rank": """
             SELECT n_name, s_suppkey,

@@ -385,3 +385,59 @@ def props_stats(events: DataFrame, field: str = "k") -> DataFrame:
         F.min("k").cast("long").alias("min_k"),
         F.max("k").cast("long").alias("max_k"),
     )
+
+
+def order_priority_pending(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4-shaped priority report: orders (in a date window) that
+    HAVE a late line item — EXISTS rewritten as a LEFT SEMI join with a
+    cross-table predicate (``l_shipdate > o_orderdate + 60 days``; the
+    committed/receipt dates Q4 proper uses aren't in this schema).
+
+    Plan shape to care about at scale: the semi join keeps the probe
+    side narrow (no lineitem payload columns survive), duplicate
+    matches never multiply rows, and both scans take pushed filters.
+    """
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        orders.where(F.col("o_orderdate") >= F.lit("1997-01-01"))
+        .join(
+            late,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.expr("o_orderdate + INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def inactive_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22-shaped anti-join report: customers with NO order since
+    a cutoff, counted per market segment with their mean balance
+    (integer-cents exact: sum(round(bal·100)) DIV n — division-free).
+
+    NOT EXISTS as a LEFT ANTI join: the orders side reduces to the
+    distinct active custkey set under the pushed date filter before it
+    reaches the join, so the anti probe is key-only. Balance reported as
+    an integer-cents sum, not a mean — Spark's DIV truncates toward zero
+    while DuckDB's // floors, so a negative mean would diverge; the sum
+    is exact in both.
+    """
+    active = orders.where(
+        F.col("o_orderdate") >= F.lit("1998-01-01")
+    ).select("o_custkey")
+    return (
+        customer.join(
+            active, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_inactive"),
+            F.expr("sum(CAST(round(c_acctbal * 100) AS BIGINT))")
+            .cast("long")
+            .alias("sum_acctbal_cents"),
+        )
+    )

@@ -127,6 +127,19 @@ def test_web_ops_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semi_anti_join_plan_shape(spark):
+    # EXISTS/NOT EXISTS must plan as hash semi/anti joins (the extra
+    # range predicate rides as the join condition), never nested loops
+    plan = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    plan = plan_of(spark, "q22_inactive_customers")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_curation_funnel_no_cartesian(spark):
     # the composed funnel joins 6 doc_id-keyed relations — all equi-joins;
     # a cartesian/nested-loop anywhere would explode at corpus scale
