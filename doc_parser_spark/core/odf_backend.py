@@ -115,7 +115,11 @@ def _is_ordered_list(el) -> bool:
 
 
 def _table_data(tbl) -> TableData:
-    rows_raw: list[list[tuple[str, int, int, int]]] = []
+    # compact (cells, repeat) rows: ODS pads with number-*-repeated runs
+    # of empty cells (the fixture carries a 500x1003 pad) — expanding
+    # them before the trim would do O(pad) work for rows the used-range
+    # logic throws away
+    packed: list[tuple[list[tuple[str, int, int, int]], int]] = []
     for tr in tbl.findall(f"{_TABLE}table-row"):
         row_rep = min(int(tr.get(f"{_TABLE}number-rows-repeated", "1") or "1"),
                       _MAX_REPEAT)
@@ -140,12 +144,19 @@ def _table_data(tbl) -> TableData:
             cells.append((text, rspan, cspan, 1))
             if rep > 1:
                 cells.extend([(text, 1, 1, 1)] * (rep - 1))
+        # trim trailing empty cells within the row (column-repeat padding)
+        while cells and not cells[-1][0]:
+            cells.pop()
+        packed.append((cells, row_rep))
+
+    # trim trailing all-empty rows (row-repeat padding) on the COMPACT
+    # representation, then expand what survives
+    while packed and all(not c[0] for c in packed[-1][0]):
+        packed.pop()
+    rows_raw: list[list[tuple[str, int, int, int]]] = []
+    for cells, row_rep in packed:
         for _ in range(row_rep):
             rows_raw.append(cells)
-
-    # trim trailing all-empty rows (repeat padding)
-    while rows_raw and all(not c[0] for c in rows_raw[-1]):
-        rows_raw.pop()
     num_rows = len(rows_raw)
     num_cols = 0
     for cells in rows_raw:

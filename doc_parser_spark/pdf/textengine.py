@@ -612,27 +612,44 @@ class TextEngine:
             # allocation-order-dependent (nondeterministic segmentation)
             f = font or _UNRESOLVED_FONT
             raw = raw_text.encode("latin-1", errors="ignore")
+            # Hot loop: the full chain is trm = S·(tm·ctm) with
+            # S = (tfs·tz, 0, 0, tfs, 0, ts) and a translate-only tm
+            # advance per glyph — so of tm·ctm only the e/f entries move
+            # inside a run, and of trm only indices 0/3/4/5 are read.
+            # The scalars below replicate mmul's exact expressions (same
+            # multiply/add grouping → bit-identical coordinates); the
+            # dropped terms are all 0·x against nonzero sums.
+            qa, qb, qc_, qd, qe, qf = tm
+            ca, cb, cc_, cd, ce, cf = ctm
+            ta = qa * ca + qb * cc_
+            tcc = qc_ * ca + qd * cc_
+            tdd = qc_ * cb + qd * cd
+            size = abs(tfs * tdd) or abs((tfs * tz) * ta) or tfs
+            x_mul = ts * tcc
+            y_mul = ts * tdd
+            spaced = f.has_metrics
+            fid = id(f)
+            fname = f.name
+            glyphs_append = self.glyphs.append
             for code, uni, w_em, is_space in f.iter_codes(raw):
-                trm = mmul((tfs * tz, 0.0, 0.0, tfs, 0.0, ts), mmul(tm, ctm))
                 adv = (w_em * tfs + tc + (tw if is_space else 0.0)) * tz
-                tm = mmul(translate(adv, 0.0), tm)
+                e2 = adv * qa + qe
+                f2 = adv * qb + qf
                 if uni:
-                    trm2 = mmul(
-                        (tfs * tz, 0.0, 0.0, tfs, 0.0, ts), mmul(tm, ctm)
-                    )
-                    size = abs(trm[3]) or abs(trm[0]) or tfs
-                    self.glyphs.append(
+                    glyphs_append(
                         Glyph(
                             text=uni,
-                            x0=trm[4],
-                            x1=trm2[4],
-                            y=trm[5],
+                            x0=x_mul + (qe * ca + qf * cc_ + ce),
+                            x1=x_mul + (e2 * ca + f2 * cc_ + ce),
+                            y=y_mul + (qe * cb + qf * cd + cf),
                             size=size,
-                            spaced=f.has_metrics,
-                            font=id(f),
-                            font_name=f.name,
+                            spaced=spaced,
+                            font=fid,
+                            font_name=fname,
                         )
                     )
+                qe, qf = e2, f2
+            tm = (qa, qb, qc_, qd, qe, qf)
 
         for m in token_re.finditer(content):
             kind = m.lastgroup
