@@ -43,6 +43,61 @@ def _wrapped_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wrapped_link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table → pages whose HTML carries a deterministic link
+    set (internal path link, cross-host link, a kernel-skipped
+    javascript: pseudo-link on doc_id%6, a fragment link on doc_id%4) —
+    every emitted row of extract_links is SQL-derivable from doc_id."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        F.expr(
+            "concat('https://site', cast(doc_id % 50 as int),"
+            " '.example.com/page/', doc_id)"
+        ).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.expr(
+            "cast(concat('<html><body><h1>Doc ', doc_id, '</h1>',"
+            " '<p>body text</p>',"
+            " '<a href=\"/local/', cast(doc_id % 10 as int), '\">local ',"
+            " doc_id, '</a>',"
+            " '<a href=\"https://site', cast((doc_id * 3 + 1) % 50 as int),"
+            " '.example.com/x/', cast(doc_id % 20 as int),"
+            " '\">cross link</a>',"
+            " CASE WHEN doc_id % 6 = 0 THEN"
+            " '<a href=\"javascript:void(0)\">js</a>' ELSE '' END,"
+            " CASE WHEN doc_id % 4 = 0 THEN"
+            " '<a href=\"#top\">top</a>' ELSE '' END,"
+            " '</body></html>') as binary)"
+        ).alias("html"),
+        F.lit("").alias("text"),
+        F.col("lang"),
+    )
+
+
+def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.extract import extract_links
+
+    out = extract_links(_wrapped_link_pages(spark, sf_dir))
+    return out.select(
+        F.regexp_extract("url", "page/([0-9]+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("link_no").cast("long").alias("link_no"),
+        "href",
+        "resolved",
+        "dst_host",
+        "is_internal",
+        "anchor",
+    )
+
+
+def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.extract import extract_links
+    from doc_parser_spark.operators.web import link_graph
+
+    return link_graph(extract_links(_wrapped_link_pages(spark, sf_dir)))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline (wrapped docs + synthetic pages
     with PDF payloads) → documents_out."""
@@ -179,6 +234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pages": _q_extract_pages,
         "extract_chunks": _q_chunks,
         "extract_boilerplate_blocks": _q_boilerplate,
+        "extract_links": _q_extract_links,
+        "web_link_graph": _q_link_graph,
         # text analysis
         "doc_token_stats": q(text_analysis.token_stats, "documents"),
         "doc_quality_score": q(text_analysis.quality_score, "documents"),
@@ -993,6 +1050,52 @@ def oracle_sql() -> dict[str, str]:
     )
 
     d = {
+        "extract_links": """
+            SELECT doc_id,
+                   CAST(0 AS BIGINT) AS link_no,
+                   '/local/' || CAST(doc_id % 10 AS INT) AS href,
+                   'https://site' || CAST(doc_id % 50 AS INT)
+                       || '.example.com/local/' || CAST(doc_id % 10 AS INT)
+                       AS resolved,
+                   'site' || CAST(doc_id % 50 AS INT) || '.example.com'
+                       AS dst_host,
+                   TRUE AS is_internal,
+                   'local ' || doc_id AS anchor
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1,
+                   'https://site' || CAST((doc_id * 3 + 1) % 50 AS INT)
+                       || '.example.com/x/' || CAST(doc_id % 20 AS INT),
+                   'https://site' || CAST((doc_id * 3 + 1) % 50 AS INT)
+                       || '.example.com/x/' || CAST(doc_id % 20 AS INT),
+                   'site' || CAST((doc_id * 3 + 1) % 50 AS INT)
+                       || '.example.com',
+                   FALSE,
+                   'cross link'
+            FROM documents
+            UNION ALL
+            -- the javascript: pseudo-link (doc_id%6) is skipped by the
+            -- kernel WITHOUT consuming a link number; the fragment link
+            -- lands at link_no 2 regardless
+            SELECT doc_id, 2,
+                   '#top',
+                   'https://site' || CAST(doc_id % 50 AS INT)
+                       || '.example.com/page/' || doc_id || '#top',
+                   'site' || CAST(doc_id % 50 AS INT) || '.example.com',
+                   TRUE,
+                   'top'
+            FROM documents
+            WHERE doc_id % 4 = 0
+        """,
+        "web_link_graph": """
+            SELECT 'site' || CAST(doc_id % 50 AS INT) || '.example.com'
+                       AS src_host,
+                   'site' || CAST((doc_id * 3 + 1) % 50 AS INT)
+                       || '.example.com' AS dst_host,
+                   CAST(count(*) AS BIGINT) AS n_links
+            FROM documents
+            GROUP BY 1, 2
+        """,
         "extract_wrapped_docs": """
             SELECT doc_id,
                    'Doc ' || doc_id AS title,

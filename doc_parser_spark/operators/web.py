@@ -671,3 +671,45 @@ def robots_filter(
         .alias("verdict_rule"),
         F.coalesce(F.col("w.prefix"), F.lit("")).alias("matched_prefix"),
     )
+
+
+def link_graph(links: DataFrame, external_only: bool = True) -> DataFrame:
+    """Outlink relation (:func:`operators.extract.extract_links` output)
+    → host-graph edges ``(src_host, dst_host, n_links)`` — the real-edge
+    input :func:`host_pagerank` iterates over (its driver query uses
+    synthesized edges; this closes the loop from raw HTML).
+
+    One map-side-combined groupBy; self-loops (internal links) are
+    dropped by default since PageRank treats them as rank sinks. Both
+    endpoints land in the same canonical host bucket host_cap/pagerank
+    key on (www./default-port strip), so 'www.a.com -> a.com' is not a
+    phantom cross-host edge.
+    """
+
+    def bucket(h: str) -> str:
+        return (
+            f"CASE WHEN {h} LIKE '%:80' THEN left({h}, length({h}) - 3) "
+            f"WHEN {h} LIKE '%:443' THEN left({h}, length({h}) - 4) "
+            f"ELSE {h} END"
+        )
+
+    raw_src = f"lower(regexp_extract(url, '{_ANY_HOST_RE}', 1))"
+    src = bucket(
+        f"(CASE WHEN {raw_src} LIKE 'www.%' THEN substring({raw_src}, 5) "
+        f"ELSE {raw_src} END)"
+    )
+    dst = bucket(
+        "(CASE WHEN dst_host LIKE 'www.%' THEN substring(dst_host, 5) "
+        "ELSE dst_host END)"
+    )
+    edges = links.select(
+        F.expr(src).alias("src_host"),
+        F.expr(dst).alias("dst_host"),
+    )
+    if external_only:
+        # bucket-level self-loop filter (stronger than is_internal: a
+        # www.a.com -> a.com link is a self-loop after normalization)
+        edges = edges.where("src_host <> dst_host")
+    return edges.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )

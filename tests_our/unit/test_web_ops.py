@@ -385,3 +385,44 @@ def test_robots_filter_longest_match_semantics(spark):
     row = robots_filter(pages2, robots).collect()[0]
     assert row["host"] == "a.example" and row["path"] == "/docs"
     assert row["blocked"]
+
+
+def test_extract_links_and_link_graph(spark):
+    from doc_parser_spark.operators.extract import extract_links
+    from doc_parser_spark.operators.web import link_graph
+
+    html = (b'<html><body>'
+            b'<a href="/rel/x">Rel Link</a>'
+            b'<a href="https://other.example/abs?q=1">Abs</a>'
+            b'<a href="javascript:void(0)">js</a>'
+            b'<a href="MAILTO:a@b.c">mail</a>'
+            b'<a href="#frag">frag</a>'
+            b'<a name="no-href">anchor-only</a>'
+            b'<a href="//cdn.example/proto-rel">cdn</a>'
+            b'</body></html>')
+    pages = spark.createDataFrame(
+        [("https://www.host.example/page/1", bytearray(html)),
+         ("https://www.host.example/page/2", bytearray(b"%PDF-1.4 not html")),
+         ("https://www.host.example/page/3", None)],
+        "url string, html binary",
+    )
+    rows = extract_links(pages).orderBy("url", "link_no").collect()
+    # pseudo-links and the href-less anchor skipped WITHOUT consuming
+    # numbering; non-HTML and NULL pages contribute nothing
+    assert [(r["link_no"], r["href"]) for r in rows] == [
+        (0, "/rel/x"), (1, "https://other.example/abs?q=1"),
+        (2, "#frag"), (3, "//cdn.example/proto-rel"),
+    ]
+    by_no = {r["link_no"]: r for r in rows}
+    assert by_no[0]["resolved"] == "https://www.host.example/rel/x"
+    assert by_no[0]["is_internal"] and by_no[0]["anchor"] == "Rel Link"
+    assert not by_no[1]["is_internal"]
+    assert by_no[2]["resolved"] == "https://www.host.example/page/1#frag"
+    # protocol-relative inherits the page scheme, lands on the CDN host
+    assert by_no[3]["dst_host"] == "cdn.example"
+
+    edges = {(r["src_host"], r["dst_host"]): r["n_links"]
+             for r in link_graph(extract_links(pages)).collect()}
+    # canonical src host (www. stripped); internal self-loops dropped
+    assert edges == {("host.example", "other.example"): 1,
+                     ("host.example", "cdn.example"): 1}
