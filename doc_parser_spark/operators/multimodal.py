@@ -137,6 +137,15 @@ def _image_array(payload: bytes):
                 return "codec_unavailable", None
             return "corrupt", None
         return "decoded", arr
+    if payload.startswith(b"BM") and len(payload) >= 26:
+        from doc_parser_spark.core.bmp import BmpError, decode_bmp
+
+        try:
+            return "decoded", decode_bmp(payload)
+        except BmpError as exc:
+            if "unsupported" in str(exc) or "unknown" in str(exc):
+                return "codec_unavailable", None
+            return "corrupt", None
     if payload.startswith(b"FAKEIMG"):
         width, height, channels = struct.unpack(">HHB", payload[7:12])
         raw = np.frombuffer(payload[12:], dtype=np.uint8)
