@@ -62,7 +62,9 @@ def _wrapped_link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             " doc_id, '</a>',"
             " '<a href=\"https://site', cast((doc_id * 3 + 1) % 50 as int),"
             " '.example.com/x/', cast(doc_id % 20 as int),"
-            " '\">cross link</a>',"
+            " '\">', CASE WHEN doc_id % 3 = 0 THEN 'cross link' ELSE"
+            " concat('see site ', cast((doc_id * 3 + 1) % 50 as int)) END,"
+            " '</a>',"
             " CASE WHEN doc_id % 6 = 0 THEN"
             " '<a href=\"javascript:void(0)\">js</a>' ELSE '' END,"
             " CASE WHEN doc_id % 4 = 0 THEN"
@@ -91,11 +93,16 @@ def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_extract_links_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc_parser_spark.operators.extract import extract_links
+
+    return extract_links(_wrapped_link_pages(spark, sf_dir))
+
+
+def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc_parser_spark.operators.web import link_graph
 
-    return link_graph(extract_links(_wrapped_link_pages(spark, sf_dir)))
+    return link_graph(_q_extract_links_raw(spark, sf_dir))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -236,6 +243,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_boilerplate_blocks": _q_boilerplate,
         "extract_links": _q_extract_links,
         "web_link_graph": _q_link_graph,
+        "web_anchor_text": lambda spark, sf: web.anchor_text(
+            _q_extract_links_raw(spark, sf)
+        ),
         # text analysis
         "doc_token_stats": q(text_analysis.token_stats, "documents"),
         "doc_quality_score": q(text_analysis.quality_score, "documents"),
@@ -1071,7 +1081,9 @@ def oracle_sql() -> dict[str, str]:
                    'site' || CAST((doc_id * 3 + 1) % 50 AS INT)
                        || '.example.com',
                    FALSE,
-                   'cross link'
+                   CASE WHEN doc_id % 3 = 0 THEN 'cross link'
+                        ELSE 'see site ' || CAST((doc_id * 3 + 1) % 50 AS INT)
+                        END
             FROM documents
             UNION ALL
             -- the javascript: pseudo-link (doc_id%6) is skipped by the
@@ -1095,6 +1107,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_links
             FROM documents
             GROUP BY 1, 2
+        """,
+        "web_anchor_text": """
+            WITH l AS (
+                SELECT doc_id,
+                       'https://site' || CAST((doc_id * 3 + 1) % 50 AS INT)
+                           || '.example.com/x/' || CAST(doc_id % 20 AS INT)
+                           AS resolved,
+                       CASE WHEN doc_id % 3 = 0 THEN 'cross link'
+                            ELSE 'see site '
+                                 || CAST((doc_id * 3 + 1) % 50 AS INT)
+                            END AS anchor
+                FROM documents
+            ),
+            pairs AS (
+                SELECT resolved, anchor, CAST(count(*) AS BIGINT) AS n
+                FROM l GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY resolved
+                           ORDER BY n DESC, anchor ASC) AS rnk
+                FROM pairs
+            )
+            SELECT resolved,
+                   CAST(sum(n) AS BIGINT) AS n_incoming,
+                   CAST(count(*) AS BIGINT) AS n_distinct_anchors,
+                   coalesce(string_agg(CASE WHEN rnk <= 3 THEN anchor END,
+                                       ' | ' ORDER BY rnk), '')
+                       AS top_anchors
+            FROM ranked GROUP BY resolved
         """,
         "extract_wrapped_docs": """
             SELECT doc_id,

@@ -713,3 +713,45 @@ def link_graph(links: DataFrame, external_only: bool = True) -> DataFrame:
     return edges.groupBy("src_host", "dst_host").agg(
         F.count(F.lit(1)).alias("n_links")
     )
+
+
+def anchor_text(links: DataFrame, k: int = 3) -> DataFrame:
+    """Incoming anchor-text profile per destination URL — the classic
+    retrieval/quality signal (anchor text describes the TARGET page;
+    search engines have indexed it since PageRank's companion paper).
+
+    Input is the :func:`operators.extract.extract_links` relation.
+    External links only (internal navigation anchors — 'home', 'next' —
+    describe site structure, not content). Per destination: total
+    incoming count, distinct anchor count, and the top-``k`` anchors by
+    (count desc, anchor asc) joined as ``top_anchors``.
+
+    Scale shape: two map-side-combined groupBys and one window rank over
+    the (dst, anchor) relation — the rank-limit pushes down to
+    WindowGroupLimit like `host_cap`, so no per-key state exceeds k.
+    """
+    if k <= 0:
+        raise ValueError(f"k ({k}) must be positive")
+    from pyspark.sql.window import Window
+
+    pairs = (
+        links.where(~F.col("is_internal"))
+        .where(F.trim("anchor") != "")
+        .groupBy("resolved", "anchor")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("resolved").orderBy(
+        F.desc("n"), F.asc("anchor")
+    )
+    ranked = pairs.withColumn("rnk", F.row_number().over(w))
+    return ranked.groupBy("resolved").agg(
+        F.sum("n").cast("long").alias("n_incoming"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_anchors"),
+        F.array_join(
+            F.expr(
+                "transform(sort_array(collect_list(CASE WHEN rnk <= "
+                f"{int(k)} THEN struct(rnk, anchor) END)), s -> s.anchor)"
+            ),
+            " | ",
+        ).alias("top_anchors"),
+    )

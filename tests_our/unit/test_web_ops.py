@@ -426,3 +426,29 @@ def test_extract_links_and_link_graph(spark):
     # canonical src host (www. stripped); internal self-loops dropped
     assert edges == {("host.example", "other.example"): 1,
                      ("host.example", "cdn.example"): 1}
+
+
+def test_anchor_text_topk_and_filters(spark):
+    from doc_parser_spark.operators.web import anchor_text
+    import pytest
+
+    rows = [
+        ("u1", "https://t.example/a", "Great Page", False),
+        ("u2", "https://t.example/a", "Great Page", False),
+        ("u3", "https://t.example/a", "click here", False),
+        ("u4", "https://t.example/a", "Archive", False),
+        ("u5", "https://t.example/a", "Best Page", False),
+        ("u6", "https://t.example/b", "home", True),      # internal: out
+        ("u7", "https://t.example/b", "  ", False),       # blank: out
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, resolved string, anchor string, is_internal boolean"
+    )
+    out = anchor_text(df, 3).collect()
+    assert len(out) == 1  # /b had only internal/blank anchors
+    r = out[0]
+    assert r["n_incoming"] == 5 and r["n_distinct_anchors"] == 4
+    # count desc then lexicographic: Great Page(2), Archive, Best Page
+    assert r["top_anchors"] == "Great Page | Archive | Best Page"
+    with pytest.raises(ValueError):
+        anchor_text(df, 0)
