@@ -56,6 +56,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
         pal_off, pal_entry = 14 + 12, 3
         n_colors = 0
     elif dib >= 40:
+        if len(data) < 50:
+            raise BmpError("truncated INFO header")
         w, h_raw, _planes, bpp, compression = struct.unpack_from(
             "<iihHI", data, 18
         )

@@ -180,3 +180,61 @@ def test_tiff_fuzz_never_hangs_or_crashes(cut, stomp_at, stomp_val, seed):
         assert out.dtype == np.uint8 and out.ndim == 3
     except TiffError:
         pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    cut=st.integers(2, 200),
+    stomp_at=st.integers(0, 199),
+    stomp_val=st.integers(0, 255),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_fuzz_never_hangs_or_crashes(cut, stomp_at, stomp_val, seed):
+    """Truncated or bit-flipped BMPs either decode or raise BmpError —
+    never any other exception, never an unbounded allocation."""
+    from doc_parser_spark.core.bmp import BmpError, decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (3, 5, 3), dtype=np.uint8)
+    data = bytearray(encode_bmp(img))
+    data = data[:cut] if cut < len(data) else data
+    if stomp_at < len(data):
+        data[stomp_at] = stomp_val
+    try:
+        out = decode_bmp(bytes(data))
+        assert out.dtype == np.uint8 and out.ndim == 3
+    except BmpError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    cut=st.integers(2, 600),
+    stomp_at=st.integers(0, 599),
+    stomp_val=st.integers(0, 255),
+)
+def test_epub_odf_fuzz_terminates_with_known_errors(cut, stomp_at, stomp_val):
+    """Mangled EPUB/ODF containers must land on the kernel's known error
+    taxonomy (Epub/Odf/ValueError/BadZipFile paths map to skip/failure),
+    never hang or escape with an arbitrary exception; process_document
+    must always produce a status row."""
+    import zipfile
+
+    from doc_parser_spark.core.epub_backend import extract_epub
+    from doc_parser_spark.core.odf_backend import extract_odf
+    from doc_parser_spark.operators.extract import process_document
+    from doc_parser_spark.sources import office_fixtures as fx
+
+    for payload in (fx.make_epub(1), fx.make_odt(1)):
+        data = bytearray(payload)
+        data = data[:cut] if cut < len(data) else data
+        if stomp_at < len(data):
+            data[stomp_at] = stomp_val
+        mangled = bytes(data)
+        for fn in (extract_epub, extract_odf):
+            try:
+                fn(mangled)
+            except (ValueError, zipfile.BadZipFile, KeyError, EOFError):
+                pass  # ValueError covers EpubError/OdfError/BombError
+        rec = process_document("u", mangled)
+        assert rec["status"] in ("success", "failure", "skipped")
