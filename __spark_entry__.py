@@ -336,6 +336,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url")
             )
         ),
+        "web_latest_capture": lambda spark, sf: web.latest_capture(
+            _read(spark, sf, "documents").selectExpr(
+                "doc_id",
+                f"{web.SYNTH_URL_SQL} AS url",
+                "timestampadd(HOUR, cast((doc_id * 53) % 720 as int), "
+                "timestamp'2024-01-01 00:00:00') AS warc_ts",
+            )
+        ),
+        "extract_incremental": lambda spark, sf: web.extract_incremental(
+            _read(spark, sf, "documents").selectExpr(
+                "doc_id", f"{web.SYNTH_URL_SQL} AS url", "text"
+            ),
+            _read(spark, sf, "documents")
+            .where("doc_id % 3 < 2")
+            .selectExpr(
+                f"{web.SYNTH_URL_SQL} AS url",
+                "sha2(CASE WHEN doc_id % 3 = 0 THEN coalesce(text, '') "
+                "ELSE concat(coalesce(text, ''), '!recrawl') END, 256) "
+                "AS content_hash",
+            ),
+        ),
         "doc_decontaminate": q(web.decontaminate, "documents"),
         "web_host_cap": lambda spark, sf: web.host_cap(
             _read(spark, sf, "documents").select(
@@ -1971,6 +1992,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, min(doc_id) AS keep_doc_id,
                    count(*) AS n_dups
             FROM c GROUP BY canonical_url
+        """,
+        # struct-max survivor twin: row_number ordered (ts DESC, doc_id ASC)
+        # is exactly max(struct(ts, -doc_id))
+        "web_latest_capture": f"""
+            WITH p AS (
+                SELECT doc_id, {_web.SYNTH_URL_SQL} AS url,
+                       TIMESTAMP '2024-01-01 00:00:00'
+                         + to_hours(CAST((doc_id * 53) % 720 AS BIGINT)) AS warc_ts
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, warc_ts,
+                       {_duck_canonical_url("url")} AS canonical_url
+                FROM p
+            )
+            SELECT canonical_url, keep_doc_id, last_ts, first_ts, n_captures
+            FROM (
+                SELECT canonical_url,
+                       doc_id AS keep_doc_id,
+                       warc_ts AS last_ts,
+                       min(warc_ts) OVER (PARTITION BY canonical_url) AS first_ts,
+                       count(*) OVER (PARTITION BY canonical_url) AS n_captures,
+                       row_number() OVER (
+                           PARTITION BY canonical_url
+                           ORDER BY warc_ts DESC, doc_id ASC
+                       ) AS rn
+                FROM c
+            ) WHERE rn = 1
+        """,
+        "extract_incremental": f"""
+            WITH cur AS (
+                SELECT doc_id, {_web.SYNTH_URL_SQL} AS url,
+                       sha256(coalesce(text, '')) AS content_hash
+                FROM documents
+            ),
+            prior AS (
+                SELECT {_web.SYNTH_URL_SQL} AS url,
+                       sha256(CASE WHEN doc_id % 3 = 0 THEN coalesce(text, '')
+                              ELSE concat(coalesce(text, ''), '!recrawl')
+                              END) AS content_hash
+                FROM documents WHERE doc_id % 3 < 2
+            )
+            SELECT doc_id, url, content_hash
+            FROM cur ANTI JOIN prior USING (url, content_hash)
         """,
         "web_robots_filter": f"""
             WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url FROM documents),

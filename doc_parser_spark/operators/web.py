@@ -179,6 +179,82 @@ def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def latest_capture(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """Recrawl dedup: keep the NEWEST capture of each canonical URL.
+
+    Common-Crawl-style corpora carry one row per (url, fetch time); a
+    training build keeps the latest capture (content supersedes), unlike
+    ``url_dedup``'s min-doc_id convention. The survivor is picked with a
+    single struct-max aggregate — ``max(struct(ts, -doc_id))`` — i.e. one
+    groupBy with O(1) aggregation state and map-side partial combine.
+    Struct agg buffers are not hash-agg mutable, so Spark plans a
+    SortAggregate — but the partial_max still runs BEFORE the exchange,
+    so only one combined row per (partition, url) shuffles and the final
+    sort sees pre-combined rows; at 10^12 rows this still beats the
+    window-rank formulation, which must shuffle and sort EVERY capture
+    inside each url partition. Ties on the timestamp break
+    deterministically to the LOWEST doc_id.
+
+    Returns (canonical_url, keep_doc_id, last_ts, first_ts, n_captures).
+    """
+    pick = F.max(
+        F.struct(
+            F.col(ts_col).alias("ts"), (-F.col("doc_id")).alias("nid")
+        )
+    )
+    return (
+        pages.withColumn("canonical_url", canonical_url_col(url_col))
+        .groupBy("canonical_url")
+        .agg(
+            pick.alias("p"),
+            F.min(ts_col).alias("first_ts"),
+            F.count(F.lit(1)).alias("n_captures"),
+        )
+        .select(
+            "canonical_url",
+            (-F.col("p.nid")).cast("long").alias("keep_doc_id"),
+            F.col("p.ts").alias("last_ts"),
+            "first_ts",
+            "n_captures",
+        )
+    )
+
+
+def extract_incremental(
+    pages: DataFrame,
+    prior: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-extraction pre-filter: pages whose (url, content hash)
+    is NOT in a prior snapshot — only new or changed pages reach the
+    expensive extraction kernel on a recrawl.
+
+    The hash is JVM-native ``sha2(text, 256)`` computed on both sides, and
+    the skip test is a LEFT ANTI join on (url, content_hash). The prior
+    snapshot is corpus-sized, so it is never broadcast (same discipline
+    as decontamination above); the anti-join shuffles on the composite
+    key, which is near-unique → no skew. At 100 TB this is the single
+    cheapest pass in the pipeline relative to what it saves: unchanged
+    pages cost one hash + one shuffle row instead of a full parse.
+
+    Returns (doc_id, url, content_hash) for the pages to (re-)extract.
+    """
+    cur = pages.select(
+        "doc_id",
+        F.col(url_col).alias("url"),
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias(
+            "content_hash"
+        ),
+    )
+    prev = prior.select(
+        F.col(url_col).alias("url"), F.col("content_hash")
+    )
+    return cur.join(prev, ["url", "content_hash"], "left_anti")
+
+
 # --- host-level corpus shaping --------------------------------------------------
 
 def host_cap(

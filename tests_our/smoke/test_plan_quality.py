@@ -292,3 +292,37 @@ def test_pq_adc_plan_no_cartesian(spark):
     plan = plan_of(spark, "emb_pq_adc_topk")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_latest_capture_plan_is_single_hash_agg(spark):
+    # struct-max survivor: one hash groupBy (partial + final), no window
+    # sort, no join — the window-rank formulation would plan a full sort
+    # of every capture inside each url partition
+    # struct-typed agg buffers aren't hash-agg mutable, so Spark plans
+    # SortAggregate — the part that matters at scale is still there:
+    # partial_max BEFORE the exchange (map-side combine: one combined row
+    # per partition×url shuffles) and exactly one exchange
+    plan = plan_of(spark, "web_latest_capture")
+    assert "partial_max" in plan
+    # formatted explain renders each node twice (tree + detail): <=2 means
+    # exactly one Exchange, like test_extraction_has_single_intentional_shuffle
+    assert plan.count("Exchange") <= 2
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_extract_incremental_plan_shape(spark):
+    # anti-join on (url, content_hash): the prior snapshot is corpus-sized
+    # in production, so the operator must carry NO broadcast hint (with the
+    # threshold disabled, any BroadcastHashJoin could only come from a
+    # hint; AQE may still pick one at runtime when a side is truly small).
+    # sha256 stays JVM-side: no Python eval nodes.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, "extract_incremental")
+        assert "LeftAnti" in plan
+        assert "BroadcastHashJoin" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

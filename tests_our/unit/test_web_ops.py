@@ -452,3 +452,66 @@ def test_anchor_text_topk_and_filters(spark):
     assert r["top_anchors"] == "Great Page | Archive | Best Page"
     with pytest.raises(ValueError):
         anchor_text(df, 0)
+
+
+def test_latest_capture_keeps_newest_and_breaks_ties_low_doc_id(spark):
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    rows = [
+        # one canonical url, three captures; newest (hour 9) wins
+        Row(doc_id=1, url="http://WWW.ex.com:80/a", warc_ts=t(3)),
+        Row(doc_id=2, url="http://ex.com/a", warc_ts=t(9)),
+        Row(doc_id=3, url="http://ex.com/a?utm_source=x", warc_ts=t(5)),
+        # tie on ts -> lowest doc_id survives
+        Row(doc_id=7, url="http://ex.com/b", warc_ts=t(4)),
+        Row(doc_id=5, url="http://ex.com/b", warc_ts=t(4)),
+    ]
+    out = {
+        r.canonical_url: r
+        for r in web.latest_capture(spark.createDataFrame(rows)).collect()
+    }
+    a = out["http://ex.com/a"]
+    assert a.keep_doc_id == 2 and a.n_captures == 3
+    assert a.last_ts == t(9) and a.first_ts == t(3)
+    b = out["http://ex.com/b"]
+    assert b.keep_doc_id == 5 and b.n_captures == 2
+
+
+def test_extract_incremental_skips_unchanged_pages(spark):
+    cur = spark.createDataFrame(
+        [
+            Row(doc_id=1, url="u1", text="same"),
+            Row(doc_id=2, url="u2", text="edited"),
+            Row(doc_id=3, url="u3", text="brand new"),
+            Row(doc_id=4, url="u4", text=None),  # NULL text hashes as ''
+        ]
+    )
+    prior = cur.where("doc_id in (1, 2, 4)").select(
+        "url",
+        F.sha2(
+            F.when(F.col("doc_id") == 2, F.lit("old version")).otherwise(
+                F.coalesce("text", F.lit(""))
+            ),
+            256,
+        ).alias("content_hash"),
+    )
+    got = sorted(
+        r.doc_id for r in web.extract_incremental(cur, prior).collect()
+    )
+    # u1 unchanged, u4 unchanged (NULL == NULL via coalesce); u2 changed, u3 new
+    assert got == [2, 3]
+
+
+def test_extract_incremental_never_broadcasts_prior(spark):
+    cur = spark.createDataFrame([Row(doc_id=1, url="u", text="t")])
+    prior = cur.select(
+        "url", F.sha2(F.coalesce("text", F.lit("")), 256).alias("content_hash")
+    )
+    plan = (
+        web.extract_incremental(cur, prior)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "broadcast" not in plan.lower()
