@@ -316,6 +316,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q(relational.sessionize, "events"),
         "events_props_stats": q(relational.props_stats, "events"),
         "doc_corpus_profile": q(text_analysis.corpus_profile, "documents"),
+        "doc_script_profile": lambda spark, sf: text_analysis.script_profile(
+            _read(spark, sf, "documents").selectExpr(
+                "doc_id",
+                f"{text_analysis.SYNTH_MULTILINGUAL_SQL} AS text",
+            )
+        ),
         "events_error_click_window": _q_error_click_window,
         "events_asof_click": lambda spark, sf: relational.asof_join(
             _read(spark, sf, "events")
@@ -1007,6 +1013,41 @@ def _pagerank_sql(iterations: int = 5) -> str:
         FROM {prev}
         """
     )
+
+
+def _script_profile_sql() -> str:
+    """DuckDB twin of text_analysis.script_profile, built from the same
+    SCRIPT_RANGES dict so the character classes can never diverge (DuckDB
+    regexp_replace needs the explicit 'g' flag Spark implies)."""
+    scripts = list(_ta.SCRIPT_RANGES)
+    counts = ", ".join(
+        f"length(text) - length(regexp_replace(text, '[{rng}]', '', 'g'))"
+        f" AS n_{name}"
+        for name, rng in _ta.SCRIPT_RANGES.items()
+    )
+    all_zero = " AND ".join(f"n_{s} = 0" for s in scripts)
+    branches = " ".join(
+        "WHEN "
+        + " AND ".join(f"n_{s} >= n_{o}" for o in scripts[i + 1 :])
+        + f" THEN '{s}'"
+        for i, s in enumerate(scripts[:-1])
+    )
+    total = " + ".join(f"n_{s}" for s in scripts)
+    count_cols = ", ".join(f"CAST(n_{s} AS BIGINT) AS n_{s}" for s in scripts)
+    return f"""
+        WITH p AS (
+            SELECT doc_id, {_ta.SYNTH_MULTILINGUAL_SQL} AS text FROM documents
+        ),
+        c AS (
+            SELECT doc_id, length(text) AS n_chars, {counts} FROM p
+        )
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, {count_cols},
+               floor(1e6 * (CAST({total} AS DOUBLE)
+                            / greatest(n_chars, 1))) / 1e6 AS script_ratio,
+               CASE WHEN {all_zero} THEN 'none' {branches}
+                    ELSE '{scripts[-1]}' END AS dominant_script
+        FROM c
+    """
 
 
 def _profile_sql(cols: tuple[str, ...] = ("doc_id", "text", "lang", "source", "n_chars")) -> str:
@@ -1951,6 +1992,7 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY event_type
         """,
         "doc_corpus_profile": _profile_sql(),
+        "doc_script_profile": _script_profile_sql(),
         # the Spark side is the bucketized-equi-join rewrite; the oracle is
         # the plain range-predicate join
         "events_error_click_window": """

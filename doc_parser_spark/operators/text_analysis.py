@@ -930,6 +930,89 @@ def demo_classifier_weights(spark, n_buckets: int = 4096, classes=("clean", "boi
     )
 
 
+# Unicode script blocks as literal-codepoint character classes: the same
+# class string parses identically in Java regex (Spark) and RE2 (DuckDB)
+# because it contains no \p{...} property names (Java spells them
+# \p{IsLatin}, RE2 \p{Latin} — a dialect split the literal ranges avoid).
+SCRIPT_RANGES = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "hebrew": "֐-׿",
+    "devanagari": "ऀ-ॿ",
+    "cjk": "぀-ヿ一-鿿",
+    "hangul": "ᄀ-ᇿ가-힯",
+}
+
+# deterministic multilingual decoration for the driver query: the synthetic
+# documents table is ASCII word salad, which would leave every non-Latin
+# counter at zero — this CASE fragment (dialect-shared, like SYNTH_URL_SQL)
+# appends fixed snippets per doc_id so every script path is exercised
+SYNTH_MULTILINGUAL_SQL = (
+    "concat(coalesce(text, ''), "
+    "CASE WHEN doc_id % 4 = 0 THEN ' привет мир' "
+    "WHEN doc_id % 4 = 1 THEN ' 你好世界 こんにちは' "
+    "WHEN doc_id % 4 = 2 THEN ' مرحبا بالعالم' ELSE '' END, "
+    "CASE WHEN doc_id % 5 = 0 THEN ' γειά σου κόσμε' "
+    "WHEN doc_id % 5 = 1 THEN ' שלום עולם' "
+    "WHEN doc_id % 5 = 2 THEN ' नमस्ते दुनिया' "
+    "WHEN doc_id % 5 = 3 THEN ' 안녕하세요 세계' ELSE '' END)"
+)
+
+
+def script_profile(documents: DataFrame) -> DataFrame:
+    """Per-document unicode-script composition (the mC4/CCNet multilingual
+    curation pass): per-script character counts, the dominant script, and
+    the fraction of characters belonging to ANY known script — documents
+    whose dominant script contradicts their claimed ``lang``, or whose
+    script_ratio is low (emoji soup, markup residue, binary spill), get
+    filtered or re-routed before tokenization.
+
+    Counting is ``length(text) - length(regexp_replace(text, '[class]',
+    ''))`` per script — pure JVM projection work inside whole-stage
+    codegen, zero shuffles, zero joins; at 100 TB this runs at scan
+    speed alongside the other per-row quality passes. Dominant script is
+    the lang_id-style CASE argmax (ties → earliest key in
+    ``SCRIPT_RANGES``), ``'none'`` when no script character occurs."""
+    documents = _nn_text(documents)
+    scripts = list(SCRIPT_RANGES)
+    cols = [
+        F.expr(
+            f"length(text) - length(regexp_replace(text, '[{rng}]', ''))"
+        )
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, rng in SCRIPT_RANGES.items()
+    ]
+    counted = documents.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars"), *cols
+    )
+    all_zero = " AND ".join(f"n_{s} = 0" for s in scripts)
+    branches = []
+    for i, s in enumerate(scripts[:-1]):
+        geq = " AND ".join(f"n_{s} >= n_{o}" for o in scripts[i + 1 :])
+        branches.append(f"WHEN {geq} THEN '{s}'")
+    case = (
+        f"CASE WHEN {all_zero} THEN 'none' "
+        + " ".join(branches)
+        + f" ELSE '{scripts[-1]}' END"
+    )
+    total = None
+    for s in scripts:
+        c = F.col(f"n_{s}")
+        total = c if total is None else (total + c)
+    return counted.select(
+        "doc_id",
+        "n_chars",
+        *[f"n_{s}" for s in scripts],
+        _trunc6(
+            total.cast("double") / F.greatest(F.col("n_chars"), F.lit(1))
+        ).alias("script_ratio"),
+        F.expr(case).alias("dominant_script"),
+    )
+
+
 def corpus_profile(documents: DataFrame) -> DataFrame:
     """Deequ-style one-pass data-quality profile: per column, null count,
     exact distinct count, min/max (native-type order, rendered as

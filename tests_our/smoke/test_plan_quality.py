@@ -326,3 +326,10 @@ def test_extract_incremental_plan_shape(spark):
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_script_profile_plan_is_scan_speed(spark):
+    # per-row projection only: no exchange, no join, no Python nodes
+    plan = plan_of(spark, "doc_script_profile")
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

@@ -511,3 +511,31 @@ def test_bpe_apply_hand_computed(spark):
                                "n_chars_norm": 0, "compression_pct": 0}
     # compression: doc1 norm chars = 24, 9*100 DIV 24 = 37
     assert out[1]["compression_pct"] == 37
+
+
+def test_script_profile_counts_and_dominant(spark):
+    from pyspark.sql import Row
+
+    from doc_parser_spark.operators.text_analysis import script_profile
+
+    rows = [
+        Row(doc_id=1, text="hello мир мир"),       # 5 latin, 6 cyrillic
+        Row(doc_id=2, text="你好 world"),           # 2 cjk, 5 latin -> latin
+        Row(doc_id=3, text="... 123 !!!"),          # no script chars
+        Row(doc_id=4, text=None),                   # NULL text -> empty
+        Row(doc_id=5, text="γειά"),                 # greek only
+    ]
+    out = {r.doc_id: r for r in script_profile(spark.createDataFrame(rows)).collect()}
+    assert out[1].n_latin == 5 and out[1].n_cyrillic == 6
+    assert out[1].dominant_script == "cyrillic"
+    # tie-free argmax: latin 5 > cjk 2
+    assert out[2].dominant_script == "latin" and out[2].n_cjk == 2
+    assert out[3].dominant_script == "none" and out[3].script_ratio == 0.0
+    assert out[4].n_chars == 0 and out[4].dominant_script == "none"
+    assert out[5].dominant_script == "greek" and out[5].script_ratio == 1.0
+    # equal counts tie -> earliest key in SCRIPT_RANGES (latin before greek)
+    tie = script_profile(
+        spark.createDataFrame([Row(doc_id=9, text="ab γδ")])
+    ).collect()[0]
+    assert tie.n_latin == tie.n_greek == 2
+    assert tie.dominant_script == "latin"
