@@ -375,6 +375,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url")
             )
         ),
+        "web_template_strip": lambda spark, sf: web.template_strip(
+            _read(spark, sf, "documents").selectExpr(
+                "doc_id",
+                f"{web.SYNTH_HOST_SQL} AS host",
+                f"{web.SYNTH_TEMPLATED_TEXT_SQL} AS text",
+            )
+        ),
         "web_robots_filter": lambda spark, sf: web.robots_filter(
             _read(spark, sf, "documents").select(
                 "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url")
@@ -2159,6 +2166,51 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS host_rank
             FROM h
             QUALIFY host_rank <= 5
+        """,
+        "web_template_strip": f"""
+            WITH p AS (
+                SELECT doc_id, {_web.SYNTH_HOST_SQL} AS host,
+                       {_web.SYNTH_TEMPLATED_TEXT_SQL} AS text
+                FROM documents
+            ),
+            d AS (
+                SELECT doc_id, host,
+                       list_transform(
+                           list_filter(string_split(coalesce(text, ''), chr(10)),
+                                       l -> trim(l) <> ''),
+                           l -> trim(l)) AS ln
+                FROM p
+            ),
+            lines AS (
+                SELECT doc_id, host, i - 1 AS pos, ln[i] AS line
+                FROM d, LATERAL UNNEST(generate_series(1, len(ln))) AS t(i)
+            ),
+            hp AS (SELECT host, count(*) AS n_pages FROM d GROUP BY host),
+            df AS (
+                SELECT host, line, count(DISTINCT doc_id) AS n_docs
+                FROM lines GROUP BY host, line
+            ),
+            tmpl AS (
+                SELECT f.host, f.line
+                FROM df f JOIN hp USING (host)
+                WHERE n_pages >= 3 AND n_docs * 100 >= n_pages * 50
+            ),
+            kept AS (
+                SELECT l.* FROM lines l
+                ANTI JOIN tmpl t ON l.host = t.host AND l.line = t.line
+            ),
+            reb AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
+                   CAST(len(d.ln) - coalesce(r.n_kept, 0) AS BIGINT)
+                       AS n_lines_dropped
+            FROM d LEFT JOIN reb r USING (doc_id)
         """,
         "web_url_filter": f"""
             WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url FROM documents)

@@ -64,6 +64,24 @@ SYNTH_PII_TEXT_SQL = (
     "cast(doc_id % 256 as int), '.7 logged.') ELSE '' END)"
 )
 
+# Host + templated-page decoration for the template_strip driver query:
+# 20 synthetic hosts, each page wrapped in a host-specific nav header and
+# copyright footer (template on 100% of the host's pages), plus a
+# newsletter line on 20% of pages (below the 50% threshold — must be
+# KEPT). chr(10) is the newline in both dialects; Spark string literals
+# would eat a backslash-n differently than DuckDB's.
+SYNTH_HOST_SQL = "concat('site', cast(doc_id % 20 as int), '.com')"
+
+SYNTH_TEMPLATED_TEXT_SQL = (
+    "concat("
+    "'Home | About | Contact', chr(10), "
+    "'News from site', cast(doc_id % 20 as int), chr(10), "
+    "coalesce(text, ''), chr(10), "
+    "CASE WHEN doc_id % 5 = 0 THEN concat('Subscribe to our newsletter', "
+    "chr(10)) ELSE '' END, "
+    "'Copyright site', cast(doc_id % 20 as int), ' 2026')"
+)
+
 
 # --- URL canonicalization -----------------------------------------------------
 
@@ -322,6 +340,95 @@ def host_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
             F.max("n_chars").cast("long").alias("max_chars"),
         )
+    )
+
+
+def template_strip(
+    pages: DataFrame, min_pct: int = 50, min_pages: int = 3
+) -> DataFrame:
+    """Per-host template-line removal (the CCNet / RefinedWeb host-level
+    boilerplate pass): a trimmed line is *template* for a host when it
+    occurs in at least ``min_pct`` percent of that host's pages (hosts
+    with fewer than ``min_pages`` pages are exempt — no stable template
+    signal). Every occurrence of a template line is stripped and each
+    document is rebuilt from its surviving lines in original order.
+
+    This is the host-keyed complement of the corpus-global
+    ``dedup.line_dedup``: nav menus, cookie banners and footers repeat
+    *within* a host long before they repeat often enough to trip a global
+    threshold, and a global pass would also over-fire on legitimate prose
+    quoted across unrelated sites. Threshold arithmetic is integer
+    (``100 * n_docs >= min_pct * n_pages``) so Spark and the DuckDB
+    oracle agree bit-for-bit.
+
+    Input: ``(doc_id, host, text)``. Output: ``doc_id, clean_text,
+    n_lines_kept, n_lines_dropped``.
+
+    Scale shape (10^12 docs):
+
+    * lines explode once via ``posexplode`` (rebuild order is data, no
+      window function);
+    * line document-frequency is a distinct + groupBy keyed on
+      ``(host, line)`` — both map-side combined; viral lines are
+      per-host keys, so skew is bounded by the largest single host, and
+      the groupBy *output* is filtered to the template set before any
+      join touches the line stream;
+    * the per-host page count is one tiny aggregation (a row per host)
+      joined into the candidate relation, never into the stream;
+    * the ``LEFT ANTI`` join probes the line stream against the small
+      template relation; nothing broadcasts the corpus, nothing
+      collects;
+    * rebuild is one groupBy(doc_id) over narrow (pos, line) structs
+      with ``sort_array`` + ``array_join``.
+    """
+    # coalesce: split(NULL) is NULL and size(NULL) is -1 under non-ANSI
+    # defaults — a NULL-text doc must count 0 lines
+    arr = pages.select(
+        "doc_id",
+        "host",
+        F.expr(
+            "transform(filter(split(coalesce(text, ''), '\\n'),"
+            " l -> trim(l) <> ''), l -> trim(l))"
+        ).alias("ln"),
+    )
+    lines = arr.select("doc_id", "host", F.posexplode("ln").alias("pos", "line"))
+    host_pages = arr.groupBy("host").agg(F.count(F.lit(1)).alias("n_pages"))
+    # a line repeated inside one document counts ONCE toward its host
+    # document frequency (self-repetition is repetition_filter's job),
+    # but stripping removes every occurrence
+    doc_freq = (
+        lines.select("host", "line", "doc_id")
+        .distinct()
+        .groupBy("host", "line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    template = (
+        doc_freq.join(host_pages, "host")
+        .where(
+            (F.col("n_pages") >= min_pages)
+            & (F.col("n_docs") * 100 >= F.col("n_pages") * min_pct)
+        )
+        .select("host", "line")
+    )
+    kept = lines.join(template, ["host", "line"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, line))),"
+                " s -> s.line)"
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = arr.select("doc_id", F.size("ln").alias("n_lines_total"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+        (F.coalesce("n_lines_total", F.lit(0)) - F.coalesce("n_lines_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_lines_dropped"),
     )
 
 

@@ -333,3 +333,20 @@ def test_script_profile_plan_is_scan_speed(spark):
     plan = plan_of(spark, "doc_script_profile")
     assert "Exchange" not in plan and "Join" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_template_strip_plan_shape(spark):
+    # pure relational plan: no Python nodes, no cartesian blowup; the
+    # line stream must reach the template set via a hash-keyed anti join
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "web_template_strip")
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "LeftAnti" in plan
+        # the doc-frequency groupBy combines map-side before its exchange
+        assert "partial_count" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -515,3 +515,44 @@ def test_extract_incremental_never_broadcasts_prior(spark):
         .toString()
     )
     assert "broadcast" not in plan.lower()
+
+
+def test_template_strip_host_level(spark):
+    nav, foot = "Home | About", "(c) hostA"
+    rows = [
+        # hostA: 4 pages, nav on 4/4 and footer on 3/4 -> both template at 50%
+        Row(doc_id=1, host="a.com", text=f"{nav}\nunique one\n{foot}"),
+        Row(doc_id=2, host="a.com", text=f"{nav}\nunique two\n{foot}"),
+        Row(doc_id=3, host="a.com", text=f"{nav}\nunique three\n{foot}"),
+        # nav repeated WITHIN doc 4: counts once toward df, both copies strip
+        Row(doc_id=4, host="a.com", text=f"{nav}\nunique four\n{nav}"),
+        # 'shared pair' on exactly 2/4 pages (50% boundary -> template)
+        Row(doc_id=5, host="a.com", text="shared pair"),
+        Row(doc_id=6, host="a.com", text="shared pair\nsolo line"),
+        # hostB has the same nav but only 2 pages (< min_pages) -> exempt
+        Row(doc_id=7, host="b.com", text=f"{nav}\nb body"),
+        Row(doc_id=8, host="b.com", text=f"{nav}\nb other"),
+        Row(doc_id=9, host="c.com", text=None),
+    ]
+    # hostA now has 6 pages: nav on 4/6 (67%), foot on 3/6 (50%) -> template;
+    # 'shared pair' on 2/6 (33%) -> kept
+    out = {
+        r.doc_id: r
+        for r in web.template_strip(
+            spark.createDataFrame(rows), min_pct=50, min_pages=3
+        ).collect()
+    }
+    assert out[1].clean_text == "unique one"
+    assert out[1].n_lines_kept == 1 and out[1].n_lines_dropped == 2
+    # within-doc repeat: every occurrence stripped
+    assert out[4].clean_text == "unique four"
+    assert out[4].n_lines_dropped == 2
+    # sub-threshold line survives
+    assert out[5].clean_text == "shared pair"
+    assert out[6].clean_text == "shared pair\nsolo line"
+    # small host exempt from template detection
+    assert out[7].clean_text == f"{nav}\nb body"
+    assert out[7].n_lines_dropped == 0
+    # NULL text -> zero lines, not -1
+    assert out[9].clean_text == "" and out[9].n_lines_dropped == 0
+    assert out[9].n_lines_kept == 0
