@@ -414,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "doc_top_terms": q(text_analysis.top_terms, "documents"),
+        "doc_bm25_topk": q(text_analysis.bm25_topk, "documents"),
         "doc_dup_spans": q(text_analysis.dup_spans, "documents"),
         "doc_ppl_buckets": q(text_analysis.perplexity_buckets, "documents"),
         "doc_domain_mix": q(text_analysis.domain_mix_weights, "documents"),
@@ -2301,6 +2302,56 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY lang ORDER BY score DESC, term) AS BIGINT) AS rnk
                 FROM scored
             ) WHERE rnk <= 10
+        """,
+        # BM25-family retrieval in exact BIGINT rational arithmetic: the
+        # k1=6/5, b=3/4 fractions are cleared against avgdl = S/N, idf is
+        # the log-free rarity ratio scaled fp4 — integer sums are
+        # order-independent, so both engines hash identically
+        "doc_bm25_topk": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                      '[^a-z]+'),
+                                   t -> length(t) >= 2) AS w
+                FROM documents
+            ),
+            stats AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+                       CAST(sum(len(w)) AS BIGINT) AS sum_dl
+                FROM base
+            ),
+            toks AS (
+                SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, t.term
+                FROM base, LATERAL UNNEST(w) AS t(term)
+                WHERE t.term IN ('data', 'table', 'query')
+            ),
+            tf AS (
+                SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, dl, term
+            ),
+            dfreq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
+                FROM tf GROUP BY term
+            ),
+            scored AS (
+                SELECT doc_id,
+                       CAST(((10000 * (2 * n_corpus - 2 * doc_freq + 1))
+                             // (2 * doc_freq + 1))
+                            * 44 * tf * sum_dl
+                            // (20 * tf * sum_dl + 6 * sum_dl
+                                + 18 * dl * n_corpus) AS BIGINT) AS c
+                FROM tf JOIN dfreq USING (term), stats
+            ),
+            by_doc AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+                       CAST(sum(c) AS BIGINT) AS score
+                FROM scored GROUP BY doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS rank,
+                   doc_id, n_terms_hit, score
+            FROM by_doc
+            QUALIFY rank <= 10
         """,
         # exact-substring dedup signal (Lee et al. 2022): distinct 10-word
         # spans per doc; a span is duplicated when >=2 docs carry it

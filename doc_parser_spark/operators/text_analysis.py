@@ -569,6 +569,93 @@ def top_terms(
     )
 
 
+def bm25_topk(
+    documents: DataFrame,
+    terms: tuple = ("data", "table", "query"),
+    k: int = 10,
+    min_len: int = 2,
+) -> DataFrame:
+    """Lexical retrieval over the corpus: BM25-family top-k documents for
+    a bag of query terms (Robertson & Walker; k1 = 1.2, b = 0.75). The
+    lexical complement of the embedding ANN stack — the classic first
+    stage of a hybrid retrieval / decontamination-audit pipeline.
+
+    Exactness over libm: the idf is the log-free rarity ratio
+    ``(N - df + ½) / (df + ½)`` (same ranking family; the log only
+    compresses), and the whole per-term contribution is evaluated in
+    BIGINT rational arithmetic —
+
+        contribution = idf_fp4 * 44 * tf * S  div  (2df+1 consumed in
+                       idf_fp4) (20*tf*S + 6*S + 18*dl*N)
+
+    which is ``1e4 * idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` with
+    k1 = 6/5, b = 3/4 and ``avgdl = S/N`` cleared of fractions. Integer
+    sums are order-independent, so the per-doc score never depends on
+    aggregation order and the DuckDB oracle matches bit-for-bit.
+    (Headroom: exact BIGINT holds to ~10^7 docs; a production run at
+    10^12 docs switches the same plan to DOUBLE + log idf, where ulp
+    noise is irrelevant because nothing cross-checks hashes.)
+
+    Scale shape (10^12 docs): per-doc token arrays are projected once
+    (``dl`` rides the groupBy key — no join back for lengths); the token
+    stream is filtered to the query terms BEFORE any aggregation, so the
+    shuffled tf relation is |terms|-bounded per doc; document frequency
+    reduces that tf relation, not the corpus; the corpus-size scalar and
+    the per-term df join in as broadcast-size relations; final top-k is
+    ``TakeOrderedAndProject`` (per-partition heads, no global sort).
+
+    Output: ``rank, doc_id, n_terms_hit, score`` (score is the fp4-scaled
+    BIGINT)."""
+    from pyspark.sql.window import Window
+
+    quoted = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    base = documents.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(coalesce(text, '')), '[^a-z]+'),"
+            f" t -> length(t) >= {int(min_len)})"
+        ).alias("w"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus"),
+        F.sum(F.size("w")).cast("long").alias("sum_dl"),
+    )
+    toks = base.select(
+        "doc_id", F.size("w").cast("long").alias("dl"), F.explode("w").alias("term")
+    ).where(F.expr(f"term IN ({quoted})"))
+    tf = toks.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "((10000 * (2 * n_corpus - 2 * doc_freq + 1))"
+                " div (2 * doc_freq + 1))"
+                " * 44 * tf * sum_dl"
+                " div (20 * tf * sum_dl + 6 * sum_dl + 18 * dl * n_corpus)"
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    by_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        F.sum("c").cast("long").alias("score"),
+    )
+    top = by_doc.orderBy(F.col("score").desc(), "doc_id").limit(int(k))
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "n_terms_hit",
+        "score",
+    )
+
+
 def dup_spans(documents: DataFrame, n: int = 10) -> DataFrame:
     """Cross-document duplicate-span mass (exact substring dedup signal,
     Lee et al. 2022 "Deduplicating Training Data Makes Language Models

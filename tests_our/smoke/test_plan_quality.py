@@ -350,3 +350,13 @@ def test_template_strip_plan_shape(spark):
         assert "partial_count" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bm25_plan_shape(spark):
+    # term filter lands before aggregation; df + corpus scalar broadcast;
+    # final top-k is TakeOrderedAndProject, not a global Sort
+    plan = plan_of(spark, "doc_bm25_topk")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan

@@ -539,3 +539,51 @@ def test_script_profile_counts_and_dominant(spark):
     ).collect()[0]
     assert tie.n_latin == tie.n_greek == 2
     assert tie.dominant_script == "latin"
+
+
+def test_bm25_topk_matches_integer_replica(spark):
+    import re
+
+    from pyspark.sql import Row
+
+    from doc_parser_spark.operators.text_analysis import bm25_topk
+
+    docs = {
+        1: "data data data table filler words here",
+        2: "query table data",
+        3: "nothing relevant at all in this one",
+        4: "data",
+        5: None,
+        6: "table table table table query",
+    }
+    terms = ("data", "table", "query")
+    out = bm25_topk(
+        spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs.items()]),
+        terms=terms,
+        k=10,
+    ).collect()
+
+    # python replica of the exact BIGINT formula
+    tok = {
+        i: [t for t in re.split("[^a-z]+", (t or "").lower()) if len(t) >= 2]
+        for i, t in docs.items()
+    }
+    n, s = len(tok), sum(len(w) for w in tok.values())
+    df = {t: sum(1 for w in tok.values() if t in w) for t in terms}
+    want = {}
+    for i, w in tok.items():
+        sc, hits = 0, 0
+        for t in terms:
+            tf = w.count(t)
+            if not tf:
+                continue
+            hits += 1
+            idf = (10000 * (2 * n - 2 * df[t] + 1)) // (2 * df[t] + 1)
+            sc += idf * 44 * tf * s // (20 * tf * s + 6 * s + 18 * len(w) * n)
+        if hits:
+            want[i] = (hits, sc)
+    got = {r.doc_id: (r.n_terms_hit, r.score) for r in out}
+    assert got == want
+    # rank follows (score desc, doc_id)
+    order = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [i for i, _ in sorted(want.items(), key=lambda kv: (-kv[1][1], kv[0]))]
