@@ -279,6 +279,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup.lsh_candidate_pairs(_read(spark, sf, "documents")),
             _read(spark, sf, "documents"),
         ),
+        "doc_cluster_reps": lambda spark, sf: dedup.cluster_representatives(
+            dedup.dup_clusters(
+                dedup.lsh_candidate_pairs(_read(spark, sf, "documents")),
+                _read(spark, sf, "documents"),
+            ),
+            _read(spark, sf, "documents"),
+        ),
         # similarity search
         "emb_cosine_topk": q(similarity.cosine_topk, "embeddings"),
         "emb_ann_buckets": q(similarity.ann_buckets, "embeddings"),
@@ -2602,5 +2609,26 @@ def oracle_sql() -> dict[str, str]:
             FROM flags
         )
         {" UNION ALL ".join(funnel_rows)}
+    """
+    # keep-best (longest, ties -> lowest doc_id) member per near-dup
+    # cluster — arg-max twin of the Spark struct-max aggregate
+    d["doc_cluster_reps"] = f"""
+        WITH cl AS ({d["doc_dup_clusters"]}),
+        m AS (
+            SELECT cl.cluster_id, cl.doc_id,
+                   length(coalesce(doc.text, '')) AS nc
+            FROM cl JOIN documents doc ON doc.doc_id = cl.doc_id
+        ),
+        r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY nc DESC, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY cluster_id) AS n
+            FROM m
+        )
+        SELECT cluster_id, CAST(doc_id AS BIGINT) AS rep_doc_id,
+               CAST(nc AS BIGINT) AS rep_chars,
+               CAST(n AS BIGINT) AS n_members
+        FROM r WHERE rn = 1
     """
     return d

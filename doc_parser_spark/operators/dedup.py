@@ -417,6 +417,47 @@ def dup_clusters(
     return labels
 
 
+def cluster_representatives(
+    clusters: DataFrame, documents: DataFrame
+) -> DataFrame:
+    """Quality-aware keep-best selection per near-dup cluster: instead of
+    the min-doc_id canonical ``dup_clusters``/``curate_flags`` default,
+    keep the LONGEST member (ties → lowest doc_id) — the RefinedWeb /
+    Dolma convention, where near-dup groups usually contain truncated or
+    boilerplate-wrapped variants of one page and the longest capture is
+    the best one.
+
+    Input: ``clusters`` = (doc_id, cluster_id) from ``dup_clusters``;
+    ``documents`` for the fitness signal. Output one row per cluster:
+    ``cluster_id, rep_doc_id, rep_chars, n_members``.
+
+    Scale shape: one shuffle join on doc_id (both sides narrow), then a
+    single struct-max aggregation — the arg-max rides ``max(struct(
+    n_chars, -doc_id))`` with map-side partial combine, the same
+    no-window pattern as ``web.latest_capture``; nothing sorts cluster
+    members, nothing collects."""
+    fitness = documents.select(
+        "doc_id",
+        F.length(F.coalesce("text", F.lit(""))).cast("long").alias("nc"),
+    )
+    return (
+        clusters.join(fitness, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max(F.struct(F.col("nc"), (-F.col("doc_id")).alias("neg_id"))).alias(
+                "best"
+            ),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("best.neg_id")).cast("long").alias("rep_doc_id"),
+            F.col("best.nc").cast("long").alias("rep_chars"),
+            "n_members",
+        )
+    )
+
+
 def line_dedup(documents: DataFrame, max_occurrences: int = 1) -> DataFrame:
     """Corpus-global duplicate-line removal (the C4 / MassiveText
     boilerplate pass): drop every line whose exact trimmed text occurs in

@@ -93,3 +93,40 @@ def test_line_dedup_drops_global_boilerplate(spark):
     out2 = {r["doc_id"]: r for r in line_dedup(docs, max_occurrences=2).collect()}
     assert out2[0]["clean_text"].startswith(boiler)
     assert out2[0]["n_lines_dropped"] == 0
+
+
+def test_cluster_representatives_keep_longest(spark):
+    from pyspark.sql import Row
+
+    from doc_parser_spark.operators.dedup import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [
+            Row(doc_id=1, cluster_id=1),
+            Row(doc_id=2, cluster_id=1),
+            Row(doc_id=3, cluster_id=1),
+            Row(doc_id=4, cluster_id=4),   # singleton
+            Row(doc_id=5, cluster_id=5),
+            Row(doc_id=6, cluster_id=5),   # tie on length -> min doc_id
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="short"),
+            Row(doc_id=2, text="the longest capture of the page"),
+            Row(doc_id=3, text="mid length"),
+            Row(doc_id=4, text=None),
+            Row(doc_id=5, text="same len"),
+            Row(doc_id=6, text="len same"),
+        ]
+    )
+    out = {
+        r.cluster_id: r
+        for r in cluster_representatives(clusters, docs).collect()
+    }
+    assert out[1].rep_doc_id == 2 and out[1].n_members == 3
+    assert out[1].rep_chars == len("the longest capture of the page")
+    # NULL text -> 0 chars, singleton keeps itself
+    assert out[4].rep_doc_id == 4 and out[4].rep_chars == 0
+    # length tie resolved to the lowest doc_id
+    assert out[5].rep_doc_id == 5 and out[5].n_members == 2
