@@ -291,6 +291,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_buckets": q(similarity.ann_buckets, "embeddings"),
         "emb_ann_lsh_topk": q(similarity.ann_lsh_topk, "embeddings"),
         "emb_cosine_neardup": q(similarity.cosine_neardup_pairs, "embeddings"),
+        # synthetic split: every 10th vector is the "benchmark" set
+        "emb_decontaminate": lambda spark, sf: similarity.semantic_decontaminate(
+            _read(spark, sf, "embeddings").where("vec_id % 10 != 0"),
+            _read(spark, sf, "embeddings").where("vec_id % 10 = 0"),
+        ),
         "emb_ivf_centroids": q(similarity.ivf_centroids, "embeddings"),
         "emb_ivf_topk": q(similarity.ivf_topk, "embeddings"),
         "emb_pq_codes": q(similarity.pq_codes, "embeddings"),
@@ -1812,6 +1817,36 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rank
                 FROM scored
             ) WHERE rank <= 3
+        """,
+        # semantic decon twin: same sign-bucket equi-join, fp6-floored
+        # cosine before the max so the aggregate is order-independent
+        "emb_decontaminate": f"""
+            WITH bucketed AS (
+                SELECT vec_id, embedding,
+                       {" + ".join(f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8))} AS bucket
+                FROM embeddings
+            ),
+            corpus AS (SELECT * FROM bucketed WHERE vec_id % 10 <> 0),
+            bench AS (SELECT * FROM bucketed WHERE vec_id % 10 = 0),
+            scored AS (
+                SELECT a.vec_id,
+                       CAST(floor(1e6 * (
+                           list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+                           (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+                            sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+                       )) AS BIGINT) AS cos_fp6
+                FROM corpus a JOIN bench b USING (bucket)
+            ),
+            hits AS (
+                SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+                       CAST(max(cos_fp6) AS BIGINT) AS max_cosine_fp6
+                FROM scored WHERE cos_fp6 >= 300000 GROUP BY vec_id
+            )
+            SELECT c.vec_id,
+                   CAST(coalesce(h.n_bench_hits, 0) AS BIGINT) AS n_bench_hits,
+                   CAST(coalesce(h.max_cosine_fp6, -1) AS BIGINT) AS max_cosine_fp6,
+                   h.vec_id IS NOT NULL AS contaminated
+            FROM corpus c LEFT JOIN hits h ON c.vec_id = h.vec_id
         """,
         "emb_cosine_neardup": """
             WITH bucketed AS (

@@ -115,6 +115,54 @@ def cosine_neardup_pairs(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.30,
+    dims: int = 8,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination (the semantic complement
+    of ``web.decontaminate``'s n-gram overlap): flag every corpus vector
+    whose cosine to ANY benchmark vector reaches ``threshold``. Catches
+    paraphrased / reformatted eval contamination that exact n-grams miss
+    (the Phi / Llama-3 decon recipe).
+
+    Candidates are restricted to the shared sign-bit LSH bucket — the
+    same bucketed layout as ``cosine_neardup_pairs``, so at 100 TB the
+    probe is an equi-join on the bucket id, never corpus × benchmark.
+    The benchmark side is small in production (a few hundred eval sets)
+    but still joins with a plain shuffle join — AQE promotes it to a
+    broadcast when genuinely tiny, and a pathological benchmark list
+    can't OOM executors. Cosines are floor-scaled to fp6 BIGINT before
+    the max, so the aggregate is order-independent and the DuckDB twin
+    hashes identically.
+
+    Output one row per corpus vector: ``vec_id, n_bench_hits,
+    max_cosine_fp6`` (-1 when no hit), ``contaminated``."""
+    thr = int(round(threshold * 1e6))
+    bucket = F.expr(sign_bucket_expr(dims)).cast("long").alias("bucket")
+    ca = corpus.select("vec_id", "embedding", bucket).alias("a")
+    bb = benchmark.select("embedding", bucket).alias("b")
+    scored = ca.join(bb, F.col("a.bucket") == F.col("b.bucket")).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.floor(F.expr(COSINE) * F.lit(1000000.0)).cast("long").alias("cos_fp6"),
+    )
+    hits = (
+        scored.where(F.col("cos_fp6") >= thr)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+            F.max("cos_fp6").cast("long").alias("max_cosine_fp6"),
+        )
+    )
+    return corpus.select("vec_id").join(hits, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("n_bench_hits", F.lit(0)).cast("long").alias("n_bench_hits"),
+        F.coalesce("max_cosine_fp6", F.lit(-1)).cast("long").alias("max_cosine_fp6"),
+        F.col("n_bench_hits").isNotNull().alias("contaminated"),
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame, n_queries: int = 5, k: int = 3, dims: int = 8
 ) -> DataFrame:

@@ -265,3 +265,30 @@ def test_ivfpq_topk_blob_locality(spark):
         # nprobe=1 on separated blobs → neighbors share the query's blob
         assert lab[r["neighbor_id"]] == lab[r["query_id"]]
         assert r["adist"] >= 0
+
+
+def test_semantic_decontaminate_flags_bucket_mates(spark):
+    from pyspark.sql import Row
+
+    from doc_parser_spark.operators.similarity import semantic_decontaminate
+
+    # dims=2 buckets: sign of first two components
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 1.0, 0.0]),    # ~ bench 100
+            Row(vec_id=2, embedding=[1.0, 1.0, -1.0]),   # same bucket, lower cos
+            Row(vec_id=3, embedding=[-1.0, -1.0, 0.0]),  # bucket w/o bench -> clean
+        ]
+    )
+    bench = spark.createDataFrame(
+        [Row(vec_id=100, embedding=[2.0, 2.0, 0.1])]
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_decontaminate(corpus, bench, threshold=0.9, dims=2).collect()
+    }
+    assert out[1].contaminated and out[1].n_bench_hits == 1
+    assert out[1].max_cosine_fp6 >= 900000
+    # cos([1,1,-1],[2,2,.1]) = 3.9/(sqrt(3)*sqrt(8.01)) ~ 0.796 < 0.9
+    assert not out[2].contaminated and out[2].max_cosine_fp6 == -1
+    assert not out[3].contaminated and out[3].n_bench_hits == 0
