@@ -556,3 +556,62 @@ def test_template_strip_host_level(spark):
     # NULL text -> zero lines, not -1
     assert out[9].clean_text == "" and out[9].n_lines_dropped == 0
     assert out[9].n_lines_kept == 0
+
+
+def test_template_strip_matches_python_replica_randomized(spark):
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    hosts = [f"h{i}.com" for i in range(6)]
+    vocab = ["alpha", "beta", "gamma", "delta", "nav bar", "footer (c)",
+             "  padded  ", "", "repeat me", "tail"]
+    rows = []
+    for doc_id in range(80):
+        host = rng.choice(hosts)
+        n = rng.randint(0, 6)
+        lines = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.1:
+            text = None
+        else:
+            text = "\n".join(lines)
+        rows.append((doc_id, host, text))
+
+    min_pct, min_pages = 40, 3
+
+    # pure-python replica of the documented semantics
+    def lines_of(t):
+        return [l.strip() for l in (t or "").split("\n") if l.strip() != ""]
+
+    by_host = {}
+    for d, h, t in rows:
+        by_host.setdefault(h, []).append((d, lines_of(t)))
+    template = set()
+    for h, docs in by_host.items():
+        if len(docs) < min_pages:
+            continue
+        df = {}
+        for d, ls in docs:
+            for l in set(ls):
+                df[l] = df.get(l, 0) + 1
+        for l, c in df.items():
+            if 100 * c >= min_pct * len(docs):
+                template.add((h, l))
+    want = {}
+    for d, h, t in rows:
+        ls = lines_of(t)
+        kept = [l for l in ls if (h, l) not in template]
+        want[d] = ("\n".join(kept), len(kept), len(ls) - len(kept))
+
+    from pyspark.sql import Row
+
+    out = {
+        r.doc_id: (r.clean_text, r.n_lines_kept, r.n_lines_dropped)
+        for r in web.template_strip(
+            spark.createDataFrame(
+                [Row(doc_id=d, host=h, text=t) for d, h, t in rows]
+            ),
+            min_pct=min_pct,
+            min_pages=min_pages,
+        ).collect()
+    }
+    assert out == want
