@@ -594,7 +594,12 @@ def bm25_topk(
     aggregation order and the DuckDB oracle matches bit-for-bit.
     (Headroom: exact BIGINT holds to ~10^7 docs; a production run at
     10^12 docs switches the same plan to DOUBLE + log idf, where ulp
-    noise is irrelevant because nothing cross-checks hashes.)
+    noise is irrelevant because nothing cross-checks hashes. Spark's
+    non-ANSI BIGINT arithmetic *wraps* on overflow, so the corpus stats
+    are collected up front — one tiny aggregation, the MLlib-style
+    driver-held-scalar pattern ``ivf_train`` also uses — and the worst
+    -case product is checked exactly; past the envelope this raises
+    instead of silently mis-ranking.)
 
     Scale shape (10^12 docs): per-doc token arrays are projected once
     (``dl`` rides the groupBy key — no join back for lengths); the token
@@ -616,10 +621,23 @@ def bm25_topk(
             f" t -> length(t) >= {int(min_len)})"
         ).alias("w"),
     )
-    stats = base.agg(
+    srow = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_corpus"),
         F.sum(F.size("w")).cast("long").alias("sum_dl"),
-    )
+        F.max(F.size("w")).cast("long").alias("max_dl"),
+    ).collect()[0]
+    n_corpus = int(srow["n_corpus"] or 0)
+    sum_dl = int(srow["sum_dl"] or 0)
+    max_dl = int(srow["max_dl"] or 0)
+    # exact worst-case of the score numerator (df >= 1, tf <= max_dl):
+    # idf_fp4_max * 44 * tf_max * S must fit a signed 64-bit long
+    idf_fp4_max = (10000 * (2 * n_corpus - 1)) // 3 if n_corpus else 0
+    if idf_fp4_max * 44 * max_dl * sum_dl >= (1 << 63):
+        raise ValueError(
+            "bm25_topk: corpus too large for exact BIGINT scoring "
+            f"(n_corpus={n_corpus}, sum_dl={sum_dl}); use a DOUBLE + "
+            "log-idf variant at this scale"
+        )
     toks = base.select(
         "doc_id", F.size("w").cast("long").alias("dl"), F.explode("w").alias("term")
     ).where(F.expr(f"term IN ({quoted})"))
@@ -627,20 +645,16 @@ def bm25_topk(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            F.expr(
-                "((10000 * (2 * n_corpus - 2 * doc_freq + 1))"
-                " div (2 * doc_freq + 1))"
-                " * 44 * tf * sum_dl"
-                " div (20 * tf * sum_dl + 6 * sum_dl + 18 * dl * n_corpus)"
-            )
-            .cast("long")
-            .alias("c"),
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        F.expr(
+            f"((10000 * (2 * {n_corpus} - 2 * doc_freq + 1))"
+            " div (2 * doc_freq + 1))"
+            f" * 44 * tf * {sum_dl}"
+            f" div (20 * tf * {sum_dl} + 6 * {sum_dl} + 18 * dl * {n_corpus})"
         )
+        .cast("long")
+        .alias("c"),
     )
     by_doc = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
