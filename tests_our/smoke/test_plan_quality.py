@@ -360,3 +360,44 @@ def test_bm25_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan
+
+
+# Queries whose plans legitimately carry a special node. Everything else
+# must be pure relational: no cartesian blowup, no Python in the plan.
+_BNLJ_OK = {
+    # tiny broadcast sides by construction: query vectors, driver-held
+    # models (classifier weights, LM, perplexity buckets), corpus scalar
+    "emb_cosine_topk", "doc_classifier_label", "doc_lm_fit",
+    "doc_ppl_buckets", "doc_top_terms",
+}
+_PANDAS_OK = {
+    # the Arrow-batched extraction kernel IS the operator here
+    "extract_pages", "extract_chunks", "extract_wrapped_docs",
+    "extract_links", "extract_boilerplate_blocks",
+    "web_link_graph", "web_anchor_text",
+}
+
+
+def test_every_query_plan_is_anti_pattern_free(spark):
+    """Global gate: every registered driver query's physical plan is free
+    of scale anti-patterns — CartesianProduct never, row-at-a-time
+    BatchEvalPython never, BroadcastNestedLoopJoin / MapInPandas only on
+    the documented allowlists. Catches a regression in ANY query, not
+    just the individually-pinned ones."""
+    import __spark_entry__ as entry
+
+    failures = []
+    for name, fn in sorted(entry.queries().items()):
+        plan = plan_of(spark, name)
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python UDF")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_OK:
+            failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        if (
+            ("MapInPandas" in plan or "FlatMapGroupsInPandas" in plan)
+            and name not in _PANDAS_OK
+        ):
+            failures.append(f"{name}: unexpected Pandas node")
+    assert not failures, failures
