@@ -347,6 +347,12 @@ def dup_clusters(
         pairs.select(F.col(pairs.columns[0]).alias("u"), F.col(pairs.columns[1]).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
+        # materialize the input edge set ONCE: inside iteration 1's DAG the
+        # edges subtree appears 4x (sym = edges ∪ edges-flipped, and sym
+        # feeds both the min-neighbor agg and the large-star join), so an
+        # upstream candidate pipeline (minhash → bands → self-join) would
+        # otherwise be re-executed 4x before the first checkpoint
+        .localCheckpoint(eager=True)
     )
     prev = None
     prev_n = -1

@@ -17,6 +17,9 @@ NEW_OPS = [
     "doc_bloom_seen", "web_host_pagerank", "events_asof_click",
     "events_error_click_window", "events_props_stats",
     "doc_corpus_profile", "extract_boilerplate_blocks",
+    # session 3
+    "doc_script_profile", "web_template_strip", "doc_bm25_topk",
+    "doc_cluster_reps", "emb_decontaminate",
 ]
 
 
