@@ -382,6 +382,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             max_per_host=5,
         ),
+        "web_fetch_waves": lambda spark, sf: web.fetch_waves(
+            _read(spark, sf, "documents").select(
+                "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url")
+            ),
+            per_host=4,
+        ),
+        "doc_lang_length_quantiles": q(
+            text_analysis.lang_length_quantiles, "documents"
+        ),
         "web_url_filter": lambda spark, sf: web.url_filter(
             _read(spark, sf, "documents").select(
                 "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url")
@@ -2209,6 +2218,53 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS host_rank
             FROM h
             QUALIFY host_rank <= 5
+        """,
+        "web_fetch_waves": f"""
+            WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url FROM documents),
+            h AS (
+                SELECT doc_id,
+                       {_duck_host("url")} AS host,
+                       md5(cast(doc_id AS VARCHAR)) AS pick
+                FROM p
+            ),
+            r AS (
+                SELECT doc_id, host,
+                       CAST(row_number() OVER (PARTITION BY host
+                            ORDER BY pick, doc_id) - 1 AS BIGINT) AS r
+                FROM h
+            )
+            SELECT doc_id, host,
+                   CAST(r // 4 AS BIGINT) AS wave,
+                   CAST(r % 4 AS BIGINT) AS slot
+            FROM r
+        """,
+        "doc_lang_length_quantiles": """
+            WITH hist AS (
+                SELECT lang, n_chars, count(*) AS c
+                FROM documents GROUP BY lang, n_chars
+            ),
+            cum AS (
+                SELECT lang, n_chars,
+                       sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM hist
+            ),
+            tot AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n
+                FROM documents GROUP BY lang
+            )
+            SELECT lang,
+                   CAST(max(n) AS BIGINT) AS n_docs,
+                   CAST(min(CASE WHEN cum >= (1 * n + 3) // 4
+                                 THEN n_chars END) AS BIGINT) AS p25,
+                   CAST(min(CASE WHEN cum >= (1 * n + 1) // 2
+                                 THEN n_chars END) AS BIGINT) AS p50,
+                   CAST(min(CASE WHEN cum >= (3 * n + 3) // 4
+                                 THEN n_chars END) AS BIGINT) AS p75,
+                   CAST(min(CASE WHEN cum >= (9 * n + 9) // 10
+                                 THEN n_chars END) AS BIGINT) AS p90
+            FROM cum JOIN tot USING (lang)
+            GROUP BY lang
         """,
         "web_template_strip": f"""
             WITH p AS (

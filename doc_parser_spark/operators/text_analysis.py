@@ -1414,3 +1414,54 @@ def bpe_apply(documents: DataFrame, n_merges: int = 6) -> DataFrame:
             "ELSE 0 END"
         ).cast("long").alias("compression_pct"),
     )
+
+
+def lang_length_quantiles(documents: DataFrame) -> DataFrame:
+    """Per-language discrete length quantiles (p25/p50/p75/p90 of
+    ``n_chars``) — the calibration table per-language length filters are
+    cut from (CCNet/mC4 tune their min/max-length rules per language
+    because script verbosity differs wildly; a 200-char Chinese page is
+    an article, a 200-char German page is a menu).
+
+    Discrete (type-1) quantiles: the value at rank ``ceil(q*n)`` in the
+    per-language sort — integer-exact, so the DuckDB twin agrees
+    byte-for-byte (continuous interpolation would hang the hash compare
+    on last-ulp float formula differences between engines).
+
+    Scale shape: the corpus never sorts. Lengths first collapse to a
+    per-(lang, n_chars) histogram (map-side combined; cardinality is
+    bounded by #langs x max document length, independent of corpus
+    rows), the cumulative rank is a window over that tiny histogram, and
+    rank targets ride a broadcast of the one-row-per-lang totals. The
+    only corpus-wide work is one groupBy shuffle of (lang, n_chars)
+    pairs.
+
+    Output: ``lang, n_docs, p25, p50, p75, p90`` (lengths as BIGINT).
+    """
+    from pyspark.sql.window import Window
+
+    hist = (
+        documents.groupBy("lang", "n_chars")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    totals = documents.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    j = cum.join(F.broadcast(totals), "lang")
+    # rank targets in pure integer arithmetic: ceil(q*n) = (num*n + den-1) div den
+    quants = {"p25": (1, 4), "p50": (1, 2), "p75": (3, 4), "p90": (9, 10)}
+    aggs = [F.max("n").alias("n_docs")]
+    for name, (num, den) in quants.items():
+        tgt = f"(({num} * n + {den - 1}) div {den})"
+        aggs.append(
+            F.min(
+                F.expr(f"CASE WHEN cum >= {tgt} THEN n_chars END")
+            ).cast("long").alias(name)
+        )
+    return j.groupBy("lang").agg(*aggs)

@@ -938,3 +938,54 @@ def anchor_text(links: DataFrame, k: int = 3) -> DataFrame:
             " | ",
         ).alias("top_anchors"),
     )
+
+
+def fetch_waves(
+    pages: DataFrame, url_col: str = "url", per_host: int = 4
+) -> DataFrame:
+    """Crawl-frontier politeness scheduling: assign every URL a fetch
+    ``wave`` and ``slot`` such that no wave contains more than
+    ``per_host`` URLs of one canonical host — the standard frontier
+    partitioning every polite crawler (Heritrix/Nutch "politeness
+    queues") applies before dispatching fetch tasks.
+
+    Order within a host is the deterministic ``md5(doc_id)`` pick (the
+    same partition-invariant tiebreak as ``host_cap``), NOT arrival
+    order, so re-running the scheduler on the same frontier always
+    yields the same waves regardless of task scheduling.
+
+    Output: ``doc_id, host, wave, slot`` with
+    ``wave = (rank-1) div per_host`` and ``slot = (rank-1) mod per_host``.
+
+    Scale shape: politeness is inherently a per-host total order — that
+    order IS the output — so this is one window over a host-hash
+    shuffle, with three narrow columns (doc_id, host, 32-char pick) as
+    the only payload. Parallelism comes from the host dimension (hosts
+    >> cores in any crawl); a viral host serializes only its own rank
+    scan, over rows a few dozen bytes wide, and never blocks other
+    hosts. Nothing collects; no rank-limit applies because every row
+    must be numbered (unlike ``host_cap``'s top-k pushdown).
+    """
+    if per_host < 1:
+        raise ValueError(f"per_host ({per_host}) must be >= 1")
+    from pyspark.sql.window import Window
+
+    with_host = pages.select(
+        "doc_id",
+        host_col(url_col).alias("host"),
+        F.md5(F.col("doc_id").cast("string")).alias("pick"),
+    )
+    w = Window.partitionBy("host").orderBy("pick", "doc_id")
+    k = int(per_host)
+    return (
+        with_host.withColumn(
+            "r", (F.row_number().over(w) - F.lit(1)).cast("long")
+        )
+        .select(
+            "doc_id",
+            "host",
+            # integer div — ranks stay exact however deep the host queue
+            F.expr(f"CAST(r div {k} AS BIGINT)").alias("wave"),
+            F.expr(f"CAST(r % {k} AS BIGINT)").alias("slot"),
+        )
+    )

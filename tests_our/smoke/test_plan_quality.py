@@ -401,3 +401,24 @@ def test_every_query_plan_is_anti_pattern_free(spark):
         ):
             failures.append(f"{name}: unexpected Pandas node")
     assert not failures, failures
+
+
+def test_fetch_waves_plan_shape(spark):
+    # one window over a host-hash exchange; narrow payload; no Python,
+    # no joins at all — the rank IS the operator
+    plan = plan_of(spark, "web_fetch_waves")
+    assert plan.count("Exchange") <= 2  # one per AQE plan rendering
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_lang_length_quantiles_plan_shape(spark):
+    # corpus touches exactly one wide shuffle (the (lang, n_chars)
+    # histogram groupBy, map-side combined); the rank window and the
+    # totals join ride the tiny histogram; totals broadcast
+    plan = plan_of(spark, "doc_lang_length_quantiles")
+    assert "partial_count" in plan  # map-side combine on the histogram
+    assert "BroadcastHashJoin" in plan  # one-row-per-lang totals
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

@@ -587,3 +587,35 @@ def test_bm25_topk_matches_integer_replica(spark):
     # rank follows (score desc, doc_id)
     order = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
     assert order == [i for i, _ in sorted(want.items(), key=lambda kv: (-kv[1][1], kv[0]))]
+
+
+def test_lang_length_quantiles_discrete_exact(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from doc_parser_spark.operators import text_analysis
+
+    lens = {"en": [10, 20, 30, 40, 50, 60, 70, 80, 90, 100], "de": [7, 5, 9]}
+    rows = [
+        Row(doc_id=i * 100 + j, lang=lang, n_chars=n)
+        for i, (lang, ls) in enumerate(sorted(lens.items()))
+        for j, n in enumerate(ls)
+    ]
+    out = {
+        r.lang: r
+        for r in text_analysis.lang_length_quantiles(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+
+    def disc(vals, q):
+        s = sorted(vals)
+        return s[math.ceil(q * len(s)) - 1]
+
+    for lang, ls in lens.items():
+        r = out[lang]
+        assert r.n_docs == len(ls)
+        assert (r.p25, r.p50, r.p75, r.p90) == tuple(
+            disc(ls, q) for q in (0.25, 0.5, 0.75, 0.9)
+        ), lang

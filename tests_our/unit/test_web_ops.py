@@ -615,3 +615,40 @@ def test_template_strip_matches_python_replica_randomized(spark):
         ).collect()
     }
     assert out == want
+
+
+def test_fetch_waves_politeness(spark):
+    import hashlib
+
+    rows = [
+        Row(doc_id=i, url=f"http://host{i % 3}.com/p/{i}") for i in range(20)
+    ]
+    out = web.fetch_waves(
+        spark.createDataFrame(rows), per_host=2
+    ).collect()
+    assert len(out) == 20
+    # politeness invariant: no (host, wave) bucket exceeds per_host
+    from collections import Counter
+
+    buckets = Counter((r.host, r.wave) for r in out)
+    assert max(buckets.values()) <= 2
+    # waves are dense from 0 and slots enumerate 0..per_host-1
+    for host in {r.host for r in out}:
+        mine = sorted(
+            (r.wave, r.slot) for r in out if r.host == host
+        )
+        expect = [(i // 2, i % 2) for i in range(len(mine))]
+        assert mine == expect, host
+    # deterministic order: md5(doc_id) pick, not arrival order
+    h0 = sorted((r for r in out if r.host == "host0.com"),
+                key=lambda r: (r.wave, r.slot))
+    picks = [hashlib.md5(str(r.doc_id).encode()).hexdigest() for r in h0]
+    assert picks == sorted(picks)
+
+
+def test_fetch_waves_validates_per_host(spark):
+    import pytest
+
+    df = spark.createDataFrame([Row(doc_id=1, url="http://a.com/x")])
+    with pytest.raises(ValueError):
+        web.fetch_waves(df, per_host=0)
