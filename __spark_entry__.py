@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_signatures": q(dedup.minhash_signatures, "documents"),
         "doc_lsh_pairs": q(dedup.lsh_candidate_pairs, "documents"),
         "doc_ngram_jaccard": q(dedup.ngram_jaccard_pairs, "documents"),
+        "doc_containment": q(dedup.containment_pairs, "documents"),
         "doc_simhash": q(dedup.simhash, "documents"),
         "doc_simhash_neardup": q(dedup.simhash_neardup_pairs, "documents"),
         "doc_dup_clusters": lambda spark, sf: dedup.dup_clusters(
@@ -432,6 +433,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_stats": lambda spark, sf: web.host_stats(
             _read(spark, sf, "documents").select(
                 "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url"), "text"
+            )
+        ),
+        "web_host_lang_profile": lambda spark, sf: web.host_lang_profile(
+            _read(spark, sf, "documents").select(
+                F.expr(web.SYNTH_URL_SQL).alias("url"), "lang"
             )
         ),
         "doc_top_terms": q(text_analysis.top_terms, "documents"),
@@ -2354,6 +2360,47 @@ def oracle_sql() -> dict[str, str]:
             FROM exact LEFT JOIN per ON per.host IS NOT DISTINCT FROM exact.host
         """,
         "web_host_pagerank": _pagerank_sql(),
+        "doc_containment": f"""
+            WITH {_shingle_cte()},
+            sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+            freq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
+            filtered AS (
+                SELECT s.* FROM shingles s JOIN freq f USING (shingle) WHERE f.df <= 100
+            ),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM filtered a JOIN filtered b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   floor(1e6 * n_common / sa.n_shingles) / 1e6 AS cont_a_in_b,
+                   floor(1e6 * n_common / sb.n_shingles) / 1e6 AS cont_b_in_a
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE floor(1e6 * n_common / sa.n_shingles) / 1e6 >= 0.5
+               OR floor(1e6 * n_common / sb.n_shingles) / 1e6 >= 0.5
+        """,
+        "web_host_lang_profile": f"""
+            WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url, lang FROM documents),
+            c AS (
+                SELECT {_duck_host("url")} AS host, lang, count(*) AS cnt
+                FROM p GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT host, lang, cnt,
+                       row_number() OVER (PARTITION BY host
+                            ORDER BY cnt DESC, lang) AS rn,
+                       CAST(sum(cnt) OVER (PARTITION BY host) AS BIGINT) AS n_docs,
+                       CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS n_langs
+                FROM c
+            )
+            SELECT host, n_docs, n_langs,
+                   lang AS dominant_lang,
+                   CAST(floor(1e6 * cnt / n_docs) AS BIGINT) AS dominant_ppm
+            FROM r WHERE rn = 1
+        """,
         "web_host_stats": f"""
             WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url, text FROM documents),
             c AS (

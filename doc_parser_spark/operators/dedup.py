@@ -197,6 +197,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 100,
+) -> DataFrame:
+    """Directional shingle containment — the asymmetric complement of
+    ``ngram_jaccard_pairs``. ``cont_a_in_b = |A∩B| / |A|`` catches the
+    wrapper/quote relationships symmetric Jaccard misses: a short page
+    fully quoted inside a long boilerplate-wrapped one scores near-zero
+    Jaccard (union is dominated by the long page) but containment ≈ 1,
+    which is exactly the Lee et al. 2022 / CC-Net motivation for keeping
+    a one-sided signal next to the symmetric one.
+
+    One row per unordered candidate pair with BOTH directions; pairs
+    survive when either direction clears ``threshold``. Ratios are
+    floored to 6 decimals (the same 1e6 integer-floor contract the
+    Jaccard operator uses, so both engines hash identically).
+
+    Scale shape: identical to ``ngram_jaccard_pairs`` — one persisted
+    shingle projection, hot-shingle anti-join (broadcast side is the
+    tiny hot set, never the keep-list), inverted-index self-join,
+    shuffle joins for the per-doc sizes. Nothing new shuffles."""
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold ({threshold}) must be in [0, 1]")
+    pairs = shingle_docs(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    freq = pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    hot = freq.where(F.col("df") > max_shingle_freq).select("shingle")
+    filtered = pairs.join(F.broadcast(hot), "shingle", "left_anti")
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("sb"))
+
+    def _ratio(num, den):
+        return (F.floor(F.lit(1000000.0) * num / den) / F.lit(1000000.0))
+
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            _ratio(F.col("n_common"), F.col("sa")).alias("cont_a_in_b"),
+            _ratio(F.col("n_common"), F.col("sb")).alias("cont_b_in_a"),
+        )
+        .where(
+            (F.col("cont_a_in_b") >= threshold)
+            | (F.col("cont_b_in_a") >= threshold)
+        )
+    )
+
+
 def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     """Per-document SimHash from token md5s.
 

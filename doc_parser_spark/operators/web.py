@@ -989,3 +989,41 @@ def fetch_waves(
             F.expr(f"CAST(r % {k} AS BIGINT)").alias("slot"),
         )
     )
+
+
+def host_lang_profile(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host language consistency profile — the CCNet-style signal for
+    spotting machine-translation/spam farms: a legitimate host publishes
+    in one or two languages, an MT content farm mirrors the same text
+    across dozens. Emits per canonical host the doc count, distinct
+    language count, the dominant language (ties → lexicographically
+    smallest) and its share in ppm (integer-floored, so the DuckDB twin
+    agrees byte-for-byte; no float entropy — logs don't hash stably
+    across engines).
+
+    Scale shape: two map-side-combined groupBys — (host, lang) counts,
+    then one struct-min arg-max per host (``min(struct(-cnt, lang))``,
+    the no-window latest_capture pattern). No joins, no windows, nothing
+    collects."""
+    counts = (
+        pages.select(host_col(url_col).alias("host"), "lang")
+        .groupBy("host", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.groupBy("host")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("lang"))).alias("d"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            "n_langs",
+            F.col("d.lang").alias("dominant_lang"),
+            (F.floor(F.lit(1000000) * (-F.col("d.neg")) / F.col("n_docs")))
+            .cast("long")
+            .alias("dominant_ppm"),
+        )
+    )

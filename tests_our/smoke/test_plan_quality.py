@@ -422,3 +422,21 @@ def test_lang_length_quantiles_plan_shape(spark):
     assert "BroadcastHashJoin" in plan  # one-row-per-lang totals
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_containment_plan_shape(spark):
+    # same shape as ngram_jaccard: hot-set LeftAnti broadcast (tiny side),
+    # inverted-index self-join, shuffle size-joins; no Python, no cartesian
+    plan = plan_of(spark, "doc_containment")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_host_lang_profile_plan_shape(spark):
+    # two map-side-combined groupBys, struct-min argmax — no window, no join
+    plan = plan_of(spark, "web_host_lang_profile")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

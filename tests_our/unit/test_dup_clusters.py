@@ -130,3 +130,42 @@ def test_cluster_representatives_keep_longest(spark):
     assert out[4].rep_doc_id == 4 and out[4].rep_chars == 0
     # length tie resolved to the lowest doc_id
     assert out[5].rep_doc_id == 5 and out[5].n_members == 2
+
+
+def test_containment_catches_wrapper_jaccard_misses(spark):
+    from pyspark.sql import Row
+
+    from doc_parser_spark.operators import dedup
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    wrapper = (
+        "nav home products pricing about "
+        + quote
+        + " footer copyright legal privacy terms sitemap newsletter "
+        "subscribe social links partner one partner two partner three"
+    )
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=quote), Row(doc_id=2, text=wrapper)]
+    )
+    out = dedup.containment_pairs(docs, threshold=0.9).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    # every shingle of the quote appears verbatim inside the wrapper
+    assert r.cont_a_in_b == 1.0
+    assert r.cont_b_in_a < 0.5
+    # and symmetric jaccard would have missed it at the same bar
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []
+
+
+def test_containment_threshold_validation(spark):
+    import pytest
+
+    from pyspark.sql import Row
+
+    from doc_parser_spark.operators import dedup
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c d")])
+    with pytest.raises(ValueError):
+        dedup.containment_pairs(df, threshold=1.5)

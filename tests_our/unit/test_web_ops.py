@@ -652,3 +652,22 @@ def test_fetch_waves_validates_per_host(spark):
     df = spark.createDataFrame([Row(doc_id=1, url="http://a.com/x")])
     with pytest.raises(ValueError):
         web.fetch_waves(df, per_host=0)
+
+
+def test_host_lang_profile_dominant_and_ties(spark):
+    rows = (
+        [Row(url="http://a.com/1", lang="en")] * 3
+        + [Row(url="https://WWW.a.com/2", lang="de")] * 3  # tie with en
+        + [Row(url="http://a.com:80/3", lang="fr")]
+        + [Row(url="http://b.com/x", lang="ko")] * 2
+    )
+    rows = [Row(url=r.url + f"?i={i}", lang=r.lang) for i, r in enumerate(rows)]
+    out = {r.host: r for r in web.host_lang_profile(
+        spark.createDataFrame(rows)).collect()}
+    a = out["a.com"]  # www./port variants share the bucket
+    assert (a.n_docs, a.n_langs) == (7, 3)
+    assert a.dominant_lang == "de"  # 3-3 tie -> lexicographically smallest
+    assert a.dominant_ppm == 428571  # floor(1e6 * 3/7)
+    b = out["b.com"]
+    assert (b.n_docs, b.n_langs, b.dominant_lang, b.dominant_ppm) == (
+        2, 1, "ko", 1000000)
