@@ -2245,9 +2245,13 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """,
         "doc_lang_length_quantiles": """
-            WITH hist AS (
+            WITH src AS (
+                SELECT coalesce(lang, '') AS lang, n_chars
+                FROM documents WHERE n_chars IS NOT NULL
+            ),
+            hist AS (
                 SELECT lang, n_chars, count(*) AS c
-                FROM documents GROUP BY lang, n_chars
+                FROM src GROUP BY lang, n_chars
             ),
             cum AS (
                 SELECT lang, n_chars,
@@ -2257,7 +2261,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             tot AS (
                 SELECT lang, CAST(count(*) AS BIGINT) AS n
-                FROM documents GROUP BY lang
+                FROM src GROUP BY lang
             )
             SELECT lang,
                    CAST(max(n) AS BIGINT) AS n_docs,
@@ -2383,7 +2387,8 @@ def oracle_sql() -> dict[str, str]:
                OR floor(1e6 * n_common / sb.n_shingles) / 1e6 >= 0.5
         """,
         "web_host_lang_profile": f"""
-            WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url, lang FROM documents),
+            WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url,
+                              coalesce(lang, '') AS lang FROM documents),
             c AS (
                 SELECT {_duck_host("url")} AS host, lang, count(*) AS cnt
                 FROM p GROUP BY 1, 2

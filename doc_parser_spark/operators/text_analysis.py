@@ -1440,8 +1440,14 @@ def lang_length_quantiles(documents: DataFrame) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    # NULL lang folds into '' and NULL lengths are dropped: Spark orders
+    # NULLs first, DuckDB last, so a NULL reaching the cumulative window
+    # (or the groupBy tie-break) would diverge across engines
+    docs = documents.select(
+        F.coalesce("lang", F.lit("")).alias("lang"), "n_chars"
+    ).where(F.col("n_chars").isNotNull())
     hist = (
-        documents.groupBy("lang", "n_chars")
+        docs.groupBy("lang", "n_chars")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     w = (
@@ -1450,7 +1456,7 @@ def lang_length_quantiles(documents: DataFrame) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = hist.withColumn("cum", F.sum("c").over(w))
-    totals = documents.groupBy("lang").agg(
+    totals = docs.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
     j = cum.join(F.broadcast(totals), "lang")

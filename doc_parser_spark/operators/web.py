@@ -1005,8 +1005,13 @@ def host_lang_profile(pages: DataFrame, url_col: str = "url") -> DataFrame:
     then one struct-min arg-max per host (``min(struct(-cnt, lang))``,
     the no-window latest_capture pattern). No joins, no windows, nothing
     collects."""
+    # NULL lang folds into '' — Spark sorts NULLs first, DuckDB last, so a
+    # NULL surviving into the argmax tie-break would diverge across engines
     counts = (
-        pages.select(host_col(url_col).alias("host"), "lang")
+        pages.select(
+            host_col(url_col).alias("host"),
+            F.coalesce("lang", F.lit("")).alias("lang"),
+        )
         .groupBy("host", "lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

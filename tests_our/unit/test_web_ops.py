@@ -671,3 +671,18 @@ def test_host_lang_profile_dominant_and_ties(spark):
     b = out["b.com"]
     assert (b.n_docs, b.n_langs, b.dominant_lang, b.dominant_ppm) == (
         2, 1, "ko", 1000000)
+
+
+def test_host_lang_profile_null_lang_folds_to_empty(spark):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("url", StringType()), StructField("lang", StringType()),
+    ])
+    rows = [("http://n.com/1", None), ("http://n.com/2", None),
+            ("http://n.com/3", "en")]
+    out = web.host_lang_profile(
+        spark.createDataFrame(rows, schema)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_docs, r.n_langs, r.dominant_lang) == (3, 2, "")
