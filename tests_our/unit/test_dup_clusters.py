@@ -169,3 +169,58 @@ def test_containment_threshold_validation(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="a b c d")])
     with pytest.raises(ValueError):
         dedup.containment_pairs(df, threshold=1.5)
+
+
+def test_containment_matches_python_replica_randomized(spark):
+    """Randomized property: the distributed containment relation equals a
+    brute-force python set computation (same 3-gram shingling, same 1e6
+    integer-floor, same hot-shingle cap) on a corpus with heavy overlap."""
+    import math
+    import random
+
+    from pyspark.sql import Row
+
+    from doc_parser_spark.operators import dedup
+
+    rng = random.Random(0x5EED)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = {}
+    for d in range(24):
+        base = [rng.choice(vocab) for _ in range(rng.randint(4, 40))]
+        if d % 3 == 0 and docs:  # splice a previous doc in verbatim
+            prev = docs[rng.choice(list(docs))]
+            at = rng.randrange(len(base) + 1)
+            base = base[:at] + prev + base[at:]
+        docs[d] = base
+    sdf = spark.createDataFrame(
+        [Row(doc_id=d, text=" ".join(ws)) for d, ws in docs.items()]
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.cont_a_in_b, r.cont_b_in_a)
+        for r in dedup.containment_pairs(
+            sdf, threshold=0.5, max_shingle_freq=10
+        ).collect()
+    }
+
+    def sh(ws):
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {d: sh(ws) for d, ws in docs.items()}
+    freq = {}
+    for s in sets.values():
+        for g in s:
+            freq[g] = freq.get(g, 0) + 1
+    hot = {g for g, c in freq.items() if c > 10}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a >= b or not sets[a] or not sets[b]:
+                continue
+            common = len((sets[a] & sets[b]) - hot)
+            if not common:
+                continue
+            ca = math.floor(1e6 * common / len(sets[a])) / 1e6
+            cb = math.floor(1e6 * common / len(sets[b])) / 1e6
+            if ca >= 0.5 or cb >= 0.5:
+                want[(a, b)] = (ca, cb)
+    assert got == want

@@ -686,3 +686,15 @@ def test_host_lang_profile_null_lang_folds_to_empty(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.n_docs, r.n_langs, r.dominant_lang) == (3, 2, "")
+
+
+def test_fetch_waves_partition_invariant(spark):
+    """The wave assignment is a global contract — it must not depend on
+    input partitioning (the per-host rank is computed after a host
+    shuffle, so any layout must produce identical waves)."""
+    rows = [Row(doc_id=i, url=f"http://h{i % 5}.com/{i}") for i in range(200)]
+    df1 = spark.createDataFrame(rows).repartition(1)
+    df13 = spark.createDataFrame(rows).repartition(13)
+    a = {r.doc_id: (r.wave, r.slot) for r in web.fetch_waves(df1).collect()}
+    b = {r.doc_id: (r.wave, r.slot) for r in web.fetch_waves(df13).collect()}
+    assert a == b
