@@ -142,27 +142,29 @@ def lsh_candidate_pairs(
     )
 
 
-def ngram_jaccard_pairs(
-    documents: DataFrame,
-    n: int = 3,
-    threshold: float = 0.5,
-    max_shingle_freq: int = 100,
-) -> DataFrame:
-    """Exact word-n-gram Jaccard over inverted-index candidate pairs."""
-    # The exploded shingle table feeds the size aggregate, the document
-    # frequency aggregate, and both sides of the inverted-index self-join;
-    # unpersisted, each consumer re-runs the explode over the full corpus
-    # (~6 scans). One materialization across executor disks beats six
-    # corpus scans at any scale; swap to DISK_ONLY (or a parquet
-    # materialization seam) when the shingle table outgrows cluster memory.
+def _candidate_intersections(
+    documents: DataFrame, n: int, max_shingle_freq: int
+):
+    """Shared candidate machinery for the exact set-overlap operators
+    (``ngram_jaccard_pairs``, ``containment_pairs``): returns
+    ``(inter, sa, sb)`` — per-candidate-pair common-shingle counts plus
+    the two doc-keyed size projections.
+
+    The exploded shingle table feeds the size aggregate, the document
+    frequency aggregate, and both sides of the inverted-index self-join;
+    unpersisted, each consumer re-runs the explode over the full corpus
+    (~6 scans). One materialization across executor disks beats six
+    corpus scans at any scale; swap to DISK_ONLY (or a parquet
+    materialization seam) when the shingle table outgrows cluster memory.
+
+    The frequency cap is applied as an ANTI-join against the *hot*
+    shingle set — hot shingles (df > cap) are few by construction, so
+    that side is safely broadcastable at any corpus size, unlike the
+    keep-list (≈ all shingles, corpus-sized). ``sa``/``sb`` are one row
+    PER DOCUMENT — corpus-scale, never broadcast; callers join them with
+    plain shuffle joins keyed on doc id."""
     pairs = shingle_docs(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-
-    # Inverted-index self-join with a frequency cap on hot shingles. The
-    # cap is applied as an ANTI-join against the *hot* shingle set — hot
-    # shingles (df > cap) are few by construction, so that side is safely
-    # broadcastable at any corpus size, unlike the keep-list (≈ all
-    # shingles, corpus-sized).
     freq = pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     hot = freq.where(F.col("df") > max_shingle_freq).select("shingle")
     filtered = pairs.join(F.broadcast(hot), "shingle", "left_anti")
@@ -174,10 +176,19 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    # sizes is one row PER DOCUMENT — corpus-scale, never broadcast it;
-    # plain shuffle joins keyed on doc id.
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("sa"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("sb"))
+    return inter, sa, sb
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 100,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over inverted-index candidate pairs."""
+    inter, sa, sb = _candidate_intersections(documents, n, max_shingle_freq)
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -216,27 +227,13 @@ def containment_pairs(
     floored to 6 decimals (the same 1e6 integer-floor contract the
     Jaccard operator uses, so both engines hash identically).
 
-    Scale shape: identical to ``ngram_jaccard_pairs`` — one persisted
-    shingle projection, hot-shingle anti-join (broadcast side is the
-    tiny hot set, never the keep-list), inverted-index self-join,
-    shuffle joins for the per-doc sizes. Nothing new shuffles."""
+    Scale shape: identical to ``ngram_jaccard_pairs`` — both ride
+    ``_candidate_intersections`` (one persisted shingle projection,
+    hot-shingle anti-join, inverted-index self-join, shuffle joins for
+    the per-doc sizes). Nothing new shuffles."""
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold ({threshold}) must be in [0, 1]")
-    pairs = shingle_docs(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    freq = pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    hot = freq.where(F.col("df") > max_shingle_freq).select("shingle")
-    filtered = pairs.join(F.broadcast(hot), "shingle", "left_anti")
-    a = filtered.alias("a")
-    b = filtered.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("sa"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("sb"))
+    inter, sa, sb = _candidate_intersections(documents, n, max_shingle_freq)
 
     def _ratio(num, den):
         return (F.floor(F.lit(1000000.0) * num / den) / F.lit(1000000.0))

@@ -1456,9 +1456,9 @@ def lang_length_quantiles(documents: DataFrame) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = hist.withColumn("cum", F.sum("c").over(w))
-    totals = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
+    # per-lang totals fold from the tiny histogram, not a second corpus
+    # scan — the histogram counts already sum to the filtered doc count
+    totals = hist.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
     j = cum.join(F.broadcast(totals), "lang")
     # rank targets in pure integer arithmetic: ceil(q*n) = (num*n + den-1) div den
     quants = {"p25": (1, 4), "p50": (1, 2), "p75": (3, 4), "p90": (9, 10)}

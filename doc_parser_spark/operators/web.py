@@ -275,6 +275,27 @@ def extract_incremental(
 
 # --- host-level corpus shaping --------------------------------------------------
 
+def _host_pick_rank(pages: DataFrame, url_col: str):
+    """Shared per-host deterministic ordering for the host-keyed
+    operators (``host_cap``, ``fetch_waves``): canonical host bucket +
+    ``md5(doc_id)`` pick, ranked by one window over a host-hash shuffle.
+    The pick is partition-invariant (NOT "first seen", which is
+    scheduling-dependent); keeping it in one place means the two
+    operators can never disagree on per-host order. Returns the
+    (doc_id, host) frame with a 1-based ``rank`` column."""
+    from pyspark.sql.window import Window
+
+    with_host = pages.select(
+        "doc_id",
+        host_col(url_col).alias("host"),
+        F.md5(F.col("doc_id").cast("string")).alias("pick"),
+    )
+    w = Window.partitionBy("host").orderBy("pick", "doc_id")
+    return with_host.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "host", "rank"
+    )
+
+
 def host_cap(
     pages: DataFrame, url_col: str = "url", max_per_host: int = 10
 ) -> DataFrame:
@@ -292,18 +313,9 @@ def host_cap(
     The host is taken from the CANONICAL url (www./default-port variants
     of one host must share a cap bucket). Returns (doc_id, host,
     host_rank) for survivors."""
-    from pyspark.sql.window import Window
-
-    with_host = pages.select(
-        "doc_id",
-        host_col(url_col).alias("host"),
-        F.md5(F.col("doc_id").cast("string")).alias("pick"),
-    )
-    w = Window.partitionBy("host").orderBy("pick", "doc_id")
-    return (
-        with_host.withColumn("host_rank", F.row_number().over(w))
-        .where(F.col("host_rank") <= max_per_host)
-        .select("doc_id", "host", F.col("host_rank").cast("long").alias("host_rank"))
+    ranked = _host_pick_rank(pages, url_col)
+    return ranked.where(F.col("rank") <= max_per_host).select(
+        "doc_id", "host", F.col("rank").cast("long").alias("host_rank")
     )
 
 
@@ -968,19 +980,13 @@ def fetch_waves(
     """
     if per_host < 1:
         raise ValueError(f"per_host ({per_host}) must be >= 1")
-    from pyspark.sql.window import Window
-
-    with_host = pages.select(
-        "doc_id",
-        host_col(url_col).alias("host"),
-        F.md5(F.col("doc_id").cast("string")).alias("pick"),
-    )
-    w = Window.partitionBy("host").orderBy("pick", "doc_id")
+    if int(per_host) != per_host:
+        # a fractional cap would silently truncate — reject it loudly
+        raise ValueError(f"per_host ({per_host}) must be a whole number")
     k = int(per_host)
     return (
-        with_host.withColumn(
-            "r", (F.row_number().over(w) - F.lit(1)).cast("long")
-        )
+        _host_pick_rank(pages, url_col)
+        .withColumn("r", (F.col("rank") - F.lit(1)).cast("long"))
         .select(
             "doc_id",
             "host",

@@ -20,6 +20,9 @@ NEW_OPS = [
     # session 3
     "doc_script_profile", "web_template_strip", "doc_bm25_topk",
     "doc_cluster_reps", "emb_decontaminate",
+    # session 4
+    "web_fetch_waves", "doc_lang_length_quantiles", "doc_containment",
+    "web_host_lang_profile",
 ]
 
 
