@@ -460,6 +460,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id", F.expr(web.SYNTH_PII_TEXT_SQL).alias("text")
             )
         ),
+        "web_soft404": lambda spark, sf: web.soft404_flags(
+            _read(spark, sf, "documents").select(
+                "doc_id", F.expr(web.SYNTH_SOFT404_TEXT_SQL).alias("text")
+            )
+        ),
+        "doc_badwords": lambda spark, sf: text_analysis.badword_stats(
+            _read(spark, sf, "documents").select(
+                "doc_id",
+                F.expr(text_analysis.SYNTH_BADWORD_TEXT_SQL).alias("text"),
+            )
+        ),
+        "doc_normalize": lambda spark, sf: text_analysis.normalize_text(
+            _read(spark, sf, "documents").select(
+                "doc_id",
+                F.expr(text_analysis.SYNTH_NOISY_TEXT_SQL).alias("text"),
+            )
+        ),
         # the composed production pass: quality -> repetition -> exact dedup
         # -> near-dup clusters -> decontamination -> host cap, reported as a
         # stage funnel from ONE aggregation job
@@ -2690,6 +2707,58 @@ def oracle_sql() -> dict[str, str]:
                        '{_web.PII_IPV4_RE}', '<IP>', 'g'),
                        '{_web.PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_sig
             FROM p
+        """,
+        "web_soft404": f"""
+            WITH p AS (SELECT doc_id,
+                       lower(trim(coalesce({_web.SYNTH_SOFT404_TEXT_SQL}, ''))) AS t
+                       FROM documents)
+            SELECT doc_id,
+                   CAST({" + ".join(f"CASE WHEN contains(t, '{p}') THEN 1 ELSE 0 END" for p in _web.SOFT404_PHRASES)} AS BIGINT) AS n_phrases,
+                   regexp_matches(t, '{_web.SOFT404_TOKEN_RE}') AS has_404_token,
+                   CAST(length(t) AS BIGINT) AS n_chars_trim,
+                   (length(t) < 80) AS is_tiny,
+                   ((length(t) < 80 AND
+                     ({" + ".join(f"CASE WHEN contains(t, '{p}') THEN 1 ELSE 0 END" for p in _web.SOFT404_PHRASES)} > 0
+                      OR regexp_matches(t, '{_web.SOFT404_TOKEN_RE}')))
+                    OR {" + ".join(f"CASE WHEN contains(t, '{p}') THEN 1 ELSE 0 END" for p in _web.SOFT404_PHRASES)} >= 2) AS soft404
+            FROM p
+        """,
+        "doc_badwords": f"""
+            WITH p AS (SELECT doc_id,
+                       list_filter(list_transform(
+                           regexp_split_to_array(lower(coalesce({_ta.SYNTH_BADWORD_TEXT_SQL}, '')), '\\s+'),
+                           t -> regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')),
+                           t -> t <> '') AS toks
+                       FROM documents),
+            c AS (SELECT doc_id,
+                         CAST(len(toks) AS BIGINT) AS n_tokens,
+                         CAST(len(list_filter(toks,
+                             t -> list_contains([{", ".join(f"'{w}'" for w in _ta.DEMO_BADWORDS)}], t))) AS BIGINT) AS n_bad
+                  FROM p)
+            SELECT doc_id, n_tokens, n_bad,
+                   CAST(CASE WHEN n_tokens > 0
+                        THEN (n_bad * 1000000) // n_tokens ELSE 0 END AS BIGINT) AS bad_ppm,
+                   (n_bad = 0) AS keep
+            FROM c
+        """,
+        "doc_normalize": f"""
+            WITH p AS (SELECT doc_id,
+                       coalesce({_ta.SYNTH_NOISY_TEXT_SQL}, '') AS raw
+                       FROM documents),
+            n AS (SELECT doc_id, raw,
+                  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+                      '{_ta.NORM_CRLF_RE}', chr(10), 'g'),
+                      '{_ta.NORM_CONTROL_RE}', '', 'g'),
+                      '{_ta.NORM_HSPACE_RE}', ' ', 'g'),
+                      '{_ta.NORM_EDGE_RE}', chr(10), 'g'),
+                      '{_ta.NORM_BLANKS_RE}', concat(chr(10), chr(10)), 'g')) AS norm_text
+                  FROM p)
+            SELECT doc_id, norm_text,
+                   CAST(length(raw) AS BIGINT) AS n_chars_raw,
+                   CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+                   (norm_text <> raw) AS changed,
+                   md5(norm_text) AS norm_key
+            FROM n
         """,
     }
 

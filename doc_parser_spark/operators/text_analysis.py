@@ -1471,3 +1471,119 @@ def lang_length_quantiles(documents: DataFrame) -> DataFrame:
             ).cast("long").alias(name)
         )
     return j.groupBy("lang").agg(*aggs)
+
+
+# Demo blocklist (wordlist-as-parameter — real deployments plug the full
+# "LDNOOBW" list in); shared verbatim with the DuckDB oracle twin.
+DEMO_BADWORDS = ("casino", "jackpot", "viagra", "xxx", "porn")
+
+SYNTH_BADWORD_TEXT_SQL = (
+    "concat(coalesce(text, ''), "
+    "CASE WHEN doc_id % 19 = 0 THEN ' Online CASINO jackpot bonus spins.' "
+    "WHEN doc_id % 23 = 0 THEN ' Cheap viagra, best Viagra!' "
+    "WHEN doc_id % 29 = 0 THEN ' xxx' ELSE '' END)"
+)
+
+
+def badword_stats(
+    documents: DataFrame,
+    words: tuple = DEMO_BADWORDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """C4's fourth page rule (Raffel et al. 2020 §2.2: "removed any page
+    that contained any word on the 'List of Dirty, Naughty, Obscene or
+    Otherwise Bad Words'") as an observable flag column. Matching is
+    token-exact, not substring — "classic" must never fire on "ass" —
+    so tokens are lowered and stripped of edge punctuation before the
+    set test.
+
+    Emits per doc the hit count, total token count, integer ppm hit rate
+    (``n_bad * 1e6 div n_tokens`` — engine-exact, no floats) and the C4
+    verdict ``keep = n_bad == 0``.
+
+    Scale shape: pure higher-order-function projection over the token
+    split — zero shuffles/joins; the wordlist is a Catalyst array
+    literal, never a table. For wordlists beyond literal size (~10k) the
+    same shape becomes a broadcast join on the stripped token."""
+    toks = (
+        f"filter(transform(split(lower(coalesce({text_col}, '')), '\\\\s+'),"
+        " t -> regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '')),"
+        " t -> t <> '')"
+    )
+    lst = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+    stage = documents.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        F.expr(f"size(filter({toks}, t -> array_contains({lst}, t)))")
+        .cast("long")
+        .alias("n_bad"),
+    )
+    return stage.select(
+        "doc_id",
+        "n_tokens",
+        "n_bad",
+        F.when(F.col("n_tokens") > 0, F.floor(F.col("n_bad") * F.lit(1000000) / F.col("n_tokens")))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bad_ppm"),
+        (F.col("n_bad") == 0).alias("keep"),
+    )
+
+
+# One regex pass per rule, shared (as RE2/Java-portable patterns) with the
+# oracle. Order matters and is part of the contract: line endings unified
+# first (CRLF/CR -> LF), controls out (so a TAB-only line still collapses),
+# then horizontal runs, then edge-of-line trim, then blank-run collapse.
+NORM_CRLF_RE = "\\r\\n?"
+NORM_CONTROL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+NORM_HSPACE_RE = "[ \\t]+"
+NORM_EDGE_RE = " *\\n *"
+NORM_BLANKS_RE = "\\n{3,}"
+
+SYNTH_NOISY_TEXT_SQL = (
+    "concat("
+    "CASE WHEN doc_id % 3 = 0 THEN concat(chr(9), '  ') ELSE '' END, "
+    "replace(coalesce(text, ''), ' ', "
+    "CASE WHEN doc_id % 4 = 0 THEN '  ' ELSE ' ' END), "
+    "CASE WHEN doc_id % 5 = 0 THEN concat(chr(7), 'bell') ELSE '' END, "
+    "CASE WHEN doc_id % 7 = 0 THEN concat(chr(10), chr(10), chr(10), chr(10), 'tail.') ELSE '' END, "
+    "CASE WHEN doc_id % 11 = 0 THEN concat(chr(10), ' padded line ', chr(9)) ELSE '' END, "
+    "CASE WHEN doc_id % 13 = 0 THEN concat(chr(13), chr(10), 'crlf line.', chr(13)) ELSE '' END)"
+)
+
+
+def normalize_text(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Text canonicalization — the pass every pipeline runs before
+    hashing/dedup so that byte-trivia (tabs vs spaces, CR remnants,
+    stray control chars, ragged blank runs) doesn't defeat exact dedup:
+
+    1. line endings unified (CRLF / lone CR -> LF);
+    2. control chars (C0 minus ``\\n``, plus DEL) stripped;
+    3. horizontal whitespace runs collapsed to one space;
+    4. spaces trimmed at line edges;
+    5. 3+ consecutive newlines collapsed to a blank line;
+    6. outer trim.
+
+    Emits the normalized text, before/after char counts, a ``changed``
+    flag and ``norm_key = md5(norm_text)`` — the key exact dedup should
+    group on instead of raw md5(text). Unicode NFC is deliberately NOT
+    in this exact path (Spark has no JVM-side normalizer; a pandas-UDF
+    NFC pass belongs next to the other Python-boundary enrichments).
+
+    Scale shape: chained ``regexp_replace`` projection — zero shuffles,
+    scan speed, whole-stage codegen."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    norm = F.regexp_replace(raw, NORM_CRLF_RE, "\n")
+    norm = F.regexp_replace(norm, NORM_CONTROL_RE, "")
+    norm = F.regexp_replace(norm, NORM_HSPACE_RE, " ")
+    norm = F.regexp_replace(norm, NORM_EDGE_RE, "\n")
+    norm = F.regexp_replace(norm, NORM_BLANKS_RE, "\n\n")
+    norm = F.trim(norm)
+    return documents.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(raw).cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        (norm != raw).alias("changed"),
+        F.md5(norm).alias("norm_key"),
+    )

@@ -1038,3 +1038,73 @@ def host_lang_profile(pages: DataFrame, url_col: str = "url") -> DataFrame:
             .alias("dominant_ppm"),
         )
     )
+
+
+# Error phrases shared verbatim with the DuckDB oracle twin. Multi-word
+# phrases are matched as lowered substrings; the bare token "404" is
+# matched with digit guards so "2024-04-04" or "id 14041" never fire.
+SOFT404_PHRASES = (
+    "page not found",
+    "no longer available",
+    "does not exist",
+    "has been removed",
+    "error 404",
+)
+SOFT404_TOKEN_RE = "(^|[^0-9])404([^0-9]|$)"
+
+# Deterministic decoration for the driver query: every signal path is a
+# pure function of doc_id so the DuckDB twin reproduces it byte-for-byte.
+SYNTH_SOFT404_TEXT_SQL = (
+    "CASE WHEN doc_id % 9 = 0 THEN "
+    "'Error 404 - Page Not Found. The requested URL does not exist.' "
+    "WHEN doc_id % 13 = 0 THEN concat(substring(coalesce(text, ''), 1, 60), "
+    "' This page is no longer available.') "
+    "WHEN doc_id % 17 = 0 THEN substring(coalesce(text, ''), 1, 40) "
+    "WHEN doc_id % 23 = 0 THEN concat('Ticket 14045 closed. ', "
+    "substring(coalesce(text, ''), 1, 120)) "
+    "ELSE coalesce(text, '') END"
+)
+
+
+def soft404_flags(
+    documents: DataFrame,
+    text_col: str = "text",
+    min_chars: int = 80,
+) -> DataFrame:
+    """Soft-404 / error-page detection (Bar-Yossef et al. WWW'04, "Sic
+    Transit Gloria Telae": servers that answer HTTP 200 with a "not
+    found" body poison a crawl corpus because every dead link on a big
+    host yields an identical junk page). Content-side signals only —
+    the status code is long gone by the time text reaches curation:
+
+    * ``n_phrases`` — how many of the :data:`SOFT404_PHRASES` appear in
+      the lowered text (each counted once: presence, not occurrences);
+    * ``has_404_token`` — a digit-guarded standalone ``404``;
+    * ``is_tiny`` — fewer than ``min_chars`` chars after trim (error
+      pages are short; the guard keeps a stray phrase in a long article
+      from flagging it);
+    * ``soft404`` — the verdict: any phrase or 404-token on a tiny page,
+      or >= 2 independent phrase signals regardless of length.
+
+    Flags-not-filters (curate.py composition pattern). Scale shape: pure
+    projection — zero shuffles/joins, runs at scan speed beside the
+    other per-row passes.
+    """
+    t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    n_phrases = None
+    for p in SOFT404_PHRASES:
+        hit = t.contains(p).cast("long")
+        n_phrases = hit if n_phrases is None else n_phrases + hit
+    has_tok = F.regexp_extract(t, SOFT404_TOKEN_RE, 0) != F.lit("")
+    is_tiny = F.length(t) < F.lit(min_chars)
+    return documents.select(
+        "doc_id",
+        n_phrases.cast("long").alias("n_phrases"),
+        has_tok.alias("has_404_token"),
+        F.length(t).cast("long").alias("n_chars_trim"),
+        is_tiny.alias("is_tiny"),
+        (
+            (is_tiny & ((n_phrases > 0) | has_tok))
+            | (n_phrases >= 2)
+        ).alias("soft404"),
+    )

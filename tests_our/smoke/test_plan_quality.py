@@ -440,3 +440,12 @@ def test_host_lang_profile_plan_shape(spark):
     assert "Window" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_session5_projection_ops_are_scan_speed(spark):
+    # soft404 / badwords / normalize are per-row curation passes: the
+    # plan must be projection-only — no exchange, join, or Python node
+    for q in ("web_soft404", "doc_badwords", "doc_normalize"):
+        plan = plan_of(spark, q)
+        assert "Exchange" not in plan and "Join" not in plan, q
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, q

@@ -1,3 +1,6 @@
+from pyspark.sql import Row, functions as F
+
+
 
 
 def test_pack_shards_partition_invariant(spark):
@@ -619,3 +622,51 @@ def test_lang_length_quantiles_discrete_exact(spark):
         assert (r.p25, r.p50, r.p75, r.p90) == tuple(
             disc(ls, q) for q in (0.25, 0.5, 0.75, 0.9)
         ), lang
+
+
+def test_badword_stats_token_exact(spark):
+    from doc_parser_spark.operators.text_analysis import badword_stats
+
+    rows = [
+        Row(doc_id=1, text="A classic assessment of Scunthorpe grass."),
+        Row(doc_id=2, text="Online CASINO! Jackpot, viagra."),
+        Row(doc_id=3, text=None),
+        Row(doc_id=4, text="casino"),
+    ]
+    out = {r.doc_id: r for r in
+           badword_stats(spark.createDataFrame(rows)).collect()}
+    # substring hits ("ass" in classic/assessment/grass) must NOT fire
+    assert out[1].n_bad == 0 and out[1].keep
+    # punctuation-wrapped + case-insensitive tokens all fire
+    assert out[2].n_bad == 3 and not out[2].keep
+    assert out[3].n_tokens == 0 and out[3].bad_ppm == 0 and out[3].keep
+    assert out[4].bad_ppm == 1000000
+
+
+def test_normalize_text_rules_and_idempotence(spark):
+    from doc_parser_spark.operators.text_analysis import normalize_text
+
+    rows = [
+        Row(doc_id=1, text="a\tb  c\x07d\r\n  e  \n\n\n\nf"),
+        Row(doc_id=2, text="already clean"),
+        Row(doc_id=3, text=None),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: r for r in normalize_text(df).collect()}
+    # controls stripped (BEL, CR), tabs/runs collapsed, line edges
+    # trimmed, blank runs capped at one empty line
+    assert out[1].norm_text == "a b cd\ne\n\nf"
+    assert out[1].changed
+    assert not out[2].changed and out[2].norm_text == "already clean"
+    assert out[3].norm_text == "" and out[3].n_chars_raw == 0
+    # idempotence: normalizing the normalized text is the identity
+    again = {
+        r.doc_id: r
+        for r in normalize_text(
+            normalize_text(df).select(
+                "doc_id", F.col("norm_text").alias("text"))
+        ).collect()
+    }
+    for i in (1, 2, 3):
+        assert again[i].norm_text == out[i].norm_text
+        assert not again[i].changed

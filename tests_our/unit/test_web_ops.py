@@ -698,3 +698,29 @@ def test_fetch_waves_partition_invariant(spark):
     a = {r.doc_id: (r.wave, r.slot) for r in web.fetch_waves(df1).collect()}
     b = {r.doc_id: (r.wave, r.slot) for r in web.fetch_waves(df13).collect()}
     assert a == b
+
+
+def test_soft404_tiny_error_page_flagged(spark):
+    rows = [
+        # classic soft-404: tiny body + phrase → flagged
+        Row(doc_id=1, text="Error 404 - Page Not Found."),
+        # long article that merely QUOTES one phrase → not flagged
+        Row(doc_id=2, text="A history of HTTP errors. The phrase page not "
+            "found became iconic. " + "More prose here. " * 30),
+        # two independent phrases → flagged even on a long page
+        Row(doc_id=3, text="This page has been removed and is no longer "
+            "available to readers. " + "Padding sentence. " * 30),
+        # digit-guarded 404 token: dates/ids must NOT fire
+        Row(doc_id=4, text="Released 2024-04-04 under ticket 14045."),
+        # bare 404 token on a tiny page → flagged
+        Row(doc_id=5, text="404. Sorry."),
+        Row(doc_id=6, text=None),
+    ]
+    out = {r.doc_id: r for r in
+           web.soft404_flags(spark.createDataFrame(rows)).collect()}
+    assert out[1].soft404 and out[1].is_tiny and out[1].n_phrases >= 1
+    assert not out[2].soft404 and out[2].n_phrases == 1
+    assert out[3].soft404 and out[3].n_phrases == 2
+    assert not out[4].soft404 and not out[4].has_404_token
+    assert out[5].soft404 and out[5].has_404_token
+    assert not out[6].soft404 and out[6].n_chars_trim == 0
