@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from doc_parser_spark.operators import (
         curate,
         dedup,
+        multimodal,
         relational,
         similarity,
         text_analysis,
@@ -477,6 +478,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.expr(text_analysis.SYNTH_NOISY_TEXT_SQL).alias("text"),
             )
         ),
+        # perceptual image hashing: Spark runs the REAL chain (closed-form
+        # pixels -> native PNG encode -> decode -> integral-grid hashes);
+        # the oracle recomputes the hashes from the same closed-form pixel
+        # function in pure SQL, so a value match validates the whole codec
+        # + binning + bit-assembly path, not just row shapes.
+        "img_dhash": lambda spark, sf: multimodal.image_dhash(
+            multimodal.synth_image_corpus(_read(spark, sf, "documents"))
+        ),
+        "img_dhash_neardup": lambda spark, sf: multimodal.image_dhash_neardup(
+            multimodal.image_dhash(
+                multimodal.synth_image_corpus(_read(spark, sf, "documents"))
+            )
+        ),
         # the composed production pass: quality -> repetition -> exact dedup
         # -> near-dup clusters -> decontamination -> host cap, reported as a
         # stage funnel from ONE aggregation job
@@ -508,8 +522,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _NORM_SQL = "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
 _WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
 
+from doc_parser_spark.operators import multimodal as _mm  # noqa: E402
 from doc_parser_spark.operators import text_analysis as _ta  # noqa: E402
 from doc_parser_spark.operators import web as _web  # noqa: E402
+
+
+def _img_hash_ctes() -> str:
+    """Shared CTE chain recomputing dHash/aHash from the closed-form
+    synthetic pixel function (``multimodal.synth_pixel``) in pure SQL —
+    the independent twin of the Spark chain (PNG encode -> native decode
+    -> integral-grid binning -> exact cross-multiplied comparisons ->
+    bit assembly with two's-complement signing)."""
+    w, h = _mm.SYNTH_IMG_W, _mm.SYNTH_IMG_H
+    rows, cols = _mm.PHASH_ROWS, _mm.PHASH_COLS
+    nb, nv = _mm.SYNTH_IMG_BASES, _mm.SYNTH_IMG_VARIANTS
+    grad = (
+        f"((3 + (d.doc_id % {nb}) * 5) * x.x"
+        f" + (7 + (d.doc_id % {nb}) * 11) * y.y) % 251"
+    )
+    # bit-weight relation: 2^k for k<63, -(2^63) for the sign bit — every
+    # value BIGINT-representable, so sum(bit*wt) IS the signed 64-bit hash
+    wts = ", ".join(
+        f"({k}, {(1 << k) if k < 63 else -(1 << 63)})" for k in range(64)
+    )
+    return f"""
+        px AS (
+            SELECT d.doc_id, y.y, x.x,
+                   CASE WHEN (x.x + 2 * y.y) % 17 = 0
+                        THEN least({grad} + ((d.doc_id // {nb}) % {nv}), 250)
+                        ELSE {grad} END AS p
+            FROM documents d
+            CROSS JOIN generate_series(0, {h - 1}) y(y)
+            CROSS JOIN generate_series(0, {w - 1}) x(x)
+        ),
+        wts(k, wt) AS (VALUES {wts}),
+        dc AS (
+            SELECT doc_id, (y * {rows}) // {h} AS r, (x * {cols}) // {w} AS c,
+                   sum(p) AS s, count(*) AS a
+            FROM px GROUP BY 1, 2, 3
+        ),
+        dbits AS (
+            SELECT l.doc_id, l.r * {cols - 1} + l.c AS k,
+                   CASE WHEN l.s * rr.a > rr.s * l.a THEN 1 ELSE 0 END AS bit
+            FROM dc l JOIN dc rr
+              ON rr.doc_id = l.doc_id AND rr.r = l.r AND rr.c = l.c + 1
+        ),
+        dh AS (
+            SELECT doc_id, CAST(sum(bit * wt) AS BIGINT) AS dhash
+            FROM dbits JOIN wts USING (k) GROUP BY doc_id
+        ),
+        ac AS (
+            SELECT doc_id, (y * {rows}) // {h} AS r, (x * {rows}) // {w} AS c,
+                   sum(p) AS s, count(*) AS a
+            FROM px GROUP BY 1, 2, 3
+        ),
+        tot AS (
+            SELECT doc_id, sum(p) AS ts, count(*) AS ta FROM px GROUP BY 1
+        ),
+        abits AS (
+            SELECT c.doc_id, c.r * {rows} + c.c AS k,
+                   CASE WHEN c.s * t.ta > t.ts * c.a THEN 1 ELSE 0 END AS bit
+            FROM ac c JOIN tot t USING (doc_id)
+        ),
+        ah AS (
+            SELECT doc_id, CAST(sum(bit * wt) AS BIGINT) AS ahash
+            FROM abits JOIN wts USING (k) GROUP BY doc_id
+        )"""
 
 
 def _bpe_ctes(n_merges: int) -> tuple[list, list]:
@@ -2759,6 +2837,24 @@ def oracle_sql() -> dict[str, str]:
                    (norm_text <> raw) AS changed,
                    md5(norm_text) AS norm_key
             FROM n
+        """,
+        "img_dhash": f"""
+            WITH {_img_hash_ctes()}
+            SELECT d.doc_id,
+                   'decoded' AS status,
+                   CAST({_mm.SYNTH_IMG_W} AS INTEGER) AS width,
+                   CAST({_mm.SYNTH_IMG_H} AS INTEGER) AS height,
+                   dh.dhash, ah.ahash
+            FROM documents d
+            JOIN dh ON dh.doc_id = d.doc_id
+            JOIN ah ON ah.doc_id = d.doc_id
+        """,
+        "img_dhash_neardup": f"""
+            WITH {_img_hash_ctes()}
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+            FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
         """,
     }
 

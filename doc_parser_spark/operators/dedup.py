@@ -308,18 +308,47 @@ def simhash_neardup_pairs(
             f"({bands - 1}): the pigeonhole band-agreement guarantee "
             "does not hold past that, silently losing recall"
         )
+    return banded_hamming_pairs(
+        simhash(documents, bits),
+        hash_col="simhash",
+        bits=bits,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+
+
+def banded_hamming_pairs(
+    sig: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Generic Manku-style banded Hamming join over any integer signature
+    column — the shared engine behind ``simhash_neardup_pairs`` (text)
+    and ``multimodal.image_dhash_neardup`` (perceptual image hashes).
+
+    ``sig`` is one row per item with ``id_col`` + ``hash_col`` (a signed
+    long holding ``bits`` signature bits; band extraction masks after the
+    arithmetic shift, so the sign bits of a 64-bit hash land in the top
+    band correctly). Emits (``{id}_a``, ``{id}_b``, ``hamming``) for every
+    pair agreeing on at least one band with Hamming <= ``max_hamming`` —
+    exhaustive under the pigeonhole guarantee ``max_hamming <= bands-1``
+    (validated by the public callers)."""
     w = bits // bands
     mask = (1 << w) - 1
-    sig = simhash(documents, bits)
     banded = sig.select(
-        "doc_id",
-        "simhash",
+        id_col,
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band_no"),
-                        F.shiftright(F.col("simhash"), i * w)
+                        F.shiftright(F.col(hash_col), i * w)
                         .bitwiseAND(F.lit(mask))
                         .alias("band_val"),
                     )
@@ -327,7 +356,7 @@ def simhash_neardup_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_no", "band.band_val")
+    ).select(id_col, hash_col, "band.band_no", "band.band_val")
     ok = (
         banded.groupBy("band_no", "band_val")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -343,19 +372,19 @@ def simhash_neardup_pairs(
             (F.col("a.band_no") == F.col("b.band_no"))
             & (F.col("a.band_val") == F.col("b.band_val")),
         )
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+            F.col(f"a.{hash_col}").alias("sa"),
+            F.col(f"b.{hash_col}").alias("sb"),
         )
         .distinct()  # a pair may collide in several bands
     )
     return (
         pairs.select(
-            "doc_id_a",
-            "doc_id_b",
+            f"{id_col}_a",
+            f"{id_col}_b",
             F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
             .cast("long")
             .alias("hamming"),

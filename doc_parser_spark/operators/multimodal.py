@@ -34,6 +34,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from doc_parser_spark.core import png as pnglib
@@ -699,3 +700,227 @@ def extract_pdf_images(pages: DataFrame) -> DataFrame:
             )
 
     return pages.mapInPandas(kernel, schema=EMBEDDED_IMAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (dHash/aHash) — image near-dup dedup
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+PHASH_ROWS = 8  # grid rows for both hashes
+PHASH_COLS = 9  # dhash compares horizontally adjacent cells -> 8x8 bits
+
+
+def _gray_i64(arr: np.ndarray) -> np.ndarray:
+    """uint8 (H, W, C) → int64 (H, W) integer luma.
+
+    3/4 channels use the ITU-R 601 integer weights (299/587/114, div
+    1000, floor) — exact integer math so every engine/replica agrees;
+    alpha is ignored (hash the pixels, not the compositing)."""
+    a = arr.astype(np.int64)
+    if a.shape[2] == 1:
+        return a[:, :, 0]
+    r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+    return (r * 299 + g * 587 + b * 114) // 1000
+
+
+def _cell_stats(gray: np.ndarray, rows: int, cols: int):
+    """Integer box sums + areas on the (rows x cols) grid.
+
+    The binning contract (shared verbatim with the DuckDB oracle): pixel
+    (y, x) belongs to cell ((y*rows)//H, (x*cols)//W). Sums ride
+    ``np.bincount`` with integer-valued float64 weights — exact because
+    every partial sum stays far below 2^53 (MAX_PIXELS * 255 < 2^53)."""
+    h, w = gray.shape
+    if h < rows or w < cols:
+        # upscale-by-repeat so no cell is ever empty (tiny icons)
+        gray = np.repeat(
+            np.repeat(gray, -(-rows // h), axis=0), -(-cols // w), axis=1
+        )
+        h, w = gray.shape
+    ridx = (np.arange(h, dtype=np.int64) * rows) // h
+    cidx = (np.arange(w, dtype=np.int64) * cols) // w
+    cell = ridx[:, None] * cols + cidx[None, :]
+    sums = np.bincount(
+        cell.ravel(), weights=gray.ravel().astype(np.float64),
+        minlength=rows * cols,
+    ).astype(np.int64)
+    areas = np.bincount(cell.ravel(), minlength=rows * cols).astype(np.int64)
+    return sums.reshape(rows, cols), areas.reshape(rows, cols)
+
+
+def _to_signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _phash_one(payload: bytes) -> dict:
+    """One image payload → dHash + aHash (both 64-bit, integer-exact).
+
+    dHash (difference hash): bit (r, c) set iff cell (r, c) is brighter
+    than cell (r, c+1) on a 8x9 grid — compared exactly via cross
+    multiplication ``sum_l * area_r > sum_r * area_l`` (no float means).
+    aHash (average hash): bit (r, c) set iff the 8x8 cell mean exceeds
+    the global mean, again cross-multiplied. Python ints carry the
+    products, so nothing can overflow."""
+    out = {"status": "decoded", "width": None, "height": None,
+           "dhash": None, "ahash": None}
+    if not payload:
+        out["status"] = "empty"
+        return out
+    status, arr = _image_array(payload)
+    out["status"] = status
+    if arr is None:
+        return out
+    out["width"], out["height"] = int(arr.shape[1]), int(arr.shape[0])
+    gray = _gray_i64(arr)
+    ds, da = _cell_stats(gray, PHASH_ROWS, PHASH_COLS)
+    dhash = 0
+    for r in range(PHASH_ROWS):
+        for c in range(PHASH_COLS - 1):
+            sl, al = int(ds[r, c]), int(da[r, c])
+            sr, ar = int(ds[r, c + 1]), int(da[r, c + 1])
+            if sl * ar > sr * al:
+                dhash |= 1 << (r * (PHASH_COLS - 1) + c)
+    as_, aa = _cell_stats(gray, PHASH_ROWS, PHASH_ROWS)
+    total_sum, total_area = int(as_.sum()), int(aa.sum())
+    ahash = 0
+    for r in range(PHASH_ROWS):
+        for c in range(PHASH_ROWS):
+            if int(as_[r, c]) * total_area > total_sum * int(aa[r, c]):
+                ahash |= 1 << (r * PHASH_ROWS + c)
+    out["dhash"] = _to_signed64(dhash)
+    out["ahash"] = _to_signed64(ahash)
+    return out
+
+
+def image_dhash(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """media(doc_id, payload) → perceptual hashes (dHash + aHash).
+
+    The image-side analog of ``dedup.simhash``: exact byte-level dedup
+    misses re-encoded/resized copies of the same picture; a 64-bit
+    difference hash puts visually-identical images within small Hamming
+    distance, and ``image_dhash_neardup`` buckets them with the same
+    banded join the text SimHash path uses.
+
+    Arrow-batched ``mapInPandas`` over the native codecs (PNG/JPEG/TIFF/
+    BMP/FAKEIMG); per-item failure isolation (corrupt payloads yield a
+    status row, never a dead batch). Scale shape: embarrassingly
+    parallel scan — no shuffle; the downstream near-dup join shuffles
+    only the 16-byte hash relation, never pixels."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            records = []
+            for doc_id, payload in zip(batch["doc_id"], batch[payload_col]):
+                try:
+                    rec = _phash_one(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    rec = {"status": f"error:{type(exc).__name__}",
+                           "width": None, "height": None,
+                           "dhash": None, "ahash": None}
+                rec["doc_id"] = int(doc_id)
+                records.append(rec)
+            out = pd.DataFrame(records)
+            yield out[[f.name for f in PHASH_SCHEMA.fields]]
+
+    return media.mapInPandas(kernel, schema=PHASH_SCHEMA)
+
+
+def image_dhash_neardup(
+    hashes: DataFrame,
+    bands: int = 8,
+    max_hamming: int = 7,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs over ``image_dhash`` output.
+
+    Rides :func:`dedup.banded_hamming_pairs` (Manku WWW'07) on the 64-bit
+    dHash: 8 bands of 8 bits — exhaustive for Hamming <= 7, which is the
+    standard dHash near-dup band. Undecodable rows (NULL hash) are
+    filtered before banding."""
+    from doc_parser_spark.operators.dedup import banded_hamming_pairs
+
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be <= bands - 1 "
+            f"({bands - 1}) for the pigeonhole guarantee"
+        )
+    if 64 % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide 64")
+    return banded_hamming_pairs(
+        hashes.where(F.col("dhash").isNotNull()).select("doc_id", "dhash"),
+        hash_col="dhash",
+        bits=64,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+
+
+# Synthetic image corpus parameters — shared verbatim with the DuckDB
+# oracle, which recomputes the hashes from the same closed-form pixel
+# function (the PNG encode/decode roundtrip is what Spark adds on top).
+SYNTH_IMG_W = 24
+SYNTH_IMG_H = 16
+SYNTH_IMG_BASES = 5
+SYNTH_IMG_VARIANTS = 4
+
+
+def synth_pixel(doc_id: int, y: int, x: int) -> int:
+    """Closed-form grayscale pixel — pure function of (doc_id, y, x).
+
+    base picks a gradient family (5 of them), variant adds a sparse
+    +v perturbation so images within a base are near- (not exact-)
+    duplicates across variants."""
+    base = doc_id % SYNTH_IMG_BASES
+    v = (doc_id // SYNTH_IMG_BASES) % SYNTH_IMG_VARIANTS
+    a, b = 3 + base * 5, 7 + base * 11
+    p = (a * x + b * y) % 251
+    if (x + 2 * y) % 17 == 0:
+        p = min(p + v, 250)
+    return p
+
+
+def synth_image_corpus(documents: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload): deterministic grayscale PNGs from
+    :func:`synth_pixel`, encoded with the native codec. Arrow-batched."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    w, h = SYNTH_IMG_W, SYNTH_IMG_H
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(w, dtype=np.int64)[None, :]
+        ys = np.arange(h, dtype=np.int64)[:, None]
+        for batch in batches:
+            ids, payloads = [], []
+            for doc_id in batch["doc_id"]:
+                d = int(doc_id)
+                base = d % SYNTH_IMG_BASES
+                v = (d // SYNTH_IMG_BASES) % SYNTH_IMG_VARIANTS
+                a, b = 3 + base * 5, 7 + base * 11
+                px = (a * xs + b * ys) % 251
+                noisy = (xs + 2 * ys) % 17 == 0
+                px = np.where(noisy, np.minimum(px + v, 250), px)
+                ids.append(d)
+                payloads.append(
+                    pnglib.encode_png(px.astype(np.uint8))
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(kernel, schema=schema)

@@ -449,3 +449,18 @@ def test_session5_projection_ops_are_scan_speed(spark):
         plan = plan_of(spark, q)
         assert "Exchange" not in plan and "Join" not in plan, q
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, q
+
+
+def test_image_dhash_neardup_plan_no_cartesian(spark):
+    # the image near-dup candidates must come from the banded equi-join
+    # (count-filtered buckets), never an all-pairs scan over the hashes
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "img_dhash_neardup")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # bucket degeneracy filter aggregates before the self-join
+        assert "partial_count" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
