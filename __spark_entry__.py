@@ -76,6 +76,62 @@ def _wrapped_link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wrapped_image_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table → pages whose HTML carries a deterministic image
+    set (internal jpg with alt + width/'auto' height, a data: URI inline
+    image on doc_id%5 that the kernel skips WITHOUT consuming an img_no,
+    a figure-wrapped cross-host png with title + figcaption, a
+    protocol-relative gif on doc_id%4) — every emitted row of
+    extract_image_refs is SQL-derivable from doc_id."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        F.expr(
+            "concat('https://site', cast(doc_id % 50 as int),"
+            " '.example.com/page/', doc_id)"
+        ).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.expr(
+            "cast(concat('<html><body><h1>Doc ', doc_id, '</h1>',"
+            " '<img src=\"/img/', cast(doc_id % 10 as int), '.jpg\" alt=\"image ',"
+            " doc_id, '\" width=\"', cast((doc_id % 5 + 1) * 100 as int),"
+            " '\" height=\"auto\">',"
+            " CASE WHEN doc_id % 5 = 0 THEN"
+            " '<img src=\"data:image/png;base64,AAAA\" alt=\"inline\">' ELSE '' END,"
+            " '<figure><img src=\"https://cdn', cast((doc_id * 7 + 3) % 20 as int),"
+            " '.example.net/p/', cast(doc_id % 30 as int), '.png\" title=\"t',"
+            " cast(doc_id % 9 as int), '\"><figcaption>fig  ',"
+            " cast(doc_id % 7 as int), '</figcaption></figure>',"
+            " CASE WHEN doc_id % 4 = 0 THEN"
+            " concat('<img src=\"//cdn', cast(doc_id % 20 as int),"
+            " '.example.net/q/', doc_id, '.gif\" alt=\"proto relative\">')"
+            " ELSE '' END,"
+            " '</body></html>') as binary)"
+        ).alias("html"),
+        F.lit("").alias("text"),
+        F.col("lang"),
+    )
+
+
+def _q_extract_image_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.extract import extract_image_refs
+
+    out = extract_image_refs(_wrapped_image_pages(spark, sf_dir))
+    return out.select(
+        F.regexp_extract("url", "page/([0-9]+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("img_no").cast("long").alias("img_no"),
+        "src",
+        "resolved",
+        "dst_host",
+        "alt",
+        "title",
+        "caption",
+        "width",
+        "height",
+    )
+
+
 def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc_parser_spark.operators.extract import extract_links
 
@@ -243,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_chunks": _q_chunks,
         "extract_boilerplate_blocks": _q_boilerplate,
         "extract_links": _q_extract_links,
+        "extract_image_refs": _q_extract_image_refs,
         "web_link_graph": _q_link_graph,
         "web_anchor_text": lambda spark, sf: web.anchor_text(
             _q_extract_links_raw(spark, sf)
@@ -1252,6 +1309,50 @@ def oracle_sql() -> dict[str, str]:
     )
 
     d = {
+        "extract_image_refs": """
+            SELECT doc_id,
+                   CAST(0 AS BIGINT) AS img_no,
+                   '/img/' || CAST(doc_id % 10 AS INT) || '.jpg' AS src,
+                   'https://site' || CAST(doc_id % 50 AS INT)
+                       || '.example.com/img/' || CAST(doc_id % 10 AS INT)
+                       || '.jpg' AS resolved,
+                   'site' || CAST(doc_id % 50 AS INT) || '.example.com'
+                       AS dst_host,
+                   'image ' || doc_id AS alt,
+                   '' AS title,
+                   '' AS caption,
+                   CAST((doc_id % 5 + 1) * 100 AS BIGINT) AS width,
+                   CAST(NULL AS BIGINT) AS height
+            FROM documents
+            UNION ALL
+            -- the data: URI image (doc_id%5) is skipped by the kernel
+            -- WITHOUT consuming an img_no; the figure image is always 1
+            SELECT doc_id, 1,
+                   'https://cdn' || CAST((doc_id * 7 + 3) % 20 AS INT)
+                       || '.example.net/p/' || CAST(doc_id % 30 AS INT)
+                       || '.png',
+                   'https://cdn' || CAST((doc_id * 7 + 3) % 20 AS INT)
+                       || '.example.net/p/' || CAST(doc_id % 30 AS INT)
+                       || '.png',
+                   'cdn' || CAST((doc_id * 7 + 3) % 20 AS INT)
+                       || '.example.net',
+                   '',
+                   't' || CAST(doc_id % 9 AS INT),
+                   'fig ' || CAST(doc_id % 7 AS INT),
+                   NULL, NULL
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 2,
+                   '//cdn' || CAST(doc_id % 20 AS INT) || '.example.net/q/'
+                       || doc_id || '.gif',
+                   'https://cdn' || CAST(doc_id % 20 AS INT)
+                       || '.example.net/q/' || doc_id || '.gif',
+                   'cdn' || CAST(doc_id % 20 AS INT) || '.example.net',
+                   'proto relative',
+                   '', '', NULL, NULL
+            FROM documents
+            WHERE doc_id % 4 = 0
+        """,
         "extract_links": """
             SELECT doc_id,
                    CAST(0 AS BIGINT) AS link_no,

@@ -603,3 +603,119 @@ def extract_links(
     return pages.select("url", "html").mapInPandas(
         kernel, schema=_links_schema()
     )
+
+
+def _image_refs_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("img_no", T.LongType()),
+            T.StructField("src", T.StringType()),
+            T.StructField("resolved", T.StringType()),
+            T.StructField("dst_host", T.StringType()),
+            T.StructField("alt", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("caption", T.StringType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+        ]
+    )
+
+
+def extract_image_refs(
+    pages: DataFrame,
+    max_bytes: int = DEFAULT_MAX_BYTES,
+    max_images_per_page: int = 1000,
+) -> DataFrame:
+    """pages(url, html) → one row per ``<img src>`` in document order —
+    the image–alt-text relation behind LAION-style multimodal pair
+    mining (alt text as the caption signal) and image-dedup fetch lists.
+
+    Per image: raw ``src``, RFC 3986 resolution against the page URL,
+    destination host, whitespace-normalized ``alt`` and ``title``
+    attributes ('' when absent — HTML treats a missing alt as an empty
+    caption), the nearest enclosing ``<figure>``'s ``<figcaption>`` text
+    ('' outside a figure), and declared ``width``/``height`` as BIGINT
+    when the attribute is a bare decimal (NULL for ``auto``/percent/CSS
+    units). ``data:`` URI images are inline payloads, not references —
+    skipped without consuming an ``img_no``, like the pseudo-link skip
+    in :func:`extract_links`. ``max_images_per_page`` bounds gallery
+    spam (disclosed per SURVEY's no-silent-caps rule; head-of-document
+    order is deterministic).
+
+    Same execution contract as the extraction kernel: one Arrow-batched
+    ``mapInPandas`` stage, per-document failure isolation, no shuffle.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if sys.getrecursionlimit() < _RECURSION_LIMIT:
+            sys.setrecursionlimit(_RECURSION_LIMIT)
+        from urllib.parse import urljoin, urlsplit
+
+        from doc_parser_spark.core import sniff as _sniff
+        from doc_parser_spark.html.dom import parse_html
+
+        def _dim(tag, key):
+            v = (tag.get(key) or "").strip()
+            return int(v) if v.isdigit() else None
+
+        def _figcaption(tag):
+            node = tag.parent
+            while node is not None:
+                if node.name == "figure":
+                    cap = node.find("figcaption")
+                    if cap is not None:
+                        return " ".join(cap.text.split())
+                    return ""
+                node = node.parent
+            return ""
+
+        for batch in batches:
+            records = []
+            for url, payload in zip(batch["url"], batch["html"]):
+                if payload is None or len(payload) > max_bytes:
+                    continue
+                data = bytes(payload)
+                if _sniff.sniff_format(data) != _sniff.FORMAT_HTML:
+                    continue
+                try:
+                    root = parse_html(data)
+                    n = 0
+                    for tag in root.descendants_tags():
+                        if tag.name != "img":
+                            continue
+                        src = (tag.get("src") or "").strip()
+                        if not src or src.lower().startswith("data:"):
+                            continue
+                        resolved = urljoin(url, src)
+                        records.append(
+                            {
+                                "url": url,
+                                "img_no": n,
+                                "src": src,
+                                "resolved": resolved,
+                                "dst_host": urlsplit(resolved).netloc.lower(),
+                                "alt": " ".join((tag.get("alt") or "").split()),
+                                "title": " ".join(
+                                    (tag.get("title") or "").split()
+                                ),
+                                "caption": _figcaption(tag),
+                                "width": _dim(tag, "width"),
+                                "height": _dim(tag, "height"),
+                            }
+                        )
+                        n += 1
+                        if n >= max_images_per_page:
+                            break
+                except Exception:  # noqa: BLE001 — per-doc isolation
+                    continue
+            schema = _image_refs_schema()
+            yield pd.DataFrame(
+                records, columns=[f.name for f in schema.fields]
+            )
+
+    return pages.select("url", "html").mapInPandas(
+        kernel, schema=_image_refs_schema()
+    )

@@ -428,6 +428,51 @@ def test_extract_links_and_link_graph(spark):
                      ("host.example", "cdn.example"): 1}
 
 
+def test_extract_image_refs(spark):
+    from doc_parser_spark.operators.extract import extract_image_refs
+
+    html = (b'<html><body>'
+            b'<img src="/pics/a.jpg" alt=" A   photo " width="640" '
+            b'height="auto">'
+            b'<img src="data:image/gif;base64,R0lGOD">'
+            b'<figure><img src="https://cdn.example/b.png" title="T">'
+            b'<figcaption> the  caption </figcaption></figure>'
+            b'<img src="//cdn.example/c.gif" width="5%" height="12">'
+            b'<img alt="no src at all">'
+            b'</body></html>')
+    pages = spark.createDataFrame(
+        [("https://www.host.example/page/1", bytearray(html)),
+         ("https://www.host.example/page/2", bytearray(b"%PDF-1.4 nope")),
+         ("https://www.host.example/page/3", None)],
+        "url string, html binary",
+    )
+    rows = extract_image_refs(pages).orderBy("url", "img_no").collect()
+    # data: URIs and src-less imgs skipped WITHOUT consuming numbering
+    assert [(r["img_no"], r["src"]) for r in rows] == [
+        (0, "/pics/a.jpg"), (1, "https://cdn.example/b.png"),
+        (2, "//cdn.example/c.gif"),
+    ]
+    by_no = {r["img_no"]: r for r in rows}
+    # alt/title/figcaption whitespace-normalized; '' when absent
+    assert by_no[0]["alt"] == "A photo" and by_no[0]["caption"] == ""
+    assert by_no[0]["resolved"] == "https://www.host.example/pics/a.jpg"
+    assert by_no[0]["width"] == 640 and by_no[0]["height"] is None
+    assert by_no[1]["title"] == "T" and by_no[1]["alt"] == ""
+    assert by_no[1]["caption"] == "the caption"
+    assert by_no[1]["dst_host"] == "cdn.example"
+    # percent dims are CSS, not pixel declarations
+    assert by_no[2]["width"] is None and by_no[2]["height"] == 12
+    assert by_no[2]["resolved"] == "https://cdn.example/c.gif"
+
+    # gallery-spam cap is head-of-document deterministic
+    many = b"<html><body>" + b'<img src="/i.png">' * 7 + b"</body></html>"
+    pages2 = spark.createDataFrame(
+        [("https://h.example/", bytearray(many))], "url string, html binary"
+    )
+    capped = extract_image_refs(pages2, max_images_per_page=3).collect()
+    assert [r["img_no"] for r in capped] == [0, 1, 2]
+
+
 def test_anchor_text_topk_and_filters(spark):
     from doc_parser_spark.operators.web import anchor_text
     import pytest
