@@ -76,6 +76,61 @@ def _wrapped_link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wrapped_span_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table → pages whose HTML carries a deterministic
+    structured-span tree (title, body paragraph, h2 section with child
+    paragraph, a two-item list, a 2×2 header table on doc_id%2) — every
+    row of the exploded extract_spans relation is SQL-derivable."""
+    docs = _read(spark, sf_dir, "documents")
+    esc = "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    return docs.select(
+        F.expr(
+            "concat('https://site', cast(doc_id % 50 as int),"
+            " '.example.com/page/', doc_id)"
+        ).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.expr(
+            "cast(concat('<html><body><h1>Doc ', doc_id, '</h1><p>', "
+            + esc
+            + ", '</p>',"
+            " '<h2>Sec ', cast(doc_id % 5 as int), '</h2>',"
+            " '<p>alpha ', cast(doc_id % 7 as int), '</p>',"
+            " '<ul><li>item ', cast(doc_id % 3 as int), '</li>',"
+            " '<li>item ', cast((doc_id + 1) % 3 as int), '</li></ul>',"
+            " CASE WHEN doc_id % 2 = 0 THEN"
+            " concat('<table><tr><th>k</th><th>v</th></tr><tr><td>a',"
+            " cast(doc_id % 4 as int), '</td><td>b',"
+            " cast(doc_id % 6 as int), '</td></tr></table>') ELSE '' END,"
+            " '</body></html>') as binary)"
+        ).alias("html"),
+        F.lit("").alias("text"),
+        F.col("lang"),
+    )
+
+
+def _q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.extract import extract_spans
+
+    out = extract_spans(_wrapped_span_pages(spark, sf_dir))
+    return out.select(
+        F.regexp_extract("url", "page/([0-9]+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "span_no",
+        "self_ref",
+        "parent_ref",
+        "kind",
+        "label",
+        "level",
+        "depth",
+        "page_no",
+        "text",
+        "table_rows",
+        "table_cols",
+        "table_cells",
+    )
+
+
 def _wrapped_image_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents table → pages whose HTML carries a deterministic image
     set (internal jpg with alt + width/'auto' height, a data: URI inline
@@ -300,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_boilerplate_blocks": _q_boilerplate,
         "extract_links": _q_extract_links,
         "extract_image_refs": _q_extract_image_refs,
+        "extract_spans": _q_extract_spans,
         "web_link_graph": _q_link_graph,
         "web_anchor_text": lambda spark, sf: web.anchor_text(
             _q_extract_links_raw(spark, sf)
@@ -1309,6 +1365,58 @@ def oracle_sql() -> dict[str, str]:
     )
 
     d = {
+        "extract_spans": """
+            WITH base AS (SELECT doc_id, text FROM documents)
+            SELECT doc_id, CAST(0 AS BIGINT) AS span_no,
+                   '#/texts/0' AS self_ref, '#/groups/0' AS parent_ref,
+                   'item' AS kind, 'title' AS label,
+                   CAST(0 AS BIGINT) AS level, CAST(1 AS BIGINT) AS depth,
+                   CAST(1 AS BIGINT) AS page_no,
+                   'Doc ' || doc_id AS text,
+                   CAST(NULL AS BIGINT) AS table_rows,
+                   CAST(NULL AS BIGINT) AS table_cols,
+                   CAST(NULL AS BIGINT) AS table_cells
+            FROM base
+            UNION ALL
+            SELECT doc_id, 1, '#/texts/1', '#/texts/0', 'item', 'text',
+                   0, 2, 1,
+                   regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                   NULL, NULL, NULL
+            FROM base
+            UNION ALL
+            SELECT doc_id, 2, '#/texts/2', '#/texts/0', 'item',
+                   'section_header', 1, 2, 1,
+                   'Sec ' || CAST(doc_id % 5 AS INT),
+                   NULL, NULL, NULL
+            FROM base
+            UNION ALL
+            SELECT doc_id, 3, '#/texts/3', '#/texts/2', 'item', 'text',
+                   0, 3, 1,
+                   'alpha ' || CAST(doc_id % 7 AS INT),
+                   NULL, NULL, NULL
+            FROM base
+            UNION ALL
+            SELECT doc_id, 4, '#/groups/1', '#/texts/2', 'group', 'list',
+                   0, 3, 1, NULL, NULL, NULL, NULL
+            FROM base
+            UNION ALL
+            SELECT doc_id, 5, '#/texts/4', '#/groups/1', 'item',
+                   'list_item', 0, 4, 1,
+                   'item ' || CAST(doc_id % 3 AS INT),
+                   NULL, NULL, NULL
+            FROM base
+            UNION ALL
+            SELECT doc_id, 6, '#/texts/5', '#/groups/1', 'item',
+                   'list_item', 0, 4, 1,
+                   'item ' || CAST((doc_id + 1) % 3 AS INT),
+                   NULL, NULL, NULL
+            FROM base
+            UNION ALL
+            SELECT doc_id, 7, '#/tables/0', '#/texts/2', 'item', 'table',
+                   0, 3, 1, NULL, 2, 2, 4
+            FROM base
+            WHERE doc_id % 2 = 0
+        """,
         "extract_image_refs": """
             SELECT doc_id,
                    CAST(0 AS BIGINT) AS img_no,

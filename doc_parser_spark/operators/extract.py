@@ -605,6 +605,53 @@ def extract_links(
     )
 
 
+def extract_spans(
+    pages: DataFrame,
+    max_bytes: int = DEFAULT_MAX_BYTES,
+    salt_partitions: Optional[int] = None,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → one row per structured
+    span in reading order — the exploded view of the ``spans`` nested
+    column (title / section_header / text / list / list_item / table
+    with grid shape), i.e. the north-star's "structured spans" as a
+    first-class queryable relation.
+
+    Spark-first: the extraction kernel runs ONCE (the same Arrow-batched
+    ``mapInPandas`` stage every extraction query shares); the explosion
+    and field projection are pure JVM ``posexplode`` + struct getters —
+    no second Python pass, no shuffle. Table spans surface their grid
+    shape as scalars (``table_rows``/``table_cols``/``table_cells``) so
+    the relation stays hashable for oracle comparison; full cell payloads
+    remain on the nested column for consumers that need them.
+    """
+    docs = extract_documents(
+        pages,
+        max_bytes=max_bytes,
+        with_markdown=False,
+        salt_partitions=salt_partitions,
+    )
+    s = F.col("s")
+    return docs.select(
+        "url", F.posexplode("spans").alias("span_no", "s")
+    ).select(
+        F.col("url"),
+        F.col("span_no").cast("long").alias("span_no"),
+        s["self_ref"].alias("self_ref"),
+        s["parent_ref"].alias("parent_ref"),
+        s["kind"].alias("kind"),
+        s["label"].alias("label"),
+        s["level"].cast("long").alias("level"),
+        s["depth"].cast("long").alias("depth"),
+        s["page_no"].cast("long").alias("page_no"),
+        s["text"].alias("text"),
+        s["table"]["num_rows"].cast("long").alias("table_rows"),
+        s["table"]["num_cols"].cast("long").alias("table_cols"),
+        F.when(
+            s["table"].isNotNull(), F.size(s["table"]["cells"])
+        ).cast("long").alias("table_cells"),
+    )
+
+
 def _image_refs_schema():
     from pyspark.sql import types as T
 

@@ -373,7 +373,8 @@ _BNLJ_OK = {
 _PANDAS_OK = {
     # the Arrow-batched extraction kernel IS the operator here
     "extract_pages", "extract_chunks", "extract_wrapped_docs",
-    "extract_links", "extract_image_refs", "extract_boilerplate_blocks",
+    "extract_links", "extract_image_refs", "extract_spans",
+    "extract_boilerplate_blocks",
     "web_link_graph", "web_anchor_text",
     # the Arrow-batched native image decode IS the operator
     "img_dhash", "img_dhash_neardup",
@@ -403,6 +404,17 @@ def test_every_query_plan_is_anti_pattern_free(spark):
         ):
             failures.append(f"{name}: unexpected Pandas node")
     assert not failures, failures
+
+
+def test_extract_spans_plan_shape(spark):
+    # the extraction kernel runs ONCE; the span explosion + struct
+    # projection stay JVM-side (posexplode + getters, no second Python
+    # stage, no shuffle after the salt exchange)
+    plan = plan_of(spark, "extract_spans")
+    # one kernel stage (formatted explain names each node twice:
+    # once in the tree, once in the detail section)
+    assert plan.count("MapInPandas") <= 2
+    assert "Generate" in plan  # JVM posexplode, not a Python flatten
 
 
 def test_fetch_waves_plan_shape(spark):
