@@ -108,6 +108,30 @@ def _wrapped_span_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.extract import extract_table_cells
+
+    out = extract_table_cells(_wrapped_span_pages(spark, sf_dir))
+    return out.select(
+        F.regexp_extract("url", "page/([0-9]+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "table_no",
+        "table_rows",
+        "table_cols",
+        "cell_no",
+        "text",
+        "start_row",
+        "end_row",
+        "start_col",
+        "end_col",
+        "row_span",
+        "col_span",
+        "column_header",
+        "row_header",
+    )
+
+
 def _q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc_parser_spark.operators.extract import extract_spans
 
@@ -356,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": _q_extract_links,
         "extract_image_refs": _q_extract_image_refs,
         "extract_spans": _q_extract_spans,
+        "extract_table_cells": _q_extract_table_cells,
         "web_link_graph": _q_link_graph,
         "web_anchor_text": lambda spark, sf: web.anchor_text(
             _q_extract_links_raw(spark, sf)
@@ -1365,6 +1390,35 @@ def oracle_sql() -> dict[str, str]:
     )
 
     d = {
+        "extract_table_cells": """
+            WITH evens AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+            cells AS (
+                SELECT 0 AS cell_no, 'k' AS text,
+                       0 AS start_row, 1 AS end_row, 0 AS start_col,
+                       1 AS end_col, TRUE AS column_header
+                UNION ALL SELECT 1, 'v', 0, 1, 1, 2, TRUE
+                UNION ALL SELECT 2, NULL, 1, 2, 0, 1, FALSE
+                UNION ALL SELECT 3, NULL, 1, 2, 1, 2, FALSE
+            )
+            SELECT doc_id,
+                   CAST(0 AS BIGINT) AS table_no,
+                   CAST(2 AS BIGINT) AS table_rows,
+                   CAST(2 AS BIGINT) AS table_cols,
+                   CAST(cell_no AS BIGINT) AS cell_no,
+                   CASE cell_no
+                        WHEN 2 THEN 'a' || CAST(doc_id % 4 AS INT)
+                        WHEN 3 THEN 'b' || CAST(doc_id % 6 AS INT)
+                        ELSE text END AS text,
+                   CAST(start_row AS BIGINT) AS start_row,
+                   CAST(end_row AS BIGINT) AS end_row,
+                   CAST(start_col AS BIGINT) AS start_col,
+                   CAST(end_col AS BIGINT) AS end_col,
+                   CAST(1 AS BIGINT) AS row_span,
+                   CAST(1 AS BIGINT) AS col_span,
+                   column_header,
+                   FALSE AS row_header
+            FROM evens CROSS JOIN cells
+        """,
         "extract_spans": """
             WITH base AS (SELECT doc_id, text FROM documents)
             SELECT doc_id, CAST(0 AS BIGINT) AS span_no,

@@ -652,6 +652,59 @@ def extract_spans(
     )
 
 
+def extract_table_cells(
+    pages: DataFrame,
+    max_bytes: int = DEFAULT_MAX_BYTES,
+    salt_partitions: Optional[int] = None,
+) -> DataFrame:
+    """pages → one row per table cell across every extracted table —
+    the cell-level grid relation (text, half-open row/col extents,
+    spans, header flags) behind table-QA corpora and structured-table
+    training data.
+
+    Like :func:`extract_spans`: kernel once, then pure JVM — a
+    ``posexplode`` over table spans and a second over their ``cells``
+    arrays. ``table_no`` is the document-order table index (parsed from
+    the span's ``#/tables/N`` self_ref); ``cell_no`` is the anchor-cell
+    scan order (row-major) the HTML grid builder emits.
+    """
+    docs = extract_documents(
+        pages,
+        max_bytes=max_bytes,
+        with_markdown=False,
+        salt_partitions=salt_partitions,
+    )
+    s = F.col("s")
+    tables = docs.select(
+        "url", F.explode("spans").alias("s")
+    ).where(s["table"].isNotNull()).select(
+        "url",
+        F.regexp_extract(s["self_ref"], "tables/([0-9]+)$", 1)
+        .cast("long")
+        .alias("table_no"),
+        s["table"]["num_rows"].cast("long").alias("table_rows"),
+        s["table"]["num_cols"].cast("long").alias("table_cols"),
+        F.posexplode(s["table"]["cells"]).alias("cell_no", "c"),
+    )
+    c = F.col("c")
+    return tables.select(
+        "url",
+        "table_no",
+        "table_rows",
+        "table_cols",
+        F.col("cell_no").cast("long").alias("cell_no"),
+        c["text"].alias("text"),
+        c["start_row"].cast("long").alias("start_row"),
+        c["end_row"].cast("long").alias("end_row"),
+        c["start_col"].cast("long").alias("start_col"),
+        c["end_col"].cast("long").alias("end_col"),
+        c["row_span"].cast("long").alias("row_span"),
+        c["col_span"].cast("long").alias("col_span"),
+        c["column_header"].alias("column_header"),
+        c["row_header"].alias("row_header"),
+    )
+
+
 def _image_refs_schema():
     from pyspark.sql import types as T
 

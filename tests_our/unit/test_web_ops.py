@@ -473,6 +473,32 @@ def test_extract_image_refs(spark):
     assert [r["img_no"] for r in capped] == [0, 1, 2]
 
 
+def test_extract_table_cells(spark):
+    from doc_parser_spark.operators.extract import extract_table_cells
+
+    html = (b'<html><body><p>before</p><table>'
+            b'<tr><th rowspan="2">h</th><td colspan="2">wide</td></tr>'
+            b'<tr><td>x</td><td>y</td></tr>'
+            b'</table><table><tr><td>solo</td></tr></table></body></html>')
+    pages = spark.createDataFrame(
+        [("https://h.example/p", None, bytearray(html), "", "en")],
+        "url string, warc_ts timestamp, html binary, text string,"
+        " lang string",
+    )
+    rows = extract_table_cells(pages).orderBy("table_no", "cell_no").collect()
+    assert [(r["table_no"], r["cell_no"], r["text"]) for r in rows] == [
+        (0, 0, "h"), (0, 1, "wide"), (0, 2, "x"), (0, 3, "y"),
+        (1, 0, "solo"),
+    ]
+    by = {(r["table_no"], r["cell_no"]): r for r in rows}
+    # rowspan TH → row_header with a 2-row extent; colspan spans 2 cols
+    assert by[(0, 0)]["row_header"] and by[(0, 0)]["end_row"] == 2
+    assert by[(0, 0)]["row_span"] == 2 and not by[(0, 0)]["column_header"]
+    assert by[(0, 1)]["col_span"] == 2 and by[(0, 1)]["end_col"] == 3
+    assert by[(0, 0)]["table_rows"] == 2 and by[(0, 0)]["table_cols"] == 3
+    assert by[(1, 0)]["table_rows"] == 1 and by[(1, 0)]["table_cols"] == 1
+
+
 def test_anchor_text_topk_and_filters(spark):
     from doc_parser_spark.operators.web import anchor_text
     import pytest
