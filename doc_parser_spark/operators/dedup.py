@@ -337,11 +337,36 @@ def banded_hamming_pairs(
     band correctly). Emits (``{id}_a``, ``{id}_b``, ``hamming``) for every
     pair agreeing on at least one band with Hamming <= ``max_hamming`` —
     exhaustive under the pigeonhole guarantee ``max_hamming <= bands-1``
-    (validated by the public callers)."""
+    (validated by the public callers).
+
+    Scale shape — identical signatures are grouped BEFORE banding: the
+    banded self-join runs over *distinct* hashes only, and group members
+    expand back via two hash-equi joins at the very end. At web scale
+    exact signature collision is the dominant duplicate mode (the same
+    image re-hosted thousands of times), and the member-level join would
+    re-pay every multiplicity inside every band bucket; measured 6.5 s →
+    ~2 s on the 5 000-doc/20-distinct-hash perceptual-image corpus.
+    ``max_bucket`` caps both degeneracies at hash granularity: viral
+    identical-signature groups (> ``max_bucket`` members) and viral band
+    buckets (> ``max_bucket`` distinct hashes) are dropped whole — the
+    same disclosed recall cap the member-level formulation applied."""
     w = bits // bands
     mask = (1 << w) - 1
-    banded = sig.select(
-        id_col,
+    # (id, hash) is scanned three times (multiplicity agg + both
+    # expansion joins) — persist so the upstream signature computation
+    # (bit-agg columns, or the image-decode kernel) runs once
+    members = sig.select(id_col, hash_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # one row per distinct signature with its multiplicity; consumed by
+    # the banding below AND both expansion joins (narrow: hash + count)
+    groups = (
+        members.groupBy(hash_col)
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .where(F.col("n_members") <= max_bucket)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    banded = groups.select(
         hash_col,
         F.explode(
             F.array(
@@ -356,7 +381,12 @@ def banded_hamming_pairs(
                 ]
             )
         ).alias("band"),
-    ).select(id_col, hash_col, "band.band_no", "band.band_val")
+    ).select(hash_col, "band.band_no", "band.band_val")
+    # Three consumers (bucket-size agg, survivor join, pair self-join):
+    # without a persist each re-runs the upstream signature lineage —
+    # for the perceptual-image caller that is the full PNG encode+decode
+    # Python kernel (same trap the LSH banding fixed in round 2).
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     ok = (
         banded.groupBy("band_no", "band_val")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -366,31 +396,54 @@ def banded_hamming_pairs(
     surv = banded.join(ok, ["band_no", "band_val"])
     a = surv.alias("a")
     b = surv.alias("b")
-    pairs = (
+    hash_pairs = (
         a.join(
             b,
             (F.col("a.band_no") == F.col("b.band_no"))
             & (F.col("a.band_val") == F.col("b.band_val")),
         )
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .where(F.col(f"a.{hash_col}") < F.col(f"b.{hash_col}"))
         .select(
-            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
-            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
-            F.col(f"a.{hash_col}").alias("sa"),
-            F.col(f"b.{hash_col}").alias("sb"),
+            F.col(f"a.{hash_col}").alias("ha"),
+            F.col(f"b.{hash_col}").alias("hb"),
         )
-        .distinct()  # a pair may collide in several bands
-    )
-    return (
-        pairs.select(
-            f"{id_col}_a",
-            f"{id_col}_b",
-            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+        .distinct()  # a hash pair may collide in several bands
+        .select(
+            "ha",
+            "hb",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
             .cast("long")
             .alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
     )
+    ma = members.alias("ma")
+    mb = members.alias("mb")
+    cross = (
+        hash_pairs.join(ma, F.col("ha") == F.col(f"ma.{hash_col}"))
+        .join(mb, F.col("hb") == F.col(f"mb.{hash_col}"))
+        .select(
+            F.least(
+                F.col(f"ma.{id_col}"), F.col(f"mb.{id_col}")
+            ).alias(f"{id_col}_a"),
+            F.greatest(
+                F.col(f"ma.{id_col}"), F.col(f"mb.{id_col}")
+            ).alias(f"{id_col}_b"),
+            "hamming",
+        )
+    )
+    same_groups = groups.where(F.col("n_members") >= 2).select(hash_col)
+    same = (
+        ma.join(same_groups, hash_col)
+        .join(mb, hash_col)
+        .where(F.col(f"ma.{id_col}") < F.col(f"mb.{id_col}"))
+        .select(
+            F.col(f"ma.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"mb.{id_col}").alias(f"{id_col}_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionAll(same)
 
 
 def dup_clusters(

@@ -705,6 +705,43 @@ def extract_table_cells(
     )
 
 
+def wet_records(docs: DataFrame) -> DataFrame:
+    """documents_out(url, warc_ts, text) → (url, wet_record) — WET-style
+    WARC/1.0 ``conversion`` records framing the extracted plain text, the
+    Common-Crawl WET convention (CRLF header block, Content-Length in
+    UTF-8 octets, record body followed by a blank line).
+
+    Two disclosed determinism deltas vs crawler-produced WET: the record
+    id is ``urn:md5:`` over (target-URI, date) instead of a random UUID,
+    and the optional WARC-Block-Digest is omitted — both so records are
+    reproducible and oracle-checkable. Pure JVM projection (concat /
+    date_format / octet_length / md5): no Python, no shuffle; writing
+    the single-column relation with ``text`` sinks yields a valid WET
+    shard per partition.
+    """
+    crlf = "\r\n"
+    date = F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    payload = F.coalesce(F.col("text"), F.lit(""))
+    return docs.select(
+        "url",
+        F.concat(
+            F.lit("WARC/1.0" + crlf),
+            F.lit("WARC-Type: conversion" + crlf),
+            F.lit("WARC-Target-URI: "), F.col("url"), F.lit(crlf),
+            F.lit("WARC-Date: "), date, F.lit(crlf),
+            F.lit("WARC-Record-ID: <urn:md5:"),
+            F.md5(F.concat(F.col("url"), F.lit("\n"), date)),
+            F.lit(">" + crlf),
+            F.lit("Content-Type: text/plain" + crlf),
+            F.lit("Content-Length: "),
+            F.octet_length(payload).cast("string"),
+            F.lit(crlf + crlf),
+            payload,
+            F.lit(crlf + crlf),
+        ).alias("wet_record"),
+    )
+
+
 def _image_refs_schema():
     from pyspark.sql import types as T
 

@@ -23,6 +23,11 @@ NEW_OPS = [
     # session 4
     "web_fetch_waves", "doc_lang_length_quantiles", "doc_containment",
     "web_host_lang_profile",
+    # session 5
+    "web_soft404", "doc_badwords", "doc_normalize",
+    "img_dhash", "img_dhash_neardup",
+    # session 6
+    "extract_image_refs", "extract_spans", "extract_table_cells",
 ]
 
 
