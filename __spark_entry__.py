@@ -272,6 +272,23 @@ def _q_extract_wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.extract import (
+        extract_documents,
+        wet_records,
+    )
+
+    out = wet_records(
+        extract_documents(
+            _wrapped_pages(spark, sf_dir),
+            salt_partitions=spark.sparkContext.defaultParallelism,
+        )
+    )
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"), "wet_record"
+    )
+
+
 def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction over the synthetic page corpus (HTML + PDF + degenerate
     rows). The generator is sf-independent, so the oracle is a frozen
@@ -381,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_image_refs": _q_extract_image_refs,
         "extract_spans": _q_extract_spans,
         "extract_table_cells": _q_extract_table_cells,
+        "extract_wet": _q_extract_wet,
         "web_link_graph": _q_link_graph,
         "web_anchor_text": lambda spark, sf: web.anchor_text(
             _q_extract_links_raw(spark, sf)
@@ -1390,6 +1408,33 @@ def oracle_sql() -> dict[str, str]:
     )
 
     d = {
+        # WET framing is deterministic string assembly over the wrapped
+        # extraction (record id = md5 over URI+date, disclosed delta vs
+        # crawler UUIDs); Content-Length counts UTF-8 octets (strlen)
+        "extract_wet": """
+            WITH p AS (
+                SELECT doc_id,
+                       CAST(doc_id AS VARCHAR) AS url,
+                       'Doc ' || doc_id || chr(10) || chr(10) ||
+                           regexp_replace(text, '^\\s+|\\s+$', '', 'g')
+                           AS payload
+                FROM documents
+            )
+            SELECT doc_id,
+                   'WARC/1.0' || chr(13) || chr(10) ||
+                   'WARC-Type: conversion' || chr(13) || chr(10) ||
+                   'WARC-Target-URI: ' || url || chr(13) || chr(10) ||
+                   'WARC-Date: 2024-01-01T00:00:00Z' || chr(13) || chr(10) ||
+                   'WARC-Record-ID: <urn:md5:' ||
+                       md5(url || chr(10) || '2024-01-01T00:00:00Z') ||
+                       '>' || chr(13) || chr(10) ||
+                   'Content-Type: text/plain' || chr(13) || chr(10) ||
+                   'Content-Length: ' || strlen(payload) ||
+                       chr(13) || chr(10) || chr(13) || chr(10) ||
+                   payload || chr(13) || chr(10) || chr(13) || chr(10)
+                   AS wet_record
+            FROM p
+        """,
         "extract_table_cells": """
             WITH evens AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
             cells AS (

@@ -473,6 +473,33 @@ def test_extract_image_refs(spark):
     assert [r["img_no"] for r in capped] == [0, 1, 2]
 
 
+def test_wet_records(spark):
+    from doc_parser_spark.operators.extract import wet_records
+
+    docs = spark.createDataFrame(
+        [("https://a.example/p", "2024-03-05 06:07:08", "héllo wörld"),
+         ("https://b.example/q", "2024-03-05 06:07:08", None)],
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    recs = {r["url"]: r["wet_record"] for r in wet_records(docs).collect()}
+    rec = recs["https://a.example/p"]
+    head, _, body = rec.partition("\r\n\r\n")
+    lines = head.split("\r\n")
+    assert lines[0] == "WARC/1.0"
+    assert "WARC-Type: conversion" in lines
+    assert "WARC-Target-URI: https://a.example/p" in lines
+    assert "WARC-Date: 2024-03-05T06:07:08Z" in lines
+    # Content-Length counts UTF-8 octets, not characters
+    assert f"Content-Length: {len('héllo wörld'.encode())}" in lines
+    assert body == "héllo wörld\r\n\r\n"
+    # record ids are deterministic (md5 over URI+date) and distinct
+    ids = [l for r in recs.values() for l in r.split("\r\n")
+           if l.startswith("WARC-Record-ID")]
+    assert len(set(ids)) == 2
+    # NULL text → empty payload, Content-Length 0
+    assert "Content-Length: 0" in recs["https://b.example/q"]
+
+
 def test_extract_table_cells(spark):
     from doc_parser_spark.operators.extract import extract_table_cells
 
