@@ -936,13 +936,17 @@ def _simhash_sql(bits: int = 32) -> str:
     """
 
 
-def _ivf_ctes(dims: int = 64, k: int = 8, iters: int = 2) -> str:
+def _ivf_ctes(
+    dims: int = 64, k: int = 8, iters: int = 2, sample: int = 2048
+) -> str:
     """DuckDB twin of similarity.ivf_train: Lloyd's unrolled into CTE
-    chains. Parity contract with the Spark side: distances fold left in
-    double (list_sum ↔ aggregate(zip_with)), centroid updates sum exact
-    floor(x*1e6) BIGINTs and divide once in double ((s/n)/1e6 — the same
-    two IEEE divisions Python performs on the collected longs), argmin
-    ties break on cid."""
+    chains. Parity contract with the Spark side: training restricted to
+    the ``sample`` lowest vec_ids (= similarity.IVF_TRAIN_SAMPLE, the
+    faiss-style driver-held sample), distances fold left in double
+    (list_sum ↔ the sequential per-dimension accumulation in
+    similarity._lloyd), centroid updates sum exact floor(x*1e6) BIGINTs
+    and divide once in double ((s/n)/1e6 — the same two IEEE divisions
+    Python performs), argmin ties break on cid."""
     dist = (
         f"list_sum(list_transform(generate_series(1, {dims}), "
         "i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i]) "
@@ -956,12 +960,16 @@ def _ivf_ctes(dims: int = 64, k: int = 8, iters: int = 2) -> str:
         f"(CAST(s.s{d} AS DOUBLE) / CAST(s.n AS DOUBLE)) / 1e6" for d in range(dims)
     )
     ctes = [
+        f"""etrain AS (
+            SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {sample}
+        )""",
         f"""cents0 AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, c FROM (
                 SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-                FROM embeddings ORDER BY vec_id LIMIT {k}
+                FROM etrain ORDER BY vec_id LIMIT {k}
             )
-        )"""
+        )""",
     ]
     for t in range(iters):
         ctes.append(
@@ -969,7 +977,7 @@ def _ivf_ctes(dims: int = 64, k: int = 8, iters: int = 2) -> str:
             SELECT vec_id, cid FROM (
                 SELECT e.vec_id, c.cid,
                        row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
-                FROM embeddings e CROSS JOIN cents{t} c
+                FROM etrain e CROSS JOIN cents{t} c
             ) WHERE rn = 1
         )"""
         )
@@ -977,7 +985,7 @@ def _ivf_ctes(dims: int = 64, k: int = 8, iters: int = 2) -> str:
             f"""sums{t} AS (
             SELECT a.cid, count(*) AS n,
                    {sums}
-            FROM embeddings e JOIN asg{t} a USING (vec_id) GROUP BY a.cid
+            FROM etrain e JOIN asg{t} a USING (vec_id) GROUP BY a.cid
         )"""
         )
         ctes.append(
@@ -1079,13 +1087,15 @@ def _semdedup_sql(
 
 
 def _pq_ctes(
-    dims: int = 64, m: int = 4, ksub: int = 4, iters: int = 2
+    dims: int = 64, m: int = 4, ksub: int = 4, iters: int = 2,
+    sample: int = 1024,
 ) -> str:
     """DuckDB twin of similarity.pq_train: per-subspace Lloyd's, all M
     subspaces in one CTE chain keyed by ``sub``. Parity contract matches
-    ``_ivf_ctes``: left-fold double distances, exact floor(x*1e6) BIGINT
-    centroid sums divided once in double, argmin ties on code id, init =
-    subvectors of the ``ksub`` lowest vec_ids."""
+    ``_ivf_ctes``: training restricted to the ``sample`` lowest vec_ids
+    (= similarity.PQ_TRAIN_SAMPLE), left-fold double distances, exact
+    floor(x*1e6) BIGINT centroid sums divided once in double, argmin
+    ties on code id, init = subvectors of the ``ksub`` lowest vec_ids."""
     dsub = dims // m
     dist = (
         f"list_sum(list_transform(generate_series(1, {dsub}), "
@@ -1102,6 +1112,10 @@ def _pq_ctes(
         for d in range(dsub)
     )
     ctes = [
+        f"""ptrain AS (
+            SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {sample}
+        )""",
         f"""books0 AS (
             SELECT s.sub,
                    row_number() OVER (PARTITION BY s.sub ORDER BY b.vec_id) - 1 AS code,
@@ -1109,9 +1123,9 @@ def _pq_ctes(
                                   i -> CAST(b.embedding[s.sub * {dsub} + i] AS DOUBLE)) AS c
             FROM (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
             CROSS JOIN (
-                SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {ksub}
+                SELECT vec_id, embedding FROM ptrain ORDER BY vec_id LIMIT {ksub}
             ) b
-        )"""
+        )""",
     ]
     for t in range(iters):
         ctes.append(
@@ -1120,7 +1134,7 @@ def _pq_ctes(
                 SELECT e.vec_id, b.sub, b.code,
                        row_number() OVER (PARTITION BY e.vec_id, b.sub
                                           ORDER BY {dist}, b.code) AS rn
-                FROM embeddings e CROSS JOIN books{t} b
+                FROM ptrain e CROSS JOIN books{t} b
             ) WHERE rn = 1
         )"""
         )
@@ -1128,7 +1142,7 @@ def _pq_ctes(
             f"""psums{t} AS (
             SELECT a.sub, a.code, count(*) AS n,
                    {sums}
-            FROM embeddings e JOIN pasg{t} a USING (vec_id)
+            FROM ptrain e JOIN pasg{t} a USING (vec_id)
             GROUP BY a.sub, a.code
         )"""
         )
