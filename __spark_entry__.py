@@ -155,6 +155,76 @@ def _q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wrapped_meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table → pages with a deterministic metadata head
+    (html-lang, title, canonical, og:title/type, description, a
+    conditional article:published_time, JSON-LD blocks incl. an
+    @graph/list-@type shape and a malformed block on doc_id%7 that the
+    kernel must ignore) — every extract_page_meta row SQL-derivable."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        F.expr(
+            "concat('https://site', cast(doc_id % 50 as int),"
+            " '.example.com/page/', doc_id)"
+        ).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.expr(
+            "cast(concat('<html lang=\"',"
+            " element_at(array('en','de','fr','ja','ko'),"
+            " cast(doc_id % 5 as int) + 1),"
+            " '\"><head>',"
+            " '<title>Title ', doc_id, '</title>',"
+            " '<link rel=\"canonical\" href=\"https://site',"
+            " cast(doc_id % 50 as int), '.example.com/page/', doc_id, '\">',"
+            " '<meta property=\"og:title\" content=\"OG ',"
+            " cast(doc_id % 13 as int), '\">',"
+            " '<meta property=\"og:type\" content=\"',"
+            " CASE WHEN doc_id % 2 = 0 THEN 'article' ELSE 'website' END,"
+            " '\">',"
+            " '<meta name=\"description\" content=\"desc ',"
+            " cast(doc_id % 9 as int), '\">',"
+            " CASE WHEN doc_id % 4 = 0 THEN concat("
+            " '<meta property=\"article:published_time\" content=\"2024-01-',"
+            " lpad(cast(2 + doc_id % 9 as string), 2, '0'),"
+            " 'T00:00:00Z\">') ELSE '' END,"
+            " CASE WHEN doc_id % 3 = 0 THEN"
+            " '<script type=\"application/ld+json\">"
+            '{\"@type\": \"NewsArticle\"}</script>\''
+            " WHEN doc_id % 3 = 1 THEN"
+            " '<script type=\"application/ld+json\">"
+            '{\"@graph\": [{\"@type\": \"WebSite\"},'
+            ' {\"@type\": [\"Organization\", \"Brand\"]}]}</script>\''
+            " ELSE '' END,"
+            " CASE WHEN doc_id % 7 = 0 THEN"
+            " '<script type=\"application/ld+json\">{bad json</script>'"
+            " ELSE '' END,"
+            " '</head><body><p>x</p></body></html>') as binary)"
+        ).alias("html"),
+        F.lit("").alias("text"),
+        F.col("lang"),
+    )
+
+
+def _q_extract_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.extract import extract_page_meta
+
+    out = extract_page_meta(_wrapped_meta_pages(spark, sf_dir))
+    return out.select(
+        F.regexp_extract("url", "page/([0-9]+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "title",
+        "lang_attr",
+        "canonical",
+        "og_title",
+        "og_type",
+        "meta_description",
+        "published_time",
+        "jsonld_types",
+        "n_jsonld",
+    )
+
+
 def _wrapped_image_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents table → pages whose HTML carries a deterministic image
     set (internal jpg with alt + width/'auto' height, a data: URI inline
@@ -399,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": _q_extract_spans,
         "extract_table_cells": _q_extract_table_cells,
         "extract_wet": _q_extract_wet,
+        "extract_page_meta": _q_extract_page_meta,
         "web_link_graph": _q_link_graph,
         "web_anchor_text": lambda spark, sf: web.anchor_text(
             _q_extract_links_raw(spark, sf)
@@ -1422,6 +1493,29 @@ def oracle_sql() -> dict[str, str]:
     )
 
     d = {
+        "extract_page_meta": """
+            SELECT doc_id,
+                   'Title ' || doc_id AS title,
+                   ['en','de','fr','ja','ko'][CAST(doc_id % 5 AS INT) + 1]
+                       AS lang_attr,
+                   'https://site' || CAST(doc_id % 50 AS INT)
+                       || '.example.com/page/' || doc_id AS canonical,
+                   'OG ' || CAST(doc_id % 13 AS INT) AS og_title,
+                   CASE WHEN doc_id % 2 = 0 THEN 'article'
+                        ELSE 'website' END AS og_type,
+                   'desc ' || CAST(doc_id % 9 AS INT) AS meta_description,
+                   CASE WHEN doc_id % 4 = 0 THEN
+                        '2024-01-' || lpad(CAST(2 + doc_id % 9 AS VARCHAR),
+                                           2, '0') || 'T00:00:00Z'
+                        ELSE '' END AS published_time,
+                   CASE WHEN doc_id % 3 = 0 THEN 'NewsArticle'
+                        WHEN doc_id % 3 = 1
+                             THEN 'Brand,Organization,WebSite'
+                        ELSE '' END AS jsonld_types,
+                   CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_jsonld
+            FROM documents
+        """,
         # WET framing is deterministic string assembly over the wrapped
         # extraction (record id = md5 over URI+date, disclosed delta vs
         # crawler UUIDs); Content-Length counts UTF-8 octets (strlen)

@@ -742,6 +742,149 @@ def wet_records(docs: DataFrame) -> DataFrame:
     )
 
 
+def _page_meta_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("lang_attr", T.StringType()),
+            T.StructField("canonical", T.StringType()),
+            T.StructField("og_title", T.StringType()),
+            T.StructField("og_type", T.StringType()),
+            T.StructField("meta_description", T.StringType()),
+            T.StructField("published_time", T.StringType()),
+            T.StructField("jsonld_types", T.StringType()),
+            T.StructField("n_jsonld", T.LongType()),
+        ]
+    )
+
+
+def extract_page_meta(
+    pages: DataFrame,
+    max_bytes: int = DEFAULT_MAX_BYTES,
+) -> DataFrame:
+    """pages(url, html) → one row per HTML page with its declared
+    metadata — the WebDataCommons-style structured-data mining relation:
+    ``<title>``, ``<html lang>``, canonical link, OpenGraph
+    title/type, meta description, ``article:published_time``, and the
+    sorted distinct ``@type`` set across every valid JSON-LD block
+    (``n_jsonld`` counts VALID blocks; malformed JSON is ignored with
+    per-block isolation — crawl reality). First occurrence wins for
+    singleton fields, matching how consumers (and crawlers' own
+    canonicalizers) read duplicated head tags. All strings
+    whitespace-normalized; '' when absent.
+
+    Same execution contract as the extraction kernel: one Arrow-batched
+    ``mapInPandas`` stage, per-document failure isolation, no shuffle.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if sys.getrecursionlimit() < _RECURSION_LIMIT:
+            sys.setrecursionlimit(_RECURSION_LIMIT)
+        import json as _json
+
+        from doc_parser_spark.core import sniff as _sniff
+        from doc_parser_spark.html.dom import TextNode, parse_html
+
+        def norm(v):
+            return " ".join((v or "").split())
+
+        def jsonld_types(obj):
+            # @type may be a string or list; @graph nests entities
+            found = []
+            stack = [obj]
+            while stack:
+                node = stack.pop()
+                if isinstance(node, dict):
+                    t = node.get("@type")
+                    if isinstance(t, str):
+                        found.append(t)
+                    elif isinstance(t, list):
+                        found.extend(x for x in t if isinstance(x, str))
+                    g = node.get("@graph")
+                    if isinstance(g, list):
+                        stack.extend(g)
+                elif isinstance(node, list):
+                    stack.extend(node)
+            return found
+
+        for batch in batches:
+            records = []
+            for url, payload in zip(batch["url"], batch["html"]):
+                if payload is None or len(payload) > max_bytes:
+                    continue
+                data = bytes(payload)
+                if _sniff.sniff_format(data) != _sniff.FORMAT_HTML:
+                    continue
+                try:
+                    root = parse_html(data)
+                    rec = {
+                        "url": url, "title": "", "lang_attr": "",
+                        "canonical": "", "og_title": "", "og_type": "",
+                        "meta_description": "", "published_time": "",
+                    }
+                    types: list[str] = []
+                    n_ld = 0
+                    for tag in root.descendants_tags():
+                        nm = tag.name
+                        if nm == "html" and not rec["lang_attr"]:
+                            rec["lang_attr"] = norm(tag.get("lang"))
+                        elif nm == "title" and not rec["title"]:
+                            rec["title"] = norm(tag.text)
+                        elif nm == "link":
+                            rel = (tag.get("rel") or "").strip().lower()
+                            if rel == "canonical" and not rec["canonical"]:
+                                rec["canonical"] = norm(tag.get("href"))
+                        elif nm == "meta":
+                            prop = (tag.get("property") or "").strip().lower()
+                            name = (tag.get("name") or "").strip().lower()
+                            content = norm(tag.get("content"))
+                            if prop == "og:title" and not rec["og_title"]:
+                                rec["og_title"] = content
+                            elif prop == "og:type" and not rec["og_type"]:
+                                rec["og_type"] = content
+                            elif (
+                                prop == "article:published_time"
+                                and not rec["published_time"]
+                            ):
+                                rec["published_time"] = content
+                            elif (
+                                name == "description"
+                                and not rec["meta_description"]
+                            ):
+                                rec["meta_description"] = content
+                        elif nm == "script":
+                            st = (tag.get("type") or "").strip().lower()
+                            if st != "application/ld+json":
+                                continue
+                            raw = "".join(
+                                c.data
+                                for c in tag.children
+                                if isinstance(c, TextNode)
+                            )
+                            try:
+                                obj = _json.loads(raw)
+                            except Exception:  # noqa: BLE001 — bad block
+                                continue
+                            n_ld += 1
+                            types.extend(jsonld_types(obj))
+                    rec["jsonld_types"] = ",".join(sorted(set(types)))
+                    rec["n_jsonld"] = n_ld
+                    records.append(rec)
+                except Exception:  # noqa: BLE001 — per-doc isolation
+                    continue
+            schema = _page_meta_schema()
+            yield pd.DataFrame(
+                records, columns=[f.name for f in schema.fields]
+            )
+
+    return pages.select("url", "html").mapInPandas(
+        kernel, schema=_page_meta_schema()
+    )
+
+
 def _image_refs_schema():
     from pyspark.sql import types as T
 

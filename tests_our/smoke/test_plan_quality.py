@@ -374,7 +374,8 @@ _PANDAS_OK = {
     # the Arrow-batched extraction kernel IS the operator here
     "extract_pages", "extract_chunks", "extract_wrapped_docs",
     "extract_links", "extract_image_refs", "extract_spans",
-    "extract_table_cells", "extract_wet", "extract_boilerplate_blocks",
+    "extract_table_cells", "extract_wet", "extract_page_meta",
+    "extract_boilerplate_blocks",
     "web_link_graph", "web_anchor_text",
     # the Arrow-batched native image decode IS the operator
     "img_dhash", "img_dhash_neardup",

@@ -473,6 +473,44 @@ def test_extract_image_refs(spark):
     assert [r["img_no"] for r in capped] == [0, 1, 2]
 
 
+def test_extract_page_meta(spark):
+    from doc_parser_spark.operators.extract import extract_page_meta
+
+    html = (b'<html lang=" en-US "><head><title> My  Page </title>'
+            b'<title>second ignored</title>'
+            b'<link rel="canonical" href="https://c.example/x">'
+            b'<link rel="stylesheet" href="/s.css">'
+            b'<meta property="og:title" content=" OG  T ">'
+            b'<meta property="og:type" content="article">'
+            b'<meta name="description" content="D">'
+            b'<meta property="article:published_time" '
+            b'content="2024-02-03T04:05:06Z">'
+            b'<script type="application/ld+json">'
+            b'{"@graph": [{"@type": "WebSite"}, {"@type": ["B", "A"]}]}'
+            b'</script>'
+            b'<script type="application/ld+json">{not json</script>'
+            b'<script>var x = 1;</script>'
+            b'</head><body><p>hi</p></body></html>')
+    pages = spark.createDataFrame(
+        [("u1", bytearray(html)),
+         ("u2", bytearray(b"%PDF-1.4")),
+         ("u3", None)],
+        "url string, html binary",
+    )
+    rows = extract_page_meta(pages).collect()
+    assert len(rows) == 1  # non-HTML / NULL pages contribute nothing
+    r = rows[0]
+    assert r["title"] == "My Page"          # first wins, normalized
+    assert r["lang_attr"] == "en-US"
+    assert r["canonical"] == "https://c.example/x"
+    assert r["og_title"] == "OG T" and r["og_type"] == "article"
+    assert r["meta_description"] == "D"
+    assert r["published_time"] == "2024-02-03T04:05:06Z"
+    # @graph + list-@type flattened, sorted distinct; bad block ignored
+    assert r["jsonld_types"] == "A,B,WebSite"
+    assert r["n_jsonld"] == 1
+
+
 def test_wet_records(spark):
     from doc_parser_spark.operators.extract import wet_records
 
