@@ -2228,12 +2228,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
         """,
         "doc_simhash": _simhash_sql(32),
+        # mirrors dedup.banded_hamming_pairs' hash-granular formulation:
+        # identical signatures group BEFORE banding (cap on group size),
+        # band buckets count DISTINCT hashes (cap on bucket width), the
+        # banded self-join runs over distinct hashes, members expand at
+        # the end (cross via least/greatest, same-hash groups at 0)
         "doc_simhash_neardup": f"""
             WITH sig AS ({_simhash_sql(32)}),
+            grp AS (
+                SELECT simhash, count(*) AS n FROM sig
+                GROUP BY simhash HAVING count(*) <= 500
+            ),
             banded AS (
-                SELECT doc_id, simhash, band_no,
-                       (simhash >> (band_no * 8)) & 255 AS band_val
-                FROM sig CROSS JOIN (
+                SELECT g.simhash, band_no,
+                       (g.simhash >> (band_no * 8)) & 255 AS band_val
+                FROM grp g CROSS JOIN (
                     SELECT unnest(generate_series(0, 3)) AS band_no
                 ) bands
             ),
@@ -2244,18 +2253,34 @@ def oracle_sql() -> dict[str, str]:
             surv AS (
                 SELECT b.* FROM banded b JOIN ok USING (band_no, band_val)
             ),
-            pairs AS (
-                SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-                       a.simhash AS sa, b.simhash AS sb
+            hp AS (
+                SELECT DISTINCT a.simhash AS ha, b.simhash AS hb
                 FROM surv a JOIN surv b
                   ON a.band_no = b.band_no AND a.band_val = b.band_val
-                 AND a.doc_id < b.doc_id
+                 AND a.simhash < b.simhash
+            ),
+            hpf AS (
+                SELECT ha, hb, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+                FROM hp WHERE bit_count(xor(ha, hb)) <= 3
+            ),
+            crossp AS (
+                SELECT least(ma.doc_id, mb.doc_id) AS doc_id_a,
+                       greatest(ma.doc_id, mb.doc_id) AS doc_id_b,
+                       h.hamming
+                FROM hpf h
+                JOIN sig ma ON ma.simhash = h.ha
+                JOIN sig mb ON mb.simhash = h.hb
+            ),
+            samep AS (
+                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                       CAST(0 AS BIGINT) AS hamming
+                FROM grp g
+                JOIN sig a ON a.simhash = g.simhash
+                JOIN sig b ON b.simhash = g.simhash
+                             AND a.doc_id < b.doc_id
+                WHERE g.n >= 2
             )
-            SELECT doc_id_a, doc_id_b, hamming FROM (
-                SELECT doc_id_a, doc_id_b,
-                       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-                FROM pairs
-            ) WHERE hamming <= 3
+            SELECT * FROM crossp UNION ALL SELECT * FROM samep
         """,
         # frozen golden table (regenerate via scripts/freeze_extract_pages_golden.py
         # whenever extraction semantics intentionally change): pages_df(300, seed=7)

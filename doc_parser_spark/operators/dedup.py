@@ -416,7 +416,14 @@ def banded_hamming_pairs(
             .alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        # tiny (distinct near-dup hash pairs); materializing it eagerly
+        # lets the banded projection — now fully consumed — release its
+        # cache instead of leaking for the session (house pattern:
+        # web.host_pagerank). members/groups stay persisted: the
+        # returned plan still reads them lazily at action time.
+        .localCheckpoint(eager=True)
     )
+    banded.unpersist()
     ma = members.alias("ma")
     mb = members.alias("mb")
     cross = (

@@ -720,7 +720,13 @@ def wet_records(docs: DataFrame) -> DataFrame:
     shard per partition.
     """
     crlf = "\r\n"
-    date = F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    # render the UTC wall time regardless of spark.sql.session.timeZone
+    # (date_format alone prints session-local time, which would mislabel
+    # the instant as Zulu AND make the md5 record id session-dependent)
+    date = F.date_format(
+        F.to_utc_timestamp(F.col("warc_ts"), F.current_timezone()),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    )
     payload = F.coalesce(F.col("text"), F.lit(""))
     return docs.select(
         "url",
@@ -834,8 +840,9 @@ def extract_page_meta(
                         elif nm == "title" and not rec["title"]:
                             rec["title"] = norm(tag.text)
                         elif nm == "link":
-                            rel = (tag.get("rel") or "").strip().lower()
-                            if rel == "canonical" and not rec["canonical"]:
+                            # rel is a space-separated token list
+                            rel = (tag.get("rel") or "").lower().split()
+                            if "canonical" in rel and not rec["canonical"]:
                                 rec["canonical"] = norm(tag.get("href"))
                         elif nm == "meta":
                             prop = (tag.get("property") or "").strip().lower()
@@ -932,25 +939,8 @@ def extract_image_refs(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if sys.getrecursionlimit() < _RECURSION_LIMIT:
             sys.setrecursionlimit(_RECURSION_LIMIT)
-        from urllib.parse import urljoin, urlsplit
-
         from doc_parser_spark.core import sniff as _sniff
         from doc_parser_spark.html.dom import parse_html
-
-        def _dim(tag, key):
-            v = (tag.get(key) or "").strip()
-            return int(v) if v.isdigit() else None
-
-        def _figcaption(tag):
-            node = tag.parent
-            while node is not None:
-                if node.name == "figure":
-                    cap = node.find("figcaption")
-                    if cap is not None:
-                        return " ".join(cap.text.split())
-                    return ""
-                node = node.parent
-            return ""
 
         for batch in batches:
             records = []
@@ -962,33 +952,9 @@ def extract_image_refs(
                     continue
                 try:
                     root = parse_html(data)
-                    n = 0
-                    for tag in root.descendants_tags():
-                        if tag.name != "img":
-                            continue
-                        src = (tag.get("src") or "").strip()
-                        if not src or src.lower().startswith("data:"):
-                            continue
-                        resolved = urljoin(url, src)
-                        records.append(
-                            {
-                                "url": url,
-                                "img_no": n,
-                                "src": src,
-                                "resolved": resolved,
-                                "dst_host": urlsplit(resolved).netloc.lower(),
-                                "alt": " ".join((tag.get("alt") or "").split()),
-                                "title": " ".join(
-                                    (tag.get("title") or "").split()
-                                ),
-                                "caption": _figcaption(tag),
-                                "width": _dim(tag, "width"),
-                                "height": _dim(tag, "height"),
-                            }
-                        )
-                        n += 1
-                        if n >= max_images_per_page:
-                            break
+                    records.extend(
+                        walk_image_refs(root, url, max_images_per_page)
+                    )
                 except Exception:  # noqa: BLE001 — per-doc isolation
                     continue
             schema = _image_refs_schema()
@@ -999,3 +965,65 @@ def extract_image_refs(
     return pages.select("url", "html").mapInPandas(
         kernel, schema=_image_refs_schema()
     )
+
+
+def _img_dim(tag, key):
+    """Declared pixel dimension: bare ASCII-decimal attributes only
+    (``auto``/percent/CSS units — and unicode digits int() would accept
+    but no browser treats as pixel counts — are NULL)."""
+    v = (tag.get(key) or "").strip()
+    return int(v) if (v.isascii() and v.isdigit()) else None
+
+
+def _figure_caption(tag):
+    node = tag.parent
+    while node is not None:
+        if node.name == "figure":
+            cap = node.find("figcaption")
+            if cap is not None:
+                return " ".join(cap.text.split())
+            return ""
+        node = node.parent
+    return ""
+
+
+def walk_image_refs(root, url: str, max_images: int) -> list[dict]:
+    """The per-document walk behind :func:`extract_image_refs` — shared
+    with the fuzz property tests so they exercise the shipped code, not
+    a replica. Malformed references (``urljoin``/``urlsplit`` raising on
+    hostile src values) are skipped per-image WITHOUT consuming an
+    ``img_no``, like ``data:`` URIs — one bad attribute never drops the
+    page's other images."""
+    from urllib.parse import urljoin, urlsplit
+
+    records: list[dict] = []
+    n = 0
+    for tag in root.descendants_tags():
+        if tag.name != "img":
+            continue
+        src = (tag.get("src") or "").strip()
+        if not src or src.lower().startswith("data:"):
+            continue
+        try:
+            resolved = urljoin(url, src)
+            dst_host = urlsplit(resolved).netloc.lower()
+        except ValueError:
+            continue  # malformed reference: skip, no numbering
+        records.append(
+            {
+                "url": url,
+                "img_no": n,
+                "src": src,
+                "resolved": resolved,
+                "dst_host": dst_host,
+                "alt": " ".join((tag.get("alt") or "").split()),
+                "title": " ".join((tag.get("title") or "").split()),
+                "caption": _figure_caption(tag),
+                "width": _img_dim(tag, "width"),
+                "height": _img_dim(tag, "height"),
+            }
+        )
+        n += 1
+        if n >= max_images:
+            break
+    return records

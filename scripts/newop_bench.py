@@ -28,6 +28,7 @@ NEW_OPS = [
     "img_dhash", "img_dhash_neardup",
     # session 6
     "extract_image_refs", "extract_spans", "extract_table_cells",
+    "extract_wet", "extract_page_meta",
 ]
 
 

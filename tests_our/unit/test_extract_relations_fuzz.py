@@ -50,32 +50,19 @@ def _soup(draw):
     return "".join(parts)
 
 
-def _walk_images(html_bytes: bytes):
-    """The extract_image_refs kernel walk, minus the Spark plumbing."""
-    from urllib.parse import urljoin, urlsplit
-
-    root = parse_html(html_bytes)
-    out = []
-    n = 0
-    for tag in root.descendants_tags():
-        if tag.name != "img":
-            continue
-        src = (tag.get("src") or "").strip()
-        if not src or src.lower().startswith("data:"):
-            continue
-        resolved = urljoin("https://h.example/p", src)
-        out.append((n, src, urlsplit(resolved).netloc.lower()))
-        n += 1
-    return out
-
-
 @settings(max_examples=60, deadline=None)
 @given(html=_soup())
 def test_image_walk_never_crashes_and_numbers_contiguously(html):
-    rows = _walk_images(html.encode("utf-8", "surrogatepass"))
-    assert [r[0] for r in rows] == list(range(len(rows)))
-    for _, src, _host in rows:
-        assert src and not src.lower().startswith("data:")
+    # the SHIPPED per-document walk, not a replica
+    from doc_parser_spark.operators.extract import walk_image_refs
+
+    root = parse_html(html.encode("utf-8", "surrogatepass"))
+    rows = walk_image_refs(root, "https://h.example/p", 1000)
+    assert [r["img_no"] for r in rows] == list(range(len(rows)))
+    for r in rows:
+        assert r["src"] and not r["src"].lower().startswith("data:")
+        for key in ("width", "height"):
+            assert r[key] is None or r[key] >= 0
 
 
 @settings(max_examples=60, deadline=None)

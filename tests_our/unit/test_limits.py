@@ -137,6 +137,27 @@ def test_hwp_section_bomb_rejected():
         inflate_bounded(bomb, DEFAULT_MAX_BYTES, wbits=-15)
 
 
+def test_banded_hamming_caps_bind_at_hash_granularity(spark):
+    """The rewritten engine caps viral identical-signature GROUPS and
+    band buckets of DISTINCT hashes — pin both binding behaviors (the
+    sf0.01 oracles never exercise them: hashes there are near-distinct)."""
+    from doc_parser_spark.operators.dedup import banded_hamming_pairs
+
+    # exact group {1,2}, near pair hamming=1, plus a viral group of 10
+    rows = [(1, 0b1010), (2, 0b1010), (3, 0b1011)]
+    rows += [(100 + i, 0b111100001111) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, h long")
+    out = sorted(
+        (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+        for r in banded_hamming_pairs(
+            df, "h", bits=32, bands=4, max_hamming=3, max_bucket=5
+        ).collect()
+    )
+    # the 10-member group exceeds max_bucket=5: dropped whole (its 45
+    # internal pairs AND any cross pairs), while small groups survive
+    assert out == [(1, 2, 0), (1, 3, 1), (2, 3, 1)]
+
+
 def test_simhash_neardup_param_validation(spark):
     from doc_parser_spark.operators import dedup
 
