@@ -578,6 +578,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "gap_us", F.expr("timestampdiff(MICROSECOND, ts_asof, ts)")
         ),
         # web-corpus curation
+        "web_domain_parts": lambda spark, sf: web.domain_parts(
+            _read(spark, sf, "documents").select(
+                "doc_id", F.expr(web.SYNTH_DOMAIN_URL_SQL).alias("url")
+            )
+        ),
         "web_url_dedup": lambda spark, sf: web.url_dedup(
             _read(spark, sf, "documents").select(
                 "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url")
@@ -2628,6 +2633,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS gap_us
             FROM l ASOF LEFT JOIN r
                  ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # expected values are case-determined by the synth URL shape —
+        # an independent oracle, not a replica of the suffix algorithm
+        "web_domain_parts": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 6 AS INT)
+                        WHEN 0 THEN 'news.bbc.co.uk'
+                        WHEN 1 THEN 'a.b.example' || CAST(doc_id % 40 AS INT) || '.com'
+                        WHEN 2 THEN 'example' || CAST(doc_id % 40 AS INT) || '.com.au'
+                        WHEN 3 THEN '10.0.' || CAST(doc_id % 250 AS INT) || '.7'
+                        WHEN 4 THEN 'localhost'
+                        ELSE 'shop' || CAST(doc_id % 40 AS INT) || '.co.jp'
+                   END AS host,
+                   CASE CAST(doc_id % 6 AS INT)
+                        WHEN 0 THEN 'news'
+                        WHEN 1 THEN 'a.b'
+                        ELSE ''
+                   END AS subdomain,
+                   CASE CAST(doc_id % 6 AS INT)
+                        WHEN 0 THEN 'bbc.co.uk'
+                        WHEN 1 THEN 'example' || CAST(doc_id % 40 AS INT) || '.com'
+                        WHEN 2 THEN 'example' || CAST(doc_id % 40 AS INT) || '.com.au'
+                        WHEN 3 THEN '10.0.' || CAST(doc_id % 250 AS INT) || '.7'
+                        WHEN 4 THEN 'localhost'
+                        ELSE 'shop' || CAST(doc_id % 40 AS INT) || '.co.jp'
+                   END AS registered_domain,
+                   CASE CAST(doc_id % 6 AS INT)
+                        WHEN 0 THEN 'uk'
+                        WHEN 1 THEN 'com'
+                        WHEN 2 THEN 'au'
+                        WHEN 3 THEN ''
+                        WHEN 4 THEN 'localhost'
+                        ELSE 'jp'
+                   END AS tld
+            FROM documents
         """,
         "web_url_dedup": f"""
             WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url FROM documents),

@@ -54,6 +54,18 @@ SYNTH_URL_SQL = (
     "CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)"
 )
 
+# URL synth for domain_parts: varied suffix shapes (multi-level ccTLD,
+# deep subdomains, bare com.au, IPv4 literal, single label, www+port)
+SYNTH_DOMAIN_URL_SQL = (
+    "CASE cast(doc_id % 6 as int) "
+    "WHEN 0 THEN 'https://news.bbc.co.uk/p' "
+    "WHEN 1 THEN concat('https://a.b.example', cast(doc_id % 40 as int), '.com/p') "
+    "WHEN 2 THEN concat('https://example', cast(doc_id % 40 as int), '.com.au/p') "
+    "WHEN 3 THEN concat('https://10.0.', cast(doc_id % 250 as int), '.7/p') "
+    "WHEN 4 THEN 'https://localhost/p' "
+    "ELSE concat('https://www.shop', cast(doc_id % 40 as int), '.co.jp:443/p') END"
+)
+
 SYNTH_PII_TEXT_SQL = (
     "concat(text, "
     "CASE WHEN doc_id % 7 = 0 THEN concat(' Contact user', "
@@ -326,6 +338,71 @@ URL_BLOCKLIST_PREDICATE = (
     "c LIKE '%casino%' OR c LIKE '%.xxx/%' OR c LIKE '%spam%' "
     "OR c LIKE '%tracker%' OR c LIKE '%malware%'"
 )
+
+
+# Multi-level public suffixes recognized by domain_parts — a disclosed
+# DETERMINISTIC SUBSET of the Public Suffix List (the full PSL is a
+# periodically-updated data file; production swaps this tuple for it —
+# the expression shape is identical). Covers the high-traffic ccTLD
+# second levels seen in crawl data.
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "co.kr", "or.kr", "com.br", "com.cn",
+    "com.mx", "co.in", "com.tr", "com.ar", "co.za", "com.sg", "com.tw",
+)
+
+
+def _domain_parts_sql(url_col: str = "url") -> str:
+    """(host, subdomain, registered_domain, tld) as one JVM expression
+    set — shared with the DuckDB twin via the same MULTI_SUFFIXES."""
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    host = f"__dp_host"
+    ls = "__dp_labels"
+    n = f"size({ls})"
+    last1 = f"element_at({ls}, -1)"
+    last2 = f"concat(element_at({ls}, -2), '.', {last1})"
+    is_multi = f"({n} >= 2 AND array_contains(array({suffixes}), {last2}))"
+    ns = f"CASE WHEN {is_multi} THEN 2 ELSE 1 END"  # suffix label count
+    is_ip = f"{host} rlike '^[0-9]+(\\\\.[0-9]+){{3}}$'"
+    reg = (
+        f"CASE WHEN {host} = '' THEN '' "
+        f"WHEN {is_ip} THEN {host} "
+        f"WHEN {n} <= {ns} THEN {host} "
+        f"ELSE array_join(slice({ls}, {n} - {ns}, {ns} + 1), '.') END"
+    )
+    sub = (
+        f"CASE WHEN {host} = '' OR {is_ip} OR {n} <= {ns} + 1 THEN '' "
+        f"ELSE array_join(slice({ls}, 1, {n} - {ns} - 1), '.') END"
+    )
+    tld = f"CASE WHEN {host} = '' OR {is_ip} THEN '' ELSE {last1} END"
+    return reg, sub, tld
+
+
+def domain_parts(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-document domain decomposition of the canonical host:
+    ``registered_domain`` (the PSL "eTLD+1" — the key crawl pipelines
+    actually cap/blocklist on: every subdomain of a spam site is one
+    actor), ``subdomain``, and ``tld``. Multi-level public suffixes
+    (``co.uk``-style) resolve via :data:`MULTI_SUFFIXES`; IPv4 literals
+    keep the whole address as the registered domain with '' tld.
+
+    Pure whole-stage-codegen projection over :func:`host_col` — zero
+    shuffles/joins/Python, scan speed at any scale."""
+    reg, sub, tld = _domain_parts_sql(url_col)
+    return (
+        pages.select(
+            "doc_id",
+            host_col(url_col).alias("__dp_host"),
+        )
+        .withColumn("__dp_labels", F.expr("split(__dp_host, '[.]')"))
+        .select(
+            "doc_id",
+            F.col("__dp_host").alias("host"),
+            F.expr(sub).alias("subdomain"),
+            F.expr(reg).alias("registered_domain"),
+            F.expr(tld).alias("tld"),
+        )
+    )
 
 
 def host_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:

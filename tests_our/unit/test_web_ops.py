@@ -473,6 +473,45 @@ def test_extract_image_refs(spark):
     assert [r["img_no"] for r in capped] == [0, 1, 2]
 
 
+def test_domain_parts(spark):
+    from doc_parser_spark.operators.web import domain_parts
+
+    pages = spark.createDataFrame(
+        [(1, "https://news.bbc.co.uk/x"),
+         (2, "http://WWW.Example.COM:80/y"),
+         (3, "https://a.b.c.site.org/z"),
+         (4, "https://192.168.1.10/q"),
+         (5, "https://localhost/"),
+         (6, "site.co.uk/relative"),     # scheme-less passthrough
+         (7, "https://co.uk/")],          # bare multi-suffix host
+        "doc_id long, url string",
+    )
+    by = {r["doc_id"]: r for r in domain_parts(pages).collect()}
+    assert by[1]["registered_domain"] == "bbc.co.uk"
+    assert by[1]["subdomain"] == "news" and by[1]["tld"] == "uk"
+    # www./default port stripped by the canonical host bucket
+    assert by[2]["host"] == "example.com"
+    assert by[2]["registered_domain"] == "example.com"
+    assert by[2]["subdomain"] == "" and by[2]["tld"] == "com"
+    assert by[3]["registered_domain"] == "site.org"
+    assert by[3]["subdomain"] == "a.b.c"
+    # IPv4 literal: whole address is the actor, no tld
+    assert by[4]["registered_domain"] == "192.168.1.10"
+    assert by[4]["subdomain"] == "" and by[4]["tld"] == ""
+    assert by[5]["registered_domain"] == "localhost"
+    assert by[5]["tld"] == "localhost"
+    # scheme-less URLs still resolve a host through the canonical bucket
+    assert by[6]["registered_domain"] == "site.co.uk"
+    # a host that IS a public suffix keeps itself as registered domain
+    assert by[7]["registered_domain"] == "co.uk"
+    assert by[7]["subdomain"] == ""
+
+    # scan-speed contract: pure projection, no exchange/join/Python
+    plan = domain_parts(pages)._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "Join", "InPandas", "BatchEvalPython"):
+        assert bad not in plan, plan
+
+
 def test_extract_page_meta(spark):
     from doc_parser_spark.operators.extract import extract_page_meta
 
