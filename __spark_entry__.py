@@ -556,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_error_rate": q(relational.events_error_rate, "events"),
         "events_sessionize": q(relational.sessionize, "events"),
         "events_props_stats": q(relational.props_stats, "events"),
+        "events_funnel": q(relational.funnel, "events"),
         "doc_corpus_profile": q(text_analysis.corpus_profile, "documents"),
         "doc_script_profile": lambda spark, sf: text_analysis.script_profile(
             _read(spark, sf, "documents").selectExpr(
@@ -2584,6 +2585,37 @@ def oracle_sql() -> dict[str, str]:
             FROM sessions GROUP BY user_id, session_no
         """,
         # schema-on-read JSON field extraction, all-integer rollup
+        # ordered funnel: each step's first firing strictly after the
+        # previous step's; LEFT JOIN chain mirrors the NULL-propagation
+        "events_funnel": """
+            WITH users AS (SELECT DISTINCT user_id FROM events),
+            s0 AS (
+                SELECT user_id, min(ts) AS first_view FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s1 AS (
+                SELECT e.user_id, min(e.ts) AS first_click
+                FROM events e JOIN s0 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s0.first_view
+                GROUP BY e.user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS first_purchase
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s1.first_click
+                GROUP BY e.user_id
+            )
+            SELECT u.user_id,
+                   s0.first_view, s1.first_click, s2.first_purchase,
+                   CAST(CASE WHEN s2.user_id IS NOT NULL THEN 3
+                             WHEN s1.user_id IS NOT NULL THEN 2
+                             WHEN s0.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS steps_completed
+            FROM users u
+            LEFT JOIN s0 USING (user_id)
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+        """,
         "events_props_stats": """
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n_events,

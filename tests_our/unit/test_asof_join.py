@@ -129,3 +129,40 @@ def test_asof_join_matches_bruteforce_random(spark):
         for r in asof_join(left, right, right_cols=("quote",)).collect()
     }
     assert got == expected
+
+
+def test_funnel_strict_ordering(spark):
+    from doc_parser_spark.operators.relational import funnel
+
+    rows = [
+        # u1 completes all three in order
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 00:01:00", "click"),
+        (1, "2024-01-01 00:02:00", "purchase"),
+        # u2 purchases BEFORE clicking: purchase must not count
+        (2, "2024-01-01 00:00:00", "view"),
+        (2, "2024-01-01 00:02:00", "click"),
+        (2, "2024-01-01 00:01:00", "purchase"),
+        # u3 same-timestamp view+click: strict > means click doesn't chain
+        (3, "2024-01-01 00:00:00", "view"),
+        (3, "2024-01-01 00:00:00", "click"),
+        # u4 never views: clicks alone complete nothing
+        (4, "2024-01-01 00:00:00", "click"),
+        # u5 re-views after an early click; later click chains
+        (5, "2024-01-01 00:00:00", "view"),
+        (5, "2024-01-01 00:03:00", "click"),
+    ]
+    events = spark.createDataFrame(
+        [(u, ts, t) for u, ts, t in rows],
+        "user_id long, ts_s string, event_type string",
+    ).selectExpr("user_id", "cast(ts_s as timestamp) AS ts", "event_type")
+    by = {r["user_id"]: r for r in funnel(events).collect()}
+    assert by[1]["steps_completed"] == 3
+    assert by[2]["steps_completed"] == 2 and by[2]["first_purchase"] is None
+    assert by[3]["steps_completed"] == 1 and by[3]["first_click"] is None
+    assert by[4]["steps_completed"] == 0 and by[4]["first_view"] is None
+    assert by[5]["steps_completed"] == 2
+
+    # one exchange total: window chain + rollup share the user key
+    plan = funnel(events)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan
