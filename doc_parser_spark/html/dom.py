@@ -29,6 +29,8 @@ from __future__ import annotations
 from html.parser import HTMLParser
 from typing import Iterator, Optional, Union
 
+from doc_parser_spark.html.encoding import decode_html
+
 VOID_ELEMENTS = frozenset(
     {
         "area", "base", "br", "col", "embed", "hr", "img", "input",
@@ -237,10 +239,18 @@ class _TreeBuilder(HTMLParser):
         self._top().append(TextNode(data, "decl"))
 
 
-def parse_html(data: Union[bytes, str], encoding: str = "utf-8") -> Tag:
-    """Parse HTML bytes/str into a DOM; returns the ``[document]`` root."""
+def parse_html(data: Union[bytes, str], encoding: Optional[str] = None) -> Tag:
+    """Parse HTML bytes/str into a DOM; returns the ``[document]`` root.
+
+    Bytes with no explicit ``encoding`` go through the WHATWG-style
+    sniffer (BOM → declared meta charset → UTF-8 trial → windows-1252),
+    matching the reference's BeautifulSoup/UnicodeDammit behaviour on
+    raw payloads (``html_backend.py:75``)."""
     if isinstance(data, bytes):
-        data = data.decode(encoding, errors="replace")
+        if encoding is None:
+            data = decode_html(data)
+        else:
+            data = data.decode(encoding, errors="replace")
     builder = _TreeBuilder()
     builder.feed(data)
     builder.close()
