@@ -225,6 +225,50 @@ def _q_extract_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-sniff verdicts over a deterministic multi-encoding corpus:
+    per doc_id%5 — valid multibyte UTF-8 (trial), meta-declared
+    windows-1251, UTF-8 BOM, meta-declared shift_jis, and an undeclared
+    cp1252 high byte (fallback). The binaries are built in Spark SQL
+    (binary concat + hex literals), so the oracle can predict charset,
+    decision source, and byte count from the same synthesis arithmetic."""
+    from doc_parser_spark.operators.extract import extract_charset
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.expr("concat('https://site.example.com/page/', doc_id)").alias("url"),
+        F.expr(
+            "CASE cast(doc_id % 5 as int) "
+            # valid multibyte UTF-8, no declaration -> utf8-trial
+            "WHEN 0 THEN encode(concat('<html><body><p>café ', doc_id,"
+            " '</p></body></html>'), 'UTF-8') "
+            # ASCII body with a meta declaration -> declared
+            "WHEN 1 THEN encode(concat('<html><head>"
+            "<meta charset=\"windows-1251\"></head><body><p>doc ', doc_id,"
+            " '</p></body></html>'), 'UTF-8') "
+            # UTF-8 BOM -> bom (overrides everything)
+            "WHEN 2 THEN concat(X'EFBBBF', encode(concat('<html><body><p>b ',"
+            " doc_id, '</p></body></html>'), 'UTF-8')) "
+            # http-equiv declaration -> declared
+            "WHEN 3 THEN encode(concat('<html><head><meta http-equiv="
+            "\"Content-Type\" content=\"text/html; charset=Shift_JIS\">"
+            "</head><body><p>doc ', doc_id, '</p></body></html>'), 'UTF-8') "
+            # undeclared 0xE9 (invalid UTF-8 continuation) -> fallback
+            "ELSE concat(encode('<html><body><p>caf', 'UTF-8'), X'E9',"
+            " encode(concat(' ', doc_id, '</p></body></html>'), 'UTF-8')) END"
+        ).alias("html"),
+    )
+    out = extract_charset(pages)
+    return out.select(
+        F.regexp_extract("url", "page/([0-9]+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "charset",
+        "source",
+        "n_bytes",
+    )
+
+
 def _wrapped_image_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents table → pages whose HTML carries a deterministic image
     set (internal jpg with alt + width/'auto' height, a data: URI inline
@@ -470,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_table_cells": _q_extract_table_cells,
         "extract_wet": _q_extract_wet,
         "extract_page_meta": _q_extract_page_meta,
+        "extract_charset": _q_extract_charset,
         "web_link_graph": _q_link_graph,
         "web_anchor_text": lambda spark, sf: web.anchor_text(
             _q_extract_links_raw(spark, sf)
@@ -595,6 +640,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 f"{web.SYNTH_URL_SQL} AS url",
                 "timestampadd(HOUR, cast((doc_id * 53) % 720 as int), "
                 "timestamp'2024-01-01 00:00:00') AS warc_ts",
+            )
+        ),
+        "web_cdx_index": lambda spark, sf: web.cdx_index(
+            _read(spark, sf, "documents").selectExpr(
+                f"{web.SYNTH_URL_SQL} AS url",
+                "timestampadd(HOUR, cast((doc_id * 53) % 720 as int), "
+                "timestamp'2024-01-01 00:00:00') AS warc_ts",
+                "text",
             )
         ),
         "extract_incremental": lambda spark, sf: web.extract_incremental(
@@ -1499,6 +1552,42 @@ def oracle_sql() -> dict[str, str]:
     )
 
     d = {
+        "extract_charset": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 5 AS INT)
+                       WHEN 0 THEN 'utf-8'
+                       WHEN 1 THEN 'windows-1251'
+                       WHEN 2 THEN 'utf-8-sig'
+                       WHEN 3 THEN 'shift_jis'
+                       ELSE 'windows-1252' END AS charset,
+                   CASE CAST(doc_id % 5 AS INT)
+                       WHEN 0 THEN 'utf8-trial'
+                       WHEN 1 THEN 'declared'
+                       WHEN 2 THEN 'bom'
+                       WHEN 3 THEN 'declared'
+                       ELSE 'fallback' END AS source,
+                   CAST(CASE CAST(doc_id % 5 AS INT)
+                       WHEN 0 THEN octet_length(encode(concat(
+                           '<html><body><p>café ', doc_id,
+                           '</p></body></html>')))
+                       WHEN 1 THEN octet_length(encode(concat(
+                           '<html><head><meta charset="windows-1251">',
+                           '</head><body><p>doc ', doc_id,
+                           '</p></body></html>')))
+                       WHEN 2 THEN 3 + octet_length(encode(concat(
+                           '<html><body><p>b ', doc_id,
+                           '</p></body></html>')))
+                       WHEN 3 THEN octet_length(encode(concat(
+                           '<html><head><meta http-equiv="Content-Type" ',
+                           'content="text/html; charset=Shift_JIS">',
+                           '</head><body><p>doc ', doc_id,
+                           '</p></body></html>')))
+                       ELSE 1 + octet_length(encode(concat(
+                           '<html><body><p>caf', ' ', doc_id,
+                           '</p></body></html>')))
+                   END AS BIGINT) AS n_bytes
+            FROM documents
+        """,
         "extract_page_meta": """
             SELECT doc_id,
                    'Title ' || doc_id AS title,
@@ -2735,6 +2824,41 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM c
             ) WHERE rn = 1
+        """,
+        "web_cdx_index": f"""
+            WITH p AS (
+                SELECT doc_id, {_web.SYNTH_URL_SQL} AS url,
+                       TIMESTAMP '2024-01-01 00:00:00'
+                         + to_hours(CAST((doc_id * 53) % 720 AS BIGINT)) AS warc_ts,
+                       text
+                FROM documents
+            ),
+            c AS (
+                SELECT url, text, warc_ts,
+                       {_duck_canonical_url("url")} AS canonical_url
+                FROM p
+            ),
+            h AS (
+                SELECT *,
+                       regexp_extract(canonical_url,
+                           '{_web._ANY_HOST_RE}', 1) AS hostport,
+                       regexp_extract(canonical_url,
+                           '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?://)?[^/?#]*(.*)$',
+                           1) AS rest
+                FROM c
+            )
+            SELECT concat(
+                       array_to_string(list_reverse(string_split(
+                           regexp_replace(hostport, ':[0-9]+$', ''), '.')), ','),
+                       CASE WHEN regexp_extract(hostport, ':([0-9]+)$', 1) <> ''
+                            THEN concat(':', regexp_extract(hostport, ':([0-9]+)$', 1))
+                            ELSE '' END,
+                       ')', lower(rest)) AS surt_key,
+                   strftime(warc_ts, '%Y%m%d%H%M%S') AS ts14,
+                   url, canonical_url,
+                   sha256(text) AS digest,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS length
+            FROM h
         """,
         "extract_incremental": f"""
             WITH cur AS (

@@ -38,7 +38,7 @@ import codecs
 import re
 from typing import Optional
 
-__all__ = ["sniff_encoding", "decode_html"]
+__all__ = ["sniff_encoding", "sniff_encoding_detail", "decode_html"]
 
 # WHATWG encoding-label table, restricted to labels that occur in crawl
 # data and map onto stdlib codecs.  Keys are lowercased labels after
@@ -111,15 +111,19 @@ def _resolve_label(label: bytes) -> Optional[str]:
     return name
 
 
-def sniff_encoding(data: bytes) -> str:
-    """Return the Python codec name for an HTML payload (never raises)."""
+def sniff_encoding_detail(data: bytes) -> "tuple[str, str]":
+    """Return ``(codec, source)`` for an HTML payload (never raises).
+
+    ``source`` names the step that decided: ``bom``, ``declared``,
+    ``utf8-trial``, or ``fallback`` — the per-page provenance a crawl
+    metrics table wants (fallback rate is a data-quality signal)."""
     # 1. BOM — authoritative
     if data[:3] == b"\xef\xbb\xbf":
-        return "utf-8-sig"
+        return "utf-8-sig", "bom"
     if data[:2] == b"\xff\xfe":
-        return "utf-16-le"
+        return "utf-16-le", "bom"
     if data[:2] == b"\xfe\xff":
-        return "utf-16-be"
+        return "utf-16-be", "bom"
     # 2. declaration prescan (first 1024 bytes per WHATWG)
     head = data[:1024]
     m = _META_CHARSET_RE.search(head)
@@ -128,17 +132,22 @@ def sniff_encoding(data: bytes) -> str:
     if m is not None:
         name = _resolve_label(m.group(1))
         if name is not None:
-            return name
+            return name, "declared"
     # 3. strict UTF-8 trial — cheap (memchr-speed for pure ASCII) and
     #    decisive: legacy encoders essentially never emit valid UTF-8
     #    multi-byte sequences
     try:
         data.decode("utf-8")
-        return "utf-8"
+        return "utf-8", "utf8-trial"
     except UnicodeDecodeError:
         pass
     # 4. WHATWG legacy default
-    return "windows-1252"
+    return "windows-1252", "fallback"
+
+
+def sniff_encoding(data: bytes) -> str:
+    """Return the Python codec name for an HTML payload (never raises)."""
+    return sniff_encoding_detail(data)[0]
 
 
 def decode_html(data: bytes) -> str:

@@ -1185,3 +1185,58 @@ def soft404_flags(
             | (n_phrases >= 2)
         ).alias("soft404"),
     )
+
+
+def cdx_index(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    content_col: str = "text",
+) -> DataFrame:
+    """CDX(J)-style capture index over canonical URLs.
+
+    Every public crawl publishes a sorted capture index beside the WARC
+    data (Common Crawl's ``cdx-*.gz`` + columnar index) so a single URL
+    is O(log n) findable among 10^12 captures. One row per capture,
+    keyed by the SURT of the canonical URL plus the 14-digit timestamp.
+    SURT (Sort-friendly URI Reordering Transform) reverses the host
+    labels so every capture under a registered domain sorts adjacently::
+
+        https://sub.Example.com:8080/A/b?q=1 -> com,example,sub:8080)/a?q=1
+
+    Columns: ``surt_key``, ``ts14``, ``url`` (original), ``canonical_url``,
+    ``digest`` (sha256 hex of the record content — the dedup handle CDX
+    uses for revisit records), ``length`` (content octet length).
+
+    Scale shape: the key derivation is a pure codegen projection over
+    the already-mirrored canonical form; the ONE exchange is the global
+    ``orderBy(surt_key, ts14)`` range partition — which is the point:
+    the sorted range partitions are exactly the sharded, binary-
+    searchable index files the artifact requires at 10^12 rows.
+    """
+    curl = canonical_url_col(url_col)
+    base = pages.select(
+        F.col(url_col).alias("url"),
+        curl.alias("canonical_url"),
+        F.date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("ts14"),
+        F.sha2(F.col(content_col).cast("binary"), 256).alias("digest"),
+        F.octet_length(F.col(content_col)).cast("long").alias("length"),
+    )
+    host = f"regexp_extract(canonical_url, '{_ANY_HOST_RE}', 1)"
+    port = f"regexp_extract({host}, ':([0-9]+)$', 1)"
+    hostname = f"regexp_replace({host}, ':[0-9]+$', '')"
+    rev = f"array_join(reverse(split({hostname}, '[.]')), ',')"
+    rest = (
+        "regexp_extract(canonical_url, "
+        "'^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?://)?[^/?#]*(.*)$', 1)"
+    )
+    surt = (
+        f"concat({rev}, "
+        f"CASE WHEN {port} <> '' THEN concat(':', {port}) ELSE '' END, "
+        f"')', lower({rest}))"
+    )
+    return (
+        base.withColumn("surt_key", F.expr(surt))
+        .select("surt_key", "ts14", "url", "canonical_url", "digest", "length")
+        .orderBy("surt_key", "ts14")
+    )

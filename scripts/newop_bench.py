@@ -29,6 +29,8 @@ NEW_OPS = [
     # session 6
     "extract_image_refs", "extract_spans", "extract_table_cells",
     "extract_wet", "extract_page_meta",
+    # session 7
+    "extract_charset", "web_cdx_index",
 ]
 
 

@@ -899,3 +899,34 @@ def test_soft404_tiny_error_page_flagged(spark):
     assert not out[4].soft404 and not out[4].has_404_token
     assert out[5].soft404 and out[5].has_404_token
     assert not out[6].soft404 and out[6].n_chars_trim == 0
+
+
+def test_cdx_index_surt_keys(spark):
+    import datetime as dt
+
+    ts = dt.datetime(2024, 3, 5, 12, 30, 9)
+    pages = spark.createDataFrame(
+        [
+            ("HTTPS://WWW.Sub.Example.COM/A/B?utm_source=x&b=2&a=1#f", ts, "body one"),
+            ("http://other.example.com:8080/Case/Path", ts, "body two"),
+            ("http://example.com", ts, "body three"),
+        ],
+        "url string, warc_ts timestamp, text string",
+    )
+    rows = web.cdx_index(pages).collect()
+    by_url = {r["url"]: r for r in rows}
+    # host labels reversed + lowercased; www stripped by canonicalization;
+    # tracking params dropped, survivors sorted; path lowercased in the KEY only
+    r = by_url["HTTPS://WWW.Sub.Example.COM/A/B?utm_source=x&b=2&a=1#f"]
+    assert r["surt_key"] == "com,example,sub)/a/b?a=1&b=2"
+    assert r["canonical_url"] == "https://sub.example.com/A/B?a=1&b=2"
+    assert r["ts14"] == "20240305123009"
+    assert len(r["digest"]) == 64 and r["length"] == len(b"body one")
+    # non-default port rides inside the key before ')'
+    assert by_url["http://other.example.com:8080/Case/Path"]["surt_key"] == (
+        "com,example,other:8080)/case/path"
+    )
+    # bare host -> '/' path
+    assert by_url["http://example.com"]["surt_key"] == "com,example)/"
+    # global index order: (surt_key, ts14)
+    assert [x["surt_key"] for x in rows] == sorted(x["surt_key"] for x in rows)
