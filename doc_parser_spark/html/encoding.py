@@ -151,8 +151,32 @@ def sniff_encoding(data: bytes) -> str:
 
 
 def decode_html(data: bytes) -> str:
-    """Decode an HTML payload using the sniffed encoding (never raises)."""
-    enc = sniff_encoding(data)
+    """Decode an HTML payload using the sniffed encoding (never raises).
+
+    Single-pass on the dominant path: for undeclared content the strict
+    UTF-8 *trial* decode IS the decode (no second scan of the payload)."""
+    # 1. BOM — authoritative
+    if data[:3] == b"\xef\xbb\xbf":
+        enc = "utf-8-sig"
+    elif data[:2] == b"\xff\xfe":
+        enc = "utf-16-le"
+    elif data[:2] == b"\xfe\xff":
+        enc = "utf-16-be"
+    else:
+        # 2. declaration prescan
+        head = data[:1024]
+        m = _META_CHARSET_RE.search(head)
+        if m is None:
+            m = _XML_DECL_RE.search(head)
+        enc = _resolve_label(m.group(1)) if m is not None else None
+        if enc is None:
+            # 3. strict UTF-8 trial — on success this already produced
+            #    the decoded text; 4. windows-1252 fallback (total: every
+            #    byte decodes, so no replace needed)
+            try:
+                return data.decode("utf-8")
+            except UnicodeDecodeError:
+                return data.decode("windows-1252", errors="replace")
     try:
         return data.decode(enc)
     except (UnicodeDecodeError, ValueError):
