@@ -10,7 +10,11 @@ exercises.
 import pytest
 
 from doc_parser_spark.html.dom import parse_html
-from doc_parser_spark.html.encoding import decode_html, sniff_encoding
+from doc_parser_spark.html.encoding import (
+    decode_html,
+    sniff_encoding,
+    sniff_encoding_detail,
+)
 
 pytestmark = pytest.mark.unit
 
@@ -121,3 +125,31 @@ def test_parse_html_bytes_uses_sniffer():
 def test_parse_html_explicit_encoding_still_honored():
     root = parse_html("café".encode("windows-1252"), encoding="windows-1252")
     assert "café" in root.text
+
+
+# --- properties over arbitrary payloads -----------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=4096))
+def test_decode_html_total_on_arbitrary_bytes(data):
+    # never raises, always a str, and agrees with the two-step path
+    text = decode_html(data)
+    assert isinstance(text, str)
+    enc, _src = sniff_encoding_detail(data)
+    assert text == data.decode(enc, errors="replace")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=512))
+def test_undeclared_utf8_round_trips(s):
+    # any text WITHOUT a declaration/BOM survives a UTF-8 encode→decode
+    # byte-exactly (the parity-critical invariant for existing fixtures)
+    data = s.encode("utf-8")
+    if data[:3] == b"\xef\xbb\xbf" or data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return  # text that starts with a BOM-shaped prefix is the BOM case
+    if b"charset" in data[:1024].lower() or b"<?xml" in data[:1024].lower():
+        return  # may legitimately declare something else
+    assert decode_html(data) == s
