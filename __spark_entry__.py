@@ -736,6 +736,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "documents"),
             text_analysis.demo_classifier_weights(spark),
         ),
+        "doc_perceptron_weights": lambda spark, sf: text_analysis.perceptron_train(
+            _read(spark, sf, "documents"),
+            label_pred="lang = 'en'",
+            n_buckets=32,
+            epochs=3,
+        ),
         "doc_bloom_seen": lambda spark, sf: dedup.bloom_seen(
             _read(spark, sf, "documents"),
             _read(spark, sf, "documents").where("doc_id % 3 = 0"),
@@ -959,6 +965,63 @@ def _bpe_apply_oracle_sql(n_merges: int) -> str:
         " (coalesce(p.n_bpe_tokens, 0) * 100) // base.n_chars_norm"
         " ELSE 0 END AS BIGINT) AS compression_pct"
         " FROM base LEFT JOIN per_doc p USING (doc_id)"
+    )
+
+
+def _perceptron_sql(n_buckets: int = 32, epochs: int = 3) -> str:
+    """DuckDB twin of text_analysis.perceptron_train — the epoch loop
+    fully unrolled as chained CTEs (the `_bpe_oracle_sql` pattern).
+    Epoch 1 is special-cased like the engine: an all-zero model scores
+    every document 0, so every document is misclassified."""
+    nb = n_buckets
+    parts = [
+        f"""d AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+                   list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                                     '\\s+'), t -> t <> '') AS w
+            FROM documents
+        )""",
+        f"""feats AS (
+            SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT doc_id, {_hex_key("md5(tok)", 8)} % {nb} AS bucket
+                FROM d, LATERAL UNNEST(w) AS u(tok)
+            ) GROUP BY doc_id, bucket
+            UNION ALL
+            SELECT doc_id, {nb} AS bucket, 1 AS cnt FROM d
+        )""",
+        "labels AS (SELECT doc_id, y FROM d)",
+        f"buckets AS (SELECT UNNEST(generate_series(0, {nb})) AS bucket)",
+        # epoch 1: zero model -> all docs misclassified
+        """g1 AS (
+            SELECT bucket, sum(y * cnt) AS g
+            FROM feats JOIN labels USING (doc_id) GROUP BY bucket
+        )""",
+        """w1 AS (
+            SELECT b.bucket, CAST(coalesce(g.g, 0) AS BIGINT) AS wgt
+            FROM buckets b LEFT JOIN g1 g USING (bucket)
+        )""",
+    ]
+    for k in range(2, epochs + 1):
+        parts.append(f"""s{k} AS (
+            SELECT f.doc_id, coalesce(sum(f.cnt * w.wgt), 0) AS score
+            FROM feats f JOIN w{k - 1} w USING (bucket) GROUP BY f.doc_id
+        )""")
+        parts.append(f"""m{k} AS (
+            SELECT l.doc_id, l.y FROM labels l JOIN s{k} s USING (doc_id)
+            WHERE l.y * s.score <= 0
+        )""")
+        parts.append(f"""g{k} AS (
+            SELECT f.bucket, sum(m.y * f.cnt) AS g
+            FROM feats f JOIN m{k} m USING (doc_id) GROUP BY f.bucket
+        )""")
+        parts.append(f"""w{k} AS (
+            SELECT w.bucket, CAST(w.wgt + coalesce(g.g, 0) AS BIGINT) AS wgt
+            FROM w{k - 1} w LEFT JOIN g{k} g USING (bucket)
+        )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT bucket, CAST(wgt AS BIGINT) AS weight FROM w{epochs}"
     )
 
 
@@ -3339,6 +3402,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # fastText-style hashed-unigram linear classifier inference with the
         # deterministic demo weight table (bucket:cls md5 -> [-1000, 1000])
+        "doc_perceptron_weights": _perceptron_sql(32, 3),
         "doc_classifier_label": f"""
             WITH feats AS (
                 SELECT doc_id,

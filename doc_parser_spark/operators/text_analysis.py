@@ -1587,3 +1587,107 @@ def normalize_text(documents: DataFrame, text_col: str = "text") -> DataFrame:
         (norm != raw).alias("changed"),
         F.md5(norm).alias("norm_key"),
     )
+
+
+def perceptron_train(
+    documents: DataFrame,
+    label_pred: str = "lang = 'en'",
+    n_buckets: int = 32,
+    epochs: int = 3,
+) -> DataFrame:
+    """Distributed batch-perceptron TRAINING for a binary text
+    classifier (Rosenblatt 1958; the batch/aggregate formulation) —
+    the training half of the crawl-quality-classifier loop whose
+    inference half is :func:`linear_classifier` (DCLM / FineWeb-Edu
+    train a model on weak labels, then filter the crawl with it).
+
+    Features are hashed unigram counts (the same md5 hashing trick as
+    :func:`linear_classifier`) plus a constant bias feature at bucket id
+    ``n_buckets``; labels ``y ∈ {+1, -1}`` come from ``label_pred``, a
+    SQL predicate over the input relation (in production: a trusted
+    seed set vs random crawl). Each epoch scores every document under
+    the current INTEGER weight vector and adds the summed gradient
+    ``Σ_misclassified y·x`` — all-integer arithmetic end to end, so
+    the learned weights are bit-identical across engines, partition
+    counts, and row orders (the perceptron replaces the logistic
+    ``exp``, whose libm varies between engines, with a sign test —
+    this module's engine-portability precedent).
+
+    Model state: the weight vector is ``n_buckets + 1`` integers held
+    driver-side (like :func:`ivf_train`'s codebook / MLlib's KMeans
+    centers); per epoch the corpus sees ONE broadcast hash-join against
+    the tiny weight relation + a doc-keyed aggregation over the
+    pre-partitioned feature relation, and only ``n_buckets + 1``
+    gradient rows ever reach the driver. The feature relation is built
+    once, repartitioned by ``doc_id`` and checkpoint-pinned, so every
+    epoch's score aggregation and misclassified join are co-located —
+    no corpus re-scan, no corpus-sized shuffle after epoch 0.
+
+    Weight magnitudes are bounded by ``epochs × total token
+    occurrences`` — inside int64 up to ~10^15 corpus tokens; beyond
+    that the counts must move to DECIMAL (documented, not silent).
+
+    Returns the trained model as exploded scalar rows
+    ``(bucket, weight)`` — ``bucket = n_buckets`` is the bias.
+    """
+    if epochs < 1 or n_buckets < 1:
+        raise ValueError("epochs and n_buckets must be positive")
+    documents = _nn_text(documents)
+    spark = documents.sparkSession
+    d = documents.select(
+        "doc_id",
+        F.when(F.expr(label_pred), F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+        F.expr("filter(split(trim(text), '\\\\s+'), t -> t <> '')").alias("w"),
+    )
+    tok = d.select("doc_id", F.explode("w").alias("t")).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+            % F.lit(n_buckets)
+        ).alias("bucket"),
+    )
+    counted = tok.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    bias = d.select(
+        "doc_id", F.lit(n_buckets).cast("long").alias("bucket"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    feats = (
+        counted.unionByName(bias)
+        .repartition("doc_id")
+        .localCheckpoint(eager=True)  # pin: epochs re-read, never re-derive
+    )
+    labels = d.select("doc_id", "y").localCheckpoint(eager=True)
+
+    weights = {b: 0 for b in range(n_buckets + 1)}
+    for _ in range(epochs):
+        nonzero = [(b, wt) for b, wt in weights.items() if wt != 0]
+        if nonzero:
+            wdf = spark.createDataFrame(nonzero, "bucket long, wgt long")
+            sc = (
+                feats.join(F.broadcast(wdf), "bucket")
+                .groupBy("doc_id")
+                .agg(F.sum(F.col("cnt") * F.col("wgt")).alias("score"))
+            )
+            scored = labels.join(sc, "doc_id", "left").select(
+                "doc_id", "y",
+                F.coalesce("score", F.lit(0)).alias("score"),
+            )
+        else:  # all-zero model scores every doc 0
+            scored = labels.select("doc_id", "y", F.lit(0).alias("score"))
+        mis = scored.where(F.col("y") * F.col("score") <= 0).select("doc_id", "y")
+        grad = (
+            feats.join(mis, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("cnt")).alias("g"))
+            .collect()  # bounded: <= n_buckets + 1 rows of model state
+        )
+        for r in grad:
+            weights[r["bucket"]] += r["g"]
+    return spark.createDataFrame(
+        sorted(weights.items()), "bucket long, weight long"
+    )

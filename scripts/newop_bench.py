@@ -30,7 +30,7 @@ NEW_OPS = [
     "extract_image_refs", "extract_spans", "extract_table_cells",
     "extract_wet", "extract_page_meta",
     # session 7
-    "extract_charset", "web_cdx_index",
+    "extract_charset", "web_cdx_index", "doc_perceptron_weights",
 ]
 
 

@@ -670,3 +670,50 @@ def test_normalize_text_rules_and_idempotence(spark):
     for i in (1, 2, 3):
         assert again[i].norm_text == out[i].norm_text
         assert not again[i].changed
+
+
+def test_perceptron_train_learns_separable_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from doc_parser_spark.operators.text_analysis import perceptron_train
+
+    # two disjoint vocabularies -> linearly separable in hashed-unigram
+    # space (n_buckets large enough that the two vocabularies don't
+    # collide into the same bucket with opposite labels)
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "en", "the quick brown fox and the lazy dog"))
+        else:
+            rows.append((i, "xx", "zug blorp weeva klam dret vonk snee"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    wdf = perceptron_train(docs, label_pred="lang = 'en'", n_buckets=64, epochs=4)
+    w = {r["bucket"]: r["weight"] for r in wdf.collect()}
+    assert len(w) == 65  # all buckets + bias, deterministic row count
+
+    # score both classes under the learned model: every doc classified right
+    def score(text):
+        import hashlib
+
+        s = w[64]  # bias
+        for t in text.split():
+            b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 64
+            s += w[b]
+        return s
+
+    assert score("the quick brown fox and the lazy dog") > 0
+    assert score("zug blorp weeva klam dret vonk snee") < 0
+
+
+def test_perceptron_train_validates_params(spark):
+    import pytest as _pytest
+
+    from doc_parser_spark.operators.text_analysis import perceptron_train
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a b")], "doc_id long, lang string, text string"
+    )
+    with _pytest.raises(ValueError):
+        perceptron_train(docs, epochs=0)
+    with _pytest.raises(ValueError):
+        perceptron_train(docs, n_buckets=0)
