@@ -269,6 +269,61 @@ def _q_extract_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-side WARC walk over chains synthesized IN SQL (binary
+    concat with Content-Length octet math, CRLF framing — the mirror
+    image of extract_wet's record assembly): warcinfo + enveloped
+    response (status/mime/multibyte body) + metadata per document, so
+    every emitted field is SQL-predictable from doc_id."""
+    from doc_parser_spark.operators.extract import warc_records
+
+    docs = _read(spark, sf_dir, "documents")
+    parts = docs.selectExpr(
+        "doc_id",
+        "concat('https://w', cast(doc_id % 40 as int), '.example.org/r/',"
+        " doc_id) AS turi",
+        "concat('software: synthcrawler ', cast(doc_id % 3 as int),"
+        " '\\r\\n') AS body0",
+        "concat('<html><body><p>doc ', doc_id, ' café</p></body></html>')"
+        " AS html1",
+        "CASE WHEN doc_id % 4 = 0 THEN 404 ELSE 200 END AS status",
+        "concat('fetchTimeMs: ', cast((doc_id * 7) % 1000 as int),"
+        " '\\r\\n') AS body2",
+    ).selectExpr(
+        "*",
+        "concat('HTTP/1.1 ', status, ' OK\\r\\n"
+        "Content-Type: text/html; charset=UTF-8\\r\\n\\r\\n', html1)"
+        " AS http1",
+    )
+    pages = parts.selectExpr(
+        "turi AS url",
+        "cast(concat("
+        "'WARC/1.0\\r\\nWARC-Type: warcinfo\\r\\n"
+        "Content-Type: application/warc-fields\\r\\nContent-Length: ',"
+        " octet_length(body0), '\\r\\n\\r\\n', body0, '\\r\\n\\r\\n',"
+        "'WARC/1.0\\r\\nWARC-Type: response\\r\\nWARC-Target-URI: ', turi,"
+        " '\\r\\nContent-Type: application/http; msgtype=response\\r\\n"
+        "Content-Length: ', octet_length(http1), '\\r\\n\\r\\n', http1,"
+        " '\\r\\n\\r\\n',"
+        "'WARC/1.0\\r\\nWARC-Type: metadata\\r\\nWARC-Target-URI: ', turi,"
+        " '\\r\\nContent-Type: application/warc-fields\\r\\n"
+        "Content-Length: ', octet_length(body2), '\\r\\n\\r\\n', body2"
+        ") as binary) AS html",
+    )
+    out = warc_records(pages)
+    return out.select(
+        F.regexp_extract("url", "/r/([0-9]+)$", 1).cast("bigint").alias("doc_id"),
+        "rec_no",
+        "warc_type",
+        "target_uri",
+        "http_status",
+        "mime",
+        "record_length",
+        "payload_sha256",
+        "payload_length",
+    )
+
+
 def _wrapped_image_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents table → pages whose HTML carries a deterministic image
     set (internal jpg with alt + width/'auto' height, a data: URI inline
@@ -515,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_wet": _q_extract_wet,
         "extract_page_meta": _q_extract_page_meta,
         "extract_charset": _q_extract_charset,
+        "extract_warc_records": _q_extract_warc_records,
         "web_link_graph": _q_link_graph,
         "web_anchor_text": lambda spark, sf: web.anchor_text(
             _q_extract_links_raw(spark, sf)
@@ -1650,6 +1706,52 @@ def oracle_sql() -> dict[str, str]:
                            '</p></body></html>')))
                    END AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "extract_warc_records": """
+            WITH parts AS (
+                SELECT doc_id,
+                       concat('https://w', CAST(doc_id % 40 AS INT),
+                              '.example.org/r/', doc_id) AS turi,
+                       concat('software: synthcrawler ',
+                              CAST(doc_id % 3 AS INT), e'\r\n') AS body0,
+                       concat('<html><body><p>doc ', doc_id,
+                              ' café</p></body></html>') AS html1,
+                       CASE WHEN doc_id % 4 = 0 THEN 404 ELSE 200 END AS status,
+                       concat('fetchTimeMs: ', CAST((doc_id * 7) % 1000 AS INT),
+                              e'\r\n') AS body2
+                FROM documents
+            ),
+            p2 AS (
+                SELECT *,
+                       concat('HTTP/1.1 ', status,
+                              e' OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n',
+                              html1) AS http1
+                FROM parts
+            )
+            SELECT doc_id, CAST(0 AS BIGINT) AS rec_no,
+                   'warcinfo' AS warc_type, '' AS target_uri,
+                   CAST(NULL AS BIGINT) AS http_status,
+                   'application/warc-fields' AS mime,
+                   CAST(octet_length(encode(body0)) AS BIGINT) AS record_length,
+                   sha256(body0) AS payload_sha256,
+                   CAST(octet_length(encode(body0)) AS BIGINT) AS payload_length
+            FROM p2
+            UNION ALL
+            SELECT doc_id, 1, 'response', turi,
+                   CAST(status AS BIGINT),
+                   'text/html; charset=UTF-8',
+                   CAST(octet_length(encode(http1)) AS BIGINT),
+                   sha256(html1),
+                   CAST(octet_length(encode(html1)) AS BIGINT)
+            FROM p2
+            UNION ALL
+            SELECT doc_id, 2, 'metadata', turi,
+                   CAST(NULL AS BIGINT),
+                   'application/warc-fields',
+                   CAST(octet_length(encode(body2)) AS BIGINT),
+                   sha256(body2),
+                   CAST(octet_length(encode(body2)) AS BIGINT)
+            FROM p2
         """,
         "extract_page_meta": """
             SELECT doc_id,

@@ -13,6 +13,7 @@ per record — under a cumulative DEFAULT_MAX_BYTES output cap).
 from __future__ import annotations
 
 import zlib
+from typing import Optional
 
 from .limits import DEFAULT_MAX_BYTES, BombError, gunzip_members
 from .model import Document
@@ -33,9 +34,11 @@ def _split_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
-def warc_payload(data: bytes) -> tuple[bytes, str]:
-    """WARC bytes → (payload bytes of the first response/resource record,
-    target URI). Strips the HTTP response envelope when present."""
+def iter_records(data: bytes):
+    """Yield ``(headers, body)`` for EVERY record in a (possibly
+    gzipped) WARC record chain — the shared walk behind
+    :func:`warc_payload` and the ``extract_warc_records`` ingestion
+    relation. Raises :class:`WarcError` on malformed framing."""
     if data[:2] == b"\x1f\x8b":  # gzipped member(s) — inflate ALL of them
         try:
             data = gunzip_members(data, DEFAULT_MAX_BYTES)
@@ -44,9 +47,9 @@ def warc_payload(data: bytes) -> tuple[bytes, str]:
         except zlib.error as exc:
             raise WarcError(f"bad WARC gzip member: {exc}") from exc
     pos = 0
-    while True:
+    while pos < len(data):
         if not data[pos:].startswith(b"WARC/"):
-            raise WarcError("no response record found")
+            raise WarcError("bad WARC framing: record does not start WARC/")
         head_end = data.find(b"\r\n\r\n", pos)
         if head_end < 0:
             raise WarcError("truncated WARC header")
@@ -56,17 +59,45 @@ def warc_payload(data: bytes) -> tuple[bytes, str]:
         except ValueError as exc:
             raise WarcError("missing Content-Length") from exc
         body = data[head_end + 4 : head_end + 4 + length]
-        if headers.get("warc-type") in ("response", "resource"):
-            uri = headers.get("warc-target-uri", "")
-            if body.startswith(b"HTTP/"):
-                http_end = body.find(b"\r\n\r\n")
-                if http_end >= 0:
-                    body = body[http_end + 4 :]
-            return body, uri
+        if len(body) != length:
+            raise WarcError("truncated record body")
+        yield headers, body
         pos = head_end + 4 + length
         # records are separated by two CRLFs
         while data[pos : pos + 2] == b"\r\n":
             pos += 2
+
+
+def strip_http_envelope(body: bytes) -> tuple[bytes, Optional[int], str]:
+    """Split an HTTP response envelope off a WARC ``response`` body:
+    ``(payload, status or None, content-type header or '')``."""
+    if not body.startswith(b"HTTP/"):
+        return body, None, ""
+    http_end = body.find(b"\r\n\r\n")
+    if http_end < 0:
+        return body, None, ""
+    head = body[:http_end]
+    status: Optional[int] = None
+    first = head.split(b"\r\n", 1)[0].split(b" ")
+    if len(first) >= 2 and first[1].isdigit():
+        status = int(first[1])
+    ctype = ""
+    for line in head.split(b"\r\n")[1:]:
+        if line.lower().startswith(b"content-type:"):
+            ctype = line.split(b":", 1)[1].strip().decode("ascii", "replace")
+            break
+    return body[http_end + 4 :], status, ctype
+
+
+def warc_payload(data: bytes) -> tuple[bytes, str]:
+    """WARC bytes → (payload bytes of the first response/resource record,
+    target URI). Strips the HTTP response envelope when present."""
+    for headers, body in iter_records(data):
+        if headers.get("warc-type") in ("response", "resource"):
+            uri = headers.get("warc-target-uri", "")
+            body, _status, _ctype = strip_http_envelope(body)
+            return body, uri
+    raise WarcError("no response record found")
 
 
 def extract_warc(data: bytes) -> tuple[Document, str]:

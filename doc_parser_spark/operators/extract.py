@@ -1088,3 +1088,92 @@ def extract_charset(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(
         kernel, schema=_charset_schema()
     )
+
+
+def _warc_records_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("rec_no", T.LongType()),
+            T.StructField("warc_type", T.StringType()),
+            T.StructField("target_uri", T.StringType()),
+            T.StructField("http_status", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("record_length", T.LongType()),
+            T.StructField("payload_sha256", T.StringType()),
+            T.StructField("payload_length", T.LongType()),
+        ]
+    )
+
+
+def warc_records(pages: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES) -> DataFrame:
+    """Crawl-ingestion relation: EVERY record of a WARC record chain as
+    one row — the input-side complement of :func:`wet_records` (which
+    writes the conversion artifact this reads back). Per record:
+    WARC-Type, target URI, the HTTP status + Content-Type split off a
+    ``response`` envelope, the declared record Content-Length, and the
+    sha256 + octet length of the enveloped-stripped payload (the digest
+    CDX revisit-dedup keys on).
+
+    A cell whose bytes are not a WARC chain (or that overruns
+    ``max_bytes``) contributes nothing — per-document failure isolation,
+    matching the extraction kernel: a torn record chain in one crawl
+    slice never kills the stage.
+
+    Same execution contract as the extraction kernel: one Arrow-batched
+    ``mapInPandas`` stage, no shuffle; gzip members inflate under the
+    cumulative bounded-decompression cap (``limits.gunzip_members``).
+    """
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from doc_parser_spark.core.warc_backend import (
+            iter_records,
+            strip_http_envelope,
+        )
+
+        for batch in batches:
+            records = []
+            for url, payload in zip(batch["url"], batch["html"]):
+                if payload is None or len(payload) > max_bytes:
+                    continue
+                rows: list[dict] = []
+                try:
+                    for rec_no, (headers, body) in enumerate(
+                        iter_records(bytes(payload))
+                    ):
+                        stripped, status, ctype = (
+                            strip_http_envelope(body)
+                            if headers.get("warc-type") == "response"
+                            else (body, None, headers.get("content-type", ""))
+                        )
+                        rows.append(
+                            {
+                                "url": url,
+                                "rec_no": rec_no,
+                                "warc_type": headers.get("warc-type", ""),
+                                "target_uri": headers.get(
+                                    "warc-target-uri", ""
+                                ),
+                                "http_status": status,
+                                "mime": ctype,
+                                "record_length": len(body),
+                                "payload_sha256": hashlib.sha256(
+                                    stripped
+                                ).hexdigest(),
+                                "payload_length": len(stripped),
+                            }
+                        )
+                except Exception:  # noqa: BLE001 — per-doc isolation:
+                    continue  # a torn chain contributes NO rows at all
+                records.extend(rows)
+            schema = _warc_records_schema()
+            yield pd.DataFrame(
+                records, columns=[f.name for f in schema.fields]
+            )
+
+    return pages.select("url", "html").mapInPandas(
+        kernel, schema=_warc_records_schema()
+    )

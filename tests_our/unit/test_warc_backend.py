@@ -90,3 +90,84 @@ def test_multi_member_gzip_warc_through_kernel():
     blob = _gzip.compress(raw[:split]) + _gzip.compress(raw[split:])
     rec = process_document("u", blob)
     assert (rec["status"], rec["format"]) == ("success", "warc:html")
+
+
+def _rec(wtype: str, body: bytes, extra: str = "") -> bytes:
+    return (
+        f"WARC/1.0\r\nWARC-Type: {wtype}\r\n{extra}"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def test_iter_records_walks_all_and_strip_envelope():
+    from doc_parser_spark.core.warc_backend import (
+        iter_records,
+        strip_http_envelope,
+    )
+
+    html = "<p>café</p>".encode()
+    http = b"HTTP/1.1 301 Moved\r\nContent-Type: text/html\r\nLocation: x\r\n\r\n" + html
+    chain = b"\r\n\r\n".join(
+        [
+            _rec("warcinfo", b"software: t\r\n"),
+            _rec("response", http, "WARC-Target-URI: https://e.com/a\r\n"),
+            _rec("metadata", b"k: v\r\n", "WARC-Target-URI: https://e.com/a\r\n"),
+        ]
+    )
+    recs = list(iter_records(chain))
+    assert [h.get("warc-type") for h, _ in recs] == [
+        "warcinfo", "response", "metadata",
+    ]
+    body, status, ctype = strip_http_envelope(recs[1][1])
+    assert body == html and status == 301 and ctype == "text/html"
+    # non-HTTP body passes through untouched
+    assert strip_http_envelope(b"plain") == (b"plain", None, "")
+
+
+def test_iter_records_multi_member_gzip():
+    import gzip
+
+    from doc_parser_spark.core.warc_backend import iter_records
+
+    # standard .warc.gz: one gzip member PER record
+    members = b"".join(
+        gzip.compress(_rec(t, b"x: y\r\n") + b"\r\n\r\n")
+        for t in ("warcinfo", "metadata")
+    )
+    recs = list(iter_records(members))
+    assert [h.get("warc-type") for h, _ in recs] == ["warcinfo", "metadata"]
+
+
+def test_warc_records_relation_isolates_torn_chains(spark):
+    from doc_parser_spark.operators.extract import warc_records
+
+    good = b"\r\n\r\n".join(
+        [
+            _rec("warcinfo", b"a: b\r\n"),
+            _rec(
+                "response",
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nhello",
+                "WARC-Target-URI: https://e.com/ok\r\n",
+            ),
+        ]
+    )
+    torn = good[:-3]  # truncated mid-body: declared length overruns data
+    junk = good + b"\r\n\r\nGARBAGE-NOT-A-RECORD"  # bad framing after rec 2
+    pages = spark.createDataFrame(
+        [
+            ("u1", bytearray(good)),
+            ("u2", bytearray(torn)),
+            ("u3", None),
+            ("u4", bytearray(b"not a warc at all")),
+            ("u5", bytearray(junk)),
+        ],
+        "url string, html binary",
+    )
+    rows = warc_records(pages).collect()
+    # only the clean chain contributes — and ALL of its records
+    assert sorted((r["url"], r["rec_no"], r["warc_type"]) for r in rows) == [
+        ("u1", 0, "warcinfo"), ("u1", 1, "response"),
+    ]
+    resp = [r for r in rows if r["rec_no"] == 1][0]
+    assert resp["http_status"] == 200 and resp["payload_length"] == 5
+    assert resp["target_uri"] == "https://e.com/ok"
