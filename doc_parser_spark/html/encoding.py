@@ -88,10 +88,18 @@ _LABEL_MAP = {
     "x-user-defined": "windows-1252",
 }
 
-# <meta charset="..."> — attribute value with or without quotes
-_META_CHARSET_RE = re.compile(
-    rb"""<meta[^>]{0,512}?charset\s*=\s*["']?\s*([a-zA-Z0-9._:-]{1,40})""",
-    re.IGNORECASE,
+# prescan tokenization: whole <meta ...> tags, then their attributes —
+# `charset=` is honored only as an actual ATTRIBUTE of a meta tag (or
+# inside an http-equiv content-type's content VALUE), never as loose
+# text inside some other attribute (WHATWG prescan / UnicodeDammit
+# both parse attributes; a bare `charset=` substring match mis-fires
+# on e.g. <meta name=d content="see charset=iso-8859-1 docs">)
+_META_TAG_RE = re.compile(rb"<meta\s[^>]{0,512}", re.IGNORECASE)
+_ATTR_RE = re.compile(
+    rb"""([a-zA-Z-]+)\s*=\s*("[^"]*"|'[^']*'|[^\s"'>]+)""",
+)
+_CONTENT_CHARSET_RE = re.compile(
+    rb"""charset\s*=\s*["']?\s*([a-zA-Z0-9._:-]{1,40})""", re.IGNORECASE
 )
 # XML declaration (XHTML served as text/html): <?xml ... encoding="...">
 _XML_DECL_RE = re.compile(
@@ -111,28 +119,74 @@ def _resolve_label(label: bytes) -> Optional[str]:
     return name
 
 
+def _declared_encoding(head: bytes) -> Optional[str]:
+    """WHATWG-style prescan of the head bytes for a declared encoding."""
+    for tag in _META_TAG_RE.finditer(head):
+        attrs = {}
+        for am in _ATTR_RE.finditer(tag.group(0)):
+            k = am.group(1).lower()
+            if k not in attrs:  # first occurrence wins, like browsers
+                attrs[k] = am.group(2).strip(b"\"'")
+        label = attrs.get(b"charset")
+        if label is None and (
+            attrs.get(b"http-equiv", b"").lower() == b"content-type"
+        ):
+            cm = _CONTENT_CHARSET_RE.search(attrs.get(b"content", b""))
+            if cm is not None:
+                label = cm.group(1)
+        if label is not None:
+            name = _resolve_label(label)
+            if name is not None:
+                return name
+    m = _XML_DECL_RE.search(head)
+    if m is not None:
+        return _resolve_label(m.group(1))
+    return None
+
+
+def _resolve(data: bytes) -> "tuple[Optional[str], str]":
+    """Shared BOM + declaration resolution: ``(codec or None, source)``.
+
+    ``None`` means undetermined — the caller runs the UTF-8 trial /
+    windows-1252 fallback. The ``utf-16`` codec is the endian-detecting
+    one, so the BOM is CONSUMED by the decode (WHATWG requires the BOM
+    never reach the document text)."""
+    if data[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig", "bom"
+    if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16", "bom"
+    name = _declared_encoding(data[:1024])
+    if name is not None:
+        return name, "declared"
+    return None, ""
+
+
+# Python's cp1252 leaves 0x81/0x8D/0x8F/0x90/0x9D undefined (→ U+FFFD
+# under errors="replace"); the WHATWG windows-1252 decoder maps them to
+# the C1 controls. Decode latin-1 (total, C1 passthrough) + translate
+# the 27 defined high positions to their cp1252 characters.
+_W1252_TABLE = {}
+for _i in range(0x80, 0xA0):
+    try:
+        _W1252_TABLE[_i] = ord(bytes([_i]).decode("cp1252"))
+    except UnicodeDecodeError:
+        pass  # gap byte: latin-1's C1 control stands, per WHATWG
+
+
+def _decode_windows_1252(data: bytes) -> str:
+    """Total WHATWG windows-1252 decode (gap bytes → C1 controls)."""
+    return data.decode("latin-1").translate(_W1252_TABLE)
+
+
 def sniff_encoding_detail(data: bytes) -> "tuple[str, str]":
     """Return ``(codec, source)`` for an HTML payload (never raises).
 
     ``source`` names the step that decided: ``bom``, ``declared``,
     ``utf8-trial``, or ``fallback`` — the per-page provenance a crawl
     metrics table wants (fallback rate is a data-quality signal)."""
-    # 1. BOM — authoritative
-    if data[:3] == b"\xef\xbb\xbf":
-        return "utf-8-sig", "bom"
-    if data[:2] == b"\xff\xfe":
-        return "utf-16-le", "bom"
-    if data[:2] == b"\xfe\xff":
-        return "utf-16-be", "bom"
-    # 2. declaration prescan (first 1024 bytes per WHATWG)
-    head = data[:1024]
-    m = _META_CHARSET_RE.search(head)
-    if m is None:
-        m = _XML_DECL_RE.search(head)
-    if m is not None:
-        name = _resolve_label(m.group(1))
-        if name is not None:
-            return name, "declared"
+    enc, src = _resolve(data)
+    if enc is not None:
+        return enc, src
     # 3. strict UTF-8 trial — cheap (memchr-speed for pure ASCII) and
     #    decisive: legacy encoders essentially never emit valid UTF-8
     #    multi-byte sequences
@@ -155,31 +209,20 @@ def decode_html(data: bytes) -> str:
 
     Single-pass on the dominant path: for undeclared content the strict
     UTF-8 *trial* decode IS the decode (no second scan of the payload)."""
-    # 1. BOM — authoritative
-    if data[:3] == b"\xef\xbb\xbf":
-        enc = "utf-8-sig"
-    elif data[:2] == b"\xff\xfe":
-        enc = "utf-16-le"
-    elif data[:2] == b"\xfe\xff":
-        enc = "utf-16-be"
-    else:
-        # 2. declaration prescan
-        head = data[:1024]
-        m = _META_CHARSET_RE.search(head)
-        if m is None:
-            m = _XML_DECL_RE.search(head)
-        enc = _resolve_label(m.group(1)) if m is not None else None
-        if enc is None:
-            # 3. strict UTF-8 trial — on success this already produced
-            #    the decoded text; 4. windows-1252 fallback (total: every
-            #    byte decodes, so no replace needed)
-            try:
-                return data.decode("utf-8")
-            except UnicodeDecodeError:
-                return data.decode("windows-1252", errors="replace")
+    enc, _src = _resolve(data)
+    if enc is None:
+        try:
+            # 3. trial — on success this already produced the text;
+            # 4. WHATWG windows-1252 fallback (total by construction)
+            return data.decode("utf-8")
+        except UnicodeDecodeError:
+            return _decode_windows_1252(data)
     try:
         return data.decode(enc)
     except (UnicodeDecodeError, ValueError):
         # malformed under its own declaration: degrade per-character,
-        # never per-document (failure-isolation contract)
+        # never per-document (failure-isolation contract); a DECLARED
+        # windows-1252 takes the same WHATWG-total path
+        if enc == "windows-1252":
+            return _decode_windows_1252(data)
         return data.decode(enc, errors="replace")

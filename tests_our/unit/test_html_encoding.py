@@ -27,11 +27,14 @@ def test_bom_utf8():
 
 
 def test_bom_utf16_both_orders():
-    for enc, codec in (("utf-16-le", "utf-16-le"), ("utf-16-be", "utf-16-be")):
+    for codec in ("utf-16-le", "utf-16-be"):
         body = "<html><body>café 日本</body></html>"
-        data = (b"\xff\xfe" if enc == "utf-16-le" else b"\xfe\xff") + body.encode(codec)
-        assert sniff_encoding(data) == enc
-        assert "café 日本" in decode_html(data)
+        data = (b"\xff\xfe" if codec == "utf-16-le" else b"\xfe\xff") + body.encode(codec)
+        # the endian-detecting codec, so the decode CONSUMES the BOM
+        assert sniff_encoding(data) == "utf-16"
+        text = decode_html(data)
+        assert "café 日本" in text
+        assert not text.startswith("﻿")  # BOM never reaches the DOM
 
 
 def test_meta_charset_shift_jis():
@@ -136,10 +139,15 @@ from hypothesis import given, settings, strategies as st
 @given(st.binary(max_size=4096))
 def test_decode_html_total_on_arbitrary_bytes(data):
     # never raises, always a str, and agrees with the two-step path
+    from doc_parser_spark.html.encoding import _decode_windows_1252
+
     text = decode_html(data)
     assert isinstance(text, str)
     enc, _src = sniff_encoding_detail(data)
-    assert text == data.decode(enc, errors="replace")
+    if enc == "windows-1252":  # WHATWG-total decode, gap bytes → C1
+        assert text == _decode_windows_1252(data)
+    else:
+        assert text == data.decode(enc, errors="replace")
 
 
 @settings(max_examples=200, deadline=None)
@@ -153,3 +161,29 @@ def test_undeclared_utf8_round_trips(s):
     if b"charset" in data[:1024].lower() or b"<?xml" in data[:1024].lower():
         return  # may legitimately declare something else
     assert decode_html(data) == s
+
+
+def test_charset_in_unrelated_attribute_not_honored():
+    # `charset=` as loose text inside another attribute's VALUE must not
+    # override the real encoding (WHATWG honors only the charset
+    # attribute / http-equiv content-type content value)
+    data = (
+        b'<meta name=d content="see charset=iso-8859-1 docs">'
+        b"<p>caf\xc3\xa9</p>"
+    )
+    assert sniff_encoding(data) == "utf-8"
+    assert "café" in decode_html(data)
+
+
+def test_http_equiv_required_for_content_charset():
+    # content="...charset=..." without http-equiv=content-type is inert
+    data = b'<meta name=x content="text/html; charset=shift_jis"><p>caf\xc3\xa9</p>'
+    assert sniff_encoding(data) == "utf-8"
+
+
+def test_fallback_gap_bytes_map_to_c1_controls():
+    # WHATWG windows-1252: 0x81/0x8D/0x8F/0x90/0x9D decode to the C1
+    # controls (Python's cp1252 leaves them undefined)
+    data = b"caf\xe9 \x81\x8d\x90"
+    assert sniff_encoding(data) == "windows-1252"
+    assert decode_html(data) == "café \x81\x8d\x90"
