@@ -84,3 +84,68 @@ def test_span_and_table_invariants_on_tag_soup(html):
             assert 0 <= c["start_col"] < c["end_col"] <= t["num_cols"]
             assert c["row_span"] == c["end_row"] - c["start_row"]
             assert c["col_span"] == c["end_col"] - c["start_col"]
+
+
+# --- encoding-hostile payload fuzz ----------------------------------------
+#
+# parse_html now routes bytes through the WHATWG charset sniffer; these
+# properties drive the SHIPPED per-document extraction path
+# (convert_payload -> extract_html -> exports) over byte payloads with
+# randomized/hostile encoding declarations and mixed-validity bytes,
+# asserting the per-document contract: never raises, always yields a
+# Document whose exports are strings.
+
+_codec = st.sampled_from(
+    ["utf-8", "shift_jis", "euc-kr", "gbk", "windows-1251", "windows-1252"]
+)
+_decl = st.sampled_from(
+    ["", "<meta charset='{c}'>", "<meta charset='utf-8'>",
+     '<meta http-equiv="Content-Type" content="text/html; charset={c}">',
+     "<meta charset='no-such-codec'>",
+     '<meta name="x" content="charset={c}">']  # inert: not a declaration
+)
+_body_text = st.sampled_from(
+    ["plain ascii", "café — naïve", "日本語テキスト", "한국어 텍스트",
+     "中文网页内容", "русский текст", "mixed 日本 café"]
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    codec=_codec, decl=_decl, body=_body_text,
+    junk=st.binary(max_size=8),
+    bom=st.booleans(),
+)
+def test_full_extraction_survives_hostile_encodings(codec, decl, body, junk, bom):
+    from doc_parser_spark.core.serialize import export_markdown, export_text
+    from doc_parser_spark.operators.extract import convert_payload
+
+    html = f"<html><head>{decl.format(c=codec)}</head><body><h1>T</h1><p>{body}</p></body></html>"
+    try:
+        data = html.encode(codec)
+    except UnicodeEncodeError:
+        return  # body not representable in this codec — not a valid page
+    # splice junk bytes mid-document (declared-encoding violations) and
+    # optionally a UTF-8 BOM that contradicts the declaration
+    data = (b"\xef\xbb\xbf" if bom else b"") + data[:40] + junk + data[40:]
+    doc, fmt, _fb = convert_payload(data)
+    assert fmt == "html"
+    assert isinstance(export_text(doc), str)
+    assert isinstance(export_markdown(doc), str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(codec=_codec, body=_body_text)
+def test_declared_pages_round_trip_their_text(codec, body):
+    # a WELL-FORMED declared page must surface its body text intact
+    from doc_parser_spark.core.serialize import export_text
+    from doc_parser_spark.operators.extract import convert_payload
+
+    html = (f"<html><head><meta charset='{codec}'></head>"
+            f"<body><p>{body}</p></body></html>")
+    try:
+        data = html.encode(codec)
+    except UnicodeEncodeError:
+        return
+    doc, _fmt, _fb = convert_payload(data)
+    assert body in export_text(doc)
