@@ -638,3 +638,53 @@ def test_extraction_kernel_handles_empty_input(spark):
     assert [f.name for f in out.schema.fields] == [
         f.name for f in schemas.DOCUMENTS_OUT_SCHEMA.fields
     ]
+
+
+def test_streaming_ingestion_relations(spark, tmp_path):
+    """The session-7 ingestion kernels (WARC record walk, charset
+    verdicts) are plain mapInPandas stages, so they must compose with
+    readStream unchanged — micro-batch output equals the batch run."""
+    from doc_parser_spark.operators.extract import extract_charset, warc_records
+
+    def rec(wtype, body, extra=""):
+        return (
+            f"WARC/1.0\r\nWARC-Type: {wtype}\r\n{extra}"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+
+    chain = b"\r\n\r\n".join(
+        [
+            rec("warcinfo", b"software: s\r\n"),
+            rec(
+                "response",
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>ok</p>",
+                "WARC-Target-URI: https://e.com/s\r\n",
+            ),
+        ]
+    )
+    sjis = "<html><head><meta charset=Shift_JIS></head><body>日本語</body></html>".encode(
+        "shift_jis"
+    )
+    pages = spark.createDataFrame(
+        [("https://e.com/s", bytearray(chain)), ("https://e.com/j", bytearray(sjis))],
+        "url string, html binary",
+    )
+    src = str(tmp_path / "warc_in")
+    pages.write.parquet(src)
+    stream = spark.readStream.schema(pages.schema).parquet(src)
+
+    for name, op in (("warc_stream", warc_records), ("cs_stream", extract_charset)):
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            tuple(r) for r in spark.sql(f"select * from {name}").collect()
+        )
+        want = sorted(tuple(r) for r in op(pages).collect())
+        assert got == want and len(got) > 0
