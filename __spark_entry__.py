@@ -798,6 +798,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_buckets=32,
             epochs=3,
         ),
+        "doc_cm_term_estimates": lambda spark, sf: text_analysis.cm_estimate(
+            text_analysis.cm_sketch(
+                _read(spark, sf, "documents"), width=128, depth=4
+            ),
+            spark.createDataFrame(
+                [(t,) for t in _CM_PROBE_TERMS], "term string"
+            ),
+            width=128,
+            depth=4,
+        ),
         "doc_bloom_seen": lambda spark, sf: dedup.bloom_seen(
             _read(spark, sf, "documents"),
             _read(spark, sf, "documents").where("doc_id % 3 = 0"),
@@ -1022,6 +1032,39 @@ def _bpe_apply_oracle_sql(n_merges: int) -> str:
         " ELSE 0 END AS BIGINT) AS compression_pct"
         " FROM base LEFT JOIN per_doc p USING (doc_id)"
     )
+
+
+_CM_PROBE_TERMS = ["join", "window", "customer", "the", "vector", "zzz_absent"]
+
+
+def _cm_sql(width: int = 128, depth: int = 4) -> str:
+    """DuckDB twin of cm_sketch + cm_estimate over the probe list."""
+    probe_rows = ", ".join(f"('{t}')" for t in _CM_PROBE_TERMS)
+    cell = _hex_key("md5(CAST(r AS VARCHAR) || ':' || tok)", 8)
+    pcell = _hex_key("md5(CAST(r AS VARCHAR) || ':' || term)", 8)
+    return f"""
+        WITH tok AS (
+            SELECT tok FROM (
+                SELECT list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                                         '\\s+'), t -> t <> '') AS w
+                FROM documents
+            ), LATERAL UNNEST(w) AS u(tok)
+        ),
+        rows AS (SELECT UNNEST(generate_series(0, {depth - 1})) AS r),
+        sketch AS (
+            SELECT r AS row, {cell} % {width} AS col,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM tok CROSS JOIN rows GROUP BY 1, 2
+        ),
+        probes AS (
+            SELECT term, r AS row, {pcell} % {width} AS col
+            FROM (SELECT col0 AS term FROM (VALUES {probe_rows}))
+            CROSS JOIN rows
+        )
+        SELECT term, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est_count
+        FROM probes p LEFT JOIN sketch s USING (row, col)
+        GROUP BY term
+    """
 
 
 def _perceptron_sql(n_buckets: int = 32, epochs: int = 3) -> str:
@@ -3505,6 +3548,7 @@ def oracle_sql() -> dict[str, str]:
         # fastText-style hashed-unigram linear classifier inference with the
         # deterministic demo weight table (bucket:cls md5 -> [-1000, 1000])
         "doc_perceptron_weights": _perceptron_sql(32, 3),
+        "doc_cm_term_estimates": _cm_sql(128, 4),
         "doc_classifier_label": f"""
             WITH feats AS (
                 SELECT doc_id,

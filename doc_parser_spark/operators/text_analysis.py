@@ -1691,3 +1691,103 @@ def perceptron_train(
     return spark.createDataFrame(
         sorted(weights.items()), "bucket long, weight long"
     )
+
+
+def cm_sketch(
+    documents: DataFrame,
+    width: int = 128,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch of corpus term frequencies (Cormode &
+    Muthukrishnan 2005, "An improved data stream summary: the
+    count-min sketch and its applications") — the frequency-sketch
+    sibling of :func:`~doc_parser_spark.operators.web.distinct_kmv`.
+
+    Row ``r``'s hash is the md5 of ``r || ':' || token`` folded to a
+    column (the module's engine-portable md5 trick), so the sketch is
+    DETERMINISTIC — identical across engines, partitionings, and row
+    orders. Every token occurrence increments one cell per row;
+    ``est(t) = min_r cell[r][h_r(t)]`` (see :func:`cm_estimate`)
+    overestimates only, by at most ``N/width`` per row w.h.p.
+
+    Why it matters at 10^12 docs: exact term counting
+    (:func:`top_terms`) shuffles every distinct gram; the sketch is a
+    single map-side-combined aggregation into a FIXED ``depth×width``
+    relation, and sketches of disjoint corpus shards merge by
+    CELL-WISE ADDITION — ship ``depth·width`` integers per shard, not
+    gram streams (pinned by the unit test's merge property).
+
+    Returns ``(row, col, cnt)`` — only touched cells; absent = 0.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError("width and depth must be positive")
+    documents = _nn_text(documents)
+    tok = documents.select(
+        F.explode(
+            F.expr("filter(split(trim(text), '\\\\s+'), t -> t <> '')")
+        ).alias("t")
+    )
+    cells = tok.select(
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{r}:"), F.col("t"))),
+                                1, 8,
+                            ),
+                            16, 10,
+                        ).cast("long")
+                        % F.lit(width)
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("row", "col")
+    )
+    return cells.groupBy("row", "col").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    terms: DataFrame,
+    width: int = 128,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-estimate term frequencies from a :func:`cm_sketch`:
+    ``est(t) = min_r sketch[r][h_r(t)]``, 0 when a probed cell was
+    never touched. ``terms`` is a relation with a ``term`` column —
+    typically a small candidate list (heavy-hitter verification,
+    blocklist auditing), so the probe side stays broadcast-sized and
+    the sketch side is already bounded ``depth×width``.
+
+    Returns ``(term, est_count)`` — an OVERESTIMATE of the true count
+    (never under), the CM guarantee the unit tests pin.
+    """
+    probes = terms.select(
+        "term",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{r}:"), F.col("term"))),
+                                1, 8,
+                            ),
+                            16, 10,
+                        ).cast("long")
+                        % F.lit(width)
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("row", "col"),
+    )
+    joined = probes.join(F.broadcast(sketch), ["row", "col"], "left")
+    return joined.groupBy("term").agg(
+        F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_count")
+    )

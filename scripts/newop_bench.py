@@ -31,7 +31,7 @@ NEW_OPS = [
     "extract_wet", "extract_page_meta",
     # session 7
     "extract_charset", "web_cdx_index", "doc_perceptron_weights",
-    "extract_warc_records",
+    "extract_warc_records", "doc_cm_term_estimates",
 ]
 
 

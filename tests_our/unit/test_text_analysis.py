@@ -717,3 +717,52 @@ def test_perceptron_train_validates_params(spark):
         perceptron_train(docs, epochs=0)
     with _pytest.raises(ValueError):
         perceptron_train(docs, n_buckets=0)
+
+
+def test_cm_sketch_overestimates_and_merges(spark):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from doc_parser_spark.operators.text_analysis import cm_estimate, cm_sketch
+
+    texts = [
+        "a a a b c", "b b d e a", "c c c c f", "a e e e e", "g g h h h",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    true = Counter(" ".join(texts).split())
+    # width 8 forces collisions -> the overestimate property must bind
+    W, D = 8, 3
+    sk = cm_sketch(docs, width=W, depth=D)
+    terms = spark.createDataFrame(
+        [(t,) for t in list(true) + ["absent"]], "term string"
+    )
+    est = {r["term"]: r["est_count"] for r in cm_estimate(sk, terms, W, D).collect()}
+    for t, c in true.items():
+        assert est[t] >= c  # CM NEVER underestimates
+    assert est["absent"] >= 0
+    # total sketch mass per row == total token occurrences
+    mass = sk.groupBy("row").agg(F.sum("cnt").alias("m")).collect()
+    assert {r["m"] for r in mass} == {sum(true.values())}
+
+    # MERGE property: shard sketches added cell-wise == whole-corpus sketch
+    sk1 = cm_sketch(docs.where("doc_id < 2"), width=W, depth=D)
+    sk2 = cm_sketch(docs.where("doc_id >= 2"), width=W, depth=D)
+    merged = (
+        sk1.unionByName(sk2)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sk.collect()))
+
+
+def test_cm_sketch_validates_params(spark):
+    import pytest as _pytest
+
+    from doc_parser_spark.operators.text_analysis import cm_sketch
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        cm_sketch(docs, width=0)
