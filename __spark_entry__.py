@@ -773,6 +773,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 + ")) AS dst",
             )
         ),
+        "web_host_hits": lambda spark, sf: web.host_hits(
+            _synth_hits_edges(_read(spark, sf, "documents"))
+        ),
+        "web_host_components": lambda spark, sf: web.host_components(
+            _read(spark, sf, "documents").selectExpr(
+                "concat('g', cast(doc_id % 7 as int), 'n',"
+                " cast(doc_id % 5 as int)) AS src",
+                "concat('g', cast(doc_id % 7 as int), 'n',"
+                " cast((doc_id * 3 + 1) % 5 as int)) AS dst",
+            )
+        ),
+        "web_host_hll": lambda spark, sf: web.distinct_hll(
+            _read(spark, sf, "documents").selectExpr(
+                "concat('h', cast(doc_id % 5 as int)) AS host",
+                f"{web.SYNTH_URL_SQL} AS url",
+            ),
+            key="host",
+            value="url",
+        ),
+        "web_sitemap_urls": lambda spark, sf: web.sitemap_urls(
+            web.synth_sitemaps(_read(spark, sf, "documents"))
+        ),
         "web_host_stats": lambda spark, sf: web.host_stats(
             _read(spark, sf, "documents").select(
                 "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url"), "text"
@@ -783,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.expr(web.SYNTH_URL_SQL).alias("url"), "lang"
             )
         ),
+        "doc_kn_bigrams": q(text_analysis.kn_bigrams, "documents"),
         "doc_top_terms": q(text_analysis.top_terms, "documents"),
         "doc_bm25_topk": q(text_analysis.bm25_topk, "documents"),
         "doc_dup_spans": q(text_analysis.dup_spans, "documents"),
@@ -1561,6 +1584,99 @@ def _ivfpq_topk_sql(
             ) AS rank FROM scored
         ) WHERE rank <= {knn}
     """
+
+
+def _synth_hits_edges(documents):
+    """Asymmetric host graph from doc_id (dialect-shared with
+    ``_hits_sql``): a base ring edge per doc, a second edge for every
+    third doc, and a hub edge into the first 20 hosts for every fifth
+    doc — the degree spread separates hubs from authorities (a
+    degree-symmetric graph fixes every HITS score at 1.0)."""
+    e1 = documents.selectExpr(
+        "concat('site', cast(doc_id % 50 as int)) AS src",
+        "concat('site', cast((doc_id * 7 + 1) % 50 as int)) AS dst",
+    )
+    e2 = documents.where("doc_id % 3 = 0").selectExpr(
+        "concat('site', cast(doc_id % 50 as int)) AS src",
+        "concat('site', cast((doc_id * 7 + 14) % 50 as int)) AS dst",
+    )
+    e3 = documents.where("doc_id % 5 = 0").selectExpr(
+        "concat('site', cast(doc_id % 50 as int)) AS src",
+        "concat('site', cast((doc_id * 11 + 3) % 20 as int)) AS dst",
+    )
+    return e1.union(e2).union(e3)
+
+
+_HITS_EDGES_SQL = """
+        SELECT DISTINCT src, dst FROM (
+            SELECT concat('site', CAST(doc_id % 50 AS INT)) AS src,
+                   concat('site', CAST((doc_id * 7 + 1) % 50 AS INT)) AS dst
+            FROM documents
+            UNION ALL
+            SELECT concat('site', CAST(doc_id % 50 AS INT)),
+                   concat('site', CAST((doc_id * 7 + 14) % 50 AS INT))
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT concat('site', CAST(doc_id % 50 AS INT)),
+                   concat('site', CAST((doc_id * 11 + 3) % 20 AS INT))
+            FROM documents WHERE doc_id % 5 = 0
+        ) WHERE src <> dst
+"""
+
+
+def _hits_sql(iterations: int = 5) -> str:
+    """DuckDB twin of web.host_hits over the synthesized host edges:
+    the integer-exact max-quotient-normalized power iteration fully
+    unrolled as chained CTEs (mirrors the Spark loop step-for-step —
+    ``//`` floors like Spark ``DIV`` on the non-negative values here)."""
+    ctes = [
+        # AS MATERIALIZED throughout: DuckDB inlines plain CTEs per
+        # reference, and the scalar-subquery max doubles the tree per
+        # sweep — 5 sweeps would inline the parquet scan 2^10 times
+        # (observed as an fd-exhaustion error)
+        f"e AS MATERIALIZED ({_HITS_EDGES_SQL})",
+        "nodes AS MATERIALIZED (SELECT src AS h FROM e UNION SELECT dst FROM e)",
+        "h0 AS MATERIALIZED (SELECT h, CAST(1000000 AS BIGINT) AS hub FROM nodes)",
+    ]
+    prev_hub = "h0"
+    for i in range(1, iterations + 1):
+        ctes += [
+            f"""a{i}r AS MATERIALIZED (
+                SELECT n.h, CAST(coalesce(s.v, 0) AS BIGINT) AS auth
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS h, sum(p.hub) AS v
+                    FROM e JOIN {prev_hub} p ON e.src = p.h GROUP BY e.dst
+                ) s ON n.h = s.h
+            )""",
+            f"""a{i} AS MATERIALIZED (
+                SELECT h, CAST(auth // greatest(
+                    (SELECT max(auth) FROM a{i}r) // 1000000, 1
+                ) AS BIGINT) AS auth FROM a{i}r
+            )""",
+            f"""h{i}r AS MATERIALIZED (
+                SELECT n.h, CAST(coalesce(s.v, 0) AS BIGINT) AS hub
+                FROM nodes n LEFT JOIN (
+                    SELECT e.src AS h, sum(p.auth) AS v
+                    FROM e JOIN a{i} p ON e.dst = p.h GROUP BY e.src
+                ) s ON n.h = s.h
+            )""",
+            f"""h{i} AS MATERIALIZED (
+                SELECT h, CAST(hub // greatest(
+                    (SELECT max(hub) FROM h{i}r) // 1000000, 1
+                ) AS BIGINT) AS hub FROM h{i}r
+            )""",
+        ]
+        prev_hub = f"h{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT a.h AS host, a.auth AS auth_scaled, b.hub AS hub_scaled,
+               CAST(a.auth AS DOUBLE) / 1e6 AS authority,
+               CAST(b.hub AS DOUBLE) / 1e6 AS hub
+        FROM a{iterations} a JOIN h{iterations} b ON a.h = b.h
+        """
+    )
 
 
 def _pagerank_sql(iterations: int = 5) -> str:
@@ -3304,6 +3420,119 @@ def oracle_sql() -> dict[str, str]:
             FROM exact LEFT JOIN per ON per.host IS NOT DISTINCT FROM exact.host
         """,
         "web_host_pagerank": _pagerank_sql(),
+        "web_host_hits": _hits_sql(),
+        # undirected reachability closure over the synthesized grouped
+        # graph; component id = min reachable host (mirrors the
+        # large-star/small-star fixpoint label)
+        "web_host_components": """
+            WITH RECURSIVE pairs AS (
+                SELECT DISTINCT
+                       concat('g', CAST(doc_id % 7 AS INT), 'n',
+                              CAST(doc_id % 5 AS INT)) AS src,
+                       concat('g', CAST(doc_id % 7 AS INT), 'n',
+                              CAST((doc_id * 3 + 1) % 5 AS INT)) AS dst
+                FROM documents
+            ),
+            nodes AS (SELECT src AS h FROM pairs UNION SELECT dst FROM pairs),
+            edges AS (
+                SELECT src, dst FROM pairs WHERE src <> dst
+                UNION SELECT dst, src FROM pairs WHERE src <> dst
+            ),
+            reach(h, label) AS (
+                SELECT h, h FROM nodes
+                UNION
+                SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.h
+            ),
+            labels AS (
+                SELECT h AS host, min(label) AS component_id
+                FROM reach GROUP BY h
+            ),
+            sizes AS (
+                SELECT component_id, CAST(count(*) AS BIGINT) AS component_size
+                FROM labels GROUP BY component_id
+            )
+            SELECT host, component_id, component_size
+            FROM labels JOIN sizes USING (component_id)
+        """,
+        "web_host_hll": f"""
+            WITH u AS (
+                SELECT concat('h', CAST(doc_id % 5 AS INT)) AS host,
+                       {_web.SYNTH_URL_SQL} AS url
+                FROM documents
+            ),
+            hh AS (
+                SELECT host, url, {_hex_key("md5(url)", 12)} AS h FROM u
+            ),
+            d AS (
+                SELECT DISTINCT host, h // 4398046511104 AS reg,
+                       CASE WHEN h % 4398046511104 = 0 THEN 43
+                            ELSE 43 - length(bin(h % 4398046511104))
+                       END AS rho
+                FROM hh
+            ),
+            regs AS (
+                SELECT host, reg, max(rho) AS m FROM d GROUP BY host, reg
+            ),
+            per AS (
+                SELECT host, count(*) AS n_regs,
+                       sum(CAST(1.0 AS DOUBLE)
+                           / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE))
+                           AS s_present
+                FROM regs GROUP BY host
+            ),
+            exact AS (
+                SELECT host, CAST(count(DISTINCT url) AS BIGINT)
+                       AS n_distinct_exact
+                FROM u GROUP BY host
+            )
+            SELECT exact.host AS host,
+                   CAST(coalesce(floor({_web.HLL_ALPHA64_SQL}
+                        * CAST(4096.0 AS DOUBLE)
+                        / (s_present + CAST(64 - n_regs AS DOUBLE))), 0)
+                        AS BIGINT) AS hll_estimate,
+                   CAST(coalesce(64 - n_regs, 64) AS BIGINT)
+                       AS n_zero_registers,
+                   n_distinct_exact
+            FROM exact LEFT JOIN per
+              ON per.host IS NOT DISTINCT FROM exact.host
+        """,
+        # mirrors the parsed OUTPUT of the synthesized sitemap corpus
+        # (the XML itself is built Spark-side; the oracle re-derives the
+        # entry rows straight from the same doc_id recipe)
+        "web_sitemap_urls": """
+            WITH hosts AS (
+                SELECT DISTINCT CAST(doc_id % 25 AS INT) AS hn,
+                       concat('smap', CAST(doc_id % 25 AS INT),
+                              '.example.org') AS host
+                FROM documents
+            )
+            SELECT host, 'sitemap' AS kind,
+                   concat('https://', host, '/sitemap-1.xml') AS loc,
+                   concat('2024-0', CAST(hn % 9 + 1 AS INT), '-01') AS lastmod,
+                   '' AS changefreq, '' AS priority
+            FROM hosts WHERE hn % 5 = 0
+            UNION ALL
+            SELECT host, 'sitemap',
+                   concat('https://', host, '/sitemap-2.xml'), '', '', ''
+            FROM hosts WHERE hn % 5 = 0
+            UNION ALL
+            SELECT host, 'url',
+                   concat('https://', host, '/page/', CAST(hn * 3 AS INT)),
+                   concat('2024-', lpad(CAST(hn % 12 + 1 AS VARCHAR), 2, '0'),
+                          '-', lpad(CAST(hn % 28 + 1 AS VARCHAR), 2, '0')),
+                   '', '0.8'
+            FROM hosts WHERE hn % 5 <> 0
+            UNION ALL
+            SELECT host, 'url',
+                   concat('https://', host, '/page/', CAST(hn * 3 + 1 AS INT)),
+                   '', 'daily', ''
+            FROM hosts WHERE hn % 5 <> 0
+            UNION ALL
+            SELECT host, 'url',
+                   concat('https://', host, '/page/', CAST(hn * 3 + 2 AS INT)),
+                   '', '', ''
+            FROM hosts WHERE hn % 5 <> 0
+        """,
         "doc_containment": f"""
             WITH {_shingle_cte()},
             sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
@@ -3364,6 +3593,41 @@ def oracle_sql() -> dict[str, str]:
         # linear (log-free) tf-idf: score = 1e6 * tf * N DIV doc_freq stays
         # in exact BIGINT arithmetic on both engines — a log() would ride
         # libm and can flip a floor at the ulp
+        # integer-exact interpolated Kneser-Ney: all divisions are
+        # floor-division on 1e6-scaled BIGINTs (d=3/4 -> (4c-3)/4), so
+        # the smoothed probabilities are bit-identical across engines
+        "doc_kn_bigrams": f"""
+            WITH dd AS (
+                SELECT wd FROM (SELECT {_WORDS_SQL} AS wd FROM documents)
+                WHERE len(wd) >= 2 AND wd[1] <> ''
+            ),
+            pairs AS (
+                SELECT wd[i] AS u, wd[i + 1] AS w
+                FROM dd, LATERAL UNNEST(generate_series(1, len(wd) - 1)) AS t(i)
+            ),
+            cuw AS (SELECT u, w, count(*) AS n_uw FROM pairs GROUP BY u, w),
+            lft AS (
+                SELECT u, sum(n_uw) AS n_u, count(*) AS n_follow_u
+                FROM cuw GROUP BY u
+            ),
+            rgt AS (SELECT w, count(*) AS n_prec_w FROM cuw GROUP BY w),
+            typ AS (SELECT count(*) AS n_types FROM cuw)
+            SELECT u, w,
+                   CAST(n_uw AS BIGINT) AS n_uw,
+                   CAST(n_u AS BIGINT) AS n_u,
+                   CAST(n_follow_u AS BIGINT) AS n_follow_u,
+                   CAST(n_prec_w AS BIGINT) AS n_prec_w,
+                   CAST((1000000 * (4 * n_uw - 3)) // (4 * n_u)
+                        + (((3 * n_follow_u * 1000000) // (4 * n_u))
+                           * ((1000000 * n_prec_w) // n_types)) // 1000000
+                        AS BIGINT) AS pkn_scaled,
+                   CAST((1000000 * (4 * n_uw - 3)) // (4 * n_u)
+                        + (((3 * n_follow_u * 1000000) // (4 * n_u))
+                           * ((1000000 * n_prec_w) // n_types)) // 1000000
+                        AS DOUBLE) / 1e6 AS p_kn
+            FROM cuw JOIN lft USING (u) JOIN rgt USING (w) CROSS JOIN typ
+            WHERE n_uw >= 3
+        """,
         "doc_top_terms": """
             WITH toks AS (
                 SELECT doc_id, lang, t.term

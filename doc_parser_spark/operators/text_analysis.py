@@ -1791,3 +1791,86 @@ def cm_estimate(
     return joined.groupBy("term").agg(
         F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_count")
     )
+
+
+def kn_bigrams(documents: DataFrame, min_count: int = 3) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model over the corpus
+    (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.24) — the classic
+    data-quality LM the CCNet/KenLM filtering stack trains on clean
+    text, here trained distributed and emitted as a relation of
+    smoothed bigram probabilities.
+
+    With absolute discount d = 3/4::
+
+        P_KN(w|u) = max(c(u,w) - d, 0)/c(u)
+                    + (d·N1+(u·)/c(u)) · (N1+(·w)/|bigram types|)
+
+    All four divisions run as integer floor-division on 1e6-scaled
+    BIGINTs (d = 3/4 makes ``c - d`` the exact integer ``(4c-3)/4``), so
+    the probabilities are bit-identical in any engine and under any
+    partitioning/summation order — the oracle-portability rule of this
+    package. The flooring loses < 3e-6 of probability mass per term vs
+    exact rationals; a consumer needing calibrated mass renormalizes
+    per-u downstream (one groupBy).
+
+    Tokenization is the shared ``NORM`` split every text operator uses;
+    documents with fewer than two tokens contribute nothing. Bigrams
+    below ``min_count`` occurrences are not emitted (their statistics
+    still shape the counts they appear in — the cut is on the OUTPUT
+    relation, the standard KenLM pruning knob, keeping the emitted
+    model bounded).
+
+    Scale shape (10^12 docs): one explode to the bigram stream, then
+    three map-side-combined groupBys (token-pair counts, left-context
+    totals + follower types, right-context predecessor types) joined
+    back on their keys — all narrow string-pair rows; the bigram-type
+    total is a one-row aggregate cross-joined back (scalar broadcast).
+    Nothing corpus-sized collects; skewed head words ride the same
+    hash-shuffle every groupBy uses (AQE splits the hot reducers).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count ({min_count}) must be >= 1")
+    d = documents.select(
+        F.expr(f"split({NORM}, ' ')").alias("wd")
+    ).where("size(wd) >= 2 AND wd[0] <> ''")
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(wd) - 2),"
+                " i -> struct(wd[i] AS u, wd[i + 1] AS w))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.w")
+    # the bigram stream feeds three aggregations — materialize it once
+    pairs = pairs.persist()
+    cuw = pairs.groupBy("u", "w").agg(F.count(F.lit(1)).alias("n_uw"))
+    cuw = cuw.persist()
+    left = cuw.groupBy("u").agg(
+        F.sum("n_uw").alias("n_u"),
+        F.count(F.lit(1)).alias("n_follow_u"),
+    )
+    right = cuw.groupBy("w").agg(F.count(F.lit(1)).alias("n_prec_w"))
+    types = cuw.agg(F.count(F.lit(1)).alias("n_types"))
+    out = (
+        cuw.where(F.col("n_uw") >= min_count)
+        .join(left, "u")
+        .join(right, "w")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "u",
+            "w",
+            F.col("n_uw").cast("long").alias("n_uw"),
+            F.col("n_u").cast("long").alias("n_u"),
+            F.col("n_follow_u").cast("long").alias("n_follow_u"),
+            F.col("n_prec_w").cast("long").alias("n_prec_w"),
+            F.expr(
+                "(1000000 * (4 * n_uw - 3)) DIV (4 * n_u)"
+                " + (((3 * n_follow_u * 1000000) DIV (4 * n_u))"
+                "    * ((1000000 * n_prec_w) DIV n_types)) DIV 1000000"
+            ).cast("long").alias("pkn_scaled"),
+        )
+        .withColumn(
+            "p_kn", F.col("pkn_scaled").cast("double") / F.lit(1e6)
+        )
+    )
+    return out

@@ -1240,3 +1240,359 @@ def cdx_index(
         .select("surt_key", "ts14", "url", "canonical_url", "digest", "length")
         .orderBy("surt_key", "ts14")
     )
+
+
+# --- host-graph analytics beyond PageRank --------------------------------------
+
+
+def host_hits(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """HITS hub/authority scores over the host link graph (Kleinberg,
+    "Authoritative sources in a hyperlinked environment", JACM 1999) —
+    the complement to :func:`host_pagerank`: PageRank ranks where crawl
+    mass should go, authority/hub separates content endpoints from
+    directory/aggregator hosts, a standard crawl-frontier prioritization
+    pair.
+
+    Integer-exact power iteration (the oracle-portability rule of this
+    package): scores are ~``1e6``-scaled BIGINTs; each sweep is
+
+    * ``auth[v] = Σ hub[u]`` over in-edges, then rescale,
+    * ``hub[u] = Σ auth[v]`` over out-edges, then rescale,
+
+    where the rescale divides by ``greatest(max(score) DIV 1e6, 1)`` —
+    floors only, so the trajectory is identical in any engine, under any
+    partitioning, and never needs a 128-bit intermediate (the classical
+    ``x·1e6 DIV max`` form overflows ``long`` once Σ exceeds ~9.2e12;
+    dividing by the pre-floored quotient keeps every value ≤ ~2e6 with
+    the same fixpoint structure). Self-loops dropped, edge set
+    deduplicated, exactly as ``host_pagerank``.
+
+    Scale shape (10^8-host graphs): per sweep, two equi-joins on the
+    host key + two map-side-combined groupBys; the per-sweep max is a
+    one-row aggregate cross-joined back (broadcast of a scalar). Edge
+    relation persisted once; ranks ``localCheckpoint`` per sweep so plan
+    depth stays constant. Nothing corpus-sized is ever collected.
+    """
+    if iterations <= 0:
+        raise ValueError(f"iterations ({iterations}) must be positive")
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("h"))
+        .union(e.select(F.col("dst").alias("h")))
+        .distinct()
+        .persist()
+    )
+
+    def _rescale(scores: DataFrame, col: str) -> DataFrame:
+        mx = scores.agg(F.max(col).alias("mx"))
+        return (
+            scores.crossJoin(F.broadcast(mx))
+            .select(
+                "h",
+                F.expr(
+                    f"{col} DIV greatest(mx DIV 1000000, 1)"
+                ).cast("long").alias(col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    hub = nodes.select("h", F.lit(1_000_000).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        araw = (
+            e.join(hub, e["src"] == hub["h"])
+            .groupBy(F.col("dst").alias("hh"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = nodes.join(
+            araw, nodes["h"] == araw["hh"], "left"
+        ).select("h", F.coalesce("auth", F.lit(0)).cast("long").alias("auth"))
+        auth = _rescale(auth, "auth")
+        hraw = (
+            e.join(auth, e["dst"] == auth["h"])
+            .groupBy(F.col("src").alias("hh"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hub = nodes.join(
+            hraw, nodes["h"] == hraw["hh"], "left"
+        ).select("h", F.coalesce("hub", F.lit(0)).cast("long").alias("hub"))
+        hub = _rescale(hub, "hub")
+    out = (
+        auth.join(hub, "h")
+        .select(
+            F.col("h").alias("host"),
+            F.col("auth").alias("auth_scaled"),
+            F.col("hub").alias("hub_scaled"),
+            (F.col("auth").cast("double") / F.lit(1e6)).alias("authority"),
+            (F.col("hub").cast("double") / F.lit(1e6)).alias("hub"),
+        )
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def host_components(edges: DataFrame) -> DataFrame:
+    """Connected components of the host link graph: ``(host,
+    component_id, component_size)`` with ``component_id`` = the smallest
+    host in the component (lexicographic — host keys are strings).
+
+    Web-graph components are the crawl-seeding / partition-layout
+    primitive: the giant WCC tells you what one seed list reaches, and
+    small components are where isolated spam farms and dead hosting
+    clusters live (Broder et al., "Graph structure in the web", 2000).
+
+    Delegates to the same alternating large-star/small-star engine that
+    powers near-dup clustering (``dedup.dup_clusters`` — Kiveris et al.
+    SOCC'14), so the scale story is shared and pinned there: per-
+    iteration ``localCheckpoint``, exact fixpoint probe, O(log) rounds
+    on real web graphs. Direction is ignored (components of the
+    undirected graph; ``dup_clusters`` symmetrizes internally);
+    self-loops contribute nothing but keep their host in the node set.
+    The size rollup is one extra map-side-combined groupBy + an
+    equi-join back on the component key.
+    """
+    from . import dedup as _dedup
+
+    nodes = (
+        edges.select(F.col("src").alias("doc_id"))
+        .union(edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    pairs = edges.select(
+        F.col("src").alias("host_a"), F.col("dst").alias("host_b")
+    ).where(F.col("host_a") != F.col("host_b"))
+    labels = _dedup.dup_clusters(pairs, documents=nodes).select(
+        F.col("doc_id").alias("host"), F.col("cluster_id").alias("component_id")
+    )
+    sizes = labels.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("long").alias("component_size")
+    )
+    return labels.join(sizes, "component_id").select(
+        "host", "component_id", "component_size"
+    )
+
+
+# HLL bias constant α_64 — written as an engine-portable SQL fragment:
+# every literal is CAST to DOUBLE *before* any arithmetic (DuckDB parses
+# bare decimal literals as DECIMAL and would do exact-decimal division;
+# Spark likewise folds 0.7213 to DECIMAL(4,4)), so both engines evaluate
+# the identical sequence of correctly-rounded IEEE-754 ops → identical
+# bits. α_m = 0.7213/(1 + 1.079/m) for m ≥ 128 per the paper; the m=64
+# row of Table 1 hard-codes the same closed form the reference
+# implementations (DataSketches, Redis) use for m=64.
+HLL_ALPHA64_SQL = (
+    "(CAST(0.7213 AS DOUBLE) / "
+    "(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)))"
+)
+
+
+def distinct_hll(
+    df: DataFrame,
+    key: str = "host",
+    value: str = "url",
+) -> DataFrame:
+    """HyperLogLog distinct-count sketch per key (Flajolet et al. 2007)
+    — the third member of the sketch family next to KMV
+    (:func:`distinct_kmv`) and count-min (``text_analysis.cm_sketch``):
+    fixed 64-register layout, ~1.3/√64 ≈ 16 % standard error, register
+    state is 64 small ints per key no matter how many billions of URLs
+    a host serves.
+
+    Deterministic across engines and partitionings, which stock HLL
+    implementations are not: the register index is the top 6 bits of a
+    48-bit md5-derived hash (same hash as the KMV sketch, so the DuckDB
+    twin reproduces the registers bit-for-bit), ρ = leading-zero count
+    of the remaining 42 bits + 1 via integer ``length(bin(w))`` — no
+    floating point anywhere in the sketch state. The estimator
+    ``α·m²/Σ2^{-M[j]}`` IS evaluated in doubles, but every term 2^-M is
+    an exact binary fraction (built as ``1.0 / shiftleft(1, M)``, never
+    ``pow``) and the sum of ≤64 such terms is exact in a double, so the
+    single rounding step is the final correctly-rounded divide —
+    bit-identical in any IEEE-754 engine regardless of summation order.
+    The small-range linear-counting correction (``m·ln(m/V)``) is
+    deliberately omitted: ``ln`` is not correctly-rounded in either
+    engine, so it would break cross-engine bit-equality — instead the
+    zero-register count ``n_zero_registers`` rides along so a consumer
+    can apply any bias correction downstream, and (as with KMV) the
+    exact distinct count rides along for observability at test scale.
+
+    Scale shape: one distinct on (key, register, ρ) — strictly narrower
+    than the value stream — then two map-side-combined groupBys
+    (register max, then the 64-row fold per key). Register relations
+    MERGE by (key, register) max, so shard sketches combine by shipping
+    64 ints per shard, never value streams.
+    """
+    two42 = 1 << 42
+    d = (
+        df.where(F.col(value).isNotNull())
+        .select(
+            F.col(key),
+            F.conv(F.substring(F.md5(F.col(value)), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .select(
+            key,
+            F.expr(f"h DIV {two42}").cast("int").alias("reg"),
+            F.expr(f"h % {two42}").alias("w"),
+        )
+        .select(
+            key,
+            "reg",
+            F.expr(
+                "CASE WHEN w = 0 THEN 43 ELSE 43 - length(bin(w)) END"
+            ).cast("int").alias("rho"),
+        )
+        .distinct()
+    )
+    regs = d.groupBy(key, "reg").agg(F.max("rho").alias("m"))
+    per = regs.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(F.expr("CAST(1.0 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)")).alias("s_present"),
+    )
+    exact = df.groupBy(key).agg(
+        F.countDistinct(value).cast("long").alias("n_distinct_exact")
+    )
+    ex = exact.alias("ex")
+    pm = per.alias("pm")
+    est = (
+        f"floor({HLL_ALPHA64_SQL} * CAST(4096.0 AS DOUBLE) / "
+        "(s_present + CAST(64 - n_regs AS DOUBLE)))"
+    )
+    return ex.join(
+        pm, F.col(f"ex.{key}").eqNullSafe(F.col(f"pm.{key}")), "left"
+    ).select(
+        F.col(f"ex.{key}").alias(key),
+        F.coalesce(F.expr(est).cast("long"), F.lit(0)).alias("hll_estimate"),
+        F.coalesce((F.lit(64) - F.col("n_regs")).cast("long"), F.lit(64)).alias(
+            "n_zero_registers"
+        ),
+        "n_distinct_exact",
+    )
+
+
+# --- sitemap ingestion ----------------------------------------------------------
+
+# Deterministic sitemap corpus synthesized from the documents table's
+# doc_id space (Spark dialect only — it builds the INPUT; the oracle
+# mirrors the parsed OUTPUT rows directly). One row per host; every
+# fifth host serves a <sitemapindex> (the two-level layout real crawls
+# must walk), the rest serve a three-entry <urlset> exercising optional
+# lastmod / changefreq / priority fields and the default namespace.
+SYNTH_SITEMAP_SQL = """
+    SELECT host,
+           CASE WHEN hn % 5 = 0 THEN concat(
+             '<?xml version="1.0" encoding="UTF-8"?>',
+             '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+             '<sitemap><loc>https://', host, '/sitemap-1.xml</loc>',
+             '<lastmod>2024-0', cast(hn % 9 + 1 as int), '-01</lastmod></sitemap>',
+             '<sitemap><loc>https://', host, '/sitemap-2.xml</loc></sitemap>',
+             '</sitemapindex>')
+           ELSE concat(
+             '<?xml version="1.0" encoding="UTF-8"?>',
+             '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+             '<url><loc>https://', host, '/page/', cast(hn * 3 as int), '</loc>',
+             '<lastmod>2024-', lpad(cast(hn % 12 + 1 as string), 2, '0'),
+             '-', lpad(cast(hn % 28 + 1 as string), 2, '0'), '</lastmod>',
+             '<priority>0.8</priority></url>',
+             '<url><loc>https://', host, '/page/', cast(hn * 3 + 1 as int), '</loc>',
+             '<changefreq>daily</changefreq></url>',
+             '<url><loc>https://', host, '/page/', cast(hn * 3 + 2 as int), '</loc></url>',
+             '</urlset>')
+           END AS xml
+    FROM (
+        SELECT DISTINCT cast(doc_id % 25 as int) AS hn,
+               concat('smap', cast(doc_id % 25 as int), '.example.org') AS host
+        FROM documents
+    )
+"""
+
+
+def synth_sitemaps(documents: DataFrame) -> DataFrame:
+    """The SYNTH_SITEMAP_SQL corpus as a DataFrame (templated table
+    reference, no temp-view registration)."""
+    return documents.sparkSession.sql(
+        SYNTH_SITEMAP_SQL.replace("FROM documents", "FROM {documents}"),
+        documents=documents,
+    )
+
+
+_SITEMAP_SCHEMA = (
+    "host string, kind string, loc string, lastmod string, "
+    "changefreq string, priority string"
+)
+
+
+def sitemap_urls(sitemaps: DataFrame, max_bytes: int = 8 * 1024 * 1024) -> DataFrame:
+    """Sitemap corpus (host, xml) → one row per ``<url>``/``<sitemap>``
+    entry — the crawl-frontier seed feed (sitemaps.org protocol; the
+    discovery channel ``fetch_waves``' politeness scheduler consumes
+    alongside robots.txt's ``Sitemap:`` pointers).
+
+    Real XML parse (``xml.etree`` inside an Arrow-batched
+    ``mapInPandas`` kernel — same execution contract as the extraction
+    kernels: per-document failure isolation, a malformed sitemap
+    contributes zero rows, never a dead batch). Namespace-agnostic tag
+    matching (crawl sitemaps carry the 0.9 namespace, no namespace, or
+    typo'd ones); ``<urlset>`` entries emit ``kind='url'``,
+    ``<sitemapindex>`` entries ``kind='sitemap'`` (the caller recurses
+    fetch-side); entries without ``<loc>`` are dropped per protocol;
+    optional fields surface as empty strings (not NULL — the relation
+    is an equi-joinable seed list). Oversized payloads are skipped
+    under the shared ``max_bytes`` isolation gate.
+
+    Scale shape: pure per-row projection work — zero shuffles; the
+    output inherits the input partitioning (hosts), which is exactly
+    the politeness key downstream schedulers bucket on.
+    """
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    def kernel(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        import xml.etree.ElementTree as ET
+
+        cols = ["host", "kind", "loc", "lastmod", "changefreq", "priority"]
+
+        def local(tag: str) -> str:
+            return tag.rpartition("}")[2].lower()
+
+        for batch in batches:
+            records = []
+            for host, xml in zip(batch["host"], batch["xml"]):
+                if xml is None or len(xml) > max_bytes:
+                    continue
+                try:
+                    root = ET.fromstring(xml)
+                except Exception:  # noqa: BLE001 — per-doc isolation
+                    continue
+                rt = local(root.tag)
+                kind = {"urlset": "url", "sitemapindex": "sitemap"}.get(rt)
+                if kind is None:
+                    continue
+                for entry in root:
+                    if local(entry.tag) not in ("url", "sitemap"):
+                        continue
+                    fields = {"loc": "", "lastmod": "", "changefreq": "",
+                              "priority": ""}
+                    for child in entry:
+                        name = local(child.tag)
+                        if name in fields:
+                            fields[name] = (child.text or "").strip()
+                    if not fields["loc"]:
+                        continue  # entries without <loc> are invalid
+                    records.append(
+                        (host, kind, fields["loc"], fields["lastmod"],
+                         fields["changefreq"], fields["priority"])
+                    )
+            yield _pd.DataFrame(records, columns=cols)
+
+    return sitemaps.select("host", "xml").mapInPandas(
+        kernel, schema=_SITEMAP_SCHEMA
+    )

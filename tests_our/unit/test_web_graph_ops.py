@@ -1,0 +1,194 @@
+"""Unit tests for the session-8 host-graph / sketch / ingestion wave:
+HITS, connected components, HyperLogLog, sitemap parse, KN bigrams."""
+
+import pytest
+
+from doc_parser_spark.operators import text_analysis, web
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+# --- HITS -----------------------------------------------------------------
+
+
+def test_hits_separates_hub_from_authority(spark):
+    # classic star: hub -> a1..a3; a-side gets authority, hub-side hub score
+    e = _edges(
+        spark,
+        [("hub", "a1"), ("hub", "a2"), ("hub", "a3"), ("h2", "a1")],
+    )
+    rows = {r.host: r for r in web.host_hits(e, iterations=3).collect()}
+    assert rows["hub"].hub_scaled == max(r.hub_scaled for r in rows.values())
+    assert rows["a1"].auth_scaled == max(
+        r.auth_scaled for r in rows.values()
+    )
+    # pure-authority nodes have zero hub score and vice versa
+    assert rows["a2"].hub_scaled == 0
+    assert rows["hub"].auth_scaled == 0
+    # a1 has two in-links, a2 one -> strictly more authority
+    assert rows["a1"].auth_scaled > rows["a2"].auth_scaled
+
+
+def test_hits_drops_self_loops_and_dups(spark):
+    e = _edges(spark, [("a", "b"), ("a", "b"), ("a", "a"), ("b", "a")])
+    out = web.host_hits(e, iterations=2)
+    assert sorted(r.host for r in out.collect()) == ["a", "b"]
+
+
+def test_hits_rejects_nonpositive_iterations(spark):
+    with pytest.raises(ValueError):
+        web.host_hits(_edges(spark, [("a", "b")]), iterations=0)
+
+
+# --- connected components ---------------------------------------------------
+
+
+def test_components_two_islands(spark):
+    e = _edges(
+        spark,
+        [("b", "a"), ("c", "b"), ("x", "y"), ("y", "x"), ("z", "z")],
+    )
+    rows = {r.host: r for r in web.host_components(e).collect()}
+    assert rows["a"].component_id == "a"
+    assert rows["c"].component_id == "a"
+    assert rows["x"].component_id == "x"
+    assert rows["y"].component_id == "x"
+    # self-loop-only host is its own singleton component
+    assert rows["z"].component_id == "z"
+    assert rows["z"].component_size == 1
+    assert rows["a"].component_size == 3
+    assert rows["x"].component_size == 2
+
+
+# --- HyperLogLog -------------------------------------------------------------
+
+
+def test_hll_estimate_tracks_exact(spark):
+    df = spark.range(3000).selectExpr(
+        "concat('h', cast(id % 3 as int)) AS host",
+        "concat('u', cast(id as string)) AS url",
+    )
+    rows = web.distinct_hll(df, "host", "url").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n_distinct_exact == 1000
+        # m=64 -> ~16% standard error; allow 4 sigma
+        assert 1000 * 0.36 < r.hll_estimate < 1000 * 1.64
+        assert r.n_zero_registers == 0
+
+
+def test_hll_duplicates_do_not_move_the_sketch(spark):
+    base = spark.range(500).selectExpr(
+        "'h' AS host", "concat('u', cast(id % 50 as int)) AS url"
+    )
+    once = spark.range(50).selectExpr(
+        "'h' AS host", "concat('u', cast(id as string)) AS url"
+    )
+    a = web.distinct_hll(base, "host", "url").collect()[0]
+    b = web.distinct_hll(once, "host", "url").collect()[0]
+    assert a.hll_estimate == b.hll_estimate
+    assert a.n_distinct_exact == b.n_distinct_exact == 50
+
+
+def test_hll_all_null_values(spark):
+    df = spark.createDataFrame(
+        [("h", None)], "host string, url string"
+    )
+    r = web.distinct_hll(df, "host", "url").collect()[0]
+    assert r.hll_estimate == 0
+    assert r.n_zero_registers == 64
+    assert r.n_distinct_exact == 0
+
+
+# --- sitemap parse -----------------------------------------------------------
+
+
+def _sitemaps(spark, rows):
+    return spark.createDataFrame(rows, "host string, xml string")
+
+
+def test_sitemap_urlset_fields(spark):
+    xml = (
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://e.com/a</loc><lastmod>2024-01-02</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.9</priority></url>"
+        "<url><loc> https://e.com/b </loc></url>"
+        "<url><lastmod>2024-01-01</lastmod></url>"  # no loc -> dropped
+        "</urlset>"
+    )
+    rows = web.sitemap_urls(_sitemaps(spark, [("e.com", xml)])).collect()
+    assert len(rows) == 2
+    full = next(r for r in rows if r.loc == "https://e.com/a")
+    assert (full.kind, full.lastmod, full.changefreq, full.priority) == (
+        "url", "2024-01-02", "daily", "0.9"
+    )
+    bare = next(r for r in rows if r.loc == "https://e.com/b")  # trimmed
+    assert (bare.lastmod, bare.changefreq, bare.priority) == ("", "", "")
+
+
+def test_sitemap_index_and_namespace_agnosticism(spark):
+    xml = (
+        "<sitemapindex><sitemap><loc>https://e.com/s1.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )  # no namespace at all
+    rows = web.sitemap_urls(_sitemaps(spark, [("e.com", xml)])).collect()
+    assert [(r.kind, r.loc) for r in rows] == [
+        ("sitemap", "https://e.com/s1.xml")
+    ]
+
+
+def test_sitemap_failure_isolation(spark):
+    rows = web.sitemap_urls(
+        _sitemaps(
+            spark,
+            [
+                ("bad.com", "<urlset><url><loc>x</loc>"),  # malformed
+                ("null.com", None),
+                ("rss.com", "<rss><channel/></rss>"),  # not a sitemap root
+                ("ok.com", "<urlset><url><loc>https://ok.com/</loc></url></urlset>"),
+            ],
+        )
+    ).collect()
+    assert [(r.host, r.loc) for r in rows] == [("ok.com", "https://ok.com/")]
+
+
+# --- Kneser-Ney bigrams --------------------------------------------------------
+
+
+def test_kn_bigrams_hand_computed(spark):
+    # corpus: "a b" x3, "a c" x1  -> bigram types: (a,b) n=3, (a,c) n=1
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "A  b"), (4, "a c")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.u, r.w): r
+        for r in text_analysis.kn_bigrams(docs, min_count=1).collect()
+    }
+    ab = rows[("a", "b")]
+    # c(a,b)=3, c(a)=4, N1+(a.)=2, N1+(.b)=1, |types|=2
+    # term1 = (1e6*(4*3-3)) DIV (4*4) = 9000000 DIV 16 = 562500
+    # lambda = (3*2*1e6) DIV 16 = 375000 ; pcont = 1e6*1 DIV 2 = 500000
+    # term2 = 375000*500000 DIV 1e6 = 187500 -> 750000
+    assert ab.pkn_scaled == 562500 + 187500
+    assert ab.n_uw == 3 and ab.n_u == 4
+    ac = rows[("a", "c")]
+    # term1 = (1e6*1) DIV 16 = 62500 ; term2 identical structure = 187500
+    assert ac.pkn_scaled == 62500 + 187500
+    # interpolated KN is normalized per context: the discounted mass is
+    # exactly redistributed (floors can only lose a few 1e-6 of mass)
+    assert 1.0 - 1e-5 <= ab.p_kn + ac.p_kn <= 1.0
+
+
+def test_kn_bigrams_skips_short_docs_and_validates(spark):
+    docs = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, None), (4, "x y")],
+        "doc_id long, text string",
+    )
+    out = text_analysis.kn_bigrams(docs, min_count=1).collect()
+    assert [(r.u, r.w, r.n_uw) for r in out] == [("x", "y", 1)]
+    with pytest.raises(ValueError):
+        text_analysis.kn_bigrams(docs, min_count=0)
