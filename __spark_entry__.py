@@ -324,6 +324,100 @@ def _q_extract_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP-header mining over response records synthesized IN SQL —
+    a single-record WARC chain whose envelope carries four headers with
+    doc_id-derived values, so every (h_no, name, value, status) row is
+    SQL-predictable."""
+    from doc_parser_spark.operators.extract import warc_http_headers
+
+    docs = _read(spark, sf_dir, "documents")
+    parts = docs.selectExpr(
+        "doc_id",
+        "concat('https://w', cast(doc_id % 40 as int), '.example.org/h/',"
+        " doc_id) AS turi",
+        "concat('<html><body><p>hdr ', doc_id, '</p></body></html>')"
+        " AS html1",
+        "CASE WHEN doc_id % 4 = 0 THEN 404 ELSE 200 END AS status",
+    ).selectExpr(
+        "*",
+        "concat('HTTP/1.1 ', status, ' OK\\r\\n"
+        "Server: synthd/', cast(doc_id % 4 as int), '\\r\\n"
+        "Content-Type: text/html; charset=UTF-8\\r\\n"
+        "Cache-Control: max-age=', cast((doc_id * 13) % 3600 as int), '\\r\\n"
+        "X-Crawl-Id: ', doc_id, '\\r\\n\\r\\n', html1) AS http1",
+    )
+    pages = parts.selectExpr(
+        "turi AS url",
+        "cast(concat("
+        "'WARC/1.0\\r\\nWARC-Type: response\\r\\nWARC-Target-URI: ', turi,"
+        " '\\r\\nContent-Type: application/http; msgtype=response\\r\\n"
+        "Content-Length: ', octet_length(http1), '\\r\\n\\r\\n', http1"
+        ") as binary) AS html",
+    )
+    out = warc_http_headers(pages)
+    return out.select(
+        F.regexp_extract("url", "/h/([0-9]+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "rec_no",
+        "h_no",
+        "name",
+        "value",
+        "http_status",
+    )
+
+
+def _q_extract_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org microdata walk over an itemscope-decorated corpus:
+    an Article with headline/nested-Person-author/time/a/meta
+    properties, a multi-token-itemprop Product on doc_id%3, and a
+    property-less Thing on doc_id%5 — every row (item numbering, ref
+    linkage, WHATWG per-tag value rules) SQL-predictable from doc_id."""
+    from doc_parser_spark.operators.extract import extract_microdata
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.selectExpr(
+        "concat('https://md', cast(doc_id % 30 as int),"
+        " '.example.com/p/', doc_id) AS url",
+        "cast(concat("
+        "'<html><body>',"
+        "'<div itemscope itemtype=\"https://schema.org/Article\">',"
+        "'<h1 itemprop=\"headline\">Doc ', doc_id, '</h1>',"
+        "'<span itemprop=\"author\" itemscope"
+        " itemtype=\"https://schema.org/Person\">',"
+        "'<span itemprop=\"name\">Author ', cast(doc_id % 7 as int),"
+        " '</span></span>',"
+        "'<time itemprop=\"datePublished\" datetime=\"2024-01-',"
+        " lpad(cast(doc_id % 28 + 1 as string), 2, '0'),"
+        " '\">January</time>',"
+        "'<a itemprop=\"url\" href=\"/a/', doc_id, '\">link</a>',"
+        "'<meta itemprop=\"wordCount\" content=\"',"
+        " cast((doc_id * 37) % 1000 as int), '\">',"
+        "'</div>',"
+        "CASE WHEN doc_id % 3 = 0 THEN concat("
+        "'<div itemscope itemtype=\"https://schema.org/Product\">',"
+        "'<span itemprop=\"name sku\">P', cast(doc_id % 11 as int),"
+        " '</span></div>') ELSE '' END,"
+        "CASE WHEN doc_id % 5 = 0 THEN"
+        " '<div itemscope itemtype=\"https://schema.org/Thing\"></div>'"
+        " ELSE '' END,"
+        "'</body></html>') as binary) AS html",
+    )
+    out = extract_microdata(pages)
+    return out.select(
+        F.regexp_extract("url", "/p/([0-9]+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "item_no",
+        "item_type",
+        "parent_item",
+        "prop",
+        "value",
+        "ref_item",
+    )
+
+
 def _wrapped_image_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents table → pages whose HTML carries a deterministic image
     set (internal jpg with alt + width/'auto' height, a data: URI inline
@@ -571,6 +665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_page_meta": _q_extract_page_meta,
         "extract_charset": _q_extract_charset,
         "extract_warc_records": _q_extract_warc_records,
+        "extract_http_headers": _q_extract_http_headers,
+        "extract_microdata": _q_extract_microdata,
         "web_link_graph": _q_link_graph,
         "web_anchor_text": lambda spark, sf: web.anchor_text(
             _q_extract_links_raw(spark, sf)
@@ -1911,6 +2007,71 @@ def oracle_sql() -> dict[str, str]:
                    sha256(body2),
                    CAST(octet_length(encode(body2)) AS BIGINT)
             FROM p2
+        """,
+        # four wire-ordered header rows per synthesized response record
+        "extract_http_headers": """
+            SELECT doc_id, CAST(0 AS BIGINT) AS rec_no,
+                   CAST(h.h_no AS BIGINT) AS h_no,
+                   h.name AS name,
+                   CASE h.h_no
+                     WHEN 0 THEN concat('synthd/', CAST(doc_id % 4 AS INT))
+                     WHEN 1 THEN 'text/html; charset=UTF-8'
+                     WHEN 2 THEN concat('max-age=',
+                                        CAST((doc_id * 13) % 3600 AS INT))
+                     ELSE CAST(doc_id AS VARCHAR)
+                   END AS value,
+                   CAST(CASE WHEN doc_id % 4 = 0 THEN 404 ELSE 200 END
+                        AS BIGINT) AS http_status
+            FROM documents,
+                 (VALUES (0, 'server'), (1, 'content-type'),
+                         (2, 'cache-control'), (3, 'x-crawl-id'))
+                 AS h(h_no, name)
+        """,
+        # microdata rows: Article(0) with five properties, nested
+        # Person(1) author, Product (multi-token itemprop) on doc_id%3,
+        # property-less Thing marker on doc_id%5; item numbering is
+        # document order of the itemscope elements
+        "extract_microdata": """
+            WITH d AS (SELECT doc_id FROM documents)
+            SELECT doc_id, CAST(0 AS BIGINT) AS item_no,
+                   'https://schema.org/Article' AS item_type,
+                   CAST(NULL AS BIGINT) AS parent_item,
+                   'headline' AS prop,
+                   concat('Doc ', doc_id) AS value,
+                   CAST(NULL AS BIGINT) AS ref_item
+            FROM d
+            UNION ALL
+            SELECT doc_id, 0, 'https://schema.org/Article', NULL,
+                   'author', '', 1 FROM d
+            UNION ALL
+            SELECT doc_id, 1, 'https://schema.org/Person', 0,
+                   'name', concat('Author ', CAST(doc_id % 7 AS INT)), NULL
+            FROM d
+            UNION ALL
+            SELECT doc_id, 0, 'https://schema.org/Article', NULL,
+                   'datePublished',
+                   concat('2024-01-',
+                          lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')),
+                   NULL
+            FROM d
+            UNION ALL
+            SELECT doc_id, 0, 'https://schema.org/Article', NULL,
+                   'url', concat('/a/', doc_id), NULL FROM d
+            UNION ALL
+            SELECT doc_id, 0, 'https://schema.org/Article', NULL,
+                   'wordCount', CAST((doc_id * 37) % 1000 AS VARCHAR), NULL
+            FROM d
+            UNION ALL
+            SELECT doc_id, 2, 'https://schema.org/Product', NULL, p.prop,
+                   concat('P', CAST(doc_id % 11 AS INT)), NULL
+            FROM d, (VALUES ('name'), ('sku')) AS p(prop)
+            WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END
+                        AS BIGINT),
+                   'https://schema.org/Thing', NULL, '', '', NULL
+            FROM d WHERE doc_id % 5 = 0
         """,
         "extract_page_meta": """
             SELECT doc_id,

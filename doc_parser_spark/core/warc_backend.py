@@ -109,3 +109,41 @@ def extract_warc(data: bytes) -> tuple[Document, str]:
         raise WarcError("empty record payload")
     doc, inner, _fb = convert_payload(body)
     return doc, f"warc:{inner}"
+
+
+def parse_http_headers(body: bytes):
+    """HTTP response envelope → ``(status or None, ordered [(name,
+    value)])`` — the full-header sibling of :func:`strip_http_envelope`
+    (which surfaces only status + Content-Type for the payload path).
+
+    Header names are lowercased ASCII (field names are ASCII by RFC
+    9110 §5.1 — stray bytes degrade per-character), values decode
+    latin-1 (the RFC 9110 §5.5 historical-charset rule — lossless for
+    arbitrary octets) and trim OWS. Lines without a colon are skipped;
+    emission order is wire order, duplicates preserved (Set-Cookie et
+    al. are legitimately repeated). A body with no envelope (or a torn
+    head) yields ``(None, [])`` — mirroring ``strip_http_envelope``'s
+    no-envelope degrade.
+    """
+    if not body.startswith(b"HTTP/"):
+        return None, []
+    http_end = body.find(b"\r\n\r\n")
+    if http_end < 0:
+        return None, []
+    lines = body[:http_end].split(b"\r\n")
+    status = None
+    first = lines[0].split(b" ")
+    if len(first) >= 2 and first[1].isdigit():
+        status = int(first[1])
+    headers = []
+    for line in lines[1:]:
+        if b":" not in line:
+            continue
+        name, _, value = line.partition(b":")
+        headers.append(
+            (
+                name.strip().decode("ascii", "replace").lower(),
+                value.strip().decode("latin-1"),
+            )
+        )
+    return status, headers

@@ -1177,3 +1177,128 @@ def warc_records(pages: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES) -> DataFr
     return pages.select("url", "html").mapInPandas(
         kernel, schema=_warc_records_schema()
     )
+
+
+def _http_headers_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("rec_no", T.LongType()),
+            T.StructField("h_no", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("http_status", T.LongType()),
+        ]
+    )
+
+
+def warc_http_headers(
+    pages: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES
+) -> DataFrame:
+    """Crawl-ops relation: every HTTP header of every WARC ``response``
+    record as one wire-ordered row — the raw feed behind server-tech
+    censuses, cache/compression audits, and security-header scans that
+    crawl archives publish (one row per header keeps the relation
+    joinable/aggregable without map-typed columns; duplicate headers
+    like Set-Cookie stay distinct rows).
+
+    Same execution contract as :func:`warc_records` (they share the
+    record walk): Arrow-batched ``mapInPandas``, zero shuffles,
+    per-document failure isolation — a torn chain contributes no rows;
+    a response without an HTTP envelope contributes no header rows
+    (its payload rows still surface via ``warc_records``).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from doc_parser_spark.core.warc_backend import (
+            iter_records,
+            parse_http_headers,
+        )
+
+        for batch in batches:
+            records = []
+            for url, payload in zip(batch["url"], batch["html"]):
+                if payload is None or len(payload) > max_bytes:
+                    continue
+                rows: list[tuple] = []
+                try:
+                    for rec_no, (headers, body) in enumerate(
+                        iter_records(bytes(payload))
+                    ):
+                        if headers.get("warc-type") != "response":
+                            continue
+                        status, hdrs = parse_http_headers(body)
+                        for h_no, (name, value) in enumerate(hdrs):
+                            rows.append(
+                                (url, rec_no, h_no, name, value, status)
+                            )
+                except Exception:  # noqa: BLE001 — per-doc isolation:
+                    continue  # a torn chain contributes NO rows at all
+                records.extend(rows)
+            schema = _http_headers_schema()
+            yield pd.DataFrame(
+                records, columns=[f.name for f in schema.fields]
+            )
+
+    return pages.select("url", "html").mapInPandas(
+        kernel, schema=_http_headers_schema()
+    )
+
+
+def _microdata_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("item_no", T.LongType()),
+            T.StructField("item_type", T.StringType()),
+            T.StructField("parent_item", T.LongType()),
+            T.StructField("prop", T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("ref_item", T.LongType()),
+        ]
+    )
+
+
+def extract_microdata(
+    pages: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES
+) -> DataFrame:
+    """pages(url, html) → one row per (microdata item, property) —
+    the WebDataCommons-style schema.org triple mine over crawl HTML
+    (``html/microdata.py``; the itemscope/itemprop sibling of the
+    JSON-LD surface in :func:`extract_page_meta`).
+
+    Same execution contract as the extraction kernel: one Arrow-batched
+    ``mapInPandas`` stage, zero shuffles, per-document failure
+    isolation (a pathological page contributes zero item rows, never a
+    dead batch).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if sys.getrecursionlimit() < _RECURSION_LIMIT:
+            sys.setrecursionlimit(_RECURSION_LIMIT)
+        from doc_parser_spark.html.microdata import microdata_rows
+
+        for batch in batches:
+            records = []
+            for url, payload in zip(batch["url"], batch["html"]):
+                if payload is None or len(payload) > max_bytes:
+                    continue
+                try:
+                    rows = microdata_rows(bytes(payload))
+                except Exception:  # noqa: BLE001 — per-doc isolation
+                    continue
+                for r in rows:
+                    r["url"] = url
+                    records.append(r)
+            schema = _microdata_schema()
+            yield pd.DataFrame(
+                records, columns=[f.name for f in schema.fields]
+            )
+
+    return pages.select("url", "html").mapInPandas(
+        kernel, schema=_microdata_schema()
+    )
