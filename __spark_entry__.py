@@ -794,6 +794,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "timestamp'2024-01-01 00:00:00') AS warc_ts",
             )
         ),
+        "web_revisit_records": lambda spark, sf: web.revisit_records(
+            web.cdx_index(
+                _read(spark, sf, "documents").selectExpr(
+                    f"{web.SYNTH_URL_SQL} AS url",
+                    "timestampadd(HOUR, cast((doc_id * 53) % 720 as int), "
+                    "timestamp'2024-01-01 00:00:00') AS warc_ts",
+                    "concat('payload ', cast(doc_id % 200 as int)) AS text",
+                )
+            )
+        ),
         "web_cdx_index": lambda spark, sf: web.cdx_index(
             _read(spark, sf, "documents").selectExpr(
                 f"{web.SYNTH_URL_SQL} AS url",
@@ -3309,6 +3319,72 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM c
             ) WHERE rn = 1
+        """,
+        # cdx twin over a forced-duplication payload (doc_id % 200), then
+        # the min-tuple original pick: rn=1 finds the minimum capture and
+        # the tuple-equality compare (not rn itself) assigns the verdict —
+        # semantically identical to Spark's min(struct) comparison
+        "web_revisit_records": f"""
+            WITH p AS (
+                SELECT doc_id, {_web.SYNTH_URL_SQL} AS url,
+                       TIMESTAMP '2024-01-01 00:00:00'
+                         + to_hours(CAST((doc_id * 53) % 720 AS BIGINT))
+                         AS warc_ts,
+                       concat('payload ', CAST(doc_id % 200 AS INT)) AS text
+                FROM documents
+            ),
+            c AS (
+                SELECT url, text, warc_ts,
+                       {_duck_canonical_url("url")} AS canonical_url
+                FROM p
+            ),
+            h AS (
+                SELECT *,
+                       regexp_extract(canonical_url,
+                           '{_web._ANY_HOST_RE}', 1) AS hostport,
+                       regexp_extract(canonical_url,
+                           '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?://)?[^/?#]*(.*)$',
+                           1) AS rest
+                FROM c
+            ),
+            cdx AS (
+                SELECT concat(
+                           array_to_string(list_reverse(string_split(
+                               regexp_replace(hostport, ':[0-9]+$', ''), '.')),
+                               ','),
+                           CASE WHEN regexp_extract(hostport,
+                                    ':([0-9]+)$', 1) <> ''
+                                THEN concat(':', regexp_extract(hostport,
+                                         ':([0-9]+)$', 1))
+                                ELSE '' END,
+                           ')', lower(rest)) AS surt_key,
+                       strftime(warc_ts, '%Y%m%d%H%M%S') AS ts14,
+                       url, sha256(text) AS digest
+                FROM h
+            ),
+            o AS (
+                SELECT digest, ts14 AS o_ts14, surt_key AS o_surt,
+                       url AS o_url, n_captures
+                FROM (
+                    SELECT digest, ts14, surt_key, url,
+                           row_number() OVER (PARTITION BY digest
+                               ORDER BY ts14, surt_key, url) AS rn,
+                           count(*) OVER (PARTITION BY digest) AS n_captures
+                    FROM cdx
+                ) WHERE rn = 1
+            )
+            SELECT c.surt_key, c.ts14, c.url, c.digest,
+                   CASE WHEN c.ts14 = o.o_ts14 AND c.surt_key = o.o_surt
+                             AND c.url = o.o_url
+                        THEN 'response' ELSE 'revisit' END AS record_type,
+                   CASE WHEN c.ts14 = o.o_ts14 AND c.surt_key = o.o_surt
+                             AND c.url = o.o_url
+                        THEN '' ELSE o.o_ts14 END AS refers_to_ts14,
+                   CASE WHEN c.ts14 = o.o_ts14 AND c.surt_key = o.o_surt
+                             AND c.url = o.o_url
+                        THEN '' ELSE o.o_url END AS refers_to_url,
+                   CAST(o.n_captures AS BIGINT) AS n_captures
+            FROM cdx c JOIN o USING (digest)
         """,
         "web_cdx_index": f"""
             WITH p AS (

@@ -1596,3 +1596,47 @@ def sitemap_urls(sitemaps: DataFrame, max_bytes: int = 8 * 1024 * 1024) -> DataF
     return sitemaps.select("host", "xml").mapInPandas(
         kernel, schema=_SITEMAP_SCHEMA
     )
+
+
+def revisit_records(cdx: DataFrame) -> DataFrame:
+    """CDX capture index → WARC-style revisit verdicts: per content
+    digest, the earliest capture is the ``response`` (stored payload),
+    every later identical capture a ``revisit`` record pointing at it —
+    the crawler-side storage dedup every public crawl applies before
+    the corpus even lands (WARC/1.1 §6.7.2 ``revisit`` +
+    ``WARC-Refers-To``; CDX revisit lines carry the original's digest).
+
+    Input is :func:`cdx_index` output (typically the already-sorted,
+    already-materialized index artifact — this pass re-reads the index,
+    never the payloads). "Earliest" is the deterministic total order
+    (ts14, surt_key, url), so the verdict is partition-invariant; a
+    byte-identical duplicate of the minimum tuple also reads
+    ``response`` (same capture listed twice is the same capture).
+    ``n_captures`` rides along per digest — ``sum(record_type =
+    'revisit') / count(*)`` is the storage-dedup rate crawl reports
+    publish.
+
+    Scale shape: one map-side-combined groupBy on digest (the min tuple
+    + count are both partial-aggregable) and one equi-join back on
+    digest. No windows over the full index, no sort.
+    """
+    orig = cdx.groupBy("digest").agg(
+        F.min(F.struct("ts14", "surt_key", "url")).alias("o"),
+        F.count(F.lit(1)).cast("long").alias("n_captures"),
+    )
+    c = cdx.join(orig, "digest")
+    is_orig = (
+        (F.col("ts14") == F.col("o.ts14"))
+        & (F.col("surt_key") == F.col("o.surt_key"))
+        & (F.col("url") == F.col("o.url"))
+    )
+    return c.select(
+        "surt_key",
+        "ts14",
+        "url",
+        "digest",
+        F.when(is_orig, "response").otherwise("revisit").alias("record_type"),
+        F.when(is_orig, "").otherwise(F.col("o.ts14")).alias("refers_to_ts14"),
+        F.when(is_orig, "").otherwise(F.col("o.url")).alias("refers_to_url"),
+        "n_captures",
+    )

@@ -192,3 +192,29 @@ def test_kn_bigrams_skips_short_docs_and_validates(spark):
     assert [(r.u, r.w, r.n_uw) for r in out] == [("x", "y", 1)]
     with pytest.raises(ValueError):
         text_analysis.kn_bigrams(docs, min_count=0)
+
+
+# --- revisit records -----------------------------------------------------------
+
+
+def test_revisit_records_picks_earliest_and_links(spark):
+    cdx = spark.createDataFrame(
+        [
+            ("com,a)/x", "20240101000000", "https://a.com/x", "d1"),
+            ("com,b)/y", "20240102000000", "https://b.com/y", "d1"),
+            ("com,c)/z", "20240103000000", "https://c.com/z", "d1"),
+            ("com,d)/w", "20240101000000", "https://d.com/w", "d2"),
+        ],
+        "surt_key string, ts14 string, url string, digest string",
+    )
+    from doc_parser_spark.operators import web
+
+    rows = {r.url: r for r in web.revisit_records(cdx).collect()}
+    assert rows["https://a.com/x"].record_type == "response"
+    assert rows["https://a.com/x"].refers_to_url == ""
+    assert rows["https://b.com/y"].record_type == "revisit"
+    assert rows["https://b.com/y"].refers_to_url == "https://a.com/x"
+    assert rows["https://c.com/z"].refers_to_ts14 == "20240101000000"
+    assert rows["https://b.com/y"].n_captures == 3
+    assert rows["https://d.com/w"].record_type == "response"
+    assert rows["https://d.com/w"].n_captures == 1
