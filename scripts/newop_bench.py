@@ -32,6 +32,10 @@ NEW_OPS = [
     # session 7
     "extract_charset", "web_cdx_index", "doc_perceptron_weights",
     "extract_warc_records", "doc_cm_term_estimates",
+    # session 8
+    "web_host_hits", "web_host_components", "web_host_hll",
+    "web_sitemap_urls", "doc_kn_bigrams", "extract_http_headers",
+    "extract_microdata", "web_revisit_records",
 ]
 
 

@@ -369,6 +369,8 @@ _BNLJ_OK = {
     # models (classifier weights, LM, perplexity buckets), corpus scalar
     "emb_cosine_topk", "doc_classifier_label", "doc_lm_fit",
     "doc_ppl_buckets", "doc_top_terms",
+    # one-row bigram-type-count relation cross-joined back (scalar)
+    "doc_kn_bigrams",
 }
 _PANDAS_OK = {
     # the Arrow-batched extraction kernel IS the operator here
@@ -379,6 +381,9 @@ _PANDAS_OK = {
     "web_link_graph", "web_anchor_text",
     # the Arrow-batched native image decode IS the operator
     "img_dhash", "img_dhash_neardup",
+    # Arrow-batched ingestion kernels: WARC header walk, microdata DOM
+    # walk, sitemap XML parse
+    "extract_http_headers", "extract_microdata", "web_sitemap_urls",
 }
 
 
