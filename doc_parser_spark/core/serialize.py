@@ -477,6 +477,34 @@ def export_itxt(doc: Document, max_text_len: Optional[int] = 70) -> str:
     return "\n".join(lines)
 
 
+def _clamped_cell(c, num_rows: int, num_cols: int) -> dict:
+    """Relation-contract view of a grid cell: half-open, non-degenerate,
+    inside the declared grid.
+
+    The HTML grid builder is reference-faithful (html_backend.py:382-508)
+    and tag soup can hand it ``colspan="0"`` (zero-width extent) or a
+    ``rowspan`` overhanging the last row (end_row > num_rows); the WHATWG
+    table algorithm clamps both — spans are at least 1 and growth stops
+    at the row group's end. Valid cells pass through unchanged, so every
+    parity fixture is byte-identical; only degenerate extents move.
+    """
+    sr = min(max(c.start_row, 0), num_rows - 1)
+    sc = min(max(c.start_col, 0), num_cols - 1)
+    er = min(max(c.end_row, sr + 1), num_rows)
+    ec = min(max(c.end_col, sc + 1), num_cols)
+    return {
+        "text": c.text,
+        "row_span": er - sr,
+        "col_span": ec - sc,
+        "start_row": sr,
+        "end_row": er,
+        "start_col": sc,
+        "end_col": ec,
+        "column_header": c.column_header,
+        "row_header": c.row_header,
+    }
+
+
 def flatten_spans(doc: Document) -> list[dict]:
     """Tree → ordered flat span records (for the Spark ``spans`` column).
 
@@ -494,20 +522,11 @@ def flatten_spans(doc: Document) -> list[dict]:
                 "num_rows": node.table.num_rows,
                 "num_cols": node.table.num_cols,
                 "cells": [
-                    {
-                        "text": c.text,
-                        "row_span": c.row_span,
-                        "col_span": c.col_span,
-                        "start_row": c.start_row,
-                        "end_row": c.end_row,
-                        "start_col": c.start_col,
-                        "end_col": c.end_col,
-                        "column_header": c.column_header,
-                        "row_header": c.row_header,
-                    }
+                    _clamped_cell(c, node.table.num_rows, node.table.num_cols)
                     # anchor view: the md backend's reference-faithful
                     # duplicate cells stay a sink-only artifact
                     for c in node.table.anchor_cells()
+                    if node.table.num_rows > 0 and node.table.num_cols > 0
                 ],
             }
         bbox_payload = None
