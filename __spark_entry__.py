@@ -812,6 +812,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "text",
             )
         ),
+        "web_capture_drift": lambda spark, sf: web.capture_drift(
+            _read(spark, sf, "documents").selectExpr(
+                "doc_id",
+                f"{web.SYNTH_URL_SQL} AS url",
+                "timestampadd(HOUR, cast((doc_id * 53) % 720 as int), "
+                "timestamp'2024-01-01 00:00:00') AS warc_ts",
+                "concat('v', cast((doc_id * 7) % 3 as int)) AS text",
+            )
+        ),
         "extract_incremental": lambda spark, sf: web.extract_incremental(
             _read(spark, sf, "documents").selectExpr(
                 "doc_id", f"{web.SYNTH_URL_SQL} AS url", "text"
@@ -3319,6 +3328,55 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM c
             ) WHERE rn = 1
+        """,
+        # recrawl-drift twin: same lag-window transition count; md5 is
+        # byte-identical hex in both engines, hour timestamps make DuckDB's
+        # boundary-counting datediff equal Spark's whole-hour timestampdiff
+        "web_capture_drift": f"""
+            WITH p AS (
+                SELECT doc_id, {_web.SYNTH_URL_SQL} AS url,
+                       TIMESTAMP '2024-01-01 00:00:00'
+                         + to_hours(CAST((doc_id * 53) % 720 AS BIGINT))
+                         AS warc_ts,
+                       concat('v', CAST((doc_id * 7) % 3 AS INT)) AS text
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, warc_ts,
+                       {_duck_canonical_url("url")} AS canonical_url,
+                       md5(coalesce(text, '')) AS fp
+                FROM p
+            ),
+            lagd AS (
+                SELECT canonical_url, warc_ts, fp,
+                       lag(fp) OVER (
+                           PARTITION BY canonical_url
+                           ORDER BY warc_ts, doc_id
+                       ) AS prev_fp
+                FROM c
+            ),
+            agg AS (
+                SELECT canonical_url,
+                       CAST(count(*) AS BIGINT) AS n_captures,
+                       CAST(count(DISTINCT fp) AS BIGINT) AS n_versions,
+                       CAST(sum(CASE WHEN prev_fp IS NOT NULL
+                                      AND fp <> prev_fp
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                       min(warc_ts) AS first_ts,
+                       max(warc_ts) AS last_ts,
+                       max(CASE WHEN prev_fp IS NULL OR fp <> prev_fp
+                                THEN warc_ts END) AS last_change_ts
+                FROM lagd GROUP BY canonical_url
+            )
+            SELECT canonical_url, n_captures, n_versions, n_changes,
+                   CASE WHEN n_captures > 1
+                        THEN floor(1e6 * (CAST(n_changes AS DOUBLE)
+                                          / (n_captures - 1))) / 1e6
+                        ELSE 0.0 END AS change_rate,
+                   first_ts, last_ts,
+                   CAST(datediff('hour', last_change_ts, last_ts) AS BIGINT)
+                     AS stale_hours
+            FROM agg
         """,
         # cdx twin over a forced-duplication payload (doc_id % 200), then
         # the min-tuple original pick: rn=1 finds the minimum capture and

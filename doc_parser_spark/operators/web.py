@@ -1640,3 +1640,76 @@ def revisit_records(cdx: DataFrame) -> DataFrame:
         F.when(is_orig, "").otherwise(F.col("o.url")).alias("refers_to_url"),
         "n_captures",
     )
+
+
+def capture_drift(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Recrawl drift per canonical URL: how often does the content change?
+
+    A crawl scheduler sets each URL's revisit frequency from its observed
+    change history (the classic Cho & Garcia-Molina "effective page
+    refresh" signal; Common Crawl's own recrawl policy and every news
+    crawler work this way). Given one row per (url, fetch time, payload),
+    this orders each URL's captures by time and counts *transitions* —
+    consecutive captures whose content fingerprints differ:
+
+    - ``n_captures``   total fetches of the canonical URL
+    - ``n_versions``   distinct content fingerprints ever seen
+    - ``n_changes``    consecutive-capture transitions (fp != previous fp)
+    - ``change_rate``  n_changes / (n_captures - 1), 0.0 for singletons
+    - ``first_ts`` / ``last_ts``   capture-time span
+    - ``stale_hours``  hours between the LAST content change and the last
+      capture — large values mean the page stopped changing and the
+      scheduler can back off
+
+    The fingerprint is ``md5`` of the payload text (same function, same
+    hex output in Spark and DuckDB, so the oracle checks values).
+
+    Scale shape: ONE shuffle. The lag window partitions by canonical URL
+    — per-URL capture counts are bounded (a crawl fetches any one URL at
+    most a few hundred times), so no partition skews — and the groupBy
+    that follows keys on the same column, so Catalyst reuses the window's
+    exchange instead of shuffling again. Nothing is collected; nothing
+    broadcasts.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("canonical_url").orderBy(ts_col, "doc_id")
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    c = (
+        pages.withColumn("canonical_url", canonical_url_col(url_col))
+        .withColumn("fp", fp)
+        .withColumn("prev_fp", F.lag("fp").over(w))
+    )
+    changed = F.col("prev_fp").isNotNull() & (F.col("fp") != F.col("prev_fp"))
+    # a URL's "last change" is the latest capture that introduced new
+    # content; the first capture counts (it introduced the page)
+    change_ts = F.when(
+        F.col("prev_fp").isNull() | (F.col("fp") != F.col("prev_fp")),
+        F.col(ts_col),
+    )
+    agg = c.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_captures"),
+        F.countDistinct("fp").cast("long").alias("n_versions"),
+        F.sum(changed.cast("long")).alias("n_changes"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+        F.max(change_ts).alias("last_change_ts"),
+    )
+    return agg.select(
+        "canonical_url",
+        "n_captures",
+        "n_versions",
+        "n_changes",
+        F.when(F.col("n_captures") > 1,
+               _trunc6(F.col("n_changes") / (F.col("n_captures") - 1)))
+         .otherwise(F.lit(0.0)).alias("change_rate"),
+        "first_ts",
+        "last_ts",
+        F.expr("timestampdiff(HOUR, last_change_ts, last_ts)")
+         .cast("long").alias("stale_hours"),
+    )

@@ -484,3 +484,15 @@ def test_image_dhash_neardup_plan_no_cartesian(spark):
         assert "partial_count" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_capture_drift_plan_shape(spark):
+    # lag window + groupBy both key on canonical_url: Catalyst reuses the
+    # window's exchange, so the whole drift profile is ONE shuffle; the
+    # count-distinct runs as extra aggregate passes over the same
+    # partitioning, never a second exchange; no joins, no Python
+    plan = plan_of(spark, "web_capture_drift")
+    assert plan.count("Exchange (") <= 1, plan.count("Exchange (")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

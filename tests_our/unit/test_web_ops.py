@@ -930,3 +930,51 @@ def test_cdx_index_surt_keys(spark):
     assert by_url["http://example.com"]["surt_key"] == "com,example)/"
     # global index order: (surt_key, ts14)
     assert [x["surt_key"] for x in rows] == sorted(x["surt_key"] for x in rows)
+
+
+def test_capture_drift_counts_transitions_not_versions(spark):
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    rows = [
+        # url A across variants: x -> y -> y -> x : 4 captures, 2 distinct
+        # fingerprints, 3 transitions... no: x->y change, y->y no, y->x change
+        Row(doc_id=1, url="http://WWW.ex.com:80/a", warc_ts=t(0), text="x"),
+        Row(doc_id=2, url="http://ex.com/a", warc_ts=t(2), text="y"),
+        Row(doc_id=3, url="http://ex.com/a?utm_source=q", warc_ts=t(5), text="y"),
+        Row(doc_id=4, url="http://ex.com/a", warc_ts=t(11), text="x"),
+        # singleton url B; NULL text folds to ''
+        Row(doc_id=9, url="http://ex.com/b", warc_ts=t(3), text=None),
+    ]
+    out = {
+        r.canonical_url: r
+        for r in web.capture_drift(spark.createDataFrame(rows)).collect()
+    }
+    a = out["http://ex.com/a"]
+    assert a.n_captures == 4 and a.n_versions == 2 and a.n_changes == 2
+    # 2 changes / 3 gaps, floor-truncated to 6 places
+    assert a.change_rate == 0.666666
+    assert a.first_ts == t(0) and a.last_ts == t(11)
+    # last content change happened at hour 11 (y -> x), so staleness is 0
+    assert a.stale_hours == 0
+    b = out["http://ex.com/b"]
+    assert b.n_captures == 1 and b.n_versions == 1 and b.n_changes == 0
+    assert b.change_rate == 0.0 and b.stale_hours == 0
+
+
+def test_capture_drift_stale_hours_measures_back_off_signal(spark):
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    rows = [
+        # page changed once early, then 3 identical recrawls: staleness
+        # spans from the LAST change (hour 2) to the last capture (hour 20)
+        Row(doc_id=1, url="http://ex.com/p", warc_ts=t(0), text="v1"),
+        Row(doc_id=2, url="http://ex.com/p", warc_ts=t(2), text="v2"),
+        Row(doc_id=3, url="http://ex.com/p", warc_ts=t(8), text="v2"),
+        Row(doc_id=4, url="http://ex.com/p", warc_ts=t(20), text="v2"),
+    ]
+    (r,) = web.capture_drift(spark.createDataFrame(rows)).collect()
+    assert r.n_changes == 1 and r.n_versions == 2
+    assert r.stale_hours == 18
+    assert r.change_rate == 0.333333
