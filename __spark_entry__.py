@@ -821,6 +821,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "concat('v', cast((doc_id * 7) % 3 as int)) AS text",
             )
         ),
+        # two-snapshot delta: small deterministic URL groups (key = doc_id
+        # % 1500) so whole groups drop out of one side — added when the
+        # group is absent from the OLD crawl, gone when absent from NEW,
+        # changed when the newest capture's payload was rewritten
+        "web_crawl_diff": lambda spark, sf: web.crawl_diff(
+            _read(spark, sf, "documents")
+            .where("(doc_id % 1500) % 13 <> 0")
+            .selectExpr(
+                "doc_id",
+                "concat('http://site', cast(doc_id % 300 as int), "
+                "'.example.com/p/', cast(doc_id % 1500 as int)) AS url",
+                "timestampadd(HOUR, cast((doc_id * 53) % 720 as int), "
+                "timestamp'2024-01-01 00:00:00') AS warc_ts",
+                "text",
+            ),
+            _read(spark, sf, "documents")
+            .where("(doc_id % 1500) % 17 <> 0")
+            .selectExpr(
+                "doc_id",
+                "concat('http://site', cast(doc_id % 300 as int), "
+                "'.example.com/p/', cast(doc_id % 1500 as int)) AS url",
+                "timestampadd(HOUR, 720 + cast((doc_id * 53) % 720 as int), "
+                "timestamp'2024-01-01 00:00:00') AS warc_ts",
+                "CASE WHEN (doc_id % 1500) % 5 = 0 "
+                "THEN concat('v2 ', coalesce(text, '')) ELSE text END AS text",
+            ),
+        ),
         "extract_incremental": lambda spark, sf: web.extract_incremental(
             _read(spark, sf, "documents").selectExpr(
                 "doc_id", f"{web.SYNTH_URL_SQL} AS url", "text"
@@ -3328,6 +3355,67 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM c
             ) WHERE rn = 1
+        """,
+        # snapshot-delta twin: per side, rn=1 under (ts DESC, doc_id ASC)
+        # replicates the struct-max newest-capture pick; the full outer
+        # join + CASE ladder mirrors the verdict classification
+        "web_crawl_diff": f"""
+            WITH old_p AS (
+                SELECT doc_id,
+                       concat('http://site', CAST(doc_id % 300 AS INT),
+                              '.example.com/p/', CAST(doc_id % 1500 AS INT))
+                         AS url,
+                       TIMESTAMP '2024-01-01 00:00:00'
+                         + to_hours(CAST((doc_id * 53) % 720 AS BIGINT))
+                         AS warc_ts,
+                       text
+                FROM documents WHERE (doc_id % 1500) % 13 <> 0
+            ),
+            new_p AS (
+                SELECT doc_id,
+                       concat('http://site', CAST(doc_id % 300 AS INT),
+                              '.example.com/p/', CAST(doc_id % 1500 AS INT))
+                         AS url,
+                       TIMESTAMP '2024-01-01 00:00:00'
+                         + to_hours(CAST(720 + (doc_id * 53) % 720 AS BIGINT))
+                         AS warc_ts,
+                       CASE WHEN (doc_id % 1500) % 5 = 0
+                            THEN concat('v2 ', coalesce(text, ''))
+                            ELSE text END AS text
+                FROM documents WHERE (doc_id % 1500) % 17 <> 0
+            ),
+            old_l AS (
+                SELECT canonical_url, warc_ts AS ts, fp FROM (
+                    SELECT {_duck_canonical_url("url")} AS canonical_url,
+                           warc_ts, md5(coalesce(text, '')) AS fp,
+                           row_number() OVER (
+                               PARTITION BY {_duck_canonical_url("url")}
+                               ORDER BY warc_ts DESC, doc_id ASC
+                           ) AS rn
+                    FROM old_p
+                ) WHERE rn = 1
+            ),
+            new_l AS (
+                SELECT canonical_url, warc_ts AS ts, fp FROM (
+                    SELECT {_duck_canonical_url("url")} AS canonical_url,
+                           warc_ts, md5(coalesce(text, '')) AS fp,
+                           row_number() OVER (
+                               PARTITION BY {_duck_canonical_url("url")}
+                               ORDER BY warc_ts DESC, doc_id ASC
+                           ) AS rn
+                    FROM new_p
+                ) WHERE rn = 1
+            )
+            SELECT coalesce(o.canonical_url, n.canonical_url)
+                     AS canonical_url,
+                   CASE WHEN o.fp IS NULL THEN 'added'
+                        WHEN n.fp IS NULL THEN 'gone'
+                        WHEN o.fp <> n.fp THEN 'changed'
+                        ELSE 'unchanged' END AS verdict,
+                   o.ts AS old_ts, n.ts AS new_ts,
+                   coalesce(o.fp, '') AS old_fp,
+                   coalesce(n.fp, '') AS new_fp
+            FROM old_l o FULL OUTER JOIN new_l n USING (canonical_url)
         """,
         # recrawl-drift twin: same lag-window transition count; md5 is
         # byte-identical hex in both engines, hour timestamps make DuckDB's

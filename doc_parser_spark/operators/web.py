@@ -1713,3 +1713,79 @@ def capture_drift(
         F.expr("timestampdiff(HOUR, last_change_ts, last_ts)")
          .cast("long").alias("stale_hours"),
     )
+
+
+def _snapshot_latest(
+    pages: DataFrame, url_col: str, ts_col: str, text_col: str
+) -> DataFrame:
+    """One row per canonical URL: the NEWEST capture's content
+    fingerprint (struct-max, same survivor rule as :func:`latest_capture`
+    — ties on the timestamp break to the lowest doc_id)."""
+    pick = F.max(
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            (-F.col("doc_id")).alias("nid"),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
+        )
+    )
+    return (
+        pages.withColumn("canonical_url", canonical_url_col(url_col))
+        .groupBy("canonical_url")
+        .agg(pick.alias("p"))
+        .select(
+            "canonical_url",
+            F.col("p.ts").alias("ts"),
+            F.col("p.fp").alias("fp"),
+        )
+    )
+
+
+def crawl_diff(
+    old_pages: DataFrame,
+    new_pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Delta between two crawl snapshots, per canonical URL.
+
+    The standard between-crawls report (Common Crawl publishes exactly
+    this per monthly archive; incremental index builds and freshness
+    studies consume it): reduce each snapshot to its newest capture per
+    canonical URL, then full-outer-join the two sides and classify:
+
+    - ``added``     URL present only in the new snapshot
+    - ``gone``      URL present only in the old snapshot
+    - ``changed``   both sides, content fingerprints differ
+    - ``unchanged`` both sides, identical fingerprint
+
+    Output: (canonical_url, verdict, old_ts, new_ts, old_fp, new_fp) —
+    absent sides carry NULL ts and '' fp so the relation stays
+    NULL-light for downstream counting.
+
+    Scale shape: each side is ONE map-side-combined struct-max groupBy on
+    canonical_url, and the full-outer join keys on the same column, so
+    both sides arrive at the join already partitioned by the join key —
+    Catalyst reuses the aggregation exchanges and the join adds NO new
+    shuffle. Nothing broadcasts (both sides are corpus-scale); nothing
+    is collected.
+    """
+    old = _snapshot_latest(old_pages, url_col, ts_col, text_col)
+    new = _snapshot_latest(new_pages, url_col, ts_col, text_col)
+    j = old.alias("o").join(
+        new.alias("n"), on="canonical_url", how="full_outer"
+    )
+    verdict = (
+        F.when(F.col("o.fp").isNull(), "added")
+        .when(F.col("n.fp").isNull(), "gone")
+        .when(F.col("o.fp") != F.col("n.fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(
+        "canonical_url",
+        verdict.alias("verdict"),
+        F.col("o.ts").alias("old_ts"),
+        F.col("n.ts").alias("new_ts"),
+        F.coalesce(F.col("o.fp"), F.lit("")).alias("old_fp"),
+        F.coalesce(F.col("n.fp"), F.lit("")).alias("new_fp"),
+    )

@@ -496,3 +496,15 @@ def test_capture_drift_plan_shape(spark):
     assert "Window" in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_crawl_diff_plan_shape(spark):
+    # each snapshot reduces with ONE struct-max groupBy on canonical_url
+    # and the full-outer join keys on the same column: both sides arrive
+    # pre-partitioned, so the join adds NO third exchange; neither
+    # corpus-scale side ever broadcasts
+    plan = plan_of(spark, "web_crawl_diff")
+    assert plan.count("Exchange (") <= 2, plan.count("Exchange (")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

@@ -978,3 +978,62 @@ def test_capture_drift_stale_hours_measures_back_off_signal(spark):
     assert r.n_changes == 1 and r.n_versions == 2
     assert r.stale_hours == 18
     assert r.change_rate == 0.333333
+
+
+def test_crawl_diff_classifies_all_four_verdicts(spark):
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    t2 = lambda h: dt.datetime(2024, 2, 1, h)
+    old = spark.createDataFrame(
+        [
+            # /a unchanged; variant urls collapse to one canonical row
+            Row(doc_id=1, url="http://WWW.ex.com:80/a", warc_ts=t(0), text="x"),
+            Row(doc_id=2, url="http://ex.com/a", warc_ts=t(5), text="x"),
+            # /b changed in the new crawl
+            Row(doc_id=3, url="http://ex.com/b", warc_ts=t(1), text="old"),
+            # /c dropped out of the new crawl
+            Row(doc_id=4, url="http://ex.com/c", warc_ts=t(2), text="c"),
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=11, url="http://ex.com/a?utm_source=z", warc_ts=t2(0), text="x"),
+            Row(doc_id=12, url="http://ex.com/b", warc_ts=t2(1), text="new"),
+            # /d newly discovered
+            Row(doc_id=13, url="http://ex.com/d", warc_ts=t2(2), text="d"),
+        ]
+    )
+    out = {r.canonical_url: r for r in web.crawl_diff(old, new).collect()}
+    assert out["http://ex.com/a"].verdict == "unchanged"
+    assert out["http://ex.com/b"].verdict == "changed"
+    assert out["http://ex.com/c"].verdict == "gone"
+    assert out["http://ex.com/d"].verdict == "added"
+    a = out["http://ex.com/a"]
+    # newest capture's ts rides through on both sides
+    assert a.old_ts == t(5) and a.new_ts == t2(0)
+    # absent side carries NULL ts and '' fp
+    c = out["http://ex.com/c"]
+    assert c.new_ts is None and c.new_fp == ""
+    d = out["http://ex.com/d"]
+    assert d.old_ts is None and d.old_fp == ""
+
+
+def test_crawl_diff_latest_capture_decides_content(spark):
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    # old snapshot has TWO captures of /p: early 'v2', late 'v1'; the
+    # NEWEST one ('v1') is the comparison content, so vs new 'v1' the
+    # verdict is unchanged even though an older capture differed
+    old = spark.createDataFrame(
+        [
+            Row(doc_id=1, url="http://ex.com/p", warc_ts=t(1), text="v2"),
+            Row(doc_id=2, url="http://ex.com/p", warc_ts=t(9), text="v1"),
+        ]
+    )
+    new = spark.createDataFrame(
+        [Row(doc_id=3, url="http://ex.com/p", warc_ts=t(20), text="v1")]
+    )
+    (r,) = web.crawl_diff(old, new).collect()
+    assert r.verdict == "unchanged"
