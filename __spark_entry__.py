@@ -671,6 +671,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_anchor_text": lambda spark, sf: web.anchor_text(
             _q_extract_links_raw(spark, sf)
         ),
+        # frontier over REAL kernel-extracted links: targets are the
+        # /local/ and /x/ families; the #top fragment links fold onto
+        # their own crawled page and the anti-join removes them
+        "web_frontier_urls": lambda spark, sf: web.frontier_urls(
+            _q_extract_links_raw(spark, sf),
+            _wrapped_link_pages(spark, sf).select("url"),
+        ),
         # text analysis
         "doc_token_stats": q(text_analysis.token_stats, "documents"),
         "doc_quality_score": q(text_analysis.quality_score, "documents"),
@@ -917,6 +924,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "web_host_hits": lambda spark, sf: web.host_hits(
             _synth_hits_edges(_read(spark, sf, "documents"))
+        ),
+        "web_host_degree": lambda spark, sf: web.host_degree(
+            _read(spark, sf, "documents").selectExpr(
+                "concat('site', cast(doc_id % 50 as int)) AS src",
+                "explode(array("
+                + ", ".join(
+                    f"concat('site', cast((doc_id * 7 + {o}) % 50 as int))"
+                    for o in web.SYNTH_EDGE_OFFSETS
+                )
+                + ")) AS dst",
+            )
         ),
         "web_host_components": lambda spark, sf: web.host_components(
             _read(spark, sf, "documents").selectExpr(
@@ -2332,6 +2350,36 @@ def oracle_sql() -> dict[str, str]:
                    'top'
             FROM documents
             WHERE doc_id % 4 = 0
+        """,
+        # frontier twin: the /local/ and /x/ targets are already
+        # canonical (no params/ports/www) and never collide with the
+        # crawled '/page/' URL space, while the fragment links' canonical
+        # form IS their own crawled page — so the anti-join reduces to
+        # simply not emitting the fragment family
+        "web_frontier_urls": """
+            WITH l AS (
+                SELECT 'https://site' || CAST(doc_id % 50 AS INT)
+                           || '.example.com/page/' || doc_id AS src_url,
+                       'https://site' || CAST(doc_id % 50 AS INT)
+                           || '.example.com/local/'
+                           || CAST(doc_id % 10 AS INT) AS canonical_url,
+                       'site' || CAST(doc_id % 50 AS INT) || '.example.com'
+                           AS host
+                FROM documents
+                UNION ALL
+                SELECT 'https://site' || CAST(doc_id % 50 AS INT)
+                           || '.example.com/page/' || doc_id,
+                       'https://site' || CAST((doc_id * 3 + 1) % 50 AS INT)
+                           || '.example.com/x/'
+                           || CAST(doc_id % 20 AS INT),
+                       'site' || CAST((doc_id * 3 + 1) % 50 AS INT)
+                           || '.example.com'
+                FROM documents
+            )
+            SELECT canonical_url, host,
+                   CAST(count(*) AS BIGINT) AS n_refs,
+                   CAST(count(DISTINCT src_url) AS BIGINT) AS n_referrer_pages
+            FROM l GROUP BY canonical_url, host
         """,
         "web_link_graph": """
             SELECT 'site' || CAST(doc_id % 50 AS INT) || '.example.com'
@@ -3803,6 +3851,51 @@ def oracle_sql() -> dict[str, str]:
             FROM exact LEFT JOIN per ON per.host IS NOT DISTINCT FROM exact.host
         """,
         "web_host_pagerank": _pagerank_sql(),
+        # degree/reciprocity twin over the SAME synth edges as pagerank,
+        # but multiplicity-preserving (no DISTINCT): n_links counts rows
+        "web_host_degree": f"""
+            WITH e AS (
+                SELECT src, dst FROM (
+                    SELECT concat('site', CAST(doc_id % 50 AS INT)) AS src,
+                           concat('site', CAST((doc_id * 7 + t.o) % 50 AS INT))
+                             AS dst
+                    FROM documents,
+                         LATERAL UNNEST([{", ".join(str(o) for o in _web.SYNTH_EDGE_OFFSETS)}]) AS t(o)
+                ) WHERE src <> dst
+            ),
+            pairs AS (
+                SELECT src, dst, CAST(count(*) AS BIGINT) AS n_links
+                FROM e GROUP BY src, dst
+            ),
+            rec AS (
+                SELECT p.src AS host, CAST(count(*) AS BIGINT) AS n_reciprocal
+                FROM pairs p JOIN pairs m
+                  ON p.src = m.dst AND p.dst = m.src
+                GROUP BY p.src
+            ),
+            o AS (
+                SELECT src AS host, CAST(count(*) AS BIGINT) AS out_degree,
+                       CAST(sum(n_links) AS BIGINT) AS out_links
+                FROM pairs GROUP BY src
+            ),
+            i AS (
+                SELECT dst AS host, CAST(count(*) AS BIGINT) AS in_degree,
+                       CAST(sum(n_links) AS BIGINT) AS in_links
+                FROM pairs GROUP BY dst
+            )
+            SELECT coalesce(o.host, i.host) AS host,
+                   coalesce(out_degree, 0) AS out_degree,
+                   coalesce(in_degree, 0) AS in_degree,
+                   coalesce(out_links, 0) AS out_links,
+                   coalesce(in_links, 0) AS in_links,
+                   coalesce(n_reciprocal, 0) AS n_reciprocal,
+                   CASE WHEN coalesce(out_degree, 0) > 0
+                        THEN floor(1e6 * (CAST(coalesce(n_reciprocal, 0) AS DOUBLE)
+                                          / out_degree)) / 1e6
+                        ELSE 0.0 END AS reciprocity
+            FROM o FULL OUTER JOIN i ON o.host = i.host
+            LEFT JOIN rec ON coalesce(o.host, i.host) = rec.host
+        """,
         "web_host_hits": _hits_sql(),
         # undirected reachability closure over the synthesized grouped
         # graph; component id = min reachable host (mirrors the

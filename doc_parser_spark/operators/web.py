@@ -1789,3 +1789,119 @@ def crawl_diff(
         F.coalesce(F.col("o.fp"), F.lit("")).alias("old_fp"),
         F.coalesce(F.col("n.fp"), F.lit("")).alias("new_fp"),
     )
+
+
+def host_degree(edges: DataFrame) -> DataFrame:
+    """Degree / reciprocity features per host over the link graph — the
+    classic link-spam signal set (TrustRank-era heuristics; a link farm
+    shows near-1.0 reciprocity while legitimate hubs are asymmetric, and
+    in/out imbalance separates scrapers from authorities).
+
+    Input: ``edges(src, dst)`` raw host-edge rows (the
+    :func:`link_graph` output or any (src, dst) relation; duplicate rows
+    count as link multiplicity). Self-loops are dropped. Output, one row
+    per host that appears on either side:
+
+    - ``out_degree`` / ``in_degree``   distinct neighbor counts
+    - ``out_links``  / ``in_links``    link-multiplicity sums
+    - ``n_reciprocal``                 distinct neighbors linked BOTH ways
+    - ``reciprocity``                  n_reciprocal / out_degree (trunc6,
+      0.0 for pure sinks)
+
+    Scale shape: everything runs on the DISTINCT edge-pair relation
+    (one map-side-combined groupBy collapses multiplicity first), which
+    is orders of magnitude narrower than the page corpus; the mirror
+    check is a left-semi self-join on the swapped key — never an
+    all-pairs or a collect. The final assembly joins three per-host
+    aggregates that all key on the host column, so they co-partition.
+    """
+    pairs = (
+        edges.where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+    mirror = pairs.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = pairs.join(mirror, ["src", "dst"], "left_semi")
+    out = pairs.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_degree"),
+        F.sum("n_links").cast("long").alias("out_links"),
+    )
+    inn = pairs.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_degree"),
+        F.sum("n_links").cast("long").alias("in_links"),
+    )
+    rec = recip.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_reciprocal")
+    )
+    j = (
+        out.join(inn, "host", "full_outer")
+        .join(rec, "host", "left_outer")
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+    return j.select(
+        "host",
+        z("out_degree"),
+        z("in_degree"),
+        z("out_links"),
+        z("in_links"),
+        z("n_reciprocal"),
+        F.when(
+            F.coalesce(F.col("out_degree"), F.lit(0)) > 0,
+            _trunc6(
+                F.coalesce(F.col("n_reciprocal"), F.lit(0))
+                / F.col("out_degree")
+            ),
+        ).otherwise(F.lit(0.0)).alias("reciprocity"),
+    )
+
+
+def frontier_urls(
+    links: DataFrame, crawled: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Crawl-frontier expansion: link targets not yet fetched.
+
+    The BFS step every crawler runs between waves (Mercator/Heritrix
+    frontier semantics): canonicalize every resolved outlink target,
+    subtract the already-crawled canonical URL set, and rank what's left
+    by discovery mass. Fragment self-links vanish here by construction —
+    canonicalization drops the fragment, so ``page#top`` folds onto the
+    already-crawled page and the anti-join removes it.
+
+    Input: ``links`` — the :func:`operators.extract.extract_links`
+    relation (``resolved`` absolute target + source page ``url``);
+    ``crawled`` — the fetched page table. Output, one row per
+    undiscovered canonical URL:
+
+    - ``host``              the target's canonical host (budget key)
+    - ``n_refs``            total referring links (frontier priority —
+      most-cited-first is the classic BFS ordering)
+    - ``n_referrer_pages``  distinct referring source pages
+
+    Scale shape: one map-side-combined groupBy on the canonical target,
+    one distinct on the crawled side, and a left-anti join that keys on
+    the same column — both sides arrive pre-partitioned, so the
+    anti-join reuses the exchanges. The crawled side never broadcasts
+    (it is corpus-scale by definition).
+    """
+    discovered = (
+        links.withColumn("canonical_url", canonical_url_col("resolved"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_refs"),
+            F.countDistinct(url_col).cast("long").alias("n_referrer_pages"),
+        )
+    )
+    seen = (
+        crawled.withColumn("canonical_url", canonical_url_col(url_col))
+        .select("canonical_url")
+        .distinct()
+    )
+    host = f"regexp_extract(canonical_url, '{_ANY_HOST_RE}', 1)"
+    return discovered.join(seen, "canonical_url", "left_anti").select(
+        "canonical_url",
+        F.expr(host).alias("host"),
+        "n_refs",
+        "n_referrer_pages",
+    )

@@ -218,3 +218,34 @@ def test_revisit_records_picks_earliest_and_links(spark):
     assert rows["https://b.com/y"].n_captures == 3
     assert rows["https://d.com/w"].record_type == "response"
     assert rows["https://d.com/w"].n_captures == 1
+
+
+def test_host_degree_reciprocity_and_degrees(spark):
+    from doc_parser_spark.operators import web
+
+    edges = spark.createDataFrame(
+        [
+            # a<->b reciprocal; a->c one-way (duplicated: multiplicity 2)
+            ("a", "b"), ("b", "a"), ("a", "c"), ("a", "c"),
+            # self-loop dropped entirely
+            ("d", "d"),
+            # pure sink: e receives, never links out
+            ("c", "e"),
+        ],
+        "src string, dst string",
+    )
+    out = {r.host: r for r in web.host_degree(edges).collect()}
+    a = out["a"]
+    assert a.out_degree == 2 and a.in_degree == 1
+    assert a.out_links == 3 and a.in_links == 1
+    assert a.n_reciprocal == 1 and a.reciprocity == 0.5
+    b = out["b"]
+    assert b.out_degree == 1 and b.n_reciprocal == 1 and b.reciprocity == 1.0
+    c = out["c"]
+    # c's only out-neighbor is e (one-way): reciprocity 0.0, not NULL
+    assert c.out_degree == 1 and c.n_reciprocal == 0 and c.reciprocity == 0.0
+    e = out["e"]
+    # pure sink: zero out_degree -> reciprocity 0.0 by convention
+    assert e.out_degree == 0 and e.in_degree == 1 and e.reciprocity == 0.0
+    # the self-loop host never surfaces
+    assert "d" not in out

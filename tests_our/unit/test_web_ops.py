@@ -1037,3 +1037,34 @@ def test_crawl_diff_latest_capture_decides_content(spark):
     )
     (r,) = web.crawl_diff(old, new).collect()
     assert r.verdict == "unchanged"
+
+
+def test_frontier_urls_anti_joins_crawled_and_folds_fragments(spark):
+    links = spark.createDataFrame(
+        [
+            # two pages cite the same undiscovered target (variant forms)
+            Row(url="https://old.ex.com/page/1", resolved="https://NEW.ex.com/a?utm_source=x"),
+            Row(url="https://old.ex.com/page/2", resolved="https://new.ex.com/a"),
+            # page 1 cites it twice: n_refs counts links, pages distinct
+            Row(url="https://old.ex.com/page/1", resolved="https://new.ex.com/a"),
+            # fragment self-link folds onto the crawled page -> removed
+            Row(url="https://old.ex.com/page/3", resolved="https://old.ex.com/page/3#top"),
+            # already-crawled target -> removed
+            Row(url="https://old.ex.com/page/4", resolved="https://old.ex.com/page/9"),
+        ]
+    )
+    crawled = spark.createDataFrame(
+        [
+            Row(url="https://old.ex.com/page/3"),
+            Row(url="https://old.ex.com/page/9"),
+            Row(url="https://old.ex.com/page/1"),
+            Row(url="https://old.ex.com/page/2"),
+            Row(url="https://old.ex.com/page/4"),
+        ]
+    )
+    out = web.frontier_urls(links, crawled).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert r.canonical_url == "https://new.ex.com/a"
+    assert r.host == "new.ex.com"
+    assert r.n_refs == 3 and r.n_referrer_pages == 2
