@@ -114,3 +114,40 @@ class TableIO:
             writer.parquet(self.identifier(name))
             return
         df.writeTo(self.identifier(name)).append()
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    path: Optional[str] = None,
+    sort: bool = True,
+) -> None:
+    """Materialize ``df`` as a bucketed (hash-clustered) parquet table.
+
+    Bucketing is THE storage-layout lever for repeated big-to-big joins
+    at corpus scale: two tables bucketed on the same key with the same
+    bucket count co-partition on disk, so every later equi-join or
+    groupBy on that key reads pre-shuffled data — Catalyst plans a
+    SortMergeJoin with ZERO Exchange on either side (and with ``sort``,
+    zero per-task Sort too). Writing costs one shuffle ONCE; a pipeline
+    that joins pages↔links↔metrics by host on every run amortizes it
+    across every downstream job. At 10^12 rows the bucket count should
+    target ~2-4 GB per bucket file; the catalog records the spec so
+    every reader agrees.
+
+    Uses only the public ``bucketBy`` writer surface (bucketed tables
+    must be catalog-managed — ``saveAsTable``, not ``parquet(path)``;
+    ``path`` keeps the files external). The Iceberg twin of this layout
+    is the ``bucket(N, key)`` partition transform, which Spark 3.3+
+    storage-partitioned joins exploit the same way — ``TableIO``'s
+    iceberg mode composes with it unchanged.
+    """
+    w = df.write.mode("overwrite").format("parquet")
+    if path:
+        w = w.option("path", path)
+    w = w.bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
