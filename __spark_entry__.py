@@ -324,13 +324,9 @@ def _q_extract_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_extract_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTTP-header mining over response records synthesized IN SQL —
-    a single-record WARC chain whose envelope carries four headers with
-    doc_id-derived values, so every (h_no, name, value, status) row is
-    SQL-predictable."""
-    from doc_parser_spark.operators.extract import warc_http_headers
-
+def _http_header_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages whose WARC envelope carries four doc_id-derived HTTP
+    headers — shared synth for the header-mining and census queries."""
     docs = _read(spark, sf_dir, "documents")
     parts = docs.selectExpr(
         "doc_id",
@@ -347,7 +343,7 @@ def _q_extract_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Cache-Control: max-age=', cast((doc_id * 13) % 3600 as int), '\\r\\n"
         "X-Crawl-Id: ', doc_id, '\\r\\n\\r\\n', html1) AS http1",
     )
-    pages = parts.selectExpr(
+    return parts.selectExpr(
         "turi AS url",
         "cast(concat("
         "'WARC/1.0\\r\\nWARC-Type: response\\r\\nWARC-Target-URI: ', turi,"
@@ -355,7 +351,16 @@ def _q_extract_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Content-Length: ', octet_length(http1), '\\r\\n\\r\\n', http1"
         ") as binary) AS html",
     )
-    out = warc_http_headers(pages)
+
+
+def _q_extract_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP-header mining over response records synthesized IN SQL —
+    a single-record WARC chain whose envelope carries four headers with
+    doc_id-derived values, so every (h_no, name, value, status) row is
+    SQL-predictable."""
+    from doc_parser_spark.operators.extract import warc_http_headers
+
+    out = warc_http_headers(_http_header_pages(spark, sf_dir))
     return out.select(
         F.regexp_extract("url", "/h/([0-9]+)$", 1)
         .cast("bigint")
@@ -366,6 +371,15 @@ def _q_extract_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "http_status",
     )
+
+
+def _q_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-facet census (mime/charset/server/status) over the REAL
+    kernel-mined header relation of the shared WARC synth."""
+    from doc_parser_spark.operators.extract import warc_http_headers
+    from doc_parser_spark.operators.web import header_census
+
+    return header_census(warc_http_headers(_http_header_pages(spark, sf_dir)))
 
 
 def _q_extract_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_charset": _q_extract_charset,
         "extract_warc_records": _q_extract_warc_records,
         "extract_http_headers": _q_extract_http_headers,
+        "web_header_census": _q_header_census,
         "extract_microdata": _q_extract_microdata,
         "web_link_graph": _q_link_graph,
         "web_anchor_text": lambda spark, sf: web.anchor_text(
@@ -2090,6 +2105,26 @@ def oracle_sql() -> dict[str, str]:
                  (VALUES (0, 'server'), (1, 'content-type'),
                          (2, 'cache-control'), (3, 'x-crawl-id'))
                  AS h(h_no, name)
+        """,
+        # census twin: every doc's envelope carries the same four
+        # headers, so each facet row is a closed-form count; status
+        # splits on the doc_id%4 rule
+        "web_header_census": """
+            WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+            SELECT 'mime' AS facet, 'text/html' AS key,
+                   n AS n_headers, n AS n_pages FROM t
+            UNION ALL
+            SELECT 'charset', 'utf-8', n, n FROM t
+            UNION ALL
+            SELECT 'server', 'synthd', n, n FROM t
+            UNION ALL
+            SELECT 'status', '404',
+                   CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT)
+            FROM documents WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT 'status', '200',
+                   CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT)
+            FROM documents WHERE doc_id % 4 <> 0
         """,
         # microdata rows: Article(0) with five properties, nested
         # Person(1) author, Product (multi-token itemprop) on doc_id%3,

@@ -1905,3 +1905,55 @@ def frontier_urls(
         "n_refs",
         "n_referrer_pages",
     )
+
+
+def header_census(headers: DataFrame) -> DataFrame:
+    """Crawl-ops census over the HTTP-header relation — the
+    server-technology / MIME / charset / status breakdown every crawl
+    archive publishes (Common Crawl's stats pages, the HTTP Archive's
+    "state of the web" tables are exactly these four facets).
+
+    Input: the :func:`operators.extract.warc_http_headers` relation
+    ``(url, rec_no, h_no, name, value, http_status)``. Output one row per
+    ``(facet, key)``:
+
+    - ``mime``     media type of ``Content-Type`` (parameters stripped,
+      lowercased)
+    - ``charset``  the ``charset=`` parameter when present (lowercased)
+    - ``server``   the ``Server`` product token (before ``/``, lowercased)
+    - ``status``   the HTTP status code (counted once per response
+      record via its first header row, not once per header)
+
+    with ``n_headers`` (facet occurrences) and ``n_pages`` (distinct
+    source documents).
+
+    Scale shape: the four facets are generated in ONE pass with a
+    per-row conditional struct array + explode (no four-scan union —
+    the upstream relation is a Pandas-kernel product and must be read
+    once), then a single map-side-combined groupBy. Nothing broadcasts;
+    nothing is collected.
+    """
+    mime = "lower(trim(split_part(value, ';', 1)))"
+    charset = "lower(regexp_extract(value, 'charset=([A-Za-z0-9_\\\\-]+)', 1))"
+    server = "lower(split_part(trim(value), '/', 1))"
+    facets = F.expr(
+        "filter(array("
+        f"CASE WHEN name = 'content-type' AND {mime} <> '' "
+        f"  THEN struct('mime' AS facet, {mime} AS key) END, "
+        f"CASE WHEN name = 'content-type' AND {charset} <> '' "
+        f"  THEN struct('charset' AS facet, {charset} AS key) END, "
+        f"CASE WHEN name = 'server' AND {server} <> '' "
+        f"  THEN struct('server' AS facet, {server} AS key) END, "
+        "CASE WHEN h_no = 0 AND http_status IS NOT NULL "
+        "  THEN struct('status' AS facet, "
+        "cast(http_status AS string) AS key) END"
+        "), x -> x IS NOT NULL)"
+    )
+    return (
+        headers.select("url", F.explode(facets).alias("f"))
+        .groupBy(F.col("f.facet").alias("facet"), F.col("f.key").alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_headers"),
+            F.countDistinct("url").cast("long").alias("n_pages"),
+        )
+    )

@@ -384,6 +384,7 @@ _PANDAS_OK = {
     # Arrow-batched ingestion kernels: WARC header walk, microdata DOM
     # walk, sitemap XML parse
     "extract_http_headers", "extract_microdata", "web_sitemap_urls",
+    "web_header_census",
 }
 
 

@@ -128,3 +128,38 @@ def test_extract_microdata_failure_isolation(spark):
     )
     rows = extract_microdata(pages).collect()
     assert [(r.url, r.prop, r.value) for r in rows] == [("ok", "p", "v")]
+
+
+def test_header_census_four_facets(spark):
+    from pyspark.sql import Row
+
+    from doc_parser_spark.operators import web
+
+    rows = [
+        # page A: 200, apache/2.4, text/html with charset
+        Row(url="a", rec_no=0, h_no=0, name="server", value="Apache/2.4.57", http_status=200),
+        Row(url="a", rec_no=0, h_no=1, name="content-type",
+            value="text/HTML; charset=UTF-8", http_status=200),
+        # page B: 404, nginx bare token, json without charset
+        Row(url="b", rec_no=0, h_no=0, name="server", value="nginx", http_status=404),
+        Row(url="b", rec_no=0, h_no=1, name="content-type",
+            value="application/json", http_status=404),
+        # page B second record, also 200 apache: status counted per record
+        Row(url="b", rec_no=1, h_no=0, name="server", value="Apache/2.2", http_status=200),
+        # a header no facet consumes
+        Row(url="a", rec_no=0, h_no=2, name="x-other", value="zz", http_status=200),
+    ]
+    out = {
+        (r.facet, r.key): r
+        for r in web.header_census(spark.createDataFrame(rows)).collect()
+    }
+    assert out[("mime", "text/html")].n_headers == 1
+    assert out[("mime", "application/json")].n_pages == 1
+    assert out[("charset", "utf-8")].n_headers == 1
+    assert ("charset", "") not in out  # absent param emits no row
+    a = out[("server", "apache")]
+    assert a.n_headers == 2 and a.n_pages == 2  # both pages saw apache
+    assert out[("server", "nginx")].n_headers == 1  # bare token, no '/'
+    assert out[("status", "200")].n_headers == 2  # per record, not per header
+    assert out[("status", "404")].n_headers == 1
+    assert not [k for k in out if k[0] not in ("mime", "charset", "server", "status")]
