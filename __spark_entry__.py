@@ -373,6 +373,32 @@ def _q_extract_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _robots_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synthetic robots.txt per host (h = doc_id % 40) with FIXED
+    line numbering: comment line, a non-star google group, a star group
+    opened by two consecutive User-agent lines, a host-varying rule, a
+    conditional Disallow-all / Allow split, a conditional Crawl-delay
+    (the else-branch is a colon-less line so numbering never shifts),
+    and a Sitemap — every directive row is closed-form in h."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.selectExpr("cast(doc_id % 40 as int) AS h").distinct().selectExpr(
+        "concat('rb', h, '.example.com') AS host",
+        "concat_ws('\\n',"
+        " '# policy',"
+        " 'User-agent: google',"
+        " 'Disallow: /private',"
+        " '',"
+        " 'User-agent: *',"
+        " 'User-agent: bing',"
+        " concat('Disallow: /tmp/', h),"
+        " CASE WHEN h % 5 = 0 THEN 'Disallow: /' ELSE 'Allow: /public' END,"
+        " CASE WHEN h % 2 = 0 THEN concat('Crawl-delay: ', h % 7)"
+        "      ELSE 'nocolonline' END,"
+        " concat('Sitemap: https://rb', h, '.example.com/sitemap.xml')"
+        ") AS payload",
+    )
+
+
 def _q_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Four-facet census (mime/charset/server/status) over the REAL
     kernel-mined header relation of the shared WARC synth."""
@@ -681,6 +707,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_warc_records": _q_extract_warc_records,
         "extract_http_headers": _q_extract_http_headers,
         "web_header_census": _q_header_census,
+        "web_robots_directives": lambda spark, sf: web.robots_directives(
+            _robots_corpus(spark, sf)
+        ),
+        "web_robots_stats": lambda spark, sf: web.robots_stats(
+            web.robots_directives(_robots_corpus(spark, sf))
+        ),
         "extract_microdata": _q_extract_microdata,
         "web_link_graph": _q_link_graph,
         "web_anchor_text": lambda spark, sf: web.anchor_text(
@@ -1782,6 +1814,74 @@ def _synth_hits_edges(documents):
     return e1.union(e2).union(e3)
 
 
+# DuckDB twin of _robots_corpus + web.robots_directives: regenerate the
+# closed-form per-host robots.txt, split lines with ordinality, strip
+# comments, keep colon-bearing lines, then resolve RFC 9309 groups with
+# DuckDB's own lag/sum windows (an independent reparse, not frozen rows).
+_ROBOTS_DIRECTIVES_SQL = """
+    WITH hosts AS (
+        SELECT DISTINCT CAST(doc_id % 40 AS INT) AS h FROM documents
+    ),
+    rb AS (
+        SELECT concat('rb', h, '.example.com') AS host,
+               concat_ws(chr(10),
+                   '# policy',
+                   'User-agent: google',
+                   'Disallow: /private',
+                   '',
+                   'User-agent: *',
+                   'User-agent: bing',
+                   concat('Disallow: /tmp/', h),
+                   CASE WHEN h % 5 = 0 THEN 'Disallow: /'
+                        ELSE 'Allow: /public' END,
+                   CASE WHEN h % 2 = 0 THEN concat('Crawl-delay: ', h % 7)
+                        ELSE 'nocolonline' END,
+                   concat('Sitemap: https://rb', h,
+                          '.example.com/sitemap.xml')
+               ) AS payload
+        FROM hosts
+    ),
+    lines AS (
+        SELECT host, CAST(i - 1 AS INT) AS line_no, l[i] AS raw
+        FROM (SELECT host, string_split(payload, chr(10)) AS l FROM rb),
+             LATERAL UNNEST(generate_series(1, len(l))) AS t(i)
+    ),
+    d AS (
+        SELECT host, line_no,
+               lower(trim(split_part(clean, ':', 1))) AS field,
+               trim(substring(clean, instr(clean, ':') + 1)) AS value
+        FROM (SELECT host, line_no,
+                     trim(split_part(raw, '#', 1)) AS clean
+              FROM lines)
+        WHERE instr(clean, ':') > 0
+    ),
+    g AS (
+        SELECT *, CASE WHEN field = 'user-agent'
+                        AND coalesce(
+                            lag(field) OVER (PARTITION BY host
+                                             ORDER BY line_no)
+                            <> 'user-agent', TRUE)
+                   THEN 1 ELSE 0 END AS group_start
+        FROM d
+    ),
+    gi AS (
+        SELECT *, sum(group_start) OVER (
+                      PARTITION BY host ORDER BY line_no
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                  ) AS group_id
+        FROM g
+    ),
+    s AS (
+        SELECT host, line_no, CAST(group_id AS BIGINT) AS group_id,
+               max(CASE WHEN field = 'user-agent' AND value = '*'
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY host, group_id) = 1 AS in_star,
+               field, value
+        FROM gi
+    )
+"""
+
+
 _HITS_EDGES_SQL = """
         SELECT DISTINCT src, dst FROM (
             SELECT concat('site', CAST(doc_id % 50 AS INT)) AS src,
@@ -2125,6 +2225,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'status', '200',
                    CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT)
             FROM documents WHERE doc_id % 4 <> 0
+        """,
+        # independent reparse of the same closed-form robots corpus:
+        # DuckDB rebuilds the payload, splits lines, strips comments,
+        # and resolves RFC 9309 group structure with its own windows
+        "web_robots_directives": f"""
+            {_ROBOTS_DIRECTIVES_SQL}
+            SELECT * FROM s
+        """,
+        "web_robots_stats": f"""
+            {_ROBOTS_DIRECTIVES_SQL}
+            SELECT host,
+                   CAST(max(group_id) AS BIGINT) AS n_groups,
+                   CAST(sum(CASE WHEN field IN ('allow', 'disallow')
+                                  AND in_star THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_star_rules,
+                   max(in_star AND field = 'disallow' AND value = '/')
+                       AS disallow_all,
+                   max(CASE WHEN in_star AND field = 'crawl-delay'
+                            THEN try_cast(value AS DOUBLE) END)
+                       AS crawl_delay,
+                   CAST(sum(CASE WHEN field = 'sitemap' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sitemaps
+            FROM s GROUP BY host
         """,
         # microdata rows: Article(0) with five properties, nested
         # Person(1) author, Product (multi-token itemprop) on doc_id%3,

@@ -1957,3 +1957,114 @@ def header_census(headers: DataFrame) -> DataFrame:
             F.countDistinct("url").cast("long").alias("n_pages"),
         )
     )
+
+
+def robots_directives(
+    robots: DataFrame, host_col: str = "host", payload_col: str = "payload"
+) -> DataFrame:
+    """robots.txt corpus → one row per directive, with RFC 9309 group
+    structure resolved DECLARATIVELY — no Python kernel anywhere: lines
+    via posexplode, comment strip / field split via string expressions,
+    and the group grammar (consecutive ``User-agent`` lines extend a
+    group, any other directive closes it) via a lag window over the
+    per-host line order. Semantics match :func:`parse_robots` exactly
+    (property-tested against it on randomized files).
+
+    Input: one robots.txt per host ``(host, payload)``. Output:
+    ``(host, line_no, group_id, in_star, field, value)`` — ``group_id``
+    numbers groups 1..n per host (0 = a stray rule before any group),
+    ``in_star`` marks directives whose group names ``*``. Comment-only,
+    blank, and colon-less lines emit no row (and per the RFC do NOT
+    close a group). ``Sitemap`` rows carry their surrounding group id
+    but are group-independent by spec — consumers ignore it.
+
+    Scale shape: ONE shuffle total. The lag window partitions by host;
+    the group-id running sum and the per-(host, group) star flag are
+    windows whose partition keys are supersets of ``host``, so they
+    reuse the same exchange (extra sorts, no extra shuffles). robots.txt
+    files are bounded (500 KiB per RFC 9309 §2.4) so host partitions
+    cannot skew.
+    """
+    from pyspark.sql.window import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(payload_col), F.lit("")), "\r?\n")
+        ).alias("line_no", "raw"),
+    )
+    clean = F.expr("trim(split_part(raw, '#', 1))")
+    d = (
+        lines.withColumn("clean", clean)
+        .where("instr(clean, ':') > 0")
+        .select(
+            "host",
+            "line_no",
+            F.expr("lower(trim(substring_index(clean, ':', 1)))").alias(
+                "field"
+            ),
+            F.expr("trim(substring(clean, instr(clean, ':') + 1))").alias(
+                "value"
+            ),
+        )
+    )
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_ua = F.col("field") == "user-agent"
+    d = d.withColumn(
+        "group_start",
+        (is_ua & F.coalesce(F.lag("field").over(w) != "user-agent",
+                            F.lit(True))).cast("long"),
+    ).withColumn(
+        "group_id",
+        F.sum("group_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    star = F.max(
+        (is_ua & (F.col("value") == "*")).cast("int")
+    ).over(Window.partitionBy("host", "group_id"))
+    return d.select(
+        "host",
+        "line_no",
+        F.col("group_id").cast("long").alias("group_id"),
+        (star == 1).alias("in_star"),
+        "field",
+        "value",
+    )
+
+
+def robots_stats(directives: DataFrame) -> DataFrame:
+    """Per-host robots.txt profile over :func:`robots_directives` — the
+    crawl-ops dashboard row (robots adoption censuses publish exactly
+    these: how many hosts disallow everything, set Crawl-delay, ship
+    sitemaps):
+
+    - ``n_groups``       user-agent groups in the file
+    - ``n_star_rules``   allow/disallow rules binding to ``*``
+    - ``disallow_all``   a star-group ``Disallow: /`` exists
+    - ``crawl_delay``    star-group Crawl-delay seconds (max if repeated,
+      NULL when absent or non-numeric)
+    - ``n_sitemaps``     Sitemap directives (group-independent per spec)
+
+    One map-side-combined groupBy on host — keyed identically to the
+    directive windows, so stacked on :func:`robots_directives` the whole
+    profile still costs ONE shuffle.
+    """
+    in_star = F.col("in_star")
+    rule = F.col("field").isin("allow", "disallow")
+    return directives.groupBy("host").agg(
+        F.max("group_id").cast("long").alias("n_groups"),
+        F.sum((rule & in_star).cast("long")).alias("n_star_rules"),
+        F.max(
+            in_star
+            & (F.col("field") == "disallow")
+            & (F.col("value") == "/")
+        ).alias("disallow_all"),
+        F.max(
+            F.when(
+                in_star & (F.col("field") == "crawl-delay"),
+                F.expr("try_cast(value AS DOUBLE)"),
+            )
+        ).alias("crawl_delay"),
+        F.sum((F.col("field") == "sitemap").cast("long")).alias("n_sitemaps"),
+    )

@@ -1068,3 +1068,100 @@ def test_frontier_urls_anti_joins_crawled_and_folds_fragments(spark):
     assert r.canonical_url == "https://new.ex.com/a"
     assert r.host == "new.ex.com"
     assert r.n_refs == 3 and r.n_referrer_pages == 2
+
+
+def test_robots_directives_group_grammar(spark):
+    payload = (
+        "# policy\n"
+        "User-agent: google\n"
+        "Disallow: /private\n"
+        "\n"
+        "User-Agent: *\n"        # case-insensitive field
+        "User-agent: bing\n"     # consecutive UA extends the group
+        "Disallow: /tmp # trailing comment\n"
+        "Allow: /public\n"
+        "nocolonline\n"          # no ':' -> no row, does NOT close group
+        "Crawl-delay: 3\n"
+        "Sitemap: https://ex.com/sitemap.xml\n"  # value keeps its ':'
+    )
+    df = spark.createDataFrame([("ex.com", payload)], "host string, payload string")
+    rows = {r.line_no: r for r in web.robots_directives(df).collect()}
+    assert rows[1].field == "user-agent" and rows[1].group_id == 1
+    assert not rows[2].in_star  # google group
+    assert rows[4].group_id == 2 and rows[4].in_star
+    assert rows[5].group_id == 2 and rows[5].value == "bing"
+    assert rows[6].value == "/tmp" and rows[6].in_star  # comment stripped
+    assert rows[9].field == "crawl-delay" and rows[9].in_star
+    assert rows[10].field == "sitemap"
+    assert rows[10].value == "https://ex.com/sitemap.xml"
+    assert 0 not in rows and 3 not in rows and 8 not in rows
+
+
+def test_robots_directives_stray_rule_before_any_group(spark):
+    df = spark.createDataFrame(
+        [("h", "Disallow: /x\nUser-agent: *\nDisallow: /y\n")],
+        "host string, payload string",
+    )
+    rows = {r.line_no: r for r in web.robots_directives(df).collect()}
+    # stray rule: group 0, never in star
+    assert rows[0].group_id == 0 and not rows[0].in_star
+    assert rows[2].group_id == 1 and rows[2].in_star
+
+
+def test_robots_directives_matches_parse_robots_randomized(spark):
+    import random
+
+    rng = random.Random(20260820)
+    fields = ["User-agent", "Disallow", "Allow", "Crawl-delay", "Sitemap",
+              "Unknown-field"]
+    uas = ["*", "google", "bing"]
+    vals = ["/", "/a", "/tmp/x", "", "3", "https://e.com/s.xml"]
+    cases = []
+    for h in range(40):
+        n = rng.randint(0, 14)
+        lines = []
+        for _ in range(n):
+            roll = rng.random()
+            if roll < 0.15:
+                lines.append(rng.choice(["", "# comment", "junk no colon"]))
+            else:
+                f = rng.choice(fields)
+                v = rng.choice(uas) if f == "User-agent" else rng.choice(vals)
+                suffix = " # c" if rng.random() < 0.2 else ""
+                lines.append(f"{f}: {v}{suffix}")
+        cases.append((f"h{h}", "\n".join(lines)))
+    df = spark.createDataFrame(cases, "host string, payload string")
+    got = (
+        web.robots_directives(df)
+        .where("in_star AND field IN ('allow', 'disallow')")
+        .orderBy("host", "line_no")
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_host = defaultdict(list)
+    for r in got:
+        by_host[r.host].append((r.field, r.value))
+    for host, payload in cases:
+        assert by_host.get(host, []) == web.parse_robots(payload), host
+
+
+def test_robots_stats_profile(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "User-agent: *\nDisallow: /\nCrawl-delay: 7\n"
+                  "Sitemap: /s1\nSitemap: /s2\n"),
+            ("b", "User-agent: g\nDisallow: /x\nUser-agent: *\nAllow: /\n"
+                  "Crawl-delay: soon\n"),  # non-numeric delay -> NULL
+            ("c", "# nothing but comments\n"),
+        ],
+        "host string, payload string",
+    )
+    out = {r.host: r for r in web.robots_stats(web.robots_directives(df)).collect()}
+    a = out["a"]
+    assert a.n_groups == 1 and a.n_star_rules == 1 and a.disallow_all
+    assert a.crawl_delay == 7.0 and a.n_sitemaps == 2
+    b = out["b"]
+    assert b.n_groups == 2 and b.n_star_rules == 1 and not b.disallow_all
+    assert b.crawl_delay is None and b.n_sitemaps == 0
+    assert "c" not in out  # no directives at all -> no profile row
