@@ -373,16 +373,20 @@ def _q_extract_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _robots_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One synthetic robots.txt per host (h = doc_id % 40) with FIXED
+def _robots_corpus(
+    spark: SparkSession, sf_dir: str, prefix: str = "rb", mod: int = 40
+) -> DataFrame:
+    """One synthetic robots.txt per host (h = doc_id % mod) with FIXED
     line numbering: comment line, a non-star google group, a star group
     opened by two consecutive User-agent lines, a host-varying rule, a
     conditional Disallow-all / Allow split, a conditional Crawl-delay
     (the else-branch is a colon-less line so numbering never shifts),
     and a Sitemap — every directive row is closed-form in h."""
     docs = _read(spark, sf_dir, "documents")
-    return docs.selectExpr("cast(doc_id % 40 as int) AS h").distinct().selectExpr(
-        "concat('rb', h, '.example.com') AS host",
+    return docs.selectExpr(
+        f"cast(doc_id % {int(mod)} as int) AS h"
+    ).distinct().selectExpr(
+        f"concat('{prefix}', h, '.example.com') AS host",
         "concat_ws('\\n',"
         " '# policy',"
         " 'User-agent: google',"
@@ -394,7 +398,7 @@ def _robots_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CASE WHEN h % 5 = 0 THEN 'Disallow: /' ELSE 'Allow: /public' END,"
         " CASE WHEN h % 2 = 0 THEN concat('Crawl-delay: ', h % 7)"
         "      ELSE 'nocolonline' END,"
-        " concat('Sitemap: https://rb', h, '.example.com/sitemap.xml')"
+        f" concat('Sitemap: https://{prefix}', h, '.example.com/sitemap.xml')"
         ") AS payload",
     )
 
@@ -712,6 +716,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "web_robots_stats": lambda spark, sf: web.robots_stats(
             web.robots_directives(_robots_corpus(spark, sf))
+        ),
+        # politeness schedule over the REAL kernel-extracted frontier,
+        # robots profiles keyed to the frontier's site{k} hosts
+        "web_polite_schedule": lambda spark, sf: web.polite_schedule(
+            web.frontier_urls(
+                _q_extract_links_raw(spark, sf),
+                _wrapped_link_pages(spark, sf).select("url"),
+            ),
+            web.robots_stats(
+                web.robots_directives(_robots_corpus(spark, sf, "site", 50))
+            ),
+            default_delay=2.0,
+            max_delay=5.0,
+        ),
+        "web_url_templates": lambda spark, sf: web.url_templates(
+            _read(spark, sf, "documents").selectExpr(
+                f"{web.SYNTH_URL_SQL} AS url"
+            ),
+            trap_min_urls=5,
+            trap_min_share=0.5,
         ),
         "extract_microdata": _q_extract_microdata,
         "web_link_graph": _q_link_graph,
@@ -1818,12 +1842,18 @@ def _synth_hits_edges(documents):
 # closed-form per-host robots.txt, split lines with ordinality, strip
 # comments, keep colon-bearing lines, then resolve RFC 9309 groups with
 # DuckDB's own lag/sum windows (an independent reparse, not frozen rows).
-_ROBOTS_DIRECTIVES_SQL = """
+def _robots_directives_sql(prefix: str = "rb", mod: int = 40) -> str:
+    return _ROBOTS_DIRECTIVES_SQL_TPL.replace("@P@", prefix).replace(
+        "@M@", str(mod)
+    )
+
+
+_ROBOTS_DIRECTIVES_SQL_TPL = """
     WITH hosts AS (
-        SELECT DISTINCT CAST(doc_id % 40 AS INT) AS h FROM documents
+        SELECT DISTINCT CAST(doc_id % @M@ AS INT) AS h FROM documents
     ),
     rb AS (
-        SELECT concat('rb', h, '.example.com') AS host,
+        SELECT concat('@P@', h, '.example.com') AS host,
                concat_ws(chr(10),
                    '# policy',
                    'User-agent: google',
@@ -1836,7 +1866,7 @@ _ROBOTS_DIRECTIVES_SQL = """
                         ELSE 'Allow: /public' END,
                    CASE WHEN h % 2 = 0 THEN concat('Crawl-delay: ', h % 7)
                         ELSE 'nocolonline' END,
-                   concat('Sitemap: https://rb', h,
+                   concat('Sitemap: https://@P@', h,
                           '.example.com/sitemap.xml')
                ) AS payload
         FROM hosts
@@ -1880,6 +1910,8 @@ _ROBOTS_DIRECTIVES_SQL = """
         FROM gi
     )
 """
+
+_ROBOTS_DIRECTIVES_SQL = _robots_directives_sql("rb", 40)
 
 
 _HITS_EDGES_SQL = """
@@ -2248,6 +2280,94 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN field = 'sitemap' THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_sitemaps
             FROM s GROUP BY host
+        """,
+        # frontier CTE copied from the web_frontier_urls oracle; robots
+        # profile independently reparsed for the frontier's site{k} hosts
+        "web_polite_schedule": f"""
+            {_robots_directives_sql("site", 50)},
+            stats AS (
+                SELECT host,
+                       max(in_star AND field = 'disallow' AND value = '/')
+                           AS disallow_all,
+                       max(CASE WHEN in_star AND field = 'crawl-delay'
+                                THEN try_cast(value AS DOUBLE) END)
+                           AS crawl_delay
+                FROM s GROUP BY host
+            ),
+            l AS (
+                SELECT 'https://site' || CAST(doc_id % 50 AS INT)
+                           || '.example.com/local/'
+                           || CAST(doc_id % 10 AS INT) AS canonical_url,
+                       'site' || CAST(doc_id % 50 AS INT) || '.example.com'
+                           AS host
+                FROM documents
+                UNION ALL
+                SELECT 'https://site' || CAST((doc_id * 3 + 1) % 50 AS INT)
+                           || '.example.com/x/'
+                           || CAST(doc_id % 20 AS INT),
+                       'site' || CAST((doc_id * 3 + 1) % 50 AS INT)
+                           || '.example.com'
+                FROM documents
+            ),
+            frontier AS (
+                SELECT canonical_url, host,
+                       CAST(count(*) AS BIGINT) AS n_refs
+                FROM l GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT f.host, f.canonical_url, f.n_refs,
+                       coalesce(st.disallow_all, FALSE) AS nofetch,
+                       least(coalesce(st.crawl_delay, 2.0), 5.0) AS delay_s
+                FROM frontier f LEFT JOIN stats st USING (host)
+            )
+            SELECT host, canonical_url, n_refs,
+                   CAST(row_number() OVER (PARTITION BY host
+                        ORDER BY n_refs DESC, canonical_url ASC) - 1
+                        AS BIGINT) AS slot,
+                   delay_s,
+                   (row_number() OVER (PARTITION BY host
+                        ORDER BY n_refs DESC, canonical_url ASC) - 1)
+                       * delay_s AS not_before_s
+            FROM j WHERE NOT nofetch
+        """,
+        "web_url_templates": f"""
+            WITH p AS (
+                SELECT doc_id, {_web.SYNTH_URL_SQL} AS url FROM documents
+            ),
+            b AS (
+                SELECT {_duck_canonical_url("url")} AS canonical_url,
+                       {_duck_host("url")} AS host
+                FROM p
+            ),
+            t AS (
+                SELECT host, canonical_url,
+                       regexp_replace(
+                           CASE WHEN path0 = '' THEN '/' ELSE path0 END,
+                           '[0-9]+', '{{n}}', 'g') AS template
+                FROM (SELECT host, canonical_url,
+                             regexp_extract(canonical_url,
+                                 '{_web._PATH_RE}', 1) AS path0
+                      FROM b)
+            ),
+            g AS (
+                SELECT host, template,
+                       CAST(count(DISTINCT canonical_url) AS BIGINT)
+                           AS n_urls
+                FROM t GROUP BY 1, 2
+            ),
+            sh AS (
+                SELECT host, template, n_urls,
+                       n_urls / CAST(sum(n_urls) OVER (PARTITION BY host)
+                                     AS DOUBLE) AS host_share
+                FROM g
+            )
+            SELECT host, template,
+                   CAST(len(string_split(template, '/')) - 1 AS BIGINT)
+                       AS depth,
+                   n_urls, host_share,
+                   (contains(template, '{{n}}') AND n_urls >= 5
+                    AND host_share >= 0.5) AS trap
+            FROM sh
         """,
         # microdata rows: Article(0) with five properties, nested
         # Person(1) author, Product (multi-token itemprop) on doc_id%3,

@@ -2068,3 +2068,127 @@ def robots_stats(directives: DataFrame) -> DataFrame:
         ).alias("crawl_delay"),
         F.sum((F.col("field") == "sitemap").cast("long")).alias("n_sitemaps"),
     )
+
+
+def polite_schedule(
+    frontier: DataFrame,
+    robots: DataFrame,
+    default_delay: float = 1.0,
+    max_delay: float = 30.0,
+) -> DataFrame:
+    """Politeness-aware fetch schedule over the crawl frontier — the
+    Mercator/Heritrix per-host queue discipline (one connection per
+    host, Crawl-delay honored) expressed relationally.
+
+    Inputs: ``frontier`` — :func:`frontier_urls` output
+    ``(canonical_url, host, n_refs, ...)``; ``robots`` — the per-host
+    :func:`robots_stats` profile. Hosts whose star group disallows
+    everything are dropped entirely (fetching them violates the REP);
+    hosts without a robots row (or without a numeric Crawl-delay) get
+    ``default_delay``, and declared delays are clamped to ``max_delay``
+    — production crawlers cap, else one host setting ``86400`` parks
+    its queue for a day per URL.
+
+    Output, one row per schedulable frontier URL:
+
+    - ``slot``         0-based position in the host's fetch queue
+      (most-referenced first, URL as the deterministic tie-break)
+    - ``delay_s``      the effective inter-fetch delay for the host
+    - ``not_before_s`` earliest fetch time relative to the host queue's
+      start: ``slot * delay_s``
+
+    Scale shape: the robots profile joins on ``host`` and the queue
+    window partitions on ``host`` — same key, so the window reuses the
+    join's exchange (one shuffle per side, no broadcast of the
+    corpus-scale frontier; the robots side is one row per host and
+    shuffles, it never needs to fit in memory). Per-host queue windows
+    are bounded by the host-cap upstream, so no window partition can
+    absorb the whole corpus.
+    """
+    from pyspark.sql.window import Window
+
+    prof = robots.select(
+        "host",
+        F.coalesce("disallow_all", F.lit(False)).alias("_nofetch"),
+        F.least(
+            F.coalesce("crawl_delay", F.lit(float(default_delay))),
+            F.lit(float(max_delay)),
+        ).alias("delay_s"),
+    )
+    joined = frontier.join(prof, "host", "left")
+    keep = joined.where(~F.coalesce("_nofetch", F.lit(False)))
+    w = Window.partitionBy("host").orderBy(
+        F.desc("n_refs"), F.asc("canonical_url")
+    )
+    delay = F.coalesce("delay_s", F.lit(float(default_delay)))
+    return (
+        keep.withColumn("slot", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            "host",
+            "canonical_url",
+            "n_refs",
+            "slot",
+            delay.alias("delay_s"),
+            (F.col("slot") * delay).alias("not_before_s"),
+        )
+    )
+
+
+def url_templates(
+    pages: DataFrame,
+    url_col: str = "url",
+    trap_min_urls: int = 100,
+    trap_min_share: float = 0.5,
+) -> DataFrame:
+    """Per-host URL path-template mining — the crawler-trap detector.
+
+    Crawler traps (infinite calendars, session-id paths, faceted-search
+    grids) show up as ONE path template absorbing most of a host's
+    distinct URLs: digit runs in the canonical path are folded to
+    ``{n}`` and the resulting templates are censused per host. The trap
+    flag fires when a parameterized template both exceeds
+    ``trap_min_urls`` distinct URLs and carries ≥ ``trap_min_share`` of
+    the host's URL mass — Heritrix's path-ology filter and IRLbot's
+    spam/ trap budgeting key on exactly this signal.
+
+    Output, one row per ``(host, template)``:
+    ``depth`` (path segments), ``n_urls`` (distinct canonical URLs),
+    ``host_share`` (fraction of the host's distinct URLs), ``trap``.
+
+    Scale shape: the corpus-sized data crosses ONE distinct-aggregate
+    exchange (countDistinct over ``(host, template)``, partial agg
+    map-side); the host-total window then re-exchanges only the
+    aggregated ``(host, template)`` relation — template cardinality per
+    host is tiny by construction (that is the point of templating), so
+    that second shuffle moves kilobytes, not the corpus. Nothing
+    broadcasts, nothing collects.
+    """
+    from pyspark.sql.window import Window
+
+    canon = _canonical_url_sql(url_col)
+    path0 = f"regexp_extract({canon}, '{_PATH_RE}', 1)"
+    path = f"CASE WHEN {path0} = '' THEN '/' ELSE {path0} END"
+    base = pages.select(
+        F.expr(canon).alias("canonical_url"),
+        host_col(url_col).alias("host"),
+        F.expr(
+            f"regexp_replace({path}, '[0-9]+', '{{n}}')"
+        ).alias("template"),
+    )
+    g = base.groupBy("host", "template").agg(
+        F.countDistinct("canonical_url").cast("long").alias("n_urls")
+    )
+    host_total = F.sum("n_urls").over(Window.partitionBy("host"))
+    share = F.col("n_urls") / host_total
+    return g.select(
+        "host",
+        "template",
+        (F.size(F.split("template", "/")) - 1).cast("long").alias("depth"),
+        "n_urls",
+        share.alias("host_share"),
+        (
+            F.col("template").contains("{n}")
+            & (F.col("n_urls") >= int(trap_min_urls))
+            & (share >= float(trap_min_share))
+        ).alias("trap"),
+    )

@@ -379,6 +379,8 @@ _PANDAS_OK = {
     "extract_table_cells", "extract_wet", "extract_page_meta",
     "extract_boilerplate_blocks", "extract_charset", "extract_warc_records",
     "web_link_graph", "web_anchor_text", "web_frontier_urls",
+    # politeness schedule rides the kernel-extracted frontier
+    "web_polite_schedule",
     # the Arrow-batched native image decode IS the operator
     "img_dhash", "img_dhash_neardup",
     # Arrow-batched ingestion kernels: WARC header walk, microdata DOM

@@ -1165,3 +1165,70 @@ def test_robots_stats_profile(spark):
     assert b.n_groups == 2 and b.n_star_rules == 1 and not b.disallow_all
     assert b.crawl_delay is None and b.n_sitemaps == 0
     assert "c" not in out  # no directives at all -> no profile row
+
+
+def test_polite_schedule_queue_discipline(spark):
+    frontier = spark.createDataFrame(
+        [
+            ("a.com", "https://a.com/p1", 5),
+            ("a.com", "https://a.com/p2", 9),
+            ("a.com", "https://a.com/p3", 9),   # tie -> url asc
+            ("blocked.com", "https://blocked.com/x", 100),
+            ("norobots.com", "https://norobots.com/y", 1),
+        ],
+        "host string, canonical_url string, n_refs long",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("a.com", False, 120.0),       # clamped to max_delay
+            ("blocked.com", True, None),   # disallow_all -> dropped
+        ],
+        "host string, disallow_all boolean, crawl_delay double",
+    )
+    out = web.polite_schedule(frontier, robots, default_delay=2.0,
+                              max_delay=30.0)
+    rows = {(r.host, r.canonical_url): r for r in out.collect()}
+    assert ("blocked.com", "https://blocked.com/x") not in rows
+    a2 = rows[("a.com", "https://a.com/p2")]
+    a3 = rows[("a.com", "https://a.com/p3")]
+    a1 = rows[("a.com", "https://a.com/p1")]
+    assert (a2.slot, a3.slot, a1.slot) == (0, 1, 2)  # refs desc, url asc
+    assert a1.delay_s == 30.0 and a1.not_before_s == 60.0  # clamped
+    ny = rows[("norobots.com", "https://norobots.com/y")]
+    assert ny.delay_s == 2.0 and ny.slot == 0 and ny.not_before_s == 0.0
+
+
+def test_polite_schedule_non_numeric_delay_falls_back(spark):
+    frontier = spark.createDataFrame(
+        [("h.com", "https://h.com/a", 1)],
+        "host string, canonical_url string, n_refs long",
+    )
+    robots = spark.createDataFrame(
+        [("h.com", False, None)],  # robots_stats NULL delay (non-numeric)
+        "host string, disallow_all boolean, crawl_delay double",
+    )
+    r = web.polite_schedule(frontier, robots, default_delay=1.5).first()
+    assert r.delay_s == 1.5
+
+
+def test_url_templates_trap_detection(spark):
+    urls = (
+        [(f"https://trap.com/cal/2024/{d}",) for d in range(1, 7)]
+        + [("https://trap.com/about",)]
+        + [("https://ok.com/a/1",), ("https://ok.com/b/2",),
+           ("https://ok.com/c/3",)]
+        + [("https://ok.com/a/1#frag",)]  # canonical-folds onto a/1
+    )
+    df = spark.createDataFrame(urls, "url string")
+    out = {(r.host, r.template): r
+           for r in web.url_templates(df, trap_min_urls=3,
+                                      trap_min_share=0.5).collect()}
+    t = out[("trap.com", "/cal/{n}/{n}")]
+    assert t.n_urls == 6 and t.depth == 3 and t.trap
+    assert abs(t.host_share - 6 / 7) < 1e-12
+    assert not out[("trap.com", "/about")].trap
+    # ok.com: each template 1 url -> below trap_min_urls, no trap
+    assert out[("ok.com", "/a/{n}")].n_urls == 1
+    assert not any(r.trap for (h, _), r in out.items() if h == "ok.com")
+    shares = sum(r.host_share for (h, _), r in out.items() if h == "ok.com")
+    assert abs(shares - 1.0) < 1e-12
