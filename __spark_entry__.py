@@ -993,6 +993,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 + ")) AS dst",
             )
         ),
+        # TrustRank over the same synth edge graph; trusted seeds are
+        # the site{k} hosts with k % 10 = 0
+        "web_host_trustrank": lambda spark, sf: web.host_trustrank(
+            _read(spark, sf, "documents").selectExpr(
+                "concat('site', cast(doc_id % 50 as int)) AS src",
+                "explode(array("
+                + ", ".join(
+                    f"concat('site', cast((doc_id * 7 + {o}) % 50 as int))"
+                    for o in web.SYNTH_EDGE_OFFSETS
+                )
+                + ")) AS dst",
+            ),
+            _read(spark, sf, "documents")
+            .where("(doc_id % 50) % 10 = 0")
+            .selectExpr("concat('site', cast(doc_id % 50 as int)) AS host"),
+            iterations=3,
+        ),
         "web_host_hits": lambda spark, sf: web.host_hits(
             _synth_hits_edges(_read(spark, sf, "documents"))
         ),
@@ -2026,6 +2043,67 @@ def _pagerank_sql(iterations: int = 5) -> str:
         SELECT h AS host, r AS rank_scaled,
                CAST(r AS DOUBLE) / 1e6 AS rank
         FROM {prev}
+        """
+    )
+
+
+def _trustrank_sql(iterations: int = 3) -> str:
+    """DuckDB twin of web.host_trustrank over the synthesized host
+    edges: seed-restricted teleport, integer-exact, fully unrolled."""
+    from doc_parser_spark.operators import web as _w
+
+    offs = ", ".join(str(o) for o in _w.SYNTH_EDGE_OFFSETS)
+    ctes = [
+        f"""e AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT concat('site', CAST(doc_id % 50 AS INT)) AS src,
+                       concat('site', CAST((doc_id * 7 + t.o) % 50 AS INT)) AS dst
+                FROM documents, LATERAL UNNEST([{offs}]) AS t(o)
+            ) WHERE src <> dst
+        )""",
+        "rawnodes AS (SELECT src AS h FROM e UNION SELECT dst FROM e)",
+        """sd AS (
+            SELECT DISTINCT concat('site', CAST(doc_id % 50 AS INT)) AS h
+            FROM documents WHERE (doc_id % 50) % 10 = 0
+        )""",
+        """nodes AS (
+            SELECT n.h, (s.h IS NOT NULL) AS is_seed
+            FROM rawnodes n LEFT JOIN sd s ON n.h = s.h
+        )""",
+        "ns AS (SELECT count(*) AS n FROM nodes WHERE is_seed)",
+        """base AS (
+            SELECT h, is_seed,
+                   CASE WHEN is_seed
+                        THEN CAST(1000000 // (SELECT n FROM ns) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS b
+            FROM nodes
+        )""",
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        "r0 AS (SELECT h, b AS r FROM base)",
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""r{i} AS (
+                SELECT n.h,
+                       CAST((15 * n.b + 85 * coalesce(s.c, 0)) // 100
+                            AS BIGINT) AS r
+                FROM base n LEFT JOIN (
+                    SELECT e.dst AS h, sum(p.r // d.outdeg) AS c
+                    FROM e JOIN {prev} p ON e.src = p.h
+                           JOIN deg d ON e.src = d.src
+                    GROUP BY e.dst
+                ) s ON n.h = s.h
+            )"""
+        )
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT b.h AS host, b.is_seed, r.r AS trust_scaled,
+               CAST(r.r AS DOUBLE) / 1e6 AS trust
+        FROM base b JOIN {prev} r ON b.h = r.h
         """
     )
 
@@ -4129,6 +4207,7 @@ def oracle_sql() -> dict[str, str]:
             FROM exact LEFT JOIN per ON per.host IS NOT DISTINCT FROM exact.host
         """,
         "web_host_pagerank": _pagerank_sql(),
+        "web_host_trustrank": _trustrank_sql(3),
         # degree/reciprocity twin over the SAME synth edges as pagerank,
         # but multiplicity-preserving (no DISTINCT): n_links counts rows
         "web_host_degree": f"""

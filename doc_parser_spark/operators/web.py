@@ -2192,3 +2192,89 @@ def url_templates(
             & (share >= float(trap_min_share))
         ).alias("trap"),
     )
+
+
+def host_trustrank(
+    edges: DataFrame, seeds: DataFrame, iterations: int = 5
+) -> DataFrame:
+    """TrustRank over the host link graph (Gyöngyi, Garcia-Molina &
+    Pedersen, VLDB 2004) — the link-spam demotion prior: PageRank with
+    the teleport mass restricted to a curated trusted-seed set, so
+    trust attenuates with link distance from the seeds and hosts
+    unreachable from any seed score exactly zero (the property the spam
+    filter keys on; plain PageRank gives every spam island its 0.15
+    floor).
+
+    ``seeds`` is a (host) relation; seeds absent from the graph carry
+    no mass. Integer-exact like :func:`host_pagerank`: the seed
+    distribution is ``1e6 DIV n_seeds`` on each in-graph seed, and the
+    update is ``(15·base + 85·Σ contrib) DIV 100`` — one floor per
+    step, so the trajectory is engine- and partitioning-independent.
+    ``n_seeds`` is the one driver-held scalar (bounded model state,
+    like the IVF codebook); everything else stays distributed.
+
+    Scale shape: identical to :func:`host_pagerank` — per sweep one
+    equi-join on the host key + one map-side-combined groupBy, edges
+    persisted once, per-iteration ``localCheckpoint`` keeps plan depth
+    constant. The seed set joins on host (left-semi shape); it is never
+    assumed broadcastable.
+    """
+    if iterations <= 0:
+        raise ValueError(f"iterations ({iterations}) must be positive")
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("h"))
+        .union(e.select(F.col("dst").alias("h")))
+        .distinct()
+    )
+    sd = seeds.select(F.col(seeds.columns[0]).alias("h")).distinct()
+    nodes = (
+        nodes.join(sd.withColumn("_s", F.lit(True)), "h", "left")
+        .select("h", F.coalesce("_s", F.lit(False)).alias("is_seed"))
+        .persist()
+    )
+    n_seeds = nodes.where("is_seed").count()  # driver scalar
+    if n_seeds == 0:
+        raise ValueError("no seed host is present in the edge graph")
+    base_scaled = 1_000_000 // n_seeds
+    base = F.when(F.col("is_seed"), F.lit(base_scaled)).otherwise(
+        F.lit(0)
+    ).cast("long")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.select("h", base.alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["h"])
+            .join(deg, "src")
+            .select(F.col("dst").alias("h"), F.expr("r DIV outdeg").alias("c"))
+            .groupBy("h")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "h", "left")
+            .select(
+                "h",
+                F.expr(
+                    f"(15 * (CASE WHEN is_seed THEN {base_scaled} ELSE 0 END)"
+                    " + 85 * coalesce(c, 0)) DIV 100"
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = (
+        nodes.join(ranks, "h")
+        .select(
+            F.col("h").alias("host"),
+            "is_seed",
+            F.col("r").alias("trust_scaled"),
+            (F.col("r").cast("double") / F.lit(1e6)).alias("trust"),
+        )
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out

@@ -1232,3 +1232,45 @@ def test_url_templates_trap_detection(spark):
     assert not any(r.trap for (h, _), r in out.items() if h == "ok.com")
     shares = sum(r.host_share for (h, _), r in out.items() if h == "ok.com")
     assert abs(shares - 1.0) < 1e-12
+
+
+def test_trustrank_hand_computed_and_spam_island_zero(spark):
+    edges = spark.createDataFrame(
+        [("s", "a"), ("c", "d"), ("d", "c")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("s",)], "host string")
+    out = {r.host: r for r in
+           web.host_trustrank(edges, seeds, iterations=2).collect()}
+    # n_seeds=1 -> base 1e6.  iter1: s=(15*1e6)//100=150000,
+    # a=(85*1e6)//100=850000.  iter2: s=150000, a=(85*150000)//100=127500.
+    assert out["s"].trust_scaled == 150_000 and out["s"].is_seed
+    assert out["a"].trust_scaled == 127_500 and not out["a"].is_seed
+    # spam island unreachable from the seed: exactly zero trust
+    assert out["c"].trust_scaled == 0 and out["d"].trust_scaled == 0
+    assert out["a"].trust == 127_500 / 1e6
+
+
+def test_trustrank_seed_mass_splits_and_out_of_graph_seed_ignored(spark):
+    edges = spark.createDataFrame(
+        [("s1", "a"), ("s2", "a")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame(
+        [("s1",), ("s2",), ("ghost",)], "host string"
+    )
+    out = {r.host: r for r in
+           web.host_trustrank(edges, seeds, iterations=1).collect()}
+    assert "ghost" not in out  # not a graph node
+    # base = 1e6 // 2 = 500000 each; a gets 85% of both contributions
+    assert out["a"].trust_scaled == (85 * (500_000 + 500_000)) // 100
+    assert out["s1"].trust_scaled == (15 * 500_000) // 100
+
+
+def test_trustrank_validates_inputs(spark):
+    import pytest
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("zz",)], "host string")
+    with pytest.raises(ValueError):
+        web.host_trustrank(edges, seeds, iterations=0)
+    with pytest.raises(ValueError):
+        web.host_trustrank(edges, seeds, iterations=1)  # no seed in graph
