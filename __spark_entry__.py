@@ -1010,6 +1010,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .selectExpr("concat('site', cast(doc_id % 50 as int)) AS host"),
             iterations=3,
         ),
+        # Spam mass (Gyöngyi et al. 2006): same edges + seeds as trustrank
+        "web_host_spam_mass": lambda spark, sf: web.host_spam_mass(
+            _read(spark, sf, "documents").selectExpr(
+                "concat('site', cast(doc_id % 50 as int)) AS src",
+                "explode(array("
+                + ", ".join(
+                    f"concat('site', cast((doc_id * 7 + {o}) % 50 as int))"
+                    for o in web.SYNTH_EDGE_OFFSETS
+                )
+                + ")) AS dst",
+            ),
+            _read(spark, sf, "documents")
+            .where("(doc_id % 50) % 10 = 0")
+            .selectExpr("concat('site', cast(doc_id % 50 as int)) AS host"),
+            iterations=3,
+        ),
         "web_host_hits": lambda spark, sf: web.host_hits(
             _synth_hits_edges(_read(spark, sf, "documents"))
         ),
@@ -2106,6 +2122,25 @@ def _trustrank_sql(iterations: int = 3) -> str:
         FROM base b JOIN {prev} r ON b.h = r.h
         """
     )
+
+
+def _spam_mass_sql(iterations: int = 3) -> str:
+    """DuckDB twin of web.host_spam_mass: composes the two unrolled
+    power-iteration twins (nested WITH) and applies the same
+    clamped basis-point mass arithmetic; final columns CAST to BIGINT
+    so pandas canonicalization sees int64 like Spark."""
+    return f"""
+        WITH pr AS ({_pagerank_sql(iterations)}),
+             tr AS ({_trustrank_sql(iterations)}),
+             nn AS (SELECT count(*) AS n FROM pr)
+        SELECT pr.host, tr.is_seed, pr.rank_scaled, tr.trust_scaled,
+               CAST(greatest(0, pr.rank_scaled - tr.trust_scaled * nn.n)
+                    AS BIGINT) AS spam_mass_scaled,
+               CAST(least(10000, greatest(0,
+                    10000 - (tr.trust_scaled * nn.n * 10000)
+                            // pr.rank_scaled)) AS BIGINT) AS spam_mass_bp
+        FROM pr JOIN tr ON pr.host = tr.host, nn
+    """
 
 
 def _script_profile_sql() -> str:
@@ -4208,6 +4243,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "web_host_pagerank": _pagerank_sql(),
         "web_host_trustrank": _trustrank_sql(3),
+        "web_host_spam_mass": _spam_mass_sql(3),
         # degree/reciprocity twin over the SAME synth edges as pagerank,
         # but multiplicity-preserving (no DISTINCT): n_links counts rows
         "web_host_degree": f"""

@@ -2278,3 +2278,128 @@ def host_trustrank(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def host_spam_mass(
+    edges: DataFrame, seeds: DataFrame, iterations: int = 5
+) -> DataFrame:
+    """Estimated spam mass per host (Gyöngyi, Berkhin, Garcia-Molina &
+    Pedersen, "Link Spam Detection Based on Mass Estimation", VLDB
+    2006): the fraction of a host's PageRank that is NOT accounted for
+    by rank flowing from a trusted-seed core.  Hosts whose rank comes
+    almost entirely from unknown/spam neighborhoods score near 1; hosts
+    endorsed by the seed-reachable web score near 0 — the demotion
+    signal big-crawl curation applies on top of raw PageRank.
+
+    Fused sweep — the reason this is not just
+    ``host_pagerank ⋈ host_trustrank``: both power iterations share the
+    same edge relation, the same out-degree relation and the same join
+    key, so the state is carried as ONE two-column rank relation
+    ``(h, r, t)`` and every sweep costs a single equi-join plus a
+    single map-side-combined groupBy for BOTH vectors — half the
+    shuffles of running the operators separately, which is the bill
+    that matters on a 10^8-host graph.  Per-iteration
+    ``localCheckpoint`` keeps the plan depth constant (same lineage
+    discipline as :func:`host_pagerank`).
+
+    Integer-exact like its parents: PageRank is the per-node-scale
+    iteration (init 1e6, update ``150000 + (85·Σ r DIV outdeg) DIV
+    100``) and TrustRank the distribution-scale one (seeds init
+    ``1e6 DIV n_seeds``, update ``(15·base + 85·Σ) DIV 100``).  The two
+    scales are reconciled by multiplying trust by ``n_nodes`` (both
+    then approximate the stationary vector × n·1e6), giving
+
+    - ``spam_mass_scaled = max(0, rank_scaled − trust_scaled·n)`` —
+      absolute unexplained rank, and
+    - ``spam_mass_bp = clamp(10000 − (trust_scaled·n·10000) DIV
+      rank_scaled, 0, 10000)`` — the relative mass in basis points.
+
+    All divisions are floor-on-nonnegative so the result is bit-equal
+    across engines and partitionings.  The bp product is bounded by
+    ``1e10 · n_nodes`` and therefore int64-safe up to ~9·10^8 hosts —
+    the size of the full public web host graph; beyond that, rescale to
+    percent.  ``n_seeds`` / ``n_nodes`` are the two driver-held scalars
+    (bounded model state); nothing corpus-sized is collected or
+    broadcast.
+    """
+    if iterations <= 0:
+        raise ValueError(f"iterations ({iterations}) must be positive")
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    sd = seeds.select(F.col(seeds.columns[0]).alias("h")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("h"))
+        .union(e.select(F.col("dst").alias("h")))
+        .distinct()
+        .join(sd.withColumn("_s", F.lit(True)), "h", "left")
+        .select("h", F.coalesce("_s", F.lit(False)).alias("is_seed"))
+        .persist()
+    )
+    counts = nodes.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_seed").cast("long")).alias("s"),
+    ).first()
+    n_nodes, n_seeds = counts["n"], int(counts["s"])  # driver scalars
+    if n_seeds == 0:
+        raise ValueError("no seed host is present in the edge graph")
+    base_scaled = 1_000_000 // n_seeds
+    tbase = (
+        F.when(F.col("is_seed"), F.lit(base_scaled))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    state = nodes.select(
+        "h", F.lit(1_000_000).cast("long").alias("r"), tbase.alias("t")
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(state, e["src"] == state["h"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("h"),
+                F.expr("r DIV outdeg").alias("cr"),
+                F.expr("t DIV outdeg").alias("ct"),
+            )
+            .groupBy("h")
+            .agg(F.sum("cr").alias("cr"), F.sum("ct").alias("ct"))
+        )
+        state = (
+            nodes.join(contrib, "h", "left")
+            .select(
+                "h",
+                (
+                    F.lit(150_000) + F.expr("(85 * coalesce(cr, 0)) DIV 100")
+                ).cast("long").alias("r"),
+                F.expr(
+                    f"(15 * (CASE WHEN is_seed THEN {base_scaled} ELSE 0 END)"
+                    " + 85 * coalesce(ct, 0)) DIV 100"
+                ).cast("long").alias("t"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    tnorm = F.col("t") * F.lit(int(n_nodes))
+    out = nodes.join(state, "h").select(
+        F.col("h").alias("host"),
+        "is_seed",
+        F.col("r").alias("rank_scaled"),
+        F.col("t").alias("trust_scaled"),
+        F.greatest(F.lit(0).cast("long"), F.col("r") - tnorm).alias(
+            "spam_mass_scaled"
+        ),
+        F.least(
+            F.lit(10_000).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.lit(10_000)
+                - F.expr(f"(t * {int(n_nodes)} * 10000) DIV r"),
+            ),
+        ).alias("spam_mass_bp"),
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out

@@ -1274,3 +1274,61 @@ def test_trustrank_validates_inputs(spark):
         web.host_trustrank(edges, seeds, iterations=0)
     with pytest.raises(ValueError):
         web.host_trustrank(edges, seeds, iterations=1)  # no seed in graph
+
+
+def test_spam_mass_matches_parent_operators(spark):
+    # fused sweep must be bit-equal to the two parent power iterations
+    rows = [(f"h{i}", f"h{(i * 7 + o) % 13}") for i in range(13)
+            for o in (1, 5, 11)]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    seeds = spark.createDataFrame([("h0",), ("h5",)], "host string")
+    sm = {r.host: r for r in
+          web.host_spam_mass(edges, seeds, iterations=4).collect()}
+    pr = {r.host: r.rank_scaled for r in
+          web.host_pagerank(edges, iterations=4).collect()}
+    tr = {r.host: r.trust_scaled for r in
+          web.host_trustrank(edges, seeds, iterations=4).collect()}
+    assert set(sm) == set(pr) == set(tr)
+    for h, row in sm.items():
+        assert row.rank_scaled == pr[h], h
+        assert row.trust_scaled == tr[h], h
+
+
+def test_spam_mass_island_full_and_seed_clamped(spark):
+    edges = spark.createDataFrame(
+        [("s", "a"), ("c", "d"), ("d", "c")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("s",)], "host string")
+    out = {r.host: r for r in
+           web.host_spam_mass(edges, seeds, iterations=2).collect()}
+    n = 4
+    # spam island: zero trust -> all rank is unexplained mass, bp = 10000
+    for h in ("c", "d"):
+        assert out[h].trust_scaled == 0
+        assert out[h].spam_mass_scaled == out[h].rank_scaled
+        assert out[h].spam_mass_bp == 10_000
+    # the seed itself: trust*n exceeds rank -> both clamps engage
+    s = out["s"]
+    assert s.trust_scaled * n > s.rank_scaled
+    assert s.spam_mass_scaled == 0 and s.spam_mass_bp == 0
+    # a: r=150000+850000=1000000... iter2 r=150000+(85*(150000))//100
+    # hand-check bp arithmetic for the non-clamped host
+    a = out["a"]
+    expect_bp = min(10_000, max(
+        0, 10_000 - (a.trust_scaled * n * 10_000) // a.rank_scaled))
+    assert a.spam_mass_bp == expect_bp
+    assert a.spam_mass_scaled == max(0, a.rank_scaled - a.trust_scaled * n)
+
+
+def test_spam_mass_validates_inputs(spark):
+    import pytest
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        web.host_spam_mass(
+            edges, spark.createDataFrame([("a",)], "host string"),
+            iterations=0)
+    with pytest.raises(ValueError):
+        web.host_spam_mass(
+            edges, spark.createDataFrame([("zz",)], "host string"),
+            iterations=1)
