@@ -1059,6 +1059,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_sitemap_urls": lambda spark, sf: web.sitemap_urls(
             web.synth_sitemaps(_read(spark, sf, "documents"))
         ),
+        "web_feed_entries": lambda spark, sf: web.feed_entries(
+            web.synth_feeds(_read(spark, sf, "documents"))
+        ),
         "web_host_stats": lambda spark, sf: web.host_stats(
             _read(spark, sf, "documents").select(
                 "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url"), "text"
@@ -4401,6 +4404,50 @@ def oracle_sql() -> dict[str, str]:
                    concat('https://', host, '/page/', CAST(hn * 3 + 2 AS INT)),
                    '', '', ''
             FROM hosts WHERE hn % 5 <> 0
+        """,
+        # feed corpus re-predicted row by row: hn%7=3 hosts are malformed
+        # (zero rows), link-less RSS items / non-alternate-link Atom
+        # entries dropped, Atom published falls back to <updated>
+        "web_feed_entries": """
+            WITH hosts AS (
+                SELECT DISTINCT CAST(doc_id % 25 AS INT) AS hn,
+                       concat('feed', CAST(doc_id % 25 AS INT),
+                              '.example.org') AS host
+                FROM documents
+            )
+            SELECT host, 'rss' AS kind,
+                   concat('Feed ', hn) AS feed_title,
+                   concat('Post ', CAST(hn * 3 AS INT)) AS title,
+                   concat('https://', host, '/post/', CAST(hn * 3 AS INT))
+                       AS link,
+                   concat('tag:', host, ',', hn, ':1') AS guid,
+                   concat('2024-01-',
+                          lpad(CAST(hn % 28 + 1 AS VARCHAR), 2, '0'))
+                       AS published,
+                   concat('d & ', hn) AS summary
+            FROM hosts WHERE hn % 7 <> 3 AND hn % 2 = 0
+            UNION ALL
+            SELECT host, 'rss', concat('Feed ', hn),
+                   concat('Post ', CAST(hn * 3 + 1 AS INT)),
+                   concat('https://', host, '/post/',
+                          CAST(hn * 3 + 1 AS INT)),
+                   '', '', ''
+            FROM hosts WHERE hn % 7 <> 3 AND hn % 2 = 0
+            UNION ALL
+            SELECT host, 'atom', concat('Feed ', hn),
+                   concat('Entry ', CAST(hn * 3 AS INT)),
+                   concat('https://', host, '/e/', CAST(hn * 3 AS INT)),
+                   concat('urn:feed:', hn, ':1'),
+                   concat('2024-01-0', CAST(hn % 9 + 1 AS INT),
+                          'T00:00:00Z'),
+                   concat('s ', hn)
+            FROM hosts WHERE hn % 7 <> 3 AND hn % 2 = 1
+            UNION ALL
+            SELECT host, 'atom', concat('Feed ', hn),
+                   concat('Entry ', CAST(hn * 3 + 1 AS INT)),
+                   concat('https://', host, '/e/', CAST(hn * 3 + 1 AS INT)),
+                   '', '2024-02-01T00:00:00Z', ''
+            FROM hosts WHERE hn % 7 <> 3 AND hn % 2 = 1
         """,
         "doc_containment": f"""
             WITH {_shingle_cte()},

@@ -155,6 +155,93 @@ def test_sitemap_failure_isolation(spark):
     assert [(r.host, r.loc) for r in rows] == [("ok.com", "https://ok.com/")]
 
 
+# --- RSS/Atom feed entries ---------------------------------------------------
+
+
+def test_feed_entries_rss_fields_and_link_rule(spark):
+    xml = (
+        '<?xml version="1.0"?><rss version="2.0"><channel>'
+        "<title>Blog</title><link>https://e.com/</link>"
+        "<item><title>P1</title><link> https://e.com/1 </link>"
+        "<guid>g1</guid><pubDate>2024-01-02</pubDate>"
+        "<description><![CDATA[d & one]]></description></item>"
+        "<item><title>bare</title><link>https://e.com/2</link></item>"
+        "<item><title>no link</title><guid>g3</guid></item>"
+        "</channel></rss>"
+    )
+    rows = web.feed_entries(_sitemaps(spark, [("e.com", xml)])).collect()
+    assert len(rows) == 2  # link-less item dropped
+    p1 = next(r for r in rows if r.link == "https://e.com/1")  # trimmed
+    assert (p1.kind, p1.feed_title, p1.title, p1.guid, p1.published,
+            p1.summary) == ("rss", "Blog", "P1", "g1", "2024-01-02",
+                            "d & one")
+    bare = next(r for r in rows if r.link == "https://e.com/2")
+    assert (bare.guid, bare.published, bare.summary) == ("", "", "")
+
+
+def test_feed_entries_atom_rel_and_published_fallback(spark):
+    xml = (
+        '<feed xmlns="http://www.w3.org/2005/Atom"><title>A</title>'
+        '<entry><title>E1</title>'
+        '<link rel="enclosure" href="https://e.com/f.mp3"/>'
+        '<link rel="alternate" href="https://e.com/e1"/>'
+        "<id>i1</id><updated>2024-01-05T00:00:00Z</updated>"
+        "<summary>s1</summary></entry>"
+        '<entry><title>E2</title><link href="https://e.com/e2"/>'
+        "<published>2024-02-01T00:00:00Z</published>"
+        "<updated>2024-03-01T00:00:00Z</updated></entry>"
+        '<entry><title>only enclosure</title>'
+        '<link rel="self" href="https://e.com/feed.xml"/></entry>'
+        "</feed>"
+    )
+    rows = web.feed_entries(_sitemaps(spark, [("e.com", xml)])).collect()
+    assert len(rows) == 2  # self/enclosure-only entry dropped
+    e1 = next(r for r in rows if r.link == "https://e.com/e1")
+    # enclosure link skipped; published falls back to <updated>
+    assert (e1.kind, e1.feed_title, e1.guid, e1.published, e1.summary) == (
+        "atom", "A", "i1", "2024-01-05T00:00:00Z", "s1"
+    )
+    e2 = next(r for r in rows if r.link == "https://e.com/e2")
+    assert e2.published == "2024-02-01T00:00:00Z"  # explicit wins
+
+
+def test_feed_entries_failure_isolation(spark):
+    rows = web.feed_entries(
+        _sitemaps(
+            spark,
+            [
+                ("bad.com", "<rss><channel><item>"),  # malformed
+                ("null.com", None),
+                ("sm.com", "<urlset><url><loc>x</loc></url></urlset>"),
+                ("nochan.com", "<rss version='2.0'/>"),
+                ("ok.com",
+                 "<rss><channel><item><link>https://ok.com/1</link>"
+                 "</item></channel></rss>"),
+            ],
+        )
+    ).collect()
+    assert [(r.host, r.link) for r in rows] == [("ok.com", "https://ok.com/1")]
+
+
+def test_feed_entries_synth_corpus_shape(spark):
+    docs = spark.range(0, 50).selectExpr("id AS doc_id")
+    out = web.feed_entries(web.synth_feeds(docs)).collect()
+    hosts = {r.host for r in out}
+    assert "feed3.example.org" not in hosts  # hn%7==3 malformed
+    assert "feed10.example.org" not in hosts  # 10%7==3 malformed
+    rss = [r for r in out if r.kind == "rss"]
+    atom = [r for r in out if r.kind == "atom"]
+    # even hn -> rss (2 kept items of 3), odd -> atom (2 kept of 3)
+    assert all(int(r.host[4:].split(".")[0]) % 2 == 0 for r in rss)
+    assert all(int(r.host[4:].split(".")[0]) % 2 == 1 for r in atom)
+    assert all(
+        len([r for r in out if r.host == h]) == 2 for h in hosts
+    )
+    cd = next(r for r in rss if r.guid)  # CDATA description unwrapped
+    hn = int(cd.host[4:].split(".")[0])
+    assert cd.summary == f"d & {hn}"
+
+
 # --- Kneser-Ney bigrams --------------------------------------------------------
 
 
