@@ -1062,6 +1062,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_feed_entries": lambda spark, sf: web.feed_entries(
             web.synth_feeds(_read(spark, sf, "documents"))
         ),
+        "web_redirect_chains": lambda spark, sf: web.redirect_chains(
+            web.synth_redirects(_read(spark, sf, "documents")), max_hops=3
+        ),
         "web_host_stats": lambda spark, sf: web.host_stats(
             _read(spark, sf, "documents").select(
                 "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url"), "text"
@@ -4404,6 +4407,34 @@ def oracle_sql() -> dict[str, str]:
                    concat('https://', host, '/page/', CAST(hn * 3 + 2 AS INT)),
                    '', '', ''
             FROM hosts WHERE hn % 5 <> 0
+        """,
+        # redirect families hand-derived (closed form, independent of the
+        # hop-join algorithm): k%8=0 endpoint; 1-3 resolve in k%8 hops
+        # (3 exactly at the max_hops boundary); 4-5 truncate at 3 hops;
+        # 6 self-loop; 7 dangles on an absent external target
+        "web_redirect_chains": """
+            WITH ks AS (
+                SELECT DISTINCT CAST(doc_id % 40 AS INT) AS k FROM documents
+            )
+            SELECT concat('https://r.example.org/u', k) AS url,
+                   CASE WHEN k % 8 = 7
+                            THEN concat('https://external.example.net/x', k)
+                        WHEN k % 8 = 6
+                            THEN concat('https://r.example.org/u', k)
+                        WHEN k % 8 <= 3
+                            THEN concat('https://r.example.org/u',
+                                        k - (k % 8))
+                        ELSE concat('https://r.example.org/u', k - 3)
+                   END AS final_url,
+                   CAST(CASE WHEN k % 8 = 0 THEN 0
+                             WHEN k % 8 IN (6, 7) THEN 1
+                             WHEN k % 8 <= 3 THEN k % 8
+                             ELSE 3 END AS INT) AS n_hops,
+                   CASE WHEN k % 8 = 6 THEN 'loop'
+                        WHEN k % 8 = 7 THEN 'dangling'
+                        WHEN k % 8 IN (4, 5) THEN 'truncated'
+                        ELSE 'resolved' END AS verdict
+            FROM ks
         """,
         # feed corpus re-predicted row by row: hn%7=3 hosts are malformed
         # (zero rows), link-less RSS items / non-alternate-link Atom

@@ -2574,3 +2574,147 @@ def host_spam_mass(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+SYNTH_REDIRECT_SQL = """
+    SELECT concat('https://r.example.org/u', cast(k as int)) AS url,
+           CASE WHEN k % 8 = 0 THEN 200
+                WHEN k % 8 = 7 THEN 302
+                WHEN k % 8 = 6 THEN 301
+                ELSE 301 END AS status,
+           CASE WHEN k % 8 = 0 THEN ''
+                WHEN k % 8 = 6 THEN
+                    concat('https://r.example.org/u', cast(k as int))
+                WHEN k % 8 = 7 THEN
+                    concat('https://external.example.net/x', cast(k as int))
+                ELSE concat('https://r.example.org/u', cast(k - 1 as int))
+                END AS location
+    FROM (SELECT DISTINCT cast(doc_id % 40 as int) AS k FROM documents)
+"""
+
+
+def synth_redirects(documents: DataFrame) -> DataFrame:
+    """The SYNTH_REDIRECT_SQL corpus as a DataFrame: 40 URLs in 5
+    families — 200 endpoints, 1..5-hop 301 chains, a self-loop, and a
+    redirect to an absent (dangling) external target."""
+    return documents.sparkSession.sql(
+        SYNTH_REDIRECT_SQL.replace("FROM documents", "FROM {documents}"),
+        documents=documents,
+    )
+
+
+def redirect_chains(responses: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Resolve every URL's redirect chain over a ``(url, status,
+    location)`` response relation — the canonicalization step between
+    fetch and index (RFC 9110 §15.4; crawlers follow a bounded number
+    of 3xx hops, then classify): one output row per input URL with
+
+    - ``final_url`` — where the chain ends,
+    - ``n_hops`` — redirects followed (0 for a non-redirect row),
+    - ``verdict`` — ``resolved`` (ended on a fetched non-redirect URL),
+      ``dangling`` (ended on a URL absent from the relation),
+      ``loop`` (the next target was already on this chain's path —
+      ``final_url`` is the repeated URL, the closing hop counts),
+      ``truncated`` (still redirecting after ``max_hops``).
+
+    Determinism: a URL captured more than once collapses to its
+    minimum ``(status, location)`` pair before any edge is formed, so
+    the chain map is a function and the output partition-invariant.
+
+    Scale shape: the redirect map is corpus-sized and is NEVER
+    broadcast or collected — each hop is one equi-join of the
+    still-pending frontier against the map on the URL key, plus one
+    small join against the distinct-URL relation at finalization; the
+    frontier only shrinks, AQE right-sizes the post-hop partitions, and
+    per-hop ``localCheckpoint`` keeps plan depth constant.  Loop
+    detection carries the path as a ≤``max_hops``-element array —
+    bounded row width, no visited-set state.  ``max_hops`` joins total
+    (crawlers use 5-10; Googlebot stops at 10).
+    """
+    if max_hops <= 0:
+        raise ValueError(f"max_hops ({max_hops}) must be positive")
+    base = (
+        responses.select("url", "status", "location")
+        .groupBy("url")
+        .agg(F.min(F.struct("status", "location")).alias("s"))
+        .select("url", F.col("s.status").alias("status"),
+                F.col("s.location").alias("location"))
+        .persist()
+    )
+    is_redir = (
+        (F.col("status") >= 300) & (F.col("status") < 400)
+        & F.col("location").isNotNull() & (F.col("location") != "")
+    )
+    redirects = base.where(is_redir).select(
+        F.col("url").alias("src"), F.col("location").alias("dst")
+    )
+    urls = base.select(F.col("url").alias("known_url")).distinct()
+    pending = base.select(
+        F.col("url").alias("start"),
+        F.col("url").alias("cur"),
+        F.array("url").alias("path"),
+        F.lit(0).alias("hops"),
+    )
+    done = []
+    for _ in range(max_hops):
+        j = pending.join(
+            redirects, pending["cur"] == redirects["src"], "left"
+        ).select("start", "cur", "path", "hops", "dst")
+        ended = j.where(F.col("dst").isNull()).join(
+            urls, F.col("cur") == F.col("known_url"), "left"
+        )
+        done.append(
+            ended.select(
+                F.col("start").alias("url"),
+                F.col("cur").alias("final_url"),
+                F.col("hops").cast("int").alias("n_hops"),
+                F.when(F.col("known_url").isNotNull(), F.lit("resolved"))
+                .otherwise(F.lit("dangling")).alias("verdict"),
+            )
+        )
+        looped = j.where(
+            F.col("dst").isNotNull() & F.array_contains("path", F.col("dst"))
+        )
+        done.append(
+            looped.select(
+                F.col("start").alias("url"),
+                F.col("dst").alias("final_url"),
+                (F.col("hops") + 1).cast("int").alias("n_hops"),
+                F.lit("loop").alias("verdict"),
+            )
+        )
+        pending = (
+            j.where(
+                F.col("dst").isNotNull()
+                & ~F.array_contains("path", F.col("dst"))
+            )
+            .select(
+                "start",
+                F.col("dst").alias("cur"),
+                F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
+                (F.col("hops") + 1).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # final classification: a chain whose cursor stopped redirecting at
+    # exactly max_hops has resolved (the crawler fetches it) — only the
+    # still-redirecting remainder is truncated
+    tail = (
+        pending.join(redirects, pending["cur"] == redirects["src"], "left")
+        .join(urls, F.col("cur") == F.col("known_url"), "left")
+    )
+    done.append(
+        tail.select(
+            F.col("start").alias("url"),
+            F.col("cur").alias("final_url"),
+            F.col("hops").cast("int").alias("n_hops"),
+            F.when(F.col("dst").isNotNull(), F.lit("truncated"))
+            .when(F.col("known_url").isNotNull(), F.lit("resolved"))
+            .otherwise(F.lit("dangling")).alias("verdict"),
+        )
+    )
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    base.unpersist()
+    return out

@@ -336,3 +336,54 @@ def test_host_degree_reciprocity_and_degrees(spark):
     assert e.out_degree == 0 and e.in_degree == 1 and e.reciprocity == 0.0
     # the self-loop host never surfaces
     assert "d" not in out
+
+
+# --- redirect chains ---------------------------------------------------------
+
+
+def _responses(spark, rows):
+    return spark.createDataFrame(rows, "url string, status int, location string")
+
+
+def test_redirect_chain_verdicts(spark):
+    out = {r.url: r for r in web.redirect_chains(_responses(spark, [
+        ("a", 301, "b"), ("b", 302, "c"), ("c", 200, ""),   # 2-hop chain
+        ("d", 200, None),                                   # plain page
+        ("e", 301, "ghost"),                                # dangling
+        ("f", 301, "f"),                                    # self-loop
+        ("g", 301, "h"), ("h", 302, "g"),                   # 2-cycle
+    ]), max_hops=5).collect()}
+    assert (out["a"].final_url, out["a"].n_hops, out["a"].verdict) == ("c", 2, "resolved")
+    assert (out["b"].final_url, out["b"].n_hops, out["b"].verdict) == ("c", 1, "resolved")
+    assert (out["c"].n_hops, out["c"].verdict) == (0, "resolved")
+    assert (out["d"].n_hops, out["d"].verdict) == (0, "resolved")
+    assert (out["e"].final_url, out["e"].n_hops, out["e"].verdict) == ("ghost", 1, "dangling")
+    assert (out["f"].final_url, out["f"].n_hops, out["f"].verdict) == ("f", 1, "loop")
+    assert (out["g"].final_url, out["g"].n_hops, out["g"].verdict) == ("g", 2, "loop")
+    assert (out["h"].final_url, out["h"].n_hops, out["h"].verdict) == ("h", 2, "loop")
+
+
+def test_redirect_chain_truncation_and_dup_collapse(spark):
+    rows = [(f"u{i}", 301, f"u{i-1}") for i in range(1, 6)] + [("u0", 200, "")]
+    # duplicate capture of u3 with a different target: min struct wins
+    rows.append(("u3", 301, "u2"))
+    rows.append(("u3", 308, "u0"))
+    out = {r.url: r for r in
+           web.redirect_chains(_responses(spark, rows), max_hops=3).collect()}
+    assert (out["u3"].final_url, out["u3"].verdict) == ("u0", "resolved")
+    assert out["u3"].n_hops == 3  # u3->u2->u1->u0 (301 < 308: min keeps u2)
+    assert (out["u5"].verdict, out["u5"].n_hops, out["u5"].final_url) == (
+        "truncated", 3, "u2")
+    assert out["u2"].verdict == "resolved" and out["u2"].n_hops == 2
+
+
+def test_redirect_chain_validates_and_empty_location(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        web.redirect_chains(_responses(spark, [("a", 200, "")]), max_hops=0)
+    # 3xx with empty/NULL location is not an edge
+    out = {r.url: r for r in web.redirect_chains(_responses(spark, [
+        ("a", 301, ""), ("b", 301, None)]), max_hops=2).collect()}
+    assert out["a"].verdict == "resolved" and out["a"].n_hops == 0
+    assert out["b"].verdict == "resolved" and out["b"].n_hops == 0
