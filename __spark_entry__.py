@@ -269,6 +269,48 @@ def _q_extract_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_web_mime_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-sniffed MIME verdicts over a 12-family corpus built
+    in Spark SQL (binary concat + hex magic bytes), so every verdict is
+    hand-derivable from doc_id%12: ok pairs (html/pdf/text/json/png/xml,
+    plus a case+parameter normalization), the two classic mislabels
+    (html↔pdf), a gzip-under-text/html, an unmapped type, and a missing
+    Content-Type."""
+    from doc_parser_spark.operators.web import mime_verdicts
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.expr("concat('https://mime.example.org/p/', doc_id)").alias("url"),
+        F.expr(
+            "CASE cast(doc_id % 12 as int) "
+            "WHEN 2 THEN 'application/pdf' "
+            "WHEN 3 THEN 'application/pdf' "
+            "WHEN 4 THEN 'text/plain' "
+            "WHEN 5 THEN 'application/json' "
+            "WHEN 6 THEN 'image/png' "
+            "WHEN 7 THEN 'application/x-proprietary' "
+            "WHEN 8 THEN 'Text/HTML; charset=utf-8' "
+            "WHEN 9 THEN 'application/xml' "
+            "WHEN 10 THEN NULL "
+            "ELSE 'text/html' END"
+        ).alias("mime"),
+        F.expr(
+            "CASE cast(doc_id % 12 as int) "
+            "WHEN 1 THEN encode('%PDF-1.4\\n1 0 obj', 'UTF-8') "
+            "WHEN 2 THEN encode('%PDF-1.7\\n1 0 obj', 'UTF-8') "
+            "WHEN 4 THEN encode(concat('plain prose words ', doc_id,"
+            " ' with no markup at all.'), 'UTF-8') "
+            "WHEN 5 THEN encode(concat('{\"a\": ', doc_id, '}'), 'UTF-8') "
+            "WHEN 6 THEN concat(X'89504E470D0A1A0A', encode('x', 'UTF-8')) "
+            "WHEN 9 THEN encode('<?xml version=\"1.0\"?><root/>', 'UTF-8') "
+            "WHEN 11 THEN concat(X'1F8B08', encode('junk', 'UTF-8')) "
+            "ELSE encode(concat('<html><body><p>doc ', doc_id,"
+            " '</p></body></html>'), 'UTF-8') END"
+        ).alias("html"),
+    )
+    return mime_verdicts(pages)
+
+
 def _q_extract_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-side WARC walk over chains synthesized IN SQL (binary
     concat with Content-Length octet math, CRLF framing — the mirror
@@ -1065,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_redirect_chains": lambda spark, sf: web.redirect_chains(
             web.synth_redirects(_read(spark, sf, "documents")), max_hops=3
         ),
+        "web_mime_verdicts": _q_web_mime_verdicts,
         "web_host_stats": lambda spark, sf: web.host_stats(
             _read(spark, sf, "documents").select(
                 "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url"), "text"
@@ -4407,6 +4450,41 @@ def oracle_sql() -> dict[str, str]:
                    concat('https://', host, '/page/', CAST(hn * 3 + 2 AS INT)),
                    '', '', ''
             FROM hosts WHERE hn % 5 <> 0
+        """,
+        # 12 mime families hand-derived from doc_id%12 — independent of
+        # both the sniffer and MIME_FORMAT_MAP
+        "web_mime_verdicts": """
+            SELECT concat('https://mime.example.org/p/', doc_id) AS url,
+                   CASE CAST(doc_id % 12 AS INT)
+                        WHEN 2 THEN 'application/pdf'
+                        WHEN 3 THEN 'application/pdf'
+                        WHEN 4 THEN 'text/plain'
+                        WHEN 5 THEN 'application/json'
+                        WHEN 6 THEN 'image/png'
+                        WHEN 7 THEN 'application/x-proprietary'
+                        WHEN 8 THEN 'text/html'
+                        WHEN 9 THEN 'application/xml'
+                        WHEN 10 THEN ''
+                        ELSE 'text/html' END AS mime_norm,
+                   CASE CAST(doc_id % 12 AS INT)
+                        WHEN 2 THEN 'pdf' WHEN 3 THEN 'pdf'
+                        WHEN 4 THEN 'text' WHEN 5 THEN 'json'
+                        WHEN 6 THEN 'image' WHEN 7 THEN ''
+                        WHEN 9 THEN 'xml' WHEN 10 THEN ''
+                        ELSE 'html' END AS expected_format,
+                   CASE CAST(doc_id % 12 AS INT)
+                        WHEN 1 THEN 'pdf' WHEN 2 THEN 'pdf'
+                        WHEN 4 THEN 'text' WHEN 5 THEN 'json'
+                        WHEN 6 THEN 'image' WHEN 9 THEN 'xml'
+                        WHEN 11 THEN 'gzip'
+                        ELSE 'html' END AS sniffed_format,
+                   CASE CAST(doc_id % 12 AS INT)
+                        WHEN 1 THEN 'mismatch' WHEN 3 THEN 'mismatch'
+                        WHEN 7 THEN 'unknown_mime'
+                        WHEN 10 THEN 'missing_mime'
+                        WHEN 11 THEN 'mismatch'
+                        ELSE 'ok' END AS verdict
+            FROM documents
         """,
         # redirect families hand-derived (closed form, independent of the
         # hop-join algorithm): k%8=0 endpoint; 1-3 resolve in k%8 hops

@@ -2718,3 +2718,125 @@ def redirect_chains(responses: DataFrame, max_hops: int = 8) -> DataFrame:
         out = out.unionByName(d)
     base.unpersist()
     return out
+
+
+#: Declared-MIME → sniffed-format family expectation (RFC 9110
+#: Content-Type semantics vs magic-byte reality).  Single source of
+#: truth for :func:`mime_verdicts` and its DuckDB twin.
+MIME_FORMAT_MAP: dict = {
+    "text/html": "html",
+    "application/xhtml+xml": "html",
+    "application/pdf": "pdf",
+    "text/xml": "xml",
+    "application/xml": "xml",
+    "application/rss+xml": "xml",
+    "application/atom+xml": "xml",
+    "text/plain": "text",
+    "text/markdown": "md",
+    "text/csv": "csv",
+    "application/json": "json",
+    "application/ld+json": "json",
+    "image/png": "image",
+    "image/jpeg": "image",
+    "image/gif": "image",
+    "image/webp": "image",
+    "application/zip": "zip",
+    "application/gzip": "gzip",
+    "application/x-gzip": "gzip",
+    "application/msword": "cfb",
+    "application/rtf": "rtf",
+    "text/rtf": "rtf",
+    "message/rfc822": "mime",
+    "audio/wav": "audio",
+    "audio/x-wav": "audio",
+}
+
+
+def mime_verdicts(
+    pages: DataFrame, max_bytes: int = 20 * 1024 * 1024
+) -> DataFrame:
+    """Declared Content-Type vs magic-byte reality, per capture — the
+    polyglot/mislabel census crawl QA runs before routing payloads to
+    format backends (mislabeled text/html PDFs are the classic
+    extraction-pipeline poison; security scanners flag the same skew as
+    MIME-confusion risk).
+
+    Input ``(url, mime, html: binary)``; output one row per capture:
+
+    - ``mime_norm`` — media type lowercased, parameters stripped
+      (``Text/HTML; charset=utf-8`` → ``text/html``), ``''`` if absent,
+    - ``expected_format`` — :data:`MIME_FORMAT_MAP` family (``''`` when
+      the type is unmapped),
+    - ``sniffed_format`` — the shared magic-byte sniffer's verdict on
+      the actual payload (``unknown`` for NULL/oversized payloads),
+    - ``verdict`` — ``missing_mime`` / ``unknown_mime`` / ``ok`` /
+      ``mismatch``.  Strict family equality, deliberately: a text/csv
+      payload that sniffs as prose IS a routing discrepancy.
+
+    Scale shape: the sniff is an Arrow-batched ``mapInPandas`` over the
+    first 4 KiB of each payload (the sniffer never reads further);
+    normalization + mapping + verdict are pure JVM column expressions —
+    zero shuffles end to end, so the relation feeds a groupBy census
+    (:func:`mime_census`) at one exchange total.
+    """
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    def kernel(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        from doc_parser_spark.core import sniff as _sniff
+
+        for batch in batches:
+            records = []
+            for url, mime, payload in zip(
+                batch["url"], batch["mime"], batch["html"]
+            ):
+                if payload is None or len(payload) > max_bytes:
+                    fmt = _sniff.FORMAT_UNKNOWN
+                else:
+                    fmt = _sniff.sniff_format(bytes(payload))
+                records.append((url, mime, fmt))
+            yield _pd.DataFrame(
+                records, columns=["url", "mime", "sniffed_format"]
+            )
+
+    sniffed = pages.select("url", "mime", "html").mapInPandas(
+        kernel, schema="url string, mime string, sniffed_format string"
+    )
+    expected = F.lit("")
+    for mt in sorted(MIME_FORMAT_MAP):  # deterministic CASE order
+        expected = F.when(
+            F.col("mime_norm") == mt, F.lit(MIME_FORMAT_MAP[mt])
+        ).otherwise(expected)
+    return (
+        sniffed.withColumn(
+            "mime_norm",
+            F.lower(F.trim(F.element_at(F.split(F.coalesce(
+                F.col("mime"), F.lit("")), ";"), 1))),
+        )
+        .withColumn("expected_format", expected)
+        .select(
+            "url",
+            "mime_norm",
+            "expected_format",
+            "sniffed_format",
+            F.when(F.col("mime_norm") == "", F.lit("missing_mime"))
+            .when(F.col("expected_format") == "", F.lit("unknown_mime"))
+            .when(
+                F.col("expected_format") == F.col("sniffed_format"),
+                F.lit("ok"),
+            )
+            .otherwise(F.lit("mismatch"))
+            .alias("verdict"),
+        )
+    )
+
+
+def mime_census(verdicts: DataFrame) -> DataFrame:
+    """Roll :func:`mime_verdicts` up to the published census shape:
+    captures per (declared type, expected family, sniffed family,
+    verdict).  One map-side-combined groupBy — the single exchange of
+    the whole mime-audit pipeline."""
+    return verdicts.groupBy(
+        "mime_norm", "expected_format", "sniffed_format", "verdict"
+    ).agg(F.count(F.lit(1)).alias("n_captures"))

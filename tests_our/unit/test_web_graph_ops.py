@@ -387,3 +387,49 @@ def test_redirect_chain_validates_and_empty_location(spark):
         ("a", 301, ""), ("b", 301, None)]), max_hops=2).collect()}
     assert out["a"].verdict == "resolved" and out["a"].n_hops == 0
     assert out["b"].verdict == "resolved" and out["b"].n_hops == 0
+
+
+# --- MIME verdicts -----------------------------------------------------------
+
+
+def test_mime_verdicts_families(spark):
+    pages = spark.createDataFrame(
+        [
+            ("u1", "text/html", b"<html><body>x</body></html>"),
+            ("u2", "text/html", b"%PDF-1.4\nobj"),           # mislabeled pdf
+            ("u3", "Application/PDF; q=1", b"%PDF-1.7\n"),    # norm + params
+            ("u4", "application/x-prop", b"<html></html>"),   # unmapped
+            ("u5", None, b"<html></html>"),                   # missing
+            ("u6", "  ", b"<html></html>"),                   # blank
+            ("u7", "image/png",
+             bytes.fromhex("89504e470d0a1a0a") + b"x"),
+            ("u8", "text/plain", None),                       # null payload
+        ],
+        "url string, mime string, html binary",
+    )
+    out = {r.url: r for r in web.mime_verdicts(pages).collect()}
+    assert (out["u1"].verdict, out["u1"].sniffed_format) == ("ok", "html")
+    assert (out["u2"].verdict, out["u2"].expected_format,
+            out["u2"].sniffed_format) == ("mismatch", "html", "pdf")
+    assert (out["u3"].mime_norm, out["u3"].verdict) == (
+        "application/pdf", "ok")
+    assert (out["u4"].verdict, out["u4"].expected_format) == (
+        "unknown_mime", "")
+    assert out["u5"].verdict == "missing_mime"
+    assert out["u6"].verdict == "missing_mime"
+    assert (out["u7"].verdict, out["u7"].sniffed_format) == ("ok", "image")
+    assert (out["u8"].sniffed_format, out["u8"].verdict) == (
+        "unknown", "mismatch")
+
+
+def test_mime_census_rollup(spark):
+    pages = spark.createDataFrame(
+        [("u%d" % i, "text/html", b"<html></html>") for i in range(5)]
+        + [("p", "text/html", b"%PDF-1.4")],
+        "url string, mime string, html binary",
+    )
+    rows = web.mime_census(web.mime_verdicts(pages)).collect()
+    d = {(r.mime_norm, r.sniffed_format, r.verdict): r.n_captures
+         for r in rows}
+    assert d[("text/html", "html", "ok")] == 5
+    assert d[("text/html", "pdf", "mismatch")] == 1
