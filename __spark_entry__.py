@@ -311,6 +311,54 @@ def _q_web_mime_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mime_verdicts(pages)
 
 
+def _q_web_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Translation-cluster mining over HTML synthesized in SQL: 17
+    language groups keyed by doc_id%17 — full en/fr/de reciprocal
+    annotation (plus x-default on the en page) for g%5≠0, and the
+    classic broken deployment (en annotates, fr never reciprocates) for
+    g%5=0 — so membership, cluster ids, ref-lang sets and the
+    declares/referenced flags are all hand-derivable."""
+    from doc_parser_spark.operators.extract import extract_hreflang
+    from doc_parser_spark.operators.web import hreflang_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = (
+        docs.selectExpr("cast(doc_id % 17 as int) AS g")
+        .distinct()
+        .selectExpr("g", "concat('https://l.example.org/', g, '/') AS base")
+        .selectExpr(
+            "g", "base",
+            "explode(CASE WHEN g % 5 = 0 THEN array('en','fr')"
+            " ELSE array('en','fr','de') END) AS lang",
+        )
+        .selectExpr(
+            "concat(base, lang) AS url",
+            "cast(concat('<html><head>',"
+            " CASE WHEN g % 5 = 0 AND lang = 'fr' THEN ''"
+            " WHEN g % 5 = 0 THEN concat("
+            "  '<link rel=\"alternate\" hreflang=\"en\" href=\"', base,"
+            "  'en\"/>',"
+            "  '<link rel=\"alternate\" hreflang=\"fr\" href=\"', base,"
+            "  'fr\"/>',"
+            "  '<link rel=\"alternate\" hreflang=\"x-default\" href=\"',"
+            "  base, 'en\"/>')"
+            " ELSE concat("
+            "  '<link rel=\"alternate\" hreflang=\"en\" href=\"', base,"
+            "  'en\"/>',"
+            "  '<link rel=\"alternate\" hreflang=\"fr\" href=\"', base,"
+            "  'fr\"/>',"
+            "  '<link rel=\"alternate\" hreflang=\"de\" href=\"', base,"
+            "  'de\"/>',"
+            "  CASE WHEN lang = 'en' THEN concat("
+            "   '<link rel=\"alternate\" hreflang=\"x-default\" href=\"',"
+            "   base, 'en\"/>') ELSE '' END)"
+            " END,"
+            " '</head><body>g</body></html>') as binary) AS html",
+        )
+    )
+    return hreflang_clusters(extract_hreflang(pages))
+
+
 def _q_extract_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-side WARC walk over chains synthesized IN SQL (binary
     concat with Content-Length octet math, CRLF framing — the mirror
@@ -1108,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             web.synth_redirects(_read(spark, sf, "documents")), max_hops=3
         ),
         "web_mime_verdicts": _q_web_mime_verdicts,
+        "web_hreflang_clusters": _q_web_hreflang_clusters,
         "web_host_stats": lambda spark, sf: web.host_stats(
             _read(spark, sf, "documents").select(
                 "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url"), "text"
@@ -4450,6 +4499,38 @@ def oracle_sql() -> dict[str, str]:
                    concat('https://', host, '/page/', CAST(hn * 3 + 2 AS INT)),
                    '', '', ''
             FROM hosts WHERE hn % 5 <> 0
+        """,
+        # hreflang groups hand-derived: full groups cluster at the de url
+        # (lexicographic min), broken groups at the en url with the
+        # non-reciprocal fr member flagged referenced-only
+        "web_hreflang_clusters": """
+            WITH b AS (
+                SELECT DISTINCT CAST(doc_id % 17 AS INT) AS g,
+                       concat('https://l.example.org/',
+                              CAST(doc_id % 17 AS INT), '/') AS base
+                FROM documents
+            )
+            SELECT concat(base, 'de') AS url,
+                   concat(base, 'de') AS cluster_id,
+                   CAST(3 AS BIGINT) AS cluster_size,
+                   'de' AS ref_langs, true AS declares, true AS referenced
+            FROM b WHERE g % 5 <> 0
+            UNION ALL
+            SELECT concat(base, 'en'), concat(base, 'de'), 3,
+                   'en,x-default', true, true
+            FROM b WHERE g % 5 <> 0
+            UNION ALL
+            SELECT concat(base, 'fr'), concat(base, 'de'), 3, 'fr',
+                   true, true
+            FROM b WHERE g % 5 <> 0
+            UNION ALL
+            SELECT concat(base, 'en'), concat(base, 'en'), 2,
+                   'en,x-default', true, true
+            FROM b WHERE g % 5 = 0
+            UNION ALL
+            SELECT concat(base, 'fr'), concat(base, 'en'), 2, 'fr',
+                   false, true
+            FROM b WHERE g % 5 = 0
         """,
         # 12 mime families hand-derived from doc_id%12 — independent of
         # both the sniffer and MIME_FORMAT_MAP

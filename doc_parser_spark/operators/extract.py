@@ -1263,6 +1263,72 @@ def _microdata_schema():
     )
 
 
+def extract_hreflang(
+    pages: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES
+) -> DataFrame:
+    """pages(url, html) → one row per ``<link rel="alternate"
+    hreflang=... href=...>`` — the multilingual-site annotation relation
+    (Google's hreflang contract / RFC 8288 ``alternate`` + ``hreflang``
+    target attribute): the discovery channel multilingual crawls use to
+    find translation variants, and the raw feed for
+    :func:`doc_parser_spark.operators.web.hreflang_clusters`.
+
+    Per row: the page URL, the ``hreflang`` value lowercased (BCP-47
+    tags are case-insensitive; ``x-default`` is a valid label here),
+    the ``href`` resolved absolute against the page URL (RFC 3986
+    ``urljoin``), and the document-order position. Links missing either
+    attribute emit nothing; ``rel`` is a space-separated token list, so
+    ``rel="alternate nofollow"`` still matches.
+
+    Same execution contract as the extraction kernel: one Arrow-batched
+    ``mapInPandas`` stage, per-document failure isolation, zero
+    shuffles.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if sys.getrecursionlimit() < _RECURSION_LIMIT:
+            sys.setrecursionlimit(_RECURSION_LIMIT)
+        from urllib.parse import urljoin
+
+        from doc_parser_spark.core import sniff as _sniff
+        from doc_parser_spark.html.dom import parse_html
+
+        for batch in batches:
+            records = []
+            for url, payload in zip(batch["url"], batch["html"]):
+                if payload is None or len(payload) > max_bytes:
+                    continue
+                data = bytes(payload)
+                if _sniff.sniff_format(data) != _sniff.FORMAT_HTML:
+                    continue
+                try:
+                    root = parse_html(data)
+                    pos = 0
+                    for tag in root.descendants_tags():
+                        if tag.name != "link":
+                            continue
+                        rel = (tag.get("rel") or "").lower().split()
+                        if "alternate" not in rel:
+                            continue
+                        hl = (tag.get("hreflang") or "").strip().lower()
+                        href = (tag.get("href") or "").strip()
+                        if not hl or not href:
+                            continue
+                        records.append(
+                            (url, hl, urljoin(url, href), pos)
+                        )
+                        pos += 1
+                except Exception:  # noqa: BLE001 — per-doc isolation
+                    continue
+            yield pd.DataFrame(
+                records, columns=["url", "hreflang", "href", "pos"]
+            )
+
+    return pages.select("url", "html").mapInPandas(
+        kernel, schema="url string, hreflang string, href string, pos int"
+    )
+
+
 def extract_microdata(
     pages: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES
 ) -> DataFrame:

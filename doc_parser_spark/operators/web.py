@@ -2840,3 +2840,67 @@ def mime_census(verdicts: DataFrame) -> DataFrame:
     return verdicts.groupBy(
         "mime_norm", "expected_format", "sniffed_format", "verdict"
     ).agg(F.count(F.lit(1)).alias("n_captures"))
+
+
+def hreflang_clusters(alts: DataFrame) -> DataFrame:
+    """Translation clusters from the hreflang annotation relation
+    (``extract_hreflang`` output ``(url, hreflang, href)``): pages
+    connected by ``alternate``/``hreflang`` references form one
+    multilingual document group — the unit multilingual corpus curation
+    dedups/aligns on (keep one language per cluster, or pair variants
+    for parallel-text mining).
+
+    Output one row per member URL (declaring pages AND referenced-only
+    targets): ``cluster_id`` (smallest URL in the component),
+    ``cluster_size``, ``ref_langs`` (sorted distinct hreflang labels
+    pointing at this URL, comma-joined — self-annotations count, per
+    the hreflang contract that every page lists itself), ``declares``
+    (page emits hreflang links), ``referenced`` (some page, possibly
+    itself, targets it).  Non-reciprocal annotation — the most common
+    hreflang deployment bug — is exactly ``declares XOR referenced``.
+
+    Scale shape: component labels come from the shared alternating
+    large-star/small-star engine (``dedup.dup_clusters`` — same scale
+    story as near-dup clustering and ``host_components``); the lang
+    census is one map-side-combined groupBy on the target key; the
+    final assembly joins on the URL key. Nothing corpus-sized is
+    broadcast or collected.
+    """
+    from . import dedup as _dedup
+
+    a = alts.select("url", "hreflang", "href").persist()
+    nodes = (
+        a.select(F.col("url").alias("doc_id"))
+        .union(a.select(F.col("href").alias("doc_id")))
+        .distinct()
+    )
+    pairs = a.select("url", "href").where(F.col("url") != F.col("href"))
+    labels = _dedup.dup_clusters(pairs, documents=nodes).select(
+        F.col("doc_id").alias("m_url"), F.col("cluster_id")
+    )
+    ref = a.groupBy(F.col("href").alias("m_url")).agg(
+        F.concat_ws(
+            ",", F.sort_array(F.collect_set("hreflang"))
+        ).alias("ref_langs")
+    )
+    decl = a.select(F.col("url").alias("m_url")).distinct().withColumn(
+        "declares", F.lit(True)
+    )
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    out = (
+        labels.join(sizes, "cluster_id")
+        .join(ref, "m_url", "left")
+        .join(decl, "m_url", "left")
+        .select(
+            F.col("m_url").alias("url"),
+            "cluster_id",
+            "cluster_size",
+            F.coalesce("ref_langs", F.lit("")).alias("ref_langs"),
+            F.coalesce("declares", F.lit(False)).alias("declares"),
+            F.col("ref_langs").isNotNull().alias("referenced"),
+        )
+    )
+    a.unpersist()
+    return out

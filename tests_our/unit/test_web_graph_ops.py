@@ -433,3 +433,56 @@ def test_mime_census_rollup(spark):
          for r in rows}
     assert d[("text/html", "html", "ok")] == 5
     assert d[("text/html", "pdf", "mismatch")] == 1
+
+
+# --- hreflang clusters --------------------------------------------------------
+
+
+def test_extract_hreflang_kernel(spark):
+    html = (
+        b'<html><head>'
+        b'<link rel="alternate" hreflang="EN" href="/en"/>'
+        b'<link rel="alternate nofollow" hreflang="fr" '
+        b'href="https://o.com/fr"/>'
+        b'<link rel="stylesheet" href="/css"/>'          # wrong rel
+        b'<link rel="alternate" href="/no-lang"/>'       # no hreflang
+        b'<link rel="alternate" hreflang="de"/>'         # no href
+        b'</head><body>x</body></html>'
+    )
+    from doc_parser_spark.operators.extract import extract_hreflang
+
+    pages = spark.createDataFrame(
+        [("https://s.com/a", html)], "url string, html binary"
+    )
+    rows = sorted(extract_hreflang(pages).collect(), key=lambda r: r.pos)
+    assert [(r.hreflang, r.href) for r in rows] == [
+        ("en", "https://s.com/en"),          # lowered + resolved
+        ("fr", "https://o.com/fr"),
+    ]
+
+
+def test_hreflang_clusters_reciprocity_and_membership(spark):
+    alts = spark.createDataFrame(
+        [
+            # full pair: en <-> fr, each self-annotates
+            ("en1", "en", "en1"), ("en1", "fr", "fr1"),
+            ("fr1", "fr", "fr1"), ("fr1", "en", "en1"),
+            ("en1", "x-default", "en1"),
+            # broken: en2 -> de2, de2 never declares
+            ("en2", "de", "de2"),
+        ],
+        "url string, hreflang string, href string",
+    )
+    out = {r.url: r for r in web.hreflang_clusters(alts).collect()}
+    assert out["en1"].cluster_id == "en1" and out["fr1"].cluster_id == "en1"
+    assert out["en1"].cluster_size == 2
+    assert out["en1"].ref_langs == "en,x-default"
+    assert out["fr1"].ref_langs == "fr"
+    assert out["en1"].declares and out["en1"].referenced
+    # de2 is a member through reference only
+    assert out["de2"].cluster_id == "de2"  # min('de2','en2') = 'de2'
+    assert out["en2"].cluster_id == "de2"
+    assert out["de2"].cluster_size == 2
+    assert (out["de2"].declares, out["de2"].referenced) == (False, True)
+    assert (out["en2"].declares, out["en2"].referenced) == (True, False)
+    assert out["en2"].ref_langs == ""
