@@ -989,6 +989,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "concat('v', cast((doc_id * 7) % 3 as int)) AS text",
             )
         ),
+        # revisit policy over the same drift profile: integer-exact
+        # period estimate + Nyquist sampling + static/backoff rules
+        "web_revisit_schedule": lambda spark, sf: web.revisit_schedule(
+            web.capture_drift(
+                _read(spark, sf, "documents").selectExpr(
+                    "doc_id",
+                    f"{web.SYNTH_URL_SQL} AS url",
+                    "timestampadd(HOUR, cast((doc_id * 53) % 720 as int), "
+                    "timestamp'2024-01-01 00:00:00') AS warc_ts",
+                    "concat('v', cast((doc_id * 7) % 3 as int)) AS text",
+                )
+            )
+        ),
         # two-snapshot delta: small deterministic URL groups (key = doc_id
         # % 1500) so whole groups drop out of one side — added when the
         # group is absent from the OLD crawl, gone when absent from NEW,
@@ -2220,6 +2233,60 @@ def _trustrank_sql(iterations: int = 3) -> str:
         FROM base b JOIN {prev} r ON b.h = r.h
         """
     )
+
+
+def _capture_drift_sql() -> str:
+    """DuckDB twin of web.capture_drift over the synthesized recrawl
+    history (lag-window transitions, md5 fingerprints) — shared by the
+    drift query and the revisit-schedule policy built on top of it."""
+    from doc_parser_spark.operators import web as _web
+
+    return f"""
+            WITH p AS (
+                SELECT doc_id, {_web.SYNTH_URL_SQL} AS url,
+                       TIMESTAMP '2024-01-01 00:00:00'
+                         + to_hours(CAST((doc_id * 53) % 720 AS BIGINT))
+                         AS warc_ts,
+                       concat('v', CAST((doc_id * 7) % 3 AS INT)) AS text
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, warc_ts,
+                       {_duck_canonical_url("url")} AS canonical_url,
+                       md5(coalesce(text, '')) AS fp
+                FROM p
+            ),
+            lagd AS (
+                SELECT canonical_url, warc_ts, fp,
+                       lag(fp) OVER (
+                           PARTITION BY canonical_url
+                           ORDER BY warc_ts, doc_id
+                       ) AS prev_fp
+                FROM c
+            ),
+            agg AS (
+                SELECT canonical_url,
+                       CAST(count(*) AS BIGINT) AS n_captures,
+                       CAST(count(DISTINCT fp) AS BIGINT) AS n_versions,
+                       CAST(sum(CASE WHEN prev_fp IS NOT NULL
+                                      AND fp <> prev_fp
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                       min(warc_ts) AS first_ts,
+                       max(warc_ts) AS last_ts,
+                       max(CASE WHEN prev_fp IS NULL OR fp <> prev_fp
+                                THEN warc_ts END) AS last_change_ts
+                FROM lagd GROUP BY canonical_url
+            )
+            SELECT canonical_url, n_captures, n_versions, n_changes,
+                   CASE WHEN n_captures > 1
+                        THEN floor(1e6 * (CAST(n_changes AS DOUBLE)
+                                          / (n_captures - 1))) / 1e6
+                        ELSE 0.0 END AS change_rate,
+                   first_ts, last_ts,
+                   CAST(datediff('hour', last_change_ts, last_ts) AS BIGINT)
+                     AS stale_hours
+            FROM agg
+        """
 
 
 def _spam_mass_sql(iterations: int = 3) -> str:
@@ -3957,51 +4024,38 @@ def oracle_sql() -> dict[str, str]:
         # recrawl-drift twin: same lag-window transition count; md5 is
         # byte-identical hex in both engines, hour timestamps make DuckDB's
         # boundary-counting datediff equal Spark's whole-hour timestampdiff
-        "web_capture_drift": f"""
-            WITH p AS (
-                SELECT doc_id, {_web.SYNTH_URL_SQL} AS url,
-                       TIMESTAMP '2024-01-01 00:00:00'
-                         + to_hours(CAST((doc_id * 53) % 720 AS BIGINT))
-                         AS warc_ts,
-                       concat('v', CAST((doc_id * 7) % 3 AS INT)) AS text
-                FROM documents
+        "web_capture_drift": _capture_drift_sql(),
+        "web_revisit_schedule": f"""
+            WITH d AS ({_capture_drift_sql()}),
+            e AS (
+                SELECT canonical_url, n_captures, n_changes, stale_hours,
+                       CAST(datediff('hour', first_ts, last_ts) AS BIGINT)
+                           AS span_hours
+                FROM d
             ),
-            c AS (
-                SELECT doc_id, warc_ts,
-                       {_duck_canonical_url("url")} AS canonical_url,
-                       md5(coalesce(text, '')) AS fp
-                FROM p
-            ),
-            lagd AS (
-                SELECT canonical_url, warc_ts, fp,
-                       lag(fp) OVER (
-                           PARTITION BY canonical_url
-                           ORDER BY warc_ts, doc_id
-                       ) AS prev_fp
-                FROM c
-            ),
-            agg AS (
-                SELECT canonical_url,
-                       CAST(count(*) AS BIGINT) AS n_captures,
-                       CAST(count(DISTINCT fp) AS BIGINT) AS n_versions,
-                       CAST(sum(CASE WHEN prev_fp IS NOT NULL
-                                      AND fp <> prev_fp
-                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
-                       min(warc_ts) AS first_ts,
-                       max(warc_ts) AS last_ts,
-                       max(CASE WHEN prev_fp IS NULL OR fp <> prev_fp
-                                THEN warc_ts END) AS last_change_ts
-                FROM lagd GROUP BY canonical_url
+            p AS (
+                SELECT *, CASE WHEN n_changes > 0
+                               THEN CAST(span_hours // n_changes AS BIGINT)
+                               ELSE CAST(0 AS BIGINT) END
+                           AS change_period_hours
+                FROM e
             )
-            SELECT canonical_url, n_captures, n_versions, n_changes,
-                   CASE WHEN n_captures > 1
-                        THEN floor(1e6 * (CAST(n_changes AS DOUBLE)
-                                          / (n_captures - 1))) / 1e6
-                        ELSE 0.0 END AS change_rate,
-                   first_ts, last_ts,
-                   CAST(datediff('hour', last_change_ts, last_ts) AS BIGINT)
-                     AS stale_hours
-            FROM agg
+            SELECT canonical_url, n_captures, n_changes, span_hours,
+                   change_period_hours, stale_hours,
+                   CAST(least(720, greatest(1,
+                        CASE WHEN n_captures <= 1 OR span_hours <= 0 THEN 168
+                             WHEN n_changes = 0 THEN 2 * span_hours
+                             WHEN stale_hours > 4 * change_period_hours
+                                  THEN 2 * change_period_hours
+                             ELSE change_period_hours // 2 END))
+                        AS BIGINT) AS revisit_hours,
+                   CASE WHEN n_captures <= 1 OR span_hours <= 0
+                            THEN 'cold_start'
+                        WHEN n_changes = 0 THEN 'static'
+                        WHEN stale_hours > 4 * change_period_hours
+                            THEN 'backoff'
+                        ELSE 'tracking' END AS reason
+            FROM p
         """,
         # cdx twin over a forced-duplication payload (doc_id % 200), then
         # the min-tuple original pick: rn=1 finds the minimum capture and

@@ -2904,3 +2904,82 @@ def hreflang_clusters(alts: DataFrame) -> DataFrame:
     )
     a.unpersist()
     return out
+
+
+def revisit_schedule(
+    drift: DataFrame,
+    min_hours: int = 1,
+    max_hours: int = 720,
+    default_hours: int = 168,
+) -> DataFrame:
+    """Revisit policy from the drift profile (:func:`capture_drift`
+    output) — the scheduling half of the Cho & Garcia-Molina refresh
+    loop: estimate each URL's content change period from its capture
+    history and sample at twice that rate, with back-off for pages that
+    stopped changing.  Integer-exact throughout (all ``DIV``/clamp, no
+    floats), so the policy is bit-identical across engines — the
+    property that lets two crawl controllers agree on a schedule
+    without coordinating.
+
+    Rules, first match wins (``span_hours`` = first→last capture):
+
+    - ``cold_start`` — one capture or zero span: ``default_hours``
+      (nothing observable yet; weekly by default).
+    - ``static`` — multiple captures, zero changes: ``2·span`` (each
+      quiet revisit doubles confidence the page is static, so the
+      interval grows with the evidence).
+    - ``backoff`` — changes were observed but the page has now been
+      stale for >4 observed change periods: ``2·period``.
+    - ``tracking`` — steady-state: ``period DIV 2`` (sample at twice
+      the observed change rate, the classic freshness/cost balance).
+
+    Every branch clamps to ``[min_hours, max_hours]``.  A page that
+    changed on every capture of a sub-hour burst yields period 0 and
+    clamps to ``min_hours`` — the hottest schedule, as it should.
+
+    Scale shape: a pure projection over the drift relation — zero
+    additional shuffles on top of ``capture_drift``'s single exchange.
+    """
+    if not (1 <= min_hours <= default_hours <= max_hours):
+        raise ValueError(
+            f"need 1 <= min_hours ({min_hours}) <= default_hours"
+            f" ({default_hours}) <= max_hours ({max_hours})"
+        )
+    d = drift.withColumn(
+        "span_hours",
+        F.expr("timestampdiff(HOUR, first_ts, last_ts)").cast("long"),
+    ).withColumn(
+        "change_period_hours",
+        F.expr(
+            "CASE WHEN n_changes > 0 THEN span_hours DIV n_changes"
+            " ELSE CAST(0 AS BIGINT) END"
+        ),
+    )
+    cold = (F.col("n_captures") <= 1) | (F.col("span_hours") <= 0)
+    static = F.col("n_changes") == 0
+    backoff = F.col("stale_hours") > 4 * F.col("change_period_hours")
+    base = (
+        F.when(cold, F.lit(default_hours).cast("long"))
+        .when(static, 2 * F.col("span_hours"))
+        .when(backoff, 2 * F.col("change_period_hours"))
+        .otherwise(F.expr("change_period_hours DIV 2"))
+    )
+    reason = (
+        F.when(cold, F.lit("cold_start"))
+        .when(static, F.lit("static"))
+        .when(backoff, F.lit("backoff"))
+        .otherwise(F.lit("tracking"))
+    )
+    return d.select(
+        "canonical_url",
+        "n_captures",
+        "n_changes",
+        "span_hours",
+        "change_period_hours",
+        "stale_hours",
+        F.least(
+            F.lit(max_hours).cast("long"),
+            F.greatest(F.lit(min_hours).cast("long"), base),
+        ).alias("revisit_hours"),
+        reason.alias("reason"),
+    )

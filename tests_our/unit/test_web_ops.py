@@ -1332,3 +1332,74 @@ def test_spam_mass_validates_inputs(spark):
         web.host_spam_mass(
             edges, spark.createDataFrame([("zz",)], "host string"),
             iterations=1)
+
+
+def _drift_row(spark, url, n_cap, n_chg, first, last, stale):
+    return spark.createDataFrame(
+        [(url, n_cap, 1, n_chg, first, last, stale)],
+        "canonical_url string, n_captures long, n_versions long,"
+        " n_changes long, first_ts timestamp, last_ts timestamp,"
+        " stale_hours long",
+    )
+
+
+def test_revisit_schedule_rules(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows = (
+        _drift_row(spark, "cold", 1, 0, t0, t0, 0)
+        .unionByName(_drift_row(spark, "static", 5, 0, t0, at(100), 100))
+        # span 100h, 10 changes -> period 10, stale 5 <= 40 -> tracking 5
+        .unionByName(_drift_row(spark, "track", 11, 10, t0, at(100), 5))
+        # stale 50 > 40 -> backoff 2*10=20
+        .unionByName(_drift_row(spark, "back", 11, 10, t0, at(100), 50))
+        # burst: span 0 -> cold_start even with changes
+        .unionByName(_drift_row(spark, "burst", 3, 2, t0, t0, 0))
+        # hot page: period 0 via span 1h/3 changes -> clamp to min
+        .unionByName(_drift_row(spark, "hot", 4, 3, t0, at(1), 0))
+    )
+    out = {r.canonical_url: r for r in
+           web.revisit_schedule(rows, min_hours=2, max_hours=150,
+                                default_hours=24).collect()}
+    assert (out["cold"].reason, out["cold"].revisit_hours) == ("cold_start", 24)
+    assert (out["static"].reason, out["static"].revisit_hours) == ("static", 150)  # 200 clamped
+    assert (out["track"].reason, out["track"].revisit_hours) == ("tracking", 5)
+    assert out["track"].change_period_hours == 10
+    assert (out["back"].reason, out["back"].revisit_hours) == ("backoff", 20)
+    assert (out["burst"].reason, out["burst"].revisit_hours) == ("cold_start", 24)
+    assert (out["hot"].reason, out["hot"].revisit_hours) == ("tracking", 2)  # clamp min
+
+
+def test_revisit_schedule_composes_with_capture_drift(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.com/x", t0, "v1"),
+            (2, "https://a.com/x", t0 + dt.timedelta(hours=10), "v2"),
+            (3, "https://a.com/x", t0 + dt.timedelta(hours=20), "v2"),
+        ],
+        "doc_id long, url string, warc_ts timestamp, text string",
+    )
+    out = web.revisit_schedule(web.capture_drift(pages)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # span 20h, 1 change at h10, stale 10h > 4*20? period=20, stale 10<=80
+    assert (r.span_hours, r.change_period_hours) == (20, 20)
+    assert (r.reason, r.revisit_hours) == ("tracking", 10)
+
+
+def test_revisit_schedule_validates(spark):
+    import pytest
+
+    d = _drift_row(spark, "u", 1, 0,
+                   __import__("datetime").datetime(2024, 1, 1),
+                   __import__("datetime").datetime(2024, 1, 1), 0)
+    with pytest.raises(ValueError):
+        web.revisit_schedule(d, min_hours=10, default_hours=5)
