@@ -1169,6 +1169,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             web.synth_redirects(_read(spark, sf, "documents")), max_hops=3
         ),
         "web_mime_verdicts": _q_web_mime_verdicts,
+        # rel=canonical audit over 20 hand-built families (k=doc_id%20,
+        # behavior keyed on k%10): none/self/norm-self/root-rel/dir-rel/
+        # proto-rel/cross-host/whitespace/trailing-slash + one chain
+        "web_canonical_verdicts": lambda spark, sf: web.canonical_verdicts(
+            _read(spark, sf, "documents")
+            .selectExpr("cast(doc_id % 20 as int) AS k")
+            .distinct()
+            .selectExpr(
+                "concat('https://c.example.org/d', k, '/page', k) AS url",
+                "CASE cast(k % 10 as int)"
+                " WHEN 0 THEN ''"
+                " WHEN 1 THEN concat('https://c.example.org/d', k,"
+                "  '/page', k)"
+                " WHEN 2 THEN concat('/d', k - 1, '/page', k - 1)"
+                " WHEN 3 THEN concat('https://c.example.org/d', k - 1,"
+                "  '/page', k - 1)"
+                " WHEN 4 THEN 'https://other.example.net/p'"
+                " WHEN 5 THEN concat('//c.example.org/d', k, '/page', k)"
+                " WHEN 6 THEN 'other'"
+                " WHEN 7 THEN concat('https://www.c.example.org:443/d', k,"
+                "  '/page', k, '?utm_source=z')"
+                " WHEN 8 THEN '   '"
+                " ELSE concat('https://c.example.org/d', k, '/page', k, '/')"
+                " END AS canonical",
+            )
+        ),
         "web_hreflang_clusters": _q_web_hreflang_clusters,
         "web_host_stats": lambda spark, sf: web.host_stats(
             _read(spark, sf, "documents").select(
@@ -4585,6 +4611,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT concat(base, 'fr'), concat(base, 'en'), 2, 'fr',
                    false, true
             FROM b WHERE g % 5 = 0
+        """,
+        # canonical families hand-derived from k%10; only k%10=3 chains
+        # (its target, the k-1 root-relative family, declares non-self)
+        "web_canonical_verdicts": """
+            WITH ks AS (
+                SELECT DISTINCT CAST(doc_id % 20 AS INT) AS k FROM documents
+            ),
+            b AS (
+                SELECT k,
+                       concat('https://c.example.org/d', k, '/page', k)
+                           AS page
+                FROM ks
+            )
+            SELECT page AS url, page AS page_canonical,
+                   CASE k % 10
+                        WHEN 0 THEN '' WHEN 8 THEN ''
+                        WHEN 2 THEN concat('https://c.example.org/d', k - 1,
+                                           '/page', k - 1)
+                        WHEN 3 THEN concat('https://c.example.org/d', k - 1,
+                                           '/page', k - 1)
+                        WHEN 4 THEN 'https://other.example.net/p'
+                        WHEN 6 THEN concat('https://c.example.org/d', k,
+                                           '/other')
+                        WHEN 7 THEN concat('https://www.c.example.org:443/d',
+                                           k, '/page', k, '?utm_source=z')
+                        WHEN 9 THEN concat(page, '/')
+                        ELSE page END AS canonical_resolved,
+                   CASE k % 10
+                        WHEN 0 THEN 'none' WHEN 8 THEN 'none'
+                        WHEN 2 THEN 'same_host' WHEN 3 THEN 'same_host'
+                        WHEN 6 THEN 'same_host'
+                        WHEN 4 THEN 'cross_host'
+                        ELSE 'self' END AS verdict,
+                   (k % 10 = 3) AS is_chain
+            FROM b
         """,
         # 12 mime families hand-derived from doc_id%12 — independent of
         # both the sniffer and MIME_FORMAT_MAP

@@ -2983,3 +2983,92 @@ def revisit_schedule(
         ).alias("revisit_hours"),
         reason.alias("reason"),
     )
+
+
+def canonical_verdicts(meta: DataFrame) -> DataFrame:
+    """rel=canonical audit over the page-meta relation (``url``,
+    ``canonical`` as extracted — possibly relative, possibly empty):
+    the indexing-side signal search pipelines resolve before dedup,
+    and the deployment-bug census SEO audits publish (canonicals
+    pointing at redirecting/canonicalizing targets are ignored by
+    Google — the "canonical chain" bug).
+
+    Resolution (RFC 3986 against the page URL): absolute passthrough,
+    protocol-relative gets the page scheme, root-relative the page
+    authority, directory-relative the page's path dirname (dot-segment
+    normalization is NOT applied — disclosed; real canonicals are
+    overwhelmingly absolute).  Verdict compares CANONICAL FORMS
+    (:func:`canonical_url_col` on both sides — ``www.``/default-port/
+    tracking-param/trailing-slash noise does not make a page
+    non-self-canonical):
+
+    - ``none`` — no canonical declared,
+    - ``self`` — canonical form equals the page's canonical form,
+    - ``same_host`` / ``cross_host`` — points at another page, split
+      by canonical host bucket.
+
+    ``is_chain`` — the declared target itself declares a non-self
+    canonical (one dedup-projected self-join on the canonical-URL key;
+    targets outside the relation are unknown and flag false).
+
+    Scale shape: projections plus ONE map-side-combined groupBy and ONE
+    equi-join, both on the canonical-URL key — the same key the dedup
+    stage shuffles on, so at scale the exchange is shared/bucketable.
+    Nothing collects; nothing broadcasts.
+    """
+    c = "trim(coalesce(canonical, ''))"
+    scheme = f"lower(regexp_extract(url, '{_SCHEME_RE}', 1))"
+    host = f"regexp_extract(url, '{_HOST_RE}', 1)"
+    pagedir = (
+        f"regexp_replace(regexp_extract(url, '{_PATH_RE}', 1),"
+        " '[^/]*$', '')"
+    )
+    resolved = (
+        f"CASE WHEN {c} = '' THEN NULL "
+        f"WHEN {c} RLIKE '{_SCHEME_RE}' THEN {c} "
+        f"WHEN {c} LIKE '//%' THEN concat({scheme}, ':', {c}) "
+        f"WHEN {c} LIKE '/%' THEN concat({scheme}, '://', {host}, {c}) "
+        f"ELSE concat({scheme}, '://', {host}, "
+        f"CASE WHEN {pagedir} = '' THEN '/' ELSE {pagedir} END, {c}) END"
+    )
+    v = (
+        meta.select("url", "canonical")
+        .withColumn("resolved", F.expr(resolved))
+        .withColumn("page_canonical", canonical_url_col("url"))
+        .withColumn("canon_canonical", canonical_url_col("resolved"))
+        .withColumn(
+            "verdict",
+            F.when(F.col("resolved").isNull(), F.lit("none"))
+            .when(
+                F.col("canon_canonical") == F.col("page_canonical"),
+                F.lit("self"),
+            )
+            .when(
+                host_col("resolved") == host_col("url"),
+                F.lit("same_host"),
+            )
+            .otherwise(F.lit("cross_host")),
+        )
+        .persist()
+    )
+    targets = v.groupBy(
+        F.col("page_canonical").alias("t_page")
+    ).agg(
+        F.max(
+            F.col("verdict").isin("same_host", "cross_host")
+        ).alias("t_nonself")
+    )
+    out = (
+        v.join(targets, v["canon_canonical"] == targets["t_page"], "left")
+        .select(
+            "url",
+            "page_canonical",
+            F.coalesce("resolved", F.lit("")).alias("canonical_resolved"),
+            "verdict",
+            (
+                F.col("verdict").isin("same_host", "cross_host")
+                & F.coalesce("t_nonself", F.lit(False))
+            ).alias("is_chain"),
+        )
+    )
+    return out

@@ -387,6 +387,9 @@ _PANDAS_OK = {
     # walk, sitemap XML parse
     "extract_http_headers", "extract_microdata", "web_sitemap_urls",
     "web_header_census",
+    # session-10 Arrow-batched kernels: RSS/Atom XML parse, magic-byte
+    # sniff, hreflang DOM walk
+    "web_feed_entries", "web_mime_verdicts", "web_hreflang_clusters",
 }
 
 

@@ -1403,3 +1403,50 @@ def test_revisit_schedule_validates(spark):
                    __import__("datetime").datetime(2024, 1, 1), 0)
     with pytest.raises(ValueError):
         web.revisit_schedule(d, min_hours=10, default_hours=5)
+
+
+def test_canonical_verdicts_resolution_and_classes(spark):
+    meta = spark.createDataFrame(
+        [
+            ("https://a.com/d/p1", ""),                          # none
+            ("https://a.com/d/p2", "https://a.com/d/p2"),        # self abs
+            ("https://www.a.com/d/p3?utm_source=x",
+             "https://a.com:443/d/p3"),                          # self via norm
+            ("https://a.com/d/p4", "/d/p2"),                     # root-rel
+            ("https://a.com/d/p5", "other"),                     # dir-rel
+            ("https://a.com/d/p6", "//a.com/d/p6"),              # proto-rel self
+            ("https://a.com/d/p7", "https://b.net/x"),           # cross host
+            ("https://a.com/d/p8", None),                        # null
+        ],
+        "url string, canonical string",
+    )
+    out = {r.url: r for r in web.canonical_verdicts(meta).collect()}
+    assert out["https://a.com/d/p1"].verdict == "none"
+    assert out["https://a.com/d/p2"].verdict == "self"
+    assert out["https://www.a.com/d/p3?utm_source=x"].verdict == "self"
+    p4 = out["https://a.com/d/p4"]
+    assert (p4.verdict, p4.canonical_resolved) == (
+        "same_host", "https://a.com/d/p2")
+    p5 = out["https://a.com/d/p5"]
+    assert (p5.verdict, p5.canonical_resolved) == (
+        "same_host", "https://a.com/d/other")
+    assert out["https://a.com/d/p6"].verdict == "self"
+    assert out["https://a.com/d/p7"].verdict == "cross_host"
+    assert out["https://a.com/d/p8"].verdict == "none"
+    # chain: p4 -> p2 (self-declaring) is NOT a chain
+    assert not p4.is_chain
+
+
+def test_canonical_verdicts_chain_flag(spark):
+    meta = spark.createDataFrame(
+        [
+            ("https://a.com/x", "https://a.com/y"),   # x -> y
+            ("https://a.com/y", "https://a.com/z"),   # y -> z  (so x chains)
+            ("https://a.com/z", "https://a.com/z"),   # z self
+        ],
+        "url string, canonical string",
+    )
+    out = {r.url: r for r in web.canonical_verdicts(meta).collect()}
+    assert out["https://a.com/x"].is_chain          # target y non-self
+    assert not out["https://a.com/y"].is_chain      # target z is self
+    assert not out["https://a.com/z"].is_chain      # self never chains
