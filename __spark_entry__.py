@@ -359,6 +359,40 @@ def _q_web_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_clusters(extract_hreflang(pages))
 
 
+def _q_web_index_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexability verdicts over both directive channels: the robots-
+    meta kernel parses SQL-built HTML (k%6 families 0-4) and the
+    X-Robots-Tag channel is a SQL-synthesized header relation (families
+    4-5, so family 4 exercises cross-channel most-restrictive-wins)."""
+    from doc_parser_spark.operators.extract import extract_robots_meta
+    from doc_parser_spark.operators.web import index_verdicts
+
+    ks = (
+        _read(spark, sf_dir, "documents")
+        .selectExpr("cast(doc_id % 18 as int) AS k")
+        .distinct()
+    )
+    pages = ks.selectExpr(
+        "concat('https://i.example.org/p', k) AS url",
+        "cast(concat('<html><head>',"
+        " CASE cast(k % 6 as int)"
+        " WHEN 0 THEN '<meta name=\"robots\" content=\"index, follow\"/>'"
+        " WHEN 1 THEN '<meta name=\"robots\" content=\"noindex\"/>'"
+        " WHEN 2 THEN '<meta name=\"robots\" content=\"NONE\"/>'"
+        " WHEN 3 THEN '<meta name=\"robots\" content=\"nofollow,"
+        " noarchive\"/>'"
+        " WHEN 4 THEN '<meta name=\"googlebot\" content=\"nosnippet\"/>'"
+        " ELSE '' END,"
+        " '</head><body>x</body></html>') as binary) AS html",
+    )
+    meta = extract_robots_meta(pages).select("url", "content")
+    hdr = ks.where("k % 6 IN (4, 5)").selectExpr(
+        "concat('https://i.example.org/p', k) AS url",
+        "CASE WHEN k % 6 = 4 THEN 'noindex' ELSE 'noarchive' END AS content",
+    )
+    return index_verdicts(meta.unionByName(hdr))
+
+
 def _q_extract_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-side WARC walk over chains synthesized IN SQL (binary
     concat with Content-Length octet math, CRLF framing — the mirror
@@ -1169,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             web.synth_redirects(_read(spark, sf, "documents")), max_hops=3
         ),
         "web_mime_verdicts": _q_web_mime_verdicts,
+        "web_index_verdicts": _q_web_index_verdicts,
         # rel=canonical audit over 20 hand-built families (k=doc_id%20,
         # behavior keyed on k%10): none/self/norm-self/root-rel/dir-rel/
         # proto-rel/cross-host/whitespace/trailing-slash + one chain
@@ -4611,6 +4646,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT concat(base, 'fr'), concat(base, 'en'), 2, 'fr',
                    false, true
             FROM b WHERE g % 5 = 0
+        """,
+        # indexability families hand-derived from k%6 (family 4 merges
+        # the meta and header channels; family 5 is header-only)
+        "web_index_verdicts": """
+            WITH ks AS (
+                SELECT DISTINCT CAST(doc_id % 18 AS INT) AS k FROM documents
+            )
+            SELECT concat('https://i.example.org/p', k) AS url,
+                   CAST(CASE k % 6 WHEN 0 THEN 2 WHEN 3 THEN 2
+                                   WHEN 4 THEN 2 ELSE 1 END AS BIGINT)
+                       AS n_tokens,
+                   (k % 6 IN (1, 2, 4)) AS noindex,
+                   (k % 6 IN (2, 3)) AS nofollow,
+                   (k % 6 IN (3, 5)) AS noarchive,
+                   (k % 6 = 4) AS nosnippet,
+                   (k % 6 NOT IN (1, 2, 4)) AS indexable
+            FROM ks
         """,
         # canonical families hand-derived from k%10; only k%10=3 chains
         # (its target, the k-1 root-relative family, declares non-self)

@@ -1329,6 +1329,58 @@ def extract_hreflang(
     )
 
 
+def extract_robots_meta(
+    pages: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES
+) -> DataFrame:
+    """pages(url, html) → one row per ``<meta name="robots">`` (and
+    crawler-specific ``googlebot``/``bingbot`` variants) with its raw
+    ``content`` — the page-level half of the indexability contract
+    (Google's robots-meta spec); the header half (``X-Robots-Tag``)
+    comes from :func:`warc_http_headers`, and
+    :func:`doc_parser_spark.operators.web.index_verdicts` combines the
+    channels.
+
+    One row per tag (pages can carry several; the combining rule is
+    most-restrictive-wins, so every row matters). ``name`` matching is
+    case-insensitive; content is surfaced verbatim (tokenization is the
+    combiner's job). Same execution contract as the extraction kernel:
+    Arrow-batched ``mapInPandas``, per-document failure isolation, zero
+    shuffles.
+    """
+    names = {"robots", "googlebot", "bingbot"}
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if sys.getrecursionlimit() < _RECURSION_LIMIT:
+            sys.setrecursionlimit(_RECURSION_LIMIT)
+        from doc_parser_spark.core import sniff as _sniff
+        from doc_parser_spark.html.dom import parse_html
+
+        for batch in batches:
+            records = []
+            for url, payload in zip(batch["url"], batch["html"]):
+                if payload is None or len(payload) > max_bytes:
+                    continue
+                data = bytes(payload)
+                if _sniff.sniff_format(data) != _sniff.FORMAT_HTML:
+                    continue
+                try:
+                    for tag in parse_html(data).descendants_tags():
+                        if tag.name != "meta":
+                            continue
+                        nm = (tag.get("name") or "").strip().lower()
+                        if nm in names:
+                            records.append(
+                                (url, nm, (tag.get("content") or "").strip())
+                            )
+                except Exception:  # noqa: BLE001 — per-doc isolation
+                    continue
+            yield pd.DataFrame(records, columns=["url", "name", "content"])
+
+    return pages.select("url", "html").mapInPandas(
+        kernel, schema="url string, name string, content string"
+    )
+
+
 def extract_microdata(
     pages: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES
 ) -> DataFrame:

@@ -3072,3 +3072,44 @@ def canonical_verdicts(meta: DataFrame) -> DataFrame:
         )
     )
     return out
+
+
+def index_verdicts(directives: DataFrame) -> DataFrame:
+    """Indexability per URL from robots directives — the gate between
+    "fetched" and "belongs in the corpus/index" (Google robots-meta /
+    X-Robots-Tag semantics, most-restrictive-wins across every channel
+    and tag).  Input is the unioned directive relation ``(url,
+    content)`` — rows from ``extract_robots_meta`` and/or
+    ``X-Robots-Tag`` header values; a URL with no rows is simply absent
+    (the caller left-joins and treats absence as indexable).
+
+    Directive tokens (comma-separated, case/space-insensitive):
+    ``noindex`` / ``nofollow`` / ``noarchive`` / ``nosnippet``, with
+    ``none`` expanding to ``noindex + nofollow`` per spec.
+    ``unavailable_after`` and crawler-scoped precedence are not
+    modelled (disclosed — the relation keeps raw rows so a finer
+    combiner can be layered later).  ``indexable = NOT noindex``.
+
+    Scale shape: explode to narrow token rows, then ONE map-side-
+    combined groupBy on the URL key — flags are ``max`` aggregations,
+    so the shuffle carries booleans, not token lists.
+    """
+    toks = directives.select(
+        "url",
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col("content"), F.lit(""))), ",")
+        ).alias("t"),
+    ).select("url", F.trim("t").alias("t"))
+    noindex = F.max(F.col("t").isin("noindex", "none")).alias("noindex")
+    nofollow = F.max(F.col("t").isin("nofollow", "none")).alias("nofollow")
+    return (
+        toks.groupBy("url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            noindex,
+            nofollow,
+            F.max(F.col("t") == "noarchive").alias("noarchive"),
+            F.max(F.col("t") == "nosnippet").alias("nosnippet"),
+        )
+        .withColumn("indexable", ~F.col("noindex"))
+    )

@@ -486,3 +486,54 @@ def test_hreflang_clusters_reciprocity_and_membership(spark):
     assert (out["de2"].declares, out["de2"].referenced) == (False, True)
     assert (out["en2"].declares, out["en2"].referenced) == (True, False)
     assert out["en2"].ref_langs == ""
+
+
+# --- robots meta / indexability ------------------------------------------------
+
+
+def test_extract_robots_meta_kernel(spark):
+    from doc_parser_spark.operators.extract import extract_robots_meta
+
+    html = (
+        b'<html><head>'
+        b'<meta name="ROBOTS" content="noindex, nofollow"/>'
+        b'<meta name="googlebot" content="nosnippet"/>'
+        b'<meta name="viewport" content="width=1"/>'
+        b'<meta name="robots" content="noarchive"/>'
+        b'</head><body>x</body></html>'
+    )
+    pages = spark.createDataFrame(
+        [("u", html)], "url string, html binary"
+    )
+    rows = sorted(
+        extract_robots_meta(pages).collect(),
+        key=lambda r: (r.name, r.content),
+    )
+    assert [(r.name, r.content) for r in rows] == [
+        ("googlebot", "nosnippet"),
+        ("robots", "noarchive"),
+        ("robots", "noindex, nofollow"),
+    ]
+
+
+def test_index_verdicts_most_restrictive_wins(spark):
+    d = spark.createDataFrame(
+        [
+            ("a", "index, follow"),
+            ("b", "NOINDEX"),
+            ("c", "none"),
+            ("d", "nofollow , noarchive"),
+            ("d", "nosnippet"),          # second channel merges
+            ("e", ""),
+        ],
+        "url string, content string",
+    )
+    out = {r.url: r for r in web.index_verdicts(d).collect()}
+    assert (out["a"].noindex, out["a"].indexable) == (False, True)
+    assert (out["b"].noindex, out["b"].indexable) == (True, False)
+    assert (out["c"].noindex, out["c"].nofollow) == (True, True)
+    assert (out["d"].nofollow, out["d"].noarchive, out["d"].nosnippet,
+            out["d"].indexable) == (True, True, True, True)
+    assert out["d"].n_tokens == 3
+    # blank content still yields a row (one empty token, no flags)
+    assert (out["e"].indexable, out["e"].noindex) == (True, False)
