@@ -359,6 +359,31 @@ def _q_web_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_clusters(extract_hreflang(pages))
 
 
+def _q_extract_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT metadata-sidecar records over an SQL-synthesized meta relation
+    whose title/description families exercise JSON escaping (quotes,
+    backslash, tab, non-ASCII) and NULL folding — the record is a pure
+    JVM projection, so the DuckDB twin rebuilds it byte-for-byte."""
+    from doc_parser_spark.operators.extract import wat_records
+
+    docs = _read(spark, sf_dir, "documents")
+    meta = docs.selectExpr(
+        "concat('https://wat.example.org/p/', doc_id) AS url",
+        "timestampadd(HOUR, cast(doc_id % 720 as int),"
+        " timestamp'2024-01-01 00:00:00') AS warc_ts",
+        "CASE cast(doc_id % 4 as int)"
+        " WHEN 0 THEN concat('Plain title ', doc_id)"
+        " WHEN 1 THEN concat('He said \"hi\" \\\\ ', doc_id)"
+        " WHEN 2 THEN concat('café ', doc_id)"
+        " ELSE NULL END AS title",
+        "CASE WHEN doc_id % 4 = 3 THEN NULL"
+        " ELSE concat('desc\t', doc_id) END AS meta_description",
+        "CASE WHEN doc_id % 4 = 3 THEN NULL"
+        " ELSE cast(doc_id % 7 as int) END AS n_links",
+    )
+    return wat_records(meta)
+
+
 def _q_web_index_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Indexability verdicts over both directive channels: the robots-
     meta kernel parses SQL-built HTML (k%6 families 0-4) and the
@@ -1203,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             web.synth_redirects(_read(spark, sf, "documents")), max_hops=3
         ),
         "web_mime_verdicts": _q_web_mime_verdicts,
+        "extract_wat": _q_extract_wat,
         "web_index_verdicts": _q_web_index_verdicts,
         # rel=canonical audit over 20 hand-built families (k=doc_id%20,
         # behavior keyed on k%10): none/self/norm-self/root-rel/dir-rel/
@@ -4646,6 +4672,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT concat(base, 'fr'), concat(base, 'en'), 2, 'fr',
                    false, true
             FROM b WHERE g % 5 = 0
+        """,
+        # WAT record rebuilt byte-for-byte: DuckDB to_json renders the
+        # same compact, struct-ordered, raw-UTF-8 JSON as Spark's
+        "extract_wat": """
+            WITH m AS (
+                SELECT concat('https://wat.example.org/p/', doc_id) AS url,
+                       strftime(TIMESTAMP '2024-01-01 00:00:00'
+                                + to_hours(CAST(doc_id % 720 AS BIGINT)),
+                                '%Y-%m-%dT%H:%M:%SZ') AS d,
+                       CASE CAST(doc_id % 4 AS INT)
+                            WHEN 0 THEN concat('Plain title ', doc_id)
+                            WHEN 1 THEN concat('He said "hi" \ ', doc_id)
+                            WHEN 2 THEN concat('café ', doc_id)
+                            ELSE NULL END AS title,
+                       CASE WHEN doc_id % 4 = 3 THEN NULL
+                            ELSE concat('desc', chr(9), doc_id)
+                            END AS descr,
+                       CASE WHEN doc_id % 4 = 3 THEN NULL
+                            ELSE CAST(doc_id % 7 AS BIGINT) END AS n_links
+                FROM documents
+            ),
+            j AS (
+                SELECT url, d, to_json(struct_pack(Envelope := struct_pack(
+                    Format := 'WARC',
+                    "WARC-Header-Metadata" := struct_pack(
+                        "WARC-Target-URI" := url, "WARC-Date" := d,
+                        "WARC-Type" := 'response'),
+                    "Payload-Metadata" := struct_pack(
+                        "HTML-Metadata" := struct_pack(
+                            Head := struct_pack(
+                                Title := coalesce(title, ''),
+                                "Meta-Description" := coalesce(descr, '')),
+                            "Links-Count" := coalesce(n_links, 0)))
+                )))::VARCHAR AS body
+                FROM m
+            )
+            SELECT url, concat(
+                'WARC/1.0', chr(13)||chr(10),
+                'WARC-Type: metadata', chr(13)||chr(10),
+                'WARC-Target-URI: ', url, chr(13)||chr(10),
+                'WARC-Date: ', d, chr(13)||chr(10),
+                'WARC-Record-ID: <urn:md5:',
+                md5(url || chr(10) || 'wat' || chr(10) || d), '>',
+                chr(13)||chr(10),
+                'Content-Type: application/json', chr(13)||chr(10),
+                'Content-Length: ',
+                CAST(octet_length(encode(body)) AS VARCHAR),
+                chr(13)||chr(10), chr(13)||chr(10),
+                body, chr(13)||chr(10), chr(13)||chr(10)
+            ) AS wat_record
+            FROM j
         """,
         # indexability families hand-derived from k%6 (family 4 merges
         # the meta and header channels; family 5 is header-only)

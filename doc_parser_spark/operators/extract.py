@@ -748,6 +748,71 @@ def wet_records(docs: DataFrame) -> DataFrame:
     )
 
 
+def wat_records(meta: DataFrame) -> DataFrame:
+    """meta(url, warc_ts, title, meta_description, n_links) → (url,
+    wat_record) — WAT-style WARC ``metadata`` records whose body is the
+    JSON envelope (Common Crawl's WAT convention: the per-page metadata
+    sidecar consumers read instead of re-parsing payloads).  The
+    envelope is the useful subset — WARC header echo plus
+    HTML-Metadata head fields and the outlink count — rendered with
+    ``to_json`` (compact, struct-ordered keys, raw UTF-8: byte-stable
+    across engines, which is what makes the record oracle-checkable).
+
+    Same two disclosed determinism deltas as :func:`wet_records`
+    (md5-derived record id, no block digest).  NULL head fields fold to
+    ``''`` so the envelope shape is fixed.  Pure JVM projection —
+    no Python, no shuffle; each partition written with a ``text`` sink
+    is a valid WAT shard.
+    """
+    crlf = "\r\n"
+    date = F.date_format(
+        F.to_utc_timestamp(F.col("warc_ts"), F.current_timezone()),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    )
+    body = F.to_json(
+        F.struct(
+            F.struct(
+                F.lit("WARC").alias("Format"),
+                F.struct(
+                    F.col("url").alias("WARC-Target-URI"),
+                    date.alias("WARC-Date"),
+                    F.lit("response").alias("WARC-Type"),
+                ).alias("WARC-Header-Metadata"),
+                F.struct(
+                    F.struct(
+                        F.struct(
+                            F.coalesce("title", F.lit("")).alias("Title"),
+                            F.coalesce("meta_description", F.lit(""))
+                            .alias("Meta-Description"),
+                        ).alias("Head"),
+                        F.coalesce(
+                            F.col("n_links").cast("long"), F.lit(0)
+                        ).alias("Links-Count"),
+                    ).alias("HTML-Metadata")
+                ).alias("Payload-Metadata"),
+            ).alias("Envelope")
+        )
+    )
+    return meta.select(
+        "url",
+        F.concat(
+            F.lit("WARC/1.0" + crlf),
+            F.lit("WARC-Type: metadata" + crlf),
+            F.lit("WARC-Target-URI: "), F.col("url"), F.lit(crlf),
+            F.lit("WARC-Date: "), date, F.lit(crlf),
+            F.lit("WARC-Record-ID: <urn:md5:"),
+            F.md5(F.concat(F.col("url"), F.lit("\nwat\n"), date)),
+            F.lit(">" + crlf),
+            F.lit("Content-Type: application/json" + crlf),
+            F.lit("Content-Length: "),
+            F.octet_length(body).cast("string"),
+            F.lit(crlf + crlf),
+            body,
+            F.lit(crlf + crlf),
+        ).alias("wat_record"),
+    )
+
+
 def _page_meta_schema():
     from pyspark.sql import types as T
 
