@@ -1230,6 +1230,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_mime_verdicts": _q_web_mime_verdicts,
         "extract_wat": _q_extract_wat,
         "web_index_verdicts": _q_web_index_verdicts,
+        # declared-vs-detected language audit: lang_attr families from
+        # the documents table's own lang column (match, -XX subtag,
+        # empty, NULL, bogus 'zz')
+        "web_lang_consistency": lambda spark, sf: web.lang_consistency(
+            _read(spark, sf, "documents").selectExpr(
+                "concat('https://lang.example.org/', doc_id) AS url",
+                "CASE cast(doc_id % 5 as int)"
+                " WHEN 0 THEN lang WHEN 1 THEN concat(lang, '-XX')"
+                " WHEN 2 THEN '' WHEN 3 THEN NULL ELSE 'zz' END"
+                " AS lang_attr",
+                "text",
+            )
+        ),
         # rel=canonical audit over 20 hand-built families (k=doc_id%20,
         # behavior keyed on k%10): none/self/norm-self/root-rel/dir-rel/
         # proto-rel/cross-host/whitespace/trailing-slash + one chain
@@ -4672,6 +4685,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT concat(base, 'fr'), concat(base, 'en'), 2, 'fr',
                    false, true
             FROM b WHERE g % 5 = 0
+        """,
+        # detector mirrored via the shared stopword-hit SQL; declared
+        # subtag extraction mirrored with 1-based list indexing
+        "web_lang_consistency": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       lower(trim(string_split(coalesce(
+                           CASE CAST(doc_id % 5 AS INT)
+                                WHEN 0 THEN lang
+                                WHEN 1 THEN concat(lang, '-XX')
+                                WHEN 2 THEN ''
+                                WHEN 3 THEN NULL
+                                ELSE 'zz' END, ''), '-')[1]))
+                           AS declared_lang,
+                       CASE WHEN ({en_hits}) = 0 AND ({es_hits}) = 0
+                                 AND ({de_hits}) = 0 THEN 'und'
+                            WHEN ({en_hits}) >= ({es_hits})
+                                 AND ({en_hits}) >= ({de_hits}) THEN 'en'
+                            WHEN ({es_hits}) >= ({de_hits}) THEN 'es'
+                            ELSE 'de' END AS pred_lang
+                FROM documents
+            )
+            SELECT concat('https://lang.example.org/', doc_id) AS url,
+                   declared_lang, pred_lang,
+                   CASE WHEN declared_lang = '' THEN 'undeclared'
+                        WHEN pred_lang = 'und' THEN 'undetected'
+                        WHEN declared_lang = pred_lang THEN 'match'
+                        ELSE 'mismatch' END AS verdict
+            FROM d
         """,
         # WAT record rebuilt byte-for-byte: DuckDB to_json renders the
         # same compact, struct-ordered, raw-UTF-8 JSON as Spark's

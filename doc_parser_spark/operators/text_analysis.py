@@ -99,22 +99,27 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
-def lang_id(documents: DataFrame) -> DataFrame:
-    """Stopword-overlap language ID (n-gram-free heuristic): argmax of
-    per-language stopword hit counts, 'und' when all zero."""
-    documents = _nn_text(documents)
+def lang_hit_cols(text_col: str = "text"):
+    """The per-language stopword hit-count columns (shared by
+    :func:`lang_id` and ``web.lang_consistency`` so the two can never
+    disagree on the detector)."""
     cols = []
     for lang, words in _STOPWORDS.items():
         hits = None
         for w in words:
             hit = F.expr(
-                f"size(filter(split(lower(text), '\\\\s+'), t -> t = '{w}'))"
+                f"size(filter(split(lower({text_col}), '\\\\s+'),"
+                f" t -> t = '{w}'))"
             )
             hits = hit if hits is None else (hits + hit)
         cols.append(hits.cast("long").alias(f"hits_{lang}"))
-    scored = documents.select("doc_id", *cols)
-    # argmax derived from _STOPWORDS (ties -> earliest key), so adding a
-    # language to the dict extends both the hit columns AND the verdict
+    return cols
+
+
+def lang_pred_sql() -> str:
+    """The argmax CASE over the ``hits_<lang>`` columns, derived from
+    _STOPWORDS (ties -> earliest key), so adding a language to the dict
+    extends both the hit columns AND the verdict. 'und' when all zero."""
     langs = list(_STOPWORDS)
     all_zero = " AND ".join(f"hits_{lg} = 0" for lg in langs)
     branches = []
@@ -123,15 +128,22 @@ def lang_id(documents: DataFrame) -> DataFrame:
             f"hits_{lg} >= hits_{other}" for other in langs[i + 1 :]
         )
         branches.append(f"WHEN {geq} THEN '{lg}'")
-    case = (
+    return (
         f"CASE WHEN {all_zero} THEN 'und' "
         + " ".join(branches)
         + f" ELSE '{langs[-1]}' END"
     )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-overlap language ID (n-gram-free heuristic): argmax of
+    per-language stopword hit counts, 'und' when all zero."""
+    documents = _nn_text(documents)
+    scored = documents.select("doc_id", *lang_hit_cols())
     return scored.select(
         "doc_id",
-        *[f"hits_{lg}" for lg in langs],
-        F.expr(case).alias("pred_lang"),
+        *[f"hits_{lg}" for lg in _STOPWORDS],
+        F.expr(lang_pred_sql()).alias("pred_lang"),
     )
 
 

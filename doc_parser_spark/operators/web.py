@@ -3113,3 +3113,54 @@ def index_verdicts(directives: DataFrame) -> DataFrame:
         )
         .withColumn("indexable", ~F.col("noindex"))
     )
+
+
+def lang_consistency(pages: DataFrame) -> DataFrame:
+    """Declared vs detected language per page — the multilingual-corpus
+    QA gate (CCNet/OSCAR pipelines drop or re-route pages whose
+    ``<html lang>`` contradicts the detector; mismatch rates per host
+    also expose template-copied lang attributes, a notorious crawl
+    artifact).  Input ``(url, lang_attr, text)`` — the page-meta
+    relation joined with extracted text.
+
+    ``declared_lang`` is the primary BCP-47 subtag, lowercased
+    (``en-US`` → ``en``); ``pred_lang`` comes from the shared
+    stopword-overlap detector (``text_analysis.lang_id`` — same
+    verdict, same tie-break).  Verdicts: ``undeclared`` (no usable
+    attribute), ``undetected`` (detector says ``und`` — never blamed on
+    the declaration), ``match`` / ``mismatch``.
+
+    Scale shape: pure projections (the detector is a fixed set of
+    JVM-side token-count expressions) — zero shuffles; census rollups
+    downstream key on (declared, pred, verdict).
+    """
+    from . import text_analysis as _ta
+
+    declared = F.lower(
+        F.trim(
+            F.element_at(
+                F.split(F.coalesce(F.col("lang_attr"), F.lit("")), "-"), 1
+            )
+        )
+    )
+    scored = pages.select(
+        "url",
+        declared.alias("declared_lang"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    ).select("url", "declared_lang", *_ta.lang_hit_cols())
+    return scored.select(
+        "url",
+        "declared_lang",
+        F.expr(_ta.lang_pred_sql()).alias("pred_lang"),
+    ).select(
+        "url",
+        "declared_lang",
+        "pred_lang",
+        F.when(F.col("declared_lang") == "", F.lit("undeclared"))
+        .when(F.col("pred_lang") == "und", F.lit("undetected"))
+        .when(
+            F.col("declared_lang") == F.col("pred_lang"), F.lit("match")
+        )
+        .otherwise(F.lit("mismatch"))
+        .alias("verdict"),
+    )

@@ -537,3 +537,42 @@ def test_index_verdicts_most_restrictive_wins(spark):
     assert out["d"].n_tokens == 3
     # blank content still yields a row (one empty token, no flags)
     assert (out["e"].indexable, out["e"].noindex) == (True, False)
+
+
+# --- language consistency ------------------------------------------------------
+
+
+def test_lang_consistency_verdicts(spark):
+    pages = spark.createDataFrame(
+        [
+            ("m", "en-US", "the cat and the dog of the house is here"),
+            ("x", "de", "the cat and the dog of the house is here"),
+            ("u", "", "the and of to is"),
+            ("n", "fr", "zzz qqq www"),            # detector says und
+            ("nn", None, "xxx"),                   # null attr + und
+        ],
+        "url string, lang_attr string, text string",
+    )
+    out = {r.url: r for r in web.lang_consistency(pages).collect()}
+    assert (out["m"].declared_lang, out["m"].pred_lang,
+            out["m"].verdict) == ("en", "en", "match")
+    assert out["x"].verdict == "mismatch"
+    assert out["u"].verdict == "undeclared"
+    assert (out["n"].pred_lang, out["n"].verdict) == ("und", "undetected")
+    assert out["nn"].verdict == "undeclared"
+
+
+def test_lang_consistency_matches_lang_id(spark):
+    # shared detector: pred_lang must equal text_analysis.lang_id's
+    docs = spark.createDataFrame(
+        [(1, "el que la los una"), (2, "der die und das ist"),
+         (3, "the of and la el")],
+        "doc_id long, text string",
+    )
+    expected = {r.doc_id: r.pred_lang
+                for r in text_analysis.lang_id(docs).collect()}
+    pages = docs.selectExpr("cast(doc_id as string) AS url",
+                            "'xx' AS lang_attr", "text")
+    got = {int(r.url): r.pred_lang
+           for r in web.lang_consistency(pages).collect()}
+    assert got == expected
