@@ -384,6 +384,35 @@ def _q_extract_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wat_records(meta)
 
 
+def _q_web_dom_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-template mining over SQL-built HTML: 8 hosts (doc_id%8) whose
+    pages share a title + nav (boilerplate), carry a per-page <p>
+    (content slot), a footer on even hosts only, and a one-off
+    blockquote on doc_id%125=7 pages (rare). The oracle re-predicts the
+    kernel rows in SQL and re-runs the census with its own aggregates."""
+    from doc_parser_spark.operators.extract import extract_dom_paths
+    from doc_parser_spark.operators.web import dom_templates
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.selectExpr(
+        "concat('https://t', cast(doc_id % 8 as int),"
+        " '.example.org/p/', doc_id) AS url",
+        "cast(concat("
+        "'<html><head><title>Site ', cast(doc_id % 8 as int),"
+        " '</title></head><body>',"
+        "'<nav><ul><li>Home</li><li>About</li></ul></nav>',"
+        "'<p>content text ', doc_id, '</p>',"
+        "CASE WHEN doc_id % 2 = 0 THEN"
+        " concat('<footer>Copyright site ', cast(doc_id % 8 as int),"
+        " '</footer>') ELSE '' END,"
+        "CASE WHEN doc_id % 125 = 7 THEN"
+        " concat('<blockquote>one off ', doc_id, '</blockquote>')"
+        " ELSE '' END,"
+        "'</body></html>') as binary) AS html",
+    )
+    return dom_templates(extract_dom_paths(pages))
+
+
 def _q_web_index_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Indexability verdicts over both directive channels: the robots-
     meta kernel parses SQL-built HTML (k%6 families 0-4) and the
@@ -1229,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "web_mime_verdicts": _q_web_mime_verdicts,
         "extract_wat": _q_extract_wat,
+        "web_dom_templates": _q_web_dom_templates,
         "web_index_verdicts": _q_web_index_verdicts,
         # declared-vs-detected language audit: lang_attr families from
         # the documents table's own lang column (match, -XX subtag,
@@ -4685,6 +4715,81 @@ def oracle_sql() -> dict[str, str]:
             SELECT concat(base, 'fr'), concat(base, 'en'), 2, 'fr',
                    false, true
             FROM b WHERE g % 5 = 0
+        """,
+        # kernel rows re-predicted in SQL, census re-run with DuckDB's
+        # own aggregates (min_pages=2, boiler threshold 800000 ppm)
+        "web_dom_templates": """
+            WITH pages AS (
+                SELECT doc_id, CAST(doc_id % 8 AS INT) AS h,
+                       concat('t', CAST(doc_id % 8 AS INT),
+                              '.example.org') AS host,
+                       concat('https://t', CAST(doc_id % 8 AS INT),
+                              '.example.org/p/', doc_id) AS url
+                FROM documents
+            ),
+            r AS (
+                SELECT host, url, 'html/head/title' AS dom_path,
+                       md5(concat('Site ', h)) AS th FROM pages
+                UNION ALL
+                SELECT host, url, 'html/body/nav', md5('HomeAbout')
+                FROM pages
+                UNION ALL
+                SELECT host, url, 'html/body/nav/ul/li', md5('Home')
+                FROM pages
+                UNION ALL
+                SELECT host, url, 'html/body/nav/ul/li', md5('About')
+                FROM pages
+                UNION ALL
+                SELECT host, url, 'html/body/p',
+                       md5(concat('content text ', doc_id)) FROM pages
+                UNION ALL
+                SELECT host, url, 'html/body/footer',
+                       md5(concat('Copyright site ', h))
+                FROM pages WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT host, url, 'html/body/blockquote',
+                       md5(concat('one off ', doc_id))
+                FROM pages WHERE doc_id % 125 = 7
+            ),
+            pt AS (
+                SELECT host, dom_path, th, count(DISTINCT url) AS nu
+                FROM r GROUP BY 1, 2, 3
+            ),
+            top AS (
+                SELECT host, dom_path, CAST(max(nu) AS BIGINT)
+                           AS top_text_pages
+                FROM pt GROUP BY 1, 2
+            ),
+            pp AS (
+                SELECT host, dom_path,
+                       CAST(count(DISTINCT url) AS BIGINT)
+                           AS n_pages_with_path,
+                       CAST(count(DISTINCT th) AS BIGINT) AS n_texts
+                FROM r GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT host, CAST(count(DISTINCT url) AS BIGINT)
+                           AS n_pages_host
+                FROM r GROUP BY 1
+            )
+            SELECT pp.host, pp.dom_path, tot.n_pages_host,
+                   pp.n_pages_with_path, pp.n_texts, top.top_text_pages,
+                   CAST((1000000 * pp.n_pages_with_path)
+                        // tot.n_pages_host AS BIGINT) AS path_share_ppm,
+                   CAST((1000000 * top.top_text_pages)
+                        // tot.n_pages_host AS BIGINT) AS top_share_ppm,
+                   CASE WHEN pp.n_pages_with_path >= 2
+                             AND (1000000 * top.top_text_pages)
+                                 // tot.n_pages_host >= 800000
+                            THEN 'boilerplate'
+                        WHEN pp.n_pages_with_path >= 2
+                             AND (1000000 * pp.n_pages_with_path)
+                                 // tot.n_pages_host >= 800000
+                            THEN 'slot'
+                        ELSE 'rare' END AS verdict
+            FROM pp
+            JOIN top ON pp.host = top.host AND pp.dom_path = top.dom_path
+            JOIN tot ON pp.host = tot.host
         """,
         # detector mirrored via the shared stopword-hit SQL; declared
         # subtag extraction mirrored with 1-based list indexing

@@ -1394,6 +1394,88 @@ def extract_hreflang(
     )
 
 
+_DOM_BLOCK_TAGS = frozenset(
+    ["p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th",
+     "title", "nav", "footer", "header", "aside", "blockquote", "pre"]
+)
+
+
+def extract_dom_paths(
+    pages: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES
+) -> DataFrame:
+    """pages(url, html) → one row per block-level element with its DOM
+    path — the raw feed for wrapper induction / site-template mining
+    (``web.dom_templates``): elements that repeat at the same path with
+    the same text across a host's pages are the template (nav, footer,
+    cookie banner); same path + varying text is a content slot.
+
+    Per row: ``dom_path`` (root→element lowercase tag chain joined with
+    ``/``; positional indices deliberately omitted — template mining
+    wants the SHAPE class, not the instance), ``text_hash`` (md5 of the
+    whitespace-normalized subtree text), ``n_chars`` of that text, and
+    the document-order position among emitted rows.  Block set:
+    paragraph/heading/list/table-cell/sectioning tags
+    (``_DOM_BLOCK_TAGS``); nested blocks each emit their own row.
+    Empty-text blocks are kept — an empty nav cell is still template
+    shape.
+
+    Same execution contract as the extraction kernel: Arrow-batched
+    ``mapInPandas``, per-document failure isolation, zero shuffles; the
+    downstream census keys on host, which the crawl layout already
+    partitions by.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if sys.getrecursionlimit() < _RECURSION_LIMIT:
+            sys.setrecursionlimit(_RECURSION_LIMIT)
+        import hashlib
+
+        from doc_parser_spark.core import sniff as _sniff
+        from doc_parser_spark.html.dom import Tag, parse_html
+
+        for batch in batches:
+            records = []
+            for url, payload in zip(batch["url"], batch["html"]):
+                if payload is None or len(payload) > max_bytes:
+                    continue
+                data = bytes(payload)
+                if _sniff.sniff_format(data) != _sniff.FORMAT_HTML:
+                    continue
+                try:
+                    root = parse_html(data)
+                    pos = 0
+                    # iterative walk carrying the path (no recursion cap)
+                    stack = [(c, c.name) for c in reversed(root.children)
+                             if isinstance(c, Tag)]
+                    while stack:
+                        node, path = stack.pop()
+                        if node.name in _DOM_BLOCK_TAGS:
+                            txt = " ".join(node.text.split())
+                            records.append((
+                                url, path,
+                                hashlib.md5(txt.encode("utf-8")).hexdigest(),
+                                len(txt), pos,
+                            ))
+                            pos += 1
+                        stack.extend(
+                            (c, f"{path}/{c.name}")
+                            for c in reversed(node.children)
+                            if isinstance(c, Tag)
+                        )
+                except Exception:  # noqa: BLE001 — per-doc isolation
+                    continue
+            yield pd.DataFrame(
+                records,
+                columns=["url", "dom_path", "text_hash", "n_chars", "pos"],
+            )
+
+    return pages.select("url", "html").mapInPandas(
+        kernel,
+        schema="url string, dom_path string, text_hash string,"
+        " n_chars int, pos int",
+    )
+
+
 def extract_robots_meta(
     pages: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES
 ) -> DataFrame:

@@ -3164,3 +3164,90 @@ def lang_consistency(pages: DataFrame) -> DataFrame:
         .otherwise(F.lit("mismatch"))
         .alias("verdict"),
     )
+
+
+def dom_templates(
+    paths: DataFrame,
+    min_pages: int = 2,
+    boiler_share_ppm: int = 800_000,
+) -> DataFrame:
+    """Wrapper induction / site-template census over the DOM-path
+    relation (``extract_dom_paths`` output ``(url, dom_path,
+    text_hash)``): the structure-recovery step that separates a host's
+    TEMPLATE (nav, footer, cookie banner — same path, same text on
+    nearly every page) from its CONTENT SLOTS (same path, text varies
+    per page) — the classifier behind template-aware boilerplate
+    stripping at corpus scale (the per-host generalization of
+    line-level ``template_strip``).
+
+    Per (host, dom_path): page counts, distinct texts, the largest
+    single-text page count, ppm shares against the host's emitting-page
+    total, and the verdict —
+
+    - ``boilerplate``: one text dominates ≥ ``boiler_share_ppm`` of the
+      host's pages (and ≥ ``min_pages`` carry the path),
+    - ``slot``: the path itself is that common but no text dominates,
+    - ``rare``: everything else (one-off structure).
+
+    Integer-exact: shares are ``(1e6·x) DIV n_pages_host``.
+
+    Scale shape: three map-side-combined groupBys — (host, path, text)
+    → (host, path) → host — all sharing the host key prefix, then two
+    equi-joins back on that same key; nothing corpus-sized broadcasts
+    and nothing collects.  Host skew is bounded by the same cap logic
+    the crawl layout applies (``host_cap``) upstream.
+    """
+    if min_pages < 1:
+        raise ValueError(f"min_pages ({min_pages}) must be >= 1")
+    h = paths.select(
+        host_col("url").alias("host"), "url", "dom_path", "text_hash"
+    )
+    per_text = h.groupBy("host", "dom_path", "text_hash").agg(
+        F.countDistinct("url").alias("nu")
+    )
+    top = per_text.groupBy("host", "dom_path").agg(
+        F.max("nu").cast("long").alias("top_text_pages")
+    )
+    per_path = h.groupBy("host", "dom_path").agg(
+        F.countDistinct("url").cast("long").alias("n_pages_with_path"),
+        F.countDistinct("text_hash").cast("long").alias("n_texts"),
+    )
+    totals = h.groupBy("host").agg(
+        F.countDistinct("url").cast("long").alias("n_pages_host")
+    )
+    return (
+        per_path.join(top, ["host", "dom_path"])
+        .join(totals, "host")
+        .select(
+            "host",
+            "dom_path",
+            "n_pages_host",
+            "n_pages_with_path",
+            "n_texts",
+            "top_text_pages",
+            F.expr("(1000000 * n_pages_with_path) DIV n_pages_host")
+            .alias("path_share_ppm"),
+            F.expr("(1000000 * top_text_pages) DIV n_pages_host")
+            .alias("top_share_ppm"),
+            F.when(
+                (F.col("n_pages_with_path") >= min_pages)
+                & (
+                    F.expr("(1000000 * top_text_pages) DIV n_pages_host")
+                    >= boiler_share_ppm
+                ),
+                F.lit("boilerplate"),
+            )
+            .when(
+                (F.col("n_pages_with_path") >= min_pages)
+                & (
+                    F.expr(
+                        "(1000000 * n_pages_with_path) DIV n_pages_host"
+                    )
+                    >= boiler_share_ppm
+                ),
+                F.lit("slot"),
+            )
+            .otherwise(F.lit("rare"))
+            .alias("verdict"),
+        )
+    )

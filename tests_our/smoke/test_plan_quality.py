@@ -390,7 +390,7 @@ _PANDAS_OK = {
     # session-10 Arrow-batched kernels: RSS/Atom XML parse, magic-byte
     # sniff, hreflang DOM walk
     "web_feed_entries", "web_mime_verdicts", "web_hreflang_clusters",
-    "web_index_verdicts",
+    "web_index_verdicts", "web_dom_templates",
 }
 
 

@@ -576,3 +576,79 @@ def test_lang_consistency_matches_lang_id(spark):
     got = {int(r.url): r.pred_lang
            for r in web.lang_consistency(pages).collect()}
     assert got == expected
+
+
+# --- DOM templates -------------------------------------------------------------
+
+
+def test_extract_dom_paths_shape_and_order(spark):
+    from doc_parser_spark.operators.extract import extract_dom_paths
+
+    html = (
+        b"<html><head><title>T</title></head><body>"
+        b"<nav><ul><li>Home</li><li>About</li></ul></nav>"
+        b"<p>hello   world</p><div><p>nested</p></div>"
+        b"</body></html>"
+    )
+    pages = spark.createDataFrame([("u", html)], "url string, html binary")
+    rows = sorted(extract_dom_paths(pages).collect(), key=lambda r: r.pos)
+    got = [(r.dom_path, r.n_chars) for r in rows]
+    assert got == [
+        ("html/head/title", 1),
+        ("html/body/nav", len("HomeAbout")),
+        ("html/body/nav/ul/li", 4),
+        ("html/body/nav/ul/li", 5),
+        ("html/body/p", len("hello world")),   # whitespace normalized
+        ("html/body/div/p", 6),
+    ]
+    import hashlib
+    assert rows[4].text_hash == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_dom_templates_verdicts(spark):
+    # 4 pages on one host: title identical (boilerplate), p varies
+    # (slot), blockquote on one page (rare)
+    rows = []
+    import hashlib
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    for i in range(4):
+        u = f"https://t.com/p{i}"
+        rows.append((u, "html/head/title", md5("Site")))
+        rows.append((u, "html/body/p", md5(f"text {i}")))
+    rows.append(("https://t.com/p0", "html/body/blockquote", md5("q")))
+    paths = spark.createDataFrame(
+        rows, "url string, dom_path string, text_hash string"
+    )
+    out = {r.dom_path: r for r in web.dom_templates(paths).collect()}
+    t = out["html/head/title"]
+    assert (t.verdict, t.n_pages_host, t.top_text_pages) == (
+        "boilerplate", 4, 4)
+    assert t.path_share_ppm == 1_000_000 and t.top_share_ppm == 1_000_000
+    p = out["html/body/p"]
+    assert (p.verdict, p.n_texts, p.top_text_pages) == ("slot", 4, 1)
+    assert p.top_share_ppm == 250_000
+    b = out["html/body/blockquote"]
+    assert (b.verdict, b.n_pages_with_path) == ("rare", 1)
+
+
+def test_dom_templates_multi_host_and_validation(spark):
+    import hashlib
+    import pytest
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    rows = [
+        ("https://a.com/1", "html/body/p", md5("x")),
+        ("https://a.com/2", "html/body/p", md5("x")),
+        ("https://b.com/1", "html/body/p", md5("y")),
+    ]
+    paths = spark.createDataFrame(
+        rows, "url string, dom_path string, text_hash string"
+    )
+    out = {(r.host, r.dom_path): r for r in web.dom_templates(paths).collect()}
+    assert out[("a.com", "html/body/p")].verdict == "boilerplate"
+    assert out[("b.com", "html/body/p")].verdict == "rare"  # 1 page host
+    with pytest.raises(ValueError):
+        web.dom_templates(paths, min_pages=0)
