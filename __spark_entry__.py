@@ -1217,6 +1217,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .selectExpr("concat('site', cast(doc_id % 50 as int)) AS host"),
             iterations=3,
         ),
+        # rank-proportional crawl budget over the pagerank vector:
+        # exact-sum largest-remainder apportionment
+        "web_host_budgets": lambda spark, sf: web.host_budgets(
+            web.host_pagerank(
+                _read(spark, sf, "documents").selectExpr(
+                    "concat('site', cast(doc_id % 50 as int)) AS src",
+                    "explode(array("
+                    + ", ".join(
+                        f"concat('site', cast((doc_id * 7 + {o}) % 50 as int))"
+                        for o in web.SYNTH_EDGE_OFFSETS
+                    )
+                    + ")) AS dst",
+                )
+            ).select("host", "rank_scaled"),
+            total_budget=1_000_000,
+        ),
         "web_host_hits": lambda spark, sf: web.host_hits(
             _synth_hits_edges(_read(spark, sf, "documents"))
         ),
@@ -4526,6 +4542,25 @@ def oracle_sql() -> dict[str, str]:
         "web_host_pagerank": _pagerank_sql(),
         "web_host_trustrank": _trustrank_sql(3),
         "web_host_spam_mass": _spam_mass_sql(3),
+        "web_host_budgets": f"""
+            WITH pr AS ({_pagerank_sql(5)}),
+            s AS (SELECT sum(rank_scaled) AS m FROM pr),
+            b AS (
+                SELECT host, rank_scaled,
+                       (1000000 * rank_scaled) // s.m AS base,
+                       (1000000 * rank_scaled) % s.m AS rem
+                FROM pr, s
+            ),
+            d AS (SELECT 1000000 - sum(base) AS deficit FROM b),
+            rn AS (
+                SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rn
+                FROM b
+            )
+            SELECT host, rank_scaled,
+                   CAST(base + CASE WHEN rn.rn <= d.deficit THEN 1 ELSE 0 END
+                        AS BIGINT) AS budget
+            FROM rn, d
+        """,
         # degree/reciprocity twin over the SAME synth edges as pagerank,
         # but multiplicity-preserving (no DISTINCT): n_links counts rows
         "web_host_degree": f"""

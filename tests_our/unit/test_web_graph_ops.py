@@ -652,3 +652,44 @@ def test_dom_templates_multi_host_and_validation(spark):
     assert out[("b.com", "html/body/p")].verdict == "rare"  # 1 page host
     with pytest.raises(ValueError):
         web.dom_templates(paths, min_pages=0)
+
+
+# --- crawl-budget apportionment -------------------------------------------------
+
+
+def test_host_budgets_exact_sum_and_largest_remainder(spark):
+    ranks = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 3), ("d", 1)],
+        "host string, rank_scaled long",
+    )
+    out = {r.host: r.budget for r in
+           web.host_budgets(ranks, total_budget=10).collect()}
+    # shares: a 50/12... total 12 mass over 10 units: floors 4,2,2,0;
+    # remainders (10*r)%12: a=2, b=6, c=6, d=10 -> deficit 2 goes to d
+    # then b (tie b/c broken by host asc)
+    assert sum(out.values()) == 10
+    assert out == {"a": 4, "b": 3, "c": 2, "d": 1}
+
+
+def test_host_budgets_zero_rank_and_validation(spark):
+    import pytest
+
+    ranks = spark.createDataFrame(
+        [("a", 7), ("z", 0)], "host string, rank_scaled long"
+    )
+    out = {r.host: r.budget for r in
+           web.host_budgets(ranks, 5).collect()}
+    assert out == {"a": 5, "z": 0}
+    with pytest.raises(ValueError):
+        web.host_budgets(ranks, 0)
+    zero = spark.createDataFrame([("a", 0)], "host string, rank_scaled long")
+    with pytest.raises(ValueError):
+        web.host_budgets(zero, 5)
+
+
+def test_host_budgets_conserves_large_budget(spark):
+    ranks = spark.range(0, 97).selectExpr(
+        "concat('h', id) AS host", "(id * 13) % 101 + 1 AS rank_scaled"
+    )
+    rows = web.host_budgets(ranks, total_budget=1_000_003).collect()
+    assert sum(r.budget for r in rows) == 1_000_003
