@@ -1158,6 +1158,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 f"{web.SYNTH_TEMPLATED_TEXT_SQL} AS text",
             )
         ),
+        # RFC 9309 special characters: */$ rules against 10 hand-built
+        # path families on one host; longest-match incl. wildcard rules
+        "web_robots_wildcard": lambda spark, sf: web.robots_filter(
+            _read(spark, sf, "documents").selectExpr(
+                "doc_id",
+                "concat('https://w.example.org',"
+                " CASE cast(doc_id % 10 as int)"
+                " WHEN 0 THEN '/docs/file.pdf'"
+                " WHEN 1 THEN '/docs/file.pdfx'"
+                " WHEN 2 THEN '/a/v1/secret'"
+                " WHEN 3 THEN '/a/pub/secret'"
+                " WHEN 4 THEN '/exact'"
+                " WHEN 5 THEN '/exactly'"
+                " WHEN 6 THEN '/open/page'"
+                " WHEN 7 THEN '/media/clip.mp4'"
+                " WHEN 8 THEN '/a/b/c'"
+                " ELSE '/zz' END) AS url",
+            ),
+            robots=spark.createDataFrame(
+                [
+                    ("w.example.org", "disallow", "/*.pdf$"),
+                    ("w.example.org", "disallow", "/a/*/secret"),
+                    ("w.example.org", "allow", "/a/pub/secret"),
+                    ("w.example.org", "disallow", "/exact$"),
+                    ("w.example.org", "disallow", "/media/*"),
+                    ("w.example.org", "allow", "/media/*.mp4$"),
+                ],
+                "host string, rule string, prefix string",
+            ),
+        ),
         "web_robots_filter": lambda spark, sf: web.robots_filter(
             _read(spark, sf, "documents").select(
                 "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url")
@@ -4319,6 +4349,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, url, content_hash
             FROM cur ANTI JOIN prior USING (url, content_hash)
+        """,
+        # wildcard families hand-derived: pdf$ anchors, interior-star
+        # disallow vs longer allow, exact$, media/* vs media/*.mp4$
+        "web_robots_wildcard": """
+            SELECT doc_id, 'w.example.org' AS host,
+                   CASE CAST(doc_id % 10 AS INT)
+                        WHEN 0 THEN '/docs/file.pdf'
+                        WHEN 1 THEN '/docs/file.pdfx'
+                        WHEN 2 THEN '/a/v1/secret'
+                        WHEN 3 THEN '/a/pub/secret'
+                        WHEN 4 THEN '/exact'
+                        WHEN 5 THEN '/exactly'
+                        WHEN 6 THEN '/open/page'
+                        WHEN 7 THEN '/media/clip.mp4'
+                        WHEN 8 THEN '/a/b/c'
+                        ELSE '/zz' END AS path,
+                   (CAST(doc_id % 10 AS INT) IN (0, 2, 4)) AS blocked,
+                   CASE CAST(doc_id % 10 AS INT)
+                        WHEN 0 THEN 'disallow' WHEN 2 THEN 'disallow'
+                        WHEN 4 THEN 'disallow'
+                        WHEN 3 THEN 'allow' WHEN 7 THEN 'allow'
+                        ELSE 'none' END AS verdict_rule,
+                   CASE CAST(doc_id % 10 AS INT)
+                        WHEN 0 THEN '/*.pdf$'
+                        WHEN 2 THEN '/a/*/secret'
+                        WHEN 3 THEN '/a/pub/secret'
+                        WHEN 4 THEN '/exact$'
+                        WHEN 7 THEN '/media/*.mp4$'
+                        ELSE '' END AS matched_prefix
+            FROM documents
         """,
         "web_robots_filter": f"""
             WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url FROM documents),

@@ -884,6 +884,50 @@ def parse_robots(payload) -> list[tuple[str, str]]:
     return rules
 
 
+def _robots_match_sql(path: str, rule: str) -> str:
+    """RFC 9309 rule match as one SQL expression: ``*`` spans anything
+    (leftmost-greedy segment fold via ``aggregate``), trailing ``$``
+    anchors to the path end.  A wildcard-free rule degenerates to the
+    plain ``startswith`` probe; ``$`` on a wildcard-free rule means
+    exact equality.  Everything is substring/instr arithmetic —
+    codegen-friendly, engine-portable, and rule bytes can never be
+    interpreted as regex/LIKE metacharacters."""
+    anchored = f"endswith({rule}, '$')"
+    pat = (
+        f"CASE WHEN {anchored} THEN left({rule}, length({rule}) - 1) "
+        f"ELSE {rule} END"
+    )
+    segs = f"split({pat}, '[*]', -1)"
+    n = f"size({segs})"
+    first = f"element_at({segs}, 1)"
+    last = f"element_at({segs}, {n})"
+    acc0 = (
+        f"IF(substring({path}, 1, length({first})) = {first}, "
+        f"CAST(length({first}) + 1 AS BIGINT), CAST(-1 AS BIGINT))"
+    )
+    mid = (
+        f"CASE WHEN {anchored} THEN slice({segs}, 2, greatest({n} - 2, 0)) "
+        f"ELSE slice({segs}, 2, {n} - 1) END"
+    )
+    acc = (
+        f"aggregate({mid}, {acc0}, (a, s) -> "
+        f"CASE WHEN a = -1 THEN CAST(-1 AS BIGINT) "
+        f"WHEN s = '' THEN a "
+        f"WHEN instr(substring({path}, CAST(a AS INT)), s) = 0 "
+        f"THEN CAST(-1 AS BIGINT) "
+        f"ELSE a + instr(substring({path}, CAST(a AS INT)), s) - 1 "
+        f"+ length(s) END)"
+    )
+    return (
+        f"CASE WHEN NOT {anchored} THEN ({acc}) <> -1 "
+        f"WHEN {n} = 1 THEN {path} = {pat} "
+        f"WHEN ({acc}) = -1 THEN false "
+        f"WHEN {last} = '' THEN true "
+        f"ELSE substring({path}, length({path}) - length({last}) + 1) "
+        f"= {last} AND length({path}) - length({last}) + 1 >= ({acc}) END"
+    )
+
+
 def robots_filter(
     pages: DataFrame,
     robots: Optional[DataFrame] = None,
@@ -900,6 +944,15 @@ def robots_filter(
     (or an empty-prefix rule, which never matches) means allowed. Prefix
     test is ``substring(path, 1, len(prefix)) = prefix`` — no LIKE, so
     rule bytes like ``%``/``_`` can't wildcard.
+
+    RFC 9309 §2.2.3 special characters ARE supported: ``*`` matches any
+    span (any number per rule, leftmost-greedy fold) and a trailing
+    ``$`` anchors the rule to the path end — ``/*.pdf$``-style rules
+    match exactly as in Google's reference matcher.  The match is one
+    JVM ``aggregate`` lambda over the rule's ``*``-split segments — no
+    regex compilation per row, no Python, and a plain prefix reduces to
+    the single ``startswith`` probe.  Rule specificity for
+    longest-match stays the raw rule length (Google's priority rule).
 
     Flags-not-filters: every page rides through with ``blocked`` +
     winning rule/prefix, so the block rate per host is one groupBy away.
@@ -921,7 +974,7 @@ def robots_filter(
         ),
     )
     matched = base.join(robots, "host").where(
-        "prefix <> '' AND substring(path, 1, length(prefix)) = prefix"
+        f"prefix <> '' AND ({_robots_match_sql('path', 'prefix')})"
     )
     winner = matched.groupBy("doc_id").agg(
         F.max(

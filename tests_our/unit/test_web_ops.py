@@ -1450,3 +1450,70 @@ def test_canonical_verdicts_chain_flag(spark):
     assert out["https://a.com/x"].is_chain          # target y non-self
     assert not out["https://a.com/y"].is_chain      # target z is self
     assert not out["https://a.com/z"].is_chain      # self never chains
+
+
+def test_robots_filter_wildcard_rules(spark):
+    import pyspark.sql.functions as F  # noqa: N812
+
+    robots = spark.createDataFrame(
+        [
+            ("h", "disallow", "/*.pdf$"),       # extension ban
+            ("h", "disallow", "/a/*/secret"),   # interior star
+            ("h", "allow", "/a/pub/secret"),    # same length? no: 13 > 12
+            ("h", "disallow", "/exact$"),       # anchored plain rule
+            ("h", "disallow", "*"),             # '*' alone - lowest priority
+            ("h", "allow", "/"),                # beats '*' on length? both 1
+        ],
+        "host string, rule string, prefix string",
+    )
+    pages = spark.createDataFrame(
+        [
+            (1, "https://h/x/doc.pdf"),      # *.pdf$ -> blocked
+            (2, "https://h/x/doc.pdfx"),     # not anchored-matched
+            (3, "https://h/a/v1/secret"),    # interior star -> blocked
+            (4, "https://h/a/pub/secret"),   # allow (longer) wins
+            (5, "https://h/exact"),          # anchored exact -> blocked
+            (6, "https://h/exactly"),        # $ fails -> only '*'/'/' match
+        ],
+        "doc_id long, url string",
+    )
+    out = {r.doc_id: r for r in
+           web.robots_filter(pages, robots).collect()}
+    assert out[1].blocked and out[1].matched_prefix == "/*.pdf$"
+    assert not out[2].blocked
+    assert out[3].blocked and out[3].matched_prefix == "/a/*/secret"
+    assert not out[4].blocked and out[4].matched_prefix == "/a/pub/secret"
+    assert out[5].blocked and out[5].matched_prefix == "/exact$"
+    # page 6: '*' (len 1) ties '/' (len 1) -> allow beats disallow
+    assert not out[6].blocked and out[6].verdict_rule == "allow"
+
+
+def test_robots_wildcard_match_expression_cases(spark):
+    from doc_parser_spark.operators.web import _robots_match_sql
+
+    cases = [
+        # (path, rule, expect)
+        ("/a/b/c", "/a", True),
+        ("/a/b/c", "/b", False),
+        ("/a/b/c", "*", True),
+        ("/a/b/c", "*b*c", True),
+        ("/a/b/c", "*c*b", False),        # order matters
+        ("/abc", "/a*c$", True),
+        ("/abcd", "/a*c$", False),
+        ("/abc", "/abc$", True),
+        ("/abcx", "/abc$", False),
+        ("/p/x.pdf", "/*.pdf$", True),
+        ("/p/x.pdf.html", "/*.pdf$", False),
+        ("/aa", "/a*a$", True),            # overlap: pos constraint holds
+        ("/a", "/a*a$", False),            # cannot reuse the same 'a'
+        ("/a%b_c", "/a%b_c", True),        # LIKE metachars are literal
+        ("/ab", "/a*$", True),             # trailing *$ = prefix match
+        ("/a/b", "/a*b*", True),           # trailing bare star
+    ]
+    df = spark.createDataFrame(cases, "path string, prefix string, expect boolean")
+    got = df.selectExpr(
+        "path", "prefix", "expect",
+        f"({_robots_match_sql('path', 'prefix')}) AS m",
+    ).collect()
+    for r in got:
+        assert r.m == r.expect, (r.path, r.prefix, r.m)
