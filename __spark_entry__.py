@@ -359,6 +359,24 @@ def _q_web_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_clusters(extract_hreflang(pages))
 
 
+def _synth_rank_edges(documents):
+    """The shared synthesized host-graph edges (site{doc_id%50} →
+    site{(doc_id*7+o)%50} for o in SYNTH_EDGE_OFFSETS) that the
+    pagerank/trustrank/spam-mass/budget queries and their DuckDB
+    LATERAL-UNNEST twins all iterate over."""
+    from doc_parser_spark.operators import web as _w
+
+    return documents.selectExpr(
+        "concat('site', cast(doc_id % 50 as int)) AS src",
+        "explode(array("
+        + ", ".join(
+            f"concat('site', cast((doc_id * 7 + {o}) % 50 as int))"
+            for o in _w.SYNTH_EDGE_OFFSETS
+        )
+        + ")) AS dst",
+    )
+
+
 def _q_extract_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT metadata-sidecar records over an SQL-synthesized meta relation
     whose title/description families exercise JSON escaping (quotes,
@@ -1204,28 +1222,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=16,
         ),
         "web_host_pagerank": lambda spark, sf: web.host_pagerank(
-            _read(spark, sf, "documents").selectExpr(
-                "concat('site', cast(doc_id % 50 as int)) AS src",
-                "explode(array("
-                + ", ".join(
-                    f"concat('site', cast((doc_id * 7 + {o}) % 50 as int))"
-                    for o in web.SYNTH_EDGE_OFFSETS
-                )
-                + ")) AS dst",
-            )
+            _synth_rank_edges(_read(spark, sf, "documents"))
         ),
         # TrustRank over the same synth edge graph; trusted seeds are
         # the site{k} hosts with k % 10 = 0
         "web_host_trustrank": lambda spark, sf: web.host_trustrank(
-            _read(spark, sf, "documents").selectExpr(
-                "concat('site', cast(doc_id % 50 as int)) AS src",
-                "explode(array("
-                + ", ".join(
-                    f"concat('site', cast((doc_id * 7 + {o}) % 50 as int))"
-                    for o in web.SYNTH_EDGE_OFFSETS
-                )
-                + ")) AS dst",
-            ),
+            _synth_rank_edges(_read(spark, sf, "documents")),
             _read(spark, sf, "documents")
             .where("(doc_id % 50) % 10 = 0")
             .selectExpr("concat('site', cast(doc_id % 50 as int)) AS host"),
@@ -1233,15 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # Spam mass (Gyöngyi et al. 2006): same edges + seeds as trustrank
         "web_host_spam_mass": lambda spark, sf: web.host_spam_mass(
-            _read(spark, sf, "documents").selectExpr(
-                "concat('site', cast(doc_id % 50 as int)) AS src",
-                "explode(array("
-                + ", ".join(
-                    f"concat('site', cast((doc_id * 7 + {o}) % 50 as int))"
-                    for o in web.SYNTH_EDGE_OFFSETS
-                )
-                + ")) AS dst",
-            ),
+            _synth_rank_edges(_read(spark, sf, "documents")),
             _read(spark, sf, "documents")
             .where("(doc_id % 50) % 10 = 0")
             .selectExpr("concat('site', cast(doc_id % 50 as int)) AS host"),
@@ -1251,15 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-sum largest-remainder apportionment
         "web_host_budgets": lambda spark, sf: web.host_budgets(
             web.host_pagerank(
-                _read(spark, sf, "documents").selectExpr(
-                    "concat('site', cast(doc_id % 50 as int)) AS src",
-                    "explode(array("
-                    + ", ".join(
-                        f"concat('site', cast((doc_id * 7 + {o}) % 50 as int))"
-                        for o in web.SYNTH_EDGE_OFFSETS
-                    )
-                    + ")) AS dst",
-                )
+                _synth_rank_edges(_read(spark, sf, "documents"))
             ).select("host", "rank_scaled"),
             total_budget=1_000_000,
         ),
@@ -1267,15 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _synth_hits_edges(_read(spark, sf, "documents"))
         ),
         "web_host_degree": lambda spark, sf: web.host_degree(
-            _read(spark, sf, "documents").selectExpr(
-                "concat('site', cast(doc_id % 50 as int)) AS src",
-                "explode(array("
-                + ", ".join(
-                    f"concat('site', cast((doc_id * 7 + {o}) % 50 as int))"
-                    for o in web.SYNTH_EDGE_OFFSETS
-                )
-                + ")) AS dst",
-            )
+            _synth_rank_edges(_read(spark, sf, "documents"))
         ),
         "web_host_components": lambda spark, sf: web.host_components(
             _read(spark, sf, "documents").selectExpr(
@@ -4917,7 +4895,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # WAT record rebuilt byte-for-byte: DuckDB to_json renders the
         # same compact, struct-ordered, raw-UTF-8 JSON as Spark's
-        "extract_wat": """
+        "extract_wat": r"""
             WITH m AS (
                 SELECT concat('https://wat.example.org/p/', doc_id) AS url,
                        strftime(TIMESTAMP '2024-01-01 00:00:00'

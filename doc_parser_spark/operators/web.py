@@ -2131,6 +2131,14 @@ def frontier_urls(
     )
 
 
+def mime_norm_sql(col: str) -> str:
+    """Canonical Content-Type normalization — media type lowercased,
+    parameters stripped, NULL-safe.  The ONE expression shared by
+    :func:`header_census`'s mime facet and :func:`mime_verdicts`, so
+    the two relations can never disagree on what counts as a type."""
+    return f"lower(trim(split_part(coalesce({col}, ''), ';', 1)))"
+
+
 def header_census(headers: DataFrame) -> DataFrame:
     """Crawl-ops census over the HTTP-header relation — the
     server-technology / MIME / charset / status breakdown every crawl
@@ -2157,7 +2165,7 @@ def header_census(headers: DataFrame) -> DataFrame:
     once), then a single map-side-combined groupBy. Nothing broadcasts;
     nothing is collected.
     """
-    mime = "lower(trim(split_part(value, ';', 1)))"
+    mime = mime_norm_sql("value")
     charset = "lower(regexp_extract(value, 'charset=([A-Za-z0-9_\\\\-]+)', 1))"
     server = "lower(split_part(trim(value), '/', 1))"
     facets = F.expr(
@@ -2445,11 +2453,15 @@ def host_trustrank(
     """
     if iterations <= 0:
         raise ValueError(f"iterations ({iterations}) must be positive")
+    # eager localCheckpoint (not persist/unpersist): the returned plan
+    # still references these relations, so they must stay materialized
+    # after this function exits — checkpoint blocks are freed by the
+    # ContextCleaner when the result goes out of scope
     e = (
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("src").alias("h"))
@@ -2460,7 +2472,7 @@ def host_trustrank(
     nodes = (
         nodes.join(sd.withColumn("_s", F.lit(True)), "h", "left")
         .select("h", F.coalesce("_s", F.lit(False)).alias("is_seed"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n_seeds = nodes.where("is_seed").count()  # driver scalar
     if n_seeds == 0:
@@ -2490,7 +2502,7 @@ def host_trustrank(
             )
             .localCheckpoint(eager=True)
         )
-    out = (
+    return (
         nodes.join(ranks, "h")
         .select(
             F.col("h").alias("host"),
@@ -2499,9 +2511,6 @@ def host_trustrank(
             (F.col("r").cast("double") / F.lit(1e6)).alias("trust"),
         )
     )
-    e.unpersist()
-    nodes.unpersist()
-    return out
 
 
 def host_spam_mass(
@@ -2548,11 +2557,13 @@ def host_spam_mass(
     """
     if iterations <= 0:
         raise ValueError(f"iterations ({iterations}) must be positive")
+    # eager localCheckpoint, not persist/unpersist — the returned plan
+    # references e/nodes (see host_trustrank)
     e = (
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sd = seeds.select(F.col(seeds.columns[0]).alias("h")).distinct()
     nodes = (
@@ -2561,7 +2572,7 @@ def host_spam_mass(
         .distinct()
         .join(sd.withColumn("_s", F.lit(True)), "h", "left")
         .select("h", F.coalesce("_s", F.lit(False)).alias("is_seed"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = nodes.select(
         F.count(F.lit(1)).alias("n"),
@@ -2607,7 +2618,7 @@ def host_spam_mass(
             .localCheckpoint(eager=True)
         )
     tnorm = F.col("t") * F.lit(int(n_nodes))
-    out = nodes.join(state, "h").select(
+    return nodes.join(state, "h").select(
         F.col("h").alias("host"),
         "is_seed",
         F.col("r").alias("rank_scaled"),
@@ -2624,9 +2635,6 @@ def host_spam_mass(
             ),
         ).alias("spam_mass_bp"),
     )
-    e.unpersist()
-    nodes.unpersist()
-    return out
 
 
 SYNTH_REDIRECT_SQL = """
@@ -2686,13 +2694,17 @@ def redirect_chains(responses: DataFrame, max_hops: int = 8) -> DataFrame:
     """
     if max_hops <= 0:
         raise ValueError(f"max_hops ({max_hops}) must be positive")
+    # eager localCheckpoint: the returned union references redirects/
+    # urls (both derived from base) lazily, so base must stay
+    # materialized after this function returns — persist/unpersist
+    # would force the corpus-wide dedup groupBy to re-run per branch
     base = (
         responses.select("url", "status", "location")
         .groupBy("url")
         .agg(F.min(F.struct("status", "location")).alias("s"))
         .select("url", F.col("s.status").alias("status"),
                 F.col("s.location").alias("location"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     is_redir = (
         (F.col("status") >= 300) & (F.col("status") < 400)
@@ -2707,7 +2719,7 @@ def redirect_chains(responses: DataFrame, max_hops: int = 8) -> DataFrame:
         F.col("url").alias("cur"),
         F.array("url").alias("path"),
         F.lit(0).alias("hops"),
-    )
+    ).localCheckpoint(eager=True)
     done = []
     for _ in range(max_hops):
         j = pending.join(
@@ -2769,7 +2781,6 @@ def redirect_chains(responses: DataFrame, max_hops: int = 8) -> DataFrame:
     out = done[0]
     for d in done[1:]:
         out = out.unionByName(d)
-    base.unpersist()
     return out
 
 
@@ -2821,10 +2832,14 @@ def mime_verdicts(
     - ``expected_format`` — :data:`MIME_FORMAT_MAP` family (``''`` when
       the type is unmapped),
     - ``sniffed_format`` — the shared magic-byte sniffer's verdict on
-      the actual payload (``unknown`` for NULL/oversized payloads),
-    - ``verdict`` — ``missing_mime`` / ``unknown_mime`` / ``ok`` /
-      ``mismatch``.  Strict family equality, deliberately: a text/csv
-      payload that sniffs as prose IS a routing discrepancy.
+      the actual payload (``''`` for NULL/oversized payloads that were
+      never sniffed),
+    - ``verdict`` — ``missing_mime`` / ``unknown_mime`` /
+      ``unsniffable`` (payload absent or over ``max_bytes`` — NOT
+      counted as a mismatch: a healthy 25 MiB PDF is not a mislabel) /
+      ``ok`` / ``mismatch``.  Strict family equality otherwise,
+      deliberately: a text/csv payload that sniffs as prose IS a
+      routing discrepancy.
 
     Scale shape: the sniff is an Arrow-batched ``mapInPandas`` over the
     first 4 KiB of each payload (the sniffer never reads further);
@@ -2845,7 +2860,7 @@ def mime_verdicts(
                 batch["url"], batch["mime"], batch["html"]
             ):
                 if payload is None or len(payload) > max_bytes:
-                    fmt = _sniff.FORMAT_UNKNOWN
+                    fmt = ""  # never sniffed — distinct from 'unknown'
                 else:
                     fmt = _sniff.sniff_format(bytes(payload))
                 records.append((url, mime, fmt))
@@ -2862,11 +2877,7 @@ def mime_verdicts(
             F.col("mime_norm") == mt, F.lit(MIME_FORMAT_MAP[mt])
         ).otherwise(expected)
     return (
-        sniffed.withColumn(
-            "mime_norm",
-            F.lower(F.trim(F.element_at(F.split(F.coalesce(
-                F.col("mime"), F.lit("")), ";"), 1))),
-        )
+        sniffed.withColumn("mime_norm", F.expr(mime_norm_sql("mime")))
         .withColumn("expected_format", expected)
         .select(
             "url",
@@ -2875,6 +2886,7 @@ def mime_verdicts(
             "sniffed_format",
             F.when(F.col("mime_norm") == "", F.lit("missing_mime"))
             .when(F.col("expected_format") == "", F.lit("unknown_mime"))
+            .when(F.col("sniffed_format") == "", F.lit("unsniffable"))
             .when(
                 F.col("expected_format") == F.col("sniffed_format"),
                 F.lit("ok"),
@@ -2921,7 +2933,9 @@ def hreflang_clusters(alts: DataFrame) -> DataFrame:
     """
     from . import dedup as _dedup
 
-    a = alts.select("url", "hreflang", "href").persist()
+    # eager localCheckpoint: ref/decl/nodes in the returned plan all
+    # read from a after this function exits
+    a = alts.select("url", "hreflang", "href").localCheckpoint(eager=True)
     nodes = (
         a.select(F.col("url").alias("doc_id"))
         .union(a.select(F.col("href").alias("doc_id")))
@@ -2955,7 +2969,6 @@ def hreflang_clusters(alts: DataFrame) -> DataFrame:
             F.col("ref_langs").isNotNull().alias("referenced"),
         )
     )
-    a.unpersist()
     return out
 
 
@@ -3102,7 +3115,10 @@ def canonical_verdicts(meta: DataFrame) -> DataFrame:
             )
             .otherwise(F.lit("cross_host")),
         )
-        .persist()
+        # eager localCheckpoint, not persist: v feeds both the targets
+        # aggregate and the final join, and the returned plan still
+        # references it — persist here would leak cached partitions
+        .localCheckpoint(eager=True)
     )
     targets = v.groupBy(
         F.col("page_canonical").alias("t_page")
@@ -3334,8 +3350,26 @@ def host_budgets(ranks: DataFrame, total_budget: int) -> DataFrame:
 
     if total_budget <= 0:
         raise ValueError(f"total_budget ({total_budget}) must be positive")
-    r = ranks.select("host", F.col("rank_scaled").cast("long")).persist()
-    s = r.agg(F.sum("rank_scaled")).first()[0]
+    # eager localCheckpoint: the returned plan reads r after this
+    # function exits (and the two scalar aggs below consume it too)
+    r = ranks.select(
+        "host", F.col("rank_scaled").cast("long")
+    ).localCheckpoint(eager=True)
+    stats = r.agg(
+        F.sum("rank_scaled").alias("s"),
+        F.sum(
+            (
+                F.col("rank_scaled").isNull() | (F.col("rank_scaled") < 0)
+            ).cast("long")
+        ).alias("bad"),
+    ).first()
+    s = stats["s"]
+    if stats["bad"]:
+        # a NULL/negative rank would silently break the exact-sum
+        # invariant (its base/rem go NULL and the deficit shorts)
+        raise ValueError(
+            f"{stats['bad']} rank_scaled values are NULL or negative"
+        )
     if not s or s <= 0:
         raise ValueError("rank mass is zero — nothing to apportion")
     b = r.select(
@@ -3354,5 +3388,4 @@ def host_budgets(ranks: DataFrame, total_budget: int) -> DataFrame:
             + (F.row_number().over(w) <= F.lit(deficit)).cast("long")
         ).alias("budget"),
     )
-    r.unpersist()
     return out

@@ -418,8 +418,9 @@ def test_mime_verdicts_families(spark):
     assert out["u5"].verdict == "missing_mime"
     assert out["u6"].verdict == "missing_mime"
     assert (out["u7"].verdict, out["u7"].sniffed_format) == ("ok", "image")
+    # null payload was never sniffed: not a mislabel verdict
     assert (out["u8"].sniffed_format, out["u8"].verdict) == (
-        "unknown", "mismatch")
+        "", "unsniffable")
 
 
 def test_mime_census_rollup(spark):
