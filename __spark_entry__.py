@@ -1249,6 +1249,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).select("host", "rank_scaled"),
             total_budget=1_000_000,
         ),
+        # the wide host-reputation join: stats + degree + rank + spam,
+        # graph hosts suffixed onto the stats hosts so channels overlap
+        "web_host_features": lambda spark, sf: web.host_features(
+            web.host_stats(
+                _read(spark, sf, "documents").select(
+                    "doc_id",
+                    F.expr(web.SYNTH_URL_SQL).alias("url"),
+                    "text",
+                )
+            ),
+            web.host_degree(
+                _synth_rank_edges(_read(spark, sf, "documents"))
+            ).withColumn(
+                "host", F.concat("host", F.lit(".example.com"))
+            ),
+            web.host_pagerank(
+                _synth_rank_edges(_read(spark, sf, "documents")),
+                iterations=3,
+            )
+            .select("host", "rank_scaled")
+            .withColumn("host", F.concat("host", F.lit(".example.com"))),
+            web.host_spam_mass(
+                _synth_rank_edges(_read(spark, sf, "documents")),
+                _read(spark, sf, "documents")
+                .where("(doc_id % 50) % 10 = 0")
+                .selectExpr(
+                    "concat('site', cast(doc_id % 50 as int)) AS host"
+                ),
+                iterations=3,
+            )
+            .select("host", "is_seed", "trust_scaled", "spam_mass_bp")
+            .withColumn("host", F.concat("host", F.lit(".example.com"))),
+        ),
         "web_host_hits": lambda spark, sf: web.host_hits(
             _synth_hits_edges(_read(spark, sf, "documents"))
         ),
@@ -2440,6 +2473,79 @@ def _capture_drift_sql() -> str:
                    CAST(datediff('hour', last_change_ts, last_ts) AS BIGINT)
                      AS stale_hours
             FROM agg
+        """
+
+
+def _host_degree_sql() -> str:
+    """DuckDB twin of web.host_degree over the synthesized rank edges
+    (multiplicity-preserving) — shared by the degree query and the
+    host-feature join."""
+    from doc_parser_spark.operators import web as _web
+
+    return f"""
+            WITH e AS (
+                SELECT src, dst FROM (
+                    SELECT concat('site', CAST(doc_id % 50 AS INT)) AS src,
+                           concat('site', CAST((doc_id * 7 + t.o) % 50 AS INT))
+                             AS dst
+                    FROM documents,
+                         LATERAL UNNEST([{", ".join(str(o) for o in _web.SYNTH_EDGE_OFFSETS)}]) AS t(o)
+                ) WHERE src <> dst
+            ),
+            pairs AS (
+                SELECT src, dst, CAST(count(*) AS BIGINT) AS n_links
+                FROM e GROUP BY src, dst
+            ),
+            rec AS (
+                SELECT p.src AS host, CAST(count(*) AS BIGINT) AS n_reciprocal
+                FROM pairs p JOIN pairs m
+                  ON p.src = m.dst AND p.dst = m.src
+                GROUP BY p.src
+            ),
+            o AS (
+                SELECT src AS host, CAST(count(*) AS BIGINT) AS out_degree,
+                       CAST(sum(n_links) AS BIGINT) AS out_links
+                FROM pairs GROUP BY src
+            ),
+            i AS (
+                SELECT dst AS host, CAST(count(*) AS BIGINT) AS in_degree,
+                       CAST(sum(n_links) AS BIGINT) AS in_links
+                FROM pairs GROUP BY dst
+            )
+            SELECT coalesce(o.host, i.host) AS host,
+                   coalesce(out_degree, 0) AS out_degree,
+                   coalesce(in_degree, 0) AS in_degree,
+                   coalesce(out_links, 0) AS out_links,
+                   coalesce(in_links, 0) AS in_links,
+                   coalesce(n_reciprocal, 0) AS n_reciprocal,
+                   CASE WHEN coalesce(out_degree, 0) > 0
+                        THEN floor(1e6 * (CAST(coalesce(n_reciprocal, 0) AS DOUBLE)
+                                          / out_degree)) / 1e6
+                        ELSE 0.0 END AS reciprocity
+            FROM o FULL OUTER JOIN i ON o.host = i.host
+            LEFT JOIN rec ON coalesce(o.host, i.host) = rec.host
+        """
+
+
+def _host_stats_sql() -> str:
+    """DuckDB twin of web.host_stats over the SYNTH_URL corpus —
+    shared by the stats query and the host-feature join."""
+    from doc_parser_spark.operators import web as _web
+
+    return f"""
+            WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url, text FROM documents),
+            c AS (
+                SELECT doc_id,
+                       {_duck_host("url")} AS host,
+                       {_duck_canonical_url("url")} AS curl,
+                       length(coalesce(text, '')) AS n_chars
+                FROM p
+            )
+            SELECT host, count(*) AS n_docs,
+                   CAST(count(DISTINCT curl) AS BIGINT) AS n_urls,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM c GROUP BY host
         """
 
 
@@ -4580,6 +4686,46 @@ def oracle_sql() -> dict[str, str]:
         "web_host_pagerank": _pagerank_sql(),
         "web_host_trustrank": _trustrank_sql(3),
         "web_host_spam_mass": _spam_mass_sql(3),
+        "web_host_features": f"""
+            WITH st AS ({_host_stats_sql()}),
+            dg AS (
+                SELECT concat(host, '.example.com') AS host, out_degree,
+                       in_degree, out_links, in_links, n_reciprocal,
+                       reciprocity
+                FROM ({_host_degree_sql()})
+            ),
+            pr AS (
+                SELECT concat(host, '.example.com') AS host, rank_scaled
+                FROM ({_pagerank_sql(3)})
+            ),
+            sm AS (
+                SELECT concat(host, '.example.com') AS host, is_seed,
+                       trust_scaled, spam_mass_bp
+                FROM ({_spam_mass_sql(3)})
+            )
+            SELECT host,
+                   CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+                   CAST(coalesce(n_urls, 0) AS BIGINT) AS n_urls,
+                   CAST(coalesce(total_chars, 0) AS BIGINT) AS total_chars,
+                   CAST(coalesce(max_chars, 0) AS BIGINT) AS max_chars,
+                   CAST(coalesce(out_degree, 0) AS BIGINT) AS out_degree,
+                   CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree,
+                   CAST(coalesce(out_links, 0) AS BIGINT) AS out_links,
+                   CAST(coalesce(in_links, 0) AS BIGINT) AS in_links,
+                   CAST(coalesce(n_reciprocal, 0) AS BIGINT)
+                       AS n_reciprocal,
+                   coalesce(reciprocity, 0.0) AS reciprocity,
+                   CAST(coalesce(rank_scaled, 0) AS BIGINT) AS rank_scaled,
+                   coalesce(is_seed, FALSE) AS is_seed,
+                   CAST(coalesce(trust_scaled, 0) AS BIGINT)
+                       AS trust_scaled,
+                   CAST(coalesce(spam_mass_bp, 0) AS BIGINT)
+                       AS spam_mass_bp
+            FROM st
+            FULL OUTER JOIN dg USING (host)
+            FULL OUTER JOIN pr USING (host)
+            FULL OUTER JOIN sm USING (host)
+        """,
         "web_host_budgets": f"""
             WITH pr AS ({_pagerank_sql(5)}),
             s AS (SELECT sum(rank_scaled) AS m FROM pr),
@@ -4601,49 +4747,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # degree/reciprocity twin over the SAME synth edges as pagerank,
         # but multiplicity-preserving (no DISTINCT): n_links counts rows
-        "web_host_degree": f"""
-            WITH e AS (
-                SELECT src, dst FROM (
-                    SELECT concat('site', CAST(doc_id % 50 AS INT)) AS src,
-                           concat('site', CAST((doc_id * 7 + t.o) % 50 AS INT))
-                             AS dst
-                    FROM documents,
-                         LATERAL UNNEST([{", ".join(str(o) for o in _web.SYNTH_EDGE_OFFSETS)}]) AS t(o)
-                ) WHERE src <> dst
-            ),
-            pairs AS (
-                SELECT src, dst, CAST(count(*) AS BIGINT) AS n_links
-                FROM e GROUP BY src, dst
-            ),
-            rec AS (
-                SELECT p.src AS host, CAST(count(*) AS BIGINT) AS n_reciprocal
-                FROM pairs p JOIN pairs m
-                  ON p.src = m.dst AND p.dst = m.src
-                GROUP BY p.src
-            ),
-            o AS (
-                SELECT src AS host, CAST(count(*) AS BIGINT) AS out_degree,
-                       CAST(sum(n_links) AS BIGINT) AS out_links
-                FROM pairs GROUP BY src
-            ),
-            i AS (
-                SELECT dst AS host, CAST(count(*) AS BIGINT) AS in_degree,
-                       CAST(sum(n_links) AS BIGINT) AS in_links
-                FROM pairs GROUP BY dst
-            )
-            SELECT coalesce(o.host, i.host) AS host,
-                   coalesce(out_degree, 0) AS out_degree,
-                   coalesce(in_degree, 0) AS in_degree,
-                   coalesce(out_links, 0) AS out_links,
-                   coalesce(in_links, 0) AS in_links,
-                   coalesce(n_reciprocal, 0) AS n_reciprocal,
-                   CASE WHEN coalesce(out_degree, 0) > 0
-                        THEN floor(1e6 * (CAST(coalesce(n_reciprocal, 0) AS DOUBLE)
-                                          / out_degree)) / 1e6
-                        ELSE 0.0 END AS reciprocity
-            FROM o FULL OUTER JOIN i ON o.host = i.host
-            LEFT JOIN rec ON coalesce(o.host, i.host) = rec.host
-        """,
+        "web_host_degree": _host_degree_sql(),
         "web_host_hits": _hits_sql(),
         # undirected reachability closure over the synthesized grouped
         # graph; component id = min reachable host (mirrors the
@@ -5145,21 +5249,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(1e6 * cnt / n_docs) AS BIGINT) AS dominant_ppm
             FROM r WHERE rn = 1
         """,
-        "web_host_stats": f"""
-            WITH p AS (SELECT doc_id, {_web.SYNTH_URL_SQL} AS url, text FROM documents),
-            c AS (
-                SELECT doc_id,
-                       {_duck_host("url")} AS host,
-                       {_duck_canonical_url("url")} AS curl,
-                       length(coalesce(text, '')) AS n_chars
-                FROM p
-            )
-            SELECT host, count(*) AS n_docs,
-                   CAST(count(DISTINCT curl) AS BIGINT) AS n_urls,
-                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
-                   CAST(max(n_chars) AS BIGINT) AS max_chars
-            FROM c GROUP BY host
-        """,
+        "web_host_stats": _host_stats_sql(),
         # linear (log-free) tf-idf: score = 1e6 * tf * N DIV doc_freq stays
         # in exact BIGINT arithmetic on both engines — a log() would ride
         # libm and can flip a floor at the ulp

@@ -3389,3 +3389,46 @@ def host_budgets(ranks: DataFrame, total_budget: int) -> DataFrame:
         ).alias("budget"),
     )
     return out
+
+
+def host_features(
+    stats: DataFrame,
+    degree: Optional[DataFrame] = None,
+    ranks: Optional[DataFrame] = None,
+    spam: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Assemble the host-reputation feature table — the wide per-host
+    relation crawl curation actually consumes (Common Crawl publishes
+    exactly this join as its host-level ranks file): content mass
+    (:func:`host_stats`), link-graph degree/reciprocity
+    (:func:`host_degree`), PageRank (:func:`host_pagerank`), and
+    trust/spam mass (:func:`host_spam_mass`), one row per host seen by
+    ANY channel.
+
+    Missing-channel defaults are dtype-driven (ints 0, doubles 0.0,
+    booleans false, strings '') so the table is dense and
+    threshold-friendly; a host absent from the link graph is a host
+    with zero degree, not a NULL to trip downstream predicates.
+
+    Scale shape: a chain of full-outer equi-joins ALL keyed on host —
+    one co-partitioned exchange family (bucket the store by host and
+    every later rebuild of this table is exchange-free, the
+    ``write_bucketed`` story); each input is itself one aggregation
+    over its source. Nothing broadcasts, nothing collects.
+    """
+    out = stats
+    for rel in (degree, ranks, spam):
+        if rel is not None:
+            out = out.join(rel, "host", "full_outer")
+    defaults = {"bigint": F.lit(0).cast("long"),
+                "int": F.lit(0),
+                "double": F.lit(0.0),
+                "boolean": F.lit(False),
+                "string": F.lit("")}
+    cols = [
+        F.coalesce(F.col(name), defaults[dtype]).alias(name)
+        if name != "host" and dtype in defaults
+        else F.col(name)
+        for name, dtype in out.dtypes
+    ]
+    return out.select(*cols)

@@ -694,3 +694,35 @@ def test_host_budgets_conserves_large_budget(spark):
     )
     rows = web.host_budgets(ranks, total_budget=1_000_003).collect()
     assert sum(r.budget for r in rows) == 1_000_003
+
+
+# --- host feature table ----------------------------------------------------------
+
+
+def test_host_features_dense_defaults(spark):
+    stats = spark.createDataFrame(
+        [("a.com", 5, 5, 1000, 400), ("b.com", 1, 1, 10, 10)],
+        "host string, n_docs long, n_urls long, total_chars long,"
+        " max_chars long",
+    )
+    degree = spark.createDataFrame(
+        [("a.com", 2, 1, 3, 1, 1, 0.5), ("c.com", 0, 4, 0, 9, 0, 0.0)],
+        "host string, out_degree long, in_degree long, out_links long,"
+        " in_links long, n_reciprocal long, reciprocity double",
+    )
+    ranks = spark.createDataFrame(
+        [("a.com", 900000)], "host string, rank_scaled long"
+    )
+    out = {r.host: r for r in
+           web.host_features(stats, degree, ranks).collect()}
+    assert set(out) == {"a.com", "b.com", "c.com"}
+    a = out["a.com"]
+    assert (a.n_docs, a.out_degree, a.rank_scaled) == (5, 2, 900000)
+    b = out["b.com"]  # absent from graph channels -> dense zeros
+    assert (b.out_degree, b.in_links, b.reciprocity, b.rank_scaled) == (
+        0, 0, 0.0, 0)
+    c = out["c.com"]  # referenced-only host: zero content mass
+    assert (c.n_docs, c.total_chars, c.in_degree) == (0, 0, 4)
+    # no NULLs anywhere
+    for r in out.values():
+        assert all(v is not None for v in r.asDict().values())
