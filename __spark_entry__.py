@@ -1176,6 +1176,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 f"{web.SYNTH_TEMPLATED_TEXT_SQL} AS text",
             )
         ),
+        # RFC 9309 §2.3.1 fetch-outcome posture per host
+        "web_robots_posture": lambda spark, sf: web.robots_posture(
+            _read(spark, sf, "documents")
+            .selectExpr("cast(doc_id % 40 as int) AS k")
+            .distinct()
+            .selectExpr(
+                "concat('rp', k, '.example.org') AS host",
+                "CASE cast(k % 8 as int)"
+                " WHEN 0 THEN 200 WHEN 1 THEN 204 WHEN 2 THEN 301"
+                " WHEN 3 THEN 404 WHEN 4 THEN 403 WHEN 5 THEN 503"
+                " WHEN 6 THEN 500 ELSE NULL END AS status",
+            ),
+        ),
         # RFC 9309 special characters: */$ rules against 10 hand-built
         # path families on one host; longest-match incl. wildcard rules
         "web_robots_wildcard": lambda spark, sf: web.robots_filter(
@@ -4433,6 +4446,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, url, content_hash
             FROM cur ANTI JOIN prior USING (url, content_hash)
+        """,
+        # posture hand-derived per k%8 family
+        "web_robots_posture": """
+            WITH ks AS (
+                SELECT DISTINCT CAST(doc_id % 40 AS INT) AS k FROM documents
+            )
+            SELECT concat('rp', k, '.example.org') AS host,
+                   CAST(CASE k % 8 WHEN 0 THEN 200 WHEN 1 THEN 204
+                        WHEN 2 THEN 301 WHEN 3 THEN 404 WHEN 4 THEN 403
+                        WHEN 5 THEN 503 WHEN 6 THEN 500 ELSE 0 END
+                        AS INT) AS status,
+                   CASE WHEN k % 8 IN (0, 1, 2) THEN 'use_rules'
+                        WHEN k % 8 IN (3, 4) THEN 'allow_all'
+                        ELSE 'disallow_all' END AS posture,
+                   (k % 8 = 2) AS follow_redirect,
+                   (k % 8 IN (5, 6, 7)) AS retry
+            FROM ks
         """,
         # wildcard families hand-derived: pdf$ anchors, interior-star
         # disallow vs longer allow, exact$, media/* vs media/*.mp4$

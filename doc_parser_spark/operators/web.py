@@ -3432,3 +3432,40 @@ def host_features(
         for name, dtype in out.dtypes
     ]
     return out.select(*cols)
+
+
+def robots_posture(fetches: DataFrame) -> DataFrame:
+    """Crawl posture per host from the robots.txt FETCH outcome — the
+    RFC 9309 §2.3.1 layer underneath rule matching, which every crawler
+    implements and most corpora document (Googlebot's published
+    behavior): a robots.txt that cannot be fetched changes the host's
+    entire posture before any rule is read.
+
+    Input ``(host, status)`` — the HTTP status of the robots.txt fetch
+    (NULL/0 = network failure, never reached HTTP).  Output posture:
+
+    - 2xx → ``use_rules`` (parse and match, the normal path),
+    - 3xx → ``use_rules`` with ``follow_redirect`` true (RFC 9309:
+      follow at least five hops; the chain itself is
+      :func:`redirect_chains`' job),
+    - 4xx → ``allow_all`` (an absent robots.txt is an open host),
+    - 5xx / unreachable → ``disallow_all`` (MUST assume complete
+      disallow; a 503 retries later — ``retry`` true).
+
+    Pure projection — zero shuffles; joins onto the frontier on the
+    host key like the rules relation does.
+    """
+    st = F.coalesce(F.col("status"), F.lit(0))
+    return fetches.select(
+        "host",
+        st.cast("int").alias("status"),
+        F.when((st >= 200) & (st < 300), F.lit("use_rules"))
+        .when((st >= 300) & (st < 400), F.lit("use_rules"))
+        .when((st >= 400) & (st < 500), F.lit("allow_all"))
+        .otherwise(F.lit("disallow_all"))
+        .alias("posture"),
+        ((st >= 300) & (st < 400)).alias("follow_redirect"),
+        (
+            (st >= 500) & (st < 600) | (st == 0)
+        ).alias("retry"),
+    )

@@ -151,3 +151,36 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Materialize ``df`` as a Hive-layout partitioned parquet directory
+    (``<path>/<col>=<value>/...``) — the OTHER storage-layout lever
+    beside :func:`write_bucketed`: bucketing removes join/groupBy
+    exchanges on a high-cardinality key; directory partitioning removes
+    the SCAN itself for predicates on low-cardinality columns (language,
+    crawl date, status).  A ``lang='en'`` filter over a corpus
+    partitioned by ``(lang, dt)`` reads only the en directories —
+    Catalyst resolves it at planning time as a ``PartitionFilters``
+    entry, zero data touched for every other language (proven from the
+    plan in ``test_partitioned_scan.py``).
+
+    At 10^12 documents partition columns must stay low-cardinality
+    (lang×day ≈ 10^5 directories is fine; URL-host is NOT — that's what
+    bucketing is for) or the file listing itself becomes the bottleneck.
+    The Iceberg twin is the identity/``days(ts)`` partition transform;
+    ``TableIO``'s iceberg mode composes unchanged.
+    """
+    if not partition_cols:
+        raise ValueError("partition_cols must be non-empty")
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .partitionBy(*partition_cols)
+        .save(path)
+    )

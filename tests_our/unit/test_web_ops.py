@@ -1517,3 +1517,21 @@ def test_robots_wildcard_match_expression_cases(spark):
     ).collect()
     for r in got:
         assert r.m == r.expect, (r.path, r.prefix, r.m)
+
+
+def test_robots_posture_rfc9309(spark):
+    fetches = spark.createDataFrame(
+        [("ok", 200), ("redir", 301), ("gone", 404), ("forbidden", 403),
+         ("down", 503), ("teapot", 418), ("dead", None)],
+        "host string, status int",
+    )
+    out = {r.host: r for r in web.robots_posture(fetches).collect()}
+    assert out["ok"].posture == "use_rules" and not out["ok"].retry
+    assert out["redir"].posture == "use_rules"
+    assert out["redir"].follow_redirect
+    assert out["gone"].posture == "allow_all"
+    assert out["forbidden"].posture == "allow_all"   # 4xx = open host
+    assert out["teapot"].posture == "allow_all"
+    assert out["down"].posture == "disallow_all" and out["down"].retry
+    assert out["dead"].posture == "disallow_all" and out["dead"].retry
+    assert out["dead"].status == 0
