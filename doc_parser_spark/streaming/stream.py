@@ -342,3 +342,69 @@ def streaming_sessionize(events_stream: DataFrame, watermark: str = "1 hour") ->
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# -- streaming politeness scheduler (per-host fetch slots) ---------------------
+
+_POLITE_STATE_SCHEMA = T.StructType(
+    [T.StructField("next_slot", T.LongType())]
+)
+
+_POLITE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("slot", T.LongType()),
+        T.StructField("not_before_ms", T.LongType()),
+    ]
+)
+
+
+def _update_polite(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    host = key[0]
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if rows.empty:  # pragma: no cover — NoTimeout never invokes empty
+        return
+    rows = rows.sort_values(
+        ["discovered_ts", "url"], kind="mergesort"
+    ).reset_index(drop=True)
+    next_slot = state.get[0] if state.exists else 0
+    slots = [next_slot + i for i in range(len(rows))]
+    state.update((next_slot + len(rows),))
+    yield pd.DataFrame(
+        {
+            "host": host,
+            "url": rows["url"],
+            "slot": slots,
+            "not_before_ms": [
+                s * int(d) for s, d in zip(slots, rows["delay_ms"])
+            ],
+        }
+    )
+
+
+def streaming_polite_schedule(frontier_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: the streaming twin of
+    ``web.polite_schedule``'s per-host queue discipline — newly
+    discovered frontier URLs get consecutive per-host fetch slots that
+    CONTINUE across micro-batches (the property a batch recomputation
+    cannot give a live crawler: batch slot 0 restarts every run;
+    streaming state remembers that the host already burned its early
+    slots), with ``not_before_ms = slot · crawl_delay_ms`` keeping the
+    RFC 9309 / Mercator per-host spacing.
+
+    Input rows ``(host, url, discovered_ts, delay_ms)`` — the caller
+    stream-static-joins the robots crawl-delay relation on host.
+    Within a micro-batch, slot order is the deterministic
+    ``(discovered_ts, url)`` sort, so the schedule is replayable from
+    the checkpoint; per-host state is ONE long (the next slot) — state
+    size is bounded by the active-host count, orders of magnitude below
+    the URL universe, which is why this needs no watermark eviction.
+    """
+    return frontier_stream.groupBy("host").applyInPandasWithState(
+        _update_polite,
+        outputStructType=_POLITE_OUT_SCHEMA,
+        stateStructType=_POLITE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -688,3 +688,64 @@ def test_streaming_ingestion_relations(spark, tmp_path):
         )
         want = sorted(tuple(r) for r in op(pages).collect())
         assert got == want and len(got) > 0
+
+
+def test_streaming_polite_schedule_slots_continue_across_batches(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from pyspark.sql import Row
+
+    from doc_parser_spark.streaming.stream import streaming_polite_schedule
+
+    in_dir = str(tmp_path / "fin")
+    out_dir = str(tmp_path / "fout")
+    ckpt = str(tmp_path / "fckpt")
+
+    def t(m):
+        return datetime(2024, 1, 1, 12, m, tzinfo=timezone.utc)
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "host string, url string, discovered_ts timestamp,"
+                " delay_ms long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            streaming_polite_schedule(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    b1 = [
+        Row(host="a.com", url="u2", discovered_ts=t(1), delay_ms=1000),
+        Row(host="a.com", url="u1", discovered_ts=t(0), delay_ms=1000),
+        Row(host="b.com", url="v1", discovered_ts=t(0), delay_ms=7000),
+    ]
+    # one file per logical batch (maxFilesPerTrigger=1 -> one micro-batch)
+    spark.createDataFrame(b1).coalesce(1).write.parquet(in_dir)
+    run()
+    # batch 2: a.com discovers two more urls — slots must CONTINUE (2, 3)
+    b2 = [
+        Row(host="a.com", url="u3", discovered_ts=t(5), delay_ms=1000),
+        Row(host="a.com", url="u4", discovered_ts=t(6), delay_ms=1000),
+    ]
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    out = {(r.host, r.url): r for r in spark.read.parquet(out_dir).collect()}
+    # within-batch order: (discovered_ts, url) — u1 before u2
+    assert (out[("a.com", "u1")].slot, out[("a.com", "u2")].slot) == (0, 1)
+    assert out[("b.com", "v1")].slot == 0
+    assert {out[("a.com", "u3")].slot, out[("a.com", "u4")].slot} == {2, 3}
+    assert out[("a.com", "u3")].slot < out[("a.com", "u4")].slot
+    # spacing: slot * per-host delay
+    assert out[("a.com", "u4")].not_before_ms == 3 * 1000
+    assert out[("b.com", "v1")].not_before_ms == 0
