@@ -36,6 +36,13 @@ NEW_OPS = [
     "web_host_hits", "web_host_components", "web_host_hll",
     "web_sitemap_urls", "doc_kn_bigrams", "extract_http_headers",
     "extract_microdata", "web_revisit_records",
+    # session 10
+    "web_host_trustrank", "web_host_spam_mass", "web_host_budgets",
+    "web_host_features", "web_feed_entries", "web_redirect_chains",
+    "web_mime_verdicts", "web_hreflang_clusters",
+    "web_canonical_verdicts", "web_index_verdicts",
+    "web_revisit_schedule", "web_lang_consistency", "web_dom_templates",
+    "extract_wat", "web_robots_wildcard", "web_robots_posture",
 ]
 
 
