@@ -1380,6 +1380,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.expr(web.SYNTH_URL_SQL).alias("url"), "lang"
             )
         ),
+        # concat-and-chunk sequence packing over the hash-shuffled stream
+        "doc_pack_sequences": lambda spark, sf: text_analysis.pack_sequences(
+            _read(spark, sf, "documents"), seq_len=512
+        ),
         "doc_kn_bigrams": q(text_analysis.kn_bigrams, "documents"),
         "doc_top_terms": q(text_analysis.top_terms, "documents"),
         "doc_bm25_topk": q(text_analysis.bm25_topk, "documents"),
@@ -2687,6 +2691,12 @@ def oracle_sql() -> dict[str, str]:
         " * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)"
     )
 
+    seq_key_sql = (
+        "CAST(list_sum(list_transform(generate_series(1, 8), "
+        "i -> CAST(strpos('0123456789abcdef', substr(md5('seq0:' || doc_id), i, 1)) - 1 AS BIGINT)"
+        " * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)"
+    )
+
     d = {
         "extract_charset": """
             SELECT doc_id,
@@ -3349,6 +3359,30 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ({es_hits}) >= ({de_hits}) THEN 'es'
                         ELSE 'de' END AS pred_lang
             FROM documents
+        """,
+        "doc_pack_sequences": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(regexp_split_to_array(trim(text),
+                            '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+                       {seq_key_sql} AS k
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                            ORDER BY k, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT) AS off
+                FROM d
+            )
+            SELECT doc_id, n_tokens, off AS tok_offset,
+                   CAST(off // 512 AS BIGINT) AS seq_first,
+                   CAST(CASE WHEN n_tokens > 0
+                             THEN (off + n_tokens - 1) // 512
+                             ELSE off // 512 END AS BIGINT) AS seq_last,
+                   CAST(off % 512 AS BIGINT) AS offset_in_seq
+            FROM c
         """,
         "doc_fingerprint": f"""
             SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents

@@ -1886,3 +1886,87 @@ def kn_bigrams(documents: DataFrame, min_count: int = 3) -> DataFrame:
         )
     )
     return out
+
+
+def pack_sequences(
+    documents: DataFrame,
+    seq_len: int = 2048,
+    seed: str = "seq0",
+    num_partitions: int = 0,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the pretraining step between
+    a curated corpus and a trainer: documents are laid out in a
+    DETERMINISTIC hash-shuffled order (md5 over ``seed:doc_id`` — the
+    corpus shuffle every pretraining run needs, reproducible across
+    engines and reruns, re-seedable per epoch) and the token stream is
+    cut into fixed ``seq_len`` windows, documents crossing boundaries
+    (GPT-style packing; the alternative best-fit bin packing wastes no
+    tokens either but destroys sequential locality).
+
+    Output per document: its token offset in the shuffled stream, the
+    first/last sequence ids it lands in, and its offset inside the
+    first sequence — exactly what a shard writer needs to emit training
+    sequences without ever materializing the concatenated stream.
+
+    Scale shape: same two-pass global prefix sum as :func:`pack_shards`
+    (range-partition by the shuffle key, per-partition totals → driver
+    offsets broadcast back, local cumsums) — no single-task window, no
+    corpus collect; exact BIGINT arithmetic end-to-end so the DuckDB
+    twin reproduces every offset bit-for-bit.
+    """
+    documents = _nn_text(documents)
+    if seq_len <= 0:
+        raise ValueError(f"seq_len ({seq_len}) must be positive")
+    spark = documents.sparkSession
+    if num_partitions <= 0:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    toks = F.expr("size(filter(split(trim(text), '\\\\s+'), t -> t <> ''))")
+    base = (
+        documents.select(
+            "doc_id",
+            toks.cast("long").alias("n_tokens"),
+            _hash_key(seed).alias("k"),
+        )
+        .repartitionByRange(num_partitions, "k", "doc_id")
+        .sortWithinPartitions("k", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin layout across the two passes
+    )
+    totals = {
+        int(r["pid"]): int(r["s"])
+        for r in base.groupBy("pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        acc += totals.get(pid, 0)
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "pid int, p_off long"
+        )
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "l_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    off = F.col("p_off") + F.col("l_off")
+    return local.join(off_df, "pid").select(
+        "doc_id",
+        "n_tokens",
+        off.alias("tok_offset"),
+        F.expr(f"(p_off + l_off) DIV {seq_len}").alias("seq_first"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(f"(p_off + l_off + n_tokens - 1) DIV {seq_len}"),
+        )
+        .otherwise(F.expr(f"(p_off + l_off) DIV {seq_len}"))
+        .alias("seq_last"),
+        (off % F.lit(seq_len)).alias("offset_in_seq"),
+    )

