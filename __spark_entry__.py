@@ -1295,6 +1295,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("host", "is_seed", "trust_scaled", "spam_mass_bp")
             .withColumn("host", F.concat("host", F.lit(".example.com"))),
         ),
+        # co-citation over the shared synth edges (out-degree 3 < cap)
+        "web_host_cocitation": lambda spark, sf: web.host_cocitation(
+            _synth_rank_edges(_read(spark, sf, "documents")),
+            max_out_degree=10,
+            min_common=2,
+        ),
         "web_host_hits": lambda spark, sf: web.host_hits(
             _synth_hits_edges(_read(spark, sf, "documents"))
         ),
@@ -4811,6 +4817,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         # degree/reciprocity twin over the SAME synth edges as pagerank,
         # but multiplicity-preserving (no DISTINCT): n_links counts rows
+        "web_host_cocitation": f"""
+            WITH e AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT concat('site', CAST(doc_id % 50 AS INT)) AS src,
+                           concat('site', CAST((doc_id * 7 + t.o) % 50
+                                  AS INT)) AS dst
+                    FROM documents,
+                         LATERAL UNNEST([{", ".join(str(o) for o in _web.SYNTH_EDGE_OFFSETS)}]) AS t(o)
+                ) WHERE src <> dst
+            ),
+            deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+            capped AS (
+                SELECT e.src, e.dst FROM e JOIN deg USING (src)
+                WHERE deg.outdeg <= 10
+            ),
+            ind AS (
+                SELECT dst AS h, CAST(count(*) AS BIGINT) AS ind
+                FROM capped GROUP BY dst
+            ),
+            pairs AS (
+                SELECT x.dst AS a, y.dst AS b,
+                       CAST(count(*) AS BIGINT) AS n_common
+                FROM capped x JOIN capped y ON x.src = y.src
+                WHERE x.dst < y.dst
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            )
+            SELECT p.a, p.b, p.n_common,
+                   ia.ind AS in_a, ib.ind AS in_b,
+                   CAST((1000000 * p.n_common * p.n_common)
+                        // (ia.ind * ib.ind) AS BIGINT) AS cos2_ppm
+            FROM pairs p
+            JOIN ind ia ON ia.h = p.a
+            JOIN ind ib ON ib.h = p.b
+        """,
         "web_host_degree": _host_degree_sql(),
         "web_host_hits": _hits_sql(),
         # undirected reachability closure over the synthesized grouped

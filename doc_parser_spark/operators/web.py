@@ -3469,3 +3469,73 @@ def robots_posture(fetches: DataFrame) -> DataFrame:
             (st >= 500) & (st < 600) | (st == 0)
         ).alias("retry"),
     )
+
+
+def host_cocitation(
+    edges: DataFrame,
+    max_out_degree: int = 50,
+    min_common: int = 2,
+) -> DataFrame:
+    """Co-citation mining over the host graph (Small 1973 via Dean &
+    Henzinger's related-pages algorithm, WWW 1999): two hosts are
+    related when the same third hosts link to BOTH — the
+    link-structure "related sites" signal that works where content
+    similarity can't see (different languages, no shared vocabulary).
+
+    Hub capping is what makes this tractable: a directory host linking
+    to 10^4 sites would alone generate ~10^8 co-citation pairs, so
+    linkers with out-degree above ``max_out_degree`` are EXCLUDED
+    (standard practice — a link from a 10^4-outlink hub carries no
+    endorsement signal anyway; the cap is disclosed in the output
+    semantics, not silent).  Pair mass is then bounded by
+    Σ min(out_i, cap)² instead of Σ out_i².
+
+    Output per unordered pair (a < b): ``n_common`` co-citing linkers,
+    each side's capped in-degree, and the integer-exact squared-cosine
+    similarity ``cos2_ppm = (1e6·n_common²) DIV (in_a·in_b)`` — floors
+    only, engine-portable (int64-safe while n_common < 3·10^6).
+    Pairs below ``min_common`` are dropped (noise floor).
+
+    Scale shape: one groupBy to compute linker out-degrees, the capped
+    self-join on the linker key, one map-side-combined pair groupBy,
+    and an in-degree join — every join an equi-join, nothing
+    broadcast-corpus-sized, no cartesian.
+    """
+    if max_out_degree < 1:
+        raise ValueError(f"max_out_degree ({max_out_degree}) must be >= 1")
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    capped = e.join(
+        deg.where(F.col("outdeg") <= max_out_degree), "src"
+    ).select("src", "dst")
+    ind = capped.groupBy(F.col("dst").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("ind")
+    )
+    a = capped.select("src", F.col("dst").alias("a"))
+    b = capped.select("src", F.col("dst").alias("b"))
+    pairs = (
+        a.join(b, "src")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    return (
+        pairs.join(ind.selectExpr("h AS a", "ind AS in_a"), "a")
+        .join(ind.selectExpr("h AS b", "ind AS in_b"), "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            "in_a",
+            "in_b",
+            F.expr(
+                "(1000000 * n_common * n_common) DIV (in_a * in_b)"
+            ).alias("cos2_ppm"),
+        )
+    )

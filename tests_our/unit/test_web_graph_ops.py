@@ -726,3 +726,34 @@ def test_host_features_dense_defaults(spark):
     # no NULLs anywhere
     for r in out.values():
         assert all(v is not None for v in r.asDict().values())
+
+
+# --- co-citation ----------------------------------------------------------------
+
+
+def test_cocitation_pairs_and_cosine(spark):
+    # l1 and l2 both cite {x, y}; l3 cites only x; hub cites everything
+    e = _edges(spark, [
+        ("l1", "x"), ("l1", "y"),
+        ("l2", "x"), ("l2", "y"),
+        ("l3", "x"),
+        ("hub", "x"), ("hub", "y"), ("hub", "z"), ("hub", "w"),
+    ])
+    out = {(r.a, r.b): r for r in
+           web.host_cocitation(e, max_out_degree=3, min_common=2).collect()}
+    assert set(out) == {("x", "y")}  # hub excluded; z/w never co-cited
+    r = out[("x", "y")]
+    # capped in-degrees: x <- l1,l2,l3 = 3; y <- l1,l2 = 2
+    assert (r.n_common, r.in_a, r.in_b) == (2, 3, 2)
+    assert r.cos2_ppm == (1_000_000 * 4) // 6
+
+
+def test_cocitation_hub_inclusion_when_cap_allows(spark):
+    e = _edges(spark, [
+        ("hub", "x"), ("hub", "y"), ("l1", "x"), ("l1", "y"),
+    ])
+    out = web.host_cocitation(e, max_out_degree=50, min_common=2).collect()
+    assert len(out) == 1 and out[0].n_common == 2
+    import pytest
+    with pytest.raises(ValueError):
+        web.host_cocitation(e, max_out_degree=0)
