@@ -60,7 +60,9 @@ def _wrapped_link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             " '<p>body text</p>',"
             " '<a href=\"/local/', cast(doc_id % 10 as int), '\">local ',"
             " doc_id, '</a>',"
-            " '<a href=\"https://site', cast((doc_id * 3 + 1) % 50 as int),"
+            " '<a ', CASE WHEN doc_id % 5 = 0 THEN 'rel=\"NoFollow UGC\" '"
+            " ELSE '' END,"
+            " 'href=\"https://site', cast((doc_id * 3 + 1) % 50 as int),"
             " '.example.com/x/', cast(doc_id % 20 as int),"
             " '\">', CASE WHEN doc_id % 3 = 0 THEN 'cross link' ELSE"
             " concat('see site ', cast((doc_id * 3 + 1) % 50 as int)) END,"
@@ -728,6 +730,7 @@ def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dst_host",
         "is_internal",
         "anchor",
+        "rel",
     )
 
 
@@ -741,6 +744,12 @@ def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc_parser_spark.operators.web import link_graph
 
     return link_graph(_q_extract_links_raw(spark, sf_dir))
+
+
+def _q_link_graph_dofollow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.web import link_graph
+
+    return link_graph(_q_extract_links_raw(spark, sf_dir), drop_nofollow=True)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -935,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "extract_microdata": _q_extract_microdata,
         "web_link_graph": _q_link_graph,
+        "web_link_graph_dofollow": _q_link_graph_dofollow,
         "web_anchor_text": lambda spark, sf: web.anchor_text(
             _q_extract_links_raw(spark, sf)
         ),
@@ -3167,7 +3177,8 @@ def oracle_sql() -> dict[str, str]:
                    'site' || CAST(doc_id % 50 AS INT) || '.example.com'
                        AS dst_host,
                    TRUE AS is_internal,
-                   'local ' || doc_id AS anchor
+                   'local ' || doc_id AS anchor,
+                   '' AS rel
             FROM documents
             UNION ALL
             SELECT doc_id, 1,
@@ -3180,7 +3191,9 @@ def oracle_sql() -> dict[str, str]:
                    FALSE,
                    CASE WHEN doc_id % 3 = 0 THEN 'cross link'
                         ELSE 'see site ' || CAST((doc_id * 3 + 1) % 50 AS INT)
-                        END
+                        END,
+                   CASE WHEN doc_id % 5 = 0 THEN 'nofollow ugc'
+                        ELSE '' END
             FROM documents
             UNION ALL
             -- the javascript: pseudo-link (doc_id%6) is skipped by the
@@ -3192,7 +3205,8 @@ def oracle_sql() -> dict[str, str]:
                        || '.example.com/page/' || doc_id || '#top',
                    'site' || CAST(doc_id % 50 AS INT) || '.example.com',
                    TRUE,
-                   'top'
+                   'top',
+                   ''
             FROM documents
             WHERE doc_id % 4 = 0
         """,
@@ -3233,6 +3247,17 @@ def oracle_sql() -> dict[str, str]:
                        || '.example.com' AS dst_host,
                    CAST(count(*) AS BIGINT) AS n_links
             FROM documents
+            GROUP BY 1, 2
+        """,
+        # same edges minus the rel=nofollow family (doc_id%5=0)
+        "web_link_graph_dofollow": """
+            SELECT 'site' || CAST(doc_id % 50 AS INT) || '.example.com'
+                       AS src_host,
+                   'site' || CAST((doc_id * 3 + 1) % 50 AS INT)
+                       || '.example.com' AS dst_host,
+                   CAST(count(*) AS BIGINT) AS n_links
+            FROM documents
+            WHERE doc_id % 5 <> 0
             GROUP BY 1, 2
         """,
         "web_anchor_text": """

@@ -520,6 +520,7 @@ def _links_schema():
             T.StructField("dst_host", T.StringType()),
             T.StructField("is_internal", T.BooleanType()),
             T.StructField("anchor", T.StringType()),
+            T.StructField("rel", T.StringType()),
         ]
     )
 
@@ -539,7 +540,10 @@ def extract_links(
     ``is_internal`` (same lowercased host as the page), and the
     whitespace-normalized anchor text. ``javascript:``/``mailto:``/
     ``data:`` pseudo-links are skipped; fragments resolve onto the page
-    URL like any reading system. ``max_links_per_page`` bounds link-farm
+    URL like any reading system. ``rel`` carries the normalized token
+    list (``nofollow``/``ugc``/``sponsored`` — the link-endorsement
+    signal PageRank pipelines discount; '' when absent).
+    ``max_links_per_page`` bounds link-farm
     pages (bound disclosed per SURVEY's no-silent-caps rule — the count
     is per-page deterministic, head-of-document order).
 
@@ -579,6 +583,7 @@ def extract_links(
                         resolved = urljoin(url, href)
                         dst_host = urlsplit(resolved).netloc.lower()
                         anchor = " ".join(tag.text.split())
+                        rel = " ".join((tag.get("rel") or "").lower().split())
                         records.append(
                             {
                                 "url": url,
@@ -588,6 +593,7 @@ def extract_links(
                                 "dst_host": dst_host,
                                 "is_internal": dst_host == src_host,
                                 "anchor": anchor,
+                                "rel": rel,
                             }
                         )
                         n += 1

@@ -998,7 +998,11 @@ def robots_filter(
     )
 
 
-def link_graph(links: DataFrame, external_only: bool = True) -> DataFrame:
+def link_graph(
+    links: DataFrame,
+    external_only: bool = True,
+    drop_nofollow: bool = False,
+) -> DataFrame:
     """Outlink relation (:func:`operators.extract.extract_links` output)
     → host-graph edges ``(src_host, dst_host, n_links)`` — the real-edge
     input :func:`host_pagerank` iterates over (its driver query uses
@@ -1008,7 +1012,10 @@ def link_graph(links: DataFrame, external_only: bool = True) -> DataFrame:
     dropped by default since PageRank treats them as rank sinks. Both
     endpoints land in the same canonical host bucket host_cap/pagerank
     key on (www./default-port strip), so 'www.a.com -> a.com' is not a
-    phantom cross-host edge.
+    phantom cross-host edge. ``drop_nofollow`` removes links whose
+    ``rel`` tokens carry ``nofollow``/``ugc``/``sponsored`` before
+    edges form — the Google-since-2005 PageRank discount; dofollow-only
+    graphs are what trust propagation should iterate on.
     """
 
     def bucket(h: str) -> str:
@@ -1027,6 +1034,11 @@ def link_graph(links: DataFrame, external_only: bool = True) -> DataFrame:
         "(CASE WHEN dst_host LIKE 'www.%' THEN substring(dst_host, 5) "
         "ELSE dst_host END)"
     )
+    if drop_nofollow:
+        links = links.where(
+            "NOT arrays_overlap(split(coalesce(rel, ''), ' '),"
+            " array('nofollow', 'ugc', 'sponsored'))"
+        )
     edges = links.select(
         F.expr(src).alias("src_host"),
         F.expr(dst).alias("dst_host"),

@@ -391,6 +391,7 @@ _PANDAS_OK = {
     # sniff, hreflang DOM walk
     "web_feed_entries", "web_mime_verdicts", "web_hreflang_clusters",
     "web_index_verdicts", "web_dom_templates",
+    "web_link_graph_dofollow",
 }
 
 

@@ -1535,3 +1535,43 @@ def test_robots_posture_rfc9309(spark):
     assert out["down"].posture == "disallow_all" and out["down"].retry
     assert out["dead"].posture == "disallow_all" and out["dead"].retry
     assert out["dead"].status == 0
+
+
+def test_link_graph_drop_nofollow(spark):
+    links = spark.createDataFrame(
+        [
+            ("https://a.com/1", "b.com", "", "x"),
+            ("https://a.com/1", "c.com", "nofollow", "y"),
+            ("https://a.com/1", "d.com", "sponsored noopener", "z"),
+            ("https://a.com/1", "e.com", "noopener", "w"),
+            ("https://a.com/2", "f.com", None, "v"),
+        ],
+        "url string, dst_host string, rel string, anchor string",
+    )
+    full = {(r.src_host, r.dst_host) for r in
+            web.link_graph(links).collect()}
+    assert full == {("a.com", "b.com"), ("a.com", "c.com"),
+                    ("a.com", "d.com"), ("a.com", "e.com"),
+                    ("a.com", "f.com")}
+    dofollow = {(r.src_host, r.dst_host) for r in
+                web.link_graph(links, drop_nofollow=True).collect()}
+    # nofollow and sponsored edges gone; unrelated rel tokens stay
+    assert dofollow == {("a.com", "b.com"), ("a.com", "e.com"),
+                        ("a.com", "f.com")}
+
+
+def test_extract_links_rel_tokens(spark):
+    from doc_parser_spark.operators.extract import extract_links
+
+    html = (
+        b'<html><body>'
+        b'<a href="/a" rel=" NoFollow  UGC ">one</a>'
+        b'<a href="/b">two</a>'
+        b'</body></html>'
+    )
+    pages = spark.createDataFrame(
+        [("https://h.com/p", html)], "url string, html binary"
+    )
+    rows = sorted(extract_links(pages).collect(), key=lambda r: r.link_no)
+    assert rows[0].rel == "nofollow ugc"  # lowered + space-normalized
+    assert rows[1].rel == ""
