@@ -943,6 +943,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             trap_min_share=0.5,
         ),
         "extract_microdata": _q_extract_microdata,
+        # the loop closed end to end: raw HTML -> link kernel -> dofollow
+        # host graph -> integer-exact PageRank
+        "web_pagerank_real": lambda spark, sf: web.host_pagerank(
+            web.link_graph(
+                _q_extract_links_raw(spark, sf), drop_nofollow=True
+            ).selectExpr("src_host AS src", "dst_host AS dst"),
+            iterations=3,
+        ),
+        "web_page_link_features": lambda spark, sf: web.page_link_features(
+            _q_extract_links_raw(spark, sf)
+        ),
         "web_link_graph": _q_link_graph,
         "web_link_graph_dofollow": _q_link_graph_dofollow,
         "web_anchor_text": lambda spark, sf: web.anchor_text(
@@ -2350,20 +2361,24 @@ def _hits_sql(iterations: int = 5) -> str:
     )
 
 
-def _pagerank_sql(iterations: int = 5) -> str:
-    """DuckDB twin of web.host_pagerank over the synthesized host edges:
-    the damped integer-exact iteration fully unrolled as chained CTEs."""
+def _pagerank_sql(iterations: int = 5, e_body: str | None = None) -> str:
+    """DuckDB twin of web.host_pagerank: the damped integer-exact
+    iteration fully unrolled as chained CTEs. ``e_body`` overrides the
+    edge relation (default: the synthesized offset graph) — the
+    real-edge query passes the link-kernel-derived edge set."""
     from doc_parser_spark.operators import web as _w
 
     offs = ", ".join(str(o) for o in _w.SYNTH_EDGE_OFFSETS)
-    ctes = [
-        f"""e AS (
+    if e_body is None:
+        e_body = f"""
             SELECT DISTINCT src, dst FROM (
                 SELECT concat('site', CAST(doc_id % 50 AS INT)) AS src,
                        concat('site', CAST((doc_id * 7 + t.o) % 50 AS INT)) AS dst
                 FROM documents, LATERAL UNNEST([{offs}]) AS t(o)
             ) WHERE src <> dst
-        )""",
+        """
+    ctes = [
+        f"""e AS ({e_body})""",
         "nodes AS (SELECT src AS h FROM e UNION SELECT dst FROM e)",
         "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
         "r0 AS (SELECT h, CAST(1000000 AS BIGINT) AS r FROM nodes)",
@@ -3248,6 +3263,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_links
             FROM documents
             GROUP BY 1, 2
+        """,
+        # pagerank twin over the kernel-derived dofollow edge set
+        "web_pagerank_real": _pagerank_sql(3, e_body="""
+            SELECT DISTINCT
+                   concat('site', CAST(doc_id % 50 AS INT),
+                          '.example.com') AS src,
+                   concat('site', CAST((doc_id * 3 + 1) % 50 AS INT),
+                          '.example.com') AS dst
+            FROM documents WHERE doc_id % 5 <> 0
+        """),
+        # per-page features hand-derived from the three link families
+        "web_page_link_features": """
+            WITH f AS (
+                SELECT doc_id,
+                       concat('https://site', CAST(doc_id % 50 AS INT),
+                              '.example.com/page/', doc_id) AS url,
+                       CAST(2 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                            AS BIGINT) AS n_links,
+                       CAST(6 + length(CAST(doc_id AS VARCHAR))
+                            AS BIGINT) AS a0,
+                       CAST(CASE WHEN doc_id % 3 = 0 THEN 10
+                            ELSE 9 + length(CAST((doc_id * 3 + 1) % 50
+                                                 AS VARCHAR))
+                            END AS BIGINT) AS a1,
+                       CAST(CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 0 END
+                            AS BIGINT) AS a2,
+                       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                            AS BIGINT) AS nf
+                FROM documents
+            )
+            SELECT url, n_links, CAST(1 AS BIGINT) AS n_external,
+                   CAST(1000 // n_links AS BIGINT) AS external_permille,
+                   CAST(2 AS BIGINT) AS n_dst_hosts,
+                   nf AS n_nofollow,
+                   CAST((a0 + a1 + a2) // n_links AS BIGINT)
+                       AS mean_anchor_len
+            FROM f
         """,
         # same edges minus the rel=nofollow family (doc_id%5=0)
         "web_link_graph_dofollow": """

@@ -3551,3 +3551,44 @@ def host_cocitation(
             ).alias("cos2_ppm"),
         )
     )
+
+
+def page_link_features(links: DataFrame) -> DataFrame:
+    """Per-page outlink feature vector from the extracted link relation
+    — the link-shape half of a page-quality classifier's input (spam
+    pages are outlink-heavy, externally skewed, and nofollow-free;
+    SEO-heavy pages are the opposite): per source URL, total links,
+    external count and per-mille share, distinct destination hosts,
+    nofollow/sponsored/ugc count, and mean anchor length (per-mille —
+    integer-exact, like every ratio in this package).
+
+    One map-side-combined groupBy on the page URL — the relation is
+    already partitioned by its producing kernel's layout, and the URL
+    key matches the extraction output's, so the join back onto
+    documents is co-partitioned.
+    """
+    nf = (
+        "arrays_overlap(split(coalesce(rel, ''), ' '),"
+        " array('nofollow', 'ugc', 'sponsored'))"
+    )
+    return (
+        links.groupBy("url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.sum((~F.col("is_internal")).cast("long")).alias("n_external"),
+            F.countDistinct("dst_host").cast("long").alias("n_dst_hosts"),
+            F.sum(F.expr(nf).cast("long")).alias("n_nofollow"),
+            F.sum(F.length(F.coalesce("anchor", F.lit("")))).alias("_alen"),
+        )
+        .select(
+            "url",
+            "n_links",
+            "n_external",
+            F.expr("(1000 * n_external) DIV n_links").alias(
+                "external_permille"
+            ),
+            "n_dst_hosts",
+            "n_nofollow",
+            F.expr("_alen DIV n_links").alias("mean_anchor_len"),
+        )
+    )

@@ -391,7 +391,7 @@ _PANDAS_OK = {
     # sniff, hreflang DOM walk
     "web_feed_entries", "web_mime_verdicts", "web_hreflang_clusters",
     "web_index_verdicts", "web_dom_templates",
-    "web_link_graph_dofollow",
+    "web_link_graph_dofollow", "web_page_link_features", "web_pagerank_real",
 }
 
 

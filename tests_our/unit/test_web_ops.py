@@ -1575,3 +1575,21 @@ def test_extract_links_rel_tokens(spark):
     rows = sorted(extract_links(pages).collect(), key=lambda r: r.link_no)
     assert rows[0].rel == "nofollow ugc"  # lowered + space-normalized
     assert rows[1].rel == ""
+
+
+def test_page_link_features(spark):
+    links = spark.createDataFrame(
+        [
+            ("p1", "a.com", False, "", "hello"),
+            ("p1", "b.com", False, "nofollow", "xx"),
+            ("p1", "b.com", False, "", "yyyy"),
+            ("p1", "self.com", True, None, ""),
+        ],
+        "url string, dst_host string, is_internal boolean, rel string,"
+        " anchor string",
+    )
+    r = web.page_link_features(links).collect()[0]
+    assert (r.n_links, r.n_external, r.n_dst_hosts, r.n_nofollow) == (
+        4, 3, 3, 1)
+    assert r.external_permille == 750
+    assert r.mean_anchor_len == (5 + 2 + 4 + 0) // 4
