@@ -1753,6 +1753,10 @@ def feed_entries(feeds: DataFrame, max_bytes: int = 8 * 1024 * 1024) -> DataFram
       transparently unwrapped by the XML parser).
     - Missing optionals are empty strings, not NULL — equi-joinable.
 
+    Input contract: ``xml`` is a DECODED string column — binary crawl
+    payloads go through the charset-sniffing decode (errors-replaced)
+    first, so invalid byte sequences never reach the Arrow boundary.
+
     Scale shape: pure per-row projection work — zero shuffles; output
     inherits the input's host partitioning (the politeness key).
     """
