@@ -336,6 +336,54 @@ def repetition_filter(documents: DataFrame) -> DataFrame:
 # -- token-budget shard packing ----------------------------------------------
 
 
+def _exclusive_prefix_sum(
+    df: DataFrame, order_cols: list, value_col: str, num_partitions: int
+):
+    """Exclusive global prefix sum of ``value_col`` over the total order
+    ``order_cols`` — the scale-safe two-pass scheme shared by
+    :func:`pack_shards` and :func:`pack_sequences`: a bare global
+    ``Window.orderBy`` collapses the corpus into ONE task, so instead
+    range-partition on the order key, pin the layout (localCheckpoint),
+    turn per-partition totals into driver-held offsets broadcast back,
+    and add per-partition local cumsums.  Exact BIGINT end-to-end.
+
+    Returns the pinned relation with an ``_off`` column (the exclusive
+    prefix sum)."""
+    spark = df.sparkSession
+    base = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin layout across the two passes
+    )
+    totals = {
+        int(r["pid"]): int(r["s"])
+        for r in base.groupBy("pid").agg(F.sum(value_col).alias("s")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        acc += totals.get(pid, 0)
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "pid int, p_off long"
+        )
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.withColumn(
+            "l_off", F.coalesce(F.sum(value_col).over(w), F.lit(0))
+        )
+        .join(off_df, "pid")
+        .withColumn("_off", F.col("p_off") + F.col("l_off"))
+    )
+
+
 def pack_shards(
     documents: DataFrame, budget_tokens: int = 20000, num_partitions: int = 0
 ) -> DataFrame:
@@ -357,43 +405,19 @@ def pack_shards(
     if num_partitions <= 0:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     toks = F.expr("size(filter(split(trim(text), '\\\\s+'), t -> t <> ''))")
-    base = (
-        documents.select("doc_id", toks.cast("long").alias("n_tokens"))
-        .repartitionByRange(num_partitions, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # pin the partition layout across the two passes
+    pref = _exclusive_prefix_sum(
+        documents.select("doc_id", toks.cast("long").alias("n_tokens")),
+        ["doc_id"],
+        "n_tokens",
+        num_partitions,
     )
-    totals = {
-        int(r["pid"]): int(r["s"])
-        for r in base.groupBy("pid").agg(F.sum("n_tokens").alias("s")).collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in range(num_partitions):
-        offsets[pid] = acc
-        acc += totals.get(pid, 0)
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "pid int, p_off long"
-        )
-    )
-    w = (
-        Window.partitionBy("pid")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = base.withColumn("l_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-    return (
-        local.join(off_df, "pid")
-        .select(
-            "doc_id",
-            "n_tokens",
-            (F.col("p_off") + F.col("l_off")).alias("token_offset"),
-            F.floor((F.col("p_off") + F.col("l_off")) / F.lit(budget_tokens))
-            .cast("long")
-            .alias("shard_id"),
-        )
+    return pref.select(
+        "doc_id",
+        "n_tokens",
+        F.col("_off").alias("token_offset"),
+        F.floor(F.col("_off") / F.lit(budget_tokens))
+        .cast("long")
+        .alias("shard_id"),
     )
 
 
@@ -1923,50 +1947,26 @@ def pack_sequences(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
     toks = F.expr("size(filter(split(trim(text), '\\\\s+'), t -> t <> ''))")
-    base = (
+    pref = _exclusive_prefix_sum(
         documents.select(
             "doc_id",
             toks.cast("long").alias("n_tokens"),
             _hash_key(seed).alias("k"),
-        )
-        .repartitionByRange(num_partitions, "k", "doc_id")
-        .sortWithinPartitions("k", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # pin layout across the two passes
+        ),
+        ["k", "doc_id"],
+        "n_tokens",
+        num_partitions,
     )
-    totals = {
-        int(r["pid"]): int(r["s"])
-        for r in base.groupBy("pid").agg(F.sum("n_tokens").alias("s")).collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in range(num_partitions):
-        offsets[pid] = acc
-        acc += totals.get(pid, 0)
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "pid int, p_off long"
-        )
-    )
-    w = (
-        Window.partitionBy("pid")
-        .orderBy("k", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = base.withColumn(
-        "l_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    )
-    off = F.col("p_off") + F.col("l_off")
-    return local.join(off_df, "pid").select(
+    return pref.select(
         "doc_id",
         "n_tokens",
-        off.alias("tok_offset"),
-        F.expr(f"(p_off + l_off) DIV {seq_len}").alias("seq_first"),
+        F.col("_off").alias("tok_offset"),
+        F.expr(f"_off DIV {seq_len}").alias("seq_first"),
         F.when(
             F.col("n_tokens") > 0,
-            F.expr(f"(p_off + l_off + n_tokens - 1) DIV {seq_len}"),
+            F.expr(f"(_off + n_tokens - 1) DIV {seq_len}"),
         )
-        .otherwise(F.expr(f"(p_off + l_off) DIV {seq_len}"))
+        .otherwise(F.expr(f"_off DIV {seq_len}"))
         .alias("seq_last"),
-        (off % F.lit(seq_len)).alias("offset_in_seq"),
+        (F.col("_off") % F.lit(seq_len)).alias("offset_in_seq"),
     )

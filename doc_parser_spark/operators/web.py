@@ -3465,8 +3465,9 @@ def robots_posture(fetches: DataFrame) -> DataFrame:
       follow at least five hops; the chain itself is
       :func:`redirect_chains`' job),
     - 4xx → ``allow_all`` (an absent robots.txt is an open host),
-    - 5xx / unreachable → ``disallow_all`` (MUST assume complete
-      disallow; a 503 retries later — ``retry`` true).
+    - 5xx / unreachable / anything non-definitive (1xx, non-standard
+      anti-bot codes like 999) → ``disallow_all`` with ``retry`` true —
+      conservative but never a permanent blacklist.
 
     Pure projection — zero shuffles; joins onto the frontier on the
     host key like the rules relation does.
@@ -3481,9 +3482,10 @@ def robots_posture(fetches: DataFrame) -> DataFrame:
         .otherwise(F.lit("disallow_all"))
         .alias("posture"),
         ((st >= 300) & (st < 400)).alias("follow_redirect"),
-        (
-            (st >= 500) & (st < 600) | (st == 0)
-        ).alias("retry"),
+        # anything that is not a definitive 2xx-4xx answer is retriable:
+        # 5xx, network failure (0), 1xx and non-standard anti-bot codes
+        # (999) must not blacklist the host forever
+        (~((st >= 200) & (st < 500))).alias("retry"),
     )
 
 

@@ -83,10 +83,9 @@ class TableIO:
         atomic snapshot replacing exactly the partitions present in
         ``df``."""
         if self.mode == "parquet":
-            writer = df.write.mode("overwrite")
-            if partition_by:
-                writer = writer.partitionBy(*partition_by)
-            writer.parquet(self.identifier(name))
+            _write_parquet_partitioned(
+                df, self.identifier(name), partition_by, "overwrite"
+            )
             return
         target = self.identifier(name)
         existing = self.spark.catalog.tableExists(target)
@@ -153,6 +152,21 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def _write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str,
+) -> None:
+    """The ONE parquet partitioned-write path — shared by
+    ``TableIO.overwrite_partitioned`` (parquet mode) and
+    :func:`write_partitioned` so the two can never drift."""
+    writer = df.write.mode(mode).format("parquet")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(path)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -178,9 +192,4 @@ def write_partitioned(
     """
     if not partition_cols:
         raise ValueError("partition_cols must be non-empty")
-    (
-        df.write.mode(mode)
-        .format("parquet")
-        .partitionBy(*partition_cols)
-        .save(path)
-    )
+    _write_parquet_partitioned(df, path, partition_cols, mode)

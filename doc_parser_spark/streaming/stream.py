@@ -346,6 +346,8 @@ def streaming_sessionize(events_stream: DataFrame, watermark: str = "1 hour") ->
 
 # -- streaming politeness scheduler (per-host fetch slots) ---------------------
 
+_POLITE_DEFAULT_DELAY_MS = 1000  # crawler default when robots is silent
+
 _POLITE_STATE_SCHEMA = T.StructType(
     [T.StructField("next_slot", T.LongType())]
 )
@@ -371,14 +373,19 @@ def _update_polite(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     next_slot = state.get[0] if state.exists else 0
     slots = [next_slot + i for i in range(len(rows))]
     state.update((next_slot + len(rows),))
+    # a host missing from the robots relation arrives with NULL delay
+    # (left-join miss -> NaN in the Arrow float column): fall back to
+    # the default instead of killing the whole streaming query
+    delays = [
+        int(d) if pd.notna(d) else _POLITE_DEFAULT_DELAY_MS
+        for d in rows["delay_ms"]
+    ]
     yield pd.DataFrame(
         {
             "host": host,
             "url": rows["url"],
             "slot": slots,
-            "not_before_ms": [
-                s * int(d) for s, d in zip(slots, rows["delay_ms"])
-            ],
+            "not_before_ms": [s * d for s, d in zip(slots, delays)],
         }
     )
 
@@ -394,7 +401,9 @@ def streaming_polite_schedule(frontier_stream: DataFrame) -> DataFrame:
     RFC 9309 / Mercator per-host spacing.
 
     Input rows ``(host, url, discovered_ts, delay_ms)`` — the caller
-    stream-static-joins the robots crawl-delay relation on host.
+    stream-static-joins the robots crawl-delay relation on host; a host
+    with no robots row (NULL delay) falls back to the 1 s crawler
+    default instead of failing the micro-batch.
     Within a micro-batch, slot order is the deterministic
     ``(discovered_ts, url)`` sort, so the schedule is replayable from
     the checkpoint; per-host state is ONE long (the next slot) — state

@@ -1535,6 +1535,12 @@ def test_robots_posture_rfc9309(spark):
     assert out["down"].posture == "disallow_all" and out["down"].retry
     assert out["dead"].posture == "disallow_all" and out["dead"].retry
     assert out["dead"].status == 0
+    # non-definitive codes never blacklist permanently
+    extra = {r.host: r for r in web.robots_posture(
+        spark.createDataFrame([("odd", 999), ("cont", 100)],
+                              "host string, status int")).collect()}
+    assert extra["odd"].posture == "disallow_all" and extra["odd"].retry
+    assert extra["cont"].posture == "disallow_all" and extra["cont"].retry
 
 
 def test_link_graph_drop_nofollow(spark):
