@@ -1412,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "documents"), seq_len=512
         ),
         "doc_kn_bigrams": q(text_analysis.kn_bigrams, "documents"),
+        "doc_kn_score": q(text_analysis.kn_score, "documents"),
         "doc_top_terms": q(text_analysis.top_terms, "documents"),
         "doc_bm25_topk": q(text_analysis.bm25_topk, "documents"),
         "doc_dup_spans": q(text_analysis.dup_spans, "documents"),
@@ -5469,6 +5470,61 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / 1e6 AS p_kn
             FROM cuw JOIN lft USING (u) JOIN rgt USING (w) CROSS JOIN typ
             WHERE n_uw >= 3
+        """,
+        # inference half of the KN model: integer bit cost per bigram
+        # occurrence, floor(log2(n)) computed as length(bin(n)) - 1 —
+        # log-free, so both engines agree to the bit
+        "doc_kn_score": f"""
+            WITH dd AS (
+                SELECT doc_id, wd
+                FROM (SELECT doc_id, {_WORDS_SQL} AS wd FROM documents)
+                WHERE len(wd) >= 2 AND wd[1] <> ''
+            ),
+            stream AS (
+                SELECT doc_id, wd[i] AS u, wd[i + 1] AS w
+                FROM dd, LATERAL UNNEST(generate_series(1, len(wd) - 1)) AS t(i)
+            ),
+            cuw AS (SELECT u, w, count(*) AS n_uw FROM stream GROUP BY u, w),
+            lft AS (
+                SELECT u, sum(n_uw) AS n_u, count(*) AS n_follow_u
+                FROM cuw GROUP BY u
+            ),
+            rgt AS (SELECT w, count(*) AS n_prec_w FROM cuw GROUP BY w),
+            typ AS (SELECT count(*) AS n_types FROM cuw),
+            model AS (
+                SELECT u, w,
+                       CAST((1000000 * (4 * n_uw - 3)) // (4 * n_u)
+                            + (((3 * n_follow_u * 1000000) // (4 * n_u))
+                               * ((1000000 * n_prec_w) // n_types)) // 1000000
+                            AS BIGINT) AS pkn_scaled
+                FROM cuw JOIN lft USING (u) JOIN rgt USING (w) CROSS JOIN typ
+                WHERE n_uw >= 3
+            ),
+            costs AS (
+                SELECT s.doc_id,
+                       CASE WHEN m.pkn_scaled IS NULL THEN 20
+                            ELSE greatest(0, least(20,
+                                20 - (length(bin(greatest(m.pkn_scaled, 1)))
+                                      - 1)))
+                       END AS bits,
+                       CASE WHEN m.pkn_scaled IS NULL THEN 1 ELSE 0 END AS oov
+                FROM stream s LEFT JOIN model m USING (u, w)
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_bigrams,
+                       CAST(sum(oov) AS BIGINT) AS n_oov,
+                       CAST(sum(bits) AS BIGINT) AS total_bits
+                FROM costs GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+                   CAST(coalesce(total_bits, 0) AS BIGINT) AS total_bits,
+                   CAST(CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0
+                             ELSE (1000000 * total_bits) // n_bigrams
+                        END AS BIGINT) AS avg_bits_q6
+            FROM documents d LEFT JOIN agg USING (doc_id)
         """,
         "doc_top_terms": """
             WITH toks AS (

@@ -1912,6 +1912,87 @@ def kn_bigrams(documents: DataFrame, min_count: int = 3) -> DataFrame:
     return out
 
 
+def kn_score(documents: DataFrame, min_count: int = 3) -> DataFrame:
+    """Per-document surprisal under the corpus-trained interpolated
+    Kneser-Ney bigram model — the CCNet scoring step (Wenzek et al.
+    2020 §4.2: score every paragraph with a KenLM model, filter by
+    perplexity). :func:`kn_bigrams` is the training half; this is the
+    inference half, run as one relation-to-relation join.
+
+    Each bigram occurrence in a document is charged an integer **bit
+    cost**: ``20 - floor(log2(pkn_scaled))`` clamped to ``[0, 20]``,
+    where ``pkn_scaled`` is the model's 1e6-scaled probability — so a
+    ceiling-probability bigram costs ~0 bits and anything at or below
+    the 1e-6 floor costs 20. Bigrams absent from the emitted (pruned)
+    model — OOV under the KenLM artifact contract — cost the full 20
+    bits. ``floor(log2(n))`` is computed as ``length(bin(n)) - 1``:
+    pure integer/string arithmetic, bit-identical across engines,
+    immune to the libm ``log`` ulp drift this package's oracle rules
+    forbid (same rationale as ``top_terms``' log-free TF-IDF).
+
+    Output per document (ALL documents — textless rows score zero):
+    ``n_bigrams``, ``n_oov``, ``total_bits`` and ``avg_bits_q6`` (the
+    1e6-scaled mean bit cost — the CCNet ranking key; lower = more
+    ordinary text; ``perplexity = 2^(avg_bits)`` for a consumer who
+    wants the familiar units).
+
+    Scale shape (10^12 docs): one explode to the per-occurrence bigram
+    stream (narrow ``(doc_id, u, w)`` rows), one hash equi-join against
+    the model relation on ``(u, w)`` — the model is vocabulary-sized,
+    far smaller than the stream, and never collects — then one
+    map-side-combined groupBy on ``doc_id`` and a final left join back
+    to the document spine. Skewed head bigrams ride AQE's skew split
+    like every other hot-key join here.
+    """
+    model = kn_bigrams(documents, min_count=min_count).select(
+        "u", "w", "pkn_scaled"
+    )
+    documents = _nn_text(documents)
+    d = documents.select(
+        "doc_id", F.expr(f"split({NORM}, ' ')").alias("wd")
+    ).where("size(wd) >= 2 AND wd[0] <> ''")
+    stream = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(wd) - 2),"
+                " i -> struct(wd[i] AS u, wd[i + 1] AS w))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.u", "p.w")
+    cost = F.expr(
+        "CASE WHEN pkn_scaled IS NULL THEN 20 ELSE"
+        " greatest(0, least(20,"
+        "   20 - (length(bin(greatest(pkn_scaled, 1))) - 1))) END"
+    )
+    scored = (
+        stream.join(model, ["u", "w"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("pkn_scaled").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+            F.sum(cost).cast("long").alias("total_bits"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.coalesce("total_bits", F.lit(0)).cast("long")
+            .alias("total_bits"),
+            F.expr(
+                "CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0"
+                " ELSE (1000000 * total_bits) DIV n_bigrams END"
+            ).cast("long").alias("avg_bits_q6"),
+        )
+    )
+
+
 def pack_sequences(
     documents: DataFrame,
     seq_len: int = 2048,

@@ -281,6 +281,42 @@ def test_kn_bigrams_skips_short_docs_and_validates(spark):
         text_analysis.kn_bigrams(docs, min_count=0)
 
 
+def test_kn_score_hand_computed(spark):
+    # same corpus as the kn_bigrams hand test: model (min_count=1) is
+    # (a,b) pkn=750000, (a,c) pkn=250000
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "A  b"), (4, "a c"), (5, None)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r for r in text_analysis.kn_score(docs, min_count=1).collect()
+    }
+    assert len(rows) == 5  # every document scores, textless included
+    # 750000 in [2^19, 2^20) -> floor_log2 = 19 -> 1 bit
+    assert rows[1].n_bigrams == 1 and rows[1].n_oov == 0
+    assert rows[1].total_bits == 1 and rows[1].avg_bits_q6 == 1_000_000
+    # 250000 in [2^17, 2^18) -> floor_log2 = 17 -> 3 bits
+    assert rows[4].total_bits == 3 and rows[4].avg_bits_q6 == 3_000_000
+    # textless document: the zero row, not a dropped row / NULLs
+    assert (rows[5].n_bigrams, rows[5].n_oov, rows[5].total_bits,
+            rows[5].avg_bits_q6) == (0, 0, 0, 0)
+
+
+def test_kn_score_oov_charges_floor_bits(spark):
+    # min_count=3 prunes (a,c) from the emitted model -> doc 4's only
+    # bigram is OOV under the KenLM-artifact contract: full 20 bits
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r for r in text_analysis.kn_score(docs, min_count=3).collect()
+    }
+    assert rows[4].n_oov == 1 and rows[4].total_bits == 20
+    assert rows[4].avg_bits_q6 == 20_000_000
+    assert rows[1].n_oov == 0 and rows[1].total_bits <= 20
+
+
 # --- revisit records -----------------------------------------------------------
 
 
