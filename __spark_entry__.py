@@ -689,6 +689,13 @@ def _wrapped_image_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             " concat('<img src=\"//cdn', cast(doc_id % 20 as int),"
             " '.example.net/q/', doc_id, '.gif\" alt=\"proto relative\">')"
             " ELSE '' END,"
+            " CASE WHEN doc_id % 6 = 0 THEN"
+            " '<img src=\"/icons/sprite.png\" alt=\"logo\""
+            " width=\"16\" height=\"16\">' ELSE '' END,"
+            " CASE WHEN doc_id % 9 = 0 THEN"
+            " concat('<img src=\"/b/', doc_id, '.png\""
+            " alt=\"festival crowd at night\" width=\"900\""
+            " height=\"120\">') ELSE '' END,"
             " '</body></html>') as binary)"
         ).alias("html"),
         F.lit("").alias("text"),
@@ -713,6 +720,15 @@ def _q_extract_image_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "caption",
         "width",
         "height",
+    )
+
+
+def _q_image_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators import web as _w
+    from doc_parser_spark.operators.extract import extract_image_refs
+
+    return _w.image_candidates(
+        extract_image_refs(_wrapped_image_pages(spark, sf_dir))
     )
 
 
@@ -908,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_boilerplate_blocks": _q_boilerplate,
         "extract_links": _q_extract_links,
         "extract_image_refs": _q_extract_image_refs,
+        "web_image_candidates": _q_image_candidates,
         "extract_spans": _q_extract_spans,
         "extract_table_cells": _q_extract_table_cells,
         "extract_wet": _q_extract_wet,
@@ -1513,6 +1530,10 @@ _WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
 from doc_parser_spark.operators import multimodal as _mm  # noqa: E402
 from doc_parser_spark.operators import text_analysis as _ta  # noqa: E402
 from doc_parser_spark.operators import web as _web  # noqa: E402
+
+# junk-caption gate shared with web.image_candidates — same literal list
+# in both engines
+_IMG_JUNK_SQL = ", ".join(f"'{w}'" for w in _web._JUNK_CAPTIONS)
 
 
 def _img_hash_ctes() -> str:
@@ -3182,6 +3203,132 @@ def oracle_sql() -> dict[str, str]:
                    '', '', NULL, NULL
             FROM documents
             WHERE doc_id % 4 = 0
+            UNION ALL
+            -- junk-caption icon family (doc_id%6): img_no shifts by one
+            -- when the gif family also fired
+            SELECT doc_id,
+                   2 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END,
+                   '/icons/sprite.png',
+                   'https://site' || CAST(doc_id % 50 AS INT)
+                       || '.example.com/icons/sprite.png',
+                   'site' || CAST(doc_id % 50 AS INT) || '.example.com',
+                   'logo', '', '',
+                   CAST(16 AS BIGINT), CAST(16 AS BIGINT)
+            FROM documents
+            WHERE doc_id % 6 = 0
+            UNION ALL
+            -- banner family (doc_id%9): good caption, 900x120 aspect
+            SELECT doc_id,
+                   2 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                     + CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END,
+                   '/b/' || doc_id || '.png',
+                   'https://site' || CAST(doc_id % 50 AS INT)
+                       || '.example.com/b/' || doc_id || '.png',
+                   'site' || CAST(doc_id % 50 AS INT) || '.example.com',
+                   'festival crowd at night', '', '',
+                   CAST(900 AS BIGINT), CAST(120 AS BIGINT)
+            FROM documents
+            WHERE doc_id % 9 = 0
+        """,
+        # LAION-style pair curation: the refs relation rebuilt from the
+        # same synth families, then the gates + canonical-URL dedup
+        # mirrored with DuckDB's own window/group machinery
+        "web_image_candidates": f"""
+            WITH refs AS (
+                SELECT 'https://site' || CAST(doc_id % 50 AS INT)
+                           || '.example.com/page/' || doc_id AS page_url,
+                       CAST(0 AS BIGINT) AS img_no,
+                       'https://site' || CAST(doc_id % 50 AS INT)
+                           || '.example.com/img/' || CAST(doc_id % 10 AS INT)
+                           || '.jpg' AS resolved,
+                       'image ' || doc_id AS alt, '' AS cap, '' AS title,
+                       CAST((doc_id % 5 + 1) * 100 AS BIGINT) AS width,
+                       CAST(NULL AS BIGINT) AS height
+                FROM documents
+                UNION ALL
+                SELECT 'https://site' || CAST(doc_id % 50 AS INT)
+                           || '.example.com/page/' || doc_id,
+                       1,
+                       'https://cdn' || CAST((doc_id * 7 + 3) % 20 AS INT)
+                           || '.example.net/p/' || CAST(doc_id % 30 AS INT)
+                           || '.png',
+                       '', 'fig ' || CAST(doc_id % 7 AS INT),
+                       't' || CAST(doc_id % 9 AS INT),
+                       NULL, NULL
+                FROM documents
+                UNION ALL
+                SELECT 'https://site' || CAST(doc_id % 50 AS INT)
+                           || '.example.com/page/' || doc_id,
+                       2,
+                       'https://cdn' || CAST(doc_id % 20 AS INT)
+                           || '.example.net/q/' || doc_id || '.gif',
+                       'proto relative', '', '', NULL, NULL
+                FROM documents WHERE doc_id % 4 = 0
+                UNION ALL
+                SELECT 'https://site' || CAST(doc_id % 50 AS INT)
+                           || '.example.com/page/' || doc_id,
+                       2 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END,
+                       'https://site' || CAST(doc_id % 50 AS INT)
+                           || '.example.com/icons/sprite.png',
+                       'logo', '', '',
+                       CAST(16 AS BIGINT), CAST(16 AS BIGINT)
+                FROM documents WHERE doc_id % 6 = 0
+                UNION ALL
+                SELECT 'https://site' || CAST(doc_id % 50 AS INT)
+                           || '.example.com/page/' || doc_id,
+                       2 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                         + CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END,
+                       'https://site' || CAST(doc_id % 50 AS INT)
+                           || '.example.com/b/' || doc_id || '.png',
+                       'festival crowd at night', '', '',
+                       CAST(900 AS BIGINT), CAST(120 AS BIGINT)
+                FROM documents WHERE doc_id % 9 = 0
+            ),
+            chosen AS (
+                SELECT page_url, img_no, resolved,
+                       CASE WHEN alt <> '' THEN alt
+                            WHEN cap <> '' THEN cap ELSE title END AS caption,
+                       CASE WHEN alt <> '' THEN 'alt'
+                            WHEN cap <> '' THEN 'figcaption'
+                            ELSE 'title' END AS caption_src,
+                       width, height
+                FROM refs
+            ),
+            cand AS (
+                SELECT page_url, img_no, caption, caption_src,
+                       CAST(len(list_filter(
+                           string_split_regex(caption, '\\s+'),
+                           t -> t <> '')) AS BIGINT) AS n_tokens,
+                       width, height,
+                       {_duck_canonical_url("resolved")} AS img_url
+                FROM chosen
+                WHERE caption <> ''
+                  AND len(list_filter(string_split_regex(caption, '\\s+'),
+                          t -> t <> '')) >= 2
+                  AND length(caption) >= 5
+                  AND lower(trim(caption)) NOT IN ({_IMG_JUNK_SQL})
+                  AND NOT regexp_matches(caption, '^[0-9 .,_-]+$')
+                  AND (width IS NULL OR width >= 64)
+                  AND (height IS NULL OR height >= 64)
+                  AND (width IS NULL OR height IS NULL
+                       OR (width <= 4 * height AND height <= 4 * width))
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY img_url
+                           ORDER BY page_url, img_no) AS rn,
+                       CAST(count(*) OVER (PARTITION BY img_url)
+                           AS BIGINT) AS n_pages
+                FROM cand
+            ),
+            caps AS (
+                SELECT img_url,
+                       CAST(count(DISTINCT caption) AS BIGINT) AS n_captions
+                FROM cand GROUP BY img_url
+            )
+            SELECT img_url, page_url, img_no, caption, caption_src,
+                   n_tokens, width, height, n_pages, n_captions
+            FROM ranked JOIN caps USING (img_url) WHERE rn = 1
         """,
         "extract_links": """
             SELECT doc_id,

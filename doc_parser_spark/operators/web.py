@@ -3598,3 +3598,125 @@ def page_link_features(links: DataFrame) -> DataFrame:
             F.expr("_alen DIV n_links").alias("mean_anchor_len"),
         )
     )
+
+
+_JUNK_CAPTIONS = (
+    "image img photo picture logo icon banner thumbnail thumb spacer "
+    "pixel avatar placeholder untitled"
+).split()
+
+
+def image_candidates(
+    refs: DataFrame,
+    min_caption_tokens: int = 2,
+    min_caption_chars: int = 5,
+    min_px: int = 64,
+    max_aspect: int = 4,
+) -> DataFrame:
+    """Image–caption pair curation over the extracted image-ref relation
+    — the deterministic half of the LAION recipe (Schuhmann et al. 2021
+    §2: keep <img> whose alt text is a plausible caption, drop junk
+    captions and icon-sized images, dedup by image URL; the CLIP
+    similarity gate that follows is an ML plug-point, out of
+    deterministic scope like the other model boundaries here).
+
+    Caption choice: first non-empty of ``alt`` → ``caption``
+    (figcaption) → ``title``, recorded in ``caption_src``. Gates, all
+    integer/string-exact:
+
+    - ≥ ``min_caption_tokens`` whitespace tokens and
+      ≥ ``min_caption_chars`` characters;
+    - not a stock junk word (``logo``, ``icon``, …) and not pure
+      digits/punctuation;
+    - declared ``width``/``height`` (when present) ≥ ``min_px`` and
+      aspect ratio ≤ ``max_aspect`` : 1 — undeclared dimensions pass,
+      matching LAION's fetch-then-filter split (the post-fetch pixel
+      gate lives with the fetcher).
+
+    Dedup: one survivor per canonical image URL (min ``(url, img_no)``
+    — deterministic under any partitioning), with ``n_pages`` (how many
+    pages referenced the image) and ``n_captions`` (distinct caption
+    diversity — a junk-detection feature: one image with hundreds of
+    captions is navigation chrome).
+
+    Scale shape (10^12 pages): the gates are a narrow projection +
+    filter; dedup is one hash groupBy on the canonical image URL joined
+    to the rank-1 survivor window over the same key — the second
+    exchange reuses the first's partitioning. Nothing collects, no
+    Python rows.
+    """
+    if min_caption_tokens < 1 or min_caption_chars < 1:
+        raise ValueError(
+            f"min_caption_tokens ({min_caption_tokens}) and "
+            f"min_caption_chars ({min_caption_chars}) must be >= 1"
+        )
+    if min_px < 1 or max_aspect < 1:
+        raise ValueError(
+            f"min_px ({min_px}) and max_aspect ({max_aspect}) must be >= 1"
+        )
+    from pyspark.sql.window import Window
+
+    junk = ", ".join(f"'{w}'" for w in _JUNK_CAPTIONS)
+    chosen = (
+        "CASE WHEN coalesce(alt, '') <> '' THEN struct(alt AS c, 'alt' AS s)"
+        " WHEN coalesce(caption, '') <> ''"
+        "   THEN struct(caption AS c, 'figcaption' AS s)"
+        " ELSE struct(coalesce(title, '') AS c, 'title' AS s) END"
+    )
+    cand = (
+        refs.select(
+            F.col("url").alias("page_url"),
+            "img_no",
+            F.col("resolved"),
+            F.expr(chosen).alias("_ch"),
+            "width",
+            "height",
+        )
+        .select(
+            "page_url",
+            "img_no",
+            "resolved",
+            F.col("_ch.c").alias("caption"),
+            F.col("_ch.s").alias("caption_src"),
+            F.expr(
+                "size(filter(split(_ch.c, '\\\\s+'), t -> t <> ''))"
+            ).cast("long").alias("n_tokens"),
+            "width",
+            "height",
+        )
+        .where(F.col("caption") != "")
+        .where(F.col("n_tokens") >= min_caption_tokens)
+        .where(F.length("caption") >= min_caption_chars)
+        .where(f"lower(trim(caption)) NOT IN ({junk})")
+        .where("NOT (caption rlike '^[0-9 .,_-]+$')")
+        .where(f"width IS NULL OR width >= {min_px}")
+        .where(f"height IS NULL OR height >= {min_px}")
+        .where(
+            "width IS NULL OR height IS NULL OR"
+            f" (width <= {max_aspect} * height"
+            f"  AND height <= {max_aspect} * width)"
+        )
+        .withColumn("img_url", canonical_url_col("resolved"))
+    )
+    w = Window.partitionBy("img_url").orderBy("page_url", "img_no")
+    ranked = cand.withColumn("_rn", F.row_number().over(w))
+    stats = cand.groupBy("img_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.countDistinct("caption").cast("long").alias("n_captions"),
+    )
+    return (
+        ranked.where("_rn = 1")
+        .join(stats, "img_url")
+        .select(
+            "img_url",
+            "page_url",
+            F.col("img_no").cast("long").alias("img_no"),
+            "caption",
+            "caption_src",
+            "n_tokens",
+            "width",
+            "height",
+            "n_pages",
+            "n_captions",
+        )
+    )

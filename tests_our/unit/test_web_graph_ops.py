@@ -793,3 +793,82 @@ def test_cocitation_hub_inclusion_when_cap_allows(spark):
     import pytest
     with pytest.raises(ValueError):
         web.host_cocitation(e, max_out_degree=0)
+
+
+# --- LAION-style image-caption candidates ---------------------------------------
+
+
+def _refs_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "url string, img_no long, src string, resolved string,"
+        " dst_host string, alt string, title string, caption string,"
+        " width long, height long",
+    )
+
+
+def test_image_candidates_gates_and_caption_precedence(spark):
+    rows = [
+        # passes via alt
+        ("https://a.com/1", 0, "/i.jpg", "https://a.com/i.jpg", "a.com",
+         "red bicycle outdoors", "", "", 640, 480),
+        # alt empty -> figcaption chosen
+        ("https://a.com/2", 0, "/f.jpg", "https://a.com/f.jpg", "a.com",
+         "", "ignored title", "mountain lake vista", None, None),
+        # alt/figcaption empty -> title chosen
+        ("https://a.com/3", 0, "/t.jpg", "https://a.com/t.jpg", "a.com",
+         "", "sunset over bay", "", None, None),
+        # junk word
+        ("https://a.com/4", 0, "/l.png", "https://a.com/l.png", "a.com",
+         "logo", "", "", 640, 480),
+        # too few tokens
+        ("https://a.com/5", 0, "/s.jpg", "https://a.com/s.jpg", "a.com",
+         "bicycle", "", "", None, None),
+        # pure digits/punct
+        ("https://a.com/6", 0, "/d.jpg", "https://a.com/d.jpg", "a.com",
+         "2024 01, 02", "", "", None, None),
+        # icon-sized
+        ("https://a.com/7", 0, "/ic.png", "https://a.com/ic.png", "a.com",
+         "tiny but described", "", "", 16, 16),
+        # extreme aspect
+        ("https://a.com/8", 0, "/b.png", "https://a.com/b.png", "a.com",
+         "very wide banner art", "", "", 900, 120),
+        # one declared dimension only: passes (other is the fetch gate)
+        ("https://a.com/9", 0, "/h.jpg", "https://a.com/h.jpg", "a.com",
+         "half declared image", "", "", 300, None),
+    ]
+    out = {r.page_url: r for r in
+           web.image_candidates(_refs_df(spark, rows)).collect()}
+    assert set(out) == {"https://a.com/1", "https://a.com/2",
+                        "https://a.com/3", "https://a.com/9"}
+    assert out["https://a.com/1"].caption_src == "alt"
+    assert out["https://a.com/2"].caption == "mountain lake vista"
+    assert out["https://a.com/2"].caption_src == "figcaption"
+    assert out["https://a.com/3"].caption_src == "title"
+    assert out["https://a.com/1"].n_tokens == 3
+
+
+def test_image_candidates_dedup_and_stats(spark):
+    # same image via www/default-port variants -> one canonical survivor
+    rows = [
+        ("https://z.com/p2", 1, "/i.jpg", "https://www.cdn.com:443/x.jpg",
+         "cdn.com", "a fine picture", "", "", None, None),
+        ("https://z.com/p1", 0, "/i.jpg", "https://cdn.com/x.jpg",
+         "cdn.com", "another caption here", "", "", None, None),
+        ("https://z.com/p3", 2, "/i.jpg", "https://cdn.com/x.jpg",
+         "cdn.com", "a fine picture", "", "", None, None),
+    ]
+    out = web.image_candidates(_refs_df(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # min (page_url, img_no) survivor; 3 pages, 2 distinct captions
+    assert r.page_url == "https://z.com/p1" and r.img_no == 0
+    assert r.n_pages == 3 and r.n_captions == 2
+
+
+def test_image_candidates_validates_params(spark):
+    df = _refs_df(spark, [])
+    with pytest.raises(ValueError):
+        web.image_candidates(df, min_caption_tokens=0)
+    with pytest.raises(ValueError):
+        web.image_candidates(df, max_aspect=0)
