@@ -371,6 +371,8 @@ _BNLJ_OK = {
     "doc_ppl_buckets", "doc_top_terms",
     # one-row bigram-type-count relation cross-joined back (scalar)
     "doc_kn_bigrams",
+    # inference half of the KN model: same scalar n_types cross join
+    "doc_kn_score",
 }
 _PANDAS_OK = {
     # the Arrow-batched extraction kernel IS the operator here
@@ -392,6 +394,8 @@ _PANDAS_OK = {
     "web_feed_entries", "web_mime_verdicts", "web_hreflang_clusters",
     "web_index_verdicts", "web_dom_templates",
     "web_link_graph_dofollow", "web_page_link_features", "web_pagerank_real",
+    # LAION-pair curation rides the image-refs extraction kernel
+    "web_image_candidates",
 }
 
 
