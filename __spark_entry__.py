@@ -1353,6 +1353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 " cast((doc_id * 3 + 1) % 5 as int)) AS dst",
             )
         ),
+        "web_host_communities": lambda spark, sf: web.host_communities(
+            _synth_rank_edges(_read(spark, sf, "documents")), iterations=4
+        ),
         "web_host_hll": lambda spark, sf: web.distinct_hll(
             _read(spark, sf, "documents").selectExpr(
                 "concat('h', cast(doc_id % 5 as int)) AS host",
@@ -2427,6 +2430,58 @@ def _pagerank_sql(iterations: int = 5, e_body: str | None = None) -> str:
         SELECT h AS host, r AS rank_scaled,
                CAST(r AS DOUBLE) / 1e6 AS rank
         FROM {prev}
+        """
+    )
+
+
+def _communities_sql(iterations: int = 4) -> str:
+    """DuckDB twin of web.host_communities: the synchronous
+    label-propagation sweeps fully unrolled as chained CTEs over the
+    symmetrized synth edge graph (majority label, min-label tie-break —
+    the same total order, so every sweep is bit-identical)."""
+    from doc_parser_spark.operators import web as _w
+
+    offs = ", ".join(str(o) for o in _w.SYNTH_EDGE_OFFSETS)
+    ctes = [
+        f"""eraw AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT concat('site', CAST(doc_id % 50 AS INT)) AS src,
+                       concat('site', CAST((doc_id * 7 + t.o) % 50 AS INT)) AS dst
+                FROM documents, LATERAL UNNEST([{offs}]) AS t(o)
+            ) WHERE src <> dst
+        )""",
+        "und AS (SELECT src, dst FROM eraw UNION SELECT dst, src FROM eraw)",
+        "nodes AS (SELECT DISTINCT src AS h FROM und)",
+        # the self-vote edge (h, h) carries each host's own current label
+        "e AS (SELECT src, dst FROM und UNION ALL SELECT h, h FROM nodes)",
+        "l0 AS (SELECT h, h AS lbl FROM nodes)",
+    ]
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""l{i} AS (
+                SELECT l.h, coalesce(p.new_lbl, l.lbl) AS lbl
+                FROM {prev} l LEFT JOIN (
+                    SELECT src AS h, lbl AS new_lbl FROM (
+                        SELECT e.src, ll.lbl,
+                               row_number() OVER (PARTITION BY e.src
+                                   ORDER BY count(*) DESC, ll.lbl) AS rn
+                        FROM e JOIN {prev} ll ON e.dst = ll.h
+                        GROUP BY e.src, ll.lbl
+                    ) WHERE rn = 1
+                ) p ON l.h = p.h
+            )"""
+        )
+        prev = f"l{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT l.h AS host, l.lbl AS community_id, s.community_size
+        FROM {prev} l JOIN (
+            SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+            FROM {prev} GROUP BY lbl
+        ) s ON l.lbl = s.lbl
         """
     )
 
@@ -4979,6 +5034,7 @@ def oracle_sql() -> dict[str, str]:
             FROM exact LEFT JOIN per ON per.host IS NOT DISTINCT FROM exact.host
         """,
         "web_host_pagerank": _pagerank_sql(),
+        "web_host_communities": _communities_sql(),
         "web_host_trustrank": _trustrank_sql(3),
         "web_host_spam_mass": _spam_mass_sql(3),
         "web_host_features": f"""

@@ -3720,3 +3720,83 @@ def image_candidates(
             "n_captions",
         )
     )
+
+
+def host_communities(edges: DataFrame, iterations: int = 4) -> DataFrame:
+    """Synchronous label propagation over the undirected host graph
+    (Raghavan, Albert & Kumara 2007, "Near linear time algorithm to
+    detect community structures in large-scale networks") — the
+    spam-farm / link-ring clustering primitive: where
+    :func:`host_components` answers "what is reachable", LPA groups the
+    DENSELY linked hosts, so a link farm inside the giant component
+    still surfaces as its own community.
+
+    Deterministic *inclusion* variant: every host starts labeled with
+    itself; each synchronous sweep relabels a host with the most
+    frequent label among its neighbors PLUS its own current label (one
+    self-vote — the inclusion rule Gephi/igraph implementations use),
+    ties broken by the lexicographically smallest label — a total
+    order, so the trajectory is bit-identical in any engine and under
+    any partitioning. The self-vote kills the classic synchronous-LPA
+    2-cycle on bipartite pairs (hub↔mirror hosts are everywhere in web
+    graphs); the output contract is "labels after ``iterations``
+    sweeps", defined and stable regardless, unlike the paper's
+    asynchronous random-order variant.
+
+    Direction is ignored (edges symmetrized); self-loops dropped, and
+    hosts appearing ONLY in self-loops leave the node set — the same
+    convention as :func:`host_pagerank`.
+
+    Scale shape (10^8-host graphs): per sweep, one equi-join of the
+    edge relation against the label relation, one map-side-combined
+    groupBy on ``(host, label)``, and one per-host rank-1 window Spark
+    rewrites to WindowGroupLimit (pre-shuffle top-1); the edge relation
+    is persisted once and each sweep ``localCheckpoint``s the labels so
+    the plan does not deepen with the iteration count.
+    """
+    if iterations <= 0:
+        raise ValueError(f"iterations ({iterations}) must be positive")
+    from pyspark.sql.window import Window
+
+    fwd = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    und = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    nodes = und.select(F.col("src").alias("h")).distinct().persist()
+    # the self-vote: one (h, h) edge per node, so a host's own current
+    # label rides the same neighbor-count aggregation
+    sym = und.union(
+        nodes.select(F.col("h").alias("src"), F.col("h").alias("dst"))
+    ).persist()
+    labels = nodes.select("h", F.col("h").alias("lbl"))
+    w = Window.partitionBy("src").orderBy(F.desc("n"), F.asc("lbl"))
+    for _ in range(iterations):
+        freq = (
+            sym.join(labels, sym["dst"] == labels["h"])
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        pick = (
+            freq.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select(F.col("src").alias("h"), F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(pick, "h", "left")
+            .select("h", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    out = labels.join(sizes, "lbl").select(
+        F.col("h").alias("host"),
+        F.col("lbl").alias("community_id"),
+        "community_size",
+    )
+    und.unpersist()
+    sym.unpersist()
+    nodes.unpersist()
+    return out

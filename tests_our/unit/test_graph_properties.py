@@ -139,3 +139,36 @@ def test_redirect_chains_match_python_reference(spark):
         got = {r.url: (r.final_url, r.n_hops, r.verdict)
                for r in web.redirect_chains(df, max_hops=4).collect()}
         assert got == _ref_chains(rows, 4), f"trial {trial}: {rows}"
+
+
+def _ref_lpa(edges, iterations):
+    fwd = {(s, d) for s, d in edges if s != d}
+    sym = sorted(fwd | {(d, s) for s, d in fwd})
+    nodes = sorted({n for p in sym for n in p})
+    nbrs = {}
+    for s, d in sym:
+        nbrs.setdefault(s, []).append(d)
+    lbl = {n: n for n in nodes}
+    for _ in range(iterations):
+        new = {}
+        for n in nodes:
+            cnt = {lbl[n]: 1}  # inclusion variant: one self-vote
+            for d in nbrs[n]:
+                cnt[lbl[d]] = cnt.get(lbl[d], 0) + 1
+            # majority, min-label tie-break
+            new[n] = min(cnt, key=lambda c: (-cnt[c], c))
+        lbl = new
+    return lbl
+
+
+def test_lpa_matches_python_reference_on_random_graphs(spark):
+    rng = random.Random(1234)
+    for trial in range(4):
+        edges = _random_graph(rng, 14, 28)
+        if not any(s != d for s, d in edges):
+            continue
+        e_df = spark.createDataFrame(edges, "src string, dst string")
+        ref = _ref_lpa(edges, 3)
+        got = {r.host: r.community_id
+               for r in web.host_communities(e_df, iterations=3).collect()}
+        assert got == ref, f"lpa trial {trial}: {edges}"

@@ -872,3 +872,33 @@ def test_image_candidates_validates_params(spark):
         web.image_candidates(df, min_caption_tokens=0)
     with pytest.raises(ValueError):
         web.image_candidates(df, max_aspect=0)
+
+
+# --- label-propagation communities -----------------------------------------------
+
+
+def test_communities_two_triangles_converge_to_min_host(spark):
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("x", "y"), ("y", "z"), ("z", "x"),
+         ("s", "s")],  # self-loop-only host leaves the node set
+    )
+    rows = {r.host: r for r in web.host_communities(e, iterations=4).collect()}
+    assert set(rows) == {"a", "b", "c", "x", "y", "z"}
+    assert all(rows[h].community_id == "a" for h in "abc")
+    assert all(rows[h].community_id == "x" for h in "xyz")
+    assert rows["a"].community_size == 3 and rows["z"].community_size == 3
+
+
+def test_communities_direction_ignored_and_self_vote_kills_2cycle(spark):
+    # a->b only: symmetrized; the inclusion self-vote makes the pair
+    # converge to min('a') in one sweep instead of the classic
+    # synchronous-LPA 2-cycle
+    e = _edges(spark, [("a", "b")])
+    for it in (1, 2):
+        rows = {r.host: r.community_id
+                for r in web.host_communities(e, iterations=it).collect()}
+        assert rows == {"a": "a", "b": "a"}, it
+    with pytest.raises(ValueError):
+        web.host_communities(e, iterations=0)
