@@ -1433,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "doc_kn_bigrams": q(text_analysis.kn_bigrams, "documents"),
         "doc_kn_score": q(text_analysis.kn_score, "documents"),
+        "doc_winnow_fps": q(text_analysis.winnow_fingerprints, "documents"),
         "doc_top_terms": q(text_analysis.top_terms, "documents"),
         "doc_bm25_topk": q(text_analysis.bm25_topk, "documents"),
         "doc_dup_spans": q(text_analysis.dup_spans, "documents"),
@@ -5728,6 +5729,35 @@ def oracle_sql() -> dict[str, str]:
                              ELSE (1000000 * total_bits) // n_bigrams
                         END AS BIGINT) AS avg_bits_q6
             FROM documents d LEFT JOIN agg USING (doc_id)
+        """,
+        # winnowing: k=5 grams, w=4 windows; hex-string lexicographic
+        # minima so no numeric conversion can diverge between engines
+        "doc_winnow_fps": f"""
+            WITH dd AS (
+                SELECT doc_id, wd
+                FROM (SELECT doc_id, {_WORDS_SQL} AS wd FROM documents)
+                WHERE len(wd) >= 5 AND wd[1] <> ''
+            ),
+            g AS (
+                SELECT doc_id,
+                       [md5(array_to_string(wd[i:i+4], ' '))
+                        for i in range(1, len(wd) - 4 + 1)] AS gs
+                FROM dd
+            ),
+            f AS (
+                SELECT doc_id,
+                       CAST(len(gs) AS BIGINT) AS n_grams,
+                       CASE WHEN len(gs) <= 4 THEN [list_min(gs)]
+                            ELSE list_distinct(
+                                [list_min(gs[j:j+3])
+                                 for j in range(1, len(gs) - 3 + 1)])
+                       END AS fp_arr
+                FROM g
+            )
+            SELECT doc_id, n_grams,
+                   CAST(len(fp_arr) AS BIGINT) AS n_fps,
+                   UNNEST(fp_arr) AS fp
+            FROM f
         """,
         "doc_top_terms": """
             WITH toks AS (

@@ -2051,3 +2051,64 @@ def pack_sequences(
         .alias("seq_last"),
         (F.col("_off") % F.lit(seq_len)).alias("offset_in_seq"),
     )
+
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS selection rule): hash every ``k``-word gram, slide a
+    ``w``-gram window, keep each window's minimum hash. Any shared run
+    of ``k + w - 1`` words between two documents is GUARANTEED to share
+    a fingerprint (the paper's correctness property), while the index
+    carries only ~``2/(w+1)`` of the gram stream — the local/positional
+    dedup primitive that MinHash (whole-doc similarity) and
+    :func:`dup_spans` (full shingle membership) do not give you at this
+    index cost.
+
+    Determinism: gram hash = ``md5`` hex of the space-joined gram;
+    window minimum = lexicographic min of the hex strings — identical
+    in any engine, no numeric conversion. Documents with fewer than
+    ``k`` words emit nothing; with 1..``w`` grams they emit the single
+    minimum (one degenerate window), so every fingerprintable document
+    fingerprints. Output: exploded distinct ``(doc_id, fp)`` rows plus
+    the document's gram/fingerprint counts.
+
+    Scale shape (10^12 docs): the whole selection runs INSIDE the
+    per-document array expressions — zero shuffles before the final
+    distinct-explode projection; the word array is materialized once
+    per row (the Catalyst re-evaluation trap documented at
+    ``dedup.py:37-50``), windows cost O(grams · w) with small constant
+    ``w``. Downstream match-mining joins on ``fp`` like every bucketed
+    pair pipeline here (count-filter hot keys before any self-join).
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k ({k}) and w ({w}) must be >= 1")
+    documents = _nn_text(documents)
+    d = documents.select(
+        "doc_id",
+        F.expr(f"filter(split({NORM}, ' '), t -> t <> '')").alias("wd"),
+    ).select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size(wd) < {k} THEN array() "
+            f"ELSE transform(sequence(1, size(wd) - {k - 1}), "
+            f"i -> md5(array_join(slice(wd, i, {k}), ' '))) END"
+        ).alias("g"),
+    ).where("size(g) > 0")
+    fps = d.select(
+        "doc_id",
+        F.size("g").cast("long").alias("n_grams"),
+        F.expr(
+            f"CASE WHEN size(g) <= {w} THEN array(array_min(g)) "
+            f"ELSE array_distinct(transform(sequence(1, size(g) - {w - 1}), "
+            f"j -> array_min(slice(g, j, {w})))) END"
+        ).alias("fp_arr"),
+    )
+    return fps.select(
+        "doc_id",
+        "n_grams",
+        F.size("fp_arr").cast("long").alias("n_fps"),
+        F.explode("fp_arr").alias("fp"),
+    )

@@ -816,3 +816,84 @@ def test_pack_sequences_empty_and_validation(spark):
             assert r.seq_first == r.seq_last == r.tok_offset // 5
     with pytest.raises(ValueError):
         text_analysis.pack_sequences(docs, seq_len=0)
+
+
+# --- winnowing fingerprints --------------------------------------------------
+
+
+def _ref_winnow(text, k, w):
+    import hashlib
+    wd = text.lower().split()
+    if len(wd) < k:
+        return set(), 0
+    grams = [
+        hashlib.md5(" ".join(wd[i:i + k]).encode()).hexdigest()
+        for i in range(len(wd) - k + 1)
+    ]
+    if len(grams) <= w:
+        return {min(grams)}, len(grams)
+    return (
+        {min(grams[j:j + w]) for j in range(len(grams) - w + 1)},
+        len(grams),
+    )
+
+
+def test_winnow_matches_python_reference(spark):
+    import random
+    from doc_parser_spark.operators.text_analysis import winnow_fingerprints
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    counts = {}
+    for r in winnow_fingerprints(docs, k=5, w=4).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+        counts[r.doc_id] = (r.n_grams, r.n_fps)
+    for doc_id, text in rows:
+        ref, n_grams = _ref_winnow(text, 5, 4)
+        assert got.get(doc_id, set()) == ref, doc_id
+        if ref:
+            assert counts[doc_id] == (n_grams, len(ref))
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    # the paper's correctness property: a shared run of k+w-1 words
+    # forces a shared fingerprint
+    from doc_parser_spark.operators.text_analysis import winnow_fingerprints
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = 5+4-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"completely different lead in text {run} and a tail"),
+            (2, f"{run} with another unrelated continuation entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnow_fingerprints(docs, k=5, w=4).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared k+w-1 run must share a fingerprint"
+
+
+def test_winnow_short_docs_and_validation(spark):
+    import pytest
+    from doc_parser_spark.operators.text_analysis import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four"),        # < k words: nothing
+            (2, "one two three four five"),   # exactly k: one gram
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(docs, k=5, w=4).collect()
+    assert {r.doc_id for r in rows} == {2}
+    assert len(rows) == 1 and rows[0].n_grams == 1 and rows[0].n_fps == 1
+    with pytest.raises(ValueError):
+        winnow_fingerprints(docs, k=0)
