@@ -1434,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kn_bigrams": q(text_analysis.kn_bigrams, "documents"),
         "doc_kn_score": q(text_analysis.kn_score, "documents"),
         "doc_winnow_fps": q(text_analysis.winnow_fingerprints, "documents"),
+        "doc_winnow_pairs": q(text_analysis.winnow_pairs, "documents"),
         "doc_top_terms": q(text_analysis.top_terms, "documents"),
         "doc_bm25_topk": q(text_analysis.bm25_topk, "documents"),
         "doc_dup_spans": q(text_analysis.dup_spans, "documents"),
@@ -5758,6 +5759,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(fp_arr) AS BIGINT) AS n_fps,
                    UNNEST(fp_arr) AS fp
             FROM f
+        """,
+        # MOSS match mining over the same winnowed index: bucket
+        # count-filter, pair self-join, integer share ratio
+        "doc_winnow_pairs": f"""
+            WITH dd AS (
+                SELECT doc_id, wd
+                FROM (SELECT doc_id, {_WORDS_SQL} AS wd FROM documents)
+                WHERE len(wd) >= 5 AND wd[1] <> ''
+            ),
+            g AS (
+                SELECT doc_id,
+                       [md5(array_to_string(wd[i:i+4], ' '))
+                        for i in range(1, len(wd) - 4 + 1)] AS gs
+                FROM dd
+            ),
+            f AS (
+                SELECT doc_id,
+                       CASE WHEN len(gs) <= 4 THEN [list_min(gs)]
+                            ELSE list_distinct(
+                                [list_min(gs[j:j+3])
+                                 for j in range(1, len(gs) - 3 + 1)])
+                       END AS fp_arr
+                FROM g
+            ),
+            fps AS (
+                SELECT doc_id, CAST(len(fp_arr) AS BIGINT) AS n_fps,
+                       UNNEST(fp_arr) AS fp
+                FROM f
+            ),
+            ok AS (
+                SELECT fp FROM fps GROUP BY fp
+                HAVING count(*) > 1 AND count(*) <= 50
+            ),
+            surv AS (SELECT fps.* FROM fps JOIN ok USING (fp)),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(count(*) AS BIGINT) AS n_shared,
+                       min(a.n_fps) AS nf_a, min(b.n_fps) AS nf_b
+                FROM surv a JOIN surv b USING (fp)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_shared,
+                   CAST((1000000 * n_shared) // least(nf_a, nf_b)
+                        AS BIGINT) AS share_ppm
+            FROM pairs WHERE n_shared >= 2
         """,
         "doc_top_terms": """
             WITH toks AS (

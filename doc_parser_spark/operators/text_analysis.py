@@ -2112,3 +2112,72 @@ def winnow_fingerprints(
         F.size("fp_arr").cast("long").alias("n_fps"),
         F.explode("fp_arr").alias("fp"),
     )
+
+
+def winnow_pairs(
+    documents: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """MOSS-style match mining over :func:`winnow_fingerprints`:
+    document pairs sharing at least ``min_shared`` winnowed
+    fingerprints, with the shared count and an overlap ratio against
+    the smaller document's fingerprint set — the local-duplication
+    complement to :func:`dedup.lsh_candidate_pairs` (MinHash pairs say
+    "globally similar"; winnow pairs say "share literal k+w-1-word
+    runs", which catches boilerplate splicing and partial plagiarism
+    that whole-doc similarity dilutes away).
+
+    Same skew discipline as the LSH pipeline (``dedup.py``): fingerprint
+    buckets are COUNTed first (map-side-combinable, one long per key),
+    degenerate buckets (``n = 1`` or ``n > max_bucket`` — ubiquitous
+    boilerplate fingerprints carry no pair signal but quadratic pair
+    mass) are dropped BEFORE any membership expands, and only surviving
+    keys self-join. The fingerprint relation is persisted once — three
+    narrow columns per (doc, fp), tiny next to the corpus.
+
+    Output: ``doc_a < doc_b``, ``n_shared``, ``share_ppm`` =
+    ``1e6 · n_shared DIV min(n_fps_a, n_fps_b)`` (integer-exact).
+    """
+    if min_shared < 1 or max_bucket < 2:
+        raise ValueError(
+            f"min_shared ({min_shared}) must be >= 1 and "
+            f"max_bucket ({max_bucket}) >= 2"
+        )
+    from pyspark import StorageLevel
+
+    fps = winnow_fingerprints(documents, k=k, w=w).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    ok = sizes.where(
+        (F.col("n") > 1) & (F.col("n") <= max_bucket)
+    ).select("fp")
+    surv = fps.join(ok, "fp")
+    a = surv.select(
+        "fp", F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("nf_a")
+    )
+    b = surv.select(
+        "fp", F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("nf_b")
+    )
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.first("nf_a").alias("nf_a"),
+            F.first("nf_b").alias("nf_b"),
+        )
+        .where(F.col("n_shared") >= min_shared)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.expr("(1000000 * n_shared) DIV least(nf_a, nf_b)")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+    )

@@ -897,3 +897,37 @@ def test_winnow_short_docs_and_validation(spark):
     assert len(rows) == 1 and rows[0].n_grams == 1 and rows[0].n_fps == 1
     with pytest.raises(ValueError):
         winnow_fingerprints(docs, k=0)
+
+
+def test_winnow_pairs_finds_spliced_boilerplate(spark):
+    import pytest
+    from doc_parser_spark.operators.text_analysis import winnow_pairs
+
+    run = " ".join(f"tok{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, f"first document lead {run} first tail words here"),
+            (2, f"{run} entirely different continuation of the second"),
+            (3, "unrelated text with no shared spans at all in it ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_pairs(docs, min_shared=1).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 2)]
+    r = rows[0]
+    assert r.n_shared >= 1 and 0 < r.share_ppm <= 1_000_000
+    with pytest.raises(ValueError):
+        winnow_pairs(docs, min_shared=0)
+
+
+def test_winnow_pairs_hot_fingerprint_bucket_is_dropped(spark):
+    from doc_parser_spark.operators.text_analysis import winnow_pairs
+
+    # one viral 9-word boilerplate run across 6 docs; max_bucket=3
+    # drops its fingerprints entirely -> no pairs survive
+    run = " ".join(f"b{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [(i, f"{run} unique trailer {i} {i} {i} {i} {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    assert winnow_pairs(docs, min_shared=1, max_bucket=3).collect() == []
