@@ -723,6 +723,37 @@ def _q_extract_image_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_host_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide host-reputation join. The rank channel is sliced off the
+    FUSED spam-mass sweep (which carries rank_scaled and trust_scaled
+    bit-exactly — pinned by test_graph_properties) instead of running a
+    separate host_pagerank: spam_mass localCheckpoints its iterates, so
+    both consumers read the same checkpointed vectors and the redundant
+    3-sweep pagerank job disappears (~3s at sf0.1)."""
+    from doc_parser_spark.operators import web as _w
+
+    docs = _read(spark, sf_dir, "documents")
+    sm = _w.host_spam_mass(
+        _synth_rank_edges(docs),
+        docs.where("(doc_id % 50) % 10 = 0").selectExpr(
+            "concat('site', cast(doc_id % 50 as int)) AS host"
+        ),
+        iterations=3,
+    ).withColumn("host", F.concat("host", F.lit(".example.com")))
+    return _w.host_features(
+        _w.host_stats(
+            docs.select(
+                "doc_id", F.expr(_w.SYNTH_URL_SQL).alias("url"), "text"
+            )
+        ),
+        _w.host_degree(_synth_rank_edges(docs)).withColumn(
+            "host", F.concat("host", F.lit(".example.com"))
+        ),
+        sm.select("host", "rank_scaled"),
+        sm.select("host", "is_seed", "trust_scaled", "spam_mass_bp"),
+    )
+
+
 def _q_image_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc_parser_spark.operators import web as _w
     from doc_parser_spark.operators.extract import extract_image_refs
@@ -1302,37 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # the wide host-reputation join: stats + degree + rank + spam,
         # graph hosts suffixed onto the stats hosts so channels overlap
-        "web_host_features": lambda spark, sf: web.host_features(
-            web.host_stats(
-                _read(spark, sf, "documents").select(
-                    "doc_id",
-                    F.expr(web.SYNTH_URL_SQL).alias("url"),
-                    "text",
-                )
-            ),
-            web.host_degree(
-                _synth_rank_edges(_read(spark, sf, "documents"))
-            ).withColumn(
-                "host", F.concat("host", F.lit(".example.com"))
-            ),
-            web.host_pagerank(
-                _synth_rank_edges(_read(spark, sf, "documents")),
-                iterations=3,
-            )
-            .select("host", "rank_scaled")
-            .withColumn("host", F.concat("host", F.lit(".example.com"))),
-            web.host_spam_mass(
-                _synth_rank_edges(_read(spark, sf, "documents")),
-                _read(spark, sf, "documents")
-                .where("(doc_id % 50) % 10 = 0")
-                .selectExpr(
-                    "concat('site', cast(doc_id % 50 as int)) AS host"
-                ),
-                iterations=3,
-            )
-            .select("host", "is_seed", "trust_scaled", "spam_mass_bp")
-            .withColumn("host", F.concat("host", F.lit(".example.com"))),
-        ),
+        "web_host_features": _q_host_features,
         # co-citation over the shared synth edges (out-degree 3 < cap)
         "web_host_cocitation": lambda spark, sf: web.host_cocitation(
             _synth_rank_edges(_read(spark, sf, "documents")),
