@@ -1436,6 +1436,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kn_score": q(text_analysis.kn_score, "documents"),
         "doc_winnow_fps": q(text_analysis.winnow_fingerprints, "documents"),
         "doc_winnow_pairs": q(text_analysis.winnow_pairs, "documents"),
+        "doc_mojibake": lambda spark, sf: text_analysis.mojibake_stats(
+            _read(spark, sf, "documents").select(
+                "doc_id",
+                F.expr(
+                    f"concat(coalesce(text, ''), {_MOJI_DECOR_SQL})"
+                ).alias("text"),
+            )
+        ),
         "doc_top_terms": q(text_analysis.top_terms, "documents"),
         "doc_bm25_topk": q(text_analysis.bm25_topk, "documents"),
         "doc_dup_spans": q(text_analysis.dup_spans, "documents"),
@@ -1540,6 +1548,15 @@ from doc_parser_spark.operators import web as _web  # noqa: E402
 # junk-caption gate shared with web.image_candidates — same literal list
 # in both engines
 _IMG_JUNK_SQL = ", ".join(f"'{w}'" for w in _web._JUNK_CAPTIONS)
+
+# mojibake decoration shared by the doc_mojibake query and its oracle —
+# built from escapes so no source-encoding layer can mangle the bytes:
+# 'café menü –' mis-decoded (cp1252) for the %7 family, U+FFFD for %11
+_MOJI_TEXT = " cafÃ© menÃ¼ â€“ list"
+_MOJI_DECOR_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN '" + _MOJI_TEXT + "'"
+    " WHEN doc_id % 11 = 0 THEN ' torn � byte' ELSE '' END"
+)
 
 
 def _img_hash_ctes() -> str:
@@ -2435,6 +2452,39 @@ def _pagerank_sql(iterations: int = 5, e_body: str | None = None) -> str:
         FROM {prev}
         """
     )
+
+
+def _mojibake_sql() -> str:
+    """DuckDB twin of text_analysis.mojibake_stats over the decorated
+    corpus: the identical replace-length occurrence arithmetic, the
+    signature catalogue imported from the module (one source of truth
+    for the literals)."""
+
+    def cnt(lit: str) -> str:
+        esc = lit.replace("'", "''")
+        return (
+            f"(length(t) - length(replace(t, '{esc}', ''))) // {len(lit)}"
+        )
+
+    total = " + ".join(cnt(s) for s in _ta.MOJIBAKE_SIGS)
+    fffd = cnt("�")
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   coalesce(text, '') || {_MOJI_DECOR_SQL} AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST({total} AS BIGINT) AS n_mojibake,
+               CAST({fffd} AS BIGINT) AS n_replacement,
+               CAST(length(t) AS BIGINT) AS n_chars,
+               CAST((1000000 * ({total})) // greatest(length(t), 1)
+                    AS BIGINT) AS moji_ppm,
+               CASE WHEN ({total}) > 0 THEN 'mojibake'
+                    WHEN {fffd} > 0 THEN 'decode_loss'
+                    ELSE 'clean' END AS verdict
+        FROM d
+    """
 
 
 def _communities_sql(iterations: int = 4) -> str:
@@ -5807,6 +5857,10 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS share_ppm
             FROM pairs WHERE n_shared >= 2
         """,
+        # encoding-damage audit: same literal-replace length arithmetic
+        # over the shared signature catalogue, decoration shared byte-
+        # for-byte via _MOJI_DECOR_SQL
+        "doc_mojibake": _mojibake_sql(),
         "doc_top_terms": """
             WITH toks AS (
                 SELECT doc_id, lang, t.term

@@ -2181,3 +2181,73 @@ def winnow_pairs(
             .alias("share_ppm"),
         )
     )
+
+
+# UTF-8 bytes mis-decoded as cp1252/latin-1 leave these signature pairs
+# (the ftfy catalogue's high-frequency entries: curly quotes/dashes as
+# 'â€¦', accented latin as 'Ã©'...). Printable signatures only, so the
+# literals survive every SQL/string layer unmangled.
+MOJIBAKE_SIGS = (
+    "â€™",  # â€™  right single quote
+    "â€œ",  # â€œ  left double quote
+    "â€“",  # â€“  en dash
+    "â€”",  # em dash
+    "â€¦",  # â€¦  ellipsis
+    "Ã©",        # Ã©   é
+    "Ã¨",        # Ã¨   è
+    "Ã¼",        # Ã¼   ü
+    "Ã¶",        # Ã¶   ö
+    "Ã±",        # Ã±   ñ
+    "Ã¡",        # Ã¡   á
+    "Ã³",        # Ã³   ó
+)
+
+
+def _count_literal_sql(t: str, lit: str) -> str:
+    """Occurrence count of a literal inside ``t`` via length arithmetic
+    — `(len(t) - len(replace(t, lit, ''))) / len(lit)`, exact in any
+    engine, no regex dialect in play."""
+    esc = lit.replace("'", "''")
+    return (
+        f"(length({t}) - length(replace({t}, '{esc}', '')))"
+        f" DIV {len(lit)}"
+    )
+
+
+def mojibake_stats(documents: DataFrame) -> DataFrame:
+    """Encoding-damage audit per document — the ftfy-style signal a
+    crawl-cleaning pipeline gates on (Speer, ftfy: "fixes text for
+    you"; the dominant damage class in web corpora is UTF-8 bytes
+    decoded as cp1252, which leaves unmistakable two/three-char
+    signatures like ``Ã©`` for ``é``).
+
+    Counts: ``n_mojibake`` — total occurrences of the signature
+    catalogue (literal-replace length arithmetic, no regex);
+    ``n_replacement`` — U+FFFD count (decode gave up entirely; this
+    package's readers decode with errors='replace' by design, so FFFD
+    marks true byte damage). Ratio ``moji_ppm`` is per-character,
+    integer-exact. Verdict: ``mojibake`` (signatures present — the
+    text is REPAIRABLE, re-encode cp1252→utf-8), ``decode_loss``
+    (only FFFD — unrepairable), else ``clean``.
+
+    Pure projection — zero shuffles at any scale; NULL text is the
+    empty document.
+    """
+    t = "coalesce(text, '')"
+    total = " + ".join(_count_literal_sql(t, s) for s in MOJIBAKE_SIGS)
+    return documents.select(
+        "doc_id",
+        F.expr(f"({total})").cast("long").alias("n_mojibake"),
+        F.expr(_count_literal_sql(t, "�")).cast("long").alias(
+            "n_replacement"
+        ),
+        F.expr(f"length({t})").cast("long").alias("n_chars"),
+        F.expr(
+            f"(1000000 * ({total})) DIV greatest(length({t}), 1)"
+        ).cast("long").alias("moji_ppm"),
+        F.expr(
+            f"CASE WHEN ({total}) > 0 THEN 'mojibake' "
+            f"WHEN {_count_literal_sql(t, chr(0xFFFD))} > 0 "
+            "THEN 'decode_loss' ELSE 'clean' END"
+        ).alias("verdict"),
+    )

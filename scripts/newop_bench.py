@@ -43,6 +43,9 @@ NEW_OPS = [
     "web_canonical_verdicts", "web_index_verdicts",
     "web_revisit_schedule", "web_lang_consistency", "web_dom_templates",
     "extract_wat", "web_robots_wildcard", "web_robots_posture",
+    # session 11
+    "doc_kn_score", "web_image_candidates", "web_host_communities",
+    "doc_winnow_fps", "doc_winnow_pairs",
 ]
 
 

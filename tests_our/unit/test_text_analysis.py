@@ -931,3 +931,39 @@ def test_winnow_pairs_hot_fingerprint_bucket_is_dropped(spark):
         "doc_id long, text string",
     )
     assert winnow_pairs(docs, min_shared=1, max_bucket=3).collect() == []
+
+
+# --- mojibake / encoding-damage audit ----------------------------------------
+
+
+def test_mojibake_detects_cp1252_damage(spark):
+    from doc_parser_spark.operators.text_analysis import mojibake_stats
+
+    moji = "café menü – done…".encode("utf-8").decode("cp1252")
+    docs = spark.createDataFrame(
+        [
+            (1, f"clean ascii text here"),
+            (2, f"damaged: {moji}"),
+            (3, "torn � byte � twice"),
+            (4, f"both {moji} and �"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in mojibake_stats(docs).collect()}
+    assert rows[1].verdict == "clean" and rows[1].n_mojibake == 0
+    # é, ü, –, … -> 4 signature hits
+    assert rows[2].verdict == "mojibake" and rows[2].n_mojibake == 4
+    assert rows[2].moji_ppm > 0
+    assert rows[3].verdict == "decode_loss" and rows[3].n_replacement == 2
+    # mojibake outranks decode_loss (repairable beats unrepairable)
+    assert rows[4].verdict == "mojibake" and rows[4].n_replacement == 1
+    assert (rows[5].verdict, rows[5].n_chars) == ("clean", 0)
+
+
+def test_mojibake_signatures_are_true_cp1252_images(spark):
+    from doc_parser_spark.operators.text_analysis import MOJIBAKE_SIGS
+
+    truth = {c.encode("utf-8").decode("cp1252") for c in "’“–—…éèüöñáó"}
+    assert set(MOJIBAKE_SIGS) <= truth
+    assert len(MOJIBAKE_SIGS) == len(set(MOJIBAKE_SIGS)) == 12
