@@ -1436,6 +1436,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kn_score": q(text_analysis.kn_score, "documents"),
         "doc_winnow_fps": q(text_analysis.winnow_fingerprints, "documents"),
         "doc_winnow_pairs": q(text_analysis.winnow_pairs, "documents"),
+        "doc_code_score": lambda spark, sf: text_analysis.code_score(
+            _read(spark, sf, "documents").select(
+                "doc_id", F.expr(_CODE_TEXT_SQL).alias("text")
+            )
+        ),
         "doc_mojibake": lambda spark, sf: text_analysis.mojibake_stats(
             _read(spark, sf, "documents").select(
                 "doc_id",
@@ -1556,6 +1561,20 @@ _MOJI_TEXT = " cafÃ© menÃ¼ â€“ list"
 _MOJI_DECOR_SQL = (
     "CASE WHEN doc_id % 7 = 0 THEN '" + _MOJI_TEXT + "'"
     " WHEN doc_id % 11 = 0 THEN ' torn � byte' ELSE '' END"
+)
+
+# code-vs-prose corpus for doc_code_score: %5 family REPLACES text with
+# a brace-dense C snippet (symbol path), %9 with an indented pythonic
+# one (keyword+indent path); newlines via chr(10) so the literal is
+# engine-dialect-proof
+_CODE_TEXT_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN concat("
+    "'int main() { int x = 1; return x; }', chr(10),"
+    "'void f() { g(); }', chr(10), '// done')"
+    " WHEN doc_id % 9 = 0 THEN concat("
+    "'def f():', chr(10), '  import os', chr(10),"
+    "'  return os', chr(10), '# end')"
+    " ELSE coalesce(text, '') END"
 )
 
 
@@ -2484,6 +2503,57 @@ def _mojibake_sql() -> str:
                     WHEN {fffd} > 0 THEN 'decode_loss'
                     ELSE 'clean' END AS verdict
         FROM d
+    """
+
+
+def _code_score_sql() -> str:
+    """DuckDB twin of text_analysis.code_score over the shared
+    code-decorated corpus — identical integer channel arithmetic,
+    keyword list imported from the module."""
+    kws = ", ".join(f"'{k}'" for k in _ta.CODE_KEYWORDS)
+    sym = "length(t) - length(translate(t, '{}();=[]', ''))"
+    toks = (
+        "len(list_filter(string_split_regex(trim(t), '\\s+'),"
+        " x -> x <> ''))"
+    )
+    kw = (
+        "len(list_filter(string_split_regex(trim(t), '\\s+'),"
+        f" x -> list_contains([{kws}], x)))"
+    )
+    lines = "list_filter(string_split(t, chr(10)), l -> trim(l) <> '')"
+    indent = (
+        f"len(list_filter({lines},"
+        " l -> starts_with(l, '  ') OR starts_with(l, chr(9))))"
+    )
+    comment = (
+        f"len(list_filter({lines},"
+        " l -> starts_with(ltrim(l), '//') OR starts_with(ltrim(l), '#')"
+        " OR starts_with(ltrim(l), '/*')"
+        " OR starts_with(ltrim(l), '* ')))"
+    )
+    n_lines = f"len({lines})"
+    return f"""
+        WITH d AS (
+            SELECT doc_id, {_CODE_TEXT_SQL} AS t FROM documents
+        ),
+        c AS (
+            SELECT doc_id,
+                   CAST({sym} AS BIGINT) AS n_sym,
+                   CAST((1000 * ({sym})) // greatest(length(t), 1)
+                        AS BIGINT) AS sym_permille,
+                   CAST((10000 * ({kw})) // greatest({toks}, 1)
+                        AS BIGINT) AS kw_per_10k,
+                   CAST((1000 * ({indent})) // greatest({n_lines}, 1)
+                        AS BIGINT) AS indent_permille,
+                   CAST((1000 * ({comment})) // greatest({n_lines}, 1)
+                        AS BIGINT) AS comment_permille
+            FROM d
+        )
+        SELECT *,
+               (sym_permille >= 30 OR (kw_per_10k >= 50
+                    AND (indent_permille >= 200 OR sym_permille >= 10)))
+                   AS is_code
+        FROM c
     """
 
 
@@ -5861,6 +5931,7 @@ def oracle_sql() -> dict[str, str]:
         # over the shared signature catalogue, decoration shared byte-
         # for-byte via _MOJI_DECOR_SQL
         "doc_mojibake": _mojibake_sql(),
+        "doc_code_score": _code_score_sql(),
         "doc_top_terms": """
             WITH toks AS (
                 SELECT doc_id, lang, t.term

@@ -2251,3 +2251,83 @@ def mojibake_stats(documents: DataFrame) -> DataFrame:
             "THEN 'decode_loss' ELSE 'clean' END"
         ).alias("verdict"),
     )
+
+
+# language-agnostic code keywords: frequent across C/Java/JS/Python/Go/
+# Rust, essentially absent from prose (counted as whitespace-delimited
+# exact tokens, so 'return' in "return policy" still hits — accepted
+# noise the symbol channels dominate away)
+CODE_KEYWORDS = (
+    "def return import class function var const if else for while "
+    "void int public static struct fn let"
+).split()
+
+
+def code_score(documents: DataFrame) -> DataFrame:
+    """Code-vs-prose routing signal — the deterministic half of the
+    StarCoder/CodeParrot ingestion split (code-looking crawl documents
+    route to a code pipeline, prose to the text pipeline; the ML
+    language-classifier that follows is a model plug-point like the
+    CLIP/OCR boundaries here).
+
+    Channels, all integer-exact per-mille densities over characters or
+    lines:
+
+    - ``sym_permille`` — ``{}();=`` + ``[]`` symbol characters per
+      1000 chars (prose ≈ 0-5, code ≈ 30-120);
+    - ``kw_per_10k`` — exact-token hits from a fixed cross-language
+      keyword list per 10k whitespace tokens;
+    - ``indent_permille`` — lines starting with 2+ spaces or a tab per
+      1000 lines (the Python/YAML channel braces cannot see);
+    - ``comment_permille`` — lines starting ``//`` ``#`` ``/*`` ``*``
+      per 1000 lines.
+
+    Verdict ``is_code``: symbol density ≥ 30‰ OR (keywords ≥ 50/10k AND
+    (indent ≥ 200‰ OR symbols ≥ 10‰)) — thresholds from eyeballing the
+    published StarCoder heuristics (their exact filter stack is
+    per-language; this is the routing gate before language is known).
+
+    Pure projection — zero shuffles; NULL text = empty document, all
+    zeros, not code.
+    """
+    t = "coalesce(text, '')"
+    sym = (
+        f"length({t}) - length(translate({t}, '{{}}();=[]', ''))"
+    )
+    toks = f"size(filter(split(trim({t}), '\\\\s+'), x -> x <> ''))"
+    kw_in = ", ".join(f"'{k}'" for k in CODE_KEYWORDS)
+    kw = (
+        f"size(filter(split(trim({t}), '\\\\s+'), x -> x IN ({kw_in})))"
+    )
+    lines = f"filter(split({t}, '\\n'), l -> trim(l) <> '')"
+    indent = (
+        f"size(filter({lines}, l -> l LIKE '  %' OR l LIKE '\\t%'))"
+    )
+    comment = (
+        f"size(filter({lines}, l -> startswith(ltrim(l), '//')"
+        " OR startswith(ltrim(l), '#') OR startswith(ltrim(l), '/*')"
+        " OR startswith(ltrim(l), '* ')))"
+    )
+    n_lines = f"size({lines})"
+    return documents.select(
+        "doc_id",
+        F.expr(f"({sym})").cast("long").alias("n_sym"),
+        F.expr(
+            f"(1000 * ({sym})) DIV greatest(length({t}), 1)"
+        ).cast("long").alias("sym_permille"),
+        F.expr(
+            f"(10000 * ({kw})) DIV greatest({toks}, 1)"
+        ).cast("long").alias("kw_per_10k"),
+        F.expr(
+            f"(1000 * ({indent})) DIV greatest({n_lines}, 1)"
+        ).cast("long").alias("indent_permille"),
+        F.expr(
+            f"(1000 * ({comment})) DIV greatest({n_lines}, 1)"
+        ).cast("long").alias("comment_permille"),
+    ).withColumn(
+        "is_code",
+        F.expr(
+            "sym_permille >= 30 OR (kw_per_10k >= 50"
+            " AND (indent_permille >= 200 OR sym_permille >= 10))"
+        ),
+    )

@@ -967,3 +967,39 @@ def test_mojibake_signatures_are_true_cp1252_images(spark):
     truth = {c.encode("utf-8").decode("cp1252") for c in "’“–—…éèüöñáó"}
     assert set(MOJIBAKE_SIGS) <= truth
     assert len(MOJIBAKE_SIGS) == len(set(MOJIBAKE_SIGS)) == 12
+
+
+# --- code-vs-prose routing ---------------------------------------------------
+
+
+def test_code_score_routes_code_and_prose(spark):
+    from doc_parser_spark.operators.text_analysis import code_score
+
+    c_code = "int main() {\n  int x = 1;\n  return x;\n}\n// end\n"
+    py_code = "def f():\n  import os\n  return os.path\n# comment\n"
+    prose = ("The quick brown fox jumps over the lazy dog and keeps "
+             "running through the quiet field toward the river bank.")
+    docs = spark.createDataFrame(
+        [(1, c_code), (2, py_code), (3, prose), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in code_score(docs).collect()}
+    assert rows[1].is_code and rows[1].sym_permille >= 30
+    # python path: keywords + indentation, not braces
+    assert rows[2].is_code and rows[2].kw_per_10k >= 50
+    assert rows[2].indent_permille >= 200
+    assert not rows[3].is_code and rows[3].sym_permille == 0
+    assert not rows[4].is_code and rows[4].n_sym == 0
+    assert rows[1].comment_permille > 0 and rows[2].comment_permille > 0
+
+
+def test_code_score_keyword_needs_structure(spark):
+    from doc_parser_spark.operators.text_analysis import code_score
+
+    # prose that happens to contain keywords but no indentation/symbols
+    # must NOT route to code ("return policy", "class action")
+    text = ("our return policy is simple and the class action suit "
+            "will not import any function of the const var kind")
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = code_score(docs).collect()[0]
+    assert r.kw_per_10k >= 50 and not r.is_code
