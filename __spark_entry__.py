@@ -1436,6 +1436,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kn_score": q(text_analysis.kn_score, "documents"),
         "doc_winnow_fps": q(text_analysis.winnow_fingerprints, "documents"),
         "doc_winnow_pairs": q(text_analysis.winnow_pairs, "documents"),
+        "web_page_dates": lambda spark, sf: web.page_dates(
+            _read(spark, sf, "documents").selectExpr(*_DATES_INPUT_COLS)
+        ),
         "doc_code_score": lambda spark, sf: text_analysis.code_score(
             _read(spark, sf, "documents").select(
                 "doc_id", F.expr(_CODE_TEXT_SQL).alias("text")
@@ -1561,6 +1564,31 @@ _MOJI_TEXT = " cafÃ© menÃ¼ â€“ list"
 _MOJI_DECOR_SQL = (
     "CASE WHEN doc_id % 7 = 0 THEN '" + _MOJI_TEXT + "'"
     " WHEN doc_id % 11 = 0 THEN ' torn � byte' ELSE '' END"
+)
+
+# dated-page relation for web_page_dates: six families exercising every
+# verdict (consistent / conflict / url_only / meta_only / invalid-meta
+# undated / undated); engine-neutral SQL (concat, lpad, CASE only) —
+# the same three column expressions feed Spark's selectExpr and the
+# DuckDB twin's SELECT
+_MM = "lpad(CAST(doc_id % 12 + 1 AS STRING), 2, '0')"
+_DD = "lpad(CAST(doc_id % 28 + 1 AS STRING), 2, '0')"
+_DATES_INPUT_COLS = (
+    "concat('https://site', CAST(doc_id % 50 AS INT), '.example.com',"
+    " CASE CAST(doc_id % 6 AS INT)"
+    f" WHEN 0 THEN concat('/blog/2023/', {_MM}, '/', {_DD}, '/post-', doc_id)"
+    f" WHEN 1 THEN concat('/a/2022/', {_MM}, '/x')"
+    f" WHEN 2 THEN concat('/news/2021/', {_MM}, '/', {_DD}, '/x.html')"
+    " WHEN 3 THEN concat('/p/', doc_id)"
+    " WHEN 4 THEN concat('/q/', doc_id)"
+    " ELSE '/about' END) AS url",
+    "CASE CAST(doc_id % 6 AS INT)"
+    f" WHEN 0 THEN concat('2023-', {_MM}, '-28T09:00:00Z')"
+    f" WHEN 1 THEN concat('2023-', {_MM}, '-', {_DD}, 'T00:00:00+02:00')"
+    f" WHEN 3 THEN concat('2020-', {_MM}, '-', {_DD}, 'T08:30:00Z')"
+    " WHEN 4 THEN '2023-13-40T00:00:00Z'"
+    " ELSE '' END AS published_time",
+    "CAST('2024-03-15 12:00:00' AS TIMESTAMP) AS warc_ts",
 )
 
 # code-vs-prose corpus for doc_code_score: %5 family REPLACES text with
@@ -2503,6 +2531,74 @@ def _mojibake_sql() -> str:
                     WHEN {fffd} > 0 THEN 'decode_loss'
                     ELSE 'clean' END AS verdict
         FROM d
+    """
+
+
+def _page_dates_sql() -> str:
+    """DuckDB twin of web.page_dates over the shared dated-page
+    families — same regexes, same validity gates, same positive-integer
+    civil day-number formula (`//` floors like DIV truncates only
+    because every operand is positive — the reason the formula avoids
+    julian-day negatives)."""
+    from doc_parser_spark.operators import web as _w
+
+    cols = ", ".join(_DATES_INPUT_COLS)
+    offs = "[" + ", ".join(str(o) for o in _w._MONTH_OFFS) + "]"
+
+    def daynum(y: str, m: str, d: str) -> str:
+        leap = f"((({y}) % 4 = 0 AND ({y}) % 100 <> 0) OR ({y}) % 400 = 0)"
+        return (
+            f"(365 * (({y}) - 1) + (({y}) - 1) // 4"
+            f" - (({y}) - 1) // 100 + (({y}) - 1) // 400"
+            f" + {offs}[CAST({m} AS INT)]"
+            f" + CASE WHEN {leap} AND ({m}) > 2 THEN 1 ELSE 0 END"
+            f" + ({d}))"
+        )
+
+    ure, mre = _w._URL_DATE_RE, _w._META_DATE_RE
+    pub_y, pub_m = "coalesce(vy, uy)", "coalesce(vm, um)"
+    pub_d = "CASE WHEN vy IS NOT NULL THEN vd ELSE ud END"
+    cap = daynum("year(warc_ts)", "month(warc_ts)", "day(warc_ts)")
+    pub = daynum(pub_y, pub_m, pub_d)
+    return f"""
+        WITH pages AS (SELECT {cols} FROM documents),
+        x AS (
+            SELECT url, warc_ts,
+                   CAST(nullif(regexp_extract(url, '{ure}', 1), '') AS BIGINT) AS uy,
+                   CAST(nullif(regexp_extract(url, '{ure}', 3), '') AS BIGINT) AS um,
+                   coalesce(CAST(nullif(regexp_extract(url, '{ure}', 5), '') AS BIGINT), 1) AS ud,
+                   CAST(nullif(regexp_extract(published_time, '{mre}', 1), '') AS BIGINT) AS my,
+                   CAST(nullif(regexp_extract(published_time, '{mre}', 3), '') AS BIGINT) AS mm,
+                   CAST(nullif(regexp_extract(published_time, '{mre}', 4), '') AS BIGINT) AS md
+            FROM pages
+        ),
+        v AS (
+            SELECT url, warc_ts, uy, um, ud,
+                   CASE WHEN my IS NOT NULL AND mm BETWEEN 1 AND 12
+                        AND md BETWEEN 1 AND 31 THEN my END AS vy,
+                   CASE WHEN my IS NOT NULL AND mm BETWEEN 1 AND 12
+                        AND md BETWEEN 1 AND 31 THEN mm END AS vm,
+                   CASE WHEN my IS NOT NULL AND mm BETWEEN 1 AND 12
+                        AND md BETWEEN 1 AND 31 THEN md END AS vd
+            FROM x
+        )
+        SELECT url,
+               CAST(CASE WHEN {pub_y} IS NULL THEN 0
+                    ELSE {pub_y} * 10000 + {pub_m} * 100 + {pub_d} END
+                    AS BIGINT) AS published_ymd,
+               CASE WHEN vy IS NOT NULL THEN 'meta'
+                    WHEN uy IS NOT NULL THEN 'url' ELSE 'none'
+                    END AS date_source,
+               CASE WHEN vy IS NOT NULL AND uy IS NOT NULL THEN
+                        CASE WHEN vy = uy AND vm = um THEN 'consistent'
+                             ELSE 'conflict' END
+                    WHEN vy IS NOT NULL THEN 'meta_only'
+                    WHEN uy IS NOT NULL THEN 'url_only'
+                    ELSE 'undated' END AS date_verdict,
+               CASE WHEN {pub_y} IS NULL THEN CAST(NULL AS BIGINT)
+                    ELSE CAST({cap} - {pub} AS BIGINT)
+                    END AS staleness_days
+        FROM v
     """
 
 
@@ -5932,6 +6028,7 @@ def oracle_sql() -> dict[str, str]:
         # for-byte via _MOJI_DECOR_SQL
         "doc_mojibake": _mojibake_sql(),
         "doc_code_score": _code_score_sql(),
+        "web_page_dates": _page_dates_sql(),
         "doc_top_terms": """
             WITH toks AS (
                 SELECT doc_id, lang, t.term

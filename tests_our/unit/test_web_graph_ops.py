@@ -902,3 +902,66 @@ def test_communities_direction_ignored_and_self_vote_kills_2cycle(spark):
         assert rows == {"a": "a", "b": "a"}, it
     with pytest.raises(ValueError):
         web.host_communities(e, iterations=0)
+
+
+# --- publication-date resolution ---------------------------------------------
+
+
+def _meta_df(spark, rows):
+    import datetime
+    cap = datetime.datetime(2024, 3, 15, 12, 0, 0)
+    return spark.createDataFrame(
+        [(u, p, cap) for u, p in rows],
+        "url string, published_time string, warc_ts timestamp",
+    )
+
+
+def test_page_dates_verdicts_and_staleness(spark):
+    import datetime
+    rows = [
+        ("https://a.com/blog/2023/04/02/x", "2023-04-28T09:00:00Z"),   # consistent
+        ("https://a.com/a/2022/04/x", "2023-04-05T00:00:00+02:00"),    # conflict
+        ("https://a.com/news/2021/12/31/y.html", ""),                  # url_only
+        ("https://a.com/p/1", "2020-06-07T08:30:00Z"),                 # meta_only
+        ("https://a.com/q/1", "2023-13-40T00:00:00Z"),                 # invalid meta
+        ("https://a.com/about", ""),                                   # undated
+        ("https://a.com/f/2024/02/29/leap", ""),                       # leap day
+        ("https://a.com/p/2", "2024-06-01T00:00:00Z"),                 # post-dated
+    ]
+    out = {r.url: r for r in web.page_dates(_meta_df(spark, rows)).collect()}
+    cap = datetime.date(2024, 3, 15)
+
+    r = out["https://a.com/blog/2023/04/02/x"]
+    assert (r.date_verdict, r.date_source) == ("consistent", "meta")
+    assert r.published_ymd == 20230428  # meta day wins
+    assert r.staleness_days == (cap - datetime.date(2023, 4, 28)).days
+
+    r = out["https://a.com/a/2022/04/x"]
+    assert (r.date_verdict, r.date_source) == ("conflict", "meta")
+
+    r = out["https://a.com/news/2021/12/31/y.html"]
+    assert (r.date_verdict, r.published_ymd) == ("url_only", 20211231)
+    assert r.staleness_days == (cap - datetime.date(2021, 12, 31)).days
+
+    r = out["https://a.com/p/1"]
+    assert (r.date_verdict, r.published_ymd) == ("meta_only", 20200607)
+
+    r = out["https://a.com/q/1"]
+    assert (r.date_verdict, r.published_ymd, r.staleness_days) == (
+        "undated", 0, None)
+
+    assert out["https://a.com/about"].date_verdict == "undated"
+
+    r = out["https://a.com/f/2024/02/29/leap"]  # leap-day daynum path
+    assert r.published_ymd == 20240229
+    assert r.staleness_days == (cap - datetime.date(2024, 2, 29)).days
+
+    r = out["https://a.com/p/2"]  # scheduled post: negative staleness
+    assert r.staleness_days == (cap - datetime.date(2024, 6, 1)).days < 0
+
+
+def test_page_dates_url_without_day_resolves_to_first(spark):
+    out = web.page_dates(
+        _meta_df(spark, [("https://a.com/2019/07/archive", "")])
+    ).collect()[0]
+    assert (out.published_ymd, out.date_source) == (20190701, "url")
