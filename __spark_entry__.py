@@ -1068,6 +1068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_centroids": q(similarity.ivf_centroids, "embeddings"),
         "emb_ivf_topk": q(similarity.ivf_topk, "embeddings"),
         "emb_pq_codes": q(similarity.pq_codes, "embeddings"),
+        "emb_sq8_codes": q(similarity.sq8_codes, "embeddings"),
+        "emb_sq8_topk": q(similarity.sq8_topk, "embeddings"),
         "emb_pq_adc_topk": q(similarity.pq_adc_topk, "embeddings"),
         "emb_ivfpq_topk": q(similarity.ivfpq_topk, "embeddings"),
         "emb_semdedup": q(similarity.semdedup, "embeddings"),
@@ -2097,6 +2099,26 @@ def _semdedup_sql(
                coalesce(d.dup_of, -1) AS dup_of
         FROM asg_final a LEFT JOIN dup d USING (vec_id)
     """
+
+
+# SQ8 twin pieces: exploded (vec_id, dim 0-based, v double) stream,
+# exact per-dim min/max bounds, the one-order float code expression
+_SQ8_CTES = """ex AS (
+                SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS dim,
+                       CAST(embedding[t.i] AS DOUBLE) AS v
+                FROM embeddings, LATERAL UNNEST(generate_series(1, 64)) AS t(i)
+            ),
+            bounds AS (
+                SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY dim
+            ),
+            sq8codes AS (
+                SELECT CAST(e.vec_id AS BIGINT) AS vec_id, e.dim,
+                       CASE WHEN b.mx = b.mn THEN CAST(0 AS BIGINT)
+                            ELSE CAST(least(255, greatest(0,
+                                floor((e.v - b.mn) * 255.0 / (b.mx - b.mn))))
+                                AS BIGINT) END AS code
+                FROM ex e JOIN bounds b USING (dim)
+            )"""
 
 
 def _pq_ctes(
@@ -4342,6 +4364,33 @@ def oracle_sql() -> dict[str, str]:
             FROM cents2 CROSS JOIN generate_series(1, 64) AS g(i)
         """,
         "emb_ivf_topk": _ivf_topk_sql(),
+        # SQ8: per-dim linear code, bounds recomputed by DuckDB's own
+        # min/max (exact on doubles), identical one-order float expr
+        "emb_sq8_codes": f"""
+            WITH {_SQ8_CTES}
+            SELECT vec_id, dim, code FROM sq8codes
+        """,
+        "emb_sq8_topk": f"""
+            WITH {_SQ8_CTES},
+            q AS (
+                SELECT vec_id AS query_id, dim, code AS qcode
+                FROM sq8codes WHERE vec_id < 5
+            ),
+            scored AS (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       CAST(sum((q.qcode - c.code) * (q.qcode - c.code))
+                            AS BIGINT) AS adist
+                FROM sq8codes c JOIN q USING (dim)
+                WHERE q.query_id <> c.vec_id
+                GROUP BY 1, 2
+            )
+            SELECT query_id, neighbor_id, adist, CAST(rnk AS BIGINT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY adist ASC, neighbor_id ASC) AS rnk
+                FROM scored
+            ) WHERE rnk <= 5
+        """,
         "emb_pq_codes": f"""
             WITH {_pq_ctes()}
             SELECT CAST(vec_id AS BIGINT) AS vec_id,

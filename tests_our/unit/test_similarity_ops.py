@@ -292,3 +292,47 @@ def test_semantic_decontaminate_flags_bucket_mates(spark):
     # cos([1,1,-1],[2,2,.1]) = 3.9/(sqrt(3)*sqrt(8.01)) ~ 0.796 < 0.9
     assert not out[2].contaminated and out[2].max_cosine_fp6 == -1
     assert not out[3].contaminated and out[3].n_bench_hits == 0
+
+
+# --- SQ8 scalar quantization -------------------------------------------------
+
+
+def test_sq8_codes_match_numpy_replica(spark):
+    import math
+    from doc_parser_spark.operators.similarity import sq8_codes
+
+    vecs = [
+        (0, [0.0, 1.0, -2.0, 5.0]),
+        (1, [1.0, 1.0, 2.0, 0.0]),
+        (2, [2.0, 1.0, 6.0, 2.5]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {(r.vec_id, r.dim): r.code for r in sq8_codes(df).collect()}
+    mins = [min(v[d] for _, v in vecs) for d in range(4)]
+    maxs = [max(v[d] for _, v in vecs) for d in range(4)]
+    for vid, v in vecs:
+        for d in range(4):
+            if maxs[d] == mins[d]:
+                exp = 0  # constant dimension (dim 1) codes 0
+            else:
+                exp = min(255, max(0, math.floor(
+                    (v[d] - mins[d]) * 255.0 / (maxs[d] - mins[d]))))
+            assert got[(vid, d)] == exp, (vid, d)
+    # endpoints: corpus min -> 0, corpus max -> 255 (exact division here)
+    assert got[(0, 0)] == 0 and got[(2, 0)] == 255
+
+
+def test_sq8_topk_ranks_by_code_distance(spark):
+    import pytest
+    from doc_parser_spark.operators.similarity import sq8_topk
+
+    # query 0 at origin; 1 close, 2 far, 3 farther
+    vecs = [
+        (0, [0.0, 0.0]), (1, [0.1, 0.1]), (2, [5.0, 5.0]), (3, [9.0, 9.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    rows = [r for r in sq8_topk(df, n_queries=1, knn=3).collect()]
+    assert [r.neighbor_id for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3]
+    assert all(r.query_id == 0 for r in rows)
+    with pytest.raises(ValueError):
+        sq8_topk(df, n_queries=0)
