@@ -1438,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kn_score": q(text_analysis.kn_score, "documents"),
         "doc_winnow_fps": q(text_analysis.winnow_fingerprints, "documents"),
         "doc_winnow_pairs": q(text_analysis.winnow_pairs, "documents"),
+        "doc_features": q(text_analysis.doc_features, "documents"),
         "web_page_dates": lambda spark, sf: web.page_dates(
             _read(spark, sf, "documents").selectExpr(*_DATES_INPUT_COLS)
         ),
@@ -2523,11 +2524,14 @@ def _pagerank_sql(iterations: int = 5, e_body: str | None = None) -> str:
     )
 
 
-def _mojibake_sql() -> str:
-    """DuckDB twin of text_analysis.mojibake_stats over the decorated
-    corpus: the identical replace-length occurrence arithmetic, the
-    signature catalogue imported from the module (one source of truth
-    for the literals)."""
+def _mojibake_sql(t_expr: str | None = None) -> str:
+    """DuckDB twin of text_analysis.mojibake_stats: the identical
+    replace-length occurrence arithmetic, the signature catalogue
+    imported from the module (one source of truth for the literals).
+    Default input is the decorated query corpus; ``t_expr`` overrides
+    (doc_features composes the UNdecorated form)."""
+    if t_expr is None:
+        t_expr = f"coalesce(text, '') || {_MOJI_DECOR_SQL}"
 
     def cnt(lit: str) -> str:
         esc = lit.replace("'", "''")
@@ -2539,8 +2543,7 @@ def _mojibake_sql() -> str:
     fffd = cnt("�")
     return f"""
         WITH d AS (
-            SELECT doc_id,
-                   coalesce(text, '') || {_MOJI_DECOR_SQL} AS t
+            SELECT doc_id, {t_expr} AS t
             FROM documents
         )
         SELECT doc_id,
@@ -2624,10 +2627,12 @@ def _page_dates_sql() -> str:
     """
 
 
-def _code_score_sql() -> str:
-    """DuckDB twin of text_analysis.code_score over the shared
-    code-decorated corpus — identical integer channel arithmetic,
-    keyword list imported from the module."""
+def _code_score_sql(t_expr: str | None = None) -> str:
+    """DuckDB twin of text_analysis.code_score — identical integer
+    channel arithmetic, keyword list imported from the module. Default
+    input is the code-decorated query corpus; ``t_expr`` overrides."""
+    if t_expr is None:
+        t_expr = _CODE_TEXT_SQL
     kws = ", ".join(f"'{k}'" for k in _ta.CODE_KEYWORDS)
     sym = "length(t) - length(translate(t, '{}();=[]', ''))"
     toks = (
@@ -2652,7 +2657,7 @@ def _code_score_sql() -> str:
     n_lines = f"len({lines})"
     return f"""
         WITH d AS (
-            SELECT doc_id, {_CODE_TEXT_SQL} AS t FROM documents
+            SELECT doc_id, {t_expr} AS t FROM documents
         ),
         c AS (
             SELECT doc_id,
@@ -3931,9 +3936,9 @@ def oracle_sql() -> dict[str, str]:
             sig AS (
                 SELECT doc_id,
                        CAST(len(w) AS BIGINT) AS n_words,
-                       floor(1e6 * (CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w))) / 1e6 AS mean_word_len,
-                       floor(1e6 * (CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(w))) / 1e6 AS frac_alpha_words,
-                       floor(1e6 * (CAST(hashes + ellipses AS DOUBLE) / len(w))) / 1e6 AS symbol_word_ratio,
+                       floor(1e6 * (CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / greatest(len(w), 1))) / 1e6 AS mean_word_len,
+                       floor(1e6 * (CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / greatest(len(w), 1))) / 1e6 AS frac_alpha_words,
+                       floor(1e6 * (CAST(hashes + ellipses AS DOUBLE) / greatest(len(w), 1))) / 1e6 AS symbol_word_ratio,
                        floor(1e6 * (CAST(len(list_filter(ln, l -> regexp_matches(trim(l), '^([-*•‣◦])'))) AS DOUBLE) / greatest(len(ln), 1))) / 1e6 AS frac_bullet_lines,
                        floor(1e6 * (CAST(len(list_filter(ln, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) AS DOUBLE) / greatest(len(ln), 1))) / 1e6 AS frac_ellipsis_lines,
                        CAST((CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END)
@@ -6499,5 +6504,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(nc AS BIGINT) AS rep_chars,
                CAST(n AS BIGINT) AS n_members
         FROM r WHERE rn = 1
+    """
+    # doc-level feature panel: the eight channel twins composed via
+    # nested WITH + left joins, dense dtype defaults mirrored; the
+    # mojibake/code channels use their UNdecorated forms (doc_features
+    # reads the raw corpus, unlike their standalone decorated queries)
+    d["doc_features"] = f"""
+        WITH t AS ({d["doc_token_stats"]}),
+        q AS ({d["doc_quality_score"]}),
+        lg AS ({d["doc_lang_id"]}),
+        g AS ({d["doc_gopher_filter"]}),
+        r AS ({d["doc_repetition_filter"]}),
+        m AS ({_mojibake_sql("coalesce(text, '')")}),
+        c AS ({_code_score_sql("coalesce(text, '')")}),
+        k AS ({d["doc_kn_score"]})
+        SELECT t.doc_id,
+               CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+               coalesce(q.punct_ratio, 0.0) AS punct_ratio,
+               coalesce(q.stopword_ratio, 0.0) AS stopword_ratio,
+               coalesce(lg.pred_lang, '') AS pred_lang,
+               coalesce(g.keep, false) AS gopher_keep,
+               coalesce(r.keep, false) AS rep_keep,
+               CAST(coalesce(m.moji_ppm, 0) AS BIGINT) AS moji_ppm,
+               coalesce(m.verdict, '') AS moji_verdict,
+               CAST(coalesce(c.sym_permille, 0) AS BIGINT) AS sym_permille,
+               coalesce(c.is_code, false) AS is_code,
+               CAST(coalesce(k.avg_bits_q6, 0) AS BIGINT) AS avg_bits_q6,
+               CAST(coalesce(k.n_oov, 0) AS BIGINT) AS n_oov
+        FROM (SELECT doc_id, n_tokens FROM t) t
+        LEFT JOIN q USING (doc_id)
+        LEFT JOIN lg USING (doc_id)
+        LEFT JOIN g USING (doc_id)
+        LEFT JOIN r USING (doc_id)
+        LEFT JOIN m USING (doc_id)
+        LEFT JOIN c USING (doc_id)
+        LEFT JOIN k USING (doc_id)
     """
     return d

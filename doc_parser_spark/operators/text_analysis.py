@@ -198,15 +198,20 @@ def gopher_filter(documents: DataFrame) -> DataFrame:
     for wrd in _GOPHER_STOPS:
         hit = F.expr(f"CASE WHEN array_contains(w, '{wrd}') THEN 1 ELSE 0 END")
         stop_hits = hit if stop_hits is None else (stop_hits + hit)
+    # greatest(n_words, 1): a zero-word document (empty/NULL text —
+    # routine in crawl data) must yield all-zero ratios and keep=false,
+    # not an ANSI divide-by-zero task failure; value-identical for every
+    # non-empty document
+    nw1 = F.greatest(n_words, F.lit(1))
     mean_wl = _trunc6(
-        F.expr("aggregate(w, 0L, (acc, t) -> acc + length(t))") / n_words
+        F.expr("aggregate(w, 0L, (acc, t) -> acc + length(t))") / nw1
     )
     out = d.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
         mean_wl.alias("mean_word_len"),
-        _trunc6(alpha_words / n_words).alias("frac_alpha_words"),
-        _trunc6((hashes + ellipses) / n_words).alias("symbol_word_ratio"),
+        _trunc6(alpha_words / nw1).alias("frac_alpha_words"),
+        _trunc6((hashes + ellipses) / nw1).alias("symbol_word_ratio"),
         _trunc6(bullet_lines / F.greatest(n_lines, F.lit(1))).alias("frac_bullet_lines"),
         _trunc6(ellipsis_lines / F.greatest(n_lines, F.lit(1))).alias("frac_ellipsis_lines"),
         stop_hits.cast("long").alias("n_stopwords_present"),
@@ -2330,4 +2335,61 @@ def code_score(documents: DataFrame) -> DataFrame:
             "sym_permille >= 30 OR (kw_per_10k >= 50"
             " AND (indent_permille >= 200 OR sym_permille >= 10))"
         ),
+    )
+
+
+def doc_features(documents: DataFrame) -> DataFrame:
+    """Assemble the per-document quality feature table — the doc-level
+    sibling of ``web.host_features`` and the input a quality classifier
+    actually trains on (FineWeb-Edu / DCLM style: a wide panel of cheap
+    deterministic signals feeding a learned keep-score): token mass,
+    punctuation/stopword ratios, predicted language, the Gopher and
+    repetition keep verdicts, encoding damage, code-likeness, and the
+    KN-LM surprisal.
+
+    Missing-channel defaults are dtype-driven (ints 0, doubles 0.0,
+    booleans false, strings '') so the table is dense — every signal
+    here emits one row per document by contract, but the defaults make
+    the assembly robust to a channel that drops rows.
+
+    Scale shape: each channel is one projection/aggregation over the
+    same documents scan, joined back on ``doc_id`` — one co-partitioned
+    exchange family (bucket the store by doc_id and rebuilds are
+    exchange-free). A consumer that needs a single-pass variant can
+    inline the channel projections into one select; the factored form
+    is kept because every channel is individually oracle-pinned.
+    """
+    t = token_stats(documents).select("doc_id", "n_tokens")
+    q = quality_score(documents).select(
+        "doc_id", "punct_ratio", "stopword_ratio"
+    )
+    lg = lang_id(documents).select("doc_id", "pred_lang")
+    g = gopher_filter(documents).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    r = repetition_filter(documents).select(
+        "doc_id", F.col("keep").alias("rep_keep")
+    )
+    m = mojibake_stats(documents).select(
+        "doc_id", "moji_ppm", F.col("verdict").alias("moji_verdict")
+    )
+    c = code_score(documents).select("doc_id", "sym_permille", "is_code")
+    k = kn_score(documents).select("doc_id", "avg_bits_q6", "n_oov")
+    out = t
+    for rel in (q, lg, g, r, m, c, k):
+        out = out.join(rel, "doc_id", "left")
+    defaults = {
+        "bigint": F.lit(0).cast("long"),
+        "int": F.lit(0),
+        "double": F.lit(0.0),
+        "boolean": F.lit(False),
+        "string": F.lit(""),
+    }
+    return out.select(
+        *[
+            F.coalesce(F.col(name), defaults[dtype]).alias(name)
+            if name != "doc_id" and dtype in defaults
+            else F.col(name)
+            for name, dtype in out.dtypes
+        ]
     )

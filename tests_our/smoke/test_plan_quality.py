@@ -373,6 +373,8 @@ _BNLJ_OK = {
     "doc_kn_bigrams",
     # inference half of the KN model: same scalar n_types cross join
     "doc_kn_score",
+    # feature panel composes the KN channel, inheriting that scalar
+    "doc_features",
 }
 _PANDAS_OK = {
     # the Arrow-batched extraction kernel IS the operator here

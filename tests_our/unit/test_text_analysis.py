@@ -1003,3 +1003,22 @@ def test_code_score_keyword_needs_structure(spark):
     docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
     r = code_score(docs).collect()[0]
     assert r.kw_per_10k >= 50 and not r.is_code
+
+
+def test_doc_features_is_dense_and_complete(spark):
+    from doc_parser_spark.operators.text_analysis import doc_features
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "int main() { return 0; }"),
+         (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in doc_features(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    # dense: no NULL anywhere, even for the textless row
+    for r in rows.values():
+        assert all(v is not None for v in r.asDict().values()), r
+    assert rows[2].is_code and not rows[1].is_code
+    assert rows[1].n_tokens > 0 and rows[3].n_tokens == 0
+    assert rows[3].moji_verdict == "clean"
