@@ -999,6 +999,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).selectExpr("src_host AS src", "dst_host AS dst"),
             iterations=3,
         ),
+        # payload bytes -> link kernel -> dofollow host graph -> LPA
+        # communities: the community-mining loop closed end to end
+        "web_communities_real": lambda spark, sf: web.host_communities(
+            web.link_graph(
+                _q_extract_links_raw(spark, sf), drop_nofollow=True
+            ).selectExpr("src_host AS src", "dst_host AS dst"),
+            iterations=3,
+        ),
         "web_page_link_features": lambda spark, sf: web.page_link_features(
             _q_extract_links_raw(spark, sf)
         ),
@@ -2680,22 +2688,26 @@ def _code_score_sql(t_expr: str | None = None) -> str:
     """
 
 
-def _communities_sql(iterations: int = 4) -> str:
+def _communities_sql(iterations: int = 4, e_body: str | None = None) -> str:
     """DuckDB twin of web.host_communities: the synchronous
     label-propagation sweeps fully unrolled as chained CTEs over the
-    symmetrized synth edge graph (majority label, min-label tie-break —
-    the same total order, so every sweep is bit-identical)."""
+    symmetrized edge graph (majority label + self-vote, min-label
+    tie-break — the same total order, so every sweep is bit-identical).
+    ``e_body`` overrides the edge relation (default: the synth offset
+    graph; the real-edge query passes the link-kernel edge set)."""
     from doc_parser_spark.operators import web as _w
 
     offs = ", ".join(str(o) for o in _w.SYNTH_EDGE_OFFSETS)
-    ctes = [
-        f"""eraw AS (
+    if e_body is None:
+        e_body = f"""
             SELECT DISTINCT src, dst FROM (
                 SELECT concat('site', CAST(doc_id % 50 AS INT)) AS src,
                        concat('site', CAST((doc_id * 7 + t.o) % 50 AS INT)) AS dst
                 FROM documents, LATERAL UNNEST([{offs}]) AS t(o)
             ) WHERE src <> dst
-        )""",
+        """
+    ctes = [
+        f"""eraw AS ({e_body})""",
         "und AS (SELECT src, dst FROM eraw UNION SELECT dst, src FROM eraw)",
         "nodes AS (SELECT DISTINCT src AS h FROM und)",
         # the self-vote edge (h, h) carries each host's own current label
@@ -3721,6 +3733,15 @@ def oracle_sql() -> dict[str, str]:
                    concat('site', CAST((doc_id * 3 + 1) % 50 AS INT),
                           '.example.com') AS dst
             FROM documents WHERE doc_id % 5 <> 0
+        """),
+        "web_communities_real": _communities_sql(3, e_body="""
+            SELECT DISTINCT src, dst FROM (
+                SELECT concat('site', CAST(doc_id % 50 AS INT),
+                              '.example.com') AS src,
+                       concat('site', CAST((doc_id * 3 + 1) % 50 AS INT),
+                              '.example.com') AS dst
+                FROM documents WHERE doc_id % 5 <> 0
+            ) WHERE src <> dst
         """),
         # per-page features hand-derived from the three link families
         "web_page_link_features": """

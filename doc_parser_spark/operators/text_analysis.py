@@ -2091,31 +2091,37 @@ def winnow_fingerprints(
     if k < 1 or w < 1:
         raise ValueError(f"k ({k}) and w ({w}) must be >= 1")
     documents = _nn_text(documents)
-    d = documents.select(
-        "doc_id",
-        F.expr(f"filter(split({NORM}, ' '), t -> t <> '')").alias("wd"),
-    ).select(
-        "doc_id",
-        F.expr(
-            f"CASE WHEN size(wd) < {k} THEN array() "
-            f"ELSE transform(sequence(1, size(wd) - {k - 1}), "
-            f"i -> md5(array_join(slice(wd, i, {k}), ' '))) END"
-        ).alias("g"),
-    ).where("size(g) > 0")
-    fps = d.select(
-        "doc_id",
-        F.size("g").cast("long").alias("n_grams"),
-        F.expr(
-            f"CASE WHEN size(g) <= {w} THEN array(array_min(g)) "
-            f"ELSE array_distinct(transform(sequence(1, size(g) - {w - 1}), "
-            f"j -> array_min(slice(g, j, {w})))) END"
-        ).alias("fp_arr"),
+    # Every array is BOUND as a higher-order-function lambda variable
+    # (`transform(array(x), v -> ...)` — evaluated once, referenced many
+    # times) instead of a projected column: Catalyst's CollapseProject
+    # inlines column aliases into every reference, and a gram array
+    # inlined into the per-window `slice` lambda re-runs the md5
+    # projection PER WINDOW — O(grams²), measured 285 s vs 1.5 s on
+    # sf0.1 (the same trap documented at dedup.py:37-50, one level
+    # deeper because two arrays stack here).
+    grams = (
+        f"transform(array(filter(split({NORM}, ' '), t -> t <> '')),"
+        f" wa -> CASE WHEN size(wa) < {k} THEN array() "
+        f"ELSE transform(sequence(1, size(wa) - {k - 1}), "
+        f"i -> md5(array_join(slice(wa, i, {k}), ' '))) END)[0]"
     )
-    return fps.select(
-        "doc_id",
-        "n_grams",
-        F.size("fp_arr").cast("long").alias("n_fps"),
-        F.explode("fp_arr").alias("fp"),
+    res = (
+        f"transform(array({grams}), ga -> struct("
+        f"size(ga) AS n_grams, "
+        f"CASE WHEN size(ga) = 0 THEN array() "
+        f"WHEN size(ga) <= {w} THEN array(array_min(ga)) "
+        f"ELSE array_distinct(transform(sequence(1, size(ga) - {w - 1}), "
+        f"j -> array_min(slice(ga, j, {w})))) END AS fp_arr))[0]"
+    )
+    return (
+        documents.select("doc_id", F.expr(res).alias("r"))
+        .where("r.n_grams > 0")
+        .select(
+            "doc_id",
+            F.col("r.n_grams").cast("long").alias("n_grams"),
+            F.size("r.fp_arr").cast("long").alias("n_fps"),
+            F.explode("r.fp_arr").alias("fp"),
+        )
     )
 
 
