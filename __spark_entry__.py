@@ -1455,6 +1455,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id", F.expr(_CODE_TEXT_SQL).alias("text")
             )
         ),
+        "doc_slop_score": lambda spark, sf: text_analysis.slop_score(
+            _read(spark, sf, "documents").select(
+                "doc_id",
+                F.expr(
+                    f"concat(coalesce(text, ''), {_SLOP_DECOR_SQL})"
+                ).alias("text"),
+            )
+        ),
         "doc_mojibake": lambda spark, sf: text_analysis.mojibake_stats(
             _read(spark, sf, "documents").select(
                 "doc_id",
@@ -1600,6 +1608,18 @@ _DATES_INPUT_COLS = (
     " WHEN 4 THEN '2023-13-40T00:00:00Z'"
     " ELSE '' END AS published_time",
     "CAST('2024-03-15 12:00:00' AS TIMESTAMP) AS warc_ts",
+)
+
+# slop decoration for doc_slop_score: %8 family gets two distinct
+# assistant-voice phrases (one twice — n_slop_hits 3, n_phrases 2),
+# %13 exercises the lowercase fold via capitals
+_SLOP_DECOR_SQL = (
+    "CASE WHEN doc_id % 8 = 0 THEN"
+    " ' It''s important to note that we delve into the topic."
+    " it''s important to note that.'"
+    " WHEN doc_id % 13 = 0 THEN"
+    " ' As An AI Language Model I cannot say.'"
+    " ELSE '' END"
 )
 
 # code-vs-prose corpus for doc_code_score: %5 family REPLACES text with
@@ -2632,6 +2652,42 @@ def _page_dates_sql() -> str:
                     ELSE CAST({cap} - {pub} AS BIGINT)
                     END AS staleness_days
         FROM v
+    """
+
+
+def _slop_score_sql() -> str:
+    """DuckDB twin of text_analysis.slop_score over the decorated
+    corpus — same replace-length counting on the shared lowercase
+    phrase catalogue."""
+
+    def cnt(lit: str) -> str:
+        esc = lit.replace("'", "''")
+        return (
+            f"(length(t) - length(replace(t, '{esc}', ''))) // {len(lit)}"
+        )
+
+    counts = [cnt(p) for p in _ta.SLOP_PHRASES]
+    total = " + ".join(f"({c})" for c in counts)
+    distinct = " + ".join(
+        f"(CASE WHEN ({c}) > 0 THEN 1 ELSE 0 END)" for c in counts
+    )
+    toks = (
+        "len(list_filter(string_split_regex(trim(t), '\\s+'),"
+        " x -> x <> ''))"
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   lower(coalesce(text, '') || {_SLOP_DECOR_SQL}) AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST({total} AS BIGINT) AS n_slop_hits,
+               CAST({distinct} AS BIGINT) AS n_phrases,
+               CAST((10000 * ({total})) // greatest({toks}, 1)
+                    AS BIGINT) AS slop_per_10k,
+               ({total}) > 0 AS is_suspect
+        FROM d
     """
 
 
@@ -6103,6 +6159,7 @@ def oracle_sql() -> dict[str, str]:
         # for-byte via _MOJI_DECOR_SQL
         "doc_mojibake": _mojibake_sql(),
         "doc_code_score": _code_score_sql(),
+        "doc_slop_score": _slop_score_sql(),
         "web_page_dates": _page_dates_sql(),
         "doc_top_terms": """
             WITH toks AS (

@@ -2399,3 +2399,65 @@ def doc_features(documents: DataFrame) -> DataFrame:
             for name, dtype in out.dtypes
         ]
     )
+
+
+# assistant-voice phrase catalogue: high-precision markers of LLM-
+# generated text leaking into post-2023 crawls (the contamination class
+# corpus curators now filter alongside spam; phrases chosen for near-
+# zero base rate in human web text, all lowercase — counted on
+# lowercased text)
+SLOP_PHRASES = (
+    "as an ai language model",
+    "as a large language model",
+    "i cannot fulfill that request",
+    "i cannot fulfill this request",
+    "as of my last knowledge update",
+    "i don't have access to real-time",
+    "it's important to note that",
+    "it is important to note that",
+    "i hope this email finds you well",
+    "certainly! here",
+    "delve into the",
+    "in the ever-evolving landscape of",
+    "in today's fast-paced world",
+    "unleash the power of",
+    "embark on a journey",
+)
+
+
+def slop_score(documents: DataFrame) -> DataFrame:
+    """LLM-contamination signal per document — the newest member of the
+    crawl-cleaning gate family: post-2023 crawls carry machine-generated
+    pages (SEO farms piping chat models), and pretraining on them is
+    self-distillation on slop. The deterministic tier is a
+    high-precision assistant-voice phrase catalogue (the same
+    literal-replace counting as :func:`mojibake_stats` — no regex
+    dialect in play, lowercased text) plus a per-10k-token rate; an ML
+    detector (Binoculars-style perplexity contrast) is a model
+    plug-point beyond it, like the CLIP/OCR boundaries here.
+
+    Output: ``n_slop_hits`` (total catalogue occurrences),
+    ``n_phrases`` (distinct catalogue entries present — many distinct
+    markers is stronger evidence than one repeated), ``slop_per_10k``
+    (integer hits per 10k whitespace tokens), and ``is_suspect``
+    (any assistant-voice hit at all — the catalogue is precision-tuned,
+    so one hit is already signal).
+
+    Pure projection — zero shuffles; NULL text is the empty document.
+    """
+    t = "lower(coalesce(text, ''))"
+    counts = [_count_literal_sql(t, p) for p in SLOP_PHRASES]
+    total = " + ".join(f"({c})" for c in counts)
+    distinct = " + ".join(
+        f"(CASE WHEN ({c}) > 0 THEN 1 ELSE 0 END)" for c in counts
+    )
+    toks = f"size(filter(split(trim({t}), '\\\\s+'), x -> x <> ''))"
+    return documents.select(
+        "doc_id",
+        F.expr(f"({total})").cast("long").alias("n_slop_hits"),
+        F.expr(f"({distinct})").cast("long").alias("n_phrases"),
+        F.expr(
+            f"(10000 * ({total})) DIV greatest({toks}, 1)"
+        ).cast("long").alias("slop_per_10k"),
+        F.expr(f"({total}) > 0").alias("is_suspect"),
+    )

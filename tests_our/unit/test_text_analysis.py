@@ -1022,3 +1022,24 @@ def test_doc_features_is_dense_and_complete(spark):
     assert rows[2].is_code and not rows[1].is_code
     assert rows[1].n_tokens > 0 and rows[3].n_tokens == 0
     assert rows[3].moji_verdict == "clean"
+
+
+def test_slop_score_detects_assistant_voice(spark):
+    from doc_parser_spark.operators.text_analysis import slop_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "As an AI language model, I cannot browse. "
+                "It's important to note that this repeats: "
+                "it's important to note that."),
+            (2, "A perfectly ordinary paragraph about gardening and soil."),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in slop_score(docs).collect()}
+    # 1 'as an ai language model' + 2 'it's important to note that'
+    assert rows[1].n_slop_hits == 3 and rows[1].n_phrases == 2
+    assert rows[1].is_suspect and rows[1].slop_per_10k > 0
+    assert not rows[2].is_suspect and rows[2].n_slop_hits == 0
+    assert (rows[3].n_slop_hits, rows[3].is_suspect) == (0, False)
