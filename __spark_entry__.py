@@ -2655,10 +2655,13 @@ def _page_dates_sql() -> str:
     """
 
 
-def _slop_score_sql() -> str:
-    """DuckDB twin of text_analysis.slop_score over the decorated
-    corpus — same replace-length counting on the shared lowercase
-    phrase catalogue."""
+def _slop_score_sql(t_expr: str | None = None) -> str:
+    """DuckDB twin of text_analysis.slop_score — same replace-length
+    counting on the shared lowercase phrase catalogue. Default input is
+    the decorated query corpus; ``t_expr`` overrides (doc_features
+    composes the UNdecorated form)."""
+    if t_expr is None:
+        t_expr = f"coalesce(text, '') || {_SLOP_DECOR_SQL}"
 
     def cnt(lit: str) -> str:
         esc = lit.replace("'", "''")
@@ -2677,8 +2680,7 @@ def _slop_score_sql() -> str:
     )
     return f"""
         WITH d AS (
-            SELECT doc_id,
-                   lower(coalesce(text, '') || {_SLOP_DECOR_SQL}) AS t
+            SELECT doc_id, lower({t_expr}) AS t
             FROM documents
         )
         SELECT doc_id,
@@ -6595,7 +6597,8 @@ def oracle_sql() -> dict[str, str]:
         r AS ({d["doc_repetition_filter"]}),
         m AS ({_mojibake_sql("coalesce(text, '')")}),
         c AS ({_code_score_sql("coalesce(text, '')")}),
-        k AS ({d["doc_kn_score"]})
+        k AS ({d["doc_kn_score"]}),
+        s AS ({_slop_score_sql("coalesce(text, '')")})
         SELECT t.doc_id,
                CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
                coalesce(q.punct_ratio, 0.0) AS punct_ratio,
@@ -6608,7 +6611,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(c.sym_permille, 0) AS BIGINT) AS sym_permille,
                coalesce(c.is_code, false) AS is_code,
                CAST(coalesce(k.avg_bits_q6, 0) AS BIGINT) AS avg_bits_q6,
-               CAST(coalesce(k.n_oov, 0) AS BIGINT) AS n_oov
+               CAST(coalesce(k.n_oov, 0) AS BIGINT) AS n_oov,
+               CAST(coalesce(s.n_slop_hits, 0) AS BIGINT) AS n_slop_hits,
+               coalesce(s.is_suspect, false) AS slop_suspect
         FROM (SELECT doc_id, n_tokens FROM t) t
         LEFT JOIN q USING (doc_id)
         LEFT JOIN lg USING (doc_id)
@@ -6617,5 +6622,6 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN m USING (doc_id)
         LEFT JOIN c USING (doc_id)
         LEFT JOIN k USING (doc_id)
+        LEFT JOIN s USING (doc_id)
     """
     return d

@@ -2381,8 +2381,11 @@ def doc_features(documents: DataFrame) -> DataFrame:
     )
     c = code_score(documents).select("doc_id", "sym_permille", "is_code")
     k = kn_score(documents).select("doc_id", "avg_bits_q6", "n_oov")
+    s = slop_score(documents).select(
+        "doc_id", "n_slop_hits", F.col("is_suspect").alias("slop_suspect")
+    )
     out = t
-    for rel in (q, lg, g, r, m, c, k):
+    for rel in (q, lg, g, r, m, c, k, s):
         out = out.join(rel, "doc_id", "left")
     defaults = {
         "bigint": F.lit(0).cast("long"),
