@@ -1447,6 +1447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fps": q(text_analysis.winnow_fingerprints, "documents"),
         "doc_winnow_pairs": q(text_analysis.winnow_pairs, "documents"),
         "doc_features": q(text_analysis.doc_features, "documents"),
+        "web_url_classify": lambda spark, sf: web.url_classify(
+            _read(spark, sf, "documents").selectExpr(_URLTYPE_URL_SQL)
+        ),
         "web_page_dates": lambda spark, sf: web.page_dates(
             _read(spark, sf, "documents").selectExpr(*_DATES_INPUT_COLS)
         ),
@@ -1608,6 +1611,23 @@ _DATES_INPUT_COLS = (
     " WHEN 4 THEN '2023-13-40T00:00:00Z'"
     " ELSE '' END AS published_time",
     "CAST('2024-03-15 12:00:00' AS TIMESTAMP) AS warc_ts",
+)
+
+# URL-taxonomy corpus for web_url_classify: one family per ladder rung
+_URLTYPE_URL_SQL = (
+    "concat('https://site', CAST(doc_id % 50 AS INT), '.example.com',"
+    " CASE CAST(doc_id % 9 AS INT)"
+    " WHEN 0 THEN '/search?q=term'"
+    " WHEN 1 THEN '/a/x?page=3&ref=nav'"
+    " WHEN 2 THEN concat('/tag/', CAST(doc_id % 7 AS INT))"
+    " WHEN 3 THEN '/feed/recent'"
+    " WHEN 4 THEN concat('/img/', doc_id, '.png')"
+    " WHEN 5 THEN concat('/product/', CAST(doc_id % 30 AS INT))"
+    " WHEN 6 THEN concat('/blog/2023/',"
+    "   lpad(CAST(doc_id % 12 + 1 AS STRING), 2, '0'), '/',"
+    "   lpad(CAST(doc_id % 28 + 1 AS STRING), 2, '0'), '/post')"
+    " WHEN 7 THEN ''"
+    " ELSE concat('/misc/', doc_id, '/stuff') END) AS url"
 )
 
 # slop decoration for doc_slop_score: %8 family gets two distinct
@@ -2583,6 +2603,53 @@ def _mojibake_sql(t_expr: str | None = None) -> str:
                CASE WHEN ({total}) > 0 THEN 'mojibake'
                     WHEN {fffd} > 0 THEN 'decode_loss'
                     ELSE 'clean' END AS verdict
+        FROM d
+    """
+
+
+def _url_classify_sql() -> str:
+    """DuckDB twin of web.url_classify over the shared taxonomy
+    families — same extraction regexes and the same first-match
+    ladder."""
+    from doc_parser_spark.operators import web as _w
+
+    ure = _w._URL_DATE_RE
+    return f"""
+        WITH pages AS (SELECT {_URLTYPE_URL_SQL} FROM documents),
+        d AS (
+            SELECT url,
+                   regexp_extract(lower(coalesce(url, '')),
+                       '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p,
+                   regexp_extract(lower(coalesce(url, '')),
+                       '\\?([^#]*)', 1) AS qs
+            FROM pages
+        )
+        SELECT url,
+               CAST(len(list_filter(string_split(p, '/'), s -> s <> ''))
+                    AS BIGINT) AS path_depth,
+               CAST(CASE WHEN qs = '' THEN 0
+                    ELSE len(string_split(qs, '&')) END
+                    AS BIGINT) AS n_query_params,
+               regexp_matches(p, '{ure}') AS has_date_path,
+               CASE
+                 WHEN p LIKE '%/search%'
+                   OR regexp_matches(qs, '(^|&)(q|s|query)=') THEN 'search'
+                 WHEN regexp_matches(qs, '(^|&)(page|p|offset|start)=[0-9]')
+                   OR regexp_matches(p, '/page/[0-9]+') THEN 'pagination'
+                 WHEN p LIKE '%/tag/%' OR p LIKE '%/tags/%'
+                   OR p LIKE '%/category/%' OR p LIKE '%/label/%' THEN 'tag'
+                 WHEN p LIKE '%/feed%' OR p LIKE '%.rss' OR p LIKE '%/rss%'
+                   OR p LIKE '%atom.xml' THEN 'feed'
+                 WHEN regexp_matches(p,
+                   '\\.(jpg|jpeg|png|gif|webp|svg|mp4|webm|mp3|pdf|zip)$')
+                   THEN 'media'
+                 WHEN p LIKE '%/product/%' OR p LIKE '%/item/%'
+                   OR regexp_matches(p, '/p/[0-9]+$') THEN 'product'
+                 WHEN regexp_matches(p, '{ure}') OR p LIKE '%/article%'
+                   OR p LIKE '%/post/%' OR p LIKE '%/blog/%'
+                   OR p LIKE '%/news/%' THEN 'article'
+                 WHEN p = '' OR p = '/' THEN 'home'
+                 ELSE 'other' END AS page_type
         FROM d
     """
 
@@ -6163,6 +6230,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_code_score": _code_score_sql(),
         "doc_slop_score": _slop_score_sql(),
         "web_page_dates": _page_dates_sql(),
+        "web_url_classify": _url_classify_sql(),
         "doc_top_terms": """
             WITH toks AS (
                 SELECT doc_id, lang, t.term

@@ -3930,3 +3930,64 @@ def page_dates(meta: DataFrame) -> DataFrame:
             f" ELSE CAST({cap_day} - {pub_day} AS BIGINT) END"
         ).alias("staleness_days"),
     )
+
+
+def url_classify(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-type taxonomy — the within-host frontier-routing complement
+    to :func:`host_budgets` (which splits budget ACROSS hosts): crawl
+    schedulers prioritize article-shaped URLs and depress search/tag/
+    pagination surfaces, the classic infinite-space traps
+    (:func:`url_templates` mines them statistically; this is the
+    instant rule tier every production crawler also carries).
+
+    Per URL: ``path_depth`` (non-empty segments), ``n_query_params``,
+    ``has_date_path`` (the ``/2023/04/`` convention, shared regex with
+    :func:`page_dates`), and ``page_type`` — first match wins down a
+    fixed ladder: search → pagination → tag → feed → media → product →
+    article → home → other. Pure lowercased LIKE/regexp ladder; every
+    pattern is anchored or slash-delimited so rule bytes never act as
+    metacharacters.
+
+    Pure projection — zero shuffles at any scale.
+    """
+    u = f"lower(coalesce({url_col}, ''))"
+    path = f"regexp_extract({u}, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    qs = f"regexp_extract({u}, '\\\\?([^#]*)', 1)"
+    d = pages.select(
+        F.col(url_col).alias("url"),
+        F.expr(path).alias("p"),
+        F.expr(qs).alias("qs"),
+    )
+    ladder = (
+        "CASE"
+        " WHEN p LIKE '%/search%' OR qs rlike '(^|&)(q|s|query)=' "
+        "   THEN 'search'"
+        " WHEN qs rlike '(^|&)(page|p|offset|start)=[0-9]'"
+        "   OR p rlike '/page/[0-9]+' THEN 'pagination'"
+        " WHEN p LIKE '%/tag/%' OR p LIKE '%/tags/%'"
+        "   OR p LIKE '%/category/%' OR p LIKE '%/label/%' THEN 'tag'"
+        " WHEN p LIKE '%/feed%' OR p LIKE '%.rss' OR p LIKE '%/rss%'"
+        "   OR p LIKE '%atom.xml' THEN 'feed'"
+        " WHEN p rlike"
+        "   '\\\\.(jpg|jpeg|png|gif|webp|svg|mp4|webm|mp3|pdf|zip)$'"
+        "   THEN 'media'"
+        " WHEN p LIKE '%/product/%' OR p LIKE '%/item/%'"
+        "   OR p rlike '/p/[0-9]+$' THEN 'product'"
+        f" WHEN p rlike '{_URL_DATE_RE}' OR p LIKE '%/article%'"
+        "   OR p LIKE '%/post/%' OR p LIKE '%/blog/%'"
+        "   OR p LIKE '%/news/%' THEN 'article'"
+        " WHEN p = '' OR p = '/' THEN 'home'"
+        " ELSE 'other' END"
+    )
+    return d.select(
+        "url",
+        F.expr(
+            "size(filter(split(p, '/'), s -> s <> ''))"
+        ).cast("long").alias("path_depth"),
+        F.expr(
+            "CASE WHEN qs = '' THEN 0"
+            " ELSE size(split(qs, '&')) END"
+        ).cast("long").alias("n_query_params"),
+        F.expr(f"p rlike '{_URL_DATE_RE}'").alias("has_date_path"),
+        F.expr(ladder).alias("page_type"),
+    )

@@ -965,3 +965,32 @@ def test_page_dates_url_without_day_resolves_to_first(spark):
         _meta_df(spark, [("https://a.com/2019/07/archive", "")])
     ).collect()[0]
     assert (out.published_ymd, out.date_source) == (20190701, "url")
+
+
+# --- URL-type taxonomy -------------------------------------------------------
+
+
+def test_url_classify_ladder_and_features(spark):
+    cases = {
+        "https://a.com/search?q=shoes": "search",
+        "https://a.com/list?page=4": "pagination",
+        "https://a.com/tag/sports": "tag",
+        "https://a.com/feed/": "feed",
+        "https://a.com/pics/cat.jpg": "media",
+        "https://a.com/product/123": "product",
+        "https://a.com/2023/04/02/title": "article",
+        "https://a.com/blog/my-story": "article",
+        "https://a.com/": "home",
+        "https://a.com": "home",
+        "https://a.com/docs/manual": "other",
+        # precedence: search outranks the article-ish path
+        "https://a.com/blog/search?q=x": "search",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    out = {r.url: r for r in web.url_classify(df).collect()}
+    for u, want in cases.items():
+        assert out[u].page_type == want, (u, out[u].page_type)
+    assert out["https://a.com/2023/04/02/title"].has_date_path
+    assert out["https://a.com/search?q=shoes"].n_query_params == 1
+    assert out["https://a.com/docs/manual"].path_depth == 2
+    assert out["https://a.com/"].path_depth == 0
