@@ -417,3 +417,68 @@ def streaming_polite_schedule(frontier_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_host_rate(
+    pages: DataFrame,
+    robots_profile: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    window_seconds: int = 60,
+) -> DataFrame:
+    """Live politeness monitor: per-host fetch rate per tumbling
+    event-time window, checked against each host's robots crawl-delay
+    budget — the crawl-ops dashboard relation a fleet operator watches
+    (the scheduler *plans* politeness; this measures what the fleet
+    actually did, where retries/races/multiple schedulers can break
+    the plan).
+
+    ``pages`` is the capture stream ``(url, warc_ts, html, ...)``;
+    ``robots_profile`` is a STATIC relation ``(host, crawl_delay_s)``
+    — the stream-static equi-join is stateless (each micro-batch probes
+    the static side; Spark re-plans it per batch, so a refreshed
+    profile table is picked up on the next trigger), demonstrated here
+    beside the stateful patterns (dedup, sessionize, keyed scheduler)
+    the other streaming relations cover.
+
+    Output per (window, host): ``n_fetches``, ``n_bytes``,
+    ``allowed_fetches`` = ``window_seconds DIV crawl_delay_s`` (0 delay
+    or no robots row → unlimited, emitted as NULL allowance with
+    ``over_budget`` false), and ``over_budget``. Works identically on a
+    static frame (the batch-parity contract every streaming relation
+    here keeps).
+    """
+    from doc_parser_spark.operators.web import host_col
+
+    joined = (
+        pages.select(
+            host_col("url").alias("host"),
+            F.col("warc_ts"),
+            F.length(F.col("html")).cast("long").alias("n_b"),
+        )
+        .join(F.broadcast(robots_profile), "host", "left")
+    )
+    agg = (
+        joined.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), "host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.sum("n_b").cast("long").alias("n_bytes"),
+            F.max("crawl_delay_s").alias("delay_s"),
+        )
+    )
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        "host",
+        "n_fetches",
+        "n_bytes",
+        F.expr(
+            f"CASE WHEN delay_s IS NULL OR delay_s <= 0 THEN"
+            f" CAST(NULL AS BIGINT)"
+            f" ELSE CAST({window_seconds} DIV delay_s AS BIGINT) END"
+        ).alias("allowed_fetches"),
+        F.expr(
+            f"CASE WHEN delay_s IS NULL OR delay_s <= 0 THEN false"
+            f" ELSE n_fetches > ({window_seconds} DIV delay_s) END"
+        ).alias("over_budget"),
+    )

@@ -749,3 +749,94 @@ def test_streaming_polite_schedule_slots_continue_across_batches(spark, tmp_path
     # spacing: slot * per-host delay
     assert out[("a.com", "u4")].not_before_ms == 3 * 1000
     assert out[("b.com", "v1")].not_before_ms == 0
+
+
+def test_streaming_host_rate_matches_batch_and_flags_violations(
+    spark, tmp_path
+):
+    """Stream-static join + watermarked window agg: the streamed
+    politeness monitor must equal the batch run row-for-row, and the
+    budget math must flag exactly the host that exceeded
+    window_seconds DIV crawl_delay fetches in a window."""
+    import datetime
+    import os
+
+    from pyspark.sql import functions as F
+
+    from doc_parser_spark.streaming.stream import streaming_host_rate
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # fast.com: 5 fetches in minute 0 (delay 20s -> allowed 3) = over
+    for i in range(5):
+        rows.append((f"https://fast.com/p{i}",
+                     t0 + datetime.timedelta(seconds=i * 10), b"x" * 100))
+    # slow.com: 2 fetches in minute 0 (delay 30s -> allowed 2) = ok
+    for i in range(2):
+        rows.append((f"https://slow.com/p{i}",
+                     t0 + datetime.timedelta(seconds=i * 25), b"y" * 50))
+    # free.com: no robots row -> NULL allowance, never over
+    rows.append(("https://free.com/a", t0, b"z"))
+    # fast.com minute 1: only 2 fetches = ok
+    for i in range(2):
+        rows.append((f"https://fast.com/q{i}",
+                     t0 + datetime.timedelta(seconds=60 + i * 20), b"x" * 10))
+    # sentinel capture far ahead: advances the stream's watermark past
+    # minute 1 so append mode seals every window under comparison (its
+    # own window stays open by construction — excluded below)
+    rows.append(("https://sentinel.com/w",
+                 t0 + datetime.timedelta(seconds=300), b"s"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+    profile = spark.createDataFrame(
+        [("fast.com", 20), ("slow.com", 30)], "host string, crawl_delay_s int"
+    )
+
+    batch = [
+        r for r in streaming_host_rate(pages, profile).collect()
+        if r.host != "sentinel.com"
+    ]
+    got = {(str(r.window_start), r.host): r for r in batch}
+    over = got[("2024-01-01 00:00:00", "fast.com")]
+    assert (over.n_fetches, over.allowed_fetches, over.over_budget) == (5, 3, True)
+    ok = got[("2024-01-01 00:00:00", "slow.com")]
+    assert (ok.n_fetches, ok.allowed_fetches, ok.over_budget) == (2, 2, False)
+    free = got[("2024-01-01 00:00:00", "free.com")]
+    assert free.allowed_fetches is None and not free.over_budget
+    later = got[("2024-01-01 00:01:00", "fast.com")]
+    assert not later.over_budget
+
+    # streamed in 2 micro-batches -> identical rows
+    src = str(tmp_path / "rate_in")
+    os.makedirs(src)
+    pages.where("warc_ts < '2024-01-01 00:01:00'").coalesce(1).write.parquet(
+        f"{src}/slice=0")
+    pages.where(
+        "warc_ts >= '2024-01-01 00:01:00' AND warc_ts < '2024-01-01 00:02:00'"
+    ).coalesce(1).write.parquet(f"{src}/slice=1")
+    pages.where("warc_ts >= '2024-01-01 00:02:00'").coalesce(1).write.parquet(
+        f"{src}/slice=2")
+    stream = (
+        spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/slice=*")
+    )
+    q = (
+        streaming_host_rate(stream, profile, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("host_rate_stream")
+        .option("checkpointLocation", str(tmp_path / "rate_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = [
+        r for r in spark.sql("SELECT * FROM host_rate_stream").collect()
+        if r.host != "sentinel.com"
+    ]
+    key = lambda r: (str(r.window_start), r.host)  # noqa: E731
+    assert {key(r): tuple(r) for r in streamed} == {
+        key(r): tuple(r) for r in batch
+    }
