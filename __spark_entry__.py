@@ -1378,6 +1378,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_sitemap_urls": lambda spark, sf: web.sitemap_urls(
             web.synth_sitemaps(_read(spark, sf, "documents"))
         ),
+        # declared-vs-captured reconciliation: sitemap kernel output
+        # against a synthetic crawl on the same hosts (d%60 page ids vs
+        # the sitemap's 3·hn..3·hn+2 — partial, host-dependent overlap)
+        "web_sitemap_coverage": lambda spark, sf: web.sitemap_coverage(
+            web.sitemap_urls(web.synth_sitemaps(_read(spark, sf, "documents"))),
+            _read(spark, sf, "documents").selectExpr(
+                "concat('https://smap', cast(doc_id % 25 as int),"
+                " '.example.org/page/', cast(doc_id % 60 as int)) AS url"
+            ),
+        ),
         "web_feed_entries": lambda spark, sf: web.feed_entries(
             web.synth_feeds(_read(spark, sf, "documents"))
         ),
@@ -6230,6 +6240,54 @@ def oracle_sql() -> dict[str, str]:
         "doc_code_score": _code_score_sql(),
         "doc_slop_score": _slop_score_sql(),
         "web_page_dates": _page_dates_sql(),
+        # relational twin: sitemap url-kind entries rebuilt closed-form
+        # (index hosts hn%5=0 declare nothing), synthetic crawl joined
+        # full-outer on the canonical URL, host rollup
+        "web_sitemap_coverage": f"""
+            WITH hosts AS (
+                SELECT DISTINCT CAST(doc_id % 25 AS INT) AS hn FROM documents
+            ),
+            sm_raw AS (
+                SELECT concat('https://smap', hn, '.example.org/page/',
+                              3 * hn + t.k) AS loc
+                FROM hosts, LATERAL UNNEST([0, 1, 2]) AS t(k)
+                WHERE hn % 5 <> 0
+            ),
+            sm AS (
+                SELECT DISTINCT {_duck_canonical_url("loc")} AS cu FROM sm_raw
+            ),
+            cr_raw AS (
+                SELECT concat('https://smap', CAST(doc_id % 25 AS INT),
+                              '.example.org/page/',
+                              CAST(doc_id % 60 AS INT)) AS url
+                FROM documents
+            ),
+            cr AS (
+                SELECT DISTINCT {_duck_canonical_url("url")} AS cu FROM cr_raw
+            ),
+            j AS (
+                SELECT coalesce(s.cu, c.cu) AS cu,
+                       CASE WHEN s.cu IS NULL THEN 0 ELSE 1 END AS in_sm,
+                       CASE WHEN c.cu IS NULL THEN 0 ELSE 1 END AS in_cr
+                FROM sm s FULL OUTER JOIN cr c ON s.cu = c.cu
+            ),
+            g AS (
+                SELECT {_duck_host("cu")} AS host,
+                       CAST(sum(in_sm) AS BIGINT) AS n_sitemap,
+                       CAST(sum(in_cr) AS BIGINT) AS n_crawled,
+                       CAST(sum(in_sm * in_cr) AS BIGINT) AS n_both
+                FROM j GROUP BY 1
+            )
+            SELECT host, n_sitemap, n_crawled, n_both,
+                   CASE WHEN n_sitemap = 0 THEN CAST(NULL AS BIGINT)
+                        ELSE CAST((1000000 * n_both) // n_sitemap AS BIGINT)
+                        END AS coverage_ppm,
+                   CASE WHEN n_crawled = 0 THEN CAST(NULL AS BIGINT)
+                        ELSE CAST((1000000 * (n_crawled - n_both))
+                                  // n_crawled AS BIGINT)
+                        END AS orphan_ppm
+            FROM g
+        """,
         "web_url_classify": _url_classify_sql(),
         "doc_top_terms": """
             WITH toks AS (

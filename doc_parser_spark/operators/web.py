@@ -3991,3 +3991,71 @@ def url_classify(pages: DataFrame, url_col: str = "url") -> DataFrame:
         F.expr(f"p rlike '{_URL_DATE_RE}'").alias("has_date_path"),
         F.expr(ladder).alias("page_type"),
     )
+
+
+def sitemap_coverage(
+    sitemap_entries: DataFrame,
+    pages: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Sitemap-vs-crawl reconciliation per host — the crawl-ops
+    completeness audit both sides of the protocol care about: how much
+    of what the host DECLARED (its sitemap ``<url>`` entries) did the
+    crawl actually capture, and how much of the capture is sitemap-
+    orphaned (discovered only by link walking — template/trap surface
+    or genuinely fresh pages the sitemap lags on).
+
+    Both channels are canonicalized (:func:`canonical_url_col`) and
+    deduplicated, keyed by the URL's OWN host (not the sitemap row's
+    fetch host — cross-host ``<loc>`` entries count against the host
+    they name, per the sitemaps.org cross-submission rule). Output per
+    host seen by either channel: ``n_sitemap``, ``n_crawled``,
+    ``n_both``, ``coverage_ppm`` = 1e6·both DIV sitemap (NULL when the
+    host declared nothing), ``orphan_ppm`` = 1e6·(crawled−both) DIV
+    crawled (NULL when nothing crawled).
+
+    Scale shape: two distinct-projections and one full-outer equi-join
+    on the canonical URL, then a map-side-combined host rollup — the
+    join key is the finest key, so skew rides the standard hash
+    shuffle; nothing collects or broadcasts a channel.
+    """
+    sm = (
+        sitemap_entries.where("kind = 'url'")
+        .select(canonical_url_col("loc").alias("cu"))
+        .distinct()
+        .select("cu", F.lit(1).alias("in_sm"))
+    )
+    cr = (
+        pages.select(canonical_url_col(url_col).alias("cu"))
+        .distinct()
+        .select("cu", F.lit(1).alias("in_cr"))
+    )
+    j = sm.join(cr, "cu", "full_outer").select(
+        host_col("cu").alias("host"),
+        F.coalesce("in_sm", F.lit(0)).alias("in_sm"),
+        F.coalesce("in_cr", F.lit(0)).alias("in_cr"),
+    )
+    return (
+        j.groupBy("host")
+        .agg(
+            F.sum("in_sm").cast("long").alias("n_sitemap"),
+            F.sum("in_cr").cast("long").alias("n_crawled"),
+            F.sum(F.col("in_sm") * F.col("in_cr")).cast("long").alias(
+                "n_both"
+            ),
+        )
+        .select(
+            "host",
+            "n_sitemap",
+            "n_crawled",
+            "n_both",
+            F.expr(
+                "CASE WHEN n_sitemap = 0 THEN CAST(NULL AS BIGINT)"
+                " ELSE (1000000 * n_both) DIV n_sitemap END"
+            ).alias("coverage_ppm"),
+            F.expr(
+                "CASE WHEN n_crawled = 0 THEN CAST(NULL AS BIGINT)"
+                " ELSE (1000000 * (n_crawled - n_both)) DIV n_crawled END"
+            ).alias("orphan_ppm"),
+        )
+    )

@@ -398,6 +398,8 @@ _PANDAS_OK = {
     "web_link_graph_dofollow", "web_page_link_features", "web_pagerank_real",
     # LAION-pair curation rides the image-refs extraction kernel
     "web_image_candidates",
+    # coverage reconciliation rides the sitemap XML kernel
+    "web_sitemap_coverage",
 }
 
 

@@ -994,3 +994,40 @@ def test_url_classify_ladder_and_features(spark):
     assert out["https://a.com/search?q=shoes"].n_query_params == 1
     assert out["https://a.com/docs/manual"].path_depth == 2
     assert out["https://a.com/"].path_depth == 0
+
+
+# --- sitemap-vs-crawl coverage -----------------------------------------------
+
+
+def test_sitemap_coverage_hand_computed(spark):
+    entries = spark.createDataFrame(
+        [
+            ("a.com", "url", "https://a.com/1"),
+            ("a.com", "url", "https://a.com/2"),
+            ("a.com", "url", "https://www.a.com/2"),   # canonical dup
+            ("a.com", "sitemap", "https://a.com/sub.xml"),  # not a page
+            ("b.com", "url", "https://b.com/only-declared"),
+            # cross-submission: a.com's sitemap declares a c.com page
+            ("a.com", "url", "https://c.com/x"),
+        ],
+        "host string, kind string, loc string",
+    )
+    pages = spark.createDataFrame(
+        [("https://a.com/1",), ("https://a.com/orphan",),
+         ("https://d.com/crawled-only",)],
+        "url string",
+    )
+    rows = {r.host: r for r in web.sitemap_coverage(entries, pages).collect()}
+    a = rows["a.com"]
+    # declared {1,2} (www dup collapses; sub.xml is kind=sitemap),
+    # crawled {1, orphan}, both {1}
+    assert (a.n_sitemap, a.n_crawled, a.n_both) == (2, 2, 1)
+    assert a.coverage_ppm == 500_000 and a.orphan_ppm == 500_000
+    b = rows["b.com"]
+    assert (b.n_sitemap, b.n_crawled, b.n_both) == (1, 0, 0)
+    assert b.coverage_ppm == 0 and b.orphan_ppm is None
+    # the cross-submitted URL counts against the host it NAMES
+    c = rows["c.com"]
+    assert (c.n_sitemap, c.n_crawled) == (1, 0)
+    d = rows["d.com"]
+    assert d.coverage_ppm is None and d.orphan_ppm == 1_000_000
