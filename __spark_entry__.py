@@ -1457,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fps": q(text_analysis.winnow_fingerprints, "documents"),
         "doc_winnow_pairs": q(text_analysis.winnow_pairs, "documents"),
         "doc_features": q(text_analysis.doc_features, "documents"),
+        "doc_vocab_spectrum": q(text_analysis.vocab_spectrum, "documents"),
         "web_url_classify": lambda spark, sf: web.url_classify(
             _read(spark, sf, "documents").selectExpr(_URLTYPE_URL_SQL)
         ),
@@ -6237,6 +6238,33 @@ def oracle_sql() -> dict[str, str]:
         # over the shared signature catalogue, decoration shared byte-
         # for-byte via _MOJI_DECOR_SQL
         "doc_mojibake": _mojibake_sql(),
+        # Zipf/Heaps spectrum: same bin-length log2 buckets
+        "doc_vocab_spectrum": f"""
+            WITH toks AS (
+                SELECT t.tok
+                FROM (SELECT list_filter({_WORDS_SQL}, x -> x <> '') AS wd
+                      FROM documents),
+                     LATERAL UNNEST(wd) AS t(tok)
+            ),
+            freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            spec AS (
+                SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS bucket,
+                       CAST(count(*) AS BIGINT) AS n_types,
+                       CAST(sum(c) AS BIGINT) AS n_tokens
+                FROM freq GROUP BY 1
+            ),
+            tot AS (
+                SELECT sum(n_types) AS tt, sum(n_tokens) AS tk FROM spec
+            )
+            SELECT bucket,
+                   CAST(pow(2, bucket) AS BIGINT) AS min_freq,
+                   n_types, n_tokens,
+                   CAST((1000000 * n_types) // tt AS BIGINT)
+                       AS type_share_ppm,
+                   CAST((1000000 * n_tokens) // tk AS BIGINT)
+                       AS token_share_ppm
+            FROM spec CROSS JOIN tot
+        """,
         "doc_code_score": _code_score_sql(),
         "doc_slop_score": _slop_score_sql(),
         "web_page_dates": _page_dates_sql(),

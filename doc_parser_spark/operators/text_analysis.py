@@ -2464,3 +2464,58 @@ def slop_score(documents: DataFrame) -> DataFrame:
         ).cast("long").alias("slop_per_10k"),
         F.expr(f"({total}) > 0").alias("is_suspect"),
     )
+
+
+def vocab_spectrum(documents: DataFrame) -> DataFrame:
+    """Corpus vocabulary frequency spectrum — the Zipf/Heaps diagnostic
+    a tokenizer/corpus report leads with (how heavy is the head, how
+    long is the hapax tail): token frequencies bucketed by
+    ``floor(log2(freq))``, one row per occupied bucket with the type
+    count and total token mass it holds.
+
+    ``floor(log2(n))`` is ``length(bin(n)) - 1`` — the same log-free
+    integer trick as :func:`kn_score`, so bucket edges are bit-identical
+    across engines. Output per bucket: ``bucket`` (log2 floor),
+    ``min_freq`` = 2^bucket, ``n_types`` (distinct tokens whose
+    frequency lands in the bucket), ``n_tokens`` (their summed
+    occurrences), and ``type_share_ppm`` / ``token_share_ppm`` against
+    the corpus totals — ~log2(corpus) rows total, a bounded relation
+    whatever the corpus size.
+
+    Scale shape (10^12 docs): one explode to the token stream, one
+    map-side-combined token count, one ~40-row bucket rollup, and a
+    scalar totals broadcast — the classic two-level aggregation; no
+    window over anything unbounded.
+    """
+    toks = documents.select(
+        F.explode(
+            F.expr(f"filter(split({NORM}, ' '), t -> t <> '')")
+        ).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    spec = (
+        freq.select(
+            F.expr("length(bin(c)) - 1").cast("long").alias("bucket"),
+            "c",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+    )
+    totals = spec.agg(
+        F.sum("n_types").alias("tt"), F.sum("n_tokens").alias("tk")
+    )
+    return spec.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.expr("CAST(pow(2, bucket) AS BIGINT)").alias("min_freq"),
+        "n_types",
+        "n_tokens",
+        F.expr("(1000000 * n_types) DIV tt").cast("long").alias(
+            "type_share_ppm"
+        ),
+        F.expr("(1000000 * n_tokens) DIV tk").cast("long").alias(
+            "token_share_ppm"
+        ),
+    )

@@ -375,6 +375,8 @@ _BNLJ_OK = {
     "doc_kn_score",
     # feature panel composes the KN channel, inheriting that scalar
     "doc_features",
+    # spectrum totals: one-row aggregate cross-joined back (scalar)
+    "doc_vocab_spectrum",
 }
 _PANDAS_OK = {
     # the Arrow-batched extraction kernel IS the operator here

@@ -1043,3 +1043,21 @@ def test_slop_score_detects_assistant_voice(spark):
     assert rows[1].is_suspect and rows[1].slop_per_10k > 0
     assert not rows[2].is_suspect and rows[2].n_slop_hits == 0
     assert (rows[3].n_slop_hits, rows[3].is_suspect) == (0, False)
+
+
+def test_vocab_spectrum_hand_computed(spark):
+    from doc_parser_spark.operators.text_analysis import vocab_spectrum
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b d"), (2, "a a c c e f"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.bucket: r for r in vocab_spectrum(docs).collect()}
+    # freqs: a=5 (bucket 2), b=2, c=2 (bucket 1), d,e,f=1 (bucket 0)
+    assert set(rows) == {0, 1, 2}
+    assert (rows[0].n_types, rows[0].n_tokens, rows[0].min_freq) == (3, 3, 1)
+    assert (rows[1].n_types, rows[1].n_tokens, rows[1].min_freq) == (2, 4, 2)
+    assert (rows[2].n_types, rows[2].n_tokens, rows[2].min_freq) == (1, 5, 4)
+    # shares against tt=6 types, tk=12 tokens
+    assert rows[0].type_share_ppm == 500_000
+    assert rows[2].token_share_ppm == (1_000_000 * 5) // 12
