@@ -1551,6 +1551,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 multimodal.synth_image_corpus(_read(spark, sf, "documents"))
             )
         ),
+        # audio analytics through the real RIFF/WAVE codec: Spark encodes
+        # closed-form PCM16 samples to actual WAV bytes, decodes them back
+        # and computes integer loudness/shape stats; the oracle recomputes
+        # every statistic from the sample formula (unnest(range(n))), so a
+        # value match proves the container round-trip + kernel end to end.
+        "av_wav_stats": lambda spark, sf: multimodal.wav_stats(
+            multimodal.synth_audio_corpus(_read(spark, sf, "documents"))
+        ),
         # the composed production pass: quality -> repetition -> exact dedup
         # -> near-dup clusters -> decontamination -> host cap, reported as a
         # stage funnel from ONE aggregation job
@@ -6655,6 +6663,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
             FROM dh a JOIN dh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+        """,
+        # audio stats recomputed from the closed sample form
+        # s(d,i) = ((a·i+b) mod 65536) − 32768 (multimodal.synth_wav_params);
+        # Spark must instead round-trip real WAV bytes through core/wav.py.
+        # Sums are CAST to BIGINT (DuckDB sum→HUGEINT→float64 in pandas).
+        "av_wav_stats": f"""
+            WITH params AS (
+                SELECT doc_id,
+                       8000 + 4000 * (doc_id % 3) AS rate,
+                       1600 + 800 * (doc_id % 7) AS n,
+                       17 + 2 * (doc_id % 13) AS a,
+                       (97 * doc_id) % {_mm.SYNTH_WAV_MOD} AS b
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, a, b, unnest(range(0, n)) AS i FROM params
+            ),
+            samples AS (
+                SELECT doc_id, i,
+                       ((a * i + b) % {_mm.SYNTH_WAV_MOD}) - 32768 AS s
+                FROM idx
+            ),
+            lagged AS (
+                SELECT doc_id, s,
+                       lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps
+                FROM samples
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(max(abs(s)) AS BIGINT) AS peak,
+                       CAST(sum(s * s) AS BIGINT) AS energy,
+                       CAST(sum(abs(s)) // count(*) AS BIGINT) AS mean_abs,
+                       CAST(count(*) FILTER (WHERE ps * s < 0)
+                            AS BIGINT) AS zero_crossings,
+                       CAST(count(*) FILTER (WHERE s = 32767 OR s = -32768)
+                            AS BIGINT) AS clip_count,
+                       CAST(1000 * count(*) FILTER
+                                (WHERE abs(s) < {_mm.WAV_SILENCE_ABS})
+                            // count(*) AS BIGINT) AS silence_permille
+                FROM lagged GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   'decoded' AS status,
+                   CAST(p.rate AS INTEGER) AS sample_rate,
+                   CAST(p.n AS BIGINT) AS n_samples,
+                   CAST(p.n * 1000 // p.rate AS BIGINT) AS duration_ms,
+                   g.peak, g.energy, g.mean_abs, g.zero_crossings,
+                   g.clip_count, g.silence_permille
+            FROM params p JOIN agg g ON g.doc_id = p.doc_id
         """,
     }
 

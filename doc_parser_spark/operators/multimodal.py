@@ -924,3 +924,147 @@ def synth_image_corpus(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return documents.select("doc_id").mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Audio analytics through the real WAV codec.
+#
+# Same design as the image-hash pair above: a deterministic synthetic
+# corpus whose samples are a CLOSED-FORM integer function of
+# (doc_id, sample index), encoded to real RIFF/WAVE PCM16 bytes by
+# core/wav.py — so the DuckDB oracle can recompute every statistic from
+# the formula while Spark must round-trip the actual container. What the
+# oracle then verifies is the codec + kernel end to end, not just the
+# arithmetic. All emitted statistics are integers (no float RMS — energy
+# is the raw sum of squares), so driver-style canonicalization is exact.
+#
+# s(d, i) = ((a·i + b) mod 65536) − 32768,  a = 17 + 2·(d mod 13),
+#           b = (97·d) mod 65536
+# rate(d) = 8000 + 4000·(d mod 3),  n(d) = 1600 + 800·(d mod 7)
+#
+# PCM16 round-trip exactness: encode stores round(s/32768·32768) = s (the
+# division is dyadic-exact in float64), decode returns s/32768.0, and the
+# kernel recovers rint(x·32768) = s. No quantization slack anywhere.
+
+SYNTH_WAV_MOD = 65536
+
+
+def synth_wav_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(rate, n_samples, a, b) for one synthetic audio doc."""
+    d = int(doc_id)
+    return (
+        8000 + 4000 * (d % 3),
+        1600 + 800 * (d % 7),
+        17 + 2 * (d % 13),
+        (97 * d) % SYNTH_WAV_MOD,
+    )
+
+
+def synth_audio_corpus(documents: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload): real PCM16 mono WAV bytes whose
+    samples follow the closed form above. Arrow-batched, zero-shuffle."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, payloads = [], []
+            for doc_id in batch["doc_id"]:
+                d = int(doc_id)
+                rate, n, a, b = synth_wav_params(d)
+                i = np.arange(n, dtype=np.int64)
+                s = (a * i + b) % SYNTH_WAV_MOD - 32768
+                ids.append(d)
+                payloads.append(wavlib.encode_wav(s / 32768.0, rate, bits=16))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(kernel, schema=schema)
+
+
+WAV_SILENCE_ABS = 512  # |s| below this counts as silence (~ -36 dBFS)
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("mean_abs", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("clip_count", T.LongType()),
+        T.StructField("silence_permille", T.LongType()),
+    ]
+)
+
+
+def _wav_stats_one(payload: bytes) -> dict:
+    """One WAV payload → integer loudness/shape statistics.
+
+    The audio half of the curation feature panel: peak/energy/mean-abs
+    catch digital silence and constant tones, clip_count catches
+    hard-limited rips, zero_crossings is the classic cheap
+    voiced/unvoiced proxy, silence_permille the dead-air share. Stereo
+    is folded to channel 0 (stats are per-stream, not per-mix)."""
+    out = {
+        "status": "decoded", "sample_rate": None, "n_samples": None,
+        "duration_ms": None, "peak": None, "energy": None, "mean_abs": None,
+        "zero_crossings": None, "clip_count": None, "silence_permille": None,
+    }
+    if not payload:
+        out["status"] = "empty"
+        return out
+    try:
+        rate, arr = wavlib.decode_wav(bytes(payload))
+    except wavlib.WavError as exc:
+        out["status"] = f"error:{type(exc).__name__}"
+        return out
+    s = np.rint(arr[:, 0] * 32768.0).astype(np.int64)
+    n = len(s)
+    out["sample_rate"] = int(rate)
+    out["n_samples"] = n
+    out["duration_ms"] = n * 1000 // rate
+    if n == 0:
+        out.update(peak=0, energy=0, mean_abs=0, zero_crossings=0,
+                   clip_count=0, silence_permille=0)
+        return out
+    sabs = np.abs(s)
+    out["peak"] = int(sabs.max())
+    out["energy"] = int((s * s).sum())
+    out["mean_abs"] = int(sabs.sum()) // n
+    out["zero_crossings"] = int(((s[:-1] * s[1:]) < 0).sum())
+    out["clip_count"] = int(((s == 32767) | (s == -32768)).sum())
+    out["silence_permille"] = 1000 * int((sabs < WAV_SILENCE_ABS).sum()) // n
+    return out
+
+
+def wav_stats(audio: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """audio(doc_id, payload) → per-clip integer statistics via the real
+    RIFF/WAVE decoder. Embarrassingly parallel (one Arrow-batched
+    projection, zero shuffles) — at 100 TB this is a pure map stage whose
+    partitioning is inherited from the scan, like the text-extraction
+    kernel. Per-row failure isolation via the status column (the
+    per-document contract of operators/extract.py)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            recs = []
+            for doc_id, payload in zip(batch["doc_id"], batch[payload_col]):
+                rec = _wav_stats_one(
+                    payload if payload is None else bytes(payload)
+                )
+                rec["doc_id"] = int(doc_id)
+                recs.append(rec)
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in WAV_STATS_SCHEMA.fields]
+            )
+
+    return audio.select("doc_id", payload_col).mapInPandas(
+        kernel, schema=WAV_STATS_SCHEMA
+    )

@@ -1,0 +1,86 @@
+"""wav_stats kernel: integer audio statistics through the real WAV codec.
+
+The oracle (av_wav_stats) verifies the closed-form corpus end to end; these
+tests pin the kernel against an independent pure-python replica and the
+failure-isolation contract on hostile payloads.
+"""
+
+import numpy as np
+import pytest
+
+from doc_parser_spark.core import wav as wavlib
+from doc_parser_spark.operators import multimodal as mm
+
+
+def _replica(samples: list[int], rate: int) -> dict:
+    """Pure-python recomputation (no numpy) of every statistic."""
+    n = len(samples)
+    sabs = [abs(s) for s in samples]
+    return {
+        "sample_rate": rate,
+        "n_samples": n,
+        "duration_ms": n * 1000 // rate,
+        "peak": max(sabs),
+        "energy": sum(s * s for s in samples),
+        "mean_abs": sum(sabs) // n,
+        "zero_crossings": sum(
+            1 for i in range(1, n) if samples[i - 1] * samples[i] < 0
+        ),
+        "clip_count": sum(1 for s in samples if s in (32767, -32768)),
+        "silence_permille": 1000
+        * sum(1 for s in sabs if s < mm.WAV_SILENCE_ABS)
+        // n,
+    }
+
+
+@pytest.mark.unit
+@pytest.mark.parametrize("doc_id", [0, 7, 38, 1234])
+def test_synth_roundtrip_matches_replica(doc_id):
+    rate, n, a, b = mm.synth_wav_params(doc_id)
+    i = np.arange(n, dtype=np.int64)
+    s = (a * i + b) % mm.SYNTH_WAV_MOD - 32768
+    payload = wavlib.encode_wav(s / 32768.0, rate, bits=16)
+    rec = mm._wav_stats_one(payload)
+    assert rec["status"] == "decoded"
+    expect = _replica([int(v) for v in s], rate)
+    for k, v in expect.items():
+        assert rec[k] == v, k
+
+
+@pytest.mark.unit
+def test_known_values_by_hand():
+    # [100, -200, 300, 0, -32768]: two strict sign flips (0 breaks the
+    # third product), one clip, peak 32768, four samples under the
+    # silence threshold
+    s = np.array([100, -200, 300, 0, -32768], dtype=np.int64)
+    rec = mm._wav_stats_one(wavlib.encode_wav(s / 32768.0, 16000, bits=16))
+    assert rec["peak"] == 32768
+    assert rec["clip_count"] == 1
+    assert rec["zero_crossings"] == 2
+    assert rec["silence_permille"] == 1000 * 4 // 5
+    assert rec["energy"] == int((s * s).sum())
+    assert rec["duration_ms"] == 0  # 5 samples @ 16 kHz
+
+
+@pytest.mark.unit
+def test_hostile_payloads_isolate_per_row():
+    assert mm._wav_stats_one(b"")["status"] == "empty"
+    assert mm._wav_stats_one(b"RIFFxxxxWAVE")["status"].startswith("error:")
+    assert mm._wav_stats_one(b"\x00" * 64)["status"].startswith("error:")
+    # truncated mid-header
+    rate, n, a, b = mm.synth_wav_params(3)
+    i = np.arange(n, dtype=np.int64)
+    s = (a * i + b) % mm.SYNTH_WAV_MOD - 32768
+    good = wavlib.encode_wav(s / 32768.0, rate, bits=16)
+    assert mm._wav_stats_one(good[:20])["status"].startswith("error:")
+
+
+@pytest.mark.unit
+def test_stereo_uses_channel_zero():
+    left = np.array([1000, -1000, 1000, -1000], dtype=np.int64)
+    right = np.zeros(4, dtype=np.int64)
+    inter = np.stack([left, right], axis=1) / 32768.0
+    rec = mm._wav_stats_one(wavlib.encode_wav(inter, 8000, bits=16))
+    assert rec["n_samples"] == 4
+    assert rec["peak"] == 1000
+    assert rec["zero_crossings"] == 3
