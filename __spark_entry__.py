@@ -1477,6 +1477,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).alias("text"),
             )
         ),
+        "doc_readability": lambda spark, sf: text_analysis.readability(
+            _read(spark, sf, "documents").select(
+                "doc_id",
+                F.expr(
+                    f"concat(coalesce(text, ''), {_READ_DECOR_SQL})"
+                ).alias("text"),
+            )
+        ),
         "doc_mojibake": lambda spark, sf: text_analysis.mojibake_stats(
             _read(spark, sf, "documents").select(
                 "doc_id",
@@ -1659,6 +1667,19 @@ _SLOP_DECOR_SQL = (
     " WHEN doc_id % 13 = 0 THEN"
     " ' As An AI Language Model I cannot say.'"
     " ELSE '' END"
+)
+
+# readability decoration: the synthetic corpus has no sentence
+# punctuation, so punctuated tails (runs, ellipses, polysyllables) are
+# appended per doc family — identical string in Spark and DuckDB
+_READ_DECOR_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN"
+    " ' Reading is easy!! Is it? Yes... it is.'"
+    " WHEN doc_id % 7 = 0 THEN"
+    " ' Extraordinary circumlocution demonstrates polysyllabic"
+    " construction.'"
+    " WHEN doc_id % 3 = 0 THEN ''"
+    " ELSE ' A final tail sentence.' END"
 )
 
 # code-vs-prose corpus for doc_code_score: %5 family REPLACES text with
@@ -6275,6 +6296,64 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_code_score": _code_score_sql(),
         "doc_slop_score": _slop_score_sql(),
+        # Flesch–Kincaid twin: identical counting rules (chr(1) sentinel
+        # run-collapse for sentences and vowel groups — DuckDB needs the
+        # 'g' flag, Spark replaces all matches by default) and identical
+        # positive-operand floor divisions
+        "doc_readability": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       concat(coalesce(text, ''), {_READ_DECOR_SQL}) AS t
+                FROM documents
+            ),
+            ch AS (
+                SELECT doc_id,
+                       regexp_replace(t, '[.!?]+', chr(1), 'g') AS se,
+                       list_filter(
+                           string_split_regex(trim(lower(t)), '\\s+'),
+                           x -> x <> '') AS words
+                FROM base
+            ),
+            counts AS (
+                SELECT doc_id,
+                       CAST(len(words) AS BIGINT) AS n_words,
+                       CAST(length(se) - length(replace(se, chr(1), ''))
+                            AS BIGINT) AS n_sentences,
+                       CAST(coalesce(list_sum(list_transform(words, w ->
+                            greatest(1,
+                              length(regexp_replace(w, '[aeiouy]+',
+                                     chr(1), 'g'))
+                              - length(replace(
+                                    regexp_replace(w, '[aeiouy]+',
+                                                   chr(1), 'g'),
+                                    chr(1), ''))))), 0)
+                            AS BIGINT) AS n_syllables
+                FROM ch
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CAST((100 * n_words) // greatest(n_sentences, 1)
+                        AS BIGINT) AS wps_x100,
+                   CAST((100 * n_syllables) // greatest(n_words, 1)
+                        AS BIGINT) AS spw_x100,
+                   CAST(CASE WHEN n_words = 0 THEN 0 ELSE
+                        (39 * n_words) // greatest(n_sentences, 1)
+                        + (1180 * n_syllables) // greatest(n_words, 1)
+                        - 1559 END AS BIGINT) AS fk_x100,
+                   CAST(CASE WHEN n_words = 0 THEN 0 ELSE
+                        20684
+                        - (203 * n_words) // (2 * greatest(n_sentences, 1))
+                        - (8460 * n_syllables) // greatest(n_words, 1)
+                        END AS BIGINT) AS fre_x100,
+                   CASE WHEN n_words = 0 THEN 'empty'
+                        WHEN (39 * n_words) // greatest(n_sentences, 1)
+                             + (1180 * n_syllables) // greatest(n_words, 1)
+                             - 1559 < 600 THEN 'basic'
+                        WHEN (39 * n_words) // greatest(n_sentences, 1)
+                             + (1180 * n_syllables) // greatest(n_words, 1)
+                             - 1559 < 1200 THEN 'intermediate'
+                        ELSE 'advanced' END AS band
+            FROM counts
+        """,
         "web_page_dates": _page_dates_sql(),
         # relational twin: sitemap url-kind entries rebuilt closed-form
         # (index hosts hn%5=0 declare nothing), synthetic crawl joined

@@ -2519,3 +2519,88 @@ def vocab_spectrum(documents: DataFrame) -> DataFrame:
             "token_share_ppm"
         ),
     )
+
+
+def readability(documents: DataFrame) -> DataFrame:
+    """Flesch–Kincaid readability, integer-exact — the FineWeb-Edu-family
+    "educational level" axis computed deterministically (their actual
+    classifier is an ML plug-point; this is the classic closed-form
+    proxy it is calibrated against).
+
+    Counting rules (shared verbatim with the DuckDB oracle):
+
+    - words: whitespace tokens (the module-wide convention);
+    - sentences: maximal runs of ``[.!?]`` — runs are collapsed to one
+      ``chr(1)`` sentinel and counted by length difference, so
+      ``"Hi!! Ok?"`` is 2 sentences, an ellipsis 1;
+    - syllables: per word, maximal ``[aeiouy]`` vowel runs in the
+      lowercased token, floored at 1 (numbers/punct tokens count 1) —
+      the standard heuristic (silent-e refinements deliberately out:
+      every refinement is Anglocentric guesswork, and both engines must
+      agree bit-for-bit).
+
+    Scores are floored-integer x100 fixed point built ONLY from
+    positive-operand ``DIV`` (negative integer division floors vs
+    truncates differently across engines):
+
+    - ``fk_x100``  = 39·(w/s) + 1180·(syl/w) − 1559
+    - ``fre_x100`` = 20684 − 203·w/(2·s) − 8460·(syl/w)
+
+    Empty documents score 0 with band ``'empty'`` (dense dtype-driven
+    defaults, like doc_features). Pure projection — zero shuffles, scales
+    as a map stage.
+    """
+    t = "coalesce(text, '')"
+    # maximal [.!?]+ runs -> chr(1) sentinels, counted by length delta
+    se = f"regexp_replace({t}, '[.!?]+', chr(1))"
+    n_sent = f"(length({se}) - length(replace({se}, chr(1), '')))"
+    words = f"filter(split(trim(lower({t})), '\\\\s+'), x -> x <> '')"
+    vg = (
+        "greatest(1, length(regexp_replace(w, '[aeiouy]+', chr(1)))"
+        " - length(replace(regexp_replace(w, '[aeiouy]+', chr(1)),"
+        " chr(1), '')))"
+    )
+    syl = (
+        f"aggregate(transform({words}, w -> {vg}),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    base = documents.select(
+        "doc_id",
+        F.expr(f"size({words})").cast("long").alias("n_words"),
+        F.expr(n_sent).cast("long").alias("n_sentences"),
+        F.expr(syl).cast("long").alias("n_syllables"),
+    )
+    s_eff = "greatest(n_sentences, 1)"
+    w_eff = "greatest(n_words, 1)"
+    fk = (
+        f"(39 * n_words) DIV {s_eff}"
+        f" + (1180 * n_syllables) DIV {w_eff} - 1559"
+    )
+    fre = (
+        f"20684 - (203 * n_words) DIV (2 * {s_eff})"
+        f" - (8460 * n_syllables) DIV {w_eff}"
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(f"(100 * n_words) DIV {s_eff}")
+        .cast("long")
+        .alias("wps_x100"),
+        F.expr(f"(100 * n_syllables) DIV {w_eff}")
+        .cast("long")
+        .alias("spw_x100"),
+        F.expr(f"CASE WHEN n_words = 0 THEN 0 ELSE {fk} END")
+        .cast("long")
+        .alias("fk_x100"),
+        F.expr(f"CASE WHEN n_words = 0 THEN 0 ELSE {fre} END")
+        .cast("long")
+        .alias("fre_x100"),
+        F.expr(
+            "CASE WHEN n_words = 0 THEN 'empty' "
+            f"WHEN {fk} < 600 THEN 'basic' "
+            f"WHEN {fk} < 1200 THEN 'intermediate' "
+            "ELSE 'advanced' END"
+        ).alias("band"),
+    )
