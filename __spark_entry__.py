@@ -1031,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_filter": q(text_analysis.gopher_filter, "documents"),
         "doc_repetition_filter": q(text_analysis.repetition_filter, "documents"),
         "doc_pack_shards": q(text_analysis.pack_shards, "documents"),
+        "doc_shard_manifest": q(text_analysis.shard_manifest, "documents"),
         "doc_hash_sample": q(text_analysis.hash_sample, "documents"),
         "doc_stratified_sample": q(text_analysis.stratified_sample, "documents"),
         "doc_lm_fit": q(text_analysis.lm_fit_score, "documents"),
@@ -4366,6 +4367,42 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) AS DOUBLE) / 20000) AS BIGINT) AS shard_id
             FROM t
+        """,
+        # manifest twin: the pack CTE is the doc_pack_shards oracle
+        # verbatim; the shard digest is rebuilt with DuckDB's own
+        # ORDER BY string_agg (Spark: array_sort + array_join)
+        "doc_shard_manifest": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            pack AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS token_offset,
+                       CAST(floor(CAST(coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS DOUBLE) / 20000) AS BIGINT) AS shard_id
+                FROM t
+            ),
+            dig AS (
+                SELECT doc_id,
+                       md5(concat(CAST(doc_id AS VARCHAR), ':',
+                                  coalesce(text, ''))) AS d
+                FROM documents
+            )
+            SELECT p.shard_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(p.n_tokens) AS BIGINT) AS total_tokens,
+                   min(p.doc_id) AS first_doc_id,
+                   max(p.doc_id) AS last_doc_id,
+                   CAST(min(p.token_offset) AS BIGINT) AS token_start,
+                   sha256(string_agg(g.d, '' ORDER BY g.d))
+                       AS content_sha256
+            FROM pack p JOIN dig g ON g.doc_id = p.doc_id
+            GROUP BY p.shard_id
         """,
         "doc_exact_dedup": f"""
             SELECT md5({_NORM_SQL}) AS content_hash,

@@ -2604,3 +2604,54 @@ def readability(documents: DataFrame) -> DataFrame:
             "ELSE 'advanced' END"
         ).alias("band"),
     )
+
+
+def shard_manifest(
+    documents: DataFrame, budget_tokens: int = 20000, num_partitions: int = 0
+) -> DataFrame:
+    """Per-shard completion/lineage manifest over :func:`pack_shards` —
+    the sidecar row a resumable 100 TB packing job writes when a shard
+    closes (the north-star contract: "per-partition completion manifests
+    plus lineage/metrics rows", the same role the extraction kernel's
+    partition manifest plays in sources/catalog.py).
+
+    Per shard: doc count, token mass, the [first_doc_id, last_doc_id]
+    lineage span (packing is contiguous in doc_id order, so the span IS
+    the resume cursor), the global token_start offset, and
+    ``content_sha256`` — sha256 over the shard's per-document digests
+    ``md5(doc_id ':' text)`` concatenated in sorted order. Sorting makes
+    the digest order-insensitive, so a restarted run that reassembles the
+    same shard from differently-ordered partitions still produces the
+    identical manifest row — digest equality is the exactly-once check.
+
+    Scale shape: the per-doc digest is a zero-shuffle projection, the
+    shard rollup one hash join (doc_id, co-partitioned with the packing
+    output) + one groupBy whose groups are budget-bounded (a shard holds
+    ~budget_tokens of text, so collect_list stays small regardless of
+    corpus size)."""
+    packed = pack_shards(documents, budget_tokens, num_partitions)
+    digests = documents.select(
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.coalesce("text", F.lit("")),
+            )
+        ).alias("doc_digest"),
+    )
+    return (
+        packed.join(digests, "doc_id")
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+            F.min("token_offset").cast("long").alias("token_start"),
+            F.sha2(
+                F.array_join(F.array_sort(F.collect_list("doc_digest")), ""),
+                256,
+            ).alias("content_sha256"),
+        )
+    )
