@@ -1079,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_codes": q(similarity.pq_codes, "embeddings"),
         "emb_sq8_codes": q(similarity.sq8_codes, "embeddings"),
         "emb_sq8_topk": q(similarity.sq8_topk, "embeddings"),
+        "emb_matryoshka_topk": q(similarity.matryoshka_topk, "embeddings"),
         "emb_pq_adc_topk": q(similarity.pq_adc_topk, "embeddings"),
         "emb_ivfpq_topk": q(similarity.ivfpq_topk, "embeddings"),
         "emb_semdedup": q(similarity.semdedup, "embeddings"),
@@ -4629,6 +4630,45 @@ def oracle_sql() -> dict[str, str]:
         "emb_pq_adc_topk": _pq_adc_topk_sql(),
         "emb_ivfpq_topk": _ivfpq_topk_sql(),
         "emb_semdedup": _semdedup_sql(),
+        # two-stage Matryoshka twin: stage 1 shortlists 20 candidates by
+        # prefix-16 cosine, stage 2 re-ranks with full-dim cosine — both
+        # stages floor-quantized to 1e-6 like the Spark side
+        "emb_matryoshka_topk": """
+            WITH scored_t AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       floor(1e6 * (
+                           list_sum(list_transform(generate_series(1, 16), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+                           (sqrt(list_sum(list_transform(generate_series(1, 16), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+                            sqrt(list_sum(list_transform(generate_series(1, 16), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+                       )) / 1e6 AS cosine_trunc
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id
+            ),
+            cand AS (
+                SELECT query_id, neighbor_id, cosine_trunc FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY cosine_trunc DESC, neighbor_id ASC
+                    ) AS tr FROM scored_t
+                ) WHERE tr <= 20
+            ),
+            rr AS (
+                SELECT c.query_id, c.neighbor_id, c.cosine_trunc,
+                       floor(1e6 * (
+                           list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+                           (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+                            sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+                       )) / 1e6 AS cosine
+                FROM cand c
+                JOIN embeddings a ON a.vec_id = c.query_id
+                JOIN embeddings b ON b.vec_id = c.neighbor_id
+            )
+            SELECT query_id, neighbor_id, cosine, cosine_trunc, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+                ) AS rank FROM rr
+            ) WHERE rank <= 5
+        """,
         "emb_cosine_topk": """
             WITH scored AS (
                 SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -812,3 +812,105 @@ def sq8_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def _cosine_trunc_expr(dims: int) -> str:
+    """COSINE over the first ``dims`` dimensions only (prefix slice,
+    prefix norms) — the Matryoshka truncation contract."""
+    sl = f"slice({{side}}.embedding, 1, {dims})"
+    dot = (
+        f"aggregate(zip_with({sl.format(side='a')}, {sl.format(side='b')}, "
+        "(x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    norm = (
+        "sqrt(aggregate({s}, cast(0.0 as double), "
+        "(acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    )
+    return (
+        f"{dot} / ({norm.format(s=sl.format(side='a'))} * "
+        f"{norm.format(s=sl.format(side='b'))})"
+    )
+
+
+def matryoshka_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    dims_trunc: int = 16,
+    expand: int = 4,
+) -> DataFrame:
+    """Two-stage Matryoshka retrieval (Kusupati et al. 2022, the
+    adaptive-retrieval recipe): stage 1 shortlists ``k·expand``
+    candidates per query by cosine over the FIRST ``dims_trunc``
+    dimensions (MRL-trained prefixes are themselves valid embeddings);
+    stage 2 re-ranks only the shortlist with full-dimension cosine and
+    keeps the top k.
+
+    Scale shape: stage 1 is the only corpus-wide pass and it touches a
+    d′/d fraction of the vector bytes (with the prefix stored as its own
+    column/chunk the scan prunes to it); stage 2's inputs are
+    ``n_queries·k·expand`` rows — a broadcast hash join against the full
+    table, no second corpus scan shuffle. Both stages quantize scores to
+    1e-6 before ranking (module convention) so candidate-set and rank
+    boundaries are engine-stable; ties break on neighbor_id.
+    """
+    if dims_trunc < 1:
+        raise ValueError(f"dims_trunc ({dims_trunc}) must be >= 1")
+    queries = embeddings.where(F.col("vec_id") < n_queries).alias("a")
+    corpus = embeddings.alias("b")
+    scored_t = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            (
+                F.floor(F.expr(_cosine_trunc_expr(dims_trunc)) * F.lit(1e6))
+                / F.lit(1e6)
+            ).alias("cosine_trunc"),
+        )
+    )
+    w_t = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_trunc").desc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        scored_t.withColumn("trunc_rank", F.row_number().over(w_t))
+        .where(F.col("trunc_rank") <= k * expand)
+        .select("query_id", "neighbor_id", "cosine_trunc")
+    )
+    # stage 2: full-dim exact cosine on the shortlist only. The
+    # shortlist is tiny -> broadcast; the full-vector fetches are hash
+    # joins on vec_id, never a corpus rescan.
+    full_q = embeddings.where(F.col("vec_id") < n_queries).alias("a")
+    reranked = (
+        F.broadcast(cands.alias("c"))
+        .join(full_q, F.col("c.query_id") == F.col("a.vec_id"))
+        .join(
+            embeddings.alias("b"),
+            F.col("c.neighbor_id") == F.col("b.vec_id"),
+        )
+        .select(
+            "c.query_id",
+            "c.neighbor_id",
+            "c.cosine_trunc",
+            (F.floor(F.expr(COSINE) * F.lit(1e6)) / F.lit(1e6)).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            "cosine_trunc",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
