@@ -884,13 +884,16 @@ def matryoshka_topk(
     # shortlist is tiny -> broadcast; the full-vector fetches are hash
     # joins on vec_id, never a corpus rescan.
     full_q = embeddings.where(F.col("vec_id") < n_queries).alias("a")
+    # each join carries its own broadcast hint (hints don't propagate
+    # through a join result): shortlist ⋈ corpus streams the corpus once,
+    # then the tiny query side broadcasts onto the 25-row shortlist
     reranked = (
         F.broadcast(cands.alias("c"))
-        .join(full_q, F.col("c.query_id") == F.col("a.vec_id"))
         .join(
             embeddings.alias("b"),
             F.col("c.neighbor_id") == F.col("b.vec_id"),
         )
+        .join(F.broadcast(full_q), F.col("c.query_id") == F.col("a.vec_id"))
         .select(
             "c.query_id",
             "c.neighbor_id",
