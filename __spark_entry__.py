@@ -1569,6 +1569,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "av_wav_stats": lambda spark, sf: multimodal.wav_stats(
             multimodal.synth_audio_corpus(_read(spark, sf, "documents"))
         ),
+        # video container stats through the real RIFF/AVI walk — frame
+        # count/timing/sizes are closed-form, so the oracle recomputes
+        # them while Spark parses actual container bytes
+        "av_video_stats": lambda spark, sf: multimodal.video_stats(
+            multimodal.synth_video_corpus(_read(spark, sf, "documents"))
+        ),
         # the composed production pass: quality -> repetition -> exact dedup
         # -> near-dup clusters -> decontamination -> host cap, reported as a
         # stage funnel from ONE aggregation job
@@ -6867,6 +6873,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p.n * 1000 // p.rate AS BIGINT) AS duration_ms,
                    g.peak, g.energy, g.mean_abs, g.zero_crossings,
                    g.clip_count, g.silence_permille
+            FROM params p JOIN agg g ON g.doc_id = p.doc_id
+        """,
+        # AVI container twin: usec_per_frame is int(1e6/fps) = floor
+        # division; frame sizes follow len(d,j) = 100 + (7d+13j) mod 50
+        "av_video_stats": """
+            WITH params AS (
+                SELECT doc_id,
+                       4 + doc_id % 5 AS n,
+                       5 + 5 * (doc_id % 3) AS fps
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, unnest(range(0, n)) AS j FROM params
+            ),
+            sizes AS (
+                SELECT i.doc_id,
+                       100 + (7 * i.doc_id + 13 * i.j) % 50 AS sz
+                FROM idx i
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(sum(sz) AS BIGINT) AS total_frame_bytes,
+                       CAST(min(sz) AS BIGINT) AS min_frame_bytes,
+                       CAST(max(sz) AS BIGINT) AS max_frame_bytes
+                FROM sizes GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   'parsed' AS status,
+                   CAST(p.n AS BIGINT) AS n_frames,
+                   CAST(1000000 // p.fps AS BIGINT) AS usec_per_frame,
+                   CAST(p.n * (1000000 // p.fps) // 1000 AS BIGINT)
+                       AS duration_ms,
+                   g.total_frame_bytes, g.min_frame_bytes, g.max_frame_bytes
             FROM params p JOIN agg g ON g.doc_id = p.doc_id
         """,
     }

@@ -1068,3 +1068,115 @@ def wav_stats(audio: DataFrame, payload_col: str = "payload") -> DataFrame:
     return audio.select("doc_id", payload_col).mapInPandas(
         kernel, schema=WAV_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Video container stats through the real RIFF/AVI walk — same
+# closed-form-corpus design as the WAV pair: frame COUNT, timing and
+# SIZES are pure functions of (doc_id, frame index), so the oracle
+# recomputes them while Spark must parse the actual container bytes.
+# Frame payloads are opaque filler (container stats don't decode pixels;
+# MJPEG pixel decode stays on the sample_video_frames path).
+#
+# n_frames(d) = 4 + d mod 5,  fps(d) = 5 + 5·(d mod 3)
+# len(d, j) = 100 + (7·d + 13·j) mod 50
+
+
+def synth_video_params(doc_id: int) -> tuple[int, int]:
+    """(n_frames, fps) for one synthetic video doc."""
+    d = int(doc_id)
+    return 4 + d % 5, 5 + 5 * (d % 3)
+
+
+def synth_video_corpus(documents: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload): real RIFF/AVI containers with
+    closed-form frame sizes. Arrow-batched, zero-shuffle."""
+    from doc_parser_spark.core import avi as avilib
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, payloads = [], []
+            for doc_id in batch["doc_id"]:
+                d = int(doc_id)
+                n, fps = synth_video_params(d)
+                frames = [
+                    bytes([(17 * j + d) % 256]) * (100 + (7 * d + 13 * j) % 50)
+                    for j in range(n)
+                ]
+                ids.append(d)
+                payloads.append(avilib.build_avi(frames, fps=fps))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(kernel, schema=schema)
+
+
+VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("usec_per_frame", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("total_frame_bytes", T.LongType()),
+        T.StructField("min_frame_bytes", T.LongType()),
+        T.StructField("max_frame_bytes", T.LongType()),
+    ]
+)
+
+
+def _video_stats_one(payload: bytes) -> dict:
+    """One AVI payload → container-level integer statistics (the shard
+    planner's inputs: how many frames, how long, how heavy)."""
+    from doc_parser_spark.core import avi as avilib
+
+    out = {
+        "status": "parsed", "n_frames": None, "usec_per_frame": None,
+        "duration_ms": None, "total_frame_bytes": None,
+        "min_frame_bytes": None, "max_frame_bytes": None,
+    }
+    if not payload:
+        out["status"] = "empty"
+        return out
+    try:
+        usec, frames = avilib.parse_avi(bytes(payload))
+    except avilib.AviError as exc:
+        out["status"] = f"error:{type(exc).__name__}"
+        return out
+    sizes = [len(f) for f in frames]
+    out["n_frames"] = len(frames)
+    out["usec_per_frame"] = int(usec)
+    out["duration_ms"] = len(frames) * int(usec) // 1000
+    out["total_frame_bytes"] = sum(sizes)
+    out["min_frame_bytes"] = min(sizes)
+    out["max_frame_bytes"] = max(sizes)
+    return out
+
+
+def video_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """media(doc_id, payload) → per-clip container statistics via the
+    real AVI walk. Pure map stage (Arrow-batched, zero shuffles), per-row
+    failure isolation via status — the multimodal twin of wav_stats."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            recs = []
+            for doc_id, payload in zip(batch["doc_id"], batch[payload_col]):
+                rec = _video_stats_one(
+                    payload if payload is None else bytes(payload)
+                )
+                rec["doc_id"] = int(doc_id)
+                recs.append(rec)
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in VIDEO_STATS_SCHEMA.fields]
+            )
+
+    return media.select("doc_id", payload_col).mapInPandas(
+        kernel, schema=VIDEO_STATS_SCHEMA
+    )
