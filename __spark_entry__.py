@@ -1080,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_sq8_codes": q(similarity.sq8_codes, "embeddings"),
         "emb_sq8_topk": q(similarity.sq8_topk, "embeddings"),
         "emb_matryoshka_topk": q(similarity.matryoshka_topk, "embeddings"),
+        "emb_dim_stats": q(similarity.embedding_dim_stats, "embeddings"),
         "emb_pq_adc_topk": q(similarity.pq_adc_topk, "embeddings"),
         "emb_ivfpq_topk": q(similarity.ivfpq_topk, "embeddings"),
         "emb_semdedup": q(similarity.semdedup, "embeddings"),
@@ -4636,6 +4637,33 @@ def oracle_sql() -> dict[str, str]:
         "emb_pq_adc_topk": _pq_adc_topk_sql(),
         "emb_ivfpq_topk": _ivfpq_topk_sql(),
         "emb_semdedup": _semdedup_sql(),
+        # per-dim health panel twin: identical element-level floor(1e6·v)
+        # quantization, then exact integer aggregation (order-independent
+        # by construction — a float sum is not)
+        "emb_dim_stats": """
+            WITH idx AS (
+                SELECT vec_id, embedding,
+                       unnest(range(1, len(embedding) + 1)) AS dim
+                FROM embeddings
+            ),
+            q AS (
+                SELECT CAST(dim AS BIGINT) AS dim,
+                       CASE WHEN isnan(CAST(embedding[dim] AS DOUBLE))
+                            THEN NULL
+                            ELSE CAST(floor(1e6 * CAST(embedding[dim]
+                                     AS DOUBLE)) AS BIGINT) END AS vq
+                FROM idx
+            )
+            SELECT dim,
+                   CAST(count(vq) AS BIGINT) AS n_values,
+                   CAST(count(*) - count(vq) AS BIGINT) AS n_nan,
+                   CAST(sum(vq) AS BIGINT) AS sum_x1e6,
+                   CAST(min(vq) AS BIGINT) AS min_x1e6,
+                   CAST(max(vq) AS BIGINT) AS max_x1e6,
+                   CAST(count(*) FILTER (WHERE vq = 0) AS BIGINT)
+                       AS n_zeroish
+            FROM q GROUP BY dim
+        """,
         # two-stage Matryoshka twin: stage 1 shortlists 20 candidates by
         # prefix-16 cosine, stage 2 re-ranks with full-dim cosine — both
         # stages floor-quantized to 1e-6 like the Spark side

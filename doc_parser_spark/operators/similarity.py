@@ -917,3 +917,42 @@ def matryoshka_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension embedding-corpus health panel — the drift monitor a
+    production embedding pipeline runs per batch (a upstream model or
+    preprocessing change shows up as a shifted per-dim mean/range long
+    before retrieval metrics move).
+
+    Float discipline: every ELEMENT is quantized to ``floor(1e6·v)``
+    first, then all aggregation is exact BIGINT — so the result is
+    independent of accumulation order (a float sum is not: Spark's
+    partition tree and DuckDB's single-threaded fold round differently).
+    NaN elements are counted out-of-band (``n_nan``) and excluded from
+    the moments.
+
+    Scale shape: one ``posexplode`` + one map-side-combined groupBy on
+    n_dims keys — the shuffle carries n_dims·n_partitions partial rows,
+    nothing corpus-sized."""
+    ex = embeddings.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    q = ex.select(
+        "dim",
+        F.when(F.isnan("v"), None)
+        .otherwise(F.floor(F.col("v") * F.lit(1e6)))
+        .cast("long")
+        .alias("vq"),
+    )
+    return q.groupBy("dim").agg(
+        F.count("vq").cast("long").alias("n_values"),
+        F.count(F.when(F.col("vq").isNull(), 1)).cast("long").alias("n_nan"),
+        F.sum("vq").cast("long").alias("sum_x1e6"),
+        F.min("vq").cast("long").alias("min_x1e6"),
+        F.max("vq").cast("long").alias("max_x1e6"),
+        F.count(F.when(F.col("vq") == 0, 1)).cast("long").alias("n_zeroish"),
+    )

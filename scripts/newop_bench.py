@@ -46,6 +46,9 @@ NEW_OPS = [
     # session 11
     "doc_kn_score", "web_image_candidates", "web_host_communities",
     "doc_winnow_fps", "doc_winnow_pairs",
+    # session 12
+    "av_wav_stats", "doc_readability", "doc_shard_manifest",
+    "emb_matryoshka_topk",
 ]
 
 
@@ -65,8 +68,12 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry.queries()
+    # --all sweeps EVERY queries() entry (the full-surface regression
+    # radar that caught the winnow_fps O(grams²) inlining); default stays
+    # the per-session new-op list
+    names = list(queries) if "--all" in sys.argv else NEW_OPS
     results = {}
-    for name in NEW_OPS:
+    for name in names:
         fn = queries[name]
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warmup
         best = None
