@@ -1032,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_filter": q(text_analysis.repetition_filter, "documents"),
         "doc_pack_shards": q(text_analysis.pack_shards, "documents"),
         "doc_shard_manifest": q(text_analysis.shard_manifest, "documents"),
+        "doc_ttr": q(text_analysis.lexical_diversity, "documents"),
         "doc_hash_sample": q(text_analysis.hash_sample, "documents"),
         "doc_stratified_sample": q(text_analysis.stratified_sample, "documents"),
         "doc_lm_fit": q(text_analysis.lm_fit_score, "documents"),
@@ -4375,6 +4376,33 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) AS DOUBLE) / 20000) AS BIGINT) AS shard_id
             FROM t
+        """,
+        # TTR twin: DuckDB list_distinct + 1-based inclusive list slicing
+        # mirror Spark's array_distinct + slice(_, 1, w)
+        "doc_ttr": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           trim(lower(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '') AS words
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                       CAST(len(words) AS BIGINT) AS n_words,
+                       CAST(len(list_distinct(words)) AS BIGINT) AS n_types,
+                       CAST(len(list_distinct(words[1:100])) AS BIGINT)
+                           AS n_types_w
+                FROM w
+            )
+            SELECT doc_id, n_words, n_types,
+                   CAST((1000 * n_types) // greatest(n_words, 1) AS BIGINT)
+                       AS ttr_x1000,
+                   n_types_w,
+                   CAST((1000 * n_types_w) //
+                        greatest(least(n_words, 100), 1) AS BIGINT)
+                       AS ttr_w_x1000
+            FROM c
         """,
         # manifest twin: the pack CTE is the doc_pack_shards oracle
         # verbatim; the shard digest is rebuilt with DuckDB's own

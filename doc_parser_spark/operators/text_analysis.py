@@ -2655,3 +2655,45 @@ def shard_manifest(
             ).alias("content_sha256"),
         )
     )
+
+
+def lexical_diversity(documents: DataFrame, window: int = 100) -> DataFrame:
+    """Type-token ratio lexical diversity, doc-level — the classic
+    low-diversity screen (keyword-stuffed doorway pages, boilerplate
+    listings, generated spam score far below prose on TTR; the MTLD
+    refinement needs sequential segmentation and buys little at the
+    filter stage).
+
+    Because raw TTR collapses with document length, the headline number
+    is computed over the FIRST ``window`` tokens (the standard
+    fixed-window correction) alongside the full-document ratio. Types
+    are exact lowercase whitespace tokens (module convention —
+    punctuation variants count as distinct types, documented heuristic).
+    Integer per-mille outputs, positive-operand DIV only. Pure
+    projection: zero shuffles, scales as a map stage."""
+    if window < 1:
+        raise ValueError(f"window ({window}) must be >= 1")
+    t = "coalesce(text, '')"
+    words = f"filter(split(trim(lower({t})), '\\\\s+'), x -> x <> '')"
+    base = documents.select(
+        "doc_id",
+        F.expr(f"size({words})").cast("long").alias("n_words"),
+        F.expr(f"size(array_distinct({words}))").cast("long").alias("n_types"),
+        F.expr(f"size(array_distinct(slice({words}, 1, {window})))")
+        .cast("long")
+        .alias("n_types_w"),
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_types",
+        F.expr("(1000 * n_types) DIV greatest(n_words, 1)")
+        .cast("long")
+        .alias("ttr_x1000"),
+        "n_types_w",
+        F.expr(
+            f"(1000 * n_types_w) DIV greatest(least(n_words, {window}), 1)"
+        )
+        .cast("long")
+        .alias("ttr_w_x1000"),
+    )
