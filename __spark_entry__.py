@@ -1109,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_retention": q(relational.user_retention, "events"),
         "events_error_rate": q(relational.events_error_rate, "events"),
         "events_sessionize": q(relational.sessionize, "events"),
+        "events_bot_sessions": q(relational.bot_sessions, "events"),
         "events_props_stats": q(relational.props_stats, "events"),
         "events_funnel": q(relational.funnel, "events"),
         "doc_corpus_profile": q(text_analysis.corpus_profile, "documents"),
@@ -4998,6 +4999,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_no, count(*) AS n_events,
                    CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
             FROM sessions GROUP BY user_id, session_no
+        """,
+        # bot-session twin: same gap-split CTE as events_sessionize,
+        # rolled up to integer duration/pacing/error channels
+        "events_bot_sessions": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts, event_type,
+                       CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sessions AS (
+                SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                       CAST(sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS BIGINT) AS session_no
+                FROM flagged
+            ),
+            agg AS (
+                SELECT user_id, session_no,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       min(ts_us) AS start_us,
+                       max(ts_us) AS end_us,
+                       CAST(count(*) FILTER (WHERE event_type = 'error')
+                            AS BIGINT) AS n_errors
+                FROM sessions GROUP BY user_id, session_no
+            )
+            SELECT user_id, session_no, n_events,
+                   CAST((end_us - start_us) // 1000 AS BIGINT)
+                       AS duration_ms,
+                   CAST(((end_us - start_us) // 1000)
+                        // greatest(n_events - 1, 1) AS BIGINT)
+                       AS mean_gap_ms,
+                   n_errors,
+                   CAST((1000 * n_errors) // n_events AS BIGINT)
+                       AS error_permille,
+                   (n_events >= 5 AND
+                    ((end_us - start_us) // 1000)
+                        // greatest(n_events - 1, 1) < 2000) AS is_bot
+            FROM agg
         """,
         # schema-on-read JSON field extraction, all-integer rollup
         # ordered funnel: each step's first firing strictly after the

@@ -6,9 +6,12 @@ local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 The headline metric is extraction throughput (docs/sec through the full
 sniff→parse→chunk→vector pipeline), the engine's equivalent of the
-reference's per-document conversion wall-clock (BASELINE.md). Scaling
-efficiency across parallelism levels is measured separately by
-scripts/scaling_bench.py and reported in BASELINE.md.
+reference's per-document conversion wall-clock (BASELINE.md). The north
+rule's two-cluster-size criterion (throughput at N and 4N parallelism,
+scaling efficiency ≥ 0.8) is evidenced inline: after the suite, the same
+extraction job runs at 2 and 8 pinned cores in fresh JVMs
+(scripts/scaling_bench.py) and the result is embedded under "scaling" in
+the JSON line. Set SPARK_GRAFT_SCALING=0 to skip it (iterating locally).
 """
 
 from __future__ import annotations
@@ -163,6 +166,32 @@ def main() -> None:
         round(100.0 * (s1 - _STEAL0[1]) / max(t1 - _STEAL0[0], 1), 2)
         if _STEAL0 else None
     )
+    spark.stop()
+
+    # North-rule two-cluster-size evidence, embedded so the per-round
+    # BENCH artifact is self-contained: same job, same staged input, 2 vs
+    # 8 pinned cores in fresh JVMs (see scripts/scaling_bench.py for the
+    # pinning/min-of-k methodology and the memory-bandwidth-envelope
+    # rationale for the 2→8 levels).
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        try:
+            sys.path.insert(
+                0,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"),
+            )
+            import scaling_bench
+
+            # 120k pages at sf0.1 — the corpus size BASELINE.md's scaling
+            # methodology settled on (smaller corpora leave the levels
+            # fixed-cost-dominated and understate efficiency)
+            scaling = scaling_bench.measure(
+                pages=max(24000, int(1200000 * SF)), base=12000,
+                low=2, high=8, runs=2,
+            )
+        except Exception as exc:  # bench must still emit its JSON line
+            scaling = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+
     print(
         json.dumps(
             {
@@ -175,10 +204,10 @@ def main() -> None:
                 "docs_per_sec": docs_per_sec,
                 "cpus": CPUS,
                 "host_steal_pct": steal_pct,
+                "scaling": scaling,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -103,9 +103,8 @@ def events_daily(events: DataFrame) -> DataFrame:
     )
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Session assignment: a gap > ``gap_minutes`` starts a new session;
-    per-session stats via lag + cumulative-sum windows.
+def _session_assign(events: DataFrame, gap_minutes: int) -> DataFrame:
+    """events + (``ts_us``, ``session_no``) — the shared gap-split walk.
 
     Gaps compare as exact epoch *microseconds* (integer arithmetic — no
     float tolerance, no truncation semantics to match across engines);
@@ -116,23 +115,83 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     ts_us = F.expr(
         "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
     )
-    with_gap = events.withColumn(
+    with_gap = events.withColumn("ts_us", ts_us).withColumn(
         "new_session",
         F.when(
-            (ts_us - F.lag(ts_us).over(w_user)) > gap_minutes * 60 * 1_000_000, 1
+            (F.col("ts_us") - F.lag("ts_us").over(w_user))
+            > gap_minutes * 60 * 1_000_000,
+            1,
         )
         .otherwise(0)
         .cast("long"),
     )
-    with_session = with_gap.withColumn(
+    return with_gap.withColumn(
         "session_no",
         F.sum("new_session").over(
             w_user.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    return with_session.groupBy("user_id", "session_no").agg(
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session assignment: a gap > ``gap_minutes`` starts a new session;
+    per-session stats via lag + cumulative-sum windows (see
+    :func:`_session_assign` for the integer-microsecond gap contract)."""
+    return _session_assign(events, gap_minutes).groupBy(
+        "user_id", "session_no"
+    ).agg(
         F.count(F.lit(1)).alias("n_events"),
         _money(_dec("value")).alias("sum_value"),
+    )
+
+
+def bot_sessions(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    min_events: int = 5,
+    max_mean_gap_ms: int = 2000,
+) -> DataFrame:
+    """Bot/automation detection over sessionized activity — the
+    crawl-ops twin of the politeness monitor (that one watches OUR
+    fetcher; this one finds machine traffic in the event log).
+
+    Signals, all integer: session duration and mean inter-event gap
+    (machine regularity: sustained sub-``max_mean_gap_ms`` pacing across
+    ``min_events``+ events), plus the error share (scripted traffic
+    trips disproportionate errors). ``is_bot`` = long-enough session AND
+    machine pacing. Same shuffle family as sessionize: one user_id
+    window pass + one (user_id, session_no) groupBy — co-partitioned,
+    no extra exchange."""
+    sess = _session_assign(events, gap_minutes)
+    agg = sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("session_no").cast("long").alias("session_no"),
+        "n_events",
+        F.expr("(end_us - start_us) DIV 1000").cast("long").alias(
+            "duration_ms"
+        ),
+        F.expr(
+            "((end_us - start_us) DIV 1000) DIV greatest(n_events - 1, 1)"
+        )
+        .cast("long")
+        .alias("mean_gap_ms"),
+        "n_errors",
+        F.expr("(1000 * n_errors) DIV n_events").cast("long").alias(
+            "error_permille"
+        ),
+        F.expr(
+            f"n_events >= {int(min_events)} AND "
+            f"((end_us - start_us) DIV 1000) DIV greatest(n_events - 1, 1)"
+            f" < {int(max_mean_gap_ms)}"
+        ).alias("is_bot"),
     )
 
 

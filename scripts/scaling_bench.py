@@ -113,16 +113,18 @@ def run_level(cpus: int, stage: str, runs: int, cores: list[int]) -> dict:
     raise RuntimeError(f"runner failed (cpus={cpus}):\n{out.stderr[-2000:]}")
 
 
-def main() -> None:
-    p = argparse.ArgumentParser()
-    p.add_argument("--pages", type=int, default=120000)
-    p.add_argument("--base", type=int, default=12000,
-                   help="distinct synthetic pages; replicated up to --pages")
-    p.add_argument("--low", type=int, default=2)
-    p.add_argument("--high", type=int, default=8)
-    p.add_argument("--runs", type=int, default=2)
-    args = p.parse_args()
-
+def measure(
+    pages: int = 120000,
+    base: int = 12000,
+    low: int = 2,
+    high: int = 8,
+    runs: int = 2,
+) -> dict:
+    """Stage a synthetic page corpus once, run the extraction job at two
+    pinned parallelism levels in fresh JVMs, and return the throughput at
+    both plus the scaling efficiency. Callable from bench.py so the
+    per-round BENCH artifact carries the north rule's two-cluster-size
+    evidence directly."""
     sys.path.insert(0, REPO)
     from pyspark.sql import SparkSession, functions as F
 
@@ -137,38 +139,53 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from doc_parser_spark.sources.pages import pages_df
 
-    base = pages_df(spark, args.base, num_partitions=16)
-    reps = max(1, args.pages // args.base)
+    base_df = pages_df(spark, base, num_partitions=16)
+    reps = max(1, pages // base)
     copies = spark.range(reps).select(F.col("id").alias("rep"))
     # JVM-side replication with distinct urls (avoids driver-side generation
     # of the full corpus; dedup-by-url semantics preserved)
-    pages = base.crossJoin(copies).select(
+    all_pages = base_df.crossJoin(copies).select(
         F.concat_ws("#", "url", "rep").alias("url"),
         "warc_ts", "html", "text", "lang",
     )
-    pages.repartition(256).write.mode("overwrite").parquet(stage)
+    all_pages.repartition(256).write.mode("overwrite").parquet(stage)
     n_total = spark.read.parquet(stage).count()
     spark.stop()
     print(f"staged {n_total} pages at {stage}", file=sys.stderr)
 
-    cores = quietest_cores(args.high)
-    print(f"pinning to cores {cores}", file=sys.stderr)
-    low = run_level(args.low, stage, args.runs, cores)
-    high = run_level(args.high, stage, args.runs, cores)
-    eff = (high["docs_per_sec"] / low["docs_per_sec"]) / (args.high / args.low)
-    result = {
+    try:
+        cores = quietest_cores(high)
+        print(f"pinning to cores {cores}", file=sys.stderr)
+        low_r = run_level(low, stage, runs, cores)
+        high_r = run_level(high, stage, runs, cores)
+    finally:
+        import shutil
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    eff = (high_r["docs_per_sec"] / low_r["docs_per_sec"]) / (high / low)
+    return {
         "n_pages": n_total,
-        "low": low,
-        "high": high,
-        "parallelism_ratio": args.high / args.low,
+        "low": low_r,
+        "high": high_r,
+        "parallelism_ratio": high / low,
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
     }
-    print(json.dumps(result))
 
-    import shutil
-    shutil.rmtree(stage_dir, ignore_errors=True)
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--pages", type=int, default=120000)
+    p.add_argument("--base", type=int, default=12000,
+                   help="distinct synthetic pages; replicated up to --pages")
+    p.add_argument("--low", type=int, default=2)
+    p.add_argument("--high", type=int, default=8)
+    p.add_argument("--runs", type=int, default=2)
+    args = p.parse_args()
+    print(json.dumps(measure(
+        pages=args.pages, base=args.base, low=args.low,
+        high=args.high, runs=args.runs,
+    )))
 
 
 if __name__ == "__main__":
