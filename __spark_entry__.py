@@ -1082,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_sq8_topk": q(similarity.sq8_topk, "embeddings"),
         "emb_matryoshka_topk": q(similarity.matryoshka_topk, "embeddings"),
         "emb_dim_stats": q(similarity.embedding_dim_stats, "embeddings"),
+        "emb_recall_eval": q(similarity.recall_eval, "embeddings"),
         "emb_pq_adc_topk": q(similarity.pq_adc_topk, "embeddings"),
         "emb_ivfpq_topk": q(similarity.ivfpq_topk, "embeddings"),
         "emb_semdedup": q(similarity.semdedup, "embeddings"),
@@ -7127,5 +7128,45 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN c USING (doc_id)
         LEFT JOIN k USING (doc_id)
         LEFT JOIN s USING (doc_id)
+    """
+
+    # ANN recall@k twin: the three method twins composed verbatim as CTEs
+    # (LSH re-limited from its wired k=3 to the shared k=5), matched
+    # against the exact-baseline twin
+    lsh5 = d["emb_ann_lsh_topk"].replace("rank <= 3", "rank <= 5")
+    assert "rank <= 5" in lsh5
+    d["emb_recall_eval"] = f"""
+        WITH exact AS ({d["emb_cosine_topk"]}),
+        lsh AS ({lsh5}),
+        sq8 AS ({d["emb_sq8_topk"]}),
+        mat AS ({d["emb_matryoshka_topk"]}),
+        u AS (
+            SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+            UNION ALL SELECT 'sq8', query_id, neighbor_id FROM sq8
+            UNION ALL SELECT 'matryoshka', query_id, neighbor_id FROM mat
+        ),
+        ex_n AS (
+            SELECT query_id, CAST(count(*) AS BIGINT) AS k_exact
+            FROM exact GROUP BY query_id
+        ),
+        hits AS (
+            SELECT u.method, u.query_id,
+                   CAST(count(e.neighbor_id) AS BIGINT) AS n_hits
+            FROM u LEFT JOIN exact e
+              ON e.query_id = u.query_id AND e.neighbor_id = u.neighbor_id
+            GROUP BY u.method, u.query_id
+        ),
+        grid AS (
+            SELECT m.method, x.query_id, x.k_exact
+            FROM ex_n x CROSS JOIN (
+                SELECT unnest(['lsh', 'sq8', 'matryoshka']) AS method
+            ) m
+        )
+        SELECT g.method, g.query_id, g.k_exact,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST((1000 * coalesce(h.n_hits, 0)) // g.k_exact AS BIGINT)
+                   AS recall_x1000
+        FROM grid g LEFT JOIN hits h
+          ON h.method = g.method AND h.query_id = g.query_id
     """
     return d

@@ -956,3 +956,64 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
         F.max("vq").cast("long").alias("max_x1e6"),
         F.count(F.when(F.col("vq") == 0, 1)).cast("long").alias("n_zeroish"),
     )
+
+
+def recall_eval(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5
+) -> DataFrame:
+    """ANN index QA: recall@k of each approximate method against the
+    exact brute-force baseline — the acceptance gate a production vector
+    index ships behind (faiss's own benchmark protocol), run as one
+    declarative job.
+
+    Methods evaluated at the same k: sign-bucket LSH
+    (:func:`ann_lsh_topk`), SQ8 symmetric code distance
+    (:func:`sq8_topk`), and two-stage Matryoshka
+    (:func:`matryoshka_topk`). IVF variants are excluded on purpose —
+    their codebooks are driver-held model state, so their recall is a
+    property of a trained artifact, not of this corpus-only job.
+
+    Output one row per (method, query): ``k_exact`` (exact-neighbor
+    count, the denominator), ``n_hits``, ``recall_x1000``. The corpus
+    passes happen inside the method queries; everything after is
+    row-counted in n_queries·k — the joins here never touch the corpus.
+    """
+    exact = cosine_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    per_method = [
+        ("lsh", ann_lsh_topk(embeddings, n_queries, k=k)),
+        ("sq8", sq8_topk(embeddings, n_queries, knn=k)),
+        ("matryoshka", matryoshka_topk(embeddings, n_queries, k=k)),
+    ]
+    union = None
+    for name, df in per_method:
+        part = df.select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
+        )
+        union = part if union is None else union.unionByName(part)
+    ex_n = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k_exact")
+    )
+    hits = (
+        union.join(
+            exact.withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("method", "query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"))
+    )
+    methods_df = embeddings.sparkSession.createDataFrame(
+        [(name,) for name, _ in per_method], "method string"
+    )
+    grid = ex_n.crossJoin(methods_df)
+    return grid.join(hits, ["method", "query_id"], "left").select(
+        "method",
+        "query_id",
+        "k_exact",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.expr("(1000 * coalesce(n_hits, 0)) DIV k_exact")
+        .cast("long")
+        .alias("recall_x1000"),
+    )
