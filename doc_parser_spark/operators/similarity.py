@@ -1007,7 +1007,7 @@ def recall_eval(
     methods_df = embeddings.sparkSession.createDataFrame(
         [(name,) for name, _ in per_method], "method string"
     )
-    grid = ex_n.crossJoin(methods_df)
+    grid = ex_n.crossJoin(F.broadcast(methods_df))
     return grid.join(hits, ["method", "query_id"], "left").select(
         "method",
         "query_id",

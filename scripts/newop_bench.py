@@ -47,8 +47,9 @@ NEW_OPS = [
     "doc_kn_score", "web_image_candidates", "web_host_communities",
     "doc_winnow_fps", "doc_winnow_pairs",
     # session 12
-    "av_wav_stats", "doc_readability", "doc_shard_manifest",
-    "emb_matryoshka_topk",
+    "av_wav_stats", "av_video_stats", "doc_readability",
+    "doc_shard_manifest", "doc_ttr", "emb_matryoshka_topk",
+    "emb_dim_stats", "emb_recall_eval", "events_bot_sessions",
 ]
 
 

@@ -46,6 +46,21 @@ def test_predicate_pushdown(spark):
     assert "LessThan(vec_id,5)" in plan  # query-side filter pushed
 
 
+def test_matryoshka_rerank_is_hash_joined(spark):
+    # stage 1 is the intentional BNLJ shortlist; stage 2's two shortlist
+    # joins must be explicit-hint broadcast HASH joins (never sort-merge
+    # — hints don't propagate through a join result, so each carries its
+    # own). autoBroadcast disabled => any BHJ present is hint-pinned.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, "emb_matryoshka_topk")
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_small_dims_broadcast(spark):
     # true dims (part, nation) carry explicit hints; the tiny ANN query side
     # rides a broadcast nested-loop
@@ -377,6 +392,12 @@ _BNLJ_OK = {
     "doc_features",
     # spectrum totals: one-row aggregate cross-joined back (scalar)
     "doc_vocab_spectrum",
+    # stage-1 brute-force shortlist: tiny query side broadcast, like
+    # emb_cosine_topk (stage 2 is pinned to hash joins by its own test)
+    "emb_matryoshka_topk",
+    # composes the matryoshka + cosine baselines, inheriting their
+    # intentional query-side BNLJ
+    "emb_recall_eval",
 }
 _PANDAS_OK = {
     # the Arrow-batched extraction kernel IS the operator here
@@ -402,6 +423,8 @@ _PANDAS_OK = {
     "web_image_candidates",
     # coverage reconciliation rides the sitemap XML kernel
     "web_sitemap_coverage",
+    # the Arrow-batched native WAV/AVI codecs ARE the operator
+    "av_wav_stats", "av_video_stats",
 }
 
 
