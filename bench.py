@@ -173,8 +173,21 @@ def main() -> None:
     # 8 pinned cores in fresh JVMs (see scripts/scaling_bench.py for the
     # pinning/min-of-k methodology and the memory-bandwidth-envelope
     # rationale for the 2→8 levels).
+    # 120k pages at sf0.1 — the corpus size BASELINE.md's scaling
+    # methodology settled on. Below ~50k pages the levels are
+    # fixed-cost-dominated and UNDERSTATE efficiency (measured: 0.60 at
+    # 12k, 0.76 at 48k, ~1.0 at 120k), so a small-SF run would bake a
+    # false regression signal into the artifact — skip instead.
     scaling = None
-    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+    scaling_pages = int(1200000 * SF)
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") == "0":
+        pass
+    elif scaling_pages < 60000:
+        scaling = {
+            "skipped": f"sf {SF} stages only {scaling_pages} pages — "
+            "below the 60k floor where fixed costs dominate the levels"
+        }
+    else:
         try:
             sys.path.insert(
                 0,
@@ -182,12 +195,8 @@ def main() -> None:
             )
             import scaling_bench
 
-            # 120k pages at sf0.1 — the corpus size BASELINE.md's scaling
-            # methodology settled on (smaller corpora leave the levels
-            # fixed-cost-dominated and understate efficiency)
             scaling = scaling_bench.measure(
-                pages=max(24000, int(1200000 * SF)), base=12000,
-                low=2, high=8, runs=2,
+                pages=scaling_pages, base=12000, low=2, high=8, runs=2,
             )
         except Exception as exc:  # bench must still emit its JSON line
             scaling = {"err": f"{type(exc).__name__}: {exc}"[:500]}

@@ -41,18 +41,25 @@ def parse_avi(data: bytes):
     usec_per_frame = None
     frames: list[bytes] = []
 
-    def walk(pos: int, end: int):
-        nonlocal usec_per_frame
-        for fourcc, b0, b1 in _walk_chunks(data, pos, end):
-            if fourcc == b"LIST":
-                walk(b0 + 4, b1)  # skip the 4-byte list type
-            elif fourcc == b"avih" and b1 - b0 >= 4:
-                (usec_per_frame,) = struct.unpack("<I", data[b0 : b0 + 4])
-            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
-                if fourcc[:2] == b"00" and b1 > b0:
-                    frames.append(data[b0:b1])
-
-    walk(12, len(data))
+    # explicit iterator-stack DFS (identical in-order traversal to the
+    # natural recursion, so interleaved 'rec ' lists keep frame order): a
+    # hostile container of thousands of nested LIST chunks (12 bytes buys
+    # one level) must stay inside the per-row error contract, never blow
+    # the Python recursion limit
+    stack = [_walk_chunks(data, 12, len(data))]
+    while stack:
+        try:
+            fourcc, b0, b1 = next(stack[-1])
+        except StopIteration:
+            stack.pop()
+            continue
+        if fourcc == b"LIST":
+            stack.append(_walk_chunks(data, b0 + 4, b1))  # skip list type
+        elif fourcc == b"avih" and b1 - b0 >= 4:
+            (usec_per_frame,) = struct.unpack("<I", data[b0 : b0 + 4])
+        elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+            if fourcc[:2] == b"00" and b1 > b0:
+                frames.append(data[b0:b1])
     if usec_per_frame is None or usec_per_frame == 0:
         usec_per_frame = 33333  # spec default ~30fps when header absent
     if not frames:

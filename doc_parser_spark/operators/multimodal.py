@@ -1025,7 +1025,16 @@ def _wav_stats_one(payload: bytes) -> dict:
     except wavlib.WavError as exc:
         out["status"] = f"error:{type(exc).__name__}"
         return out
-    s = np.rint(arr[:, 0] * 32768.0).astype(np.int64)
+    ch0 = arr[:, 0]
+    # float-PCM WAVs pass through decode_wav unclipped: NaN/Inf samples
+    # would make rint(...).astype(int64) platform-undefined (observed:
+    # INT64_MIN -> negative "mean of absolute values"), and out-of-range
+    # finite samples would overflow the int64 square — gate the former
+    # per-row, clamp the latter to full scale like the integer paths
+    if len(ch0) and not np.isfinite(ch0).all():
+        out["status"] = "error:NonFiniteSamples"
+        return out
+    s = np.rint(np.clip(ch0, -1.0, 1.0) * 32768.0).astype(np.int64)
     n = len(s)
     out["sample_rate"] = int(rate)
     out["n_samples"] = n

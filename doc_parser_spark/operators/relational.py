@@ -171,26 +171,33 @@ def bot_sessions(
         .cast("long")
         .alias("n_errors"),
     )
-    return agg.select(
+    # derive the verdict FROM the reported columns (one definition of
+    # the pacing formula — the flag can never drift from the metric)
+    timed = agg.select(
         "user_id",
         F.col("session_no").cast("long").alias("session_no"),
         "n_events",
         F.expr("(end_us - start_us) DIV 1000").cast("long").alias(
             "duration_ms"
         ),
-        F.expr(
-            "((end_us - start_us) DIV 1000) DIV greatest(n_events - 1, 1)"
-        )
-        .cast("long")
-        .alias("mean_gap_ms"),
+        "n_errors",
+    ).withColumn(
+        "mean_gap_ms",
+        F.expr("duration_ms DIV greatest(n_events - 1, 1)").cast("long"),
+    )
+    return timed.select(
+        "user_id",
+        "session_no",
+        "n_events",
+        "duration_ms",
+        "mean_gap_ms",
         "n_errors",
         F.expr("(1000 * n_errors) DIV n_events").cast("long").alias(
             "error_permille"
         ),
         F.expr(
-            f"n_events >= {int(min_events)} AND "
-            f"((end_us - start_us) DIV 1000) DIV greatest(n_events - 1, 1)"
-            f" < {int(max_mean_gap_ms)}"
+            f"n_events >= {int(min_events)}"
+            f" AND mean_gap_ms < {int(max_mean_gap_ms)}"
         ).alias("is_bot"),
     )
 

@@ -857,6 +857,11 @@ def matryoshka_topk(
     """
     if dims_trunc < 1:
         raise ValueError(f"dims_trunc ({dims_trunc}) must be >= 1")
+    if k < 1 or expand < 1 or n_queries < 1:
+        raise ValueError(
+            f"k ({k}), expand ({expand}) and n_queries ({n_queries}) "
+            "must all be >= 1"
+        )
     queries = embeddings.where(F.col("vec_id") < n_queries).alias("a")
     corpus = embeddings.alias("b")
     scored_t = (
@@ -978,8 +983,14 @@ def recall_eval(
     passes happen inside the method queries; everything after is
     row-counted in n_queries·k — the joins here never touch the corpus.
     """
-    exact = cosine_topk(embeddings, n_queries, k).select(
-        "query_id", "neighbor_id"
+    # the exact baseline is read twice (denominator aggregate + hits
+    # join) and is the expensive corpus-wide pass — persist so it runs
+    # once (module convention: LSH/jaccard persist their reused
+    # projections; bench.py clearCache releases the blocks)
+    exact = (
+        cosine_topk(embeddings, n_queries, k)
+        .select("query_id", "neighbor_id")
+        .persist()
     )
     per_method = [
         ("lsh", ann_lsh_topk(embeddings, n_queries, k=k)),
