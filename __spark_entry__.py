@@ -1054,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_containment": q(dedup.containment_pairs, "documents"),
         "doc_simhash": q(dedup.simhash, "documents"),
         "doc_simhash_neardup": q(dedup.simhash_neardup_pairs, "documents"),
+        "doc_dedup_eval": q(dedup.dedup_eval, "documents"),
         "doc_dup_clusters": lambda spark, sf: dedup.dup_clusters(
             dedup.lsh_candidate_pairs(_read(spark, sf, "documents")),
             _read(spark, sf, "documents"),
@@ -7168,5 +7169,47 @@ def oracle_sql() -> dict[str, str]:
                    AS recall_x1000
         FROM grid g LEFT JOIN hits h
           ON h.method = g.method AND h.query_id = g.query_id
+    """
+
+    # dedup-stack QA twin: the three pair twins composed verbatim,
+    # metric grid kept dense so a zero-pair method still emits its row
+    d["doc_dedup_eval"] = f"""
+        WITH truth AS (
+            SELECT doc_a, doc_b FROM ({d["doc_ngram_jaccard"]})
+        ),
+        lshp AS ({d["doc_lsh_pairs"]}),
+        shp AS (
+            SELECT doc_id_a AS doc_a, doc_id_b AS doc_b
+            FROM ({d["doc_simhash_neardup"]})
+        ),
+        u AS (
+            SELECT 'minhash_lsh' AS method, doc_a, doc_b FROM lshp
+            UNION ALL SELECT 'simhash', doc_a, doc_b FROM shp
+        ),
+        pm AS (
+            SELECT u.method,
+                   CAST(count(*) AS BIGINT) AS n_pred,
+                   CAST(count(t.doc_a) AS BIGINT) AS n_hits
+            FROM u LEFT JOIN truth t
+              ON t.doc_a = u.doc_a AND t.doc_b = u.doc_b
+            GROUP BY u.method
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+        grid AS (
+            SELECT unnest(['minhash_lsh', 'simhash']) AS method
+        )
+        SELECT g.method,
+               CAST(coalesce(pm.n_pred, 0) AS BIGINT) AS n_pred,
+               tot.n_truth,
+               CAST(coalesce(pm.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST((1000 * coalesce(pm.n_hits, 0))
+                    // greatest(coalesce(pm.n_pred, 0), 1) AS BIGINT)
+                   AS precision_x1000,
+               CAST((1000 * coalesce(pm.n_hits, 0))
+                    // greatest(tot.n_truth, 1) AS BIGINT)
+                   AS recall_x1000
+        FROM grid g
+        LEFT JOIN pm ON pm.method = g.method
+        CROSS JOIN tot
     """
     return d

@@ -764,3 +764,57 @@ def bloom_seen(
             F.coalesce("exact_seen", F.lit(False)).alias("exact_seen"),
         )
     )
+
+
+def dedup_eval(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Dedup-stack QA: precision/recall of the approximate near-dup
+    detectors against the exact n-gram-Jaccard ground truth — the
+    acceptance measurement a production dedup pipeline tunes its
+    band/hash parameters by (the dedup twin of
+    ``similarity.recall_eval``).
+
+    Ground truth = :func:`ngram_jaccard_pairs` at ``threshold`` (exact
+    Jaccard over inverted-index candidates). Methods: MinHash-LSH
+    candidate pairs (expected high recall / low precision — they are
+    pre-verification candidates by design) and banded-Hamming SimHash
+    pairs. Corpus passes happen inside the three pair queries; the
+    metric assembly joins pair-sized relations only, and the one-row
+    truth total rides a broadcast cross join (the scalar pattern
+    doc_vocab_spectrum uses)."""
+    truth = (
+        ngram_jaccard_pairs(documents, threshold=threshold)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    methods = [
+        ("minhash_lsh", lsh_candidate_pairs(documents)
+         .select("doc_a", "doc_b")),
+        ("simhash", simhash_neardup_pairs(documents).select(
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+        )),
+    ]
+    per_method = None
+    for name, pred in methods:
+        joined = pred.join(
+            truth.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_pred"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        ).select(F.lit(name).alias("method"), "n_pred", "n_hits")
+        per_method = (
+            joined if per_method is None else per_method.unionByName(joined)
+        )
+    tot = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    return per_method.crossJoin(F.broadcast(tot)).select(
+        "method",
+        "n_pred",
+        "n_truth",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.expr("(1000 * coalesce(n_hits, 0)) DIV greatest(n_pred, 1)")
+        .cast("long")
+        .alias("precision_x1000"),
+        F.expr("(1000 * coalesce(n_hits, 0)) DIV greatest(n_truth, 1)")
+        .cast("long")
+        .alias("recall_x1000"),
+    )

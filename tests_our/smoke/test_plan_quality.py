@@ -398,6 +398,8 @@ _BNLJ_OK = {
     # composes the matryoshka + cosine baselines, inheriting their
     # intentional query-side BNLJ
     "emb_recall_eval",
+    # one-row truth-total cross-joined back (scalar)
+    "doc_dedup_eval",
 }
 _PANDAS_OK = {
     # the Arrow-batched extraction kernel IS the operator here
