@@ -46,6 +46,15 @@ def test_predicate_pushdown(spark):
     assert "LessThan(vec_id,5)" in plan  # query-side filter pushed
 
 
+def test_map_stage_ops_have_zero_exchanges(spark):
+    # the session-12 projections/codec kernels claim pure-map scale
+    # shape — pin it: no Exchange anywhere in the physical plan
+    for q in ("av_wav_stats", "av_video_stats", "doc_readability",
+              "doc_ttr"):
+        plan = plan_of(spark, q)
+        assert "Exchange" not in plan, q
+
+
 def test_matryoshka_rerank_is_hash_joined(spark):
     # stage 1 is the intentional BNLJ shortlist; stage 2's two shortlist
     # joins must be explicit-hint broadcast HASH joins (never sort-merge
