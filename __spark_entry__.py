@@ -379,6 +379,67 @@ def _synth_rank_edges(documents):
     )
 
 
+def _synth_pld_host_edges(documents):
+    """Subdomain'd synthetic host edges for the PLD-graph pair: hosts
+    ``{www.|blog.|}site{d%50}.example{d%7}.com`` linking to
+    ``{www.|shop.|}site{k%50}.example{k%5}.com`` (k = 7·d + o) — 150+
+    host variants that roll up to 7×5 registered domains, so the PLD
+    rollup genuinely collapses. The DuckDB twin rebuilds both the hosts
+    AND their PLDs closed-form from the same arithmetic."""
+    from doc_parser_spark.operators import web as _w
+
+    dsts = ", ".join(
+        f"concat(CASE (doc_id * 7 + {o}) % 3 WHEN 0 THEN 'www.' "
+        f"WHEN 1 THEN 'shop.' ELSE '' END, "
+        f"'site', cast((doc_id * 7 + {o}) % 50 as int), "
+        f"'.example', cast((doc_id * 7 + {o}) % 5 as int), '.com')"
+        for o in _w.SYNTH_EDGE_OFFSETS
+    )
+    return documents.selectExpr(
+        "concat(CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.' "
+        "ELSE '' END, 'site', cast(doc_id % 50 as int), "
+        "'.example', cast(doc_id % 7 as int), '.com') AS src",
+        f"explode(array({dsts})) AS dst",
+    )
+
+
+def _pld_graph_sql() -> str:
+    """DuckDB twin of web.pld_graph over the synthetic subdomain'd
+    edges: distinct host pairs with closed-form PLDs, intra-domain
+    edges dropped, host-pair multiplicity per PLD edge."""
+    from doc_parser_spark.operators import web as _w
+
+    offs = ", ".join(str(o) for o in _w.SYNTH_EDGE_OFFSETS)
+    return f"""
+        WITH hp AS (
+            SELECT DISTINCT src, dst, src_pld, dst_pld FROM (
+                SELECT concat(CASE doc_id % 3 WHEN 0 THEN 'www.'
+                              WHEN 1 THEN 'blog.' ELSE '' END,
+                              'site', CAST(doc_id % 50 AS INT),
+                              '.example', CAST(doc_id % 7 AS INT),
+                              '.com') AS src,
+                       concat(CASE (doc_id * 7 + t.o) % 3 WHEN 0
+                              THEN 'www.' WHEN 1 THEN 'shop.'
+                              ELSE '' END,
+                              'site', CAST((doc_id * 7 + t.o) % 50 AS INT),
+                              '.example',
+                              CAST((doc_id * 7 + t.o) % 5 AS INT),
+                              '.com') AS dst,
+                       concat('example', CAST(doc_id % 7 AS INT),
+                              '.com') AS src_pld,
+                       concat('example',
+                              CAST((doc_id * 7 + t.o) % 5 AS INT),
+                              '.com') AS dst_pld
+                FROM documents, LATERAL UNNEST([{offs}]) AS t(o)
+            )
+        )
+        SELECT src_pld AS src, dst_pld AS dst,
+               CAST(count(*) AS BIGINT) AS n_host_pairs
+        FROM hp WHERE src_pld <> dst_pld
+        GROUP BY 1, 2
+    """
+
+
 def _q_extract_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT metadata-sidecar records over an SQL-synthesized meta relation
     whose title/description families exercise JSON escaping (quotes,
@@ -1322,6 +1383,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "web_host_pagerank": lambda spark, sf: web.host_pagerank(
             _synth_rank_edges(_read(spark, sf, "documents"))
+        ),
+        # PLD rollup of a subdomain'd host graph + rank over it (the
+        # Common Crawl domain-graph convention)
+        "web_pld_graph": lambda spark, sf: web.pld_graph(
+            _synth_pld_host_edges(_read(spark, sf, "documents"))
+        ),
+        "web_pld_pagerank": lambda spark, sf: web.host_pagerank(
+            web.pld_graph(
+                _synth_pld_host_edges(_read(spark, sf, "documents"))
+            ).select("src", "dst")
         ),
         # TrustRank over the same synth edge graph; trusted seeds are
         # the site{k} hosts with k % 10 = 0
@@ -5676,6 +5747,10 @@ def oracle_sql() -> dict[str, str]:
             FROM exact LEFT JOIN per ON per.host IS NOT DISTINCT FROM exact.host
         """,
         "web_host_pagerank": _pagerank_sql(),
+        "web_pld_graph": _pld_graph_sql(),
+        "web_pld_pagerank": _pagerank_sql(
+            e_body=f"SELECT src, dst FROM ({_pld_graph_sql()}) pldg"
+        ),
         "web_host_communities": _communities_sql(),
         "web_host_trustrank": _trustrank_sql(3),
         "web_host_spam_mass": _spam_mass_sql(3),

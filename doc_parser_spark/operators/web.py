@@ -4059,3 +4059,46 @@ def sitemap_coverage(
             ).alias("orphan_ppm"),
         )
     )
+
+
+def pld_graph(edges: DataFrame) -> DataFrame:
+    """Host-level link edges → the pay-level-domain (PLD) graph — the
+    second graph Common Crawl publishes beside host ranks (every
+    subdomain of a domain is one actor for ranking/capping, so
+    domain-level rank is the spam-resistant prior; cf. the
+    cc-webgraph domain-graph convention).
+
+    Each endpoint maps to its registered domain via the same
+    PSL/eTLD+1 logic as :func:`domain_parts` (multi-level suffixes,
+    IPv4 literals kept whole). Intra-domain edges (subdomain ↔
+    subdomain of one PLD) drop — they are navigation, not endorsement.
+    ``n_host_pairs`` counts the DISTINCT host-level pairs that rolled
+    into each PLD edge (the edge-weight the domain graph carries).
+
+    Scale shape: two zero-shuffle projections (the PSL logic is pure
+    whole-stage codegen) + one dedup groupBy + one count groupBy on the
+    (src, dst) key — no joins, nothing corpus-sized held anywhere."""
+    reg, _sub, _tld = _domain_parts_sql()
+
+    def to_pld(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.withColumn("__dp_host", F.lower(F.col(col)))
+            .withColumn("__dp_labels", F.expr("split(__dp_host, '[.]')"))
+            .withColumn(f"{col}_pld", F.expr(reg))
+            .drop("__dp_host", "__dp_labels")
+        )
+
+    # DNS names are case-insensitive: fold BEFORE the dedup so mixed-case
+    # duplicates of one host pair count once
+    host_pairs = edges.select(
+        F.lower("src").alias("src"), F.lower("dst").alias("dst")
+    ).distinct()
+    mapped = to_pld(to_pld(host_pairs, "src"), "dst")
+    return (
+        mapped.select(
+            F.col("src_pld").alias("src"), F.col("dst_pld").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_host_pairs"))
+    )
