@@ -1651,6 +1651,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "av_video_stats": lambda spark, sf: multimodal.video_stats(
             multimodal.synth_video_corpus(_read(spark, sf, "documents"))
         ),
+        # multimodal curation gate over both codec-stat panels
+        "av_media_filter": lambda spark, sf: multimodal.media_filter(
+            multimodal.wav_stats(
+                multimodal.synth_audio_corpus(_read(spark, sf, "documents"))
+            ),
+            multimodal.video_stats(
+                multimodal.synth_video_corpus(_read(spark, sf, "documents"))
+            ),
+        ),
         # the composed production pass: quality -> repetition -> exact dedup
         # -> near-dup clusters -> decontamination -> host cap, reported as a
         # stage funnel from ONE aggregation job
@@ -7244,6 +7253,37 @@ def oracle_sql() -> dict[str, str]:
                    AS recall_x1000
         FROM grid g LEFT JOIN hits h
           ON h.method = g.method AND h.query_id = g.query_id
+    """
+
+    # multimodal curation-gate twin: both codec-stat twins composed,
+    # identical inclusive bounds and clip-rate cross-multiplication
+    d["av_media_filter"] = f"""
+        WITH a AS ({d["av_wav_stats"]}),
+        v AS ({d["av_video_stats"]}),
+        af AS (
+            SELECT doc_id,
+                   (status = 'decoded'
+                    AND duration_ms BETWEEN 150 AND 60000
+                    AND silence_permille <= 900
+                    AND clip_count * 1000 <= 10 * n_samples) AS pass_audio,
+                   status AS audio_status
+            FROM a
+        ),
+        vf AS (
+            SELECT doc_id,
+                   (status = 'parsed' AND n_frames >= 2
+                    AND duration_ms BETWEEN 150 AND 60000) AS pass_video,
+                   status AS video_status
+            FROM v
+        )
+        SELECT coalesce(af.doc_id, vf.doc_id) AS doc_id,
+               coalesce(pass_audio, false) AS pass_audio,
+               coalesce(pass_video, false) AS pass_video,
+               coalesce(audio_status, 'missing') AS audio_status,
+               coalesce(video_status, 'missing') AS video_status,
+               (coalesce(pass_audio, false) AND coalesce(pass_video, false))
+                   AS keep
+        FROM af FULL OUTER JOIN vf ON af.doc_id = vf.doc_id
     """
 
     # dedup-stack QA twin: the three pair twins composed verbatim,

@@ -1189,3 +1189,61 @@ def video_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     return media.select("doc_id", payload_col).mapInPandas(
         kernel, schema=VIDEO_STATS_SCHEMA
     )
+
+
+def media_filter(
+    wav: DataFrame,
+    video: DataFrame,
+    min_duration_ms: int = 150,
+    max_duration_ms: int = 60_000,
+    max_silence_permille: int = 900,
+    max_clip_permille: int = 10,
+    min_frames: int = 2,
+) -> DataFrame:
+    """Multimodal curation gate — the audio/video twin of the text-side
+    ``curate_flags``: keep verdicts per doc from the codec-stats panels
+    (the deterministic gates an AV training mix applies before any ML
+    scoring; CLAP/CLIP-style model filters are the usual plug-point on
+    top).
+
+    Audio keeps: decoded, duration in bounds, not mostly silence, not
+    hard-limited (clipped samples per-mille over ``max_clip_permille``).
+    Video keeps: parsed, frame count ≥ ``min_frames``, duration in
+    bounds. ``keep`` = both modalities pass (flags-not-filters, like the
+    text funnel — downstream picks its own policy).
+
+    One doc_id-keyed full-outer join of two already-narrow stat
+    relations — co-partitioned, no corpus rescan."""
+    a = wav.select(
+        "doc_id",
+        (
+            (F.col("status") == "decoded")
+            & F.col("duration_ms").between(min_duration_ms, max_duration_ms)
+            & (F.col("silence_permille") <= max_silence_permille)
+            & (
+                (F.col("clip_count") * 1000)
+                <= F.lit(max_clip_permille) * F.col("n_samples")
+            )
+        ).alias("pass_audio"),
+        F.col("status").alias("audio_status"),
+    )
+    v = video.select(
+        "doc_id",
+        (
+            (F.col("status") == "parsed")
+            & (F.col("n_frames") >= min_frames)
+            & F.col("duration_ms").between(min_duration_ms, max_duration_ms)
+        ).alias("pass_video"),
+        F.col("status").alias("video_status"),
+    )
+    return a.join(v, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("pass_audio", F.lit(False)).alias("pass_audio"),
+        F.coalesce("pass_video", F.lit(False)).alias("pass_video"),
+        F.coalesce("audio_status", F.lit("missing")).alias("audio_status"),
+        F.coalesce("video_status", F.lit("missing")).alias("video_status"),
+        (
+            F.coalesce("pass_audio", F.lit(False))
+            & F.coalesce("pass_video", F.lit(False))
+        ).alias("keep"),
+    )
