@@ -50,6 +50,8 @@ NEW_OPS = [
     "av_wav_stats", "av_video_stats", "doc_readability",
     "doc_shard_manifest", "doc_ttr", "emb_matryoshka_topk",
     "emb_dim_stats", "emb_recall_eval", "events_bot_sessions",
+    "doc_dedup_eval", "web_pld_graph", "web_pld_pagerank",
+    "av_media_filter",
 ]
 
 
