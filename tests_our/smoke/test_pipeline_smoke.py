@@ -840,3 +840,38 @@ def test_streaming_host_rate_matches_batch_and_flags_violations(
     assert {key(r): tuple(r) for r in streamed} == {
         key(r): tuple(r) for r in batch
     }
+
+
+def test_streaming_wav_stats_parity(spark, tmp_path):
+    """The codec-stat kernels are plain Arrow-batched mapInPandas stages,
+    so they run UNCHANGED under Structured Streaming — prove it: stream
+    the synthetic audio corpus through wav_stats with an exactly-once
+    file sink and require row parity with the batch run."""
+    from doc_parser_spark.operators import multimodal as mm
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.range(40).selectExpr("id AS doc_id")
+    mm.synth_audio_corpus(docs).write.parquet(in_dir)
+
+    batch = {
+        tuple(r) for r in mm.wav_stats(spark.read.parquet(in_dir)).collect()
+    }
+    assert len(batch) == 40
+
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .parquet(in_dir)
+    )
+    q = (
+        mm.wav_stats(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert out == batch
