@@ -1087,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q(text_analysis.token_stats, "documents"),
         "doc_quality_score": q(text_analysis.quality_score, "documents"),
         "doc_lang_id": q(text_analysis.lang_id, "documents"),
+        "doc_lang_audit": q(text_analysis.lang_audit, "documents"),
         "doc_fingerprint": q(text_analysis.fingerprint, "documents"),
         "doc_length_histogram": q(text_analysis.length_histogram, "documents"),
         "doc_gopher_filter": q(text_analysis.gopher_filter, "documents"),
@@ -7253,6 +7254,20 @@ def oracle_sql() -> dict[str, str]:
                    AS recall_x1000
         FROM grid g LEFT JOIN hits h
           ON h.method = g.method AND h.query_id = g.query_id
+    """
+
+    # declared-vs-predicted language audit twin: the lang_id twin joined
+    # back to the declared column, identical verdict ladder
+    d["doc_lang_audit"] = f"""
+        WITH lg AS ({d["doc_lang_id"]})
+        SELECT d.doc_id,
+               coalesce(d.lang, '') AS declared_lang,
+               lg.pred_lang,
+               CASE WHEN coalesce(d.lang, '') = '' THEN 'unlabeled'
+                    WHEN lg.pred_lang = 'und' THEN 'undetermined'
+                    WHEN lg.pred_lang = coalesce(d.lang, '') THEN 'match'
+                    ELSE 'mismatch' END AS verdict
+        FROM documents d JOIN lg ON lg.doc_id = d.doc_id
     """
 
     # multimodal curation-gate twin: both codec-stat twins composed,

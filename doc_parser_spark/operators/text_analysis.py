@@ -2697,3 +2697,38 @@ def lexical_diversity(documents: DataFrame, window: int = 100) -> DataFrame:
         .cast("long")
         .alias("ttr_w_x1000"),
     )
+
+
+def lang_audit(documents: DataFrame) -> DataFrame:
+    """Declared-vs-predicted language audit — the label-QA pass a
+    multilingual corpus runs before trusting its ``lang`` column
+    (CommonCrawl's declared languages come from CLD2 over sometimes
+    boilerplate-dominated pages; mislabels poison per-language quality
+    thresholds and sampling quotas downstream).
+
+    Verdicts: ``match`` (prediction = declared), ``mismatch``
+    (confident disagreement), ``undetermined`` (the stopword detector
+    saw nothing — short/empty/out-of-model text; NOT evidence against
+    the label), ``unlabeled`` (no declared lang). One zero-shuffle
+    projection re-using :func:`lang_id`'s scoring columns."""
+    base = _nn_text(documents).select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("")).alias("declared_lang"),
+        *lang_hit_cols(),
+    )
+    scored = base.select(
+        "doc_id",
+        "declared_lang",
+        F.expr(lang_pred_sql()).alias("pred_lang"),
+    )
+    return scored.select(
+        "doc_id",
+        "declared_lang",
+        "pred_lang",
+        F.expr(
+            "CASE WHEN declared_lang = '' THEN 'unlabeled' "
+            "WHEN pred_lang = 'und' THEN 'undetermined' "
+            "WHEN pred_lang = declared_lang THEN 'match' "
+            "ELSE 'mismatch' END"
+        ).alias("verdict"),
+    )
