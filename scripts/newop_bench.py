@@ -51,7 +51,7 @@ NEW_OPS = [
     "doc_shard_manifest", "doc_ttr", "emb_matryoshka_topk",
     "emb_dim_stats", "emb_recall_eval", "events_bot_sessions",
     "doc_dedup_eval", "web_pld_graph", "web_pld_pagerank",
-    "av_media_filter",
+    "av_media_filter", "doc_lang_audit",
 ]
 
 
