@@ -1101,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_weights": q(text_analysis.dsir_weights, "documents"),
         "doc_bpe_merges": q(text_analysis.bpe_train, "documents"),
         "doc_bpe_tokens": q(text_analysis.bpe_apply, "documents"),
+        "doc_bpe_fertility": q(text_analysis.bpe_fertility, "documents"),
         "doc_c4_clean": lambda spark, sf: text_analysis.c4_clean(
             _read(spark, sf, "documents").select(
                 "doc_id",
@@ -7254,6 +7255,21 @@ def oracle_sql() -> dict[str, str]:
                    AS recall_x1000
         FROM grid g LEFT JOIN hits h
           ON h.method = g.method AND h.query_id = g.query_id
+    """
+
+    # per-language tokenizer-fertility twin: the bpe_apply twin joined
+    # to the declared-lang column, one group-by
+    d["doc_bpe_fertility"] = f"""
+        WITH b AS ({d["doc_bpe_tokens"]})
+        SELECT coalesce(d.lang, '') AS lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(b.n_words) AS BIGINT) AS total_words,
+               CAST(sum(b.n_bpe_tokens) AS BIGINT) AS total_bpe,
+               CAST((100 * sum(b.n_bpe_tokens))
+                    // greatest(sum(b.n_words), 1) AS BIGINT)
+                   AS fertility_x100
+        FROM b JOIN documents d ON d.doc_id = b.doc_id
+        GROUP BY 1
     """
 
     # declared-vs-predicted language audit twin: the lang_id twin joined

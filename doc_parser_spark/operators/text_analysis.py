@@ -2732,3 +2732,36 @@ def lang_audit(documents: DataFrame) -> DataFrame:
             "ELSE 'mismatch' END"
         ).alias("verdict"),
     )
+
+
+def bpe_fertility(documents: DataFrame, n_merges: int = 6) -> DataFrame:
+    """Per-language tokenizer fertility — BPE tokens per whitespace word
+    by declared language: the multilingual tokenizer-QA table (a
+    language whose fertility runs far above the corpus mean is
+    under-served by the learned merges, pays more compute per word, and
+    hits context limits sooner — the standard argument for rebalancing
+    BPE training data).
+
+    Rides :func:`bpe_apply` (train-then-count on this corpus) and adds
+    one lang-keyed map-side-combined groupBy; ``fertility_x100`` =
+    ``100·Σbpe / Σwords`` floored (positive operands only)."""
+    per_doc = bpe_apply(documents, n_merges)
+    joined = per_doc.join(
+        documents.select(
+            "doc_id", F.coalesce(F.col("lang"), F.lit("")).alias("lang")
+        ),
+        "doc_id",
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("total_bpe"),
+    ).select(
+        "lang",
+        "n_docs",
+        "total_words",
+        "total_bpe",
+        F.expr("(100 * total_bpe) DIV greatest(total_words, 1)")
+        .cast("long")
+        .alias("fertility_x100"),
+    )

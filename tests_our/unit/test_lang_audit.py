@@ -31,3 +31,28 @@ def test_zero_shuffle_plan(spark):
     )
     plan = ta.lang_audit(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+@pytest.mark.unit
+def test_bpe_fertility_hand_computed(spark):
+    # one language where merges help (repeated pairs), one where the
+    # words stay fully split — fertility must separate them
+    rows = [
+        (1, "aaaa aaaa aaaa aaaa aaaa aaaa", "en"),
+        (2, "aaaa aaaa aaaa aaaa aaaa aaaa", "en"),
+        (3, "xq zj qv xq zj qv", "zz"),
+        (4, None, "zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["lang"]: r.asDict() for r in ta.bpe_fertility(df).collect()}
+    assert out["en"]["n_docs"] == 2 and out["zz"]["n_docs"] == 2
+    assert out["en"]["total_words"] == 12
+    # merges learned on 'aaaa' collapse it below its 4 chars
+    assert out["en"]["total_bpe"] < 4 * 12
+    assert (
+        out["en"]["fertility_x100"]
+        == 100 * out["en"]["total_bpe"] // out["en"]["total_words"]
+    )
+    # the rare 2-char words can never merge below ~their pair count and
+    # 'zz' fertility (tokens/word) stays >= 1.0
+    assert out["zz"]["fertility_x100"] >= 100
