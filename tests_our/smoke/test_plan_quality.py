@@ -434,8 +434,9 @@ _PANDAS_OK = {
     "web_image_candidates",
     # coverage reconciliation rides the sitemap XML kernel
     "web_sitemap_coverage",
-    # the Arrow-batched native WAV/AVI codecs ARE the operator
-    "av_wav_stats", "av_video_stats",
+    # the Arrow-batched native WAV/AVI codecs ARE the operator (and the
+    # curation gate composes both panels)
+    "av_wav_stats", "av_video_stats", "av_media_filter",
 }
 
 
