@@ -1523,6 +1523,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id", F.expr(web.SYNTH_URL_SQL).alias("url"), "text"
             )
         ),
+        # mirror-farm signal: every 7th doc carries one of 3 syndicated
+        # texts, so cross-host exact dups exist by construction
+        "web_host_dup_rate": lambda spark, sf: web.host_dup_rate(
+            _read(spark, sf, "documents").select(
+                "doc_id",
+                F.expr(_DUPTEXT_SQL).alias("text"),
+                F.expr(web.SYNTH_URL_SQL).alias("url"),
+            )
+        ),
         "web_host_lang_profile": lambda spark, sf: web.host_lang_profile(
             _read(spark, sf, "documents").select(
                 F.expr(web.SYNTH_URL_SQL).alias("url"), "lang"
@@ -1762,6 +1771,14 @@ _SLOP_DECOR_SQL = (
     " WHEN doc_id % 13 = 0 THEN"
     " ' As An AI Language Model I cannot say.'"
     " ELSE '' END"
+)
+
+# dup-family decoration for the mirror-farm signal: every 7th doc
+# carries one of 3 syndicated texts (identical string in both engines)
+_DUPTEXT_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN"
+    " concat('syndicated wire story variant ', cast(doc_id % 3 as int))"
+    " ELSE coalesce(text, '') END"
 )
 
 # readability decoration: the synthetic corpus has no sentence
@@ -7255,6 +7272,33 @@ def oracle_sql() -> dict[str, str]:
                    AS recall_x1000
         FROM grid g LEFT JOIN hits h
           ON h.method = g.method AND h.query_id = g.query_id
+    """
+
+    # mirror-farm twin: decorated corpus, canonical-host rollup of
+    # corpus-wide duplicate-hash flags
+    d["web_host_dup_rate"] = f"""
+        WITH p AS (
+            SELECT doc_id, {_web.SYNTH_URL_SQL} AS url,
+                   {_DUPTEXT_SQL} AS text
+            FROM documents
+        ),
+        wh AS (
+            SELECT {_duck_host("url")} AS host,
+                   md5({_NORM_SQL}) AS k
+            FROM p
+        ),
+        dk AS (SELECT k FROM wh GROUP BY k HAVING count(*) > 1),
+        fl AS (
+            SELECT wh.host, wh.k, (dk.k IS NOT NULL) AS is_dup
+            FROM wh LEFT JOIN dk ON dk.k = wh.k
+        )
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dup_docs,
+               CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_hashes,
+               CAST((1000 * count(*) FILTER (WHERE is_dup)) // count(*)
+                    AS BIGINT) AS dup_permille
+        FROM fl GROUP BY host
     """
 
     # per-language tokenizer-fertility twin: the bpe_apply twin joined

@@ -4102,3 +4102,45 @@ def pld_graph(edges: DataFrame) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("n_host_pairs"))
     )
+
+
+def host_dup_rate(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host exact-duplicate share — the mirror/scraper-farm signal
+    (a host whose pages are mostly corpus-wide duplicates is a
+    syndication mirror or a scraper; host_cap and crawl budgets should
+    see that BEFORE spending fetches there). Duplicate = the page's
+    normalized content hash (the exact-dedup identity,
+    ``md5(NORM text)``) occurs more than once ANYWHERE in the corpus —
+    cross-host mirrors count, which is the point.
+
+    Scale shape: one map-side-combined hash groupBy finds the dup keys
+    (a relation of only the duplicated hashes), one equi-join flags
+    docs, one host groupBy rolls up. ``n_distinct_hashes`` rides the
+    same host shuffle. Nothing broadcasts by assumption — AQE promotes
+    the dup-key side when it is genuinely small."""
+    from doc_parser_spark.operators.text_analysis import NORM
+
+    with_host = pages.select(
+        host_col(url_col).alias("host"),
+        F.expr(f"md5({NORM})").alias("k"),
+    )
+    dup_keys = (
+        with_host.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .select("k", F.lit(True).alias("is_dup"))
+    )
+    flagged = with_host.join(dup_keys, "k", "left")
+    return flagged.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(F.col("is_dup"), 1)).cast("long").alias("n_dup_docs"),
+        F.countDistinct("k").cast("long").alias("n_distinct_hashes"),
+    ).select(
+        "host",
+        "n_docs",
+        "n_dup_docs",
+        "n_distinct_hashes",
+        F.expr("(1000 * n_dup_docs) DIV n_docs").cast("long").alias(
+            "dup_permille"
+        ),
+    )

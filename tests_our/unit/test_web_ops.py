@@ -1599,3 +1599,26 @@ def test_page_link_features(spark):
         4, 3, 3, 1)
     assert r.external_permille == 750
     assert r.mean_anchor_len == (5 + 2 + 4 + 0) // 4
+
+
+def test_host_dup_rate(spark):
+    rows = [
+        # mirror.com: 3 pages, all the same syndicated body
+        (1, "wire story", "http://mirror.com/a"),
+        (2, "wire story", "http://mirror.com/b"),
+        (3, "wire story", "http://mirror.com/c"),
+        # orig.com: 1 copy of the wire story (cross-host dup) + 1 unique
+        (4, "wire story", "http://orig.com/x"),
+        (5, "an original essay", "http://orig.com/y"),
+        # clean.com: unique only
+        (6, "something else", "http://clean.com/z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    out = {r["host"]: r.asDict() for r in web.host_dup_rate(df).collect()}
+    assert out["mirror.com"]["n_dup_docs"] == 3
+    assert out["mirror.com"]["dup_permille"] == 1000
+    assert out["mirror.com"]["n_distinct_hashes"] == 1
+    assert out["orig.com"]["n_dup_docs"] == 1  # the cross-host copy
+    assert out["orig.com"]["dup_permille"] == 500
+    assert out["clean.com"]["n_dup_docs"] == 0
+    assert out["clean.com"]["dup_permille"] == 0
