@@ -1147,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_matryoshka_topk": q(similarity.matryoshka_topk, "embeddings"),
         "emb_dim_stats": q(similarity.embedding_dim_stats, "embeddings"),
         "emb_recall_eval": q(similarity.recall_eval, "embeddings"),
+        "emb_knn_label_eval": q(similarity.knn_label_eval, "embeddings"),
         "emb_pq_adc_topk": q(similarity.pq_adc_topk, "embeddings"),
         "emb_ivfpq_topk": q(similarity.ivfpq_topk, "embeddings"),
         "emb_semdedup": q(similarity.semdedup, "embeddings"),
@@ -7272,6 +7273,34 @@ def oracle_sql() -> dict[str, str]:
                    AS recall_x1000
         FROM grid g LEFT JOIN hits h
           ON h.method = g.method AND h.query_id = g.query_id
+    """
+
+    # k-NN label-vote twin: the exact-topk twin re-scoped to 20 queries,
+    # majority vote with (count DESC, label ASC) tie-break
+    cosine20 = d["emb_cosine_topk"].replace("a.vec_id < 5", "a.vec_id < 20")
+    assert "a.vec_id < 20" in cosine20
+    d["emb_knn_label_eval"] = f"""
+        WITH topk AS ({cosine20}),
+        votes AS (
+            SELECT t.query_id, e.label,
+                   CAST(count(*) AS BIGINT) AS n_votes
+            FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+            GROUP BY t.query_id, e.label
+        ),
+        pred AS (
+            SELECT query_id, label AS pred_label, n_votes FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY n_votes DESC, label ASC
+                ) AS rn FROM votes
+            ) WHERE rn = 1
+        )
+        SELECT q.vec_id AS query_id,
+               q.label AS true_label,
+               p.pred_label, p.n_votes,
+               (p.pred_label = q.label) AS correct
+        FROM embeddings q JOIN pred p ON p.query_id = q.vec_id
+        WHERE q.vec_id < 20
     """
 
     # mirror-farm twin: decorated corpus, canonical-host rollup of

@@ -1028,3 +1028,54 @@ def recall_eval(
         .cast("long")
         .alias("recall_x1000"),
     )
+
+
+def knn_label_eval(
+    embeddings: DataFrame, n_queries: int = 20, k: int = 5
+) -> DataFrame:
+    """Embedding-quality probe via k-NN label voting — the classic
+    "do nearest neighbors share labels?" sanity eval (the cheap stand-in
+    for a linear-probe benchmark, run entirely in-engine): for each of
+    the first ``n_queries`` vectors, predict its label as the majority
+    label of its exact top-k cosine neighbors and compare to its own.
+
+    Deterministic by construction: neighbor ranking is the module's
+    floor-quantized cosine with vec_id tie-break; the vote breaks ties
+    on (count DESC, label ASC). Output one row per query:
+    ``true_label, pred_label, n_votes, correct``.
+
+    The corpus pass is :func:`cosine_topk`'s broadcast scan; everything
+    after operates on n_queries·k rows."""
+    topk = cosine_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    labels = embeddings.select("vec_id", "label")
+    votes = (
+        F.broadcast(topk)
+        .join(labels, topk["neighbor_id"] == labels["vec_id"])
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("pred_label"),
+            "n_votes",
+        )
+    )
+    truth = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+    )
+    return truth.join(F.broadcast(pred), "query_id").select(
+        "query_id",
+        "true_label",
+        "pred_label",
+        "n_votes",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )

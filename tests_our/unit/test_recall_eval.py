@@ -39,3 +39,46 @@ def test_all_positive_corpus_gives_perfect_lsh(spark):
         for r in sim.recall_eval(_emb(spark, vecs), n_queries=2, k=3).collect()
     }
     assert out[("lsh", 0)] == 1000 and out[("lsh", 1)] == 1000
+
+
+@pytest.mark.unit
+def test_knn_label_eval_clustered_labels(spark):
+    """Two well-separated label clusters: every query's neighbors share
+    its label, so accuracy must be perfect; a far-out singleton with a
+    unique label must be voted WRONG (its neighbors all carry other
+    labels)."""
+    rng = random.Random(21)
+    vecs, labels = [], []
+    for i in range(12):  # label 0 cluster around +e1
+        vecs.append([1.0 + rng.uniform(-0.05, 0.05),
+                     rng.uniform(-0.05, 0.05), 0.0])
+        labels.append(0)
+    for i in range(12):  # label 1 cluster around +e2
+        vecs.append([rng.uniform(-0.05, 0.05),
+                     1.0 + rng.uniform(-0.05, 0.05), 0.0])
+        labels.append(1)
+    rows = [
+        (i, [float(x) for x in v], l)
+        for i, (v, l) in enumerate(zip(vecs, labels))
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+    out = {r["query_id"]: r.asDict()
+           for r in sim.knn_label_eval(df, n_queries=6, k=3).collect()}
+    assert len(out) == 6
+    assert all(r["correct"] for r in out.values())
+    assert all(r["n_votes"] == 3 for r in out.values())
+
+    # a vector with a unique label planted inside cluster 0: its
+    # neighbors all vote label 0, so the eval must mark it wrong —
+    # give it vec_id 5 so it falls inside the query range
+    rows[5] = (5, [1.0, 0.0, 0.0], 9)
+    df2 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+    out2 = {r["query_id"]: r.asDict()
+            for r in sim.knn_label_eval(df2, n_queries=6, k=3).collect()}
+    assert out2[5]["correct"] is False
+    assert out2[5]["pred_label"] == 0
+    assert all(out2[i]["correct"] for i in range(5))
