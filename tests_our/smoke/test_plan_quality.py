@@ -409,6 +409,8 @@ _BNLJ_OK = {
     "emb_recall_eval",
     # one-row truth-total cross-joined back (scalar)
     "doc_dedup_eval",
+    # rides the cosine_topk brute-force baseline (query-side broadcast)
+    "emb_knn_label_eval",
 }
 _PANDAS_OK = {
     # the Arrow-batched extraction kernel IS the operator here
