@@ -403,6 +403,52 @@ def _synth_pld_host_edges(documents):
     )
 
 
+def _host_hops_sql(max_hops: int = 4) -> str:
+    """DuckDB twin of web.host_hops over the synthesized host edges:
+    BFS min-distance relaxation fully unrolled, same seed family as the
+    trustrank twin, unreached hosts -1."""
+    from doc_parser_spark.operators import web as _w
+
+    offs = ", ".join(str(o) for o in _w.SYNTH_EDGE_OFFSETS)
+    ctes = [
+        f"""e AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT concat('site', CAST(doc_id % 50 AS INT)) AS src,
+                       concat('site', CAST((doc_id * 7 + t.o) % 50 AS INT)) AS dst
+                FROM documents, LATERAL UNNEST([{offs}]) AS t(o)
+            ) WHERE src <> dst
+        )""",
+        "nodes AS (SELECT src AS h FROM e UNION SELECT dst FROM e)",
+        """sd AS (
+            SELECT DISTINCT concat('site', CAST(doc_id % 50 AS INT)) AS h
+            FROM documents WHERE (doc_id % 50) % 10 = 0
+        )""",
+        """d0 AS (
+            SELECT n.h, CAST(0 AS BIGINT) AS d
+            FROM nodes n JOIN sd ON sd.h = n.h
+        )""",
+    ]
+    prev = "d0"
+    for i in range(1, max_hops + 1):
+        ctes.append(
+            f"""d{i} AS (
+                SELECT h, CAST(min(d) AS BIGINT) AS d FROM (
+                    SELECT e.dst AS h, p.d + 1 AS d
+                    FROM e JOIN {prev} p ON e.src = p.h
+                    UNION ALL SELECT h, d FROM {prev}
+                ) GROUP BY h
+            )"""
+        )
+        prev = f"d{i}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT n.h AS host,
+               CAST(coalesce(p.d, -1) AS BIGINT) AS hops
+        FROM nodes n LEFT JOIN {prev} p ON p.h = n.h
+    """
+    )
+
+
 def _pld_graph_sql() -> str:
     """DuckDB twin of web.pld_graph over the synthetic subdomain'd
     edges: distinct host pairs with closed-form PLDs, intra-domain
@@ -1405,6 +1451,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .where("(doc_id % 50) % 10 = 0")
             .selectExpr("concat('site', cast(doc_id % 50 as int)) AS host"),
             iterations=3,
+        ),
+        # BFS link distance from the same trusted seeds (crawl-depth
+        # prior; unreached = -1)
+        "web_host_hops": lambda spark, sf: web.host_hops(
+            _synth_rank_edges(_read(spark, sf, "documents")),
+            _read(spark, sf, "documents")
+            .where("(doc_id % 50) % 10 = 0")
+            .selectExpr("concat('site', cast(doc_id % 50 as int)) AS host"),
         ),
         # Spam mass (Gyöngyi et al. 2006): same edges + seeds as trustrank
         "web_host_spam_mass": lambda spark, sf: web.host_spam_mass(
@@ -5776,6 +5830,7 @@ def oracle_sql() -> dict[str, str]:
             FROM exact LEFT JOIN per ON per.host IS NOT DISTINCT FROM exact.host
         """,
         "web_host_pagerank": _pagerank_sql(),
+        "web_host_hops": _host_hops_sql(),
         "web_pld_graph": _pld_graph_sql(),
         "web_pld_pagerank": _pagerank_sql(
             e_body=f"SELECT src, dst FROM ({_pld_graph_sql()}) pldg"

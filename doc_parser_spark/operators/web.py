@@ -4144,3 +4144,58 @@ def host_dup_rate(pages: DataFrame, url_col: str = "url") -> DataFrame:
             "dup_permille"
         ),
     )
+
+
+def host_hops(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Link distance (BFS hop count) from a trusted seed set — the
+    crawl-depth prior beside :func:`host_trustrank`'s damped mass:
+    frontier schedulers cap how many hops past a seed they crawl
+    (Mercator/OPIC-era practice), and "unreachable within k hops" is the
+    crispest spam-island predicate there is. TrustRank attenuates but
+    mixes; hop distance is the exact min-path metric.
+
+    Iterative min-distance label propagation: dist(seed)=0, each sweep
+    relaxes one hop (``min(dist(src)+1)`` over in-edges). Hosts still
+    unreached after ``max_hops`` sweeps emit ``hops = -1`` (distinct
+    from any real distance, dense dtype). Sweeps are equi-joins on the
+    host key + map-side-combined min-aggregations; per-iteration
+    ``localCheckpoint`` keeps plan depth constant (the
+    pagerank/components discipline). BFS needs no numeric damping, so
+    the result is trivially integer-exact in any engine.
+    """
+    if max_hops <= 0:
+        raise ValueError(f"max_hops ({max_hops}) must be positive")
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("h"))
+        .union(e.select(F.col("dst").alias("h")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = nodes.join(
+        seeds.select(F.col("host").alias("h")).distinct(), "h", "left_semi"
+    ).select("h", F.lit(0).cast("long").alias("d"))
+    dist = dist.localCheckpoint(eager=True)
+    for _ in range(max_hops):
+        relaxed = (
+            e.join(dist, e["src"] == dist["h"])
+            .select(F.col("dst").alias("h"), (F.col("d") + 1).alias("d"))
+            .unionByName(dist)
+            .groupBy("h")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        dist = relaxed
+    out = nodes.join(dist, "h", "left").select(
+        F.col("h").alias("host"),
+        F.coalesce("d", F.lit(-1)).cast("long").alias("hops"),
+    )
+    e.unpersist()
+    return out

@@ -1031,3 +1031,40 @@ def test_sitemap_coverage_hand_computed(spark):
     assert (c.n_sitemap, c.n_crawled) == (1, 0)
     d = rows["d.com"]
     assert d.coverage_ppm is None and d.orphan_ppm == 1_000_000
+
+
+def test_host_hops_bfs(spark):
+    """Chain a->b->c->d with seed {a}: exact hop counts; e is an island
+    and must report -1; a seed not in the graph contributes nothing."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("e", "e2")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",), ("ghost",)], "host string")
+    out = {r["host"]: r["hops"] for r in web.host_hops(edges, seeds).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 3, "e": -1, "e2": -1}
+
+
+def test_host_hops_max_cap(spark):
+    """A 6-long chain with max_hops=2: nodes past the cap stay -1."""
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(6)], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("n0",)], "host string")
+    out = {
+        r["host"]: r["hops"]
+        for r in web.host_hops(edges, seeds, max_hops=2).collect()
+    }
+    assert out["n0"] == 0 and out["n1"] == 1 and out["n2"] == 2
+    assert out["n3"] == -1 and out["n6"] == -1
+
+
+def test_host_hops_min_over_paths(spark):
+    """Two paths to the same node: BFS takes the shorter."""
+    edges = spark.createDataFrame(
+        [("s", "x"), ("x", "y"), ("y", "t"), ("s", "t")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("s",)], "host string")
+    out = {r["host"]: r["hops"] for r in web.host_hops(edges, seeds).collect()}
+    assert out["t"] == 1
