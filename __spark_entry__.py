@@ -1717,6 +1717,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "av_video_stats": lambda spark, sf: multimodal.video_stats(
             multimodal.synth_video_corpus(_read(spark, sf, "documents"))
         ),
+        # 32-bit energy-envelope audio fingerprints + banded-Hamming
+        # near-dup pairs (the audio dedup path; oracle rebuilds every
+        # bit from the sample formula, pairs brute-forced under the
+        # pigeonhole guarantee)
+        "av_wav_fingerprint": lambda spark, sf: multimodal.wav_fingerprint(
+            multimodal.synth_audio_corpus(_read(spark, sf, "documents"))
+        ),
+        "av_wav_neardup": lambda spark, sf: multimodal.wav_neardup_pairs(
+            multimodal.wav_fingerprint(
+                multimodal.synth_audio_corpus(_read(spark, sf, "documents"))
+            )
+        ),
         # multimodal curation gate over both codec-stat panels
         "av_media_filter": lambda spark, sf: multimodal.media_filter(
             multimodal.wav_stats(
@@ -7134,6 +7146,45 @@ def oracle_sql() -> dict[str, str]:
                    g.clip_count, g.silence_permille
             FROM params p JOIN agg g ON g.doc_id = p.doc_id
         """,
+        # energy-envelope fingerprint twin: window energies from the
+        # sample formula, adjacent-compare bits assembled with << — the
+        # WAV codec round-trip is what Spark adds on top
+        "av_wav_fingerprint": f"""
+            WITH params AS (
+                SELECT doc_id,
+                       1600 + 800 * (doc_id % 7) AS n,
+                       17 + 2 * (doc_id % 13) AS a,
+                       (97 * doc_id) % {_mm.SYNTH_WAV_MOD} AS b
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, n, a, b, unnest(range(0, n)) AS i FROM params
+            ),
+            samples AS (
+                SELECT doc_id, n, i,
+                       ((a * i + b) % {_mm.SYNTH_WAV_MOD}) - 32768 AS s
+                FROM idx
+            ),
+            wins AS (
+                SELECT doc_id, i // (n // {_mm.WAV_FP_WINDOWS}) AS win, s
+                FROM samples
+                WHERE i < {_mm.WAV_FP_WINDOWS} * (n // {_mm.WAV_FP_WINDOWS})
+            ),
+            e AS (
+                SELECT doc_id, win, CAST(sum(s * s) AS BIGINT) AS e
+                FROM wins GROUP BY 1, 2
+            ),
+            lagged AS (
+                SELECT doc_id, win, e,
+                       lead(e) OVER (PARTITION BY doc_id ORDER BY win) AS ne
+                FROM e
+            )
+            SELECT doc_id,
+                   'decoded' AS status,
+                   CAST(coalesce(sum(CASE WHEN ne IS NOT NULL AND e > ne
+                       THEN 1 << win ELSE 0 END), 0) AS BIGINT) AS fp
+            FROM lagged GROUP BY doc_id
+        """,
         # AVI container twin: usec_per_frame is int(1e6/fps) = floor
         # division; frame sizes follow len(d,j) = 100 + (7d+13j) mod 50
         "av_video_stats": """
@@ -7412,6 +7463,17 @@ def oracle_sql() -> dict[str, str]:
                     WHEN lg.pred_lang = coalesce(d.lang, '') THEN 'match'
                     ELSE 'mismatch' END AS verdict
         FROM documents d JOIN lg ON lg.doc_id = d.doc_id
+    """
+
+    # audio near-dup twin: brute-force Hamming over the fingerprint
+    # twin — equals the banded engine under the pigeonhole guarantee
+    # (max_hamming 3 <= bands-1) as long as no bucket cap trips
+    d["av_wav_neardup"] = f"""
+        WITH f AS ({d["av_wav_fingerprint"]})
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        FROM f a JOIN f b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
     """
 
     # multimodal curation-gate twin: both codec-stat twins composed,

@@ -1247,3 +1247,99 @@ def media_filter(
             & F.coalesce("pass_video", F.lit(False))
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint dedup: a 32-bit energy-profile dHash per clip
+# (Shazam-family intuition reduced to its deterministic core: the
+# coarse loudness envelope survives re-encoding and small edits), then
+# near-dup pairs through the SAME banded-Hamming engine text SimHash
+# and image dHash use. The envelope is computed from integer sample
+# energies, so the DuckDB oracle rebuilds every bit from the synthetic
+# sample formula.
+
+WAV_FP_WINDOWS = 33  # 33 energy windows -> 32 comparison bits
+
+
+def _wav_fp_one(payload: bytes) -> dict:
+    """One WAV payload → 32-bit energy-envelope fingerprint.
+
+    Bit i is set iff window i's energy exceeds window i+1's (strict,
+    like image dHash); windows are ``n // 33`` samples, the trailing
+    remainder ignored. Clips shorter than 33 samples report status
+    ``short``."""
+    out = {"status": "decoded", "fp": None}
+    if not payload:
+        out["status"] = "empty"
+        return out
+    try:
+        rate, arr = wavlib.decode_wav(bytes(payload))
+    except wavlib.WavError as exc:
+        out["status"] = f"error:{type(exc).__name__}"
+        return out
+    ch0 = arr[:, 0]
+    if len(ch0) and not np.isfinite(ch0).all():
+        out["status"] = "error:NonFiniteSamples"
+        return out
+    s = np.rint(np.clip(ch0, -1.0, 1.0) * 32768.0).astype(np.int64)
+    w = len(s) // WAV_FP_WINDOWS
+    if w == 0:
+        out["status"] = "short"
+        return out
+    e = (s[: WAV_FP_WINDOWS * w] ** 2).reshape(WAV_FP_WINDOWS, w).sum(axis=1)
+    fp = 0
+    for i in range(WAV_FP_WINDOWS - 1):
+        if int(e[i]) > int(e[i + 1]):
+            fp |= 1 << i
+    out["fp"] = fp
+    return out
+
+
+WAV_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("fp", T.LongType()),
+    ]
+)
+
+
+def wav_fingerprint(audio: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """audio(doc_id, payload) → 32-bit energy-envelope fingerprints.
+    Pure map stage like wav_stats; per-row failure isolation."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            recs = []
+            for doc_id, payload in zip(batch["doc_id"], batch[payload_col]):
+                rec = _wav_fp_one(
+                    payload if payload is None else bytes(payload)
+                )
+                rec["doc_id"] = int(doc_id)
+                recs.append(rec)
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in WAV_FP_SCHEMA.fields]
+            )
+
+    return audio.select("doc_id", payload_col).mapInPandas(
+        kernel, schema=WAV_FP_SCHEMA
+    )
+
+
+def wav_neardup_pairs(
+    fps: DataFrame, max_hamming: int = 3, max_bucket: int = 2000
+) -> DataFrame:
+    """Fingerprint relation → near-dup clip pairs via the shared
+    banded-Hamming engine (4×8-bit bands over the 32-bit envelope hash;
+    pigeonhole guarantees recall for ``max_hamming ≤ 3``). Same
+    count-filtered-bucket discipline as every other near-dup path."""
+    from doc_parser_spark.operators.dedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        fps.where(F.col("fp").isNotNull()).select("doc_id", "fp"),
+        hash_col="fp",
+        bits=32,
+        bands=4,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )

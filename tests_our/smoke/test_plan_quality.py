@@ -437,8 +437,9 @@ _PANDAS_OK = {
     # coverage reconciliation rides the sitemap XML kernel
     "web_sitemap_coverage",
     # the Arrow-batched native WAV/AVI codecs ARE the operator (and the
-    # curation gate composes both panels)
+    # curation gate / fingerprint pair compose those kernels)
     "av_wav_stats", "av_video_stats", "av_media_filter",
+    "av_wav_fingerprint", "av_wav_neardup",
 }
 
 

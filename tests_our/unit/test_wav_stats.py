@@ -84,3 +84,49 @@ def test_stereo_uses_channel_zero():
     assert rec["n_samples"] == 4
     assert rec["peak"] == 1000
     assert rec["zero_crossings"] == 3
+
+
+@pytest.mark.unit
+@pytest.mark.parametrize("doc_id", [0, 5, 91, 400])
+def test_fingerprint_matches_replica(doc_id):
+    rate, n, a, b = mm.synth_wav_params(doc_id)
+    i = np.arange(n, dtype=np.int64)
+    s = (a * i + b) % mm.SYNTH_WAV_MOD - 32768
+    rec = mm._wav_fp_one(wavlib.encode_wav(s / 32768.0, rate, bits=16))
+    assert rec["status"] == "decoded"
+    w = n // mm.WAV_FP_WINDOWS
+    ref = 0
+    for k in range(mm.WAV_FP_WINDOWS - 1):
+        e0 = sum(int(v) ** 2 for v in s[k * w:(k + 1) * w])
+        e1 = sum(int(v) ** 2 for v in s[(k + 1) * w:(k + 2) * w])
+        if e0 > e1:
+            ref |= 1 << k
+    assert rec["fp"] == ref
+
+
+@pytest.mark.unit
+def test_fingerprint_robust_to_small_noise_and_gain():
+    """The envelope hash must survive mild re-encoding artifacts (the
+    reason it exists): small additive noise and a gain change keep the
+    Hamming distance tiny, while a different clip is far away."""
+    rng = np.random.RandomState(3)
+    base = (rng.randint(-20000, 20000, 4000)).astype(np.int64)
+    fp0 = mm._wav_fp_one(wavlib.encode_wav(base / 32768.0, 8000))["fp"]
+    noisy = base + rng.randint(-50, 50, 4000)
+    fp1 = mm._wav_fp_one(wavlib.encode_wav(noisy / 32768.0, 8000))["fp"]
+    gained = (base * 0.8).astype(np.int64)
+    fp2 = mm._wav_fp_one(wavlib.encode_wav(gained / 32768.0, 8000))["fp"]
+    other = (rng.randint(-20000, 20000, 4000)).astype(np.int64)
+    fp3 = mm._wav_fp_one(wavlib.encode_wav(other / 32768.0, 8000))["fp"]
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(fp0, fp1) <= 3
+    assert ham(fp0, fp2) <= 3
+    assert ham(fp0, fp3) > 3
+
+
+@pytest.mark.unit
+def test_fingerprint_short_and_hostile():
+    assert mm._wav_fp_one(b"")["status"] == "empty"
+    assert mm._wav_fp_one(b"RIFFxxxxWAVE")["status"].startswith("error:")
+    tiny = wavlib.encode_wav(np.zeros(10) / 32768.0, 8000)
+    assert mm._wav_fp_one(tiny)["status"] == "short"
