@@ -1142,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shard_manifest": q(text_analysis.shard_manifest, "documents"),
         "doc_ttr": q(text_analysis.lexical_diversity, "documents"),
         "doc_hash_sample": q(text_analysis.hash_sample, "documents"),
+        "doc_mix_sample": q(text_analysis.mix_sample, "documents"),
         "doc_stratified_sample": q(text_analysis.stratified_sample, "documents"),
         "doc_lm_fit": q(text_analysis.lm_fit_score, "documents"),
         "doc_dsir_weights": q(text_analysis.dsir_weights, "documents"),
@@ -7463,6 +7464,25 @@ def oracle_sql() -> dict[str, str]:
                     WHEN lg.pred_lang = coalesce(d.lang, '') THEN 'match'
                     ELSE 'mismatch' END AS verdict
         FROM documents d JOIN lg ON lg.doc_id = d.doc_id
+    """
+
+    # mix-epoch materialization twin: the domain_mix quota twin joined
+    # to the hash-sample key, per-source rank limit
+    d["doc_mix_sample"] = f"""
+        WITH q AS ({d["doc_domain_mix"]}),
+        k AS (
+            SELECT doc_id, source, {key_sql} AS hk FROM documents
+        ),
+        r AS (
+            SELECT k.doc_id, k.source, q.sample_quota,
+                   CAST(row_number() OVER (
+                       PARTITION BY k.source ORDER BY k.hk, k.doc_id
+                   ) AS BIGINT) AS sample_rank
+            FROM k JOIN q ON q.source = k.source
+        )
+        SELECT doc_id, source, sample_rank,
+               (sample_rank <= sample_quota) AS keep
+        FROM r
     """
 
     # audio near-dup twin: brute-force Hamming over the fingerprint

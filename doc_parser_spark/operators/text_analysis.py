@@ -2765,3 +2765,35 @@ def bpe_fertility(documents: DataFrame, n_merges: int = 6) -> DataFrame:
         .cast("long")
         .alias("fertility_x100"),
     )
+
+
+def mix_sample(
+    documents: DataFrame, epoch_docs: int = 100_000, salt: str = "s0"
+) -> DataFrame:
+    """Materialize one epoch of the temperature-scaled mix — the step
+    after :func:`domain_mix_weights` computes quotas: per source, the
+    ``sample_quota`` documents with the smallest deterministic hash keys
+    are kept (reproducible across runs/engines/partitionings — the same
+    md5-key scheme as :func:`hash_sample`, the same per-group rank-limit
+    shape as :func:`stratified_sample`).
+
+    Output one row per document: ``sample_rank`` within its source and
+    the ``keep`` flag (flags-not-filters). Scale shape: the quota
+    relation is domain-sized (tiny, joins on source); the window is
+    partitioned by source — never a global sort."""
+    quotas = domain_mix_weights(documents, epoch_docs).select(
+        "source", "sample_quota"
+    )
+    keyed = documents.select(
+        "doc_id", "source", _hash_key(salt).alias("hk")
+    )
+    w = Window.partitionBy("source").orderBy("hk", "doc_id")
+    ranked = keyed.join(quotas, "source").withColumn(
+        "sample_rank", F.row_number().over(w).cast("long")
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "sample_rank",
+        (F.col("sample_rank") <= F.col("sample_quota")).alias("keep"),
+    )

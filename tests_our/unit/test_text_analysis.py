@@ -1061,3 +1061,36 @@ def test_vocab_spectrum_hand_computed(spark):
     # shares against tt=6 types, tk=12 tokens
     assert rows[0].type_share_ppm == 500_000
     assert rows[2].token_share_ppm == (1_000_000 * 5) // 12
+
+
+def test_mix_sample_quotas_and_determinism(spark):
+    from doc_parser_spark.operators import text_analysis
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "tok " * 20, "big"))
+    for i in range(40, 50):
+        rows.append((i, "tok " * 20, "small"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = text_analysis.mix_sample(df, epoch_docs=20)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert len(got) == 50  # flags, not filters
+    quotas = {
+        r["source"]: r["sample_quota"]
+        for r in text_analysis.domain_mix_weights(df, 20).collect()
+    }
+    for src in ("big", "small"):
+        kept = [d for d, r in got.items() if r["source"] == src and r["keep"]]
+        assert len(kept) == min(
+            quotas[src], sum(1 for r in got.values() if r["source"] == src)
+        ), src
+    # temperature alpha=0.5 up-weights the small source beyond its share
+    assert quotas["small"] / 10 > quotas["big"] / 40
+
+    # deterministic under repartitioning
+    again = {
+        r["doc_id"]: r.asDict()
+        for r in text_analysis.mix_sample(df.repartition(7), epoch_docs=20)
+        .collect()
+    }
+    assert again == got
