@@ -7467,11 +7467,15 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # mix-epoch materialization twin: the domain_mix quota twin joined
-    # to the hash-sample key, per-source rank limit
+    # to the hash-sample key, per-source rank limit. The corpus has no
+    # NULL sources; the Spark operator's NULL→'' fold is pinned by its
+    # unit test, not exercised here.
     d["doc_mix_sample"] = f"""
         WITH q AS ({d["doc_domain_mix"]}),
         k AS (
-            SELECT doc_id, source, {key_sql} AS hk FROM documents
+            SELECT doc_id, coalesce(source, '') AS source,
+                   {key_sql} AS hk
+            FROM documents
         ),
         r AS (
             SELECT k.doc_id, k.source, q.sample_quota,

@@ -987,6 +987,30 @@ def synth_audio_corpus(documents: DataFrame) -> DataFrame:
 
 WAV_SILENCE_ABS = 512  # |s| below this counts as silence (~ -36 dBFS)
 
+
+def _wav_pcm16(payload) -> tuple:
+    """Shared WAV ingestion prologue for every audio kernel:
+    payload → (status, rate, int64 channel-0 samples at PCM16 scale).
+
+    One definition so the hardening rules stay in sync across kernels:
+    float-PCM WAVs pass through decode_wav unclipped, so NaN/Inf samples
+    (which make ``rint(...).astype(int64)`` platform-undefined —
+    observed INT64_MIN → negative "mean of absolute values") gate the
+    row with ``error:NonFiniteSamples``, and finite out-of-range samples
+    clamp to full scale like the integer paths (an unclamped square
+    would overflow the int64 accumulators)."""
+    if not payload:
+        return "empty", 0, None
+    try:
+        rate, arr = wavlib.decode_wav(bytes(payload))
+    except wavlib.WavError as exc:
+        return f"error:{type(exc).__name__}", 0, None
+    ch0 = arr[:, 0]
+    if len(ch0) and not np.isfinite(ch0).all():
+        return "error:NonFiniteSamples", 0, None
+    s = np.rint(np.clip(ch0, -1.0, 1.0) * 32768.0).astype(np.int64)
+    return "decoded", int(rate), s
+
 WAV_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -1017,24 +1041,10 @@ def _wav_stats_one(payload: bytes) -> dict:
         "duration_ms": None, "peak": None, "energy": None, "mean_abs": None,
         "zero_crossings": None, "clip_count": None, "silence_permille": None,
     }
-    if not payload:
-        out["status"] = "empty"
+    status, rate, s = _wav_pcm16(payload)
+    if status != "decoded":
+        out["status"] = status
         return out
-    try:
-        rate, arr = wavlib.decode_wav(bytes(payload))
-    except wavlib.WavError as exc:
-        out["status"] = f"error:{type(exc).__name__}"
-        return out
-    ch0 = arr[:, 0]
-    # float-PCM WAVs pass through decode_wav unclipped: NaN/Inf samples
-    # would make rint(...).astype(int64) platform-undefined (observed:
-    # INT64_MIN -> negative "mean of absolute values"), and out-of-range
-    # finite samples would overflow the int64 square — gate the former
-    # per-row, clamp the latter to full scale like the integer paths
-    if len(ch0) and not np.isfinite(ch0).all():
-        out["status"] = "error:NonFiniteSamples"
-        return out
-    s = np.rint(np.clip(ch0, -1.0, 1.0) * 32768.0).astype(np.int64)
     n = len(s)
     out["sample_rate"] = int(rate)
     out["n_samples"] = n
@@ -1269,19 +1279,10 @@ def _wav_fp_one(payload: bytes) -> dict:
     remainder ignored. Clips shorter than 33 samples report status
     ``short``."""
     out = {"status": "decoded", "fp": None}
-    if not payload:
-        out["status"] = "empty"
+    status, _rate, s = _wav_pcm16(payload)
+    if status != "decoded":
+        out["status"] = status
         return out
-    try:
-        rate, arr = wavlib.decode_wav(bytes(payload))
-    except wavlib.WavError as exc:
-        out["status"] = f"error:{type(exc).__name__}"
-        return out
-    ch0 = arr[:, 0]
-    if len(ch0) and not np.isfinite(ch0).all():
-        out["status"] = "error:NonFiniteSamples"
-        return out
-    s = np.rint(np.clip(ch0, -1.0, 1.0) * 32768.0).astype(np.int64)
     w = len(s) // WAV_FP_WINDOWS
     if w == 0:
         out["status"] = "short"
@@ -1332,9 +1333,19 @@ def wav_neardup_pairs(
     """Fingerprint relation → near-dup clip pairs via the shared
     banded-Hamming engine (4×8-bit bands over the 32-bit envelope hash;
     pigeonhole guarantees recall for ``max_hamming ≤ 3``). Same
-    count-filtered-bucket discipline as every other near-dup path."""
+    count-filtered-bucket discipline as every other near-dup path:
+    ``max_bucket`` drops viral identical-fingerprint groups whole — a
+    disclosed recall cap, so the brute-force oracle twin matches only
+    while the largest group stays under it (on the synthetic corpus
+    groups grow ~6 per 1000 docs: safe to ~300k docs at the default)."""
     from doc_parser_spark.operators.dedup import banded_hamming_pairs
 
+    if max_hamming > 4 - 1:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be <= 3: the 4-band "
+            "pigeonhole guarantee does not hold past bands-1, silently "
+            "losing recall"
+        )
     return banded_hamming_pairs(
         fps.where(F.col("fp").isNotNull()).select("doc_id", "fp"),
         hash_col="fp",

@@ -2778,9 +2778,15 @@ def mix_sample(
     shape as :func:`stratified_sample`).
 
     Output one row per document: ``sample_rank`` within its source and
-    the ``keep`` flag (flags-not-filters). Scale shape: the quota
-    relation is domain-sized (tiny, joins on source); the window is
-    partitioned by source — never a global sort."""
+    the ``keep`` flag (flags-not-filters). NULL sources fold to the ''
+    group BEFORE everything (a NULL key would silently vanish in the
+    quota equi-join — NULL never equals NULL — breaking the
+    one-row-per-document contract). Scale shape: the quota relation is
+    domain-sized (tiny, joins on source); the window is partitioned by
+    source — never a global sort."""
+    documents = documents.withColumn(
+        "source", F.coalesce(F.col("source"), F.lit(""))
+    )
     quotas = domain_mix_weights(documents, epoch_docs).select(
         "source", "sample_quota"
     )
