@@ -1455,6 +1455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # BFS link distance from the same trusted seeds (crawl-depth
         # prior; unreached = -1)
+        "web_degree_spectrum": lambda spark, sf: web.degree_spectrum(
+            _synth_rank_edges(_read(spark, sf, "documents"))
+        ),
         "web_host_hops": lambda spark, sf: web.host_hops(
             _synth_rank_edges(_read(spark, sf, "documents")),
             _read(spark, sf, "documents")
@@ -5844,6 +5847,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "web_host_pagerank": _pagerank_sql(),
         "web_host_hops": _host_hops_sql(),
+        # degree-spectrum twin: the host_degree twin rebucketed with the
+        # same length(bin())-1 floor-log2 and per-direction shares
+        "web_degree_spectrum": f"""
+            WITH hd AS ({_host_degree_sql()}),
+            dirs AS (
+                SELECT 'out' AS direction,
+                       CAST(length(bin(out_degree)) - 1 AS BIGINT) AS bucket
+                FROM hd WHERE out_degree > 0
+                UNION ALL
+                SELECT 'in',
+                       CAST(length(bin(in_degree)) - 1 AS BIGINT)
+                FROM hd WHERE in_degree > 0
+            ),
+            c AS (
+                SELECT direction, bucket,
+                       CAST(count(*) AS BIGINT) AS n_hosts
+                FROM dirs GROUP BY 1, 2
+            ),
+            t AS (
+                SELECT direction, CAST(count(*) AS BIGINT) AS n_total
+                FROM dirs GROUP BY 1
+            )
+            SELECT c.direction, c.bucket,
+                   CAST(pow(2, c.bucket) AS BIGINT) AS min_degree,
+                   c.n_hosts,
+                   CAST((1000 * c.n_hosts) // t.n_total AS BIGINT)
+                       AS share_permille
+            FROM c JOIN t ON t.direction = c.direction
+        """,
         "web_pld_graph": _pld_graph_sql(),
         "web_pld_pagerank": _pagerank_sql(
             e_body=f"SELECT src, dst FROM ({_pld_graph_sql()}) pldg"

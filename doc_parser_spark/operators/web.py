@@ -4199,3 +4199,46 @@ def host_hops(
     )
     e.unpersist()
     return out
+
+
+def degree_spectrum(edges: DataFrame) -> DataFrame:
+    """Log₂-bucketed degree distribution of the host graph — the
+    power-law health check (a natural web graph is heavy-tailed; a
+    bucket bulge at one degree is a link-farm ring, a truncated tail a
+    crawler frontier bug). The graph-side twin of
+    ``text_analysis.vocab_spectrum``.
+
+    One row per (direction, bucket): ``min_degree = 2^bucket``,
+    ``n_hosts``, and the integer per-mille share of that direction's
+    hosts. ``floor(log2(n))`` is ``length(bin(n)) - 1`` — the log-free
+    integer form every spectrum/bit-cost op here uses, so the bucket
+    edges are bit-exact in any engine. Rides :func:`host_degree` (one
+    distinct-edge rollup) plus two tiny direction aggregates."""
+    deg = host_degree(edges).select("host", "out_degree", "in_degree")
+    parts = []
+    for direction in ("out", "in"):
+        col = f"{direction}_degree"
+        parts.append(
+            deg.where(F.col(col) > 0).select(
+                F.lit(direction).alias("direction"),
+                F.expr(f"length(bin({col})) - 1")
+                .cast("long")
+                .alias("bucket"),
+            )
+        )
+    both = parts[0].unionByName(parts[1])
+    counts = both.groupBy("direction", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts")
+    )
+    totals = both.groupBy("direction").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    return counts.join(totals, "direction").select(
+        "direction",
+        "bucket",
+        F.expr("CAST(pow(2, bucket) AS BIGINT)").alias("min_degree"),
+        "n_hosts",
+        F.expr("(1000 * n_hosts) DIV n_total").cast("long").alias(
+            "share_permille"
+        ),
+    )

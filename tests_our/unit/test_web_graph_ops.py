@@ -1068,3 +1068,24 @@ def test_host_hops_min_over_paths(spark):
     seeds = spark.createDataFrame([("s",)], "host string")
     out = {r["host"]: r["hops"] for r in web.host_hops(edges, seeds).collect()}
     assert out["t"] == 1
+
+
+def test_degree_spectrum_buckets(spark):
+    """Hub with out-degree 5 lands in bucket 2 (4..7); leaves with
+    out-degree 1 in bucket 0; in-direction counts the 5 targets."""
+    edges = spark.createDataFrame(
+        [("hub", f"t{i}") for i in range(5)] + [("leaf", "t0")],
+        "src string, dst string",
+    )
+    out = {
+        (r["direction"], r["bucket"]): r.asDict()
+        for r in web.degree_spectrum(edges).collect()
+    }
+    assert out[("out", 2)]["n_hosts"] == 1          # hub: floor(log2 5)=2
+    assert out[("out", 2)]["min_degree"] == 4
+    assert out[("out", 0)]["n_hosts"] == 1          # leaf
+    assert out[("out", 0)]["share_permille"] == 500
+    # in-degrees: t0 has 2 (bucket 1), t1..t4 have 1 (bucket 0)
+    assert out[("in", 1)]["n_hosts"] == 1
+    assert out[("in", 0)]["n_hosts"] == 4
+    assert out[("in", 0)]["share_permille"] == 800
