@@ -51,7 +51,10 @@ NEW_OPS = [
     "doc_shard_manifest", "doc_ttr", "emb_matryoshka_topk",
     "emb_dim_stats", "emb_recall_eval", "events_bot_sessions",
     "doc_dedup_eval", "web_pld_graph", "web_pld_pagerank",
-    "av_media_filter", "doc_lang_audit",
+    "av_media_filter", "doc_lang_audit", "doc_bpe_fertility",
+    "web_host_dup_rate", "emb_knn_label_eval", "web_host_hops",
+    "av_wav_fingerprint", "av_wav_neardup", "doc_mix_sample",
+    "web_degree_spectrum",
 ]
 
 
