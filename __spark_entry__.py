@@ -1605,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fps": q(text_analysis.winnow_fingerprints, "documents"),
         "doc_winnow_pairs": q(text_analysis.winnow_pairs, "documents"),
         "doc_features": q(text_analysis.doc_features, "documents"),
+        "doc_quality_grid": q(text_analysis.quality_grid, "documents"),
         "doc_vocab_spectrum": q(text_analysis.vocab_spectrum, "documents"),
         "web_url_classify": lambda spark, sf: web.url_classify(
             _read(spark, sf, "documents").selectExpr(_URLTYPE_URL_SQL)
@@ -7496,6 +7497,23 @@ def oracle_sql() -> dict[str, str]:
                     WHEN lg.pred_lang = coalesce(d.lang, '') THEN 'match'
                     ELSE 'mismatch' END AS verdict
         FROM documents d JOIN lg ON lg.doc_id = d.doc_id
+    """
+
+    # filter-interaction grid twin: the feature-panel twin regrouped on
+    # the four boolean verdicts + scalar total
+    d["doc_quality_grid"] = f"""
+        WITH f AS ({d["doc_features"]}),
+        c AS (
+            SELECT gopher_keep, rep_keep, is_code, slop_suspect,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM f GROUP BY 1, 2, 3, 4
+        ),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM f)
+        SELECT c.gopher_keep, c.rep_keep, c.is_code, c.slop_suspect,
+               c.n_docs,
+               CAST((1000 * c.n_docs) // t.n_total AS BIGINT)
+                   AS share_permille
+        FROM c CROSS JOIN t
     """
 
     # mix-epoch materialization twin: the domain_mix quota twin joined

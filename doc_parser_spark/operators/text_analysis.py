@@ -2803,3 +2803,33 @@ def mix_sample(
         "sample_rank",
         (F.col("sample_rank") <= F.col("sample_quota")).alias("keep"),
     )
+
+
+def quality_grid(documents: DataFrame) -> DataFrame:
+    """Filter-interaction grid over :func:`doc_features` — the dashboard
+    a funnel tuner reads before ordering/thresholding gates: how many
+    documents fall in each combination of the boolean quality verdicts
+    (Gopher × repetition × code × LLM-slop). Near-perfectly correlated
+    gates are redundant (drop one, save a corpus pass); anti-correlated
+    ones flag different failure modes and must both stay.
+
+    One map-side-combined groupBy over 16 possible keys on top of the
+    feature panel; integer per-mille shares against the corpus total
+    (scalar broadcast cross join, the vocab_spectrum pattern)."""
+    feats = doc_features(documents).select(
+        "gopher_keep", "rep_keep", "is_code", "slop_suspect"
+    )
+    counts = feats.groupBy(
+        "gopher_keep", "rep_keep", "is_code", "slop_suspect"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    total = feats.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "gopher_keep",
+        "rep_keep",
+        "is_code",
+        "slop_suspect",
+        "n_docs",
+        F.expr("(1000 * n_docs) DIV n_total").cast("long").alias(
+            "share_permille"
+        ),
+    )

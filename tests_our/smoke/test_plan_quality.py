@@ -399,6 +399,9 @@ _BNLJ_OK = {
     "doc_kn_score",
     # feature panel composes the KN channel, inheriting that scalar
     "doc_features",
+    # grid over the feature panel: inherits the KN scalar + its own
+    # one-row total cross join
+    "doc_quality_grid",
     # spectrum totals: one-row aggregate cross-joined back (scalar)
     "doc_vocab_spectrum",
     # stage-1 brute-force shortlist: tiny query side broadcast, like

@@ -1094,3 +1094,19 @@ def test_mix_sample_quotas_and_determinism(spark):
         .collect()
     }
     assert again == got
+
+
+def test_quality_grid_partitions_the_corpus(spark):
+    from doc_parser_spark.operators import text_analysis
+
+    rows = [(i, ("word " * 60 + ". ") if i % 2 == 0 else "x", "s")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = [r.asDict() for r in text_analysis.quality_grid(df).collect()]
+    # the cells partition the corpus exactly
+    assert sum(r["n_docs"] for r in out) == 20
+    assert sum(r["share_permille"] for r in out) <= 1000
+    for r in out:
+        assert r["share_permille"] == 1000 * r["n_docs"] // 20
+        for k in ("gopher_keep", "rep_keep", "is_code", "slop_suspect"):
+            assert isinstance(r[k], bool)
