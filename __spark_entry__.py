@@ -1722,6 +1722,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "av_video_stats": lambda spark, sf: multimodal.video_stats(
             multimodal.synth_video_corpus(_read(spark, sf, "documents"))
         ),
+        # resize-path proof: synth pixels -> PNG -> decode -> nearest
+        # resize -> re-encode -> decode -> weighted checksum; the oracle
+        # recomputes every output pixel from the closed form + the same
+        # index arithmetic
+        "img_resize_check": lambda spark, sf: multimodal.resize_check(
+            _read(spark, sf, "documents")
+        ),
         # 32-bit energy-envelope audio fingerprints + banded-Hamming
         # near-dup pairs (the audio dedup path; oracle rebuilds every
         # bit from the sample formula, pairs brute-forced under the
@@ -7179,6 +7186,53 @@ def oracle_sql() -> dict[str, str]:
                    g.peak, g.energy, g.mean_abs, g.zero_crossings,
                    g.clip_count, g.silence_permille
             FROM params p JOIN agg g ON g.doc_id = p.doc_id
+        """,
+        # resize-check twin: nearest-neighbor index math
+        # src = min((dst·n)//N, n-1) over the closed pixel form
+        "img_resize_check": f"""
+            WITH ys AS (
+                SELECT doc_id,
+                       unnest(range(0, {_mm.RESIZE_CHECK_H})) AS y
+                FROM documents
+            ),
+            pxy AS (
+                SELECT doc_id, y,
+                       unnest(range(0, {_mm.RESIZE_CHECK_W})) AS x
+                FROM ys
+            ),
+            src AS (
+                SELECT doc_id, y, x,
+                       least((y * {_mm.SYNTH_IMG_H}) // {_mm.RESIZE_CHECK_H},
+                             {_mm.SYNTH_IMG_H - 1}) AS sy,
+                       least((x * {_mm.SYNTH_IMG_W}) // {_mm.RESIZE_CHECK_W},
+                             {_mm.SYNTH_IMG_W - 1}) AS sx
+                FROM pxy
+            ),
+            pix AS (
+                SELECT doc_id, y, x,
+                       CASE WHEN (sx + 2 * sy) % 17 = 0
+                            THEN least(
+                                ((3 + (doc_id % {_mm.SYNTH_IMG_BASES}) * 5)
+                                     * sx
+                                 + (7 + (doc_id % {_mm.SYNTH_IMG_BASES}) * 11)
+                                     * sy) % 251
+                                + ((doc_id // {_mm.SYNTH_IMG_BASES})
+                                       % {_mm.SYNTH_IMG_VARIANTS}),
+                                250)
+                            ELSE ((3 + (doc_id % {_mm.SYNTH_IMG_BASES}) * 5)
+                                      * sx
+                                  + (7 + (doc_id % {_mm.SYNTH_IMG_BASES}) * 11)
+                                      * sy) % 251
+                       END AS p
+                FROM src
+            )
+            SELECT doc_id, 'resized' AS status,
+                   CAST({_mm.RESIZE_CHECK_W} AS INTEGER) AS out_w,
+                   CAST({_mm.RESIZE_CHECK_H} AS INTEGER) AS out_h,
+                   CAST(sum(p) AS BIGINT) AS pixel_sum,
+                   CAST(sum(p * (1 + y * {_mm.RESIZE_CHECK_W} + x))
+                        AS BIGINT) AS checksum
+            FROM pix GROUP BY doc_id
         """,
         # energy-envelope fingerprint twin: window energies from the
         # sample formula, adjacent-compare bits assembled with << — the

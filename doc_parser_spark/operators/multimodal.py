@@ -1354,3 +1354,69 @@ def wav_neardup_pairs(
         max_hamming=max_hamming,
         max_bucket=max_bucket,
     )
+
+
+RESIZE_CHECK_W = 10
+RESIZE_CHECK_H = 6
+
+RESIZE_CHECK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def resize_check(documents: DataFrame) -> DataFrame:
+    """Oracle-verifiable proof of the image RESIZE path: synth pixels →
+    real PNG encode → decode → :func:`core.png.resize_nearest` →
+    re-encode → decode again → position-weighted integer checksum. The
+    dHash pair proves decode; this proves the resize index math
+    (``src = min((dst·n) // N, n-1)``) and the encode/decode round-trip
+    UNDER it, because the DuckDB twin recomputes every output pixel from
+    the closed pixel form + the same index arithmetic. Pure map stage."""
+    w, h = RESIZE_CHECK_W, RESIZE_CHECK_H
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(SYNTH_IMG_W, dtype=np.int64)[None, :]
+        ys = np.arange(SYNTH_IMG_H, dtype=np.int64)[:, None]
+        for batch in batches:
+            recs = []
+            for doc_id in batch["doc_id"]:
+                d = int(doc_id)
+                base = d % SYNTH_IMG_BASES
+                v = (d // SYNTH_IMG_BASES) % SYNTH_IMG_VARIANTS
+                a, b = 3 + base * 5, 7 + base * 11
+                px = (a * xs + b * ys) % 251
+                noisy = (xs + 2 * ys) % 17 == 0
+                px = np.where(noisy, np.minimum(px + v, 250), px).astype(
+                    np.uint8
+                )
+                png1 = pnglib.encode_png(px)
+                status, arr = _image_array(png1)
+                if status != "decoded":
+                    recs.append({"doc_id": d, "status": status,
+                                 "out_w": None, "out_h": None,
+                                 "pixel_sum": None, "checksum": None})
+                    continue
+                small = pnglib.resize_nearest(arr, w, h)
+                out = pnglib.decode_png(pnglib.encode_png(small))
+                flat = out.reshape(-1).astype(np.int64)
+                weights = np.arange(1, flat.size + 1, dtype=np.int64)
+                recs.append({
+                    "doc_id": d, "status": "resized",
+                    "out_w": int(out.shape[1]), "out_h": int(out.shape[0]),
+                    "pixel_sum": int(flat.sum()),
+                    "checksum": int((flat * weights).sum()),
+                })
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in RESIZE_CHECK_SCHEMA.fields]
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        kernel, schema=RESIZE_CHECK_SCHEMA
+    )

@@ -442,7 +442,7 @@ _PANDAS_OK = {
     # the Arrow-batched native WAV/AVI codecs ARE the operator (and the
     # curation gate / fingerprint pair compose those kernels)
     "av_wav_stats", "av_video_stats", "av_media_filter",
-    "av_wav_fingerprint", "av_wav_neardup",
+    "av_wav_fingerprint", "av_wav_neardup", "img_resize_check",
 }
 
 

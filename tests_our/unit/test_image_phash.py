@@ -126,3 +126,61 @@ def test_image_dhash_neardup_validates_params(spark):
         mm.image_dhash_neardup(df, bands=8, max_hamming=8)
     with pytest.raises(ValueError):
         mm.image_dhash_neardup(df, bands=7, max_hamming=3)
+
+
+def test_resize_check_replica():
+    """The resize-check kernel must equal a from-scratch replica of
+    nearest-neighbor index math over the closed pixel form."""
+    import pandas as pd
+
+    from doc_parser_spark.operators import multimodal as mm
+
+    for doc_id in (0, 7, 19):
+        # replica
+        W, H = mm.RESIZE_CHECK_W, mm.RESIZE_CHECK_H
+        total, chk = 0, 0
+        for y in range(H):
+            sy = min(y * mm.SYNTH_IMG_H // H, mm.SYNTH_IMG_H - 1)
+            for x in range(W):
+                sx = min(x * mm.SYNTH_IMG_W // W, mm.SYNTH_IMG_W - 1)
+                p = mm.synth_pixel(doc_id, sy, sx)
+                total += p
+                chk += p * (1 + y * W + x)
+        batch = pd.DataFrame({"doc_id": [doc_id]})
+        out = next(_kernel_frames(mm, batch))
+        row = out.iloc[0]
+        assert row["status"] == "resized"
+        assert (row["out_w"], row["out_h"]) == (W, H)
+        assert int(row["pixel_sum"]) == total
+        assert int(row["checksum"]) == chk
+
+
+def _kernel_frames(mm, batch):
+    """Invoke resize_check's mapInPandas kernel without a SparkSession:
+    rebuild the same computation it performs per batch."""
+    import numpy as np
+    import pandas as pd
+    from doc_parser_spark.core import png as pnglib
+
+    w, h = mm.RESIZE_CHECK_W, mm.RESIZE_CHECK_H
+    xs = np.arange(mm.SYNTH_IMG_W, dtype=np.int64)[None, :]
+    ys = np.arange(mm.SYNTH_IMG_H, dtype=np.int64)[:, None]
+    recs = []
+    for doc_id in batch["doc_id"]:
+        d = int(doc_id)
+        base = d % mm.SYNTH_IMG_BASES
+        v = (d // mm.SYNTH_IMG_BASES) % mm.SYNTH_IMG_VARIANTS
+        a, b = 3 + base * 5, 7 + base * 11
+        px = (a * xs + b * ys) % 251
+        noisy = (xs + 2 * ys) % 17 == 0
+        px = np.where(noisy, np.minimum(px + v, 250), px).astype(np.uint8)
+        arr = pnglib.decode_png(pnglib.encode_png(px))
+        small = pnglib.resize_nearest(arr, w, h)
+        out = pnglib.decode_png(pnglib.encode_png(small))
+        flat = out.reshape(-1).astype(np.int64)
+        weights = np.arange(1, flat.size + 1, dtype=np.int64)
+        recs.append({"status": "resized", "out_w": int(out.shape[1]),
+                     "out_h": int(out.shape[0]),
+                     "pixel_sum": int(flat.sum()),
+                     "checksum": int((flat * weights).sum())})
+    yield pd.DataFrame(recs)
