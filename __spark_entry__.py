@@ -6745,7 +6745,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_readability": f"""
             WITH base AS (
                 SELECT doc_id,
-                       concat(coalesce(text, ''), {_READ_DECOR_SQL}) AS t
+                       replace(concat(coalesce(text, ''),
+                                      {_READ_DECOR_SQL}),
+                               chr(1), '') AS t
                 FROM documents
             ),
             ch AS (

@@ -1008,7 +1008,10 @@ def _wav_pcm16(payload) -> tuple:
     ch0 = arr[:, 0]
     if len(ch0) and not np.isfinite(ch0).all():
         return "error:NonFiniteSamples", 0, None
-    s = np.rint(np.clip(ch0, -1.0, 1.0) * 32768.0).astype(np.int64)
+    # positive full scale is 32767/32768 — a hard-limited float WAV at
+    # +1.0 must land on 32767 (inside PCM16, seen by the clip detector),
+    # not 32768 (outside range, invisible to `s == 32767`)
+    s = np.rint(np.clip(ch0, -1.0, 32767.0 / 32768.0) * 32768.0).astype(np.int64)
     return "decoded", int(rate), s
 
 WAV_STATS_SCHEMA = T.StructType(

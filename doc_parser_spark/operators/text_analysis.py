@@ -2550,7 +2550,10 @@ def readability(documents: DataFrame) -> DataFrame:
     defaults, like doc_features). Pure projection — zero shuffles, scales
     as a map stage.
     """
-    t = "coalesce(text, '')"
+    # pre-existing U+0001 bytes would collide with the sentinel (counted
+    # as sentence boundaries and vowel groups) — strip them first, in
+    # both engines
+    t = "replace(coalesce(text, ''), chr(1), '')"
     # maximal [.!?]+ runs -> chr(1) sentinels, counted by length delta
     se = f"regexp_replace({t}, '[.!?]+', chr(1))"
     n_sent = f"(length({se}) - length(replace({se}, chr(1), '')))"
@@ -2814,16 +2817,21 @@ def quality_grid(documents: DataFrame) -> DataFrame:
     ones flag different failure modes and must both stay.
 
     One map-side-combined groupBy over 16 possible keys on top of the
-    feature panel; integer per-mille shares against the corpus total
-    (scalar broadcast cross join, the vocab_spectrum pattern)."""
+    feature panel; the corpus total is a window sum OVER the grouped
+    counts (≤16 rows through one reducer), so the expensive feature
+    lineage — including the KN-score channel — is scanned exactly once
+    instead of twice (once per aggregate branch)."""
     feats = doc_features(documents).select(
         "gopher_keep", "rep_keep", "is_code", "slop_suspect"
     )
     counts = feats.groupBy(
         "gopher_keep", "rep_keep", "is_code", "slop_suspect"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    total = feats.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    return counts.crossJoin(F.broadcast(total)).select(
+    counts = counts.withColumn(
+        "n_total",
+        F.sum("n_docs").over(Window.partitionBy()).cast("long"),
+    )
+    return counts.select(
         "gopher_keep",
         "rep_keep",
         "is_code",

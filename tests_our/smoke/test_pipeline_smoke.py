@@ -57,20 +57,20 @@ def test_streaming_extraction(spark, tmp_path):
     pages_df(spark, 60, num_partitions=2).write.parquet(in_dir)
 
     q = stream_extract(spark, in_dir, out_dir, ckpt, available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out"
     docs = spark.read.parquet(out_dir)
     assert docs.count() == 60
     assert docs.where("status = 'success'").count() >= 50
 
     # restart with no new data: checkpoint prevents reprocessing
     q2 = stream_extract(spark, in_dir, out_dir, ckpt, available_now=True)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "streaming query timed out"
     assert spark.read.parquet(out_dir).count() == 60
 
     # new files arriving are picked up incrementally
     pages_df(spark, 20, seed=99, num_partitions=1).write.mode("append").parquet(in_dir)
     q3 = stream_extract(spark, in_dir, out_dir, ckpt, available_now=True)
-    q3.awaitTermination(120)
+    assert q3.awaitTermination(120), "streaming query timed out"
     assert spark.read.parquet(out_dir).count() == 80
 
 
@@ -110,7 +110,7 @@ def test_streaming_kill_resume_exactly_once_parity(spark, tmp_path):
             break  # >=1 micro-batch committed; backlog still pending
         time.sleep(0.1)
     q.stop()  # kill mid-stream
-    q.awaitTermination(60)
+    assert q.awaitTermination(60), "streaming query timed out"
     mid = spark.read.parquet(out_dir).count()
     assert 0 < mid < total, f"stream not killed mid-backlog (mid={mid})"
 
@@ -119,7 +119,7 @@ def test_streaming_kill_resume_exactly_once_parity(spark, tmp_path):
         spark, in_dir, out_dir, ckpt,
         available_now=True, max_files_per_trigger=1,
     )
-    q2.awaitTermination(180)
+    assert q2.awaitTermination(180), "streaming query timed out"
     out = spark.read.parquet(out_dir).select(
         "url", "document_hash", "status"
     )
@@ -162,7 +162,7 @@ def test_streaming_stateful_totals(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out"
     got = {
         r["user_id"]: r["n_events"]
         for r in spark.sql("select * from user_totals").collect()
@@ -412,7 +412,7 @@ def test_streaming_watermark_drops_late_events(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "streaming query timed out"
 
     # batch 1: three on-time events in [10:00,10:10) + a 12:00 event that
     # pushes the watermark to 11:30, finalizing the 10:00 window
@@ -528,14 +528,14 @@ def test_streaming_url_dedup(spark, tmp_path):
     batch1 = [page("http://WWW.ex.com:80/a?utm_source=1"), page("http://ex.com/b")]
     spark.createDataFrame(batch1).write.parquet(in_dir)
     q = stream_url_dedup(spark, in_dir, out_dir, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out"
 
     # second batch: a canonical re-fetch of /a plus a new url — state must
     # survive the restart through the checkpoint
     batch2 = [page("http://ex.com/a"), page("http://ex.com/c")]
     spark.createDataFrame(batch2).write.mode("append").parquet(in_dir)
     q2 = stream_url_dedup(spark, in_dir, out_dir, ckpt)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "streaming query timed out"
 
     out = spark.read.parquet(out_dir)
     urls = sorted(r.canonical_url for r in out.collect())
@@ -587,7 +587,7 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "streaming query timed out"
     got = {
         (r["user_id"], r["session_no"]): (r["n_events"], r["sum_value"])
         for r in spark.sql("select * from sessions_stream").collect()
@@ -682,7 +682,7 @@ def test_streaming_ingestion_relations(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "streaming query timed out"
         got = sorted(
             tuple(r) for r in spark.sql(f"select * from {name}").collect()
         )
@@ -722,7 +722,7 @@ def test_streaming_polite_schedule_slots_continue_across_batches(spark, tmp_path
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "streaming query timed out"
 
     b1 = [
         Row(host="a.com", url="u2", discovered_ts=t(1), delay_ms=1000),
@@ -831,7 +831,7 @@ def test_streaming_host_rate_matches_batch_and_flags_violations(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "streaming query timed out"
     streamed = [
         r for r in spark.sql("SELECT * FROM host_rate_stream").collect()
         if r.host != "sentinel.com"
@@ -872,6 +872,6 @@ def test_streaming_wav_stats_parity(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out"
     out = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
     assert out == batch

@@ -399,8 +399,8 @@ _BNLJ_OK = {
     "doc_kn_score",
     # feature panel composes the KN channel, inheriting that scalar
     "doc_features",
-    # grid over the feature panel: inherits the KN scalar + its own
-    # one-row total cross join
+    # grid over the feature panel: inherits the KN scalar (its own total
+    # is a ≤16-row window sum now, not a cross join)
     "doc_quality_grid",
     # spectrum totals: one-row aggregate cross-joined back (scalar)
     "doc_vocab_spectrum",

@@ -69,3 +69,18 @@ def test_numeric_tokens_floor_one_syllable(spark):
     out = _run(spark, [(1, "42 99 --- xyz.")])
     # every vowel-free token floors to 1 syllable
     assert out[1]["n_syllables"] == 4
+
+
+@pytest.mark.unit
+def test_preexisting_u0001_is_not_a_sentence_boundary(spark):
+    # adversarial input carrying the sentinel byte: U+0001 must not be
+    # counted as a sentence boundary or a vowel group (stripped before
+    # the sentinel substitution in both engines)
+    out = _run(spark, [(1, "a\x01b cat sat."), (2, "\x01\x01\x01")])
+    r1 = out[1]
+    assert r1["n_sentences"] == 1
+    # tokens: 'a\x01b' (a -> 1 vowel group), 'cat', 'sat' -> 3 syllables
+    assert (r1["n_words"], r1["n_syllables"]) == (3, 3)
+    r2 = out[2]
+    # only-sentinel text strips to empty
+    assert r2["band"] == "empty" and r2["n_sentences"] == 0

@@ -76,6 +76,18 @@ def test_hostile_payloads_isolate_per_row():
 
 
 @pytest.mark.unit
+def test_float_full_scale_clips_like_integer_path():
+    # a hard-limited float32 WAV at +1.0 must map to PCM16 full scale
+    # (32767) and register on the clip detector — the float and integer
+    # paths share one full-scale value
+    s = np.array([1.0, -1.0, 0.5, 1.0], dtype=np.float64)
+    rec = mm._wav_stats_one(wavlib.encode_wav(s, 8000, bits=-32))
+    assert rec["status"] == "decoded"
+    assert rec["peak"] == 32768  # |-1.0| -> -32768, in range
+    assert rec["clip_count"] == 3  # +1.0 twice -> 32767, -1.0 -> -32768
+
+
+@pytest.mark.unit
 def test_stereo_uses_channel_zero():
     left = np.array([1000, -1000, 1000, -1000], dtype=np.int64)
     right = np.zeros(4, dtype=np.int64)
