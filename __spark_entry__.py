@@ -7620,9 +7620,12 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # mix-epoch materialization twin: the domain_mix quota twin joined
-    # to the hash-sample key, per-source rank limit. The corpus has no
-    # NULL sources; the Spark operator's NULL→'' fold is pinned by its
-    # unit test, not exercised here.
+    # to the hash-sample key. The oracle keeps the straightforward
+    # per-source rank-limit formulation — the Spark engine's two-pass
+    # bucket-threshold selection is provably the same kept set (bucket
+    # order refines hk order), so the independent rank twin IS the
+    # equivalence check. The corpus has no NULL sources; the Spark
+    # operator's NULL→'' fold is pinned by its unit test, not here.
     d["doc_mix_sample"] = f"""
         WITH q AS ({d["doc_domain_mix"]}),
         k AS (
@@ -7637,7 +7640,7 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS sample_rank
             FROM k JOIN q ON q.source = k.source
         )
-        SELECT doc_id, source, sample_rank,
+        SELECT doc_id, source,
                (sample_rank <= sample_quota) AS keep
         FROM r
     """

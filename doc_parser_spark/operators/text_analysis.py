@@ -2771,41 +2771,93 @@ def bpe_fertility(documents: DataFrame, n_merges: int = 6) -> DataFrame:
 
 
 def mix_sample(
-    documents: DataFrame, epoch_docs: int = 100_000, salt: str = "s0"
+    documents: DataFrame,
+    epoch_docs: int = 100_000,
+    salt: str = "s0",
+    n_buckets: int = 4096,
 ) -> DataFrame:
     """Materialize one epoch of the temperature-scaled mix — the step
     after :func:`domain_mix_weights` computes quotas: per source, the
     ``sample_quota`` documents with the smallest deterministic hash keys
     are kept (reproducible across runs/engines/partitionings — the same
-    md5-key scheme as :func:`hash_sample`, the same per-group rank-limit
-    shape as :func:`stratified_sample`).
+    md5-key scheme as :func:`hash_sample`).
 
-    Output one row per document: ``sample_rank`` within its source and
-    the ``keep`` flag (flags-not-filters). NULL sources fold to the ''
-    group BEFORE everything (a NULL key would silently vanish in the
-    quota equi-join — NULL never equals NULL — breaking the
-    one-row-per-document contract). Scale shape: the quota relation is
-    domain-sized (tiny, joins on source); the window is partitioned by
-    source — never a global sort."""
+    Output one row per document: ``doc_id, source, keep``
+    (flags-not-filters). NULL sources fold to the '' group BEFORE
+    everything (a NULL key would silently vanish in the quota equi-join
+    — NULL never equals NULL — breaking the one-row-per-document
+    contract).
+
+    Scale shape — two-pass quota-threshold selection, NOT a per-source
+    corpus rank: an exact ``row_number() OVER (PARTITION BY source)``
+    with a quota-*column* filter defeats ``WindowGroupLimit`` pushdown,
+    so every document of a source would flow through one reducer for a
+    full sort (with a handful of sources over 10^12 rows that task IS
+    the job). Instead:
+
+    1. histogram pass: the 32-bit key space is cut into ``n_buckets``
+       equal ranges; one map-side-combined ``(source, bucket)`` groupBy
+       yields per-bucket counts (≤ sources × n_buckets rows);
+    2. threshold: a cumulative sum over that *bounded* relation finds,
+       per source, the single boundary bucket where the running count
+       crosses the quota — every lower bucket is wholly kept, every
+       higher one wholly dropped;
+    3. refine: only the boundary bucket (an expected 1/n_buckets slice
+       of its source) is exactly ranked by ``(hk, doc_id)``.
+
+    The bucket-verdict relation is broadcast back onto the corpus (a
+    map-side join; bounded by sources × n_buckets — at very large
+    domain counts lower ``n_buckets`` or drop the broadcast hint). The
+    kept set is bit-identical to the rank formulation: bucket order
+    refines ``hk`` order, so "quota smallest ``(hk, doc_id)``" is
+    preserved exactly."""
     documents = documents.withColumn(
         "source", F.coalesce(F.col("source"), F.lit(""))
     )
     quotas = domain_mix_weights(documents, epoch_docs).select(
         "source", "sample_quota"
     )
+    width = (1 << 32) // n_buckets
     keyed = documents.select(
         "doc_id", "source", _hash_key(salt).alias("hk")
+    ).withColumn("bucket", F.expr(f"hk DIV {width}").cast("long"))
+    bcounts = keyed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    w = Window.partitionBy("source").orderBy("hk", "doc_id")
-    ranked = keyed.join(quotas, "source").withColumn(
-        "sample_rank", F.row_number().over(w).cast("long")
+    wsrc = Window.partitionBy("source").orderBy("bucket")
+    verdicts = (
+        bcounts.withColumn("cum_after", F.sum("cnt").over(wsrc))
+        .withColumn("cum_before", F.col("cum_after") - F.col("cnt"))
+        .join(quotas, "source")
+        .select(
+            "source",
+            "bucket",
+            "cum_before",
+            "sample_quota",
+            F.expr(
+                "CASE WHEN cum_after <= sample_quota THEN 'all'"
+                " WHEN cum_before >= sample_quota THEN 'none'"
+                " ELSE 'boundary' END"
+            ).alias("verdict"),
+        )
     )
-    return ranked.select(
-        "doc_id",
-        "source",
-        "sample_rank",
-        (F.col("sample_rank") <= F.col("sample_quota")).alias("keep"),
+    tagged = keyed.join(F.broadcast(verdicts), ["source", "bucket"])
+    clear = tagged.where("verdict <> 'boundary'").select(
+        "doc_id", "source", (F.col("verdict") == "all").alias("keep")
     )
+    wb = Window.partitionBy("source", "bucket").orderBy("hk", "doc_id")
+    boundary = (
+        tagged.where("verdict = 'boundary'")
+        .withColumn("rk", F.row_number().over(wb).cast("long"))
+        .select(
+            "doc_id",
+            "source",
+            (F.col("cum_before") + F.col("rk") <= F.col("sample_quota")).alias(
+                "keep"
+            ),
+        )
+    )
+    return clear.unionByName(boundary)
 
 
 def quality_grid(documents: DataFrame) -> DataFrame:

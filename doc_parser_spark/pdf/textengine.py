@@ -635,12 +635,21 @@ class TextEngine:
                 adv = (w_em * tfs + tc + (tw if is_space else 0.0)) * tz
                 e2 = adv * qa + qe
                 f2 = adv * qb + qf
+                # glyph extent = ink advance only (w·tfs·tz); the pen
+                # still moves by the Tc/Tw-inclusive advance.  A show op
+                # like [(XX)]TJ with Tc≈5em paints X's five columns apart
+                # (redp5110 Table 2-2) — folding Tc into x1 glues such
+                # cells into "XX" where docling-parse splits them at the
+                # inter-ink gap.
+                ink = w_em * tfs * tz
+                ei = ink * qa + qe
+                fi = ink * qb + qf
                 if uni:
                     glyphs_append(
                         Glyph(
                             text=uni,
                             x0=x_mul + (qe * ca + qf * cc_ + ce),
-                            x1=x_mul + (e2 * ca + f2 * cc_ + ce),
+                            x1=x_mul + (ei * ca + fi * cc_ + ce),
                             y=y_mul + (qe * cb + qf * cd + cf),
                             size=size,
                             spaced=spaced,

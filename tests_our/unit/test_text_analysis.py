@@ -1095,6 +1095,41 @@ def test_mix_sample_quotas_and_determinism(spark):
     }
     assert again == got
 
+    # the bucket-threshold selection keeps exactly the quota smallest
+    # (hk, doc_id) per source — the rank formulation, recomputed here
+    from pyspark.sql import functions as F
+
+    keys = {
+        r["doc_id"]: r["hk"]
+        for r in df.select(
+            "doc_id", text_analysis._hash_key("s0").alias("hk")
+        ).collect()
+    }
+    for src, n in (("big", 40), ("small", 10)):
+        members = sorted(
+            (d for d, r in got.items() if r["source"] == src),
+            key=lambda d: (keys[d], d),
+        )
+        want_kept = set(members[: quotas[src]])
+        assert {
+            d for d, r in got.items() if r["source"] == src and r["keep"]
+        } == want_kept, src
+
+    # scale gate: no corpus-wide per-source sort — the only row_number
+    # window partitions by (source, bucket) and runs after the boundary
+    # filter; a tiny n_buckets forces real boundary refinement
+    tiny = text_analysis.mix_sample(df, epoch_docs=20, n_buckets=4)
+    assert {r["doc_id"] for r in tiny.collect() if r["keep"]} == {
+        d for d, r in got.items() if r["keep"]
+    }
+    import re
+
+    plan = tiny._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(
+        r"row_number\(\) windowspecdefinition\(source#\d+, (\w+)#", plan
+    )
+    assert specs and all(c == "bucket" for c in specs), specs
+
 
 def test_quality_grid_partitions_the_corpus(spark):
     from doc_parser_spark.operators import text_analysis
