@@ -54,8 +54,11 @@ _CAPTION_RE = re.compile(
 )
 _MONO_RE = re.compile(
     # common monospace families + CMTT (Computer Modern Typewriter, the
-    # TeX monospace — what LaTeX-produced PDFs set code in)
-    r"courier|mono|consol|cmtt|menlo|inconsolata|sourcecode|dejavusansm",
+    # TeX monospace — what LaTeX-produced PDFs set code in) +
+    # BookMasterGothic (the IBM BookMaster toolchain's code face: every
+    # Redbooks/Redpaper listing, CL command, and identifier is set in it)
+    r"courier|mono|consol|cmtt|menlo|inconsolata|sourcecode|dejavusansm"
+    r"|bookmastergothic",
     re.IGNORECASE,
 )
 # TeX math faces (Computer Modern Math Italic / Symbols / Extension, the

@@ -374,7 +374,14 @@ def _detect_rules_only(
             by_row[cd.start_row] = by_row.get(cd.start_row, 0) + 1
             if cd.text.strip():
                 cols_used.add(cd.start_col)
-        if sum(1 for v in by_row.values() if v >= 2) < 2:
+        multi = sum(1 for v in by_row.values() if v >= 2)
+        if multi < 2:
+            continue
+        # MOST rows must split into columns (the module contract): a
+        # brochure/sidebar page between decorative full-width rules has
+        # parallel text flows that share a gutter, but only a minority of
+        # its line-rows land in both columns (redp5110 cover: 8/30)
+        if multi * 2 < len(rows_y):
             continue
         if len(cols_used) < 2:
             continue

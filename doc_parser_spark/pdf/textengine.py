@@ -28,7 +28,7 @@ AVG_GLYPH_EM = 0.5  # historical fixed-advance estimate (metricless fonts)
 
 # word gap as a fraction of font size; TeX inter-word kerns are ~0.25-0.35 em,
 # intra-word kerning stays well under 0.1 em
-SPACE_GAP_EM = 0.16
+SPACE_GAP_EM = 0.15
 # gap that splits a visual row into separate cells. docling-parse splits
 # textlines at sentence-size kerns (~0.55 em, measured against the
 # *.pages.json goldens) and at font changes; metricless fonts keep the
@@ -143,6 +143,7 @@ class Font:
     """Per-resource font: code decoding + glyph advances (text-space em)."""
 
     name: str = ""
+    raw_name: str = ""  # /BaseFont verbatim incl. subset prefix (markers)
     bytes_per_code: int = 1
     widths: dict[int, float] = field(default_factory=dict)  # code → em
     default_width: float = AVG_GLYPH_EM
@@ -161,10 +162,16 @@ class Font:
         if code in self.diffs:
             return self.diffs[code]
         if self.base_encoding == "WinAnsiEncoding":
-            return bytes([code & 0xFF]).decode("cp1252", errors="replace")
-        if self.base_encoding == "MacRomanEncoding":
-            return bytes([code & 0xFF]).decode("mac_roman", errors="replace")
-        return bytes([code & 0xFF]).decode("latin-1")
+            ch = bytes([code & 0xFF]).decode("cp1252", errors="replace")
+        elif self.base_encoding == "MacRomanEncoding":
+            ch = bytes([code & 0xFF]).decode("mac_roman", errors="replace")
+        else:
+            ch = bytes([code & 0xFF]).decode("latin-1")
+        if ch < " " and ch not in "\t\n\r\f" or "\x7f" <= ch <= "\x9f":
+            # a control char is not a mapping — docling-parse emits the
+            # GLYPH<c=..,font=..> marker (subset prefix kept) instead
+            return f"GLYPH<c={code},font=/{self.raw_name}>"
+        return ch
 
     def iter_codes(self, raw: bytes):
         """yield (code, unicode, advance_em, is_space_code)."""
@@ -216,10 +223,9 @@ def parse_font(font_body: bytes, objects: dict, cmap_cache: dict, *,
     subtype = sub.group(1).decode() if sub else ""
     bf = re.search(rb"/BaseFont\s*/([^\s/<>\[\]()]+)", font_body)
     if bf:
+        f.raw_name = bf.group(1).decode("latin-1")
         # strip the 6-letter subset prefix (ABCDEF+CourierNew → CourierNew)
-        f.name = re.sub(
-            r"^[A-Z]{6}\+", "", bf.group(1).decode("latin-1")
-        )
+        f.name = re.sub(r"^[A-Z]{6}\+", "", f.raw_name)
 
     tu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", font_body)
     if tu:
@@ -247,6 +253,11 @@ def parse_font(font_body: bytes, objects: dict, cmap_cache: dict, *,
                 inner = re.search(rb"(\d+)\s+\d+\s+R", dbody)
                 dbody = objects.get(int(inner.group(1)), b"")
         if dbody:
+            dbf = re.search(rb"/BaseFont\s*/([^\s/<>\[\]()]+)", dbody)
+            if dbf:
+                # GLYPH<> markers name the descendant CIDFont (subset
+                # prefix, no -Identity-H suffix) — docling-parse parity
+                f.raw_name = dbf.group(1).decode("latin-1")
             dw = re.search(rb"/DW\s+([-\d.]+)", dbody)
             if dw:
                 f.default_width = float(dw.group(1)) / 1000.0
@@ -318,11 +329,12 @@ def parse_font(font_body: bytes, objects: dict, cmap_cache: dict, *,
                 code = 0
                 for tok in re.findall(rb"/[^\s/\[\]<>()]+|[-+]?\d+", darr):
                     if tok.startswith(b"/"):
-                        u = glyph_name_to_unicode(
-                            tok[1:].decode("latin-1")
-                        )
-                        if u:
-                            f.diffs[code] = u
+                        name = tok[1:].decode("latin-1")
+                        u = glyph_name_to_unicode(name)
+                        # unknown glyph name (subset gNNN ids, vendor
+                        # bullets like SM590000): docling-parse renders
+                        # the name itself as "/name" — keep that parity
+                        f.diffs[code] = u if u else "/" + name
                         code += 1
                     else:
                         code = int(tok)
@@ -342,6 +354,12 @@ class Glyph:
     spaced: bool  # font has real metrics → positional spacing trustworthy
     font: int = 0  # font resource identity (cells split at font changes)
     font_name: str = ""  # /BaseFont sans subset prefix (layout labeling)
+    # writing direction: 0 = horizontal; +1/-1 = vertical with the pen
+    # advancing toward +y / -y in device space (rotated table headers)
+    rot: int = 0
+    # device-space ink advance along the reading direction — vertical
+    # runs need it for gap/space decisions (x1-x0 collapses to ~0 there)
+    adv: float = 0.0
 
 
 _RTL_RE = re.compile(
@@ -435,6 +453,10 @@ def assemble_cells(
     → positional space insertion (metric fonts only) → bidi runs."""
     if not glyphs:
         return []
+    vertical = [g for g in glyphs if g.rot]
+    glyphs = [g for g in glyphs if not g.rot]
+    if not glyphs:
+        return _assemble_vertical(vertical, page_height, page_no, cell_cls, 0)
     # cluster baselines (y in device space)
     glyphs = sorted(glyphs, key=lambda g: (-g.y, g.x0))
     lines: list[list[Glyph]] = []
@@ -541,6 +563,107 @@ def assemble_cells(
                 )
             )
             counter += 1
+    cells.extend(
+        _assemble_vertical(vertical, page_height, page_no, cell_cls, counter)
+    )
+    return cells
+
+
+def _assemble_vertical(
+    vertical: list[Glyph],
+    page_height: float,
+    page_no: int,
+    cell_cls,
+    counter: int,
+) -> list:
+    """Rotated runs → textline cells (the transposed twin of the
+    horizontal path: the ``x`` position is the baseline, reading order
+    runs along device ``y`` in the pen's advance direction — rotated
+    table headers like redp5110's Table 2-2 read bottom-to-top).
+
+    Reference behavior: docling-parse emits rotated headers as ordinary
+    left-to-right strings (``*JOBCTL``), so the run is joined in reading
+    order and boxed by its vertical extent."""
+    cells: list = []
+    for rot in (1, -1):
+        vg = [g for g in vertical if g.rot == rot]
+        if not vg:
+            continue
+        # cluster the x "baselines", then read each run along rot*y
+        vg.sort(key=lambda g: (g.x0, rot * g.y))
+        lines: list[list[Glyph]] = [[vg[0]]]
+        for g in vg[1:]:
+            prev = lines[-1][0]
+            tol = LINE_TOL_EM * max(g.size, prev.size, 1.0)
+            if abs(g.x0 - prev.x0) <= tol:
+                lines[-1].append(g)
+            else:
+                lines.append([g])
+        for line in lines:
+            line.sort(key=lambda g: rot * g.y)
+            groups: list[list[Glyph]] = [[line[0]]]
+            for g in line[1:]:
+                prev = groups[-1][-1]
+                size = max(prev.size, g.size, 1.0)
+                gap = rot * (g.y - prev.y) - prev.adv
+                if gap > CELL_SPLIT_EM * size:
+                    groups.append([g])
+                else:
+                    groups[-1].append(g)
+            for run in groups:
+                parts: list[str] = []
+                prev_g = None
+                for g in run:
+                    if (
+                        prev_g is not None
+                        and g.spaced
+                        and prev_g.spaced
+                        and not g.text[:1].isspace()
+                        and not prev_g.text[-1:].isspace()
+                        and rot * (g.y - prev_g.y) - prev_g.adv
+                        > SPACE_GAP_EM * max(g.size, prev_g.size)
+                    ):
+                        parts.append(" ")
+                    parts.append(g.text)
+                    prev_g = g
+                text = "".join(parts)
+                if not text.strip():
+                    continue
+                size = max(g.size for g in run)
+                y_lo = min(g.y for g in run) - (run[-1].adv if rot < 0 else 0)
+                y_hi = max(g.y for g in run) + (run[-1].adv if rot > 0 else 0)
+                # glyph ink rises toward -x for +rot (90° CCW), +x for -rot
+                x = min(g.x0 for g in run)
+                x_l = x - (0.8 * size if rot > 0 else 0.2 * size)
+                x_r = x + (0.2 * size if rot > 0 else 0.8 * size)
+                cells.append(
+                    cell_cls(
+                        index=counter,
+                        text=text,
+                        l=x_l,
+                        t=page_height - y_hi,
+                        r=x_r,
+                        b=page_height - y_lo,
+                        font_size=size,
+                        page_no=page_no,
+                        font_name=next(
+                            (
+                                g.font_name
+                                for g in run
+                                if g.font_name and not g.text.isspace()
+                            ),
+                            "",
+                        ),
+                        font_names=tuple(
+                            dict.fromkeys(
+                                g.font_name
+                                for g in run
+                                if g.font_name and not g.text.isspace()
+                            )
+                        ),
+                    )
+                )
+                counter += 1
     return cells
 
 
@@ -624,9 +747,26 @@ class TextEngine:
             ta = qa * ca + qb * cc_
             tcc = qc_ * ca + qd * cc_
             tdd = qc_ * cb + qd * cd
-            size = abs(tfs * tdd) or abs((tfs * tz) * ta) or tfs
+            # rotated runs: the glyph-height direction maps to device x
+            # through tcc (the text-space y-axis), so that is the second
+            # fallback before the x-axis scale
+            size = (
+                abs(tfs * tdd)
+                or abs(tfs * tcc)
+                or abs((tfs * tz) * ta)
+                or tfs
+            )
             x_mul = ts * tcc
             y_mul = ts * tdd
+            # device direction of the text-space x-axis: |dx|>=|dy| is
+            # ordinary horizontal text; otherwise the run is rotated and
+            # the pen advances along device y (sign = reading direction)
+            dirx = qa * ca + qb * cc_
+            diry = qa * cb + qb * cd
+            if abs(dirx) >= abs(diry):
+                rot = 0
+            else:
+                rot = 1 if diry > 0 else -1
             spaced = f.has_metrics
             fid = id(f)
             fname = f.name
@@ -655,6 +795,8 @@ class TextEngine:
                             spaced=spaced,
                             font=fid,
                             font_name=fname,
+                            rot=rot,
+                            adv=abs(ink * diry) if rot else 0.0,
                         )
                     )
                 qe, qf = e2, f2
