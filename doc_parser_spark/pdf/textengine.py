@@ -476,6 +476,24 @@ def assemble_cells(
     counter = 0
     for line in lines:
         line.sort(key=lambda g: g.x0)
+        # double-paint dedup: the same character re-struck with its ink
+        # nearly coincident (fake-bold double strikes; doubled kashida
+        # stretch glyphs in justified Arabic) collapses to one glyph —
+        # docling-parse sanitizes these the same way. Distinct repeats
+        # (XX, oo, ...) advance past the 70% overlap bar and survive.
+        pruned = [line[0]]
+        for g in line[1:]:
+            p = pruned[-1]
+            w = max(p.x1 - p.x0, g.x1 - g.x0)
+            if (
+                g.text == p.text
+                and not g.text.isspace()
+                and w > 0
+                and min(p.x1, g.x1) - max(p.x0, g.x0) >= 0.7 * w
+            ):
+                continue
+            pruned.append(g)
+        line = pruned
         rtl_line = any(_direction(g.text[:1]) < 0 for g in line)
         # split into cells on big gaps and — LTR lines only — font changes
         # (docling-parse starts a new textline cell per font run: the
