@@ -78,24 +78,15 @@ def merge_horizontal_cells(
             return group[0]
         ordered = sorted(group, key=lambda c: c.l)
         _dom = max(group, key=lambda c: (c.height, c.r - c.l))
-        # reference re-extracts text from the merged bbox via the pdfium
-        # text page, which renders a space across inter-cell gaps; the
-        # stream-cell equivalent joins with ' ' when the gap is space-sized
-        # (zero-gap font-change splits still re-join seamlessly)
+        # reference parity: page_assemble_model.sanitize_text joins the
+        # cluster's textline cells with " " unconditionally (save for
+        # dash dehyphenation, handled at block level) — even a zero-gap
+        # bold→regular boundary renders "Writing : Tools", never
+        # "Writing: Tools" (multi_page golden). No golden contains a
+        # seamless zero-gap cell join, so the separator is flat.
         parts = [ordered[0].text]
-        for prev, cur in zip(ordered, ordered[1:]):
-            sz = min(prev.font_size, cur.font_size) or prev.height or 1.0
-            # sub/superscript joins separate ('a' + '2' → 'a 2'): a
-            # clearly smaller cell OFF the shared baseline. The baseline
-            # test keeps small-caps/drop-cap mixes ('V'+'ATICAN', same
-            # bottom) joining seamlessly at zero gap.
-            big_h = max(prev.height, cur.height)
-            sup_boundary = (
-                min(prev.height, cur.height) < 0.85 * big_h
-                and abs(prev.b - cur.b) > 0.2 * big_h
-            )
-            if cur.l - prev.r > 0.16 * sz or sup_boundary:
-                parts.append(" ")
+        for cur in ordered[1:]:
+            parts.append(" ")
             parts.append(cur.text)
         return TextCell(
             index=group[0].index,

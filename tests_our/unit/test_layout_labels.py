@@ -384,8 +384,10 @@ def test_leading_bold_heading_splits_from_paragraph():
     assert labels.split_leading_bold_heading([head, b1], 12.0) == [[head, b1]]
 
 
-def test_smallcaps_zero_gap_does_not_get_space():
-    # small-caps share the baseline: 'V'+'ATICAN' must join seamlessly
+def test_smallcaps_zero_gap_merges_one_cell_with_space_join():
+    # small-caps share the baseline: 'V'+'ATICAN' merges into ONE cell;
+    # the joint carries the flat " " separator of the reference's
+    # sanitize_text (no golden exhibits a seamless zero-gap cell join)
     from doc_parser_spark.pdf import minipdf
 
     def cell(i, text, l, r, t, b, fs):
@@ -397,7 +399,7 @@ def test_smallcaps_zero_gap_does_not_get_space():
     from doc_parser_spark.pdf import layout
 
     merged = layout.merge_horizontal_cells([big, small])
-    assert len(merged) == 1 and merged[0].text == "VATICAN"
+    assert len(merged) == 1 and merged[0].text == "V ATICAN"
 
 
 def test_inline_math_in_prose_stays_text():

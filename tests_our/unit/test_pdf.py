@@ -44,10 +44,13 @@ def test_horizontal_merge_exact_math():
     merged = layout.merge_horizontal_cells(near)
     assert len(merged) == 1 and merged[0].text == "c0 c1"
 
-    # zero-gap split (font change mid-word: 'di|ffi|cult') re-joins seamlessly
+    # zero-gap split still merges to one cell, but the joint gets a
+    # space: the reference's sanitize_text joins cluster cells with " "
+    # unconditionally (multi_page golden: bold"Writing" + ": Tools" ->
+    # "Writing : Tools"); no golden contains a seamless zero-gap join
     tight = [cell(0, 72, 100), cell(1, 100.5, 130)]
     merged = layout.merge_horizontal_cells(tight)
-    assert len(merged) == 1 and merged[0].text == "c0c1"
+    assert len(merged) == 1 and merged[0].text == "c0 c1"
 
     far = [cell(0, 72, 100), cell(1, 130, 150)]  # gap 30 > 11
     assert len(layout.merge_horizontal_cells(far)) == 2
