@@ -1197,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_label_eval": q(similarity.knn_label_eval, "embeddings"),
         "emb_pq_adc_topk": q(similarity.pq_adc_topk, "embeddings"),
         "emb_ivfpq_topk": q(similarity.ivfpq_topk, "embeddings"),
+        "emb_ivfpq_res_topk": q(similarity.ivfpq_res_topk, "embeddings"),
         "emb_semdedup": q(similarity.semdedup, "embeddings"),
         # relational breadth
         "q1_pricing_summary": q(relational.pricing_summary, "lineitem"),
@@ -1789,6 +1790,7 @@ _DRIVER_PRIORITY = [
     "emb_decontaminate", "emb_pq_codes", "emb_sq8_codes", "emb_sq8_topk",
     "emb_matryoshka_topk", "emb_dim_stats", "emb_recall_eval",
     "emb_knn_label_eval", "emb_pq_adc_topk", "emb_ivfpq_topk",
+    "emb_ivfpq_res_topk",
     "emb_semdedup", "q4_order_priority", "q22_inactive_customers",
     "events_bot_sessions", "events_props_stats", "events_funnel",
     "doc_corpus_profile", "doc_script_profile", "events_error_click_window",
@@ -2450,7 +2452,7 @@ _SQ8_CTES = """ex AS (
 
 def _pq_ctes(
     dims: int = 64, m: int = 4, ksub: int = 4, iters: int = 2,
-    sample: int = 1024,
+    sample: int = 1024, src: str = "embeddings",
 ) -> str:
     """DuckDB twin of similarity.pq_train: per-subspace Lloyd's, all M
     subspaces in one CTE chain keyed by ``sub``. Parity contract matches
@@ -2475,7 +2477,7 @@ def _pq_ctes(
     )
     ctes = [
         f"""ptrain AS (
-            SELECT vec_id, embedding FROM embeddings
+            SELECT vec_id, embedding FROM {src}
             ORDER BY vec_id LIMIT {sample}
         )""",
         f"""books0 AS (
@@ -2523,7 +2525,7 @@ def _pq_ctes(
                 SELECT e.vec_id, b.sub, b.code,
                        row_number() OVER (PARTITION BY e.vec_id, b.sub
                                           ORDER BY {dist}, b.code) AS rn
-                FROM embeddings e CROSS JOIN books{iters} b
+                FROM {src} e CROSS JOIN books{iters} b
             ) WHERE rn = 1
         )"""
     )
@@ -2617,6 +2619,90 @@ def _ivfpq_topk_sql(
             JOIN ivf_final v ON v.vec_id = a.vec_id
             JOIN probe p ON p.cid = v.cid
             JOIN lut l ON l.query_id = p.query_id
+                      AND l.sub = a.sub AND l.code = a.code
+            WHERE l.query_id <> a.vec_id
+            GROUP BY l.query_id, a.vec_id
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(neighbor_id AS BIGINT) AS neighbor_id,
+               CAST(adist AS BIGINT) AS adist,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+            ) AS rank FROM scored
+        ) WHERE rank <= {knn}
+    """
+
+
+def _ivfpq_res_topk_sql(
+    dims: int = 64, k: int = 8, iters: int = 2, nprobe: int = 2,
+    m: int = 4, ksub: int = 4, n_queries: int = 5, knn: int = 5,
+) -> str:
+    """DuckDB twin of similarity.ivfpq_res_topk: the faiss residual
+    layout — the PQ CTE chain trains/encodes over ``rcorpus`` (each
+    vector minus its final coarse centroid, double arithmetic identical
+    to the Spark zip_with) and the ADC lookup table is built per probed
+    cell against the query's residual in that cell."""
+    dsub = dims // m
+    dist_ec = (
+        f"list_sum(list_transform(generate_series(1, {dims}), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i]) "
+        "* (CAST(e.embedding[i] AS DOUBLE) - c.c[i])))"
+    )
+    dist_qc = dist_ec.replace("e.embedding", "q.embedding")
+    rdist = (
+        f"list_sum(list_transform(generate_series(1, {dsub}), "
+        f"i -> (qr.r[b.sub * {dsub} + i] - b.c[i]) "
+        f"* (qr.r[b.sub * {dsub} + i] - b.c[i])))"
+    )
+    return f"""
+        WITH {_ivf_ctes(dims, k, iters)},
+        ivf_final AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {dist_ec}, c.cid) AS rn
+                FROM embeddings e CROSS JOIN cents{iters} c
+            ) WHERE rn = 1
+        ),
+        rcorpus AS (
+            SELECT e.vec_id,
+                   list_transform(generate_series(1, {dims}),
+                       i -> CAST(e.embedding[i] AS DOUBLE) - c.c[i])
+                       AS embedding
+            FROM embeddings e
+            JOIN ivf_final v USING (vec_id)
+            JOIN cents{iters} c ON c.cid = v.cid
+        ),
+        {_pq_ctes(dims, m, ksub, iters, src="rcorpus")},
+        probe AS (
+            SELECT vec_id AS query_id, cid FROM (
+                SELECT q.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY {dist_qc}, c.cid) AS rn
+                FROM embeddings q CROSS JOIN cents{iters} c
+                WHERE q.vec_id < {n_queries}
+            ) WHERE rn <= {nprobe}
+        ),
+        qres AS (
+            SELECT p.query_id, p.cid,
+                   list_transform(generate_series(1, {dims}),
+                       i -> CAST(q.embedding[i] AS DOUBLE) - c.c[i]) AS r
+            FROM probe p
+            JOIN embeddings q ON q.vec_id = p.query_id
+            JOIN cents{iters} c ON c.cid = p.cid
+        ),
+        lut AS (
+            SELECT qr.query_id, qr.cid, b.sub, b.code,
+                   CAST(floor({rdist} * 1e6) AS BIGINT) AS d
+            FROM qres qr CROSS JOIN books{iters} b
+        ),
+        scored AS (
+            SELECT l.query_id, a.vec_id AS neighbor_id, sum(l.d) AS adist
+            FROM pasg_final a
+            JOIN ivf_final v ON v.vec_id = a.vec_id
+            JOIN lut l ON l.cid = v.cid
                       AND l.sub = a.sub AND l.code = a.code
             WHERE l.query_id <> a.vec_id
             GROUP BY l.query_id, a.vec_id
@@ -4892,6 +4978,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_pq_adc_topk": _pq_adc_topk_sql(),
         "emb_ivfpq_topk": _ivfpq_topk_sql(),
+        "emb_ivfpq_res_topk": _ivfpq_res_topk_sql(),
         "emb_semdedup": _semdedup_sql(),
         # per-dim health panel twin: identical element-level floor(1e6·v)
         # quantization, then exact integer aggregation (order-independent

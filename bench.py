@@ -105,7 +105,7 @@ def main() -> None:
             t0 = time.perf_counter()
             thunk()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = min(timings.get(name, float("inf")), round(best, 3))
         # Release blocks persisted inside the query (LSH/jaccard persist
         # their banded/shingle projections for intra-plan reuse). In
         # production each job's caches die with the job; here all queries
@@ -125,33 +125,48 @@ def main() -> None:
         f"{stage_dir}/pages"
     )
     pages = spark.read.parquet(f"{stage_dir}/pages")
-    bench(
-        "extract_pipeline",
-        lambda: _force(
-            explode_chunks(extract_documents(pages, salt_partitions=CPUS))
-        ),
-    )
+
+    def run_suite() -> None:
+        bench(
+            "extract_pipeline",
+            lambda: _force(
+                explode_chunks(extract_documents(pages, salt_partitions=CPUS))
+            ),
+        )
+
+        # extraction over the driver's documents table (wrapped pages)
+        bench(
+            "extract_wrapped_docs",
+            lambda: _force(queries["extract_wrapped_docs"](spark, SF_DIR)),
+        )
+
+        # operator headline set
+        for name in (
+            "doc_minhash_signatures",
+            "doc_lsh_pairs",
+            "doc_ngram_jaccard",
+            "doc_simhash",
+            "emb_cosine_topk",
+            "emb_ivfpq_topk",
+            "q1_pricing_summary",
+            "q3_top_unshipped",
+            "events_sessionize",
+        ):
+            bench(name, lambda n=name: _force(queries[n](spark, SF_DIR)))
+
+    run_suite()
     n_docs_extracted += N_PAGES
 
-    # 2. extraction over the driver's documents table (wrapped pages)
-    bench(
-        "extract_wrapped_docs",
-        lambda: _force(queries["extract_wrapped_docs"](spark, SF_DIR)),
-    )
-
-    # 3-9. operator headline set
-    for name in (
-        "doc_minhash_signatures",
-        "doc_lsh_pairs",
-        "doc_ngram_jaccard",
-        "doc_simhash",
-        "emb_cosine_topk",
-        "emb_ivfpq_topk",
-        "q1_pricing_summary",
-        "q3_top_unshipped",
-        "events_sessionize",
-    ):
-        bench(name, lambda n=name: _force(queries[n](spark, SF_DIR)))
+    # noisy-window guard: min-of-3 inside one pass cannot outwait a
+    # co-tenant burst that spans the whole suite (r3's artifact was
+    # captured at 2.07% steal and showed three spurious regressions that
+    # a quiet-host re-run erased). If the first pass ran with >0.5%
+    # steal, run the whole suite once more and keep per-query minima.
+    if _STEAL0 is not None:
+        tm, sm = _cpu_sample()
+        mid_steal = 100.0 * (sm - _STEAL0[1]) / max(tm - _STEAL0[0], 1)
+        if mid_steal > 0.5:
+            run_suite()
 
     import shutil
 

@@ -267,6 +267,58 @@ def test_ivfpq_topk_blob_locality(spark):
         assert r["adist"] >= 0
 
 
+def test_ivfpq_residual_encoding_lifts_recall(spark):
+    """faiss residual layout (by_residual): quantizing x − centroid(cid)
+    beats raw-vector PQ at the same code budget once the coarse probe is
+    not the bottleneck. Blobs with a strong shared mean make the effect
+    hand-predictable: raw PQ wastes its codes spanning the blob offsets,
+    residual PQ spends them all on within-blob structure."""
+    import numpy as np
+
+    from doc_parser_spark.operators.similarity import (
+        ivfpq_res_topk,
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    # MORE blob offsets (6) than codes per subquantizer (ksub=4): a raw
+    # subquantizer must spend its whole codebook approximating the ±8
+    # blob means and has nothing left for within-blob structure, while
+    # the residual subquantizer sees only the N(0, 0.5) structure
+    centers = rng.choice([-8.0, 8.0], size=(6, 8))
+    rows = []
+    for i in range(180):
+        v = centers[i % 6] + rng.normal(0, 0.5, 8)
+        rows.append((i, [float(x) for x in v], i % 6))
+    emb = _emb(spark, rows)
+    V = {i: np.array(v) for i, v, _ in rows}
+
+    def truth(qid, knn=5):
+        ds = sorted(
+            (float(((v - V[qid]) ** 2).sum()), vid)
+            for vid, v in V.items()
+            if vid != qid
+        )
+        return {vid for _, vid in ds[:knn]}
+
+    gt = {q: truth(q) for q in range(5)}
+
+    def recall(fn):
+        got = {}
+        out = fn(emb, k=6, iters=2, nprobe=6, m=2, ksub=4, n_queries=5,
+                 knn=5).collect()
+        for r in out:
+            got.setdefault(int(r["query_id"]), set()).add(
+                int(r["neighbor_id"])
+            )
+        return sum(len(got.get(q, set()) & gt[q]) for q in gt) / (5 * len(gt))
+
+    r_raw, r_res = recall(ivfpq_topk), recall(ivfpq_res_topk)
+    # measured on this fixed seed: raw 0.16, residual 0.48
+    assert r_res > r_raw
+    assert r_res >= 0.4
+
+
 def test_semantic_decontaminate_flags_bucket_mates(spark):
     from pyspark.sql import Row
 
