@@ -1154,9 +1154,16 @@ VIDEO_STATS_SCHEMA = T.StructType(
 
 
 def _video_stats_one(payload: bytes) -> dict:
-    """One AVI payload → container-level integer statistics (the shard
-    planner's inputs: how many frames, how long, how heavy)."""
+    """One video payload → container-level integer statistics (the shard
+    planner's inputs: how many frames, how long, how heavy).
+
+    Two header-only container walks share the output contract: RIFF/AVI
+    (frame payloads enumerated directly) and ISO BMFF/MP4 with H.264
+    inside (frame count/sizes from stsz, timing from mdhd — the
+    dominant real-world container, still never decoding a frame; the
+    compressed-bitstream boundary stays NotImplementedError)."""
     from doc_parser_spark.core import avi as avilib
+    from doc_parser_spark.core import mp4 as mp4lib
 
     out = {
         "status": "parsed", "n_frames": None, "usec_per_frame": None,
@@ -1166,8 +1173,27 @@ def _video_stats_one(payload: bytes) -> dict:
     if not payload:
         out["status"] = "empty"
         return out
+    data = bytes(payload)
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        try:
+            info = mp4lib.parse_mp4(data)
+        except mp4lib.Mp4Error as exc:
+            out["status"] = f"error:{type(exc).__name__}"
+            return out
+        if not info.n_frames or not info.timescale:
+            out["status"] = "error:Mp4Error"
+            return out
+        sizes = info.sample_sizes or [0]
+        usec = info.duration * 1_000_000 // info.timescale // info.n_frames
+        out["n_frames"] = info.n_frames
+        out["usec_per_frame"] = int(usec)
+        out["duration_ms"] = info.duration * 1000 // info.timescale
+        out["total_frame_bytes"] = sum(sizes)
+        out["min_frame_bytes"] = min(sizes)
+        out["max_frame_bytes"] = max(sizes)
+        return out
     try:
-        usec, frames = avilib.parse_avi(bytes(payload))
+        usec, frames = avilib.parse_avi(data)
     except avilib.AviError as exc:
         out["status"] = f"error:{type(exc).__name__}"
         return out
