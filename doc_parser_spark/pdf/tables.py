@@ -33,6 +33,12 @@ between horizontal separators: >=2 columns required, most rows must be
 multi-cell, and cells must be short (tables hold entries, not
 paragraphs).
 
+Pass C — fully unruled tables (no painted geometry at all): a band of
+>=5 consecutive multi-cell line-rows whose whitespace gutters are
+shared by >=80% of rows, entry-length cells, >=60% grid fill. The
+strictest evidence bar of the three passes, because on an unruled page
+every aligned layout is a candidate (covers, two-column prose).
+
 Everything is geometry over a handful of segments per page — pure
 Python, no NN, deterministic.
 """
@@ -99,7 +105,10 @@ def _merge_segments(
 def detect_tables(cells: list, rulings: list) -> list[TableRegion]:
     """Text cells + painted segments (top-left coords) → table regions."""
     if not rulings:
-        return []
+        # no painted geometry at all — only the whitespace pass can fire
+        out = _detect_unruled(cells)
+        out.sort(key=lambda r: (r.bbox[1], r.bbox[0]))
+        return out
     hs_raw = []  # (y, x0, x1)
     vs_raw = []  # (x, y0, y1)
     for x0, y0, x1, y1 in rulings:
@@ -212,6 +221,11 @@ def detect_tables(cells: list, rulings: list) -> list[TableRegion]:
             [c for c in cells if id(c) not in consumed_all],
         )
     )
+    for r in regions:
+        consumed_all |= r.cell_ids
+    regions.extend(
+        _detect_unruled([c for c in cells if id(c) not in consumed_all])
+    )
     regions.sort(key=lambda r: (r.bbox[1], r.bbox[0]))
     return regions
 
@@ -266,6 +280,125 @@ def _bin_into_lattice(
                 grid[rr][cc] = cd.text
     data.grid = grid
     return data, consumed
+
+
+# pass C — fully unruled tables (no painted geometry at all): the
+# majority of real-world PDF tables, covered by the reference with the
+# TableFormer NN (docling/models/table_structure_model.py:170-304). The
+# deterministic stand-in demands much stronger alignment evidence than
+# the ruled passes, because on an unruled page EVERY multi-column layout
+# is a candidate: a band of >=4 consecutive multi-cell line-rows whose
+# whitespace gutters are shared by >=80% of its rows, entry-like cell
+# lengths, and uniform row pitch (a two-column prose layout fails the
+# shortness bar; a sidebar fails the every-row-multi-cell bar).
+_UNRULED_MIN_ROWS = 5
+_UNRULED_MULTI_FRAC = 0.8
+_UNRULED_PITCH_FACTOR = 2.5
+
+
+def _detect_unruled(cells: list) -> list[TableRegion]:
+    solid = [c for c in cells if c.text.strip()]
+    if len(solid) < _UNRULED_MIN_ROWS * 2:
+        return []
+    heights = sorted(c.b - c.t for c in solid)
+    med_h = heights[len(heights) // 2]
+    rows_y = _cluster_1d(
+        [(c.t + c.b) / 2 for c in solid], tol=max(TOL, 0.6 * med_h)
+    )
+    by_row: list[list] = [[] for _ in rows_y]
+    for c in solid:
+        yc = (c.t + c.b) / 2
+        ix = min(
+            range(len(rows_y)), key=lambda i: abs(rows_y[i] - yc)
+        )
+        by_row[ix].append(c)
+
+    regions: list[TableRegion] = []
+    i = 0
+    while i < len(rows_y):
+        # grow a band of consecutive multi-cell rows at uniform pitch
+        if len(by_row[i]) < 2:
+            i += 1
+            continue
+        j = i
+        while (
+            j + 1 < len(rows_y)
+            and len(by_row[j + 1]) >= 2
+            and rows_y[j + 1] - rows_y[j] <= _UNRULED_PITCH_FACTOR * med_h
+        ):
+            j += 1
+        band_rows = by_row[i : j + 1]
+        i = j + 1
+        if len(band_rows) < _UNRULED_MIN_ROWS:
+            continue
+        band = [c for row in band_rows for c in row]
+        short = sum(
+            1 for c in band if len(c.text.split()) <= MAX_CELL_WORDS
+        )
+        if short < MIN_SHORT_FRAC * len(band):
+            continue
+        if _is_code_listing(band):
+            continue
+        left = min(c.l for c in band)
+        right = max(c.r for c in band)
+        # band-wide whitespace gutters (the pass-B rule)
+        ivals = sorted((c.l, c.r) for c in band)
+        gutters: list[float] = []
+        cover_hi = ivals[0][0]
+        for lo, hi in ivals:
+            if lo - cover_hi >= MIN_GUTTER and cover_hi > left:
+                gutters.append((cover_hi + lo) / 2)
+            cover_hi = max(cover_hi, hi)
+        if not gutters:
+            continue
+        # alignment evidence: >=80% of rows must SPLIT at some gutter
+        # (a cell ending left of it and another starting right of it)
+        def row_splits(row: list) -> bool:
+            for g in gutters:
+                if any(c.r <= g for c in row) and any(c.l >= g for c in row):
+                    return True
+            return False
+
+        n_split = sum(1 for row in band_rows if row_splits(row))
+        if n_split < _UNRULED_MULTI_FRAC * len(band_rows):
+            continue
+        top = min(c.t for c in band) - 1.0
+        bot = max(c.b for c in band) + 1.0
+        row_centers = sorted(
+            sum((c.t + c.b) / 2 for c in row) / len(row) for row in band_rows
+        )
+        row_bounds = (
+            [top]
+            + [
+                (row_centers[k] + row_centers[k + 1]) / 2
+                for k in range(len(row_centers) - 1)
+            ]
+            + [bot]
+        )
+        col_bounds = [left] + gutters + [right]
+        built = _bin_into_lattice(band, row_bounds, col_bounds)
+        if built is None:
+            continue
+        data, consumed = built
+        cols_used = {
+            cd.start_col for cd in data.cells if cd.text.strip()
+        }
+        if len(cols_used) < 2:
+            continue
+        # density: a real unruled table is mostly filled; aligned cover
+        # art / label-value forms with phantom gutter columns leave the
+        # grid majority-empty (redp5110 cover: 4x3 with 5 empty slots)
+        filled = sum(
+            1 for row in data.grid for cell in row if cell and cell.strip()
+        )
+        if filled * 100 < 60 * len(data.grid) * len(data.grid[0]):
+            continue
+        regions.append(
+            TableRegion(
+                bbox=(left, top, right, bot), data=data, cell_ids=consumed
+            )
+        )
+    return regions
 
 
 # pass B tunables

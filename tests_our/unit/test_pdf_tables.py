@@ -242,3 +242,65 @@ def test_table_only_page_does_not_fall_back():
     assert tbl and tbl[0].table.cells  # the recovered table survived
     md = export_markdown(doc)
     assert "bolt" in md and "price" in md
+
+
+def test_unruled_whitespace_table():
+    # pass C: NO painted geometry at all — a 6x3 grid recovered purely
+    # from the shared whitespace gutters (the TableFormer-covered
+    # majority case, VERDICT r3 #2)
+    rows = [
+        ("name", "qty", "price"),
+        ("bolt", "12", "0.40"),
+        ("nut", "7", "0.15"),
+        ("washer", "30", "0.05"),
+        ("screw", "22", "0.30"),
+        ("anchor", "4", "1.10"),
+    ]
+    runs = []
+    for r, row in enumerate(rows):
+        for c, txt in enumerate(row):
+            runs.append((80 + c * 110, 690 - 18 * r, 9.0, txt))
+    (page,) = minipdf.parse_pdf(writer.write_pdf_with_graphics([(runs, "")]))
+    assert page.rulings == []
+    regions = tables.detect_tables(page.cells, page.rulings)
+    assert len(regions) == 1
+    data = regions[0].data
+    assert (data.num_rows, data.num_cols) == (6, 3)
+    assert data.grid == [list(r) for r in rows]
+
+
+def test_unruled_prose_columns_not_tableized():
+    # a two-column PROSE layout shares one big gutter but its lines are
+    # sentences — the entry-length gate must refuse to tableize it
+    left = [
+        "This left column is plain running body text over here.",
+        "Second wordy line of the left hand prose column block.",
+        "Third left line keeps the short cell share well low.",
+        "Fourth left line of ordinary paragraph content too.",
+        "Fifth left line so the candidate band is tall enough.",
+    ]
+    right = [
+        "And this right column is also ordinary prose text.",
+        "More sentence material in the right column lines.",
+        "Right column line three with plenty of words in.",
+        "Right column line four also reads as a sentence.",
+        "Right column line five concludes the paragraph.",
+    ]
+    runs = []
+    for i, (a, b) in enumerate(zip(left, right)):
+        runs.append((72, 690 - 14 * i, 9.0, a))
+        runs.append((330, 690 - 14 * i, 9.0, b))
+    (page,) = minipdf.parse_pdf(writer.write_pdf_with_graphics([(runs, "")]))
+    assert tables.detect_tables(page.cells, page.rulings) == []
+
+
+def test_unruled_short_band_not_tableized():
+    # 4 aligned rows only — below the 5-row evidence bar pass C demands
+    # (a ruled 4-row table still comes in through pass A/B)
+    rows = [("a", "1"), ("b", "2"), ("c", "3"), ("d", "4")]
+    runs = []
+    for r, row in enumerate(rows):
+        for c, txt in enumerate(row):
+            runs.append((80 + c * 120, 690 - 18 * r, 9.0, txt))
+    (page,) = minipdf.parse_pdf(writer.write_pdf_with_graphics([(runs, "")]))
+    assert tables.detect_tables(page.cells, page.rulings) == []
