@@ -43,6 +43,13 @@ import re
 _BULLET_RE = re.compile(
     "^[•◦▪●○‣⁃·∙\\-–—*]\\s+"
 )
+# symbol-font / unmapped-glyph bullets the reference KEEPS inside the
+# item text (multi_page's SymbolMT '∞', redp5110's '/g115/g3' subset
+# ids): they mark a list item but are not stripped — docling's NN path
+# never removes marker glyphs, and the goldens show them verbatim
+_GLYPH_BULLET_RE = re.compile(
+    "^(?:[∞✓✔➢➤❖§†‡]|/SM\\d+|/g\\d+(?:/g\\d+)*|.?GLYPH<[^>]*>)\\s+"
+)
 _ENUM_RE = re.compile(r"^\(?(\d{1,3}|[a-z])[.)]\s+")
 _PAGENO_RE = re.compile(
     r"^(?:page\s+)?[-–—]?\s*\d{1,5}\s*[-–—]?"
@@ -380,18 +387,30 @@ def split_list_items(
     if not lines:
         return None
     first = lines[0]
-    if not (_BULLET_RE.match(first) or _ENUM_RE.match(first)):
+    if not (
+        _BULLET_RE.match(first)
+        or _GLYPH_BULLET_RE.match(first)
+        or _ENUM_RE.match(first)
+    ):
         return None
     n_markers = sum(
-        1 for ln in lines if _BULLET_RE.match(ln) or _ENUM_RE.match(ln)
+        1
+        for ln in lines
+        if _BULLET_RE.match(ln)
+        or _GLYPH_BULLET_RE.match(ln)
+        or _ENUM_RE.match(ln)
     )
     if n_markers < 2:
         return None
     items: list[tuple[list[str], bool]] = []
     for ln in lines:
-        bm = _BULLET_RE.match(ln)
-        em = None if bm else _ENUM_RE.match(ln)
-        if bm or em:
+        gm = _GLYPH_BULLET_RE.match(ln)
+        bm = None if gm else _BULLET_RE.match(ln)
+        em = None if (gm or bm) else _ENUM_RE.match(ln)
+        if gm:
+            # glyph bullets stay in the text (reference golden behavior)
+            items.append(([ln], False))
+        elif bm or em:
             items.append(([ln[(bm or em).end():]], em is not None))
         else:
             items[-1][0].append(ln)

@@ -459,3 +459,40 @@ def test_text_pdf_with_logo_still_falls_back_for_text(monkeypatch):
     doc, fallback = extract_pdf(pdf)
     assert fallback
     assert "Recoverable text." in export_text(doc)
+
+
+def test_symbol_font_decodes_via_symbol_charset():
+    # a subset SymbolMT declaring /MacRomanEncoding still reads through
+    # the Symbol charset: code 0xA5 is '∞' (infinity), not MacRoman '•'
+    from doc_parser_spark.pdf import textengine as te
+
+    f = te.parse_font(
+        b"<</Type/Font/Subtype/TrueType/BaseFont/AAAAAH+SymbolMT"
+        b"/Encoding/MacRomanEncoding/FirstChar 165/LastChar 165"
+        b"/Widths[460]>>",
+        {}, {}, cmap_cls=None,
+    )
+    assert f._uni(0xA5) == "∞"
+    assert f._uni(0xB7) == "•"
+    assert f._uni(0x44) == "Δ"
+
+
+def test_glyph_bullets_kept_in_list_item_text():
+    # reference goldens keep symbol/unmapped-glyph markers verbatim
+    # ('- ∞ IBM MT/ST ...', '- rGLYPH<...> Database ...'); dash/enum
+    # markers still strip
+    from doc_parser_spark.pdf import labels
+
+    items = labels.split_list_items(
+        ["∞ first item", "∞ second item"]
+    )
+    assert items == [("∞ first item", False), ("∞ second item", False)]
+    items = labels.split_list_items(
+        [
+            "rGLYPH<c=1,font=/NKDKKL+JansonTextLTStd-Roman> Database work",
+            "rGLYPH<c=1,font=/NKDKKL+JansonTextLTStd-Roman> Advanced SQL",
+        ]
+    )
+    assert items is not None and items[0][0].startswith("rGLYPH<")
+    items = labels.split_list_items(["- plain dash", "- another"])
+    assert items == [("plain dash", False), ("another", False)]
