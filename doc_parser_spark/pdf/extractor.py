@@ -55,6 +55,24 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
         regions = tables.detect_tables(
             page.cells, getattr(page, "rulings", [])
         )
+        pics = labels.cluster_picture_rects(
+            getattr(page, "bitmap_rects", [])
+        )
+        # a "table" mostly inside a bitmap-picture cluster is figure
+        # content (axis labels, part callouts over a raster): the
+        # reference's layout NN assigns such regions PICTURE and never
+        # runs TableFormer there (amt_handbook's hardware figure)
+        def _in_picture(bbox) -> bool:
+            l, t, r, b = bbox
+            area = max((r - l) * (b - t), 1e-6)
+            for pl, pt, pr, pb in pics:
+                ox = max(0.0, min(r, pr) - max(l, pl))
+                oy = max(0.0, min(b, pb) - max(t, pt))
+                if ox * oy >= 0.8 * area:
+                    return True
+            return False
+
+        regions = [r for r in regions if not _in_picture(r.bbox)]
         consumed: set[int] = set()
         for region in regions:
             consumed |= region.cell_ids
@@ -74,9 +92,6 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
             median_size = float(np.median([c.font_size for c in merged]))
         else:
             median_size = 12.0
-        pics = labels.cluster_picture_rects(
-            getattr(page, "bitmap_rects", [])
-        )
         page_data.append((page, regions, pics, blocks, median_size))
         for block in blocks:
             bbox = layout.block_bbox(block)

@@ -304,3 +304,26 @@ def test_unruled_short_band_not_tableized():
             runs.append((80 + c * 120, 690 - 18 * r, 9.0, txt))
     (page,) = minipdf.parse_pdf(writer.write_pdf_with_graphics([(runs, "")]))
     assert tables.detect_tables(page.cells, page.rulings) == []
+
+
+def test_table_inside_picture_cluster_suppressed():
+    # a ruled grid painted INSIDE a raster figure (axis labels, part
+    # callouts) is figure content: the extractor drops table regions
+    # mostly covered by a bitmap-picture cluster, like the reference's
+    # layout NN which labels such regions PICTURE (amt_handbook fixture)
+    runs = writer.table_cell_runs(72.0, 700.0, COLS, ROWS, TEXTS)
+    ops = writer.table_ops(72.0, 700.0, COLS, ROWS)
+    pdf = writer.write_pdf_with_graphics([(runs, ops)])
+    (page,) = minipdf.parse_pdf(pdf)
+    assert tables.detect_tables(page.cells, page.rulings)  # sanity
+    # blanket the grid with a bitmap placement and run the extractor path
+    page.bitmap_rects = [(60.0, 80.0, 420.0, 780.0)]
+    import doc_parser_spark.pdf.minipdf as mp
+
+    orig = mp.parse_pdf
+    mp.parse_pdf = lambda data: [page]
+    try:
+        doc, _ = extract_pdf(pdf)
+    finally:
+        mp.parse_pdf = orig
+    assert doc.tables() == []
