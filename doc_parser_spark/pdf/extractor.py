@@ -180,6 +180,30 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
             (layout.block_bbox(b)[1] for b in sub_blocks),
             default=page.height,
         )
+        # running-head evidence that needs no cross-page repetition: a
+        # block SHARING ITS LINE with a bare folio in the page-number
+        # band is the running head ("Optimized Table Tokenization … 9"
+        # on a single-page arXiv excerpt — the reference's NN labels it
+        # page_header; repetition voting can't fire on one page)
+        folio_lines = [
+            layout.block_bbox(b)
+            for b in sub_blocks
+            if labels.is_page_number(
+                " ".join(c.text.strip() for c in b if c.text.strip())
+            )
+            and labels.band_of(
+                layout.block_bbox(b),
+                page.height,
+                labels.PAGENO_BAND_FRACTION,
+            )
+            is not None
+        ]
+
+        def _beside_folio(bbox) -> str | None:
+            for fl, ft, fr, fb in folio_lines:
+                if min(bbox[3], fb) - max(bbox[1], ft) > 0:
+                    return "header" if fb <= page.height / 2 else "footer"
+            return None
         for block in sub_blocks:
             lines = [c.text.replace("\x02", "-").strip() for c in block if c.text.strip()]
             if not lines:
@@ -210,9 +234,12 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
                         and bbox[3] <= 0.3 * page.height
                     ):
                         band = "header"
+            if band is None:
+                band = _beside_folio(bbox)
             if band is not None and (
                 labels.furniture_key(text) in repeated
                 or labels.is_page_number(text)
+                or _beside_folio(bbox) is not None
             ):
                 doc.add_text(
                     text=text,
@@ -328,7 +355,16 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
             is_heading = size_heading or labels.is_bold_heading(
                 block, text, median_size
             )
-            if size_heading and not title_emitted and page.page_no == 1:
+            # TITLE needs true display scale (≥1.7× body): the reference
+            # labels ordinary 1.2-1.5× section heads section_header even
+            # when first on the page (no PDF golden carries a '#' title;
+            # picture_classification's 14.3pt-over-10pt head is '##')
+            if (
+                size_heading
+                and not title_emitted
+                and page.page_no == 1
+                and block_size >= median_size * 1.7
+            ):
                 current_parent = doc.add_text(
                     text=text, label=model.TITLE,
                     page_no=page.page_no, bbox=bbox,

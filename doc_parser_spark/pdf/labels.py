@@ -169,7 +169,11 @@ def is_footnote(
     )
 
 
-_BOLD_RE = re.compile(r"bold|black|heavy|semibold|demibold", re.IGNORECASE)
+# TeX bold faces ship under CMBX / SFBX-style names (Computer Modern /
+# Latin Modern Bold Extended Type1C subsets in arXiv PDFs)
+_BOLD_RE = re.compile(
+    r"bold|black|heavy|semibold|demibold|cmbx|sfbx", re.IGNORECASE
+)
 HEADING_MAX_CHARS = 120
 
 

@@ -28,6 +28,9 @@ import numpy as np
 
 from doc_parser_spark.pdf.minipdf import PdfPage, TextCell
 
+# "5.1" / "2.3.4" / "7." — the numbering fragment of a section header
+_ENUM_HEAD_RE = re.compile(r"\d+(?:\.\d+)*\.?")
+
 # -- horizontal merge (reference: pypdfium2_backend.py:157-252) --------------
 
 
@@ -113,7 +116,20 @@ def merge_horizontal_cells(
         for cell in row[1:]:
             prev = current[-1]
             avg_height = (prev.height + cell.height) / 2
-            if cell.l - prev.r <= avg_height * horizontal_threshold_factor:
+            # enumerated-heading join: "5.1" + "Hyper Parameter
+            # Optimization" in the same face sit a wide tab apart, but
+            # they are ONE section header (the reference's NN clusters
+            # them; docling md shows "## 5.1 Hyper Parameter …")
+            enum_head = (
+                len(current) == 1
+                and _ENUM_HEAD_RE.fullmatch(prev.text.strip())
+                and cell.font_name == prev.font_name
+                and cell.l - prev.r <= 4 * avg_height
+            )
+            if (
+                cell.l - prev.r <= avg_height * horizontal_threshold_factor
+                or enum_head
+            ):
                 current.append(cell)
             else:
                 merged.append(merge_group(current))

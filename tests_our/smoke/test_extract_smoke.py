@@ -61,7 +61,11 @@ def test_extraction_content(docs):
         .first()
     )
     assert pdf_row["format"] == "pdf" and pdf_row["status"] == "success"
-    assert pdf_row["title"] == "PDF Report 0" and pdf_row["n_pages"] == 2
+    # r4: TITLE needs display scale (>=1.7x body) to match the
+    # reference's labeling — the synthetic PDF's modest heading is a
+    # section_header now, so the title column is empty (the reference's
+    # basic_processor yields '' for such PDFs too)
+    assert pdf_row["title"] == "" and pdf_row["n_pages"] == 2
 
 
 def test_furniture_dropped_from_text(docs):

@@ -97,7 +97,9 @@ def test_fragmented_cells_merge_to_line():
 
 
 def test_title_detection_and_reading_order():
-    runs = [(72.0, 720.0, 18.0, "Big Title")]
+    # TITLE demands display scale (>=1.7x body): 22pt over ~11pt body —
+    # a 14pt section head stays '##' like every PDF golden
+    runs = [(72.0, 720.0, 22.0, "Big Title")]
     runs += writer.paragraph_runs(["para line one.", "para line two."], top_y=680)
     doc, _ = extract_pdf(writer.write_pdf([runs]))
     items = [(n.label, n.text) for n, _ in doc.iterate_items()]
