@@ -105,8 +105,14 @@ def _merge_segments(
 def detect_tables(cells: list, rulings: list) -> list[TableRegion]:
     """Text cells + painted segments (top-left coords) → table regions."""
     if not rulings:
-        # no painted geometry at all — only the whitespace pass can fire
-        out = _detect_unruled(cells)
+        # no painted geometry at all — only the text passes can fire
+        out = _detect_toc(cells)
+        got = set()
+        for r in out:
+            got |= r.cell_ids
+        out.extend(
+            _detect_unruled([c for c in cells if id(c) not in got])
+        )
         out.sort(key=lambda r: (r.bbox[1], r.bbox[0]))
         return out
     hs_raw = []  # (y, x0, x1)
@@ -224,6 +230,11 @@ def detect_tables(cells: list, rulings: list) -> list[TableRegion]:
     for r in regions:
         consumed_all |= r.cell_ids
     regions.extend(
+        _detect_toc([c for c in cells if id(c) not in consumed_all])
+    )
+    for r in regions:
+        consumed_all |= r.cell_ids
+    regions.extend(
         _detect_unruled([c for c in cells if id(c) not in consumed_all])
     )
     regions.sort(key=lambda r: (r.bbox[1], r.bbox[0]))
@@ -280,6 +291,74 @@ def _bin_into_lattice(
                 grid[rr][cc] = cd.text
     data.grid = grid
     return data, consumed
+
+
+# pass D — dot-leader contents tables: the reference's TableFormer
+# tableizes a TOC page into (entry + leader, page-ref) rows (redp5110's
+# golden: one 43x2 table for the whole Contents page). The deterministic
+# equivalent keys on the strongest signal a page can give: a band of
+# lines each ending in a >=4-dot leader run followed by a roman/arabic
+# folio reference.
+import re as _re
+
+_TOC_LINE_RE = _re.compile(
+    r"^(.*?)((?:\.\s+){4,})\s*\.?\s*([ivxlcdm]{1,7}|\d{1,4})\s*$",
+    _re.IGNORECASE,
+)
+_TOC_MIN_ROWS = 8
+_TOC_MIN_FRAC = 0.6
+
+
+def _detect_toc(cells: list) -> list[TableRegion]:
+    solid = [c for c in cells if c.text.strip()]
+    if len(solid) < _TOC_MIN_ROWS:
+        return []
+    heights = sorted(c.b - c.t for c in solid)
+    med_h = heights[len(heights) // 2]
+    rows_y = _cluster_1d(
+        [(c.t + c.b) / 2 for c in solid], tol=max(TOL, 0.6 * med_h)
+    )
+    by_row: list[list] = [[] for _ in rows_y]
+    for c in solid:
+        yc = (c.t + c.b) / 2
+        ix = min(range(len(rows_y)), key=lambda i: abs(rows_y[i] - yc))
+        by_row[ix].append(c)
+    entries: list[tuple[list, str, str]] = []  # (cells, col1, col2)
+    n_lines = 0
+    for row in by_row:
+        row.sort(key=lambda c: c.l)
+        text = " ".join(c.text.strip() for c in row if c.text.strip())
+        if not text:
+            continue
+        n_lines += 1
+        m = _TOC_LINE_RE.match(text)
+        if m:
+            entries.append(
+                (row, (m.group(1) + m.group(2)).strip(), m.group(3))
+            )
+    if len(entries) < _TOC_MIN_ROWS or len(entries) < _TOC_MIN_FRAC * n_lines:
+        return []
+    data = model.TableData(num_rows=len(entries), num_cols=2, cells=[])
+    consumed: set[int] = set()
+    grid: list[list[str | None]] = []
+    for r, (row, col1, col2) in enumerate(entries):
+        consumed |= {id(c) for c in row}
+        for ci, txt in enumerate((col1, col2)):
+            data.cells.append(
+                model.TableCellData(
+                    text=txt, row_span=1, col_span=1,
+                    start_row=r, end_row=r + 1,
+                    start_col=ci, end_col=ci + 1,
+                )
+            )
+        grid.append([col1, col2])
+    data.grid = grid
+    band = [c for row, _a, _b in entries for c in row]
+    bbox = (
+        min(c.l for c in band), min(c.t for c in band),
+        max(c.r for c in band), max(c.b for c in band),
+    )
+    return [TableRegion(bbox=bbox, data=data, cell_ids=consumed)]
 
 
 # pass C — fully unruled tables (no painted geometry at all): the

@@ -327,3 +327,49 @@ def test_table_inside_picture_cluster_suppressed():
     finally:
         mp.parse_pdf = orig
     assert doc.tables() == []
+
+
+def test_toc_dot_leader_table():
+    # pass D: a Contents page — lines ending in dot leaders + folio
+    # refs — becomes one 2-col table (entry+leader, page-ref), the
+    # TableFormer treatment of redp5110's golden
+    leader = ". " * 8
+    entries = [
+        ("Notices " + leader, "vii"),
+        ("Preface " + leader, "xi"),
+        ("Chapter 1. Security " + leader, "1"),
+        ("1.1 Fundamentals " + leader, "2"),
+        ("1.2 Current state " + leader, "2"),
+        ("Chapter 2. Roles " + leader, "7"),
+        ("2.1 Roles " + leader, "8"),
+        ("2.2 Separation of duties " + leader, "10"),
+        ("Chapter 3. RCAC " + leader, "13"),
+    ]
+    runs = []
+    for i, (txt, page) in enumerate(entries):
+        runs.append((72, 690 - 16 * i, 9.0, txt + page))
+    (page_obj,) = minipdf.parse_pdf(
+        writer.write_pdf_with_graphics([(runs, "")])
+    )
+    regions = tables.detect_tables(page_obj.cells, page_obj.rulings)
+    assert len(regions) == 1
+    data = regions[0].data
+    assert (data.num_rows, data.num_cols) == (9, 2)
+    assert data.grid[0][1] == "vii" and data.grid[-1][1] == "13"
+    assert data.grid[3][0].startswith("1.1 Fundamentals")
+
+
+def test_prose_page_is_not_a_toc():
+    # ordinary sentences with an occasional ellipsis never reach the
+    # >=8-row, >=60%-of-lines dot-leader bar
+    runs = writer.paragraph_runs(
+        ["A sentence without leaders.", "Another plain line here.",
+         "Wait... this has an ellipsis 3", "More body text follows.",
+         "Fifth line of prose.", "Sixth line of prose.",
+         "Seventh line of prose.", "Eighth line of prose."],
+        x=80, top_y=690,
+    )
+    (page_obj,) = minipdf.parse_pdf(
+        writer.write_pdf_with_graphics([(runs, "")])
+    )
+    assert tables.detect_tables(page_obj.cells, page_obj.rulings) == []
