@@ -403,6 +403,79 @@ def _synth_pld_host_edges(documents):
     )
 
 
+def _hyperball_sql(iterations: int = 3) -> str:
+    """DuckDB twin of web.host_hyperball over the synthesized host
+    edges: the HLL in-ball register chain unrolled per sweep (max-merge
+    along edges), the same literal linear-counting table, /60 fixed-
+    point harmonic accumulation — bit-identical to the Spark engine."""
+    from doc_parser_spark.operators import web as _w
+
+    offs = ", ".join(str(o) for o in _w.SYNTH_EDGE_OFFSETS)
+    two42 = 1 << 42
+    lc = f"[{_w.HYPERBALL_LC_TABLE_SQL}]"
+    raw = (
+        f"{_w.HLL_ALPHA64_SQL} * CAST(4096.0 AS DOUBLE)"
+        " / (s_present + CAST(64 - n_regs AS DOUBLE))"
+    )
+    est_select = (
+        "SELECT h, CAST(CASE WHEN " + raw + " <= 160.0 AND n_regs < 64"
+        " THEN floor(" + lc + "[CAST(64 - n_regs AS INT)])"
+        " ELSE floor(" + raw + ") END AS BIGINT) AS est"
+    )
+    per = (
+        "SELECT h, count(*) AS n_regs,"
+        " sum(CAST(1.0 AS DOUBLE)"
+        " / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE)) AS s_present"
+    )
+    ctes = [
+        f"""e AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT concat('site', CAST(doc_id % 50 AS INT)) AS src,
+                       concat('site', CAST((doc_id * 7 + t.o) % 50 AS INT)) AS dst
+                FROM documents, LATERAL UNNEST([{offs}]) AS t(o)
+            ) WHERE src <> dst
+        )""",
+        """nodes AS (
+            SELECT src AS h FROM e UNION SELECT dst FROM e
+        )""",
+        f"""r0 AS (
+            SELECT h, hh // {two42} AS reg,
+                   CASE WHEN hh % {two42} = 0 THEN 43
+                        ELSE 43 - length(bin(hh % {two42})) END AS m
+            FROM (SELECT h, {_hex_key("md5(h)", 12)} AS hh FROM nodes)
+        )""",
+        f"""p0 AS ({per} FROM r0 GROUP BY h)""",
+        f"""e0 AS ({est_select} FROM p0)""",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""r{t} AS (
+            SELECT h, reg, max(m) AS m FROM (
+                SELECT ed.dst AS h, r.reg, r.m
+                FROM e ed JOIN r{t - 1} r ON r.h = ed.src
+                UNION ALL SELECT h, reg, m FROM r{t - 1}
+            ) GROUP BY h, reg
+        )"""
+        )
+        ctes.append(f"""p{t} AS ({per} FROM r{t} GROUP BY h)""")
+        ctes.append(f"""e{t} AS ({est_select} FROM p{t})""")
+    harm_terms = " + ".join(
+        f"greatest(e{t}.est - e{t - 1}.est, 0) * {60 // t}"
+        for t in range(1, iterations + 1)
+    )
+    joins = "".join(
+        f" JOIN e{t} ON e{t}.h = nodes.h" for t in range(iterations + 1)
+    )
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT nodes.h AS host,
+               CAST(e{iterations}.est AS BIGINT) AS ball_estimate,
+               CAST({harm_terms} AS BIGINT) AS harmonic_x60
+        FROM nodes{joins}
+    """
+
+
 def _host_hops_sql(max_hops: int = 4) -> str:
     """DuckDB twin of web.host_hops over the synthesized host edges:
     BFS min-distance relaxation fully unrolled, same seed family as the
@@ -1459,6 +1532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_degree_spectrum": lambda spark, sf: web.degree_spectrum(
             _synth_rank_edges(_read(spark, sf, "documents"))
         ),
+        "web_host_hyperball": lambda spark, sf: web.host_hyperball(
+            _synth_rank_edges(_read(spark, sf, "documents")), iterations=3
+        ),
         "web_host_hops": lambda spark, sf: web.host_hops(
             _synth_rank_edges(_read(spark, sf, "documents")),
             _read(spark, sf, "documents")
@@ -1801,7 +1877,8 @@ _DRIVER_PRIORITY = [
     "web_robots_posture", "web_robots_wildcard", "web_robots_filter",
     "web_host_kmv", "web_host_pagerank", "web_pld_graph",
     "web_pld_pagerank", "web_host_trustrank", "web_degree_spectrum",
-    "web_host_hops", "web_host_spam_mass", "web_host_budgets",
+    "web_host_hops", "web_host_hyperball", "web_host_spam_mass",
+    "web_host_budgets",
     "web_host_features", "web_host_cocitation", "web_host_hits",
     "web_host_degree", "web_host_components", "web_host_communities",
     "web_host_hll", "web_sitemap_urls", "web_sitemap_coverage",
@@ -5989,6 +6066,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "web_host_pagerank": _pagerank_sql(),
         "web_host_hops": _host_hops_sql(),
+        "web_host_hyperball": _hyperball_sql(),
         # degree-spectrum twin: the host_degree twin rebucketed with the
         # same length(bin())-1 floor-log2 and per-direction shares
         "web_degree_spectrum": f"""

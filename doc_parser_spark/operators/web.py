@@ -1449,6 +1449,64 @@ def host_components(edges: DataFrame) -> DataFrame:
 # Spark likewise folds 0.7213 to DECIMAL(4,4)), so both engines evaluate
 # the identical sequence of correctly-rounded IEEE-754 ops → identical
 # bits. α_m = 0.7213/(1 + 1.079/m) for m ≥ 128 per the paper; the m=64
+# HyperBall linear-counting table: 64*ln(64/V) for V = 1..64 zero
+# registers, baked as LITERALS (generated once with CPython's libm,
+# shared verbatim with the DuckDB twin) so the small-range correction
+# is bit-identical across engines without a portable ln().
+HYPERBALL_LC_TABLE_SQL = (
+    "CAST(266.168517335019 AS DOUBLE), CAST(221.8070977791825 AS DOUBLE), "
+    "CAST(195.85733086025996 AS DOUBLE), CAST(177.445678223346 AS DOUBLE), "
+    "CAST(163.16449093923657 AS DOUBLE), "
+    "CAST(151.4959113044235 AS DOUBLE), "
+    "CAST(141.63026779547894 AS DOUBLE), "
+    "CAST(133.0842586675095 AS DOUBLE), "
+    "CAST(125.54614438550095 AS DOUBLE), "
+    "CAST(118.80307138340008 AS DOUBLE), "
+    "CAST(112.70321987592328 AS DOUBLE), "
+    "CAST(107.13449174858698 AS DOUBLE), "
+    "CAST(102.01175845748065 AS DOUBLE), "
+    "CAST(97.26884823964244 AS DOUBLE), CAST(92.85330446447756 AS DOUBLE), "
+    "CAST(88.722839111673 AS DOUBLE), CAST(84.84286331542117 AS DOUBLE), "
+    "CAST(81.18472482966446 AS DOUBLE), CAST(77.7244226683668 AS DOUBLE), "
+    "CAST(74.44165182756358 AS DOUBLE), CAST(71.31908132071992 AS DOUBLE), "
+    "CAST(68.34180032008679 AS DOUBLE), CAST(65.49688751555341 AS DOUBLE), "
+    "CAST(62.773072192750476 AS DOUBLE), "
+    "CAST(60.160464543454154 AS DOUBLE), "
+    "CAST(57.650338901644155 AS DOUBLE), "
+    "CAST(55.23495791074193 AS DOUBLE), "
+    "CAST(52.907428683805946 AS DOUBLE), "
+    "CAST(50.66158421588466 AS DOUBLE), "
+    "CAST(48.491884908641055 AS DOUBLE), "
+    "CAST(46.393336247969636 AS DOUBLE), CAST(44.3614195558365 AS DOUBLE), "
+    "CAST(42.39203340116426 AS DOUBLE), CAST(40.48144375958467 AS DOUBLE), "
+    "CAST(38.62624139969652 AS DOUBLE), "
+    "CAST(36.823305273827955 AS DOUBLE), "
+    "CAST(35.06977092578864 AS DOUBLE), CAST(33.36300311253031 AS DOUBLE), "
+    "CAST(31.700571982721627 AS DOUBLE), "
+    "CAST(30.08023227172708 AS DOUBLE), "
+    "CAST(28.499905065943302 AS DOUBLE), "
+    "CAST(26.957661764883422 AS DOUBLE), "
+    "CAST(25.451709930631004 AS DOUBLE), "
+    "CAST(23.980380764250285 AS DOUBLE), "
+    "CAST(22.542117989718538 AS DOUBLE), "
+    "CAST(21.135467959716916 AS DOUBLE), "
+    "CAST(19.759070825575247 AS DOUBLE), "
+    "CAST(18.411652636913974 AS DOUBLE), "
+    "CAST(17.09201825593889 AS DOUBLE), "
+    "CAST(15.799044987617652 AS DOUBLE), "
+    "CAST(14.531676840662149 AS DOUBLE), "
+    "CAST(13.28891934580765 AS DOUBLE), "
+    "CAST(12.069834867683198 AS DOUBLE), "
+    "CAST(10.873538354905435 AS DOUBLE), "
+    "CAST(9.699193480140856 AS DOUBLE), CAST(8.546009127969445 AS DOUBLE), "
+    "CAST(7.413236193607785 AS DOUBLE), CAST(6.300164660048161 AS DOUBLE), "
+    "CAST(5.206120925052954 AS DOUBLE), "
+    "CAST(4.1304653528045545 AS DOUBLE), "
+    "CAST(3.0725900279270824 AS DOUBLE), "
+    "CAST(2.0319166921331373 AS DOUBLE), "
+    "CAST(1.0078948459609032 AS DOUBLE), CAST(0.0 AS DOUBLE) "
+)
+
 # row of Table 1 hard-codes the same closed form the reference
 # implementations (DataSketches, Redis) use for m=64.
 HLL_ALPHA64_SQL = (
@@ -4196,6 +4254,133 @@ def host_hops(
     out = nodes.join(dist, "h", "left").select(
         F.col("h").alias("host"),
         F.coalesce("d", F.lit(-1)).cast("long").alias("hops"),
+    )
+    e.unpersist()
+    return out
+
+
+def host_hyperball(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """HyperBall harmonic centrality (Boldi & Vigna 2013, "In-Core
+    Computation of Geometric Centralities with HyperBall") — THE
+    published algorithm for centrality on web-scale graphs: each node
+    keeps an HLL sketch of its in-ball ``B(x,t) = {y : d(y,x) ≤ t}``;
+    one sweep max-merges neighbor sketches along edges; harmonic
+    centrality accumulates ``(|B(x,t)| − |B(x,t−1)|)/t``. Exact
+    all-pairs BFS needs O(V²) state; HyperBall needs 64 small ints per
+    node, merged with the same shuffle shape as one PageRank sweep.
+
+    Engine-portable to the bit, like :func:`distinct_hll` whose register
+    scheme this reuses (md5-derived 6-bit register / 42-bit ρ, no floats
+    in sketch state): per-iteration ball estimates floor to BIGINT, and
+    the harmonic sum is kept in /60-fixed-point so the ``1/t`` weights
+    (t ≤ 6) are exact integers — ``harmonic_x60 = Σ diff_t · (60/t)``.
+
+    Scale shape: the register relation is (host, reg, m) ≤ 64 rows per
+    node; each sweep is one equi-join on the edge key + one map-side-
+    combined max-aggregation; ``localCheckpoint`` per sweep keeps plan
+    depth constant (the pagerank/components/hops discipline). Output one
+    row per node: the final ball estimate and ``harmonic_x60``.
+    """
+    if not 0 < iterations <= 6:
+        raise ValueError(f"iterations ({iterations}) must be in 1..6")
+    lc_arr = f"array({HYPERBALL_LC_TABLE_SQL})"
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("h"))
+        .union(e.select(F.col("dst").alias("h")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    two42 = 1 << 42
+    regs = (
+        nodes.select(
+            "h",
+            F.conv(F.substring(F.md5(F.col("h")), 1, 12), 16, 10)
+            .cast("long")
+            .alias("hh"),
+        )
+        .select(
+            "h",
+            F.expr(f"hh DIV {two42}").cast("int").alias("reg"),
+            F.expr(
+                f"CASE WHEN hh % {two42} = 0 THEN 43"
+                f" ELSE 43 - length(bin(hh % {two42})) END"
+            ).cast("int").alias("m"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def estimate(r: DataFrame) -> DataFrame:
+        per = r.groupBy("h").agg(
+            F.count(F.lit(1)).alias("n_regs"),
+            F.sum(
+                F.expr(
+                    "CAST(1.0 AS DOUBLE)"
+                    " / CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)"
+                )
+            ).alias("s_present"),
+        )
+        raw = (
+            f"{HLL_ALPHA64_SQL} * CAST(4096.0 AS DOUBLE)"
+            " / (s_present + CAST(64 - n_regs AS DOUBLE))"
+        )
+        # standard HLL small-range correction, made engine-portable: the
+        # linear-counting values 64·ln(64/V) are a 64-entry LITERAL
+        # table (same literals in the DuckDB twin — no cross-engine libm)
+        return per.select(
+            "h",
+            F.expr(
+                f"CASE WHEN {raw} <= 160.0 AND n_regs < 64"
+                f" THEN floor(element_at({lc_arr},"
+                f" CAST(64 - n_regs AS INT)))"
+                f" ELSE floor({raw}) END"
+            ).cast("long").alias("est"),
+        )
+
+    prev = estimate(regs)
+    parts: list[DataFrame] = []
+    for t in range(1, iterations + 1):
+        contrib = e.join(regs, F.col("src") == F.col("h")).select(
+            F.col("dst").alias("h"), "reg", "m"
+        )
+        regs = (
+            contrib.unionByName(regs.select("h", "reg", "m"))
+            .groupBy("h", "reg")
+            .agg(F.max("m").alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        cur = estimate(regs)
+        parts.append(
+            cur.alias("c")
+            .join(prev.alias("p"), "h")
+            .select(
+                "h",
+                (
+                    F.greatest(
+                        F.col("c.est") - F.col("p.est"), F.lit(0)
+                    )
+                    * F.lit(60 // t)
+                ).alias("part"),
+            )
+        )
+        prev = cur
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p)
+    harm = acc.groupBy("h").agg(F.sum("part").cast("long").alias("hx"))
+    out = (
+        nodes.join(prev, "h", "left")
+        .join(harm, "h", "left")
+        .select(
+            F.col("h").alias("host"),
+            F.coalesce("est", F.lit(0)).cast("long").alias("ball_estimate"),
+            F.coalesce("hx", F.lit(0)).cast("long").alias("harmonic_x60"),
+        )
     )
     e.unpersist()
     return out

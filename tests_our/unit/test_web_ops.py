@@ -1622,3 +1622,48 @@ def test_host_dup_rate(spark):
     assert out["orig.com"]["dup_permille"] == 500
     assert out["clean.com"]["n_dup_docs"] == 0
     assert out["clean.com"]["dup_permille"] == 0
+
+
+def test_hyperball_exact_on_small_graph(spark):
+    # in the linear-counting regime (balls << 64) the sketch is exact,
+    # so HyperBall's harmonic_x60 equals hand-computed 60·Σ 1/d over
+    # in-paths of length <= iterations:
+    #   ring a->b->c->d->a plus x->a
+    #   a: d(1),x(1),c(2),b(3)  -> 60+60+30+20 = 170
+    #   b: a(1),d(2),x(2),c(3)  -> 60+30+30+20 = 140
+    #   c: b(1),a(2),d(3),x(3)  -> 60+30+20+20 = 130
+    #   d: c(1),b(2),a(3)       -> 60+30+20    = 110   (x at d=4 > 3)
+    #   x: no in-edges          -> 0
+    from doc_parser_spark.operators import web
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("x", "a")],
+        "src string, dst string",
+    )
+    got = {r["host"]: r["harmonic_x60"] for r in web.host_hyperball(e).collect()}
+    assert got == {"a": 170, "b": 140, "c": 130, "d": 110, "x": 0}
+
+    # deterministic under repartitioning (register merge is max — order-free)
+    again = {
+        r["host"]: r["harmonic_x60"]
+        for r in web.host_hyperball(e.repartition(7)).collect()
+    }
+    assert again == got
+
+
+def test_hyperball_ball_monotone_and_validated(spark):
+    import pytest as _pytest
+
+    from doc_parser_spark.operators import web
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    b1 = {r["host"]: r["ball_estimate"] for r in web.host_hyperball(e, 1).collect()}
+    b3 = {r["host"]: r["ball_estimate"] for r in web.host_hyperball(e, 3).collect()}
+    assert all(b3[h] >= b1[h] for h in b1)
+    assert b3["d"] == 4  # a,b,c,d all within 3 hops upstream of d
+    with _pytest.raises(ValueError):
+        web.host_hyperball(e, 0)
+    with _pytest.raises(ValueError):
+        web.host_hyperball(e, 7)
