@@ -403,6 +403,131 @@ def _synth_pld_host_edges(documents):
     )
 
 
+def _pca_ctes(dims: int = 64, k: int = 2, iters: int = 48,
+              sample: int = 512) -> str:
+    """DuckDB twin of similarity.pca_train: integer-exact quantized
+    covariance (plain order-independent BIGINT sums — no ordered folds
+    needed), then power iteration + Rayleigh + sign fix + rank-1
+    deflation fully unrolled with pinned ascending-index folds
+    (list_sum over list_transform ↔ the Python left-fold loops)."""
+    gs = f"generate_series(1, {dims})"
+    ctes = [
+        f"""ptrain AS MATERIALIZED (
+            SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {sample}
+        )""",
+        """pn AS MATERIALIZED (SELECT count(*) AS n FROM ptrain)""",
+        f"""pmu AS MATERIALIZED (
+            SELECT dd.d,
+                   (CAST(sum(CAST(floor(CAST(e.embedding[dd.d] AS DOUBLE)
+                        * 1e6) AS BIGINT)) AS DOUBLE)
+                    / CAST((SELECT n FROM pn) AS DOUBLE)) / 1e6 AS m
+            FROM ptrain e, LATERAL UNNEST({gs}) AS dd(d)
+            GROUP BY dd.d
+        )""",
+        f"""pq AS MATERIALIZED (
+            SELECT e.vec_id, dd.d,
+                   CAST(floor((CAST(e.embedding[dd.d] AS DOUBLE) - mu.m)
+                        * 1e6) AS BIGINT) AS qv
+            FROM ptrain e, LATERAL UNNEST({gs}) AS dd(d)
+            JOIN pmu mu ON mu.d = dd.d
+        )""",
+        """pcov AS MATERIALIZED (
+            SELECT a.d AS i, b.d AS j, CAST(sum(a.qv * b.qv) AS DOUBLE) AS c
+            FROM pq a JOIN pq b USING (vec_id) GROUP BY a.d, b.d
+        )""",
+        """cm0 AS MATERIALIZED (
+            SELECT list(row ORDER BY i) AS m FROM (
+                SELECT i, list(c ORDER BY j) AS row FROM pcov GROUP BY i
+            )
+        )""",
+    ]
+    init = ", ".join(["0.125"] * dims) if dims == 64 else ", ".join(
+        [f"1.0/sqrt({dims}.0)"] * dims
+    )
+    for comp in range(k):
+        ctes.append(f"v{comp}_0 AS MATERIALIZED (SELECT [{init}] AS v)")
+        for t in range(1, iters + 1):
+            ctes.append(
+                f"""y{comp}_{t} AS MATERIALIZED (
+            SELECT list_transform({gs}, i ->
+                list_sum(list_transform({gs}, j ->
+                    cm.m[i][j] * vv.v[j]))) AS y
+            FROM cm{comp} cm, v{comp}_{t - 1} vv
+        )"""
+            )
+            ctes.append(
+                f"""v{comp}_{t} AS MATERIALIZED (
+            SELECT list_transform(y, x -> x / sqrt(
+                list_sum(list_transform({gs}, i -> y[i] * y[i])))) AS v
+            FROM y{comp}_{t}
+        )"""
+            )
+        ctes.append(
+            f"""lam{comp} AS MATERIALIZED (
+            SELECT list_sum(list_transform({gs}, i -> vv.v[i] *
+                list_sum(list_transform({gs}, j ->
+                    cm.m[i][j] * vv.v[j])))) AS lam
+            FROM cm{comp} cm, v{comp}_{iters} vv
+        )"""
+        )
+        ctes.append(
+            f"""vf{comp} AS MATERIALIZED (
+            SELECT CASE WHEN vv.v[(
+                SELECT dd.d FROM UNNEST({gs}) AS dd(d), v{comp}_{iters} w
+                ORDER BY abs(w.v[dd.d]) DESC, dd.d ASC LIMIT 1
+            )] < 0 THEN list_transform(vv.v, x -> -x) ELSE vv.v END AS v
+            FROM v{comp}_{iters} vv
+        )"""
+        )
+        if comp + 1 < k:
+            ctes.append(
+                f"""cm{comp + 1} AS MATERIALIZED (
+            SELECT list_transform({gs}, i ->
+                list_transform({gs}, j ->
+                    cm.m[i][j] - lm.lam * vv.v[i] * vv.v[j])) AS m
+            FROM cm{comp} cm, vf{comp} vv, lam{comp} lm
+        )"""
+            )
+    return ",\n        ".join(ctes)
+
+
+def _pca_components_sql(dims: int = 64, k: int = 2, iters: int = 48) -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT {c} AS comp, dd.d - 1 AS dim,"
+        f" CAST(floor(vv.v[dd.d] * 1e6) AS BIGINT) AS value_fp6,"
+        f" CAST(floor((SELECT lam FROM lam{c})) AS BIGINT)"
+        f" AS eigenvalue_floor"
+        f" FROM UNNEST(generate_series(1, {dims})) AS dd(d), vf{c} vv"
+        for c in range(k)
+    )
+    return f"""
+        WITH {_pca_ctes(dims, k, iters)}
+        SELECT CAST(comp AS BIGINT) AS comp, CAST(dim AS BIGINT) AS dim,
+               value_fp6, eigenvalue_floor
+        FROM ({rows})
+    """
+
+
+def _pca_project_sql(dims: int = 64, k: int = 2, iters: int = 48) -> str:
+    gs = f"generate_series(1, {dims})"
+    projs = " UNION ALL ".join(
+        f"SELECT e.vec_id, {c} AS comp,"
+        f" CAST(floor(list_sum(list_transform({gs}, d ->"
+        f" (CAST(e.embedding[d] AS DOUBLE) - mu.mv[d]) * vv.v[d]))"
+        f" * 1e6) AS BIGINT) AS proj_fp6"
+        f" FROM embeddings e, mulist mu, vf{c} vv"
+        for c in range(k)
+    )
+    return f"""
+        WITH {_pca_ctes(dims, k, iters)},
+        mulist AS (SELECT list(m ORDER BY d) AS mv FROM pmu)
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(comp AS BIGINT) AS comp, proj_fp6
+        FROM ({projs})
+    """
+
+
 def _hyperball_sql(iterations: int = 3) -> str:
     """DuckDB twin of web.host_hyperball over the synthesized host
     edges: the HLL in-ball register chain unrolled per sweep (max-merge
@@ -1272,6 +1397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivfpq_topk": q(similarity.ivfpq_topk, "embeddings"),
         "emb_ivfpq_res_topk": q(similarity.ivfpq_res_topk, "embeddings"),
         "emb_semdedup": q(similarity.semdedup, "embeddings"),
+        "emb_pca_components": q(similarity.pca_components, "embeddings"),
+        "emb_pca_project": q(similarity.pca_project, "embeddings"),
         # relational breadth
         "q1_pricing_summary": q(relational.pricing_summary, "lineitem"),
         "q3_top_unshipped": q(
@@ -1866,7 +1993,7 @@ _DRIVER_PRIORITY = [
     "emb_decontaminate", "emb_pq_codes", "emb_sq8_codes", "emb_sq8_topk",
     "emb_matryoshka_topk", "emb_dim_stats", "emb_recall_eval",
     "emb_knn_label_eval", "emb_pq_adc_topk", "emb_ivfpq_topk",
-    "emb_ivfpq_res_topk",
+    "emb_ivfpq_res_topk", "emb_pca_components", "emb_pca_project",
     "emb_semdedup", "q4_order_priority", "q22_inactive_customers",
     "events_bot_sessions", "events_props_stats", "events_funnel",
     "doc_corpus_profile", "doc_script_profile", "events_error_click_window",
@@ -5056,6 +5183,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_pq_adc_topk": _pq_adc_topk_sql(),
         "emb_ivfpq_topk": _ivfpq_topk_sql(),
         "emb_ivfpq_res_topk": _ivfpq_res_topk_sql(),
+        "emb_pca_components": _pca_components_sql(),
+        "emb_pca_project": _pca_project_sql(),
         "emb_semdedup": _semdedup_sql(),
         # per-dim health panel twin: identical element-level floor(1e6·v)
         # quantization, then exact integer aggregation (order-independent

@@ -1085,6 +1085,163 @@ def matryoshka_topk(
     )
 
 
+PCA_K = 2
+PCA_ITERS = 48
+PCA_TRAIN_SAMPLE = 512
+
+
+def pca_train(
+    embeddings: DataFrame,
+    k: int = PCA_K,
+    iters: int = PCA_ITERS,
+    sample: int = PCA_TRAIN_SAMPLE,
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Deterministic top-k PCA via power iteration + deflation — the
+    dimensionality-reduction primitive real ANN stacks run before
+    quantization (faiss ``PCAMatrix`` / OPQ's rotation cousin).
+
+    Engine-portable arithmetic, the quantizer-family discipline:
+
+    * the mean uses the exact scaled-integer trick of :func:`_lloyd`
+      (``Σ floor(x·1e6)`` int64s, two IEEE divides);
+    * the covariance is **integer-exact by construction**: entries are
+      ``Σ q_i·q_j`` over ``q = floor((x−μ)·1e6)`` int64s — plain
+      order-independent integer sums, so the SQL twin needs no ordered
+      folds to reproduce it bit-for-bit (a documented fp6 quantization,
+      like every scaled metric in this module);
+    * power iteration (fixed ``iters``), Rayleigh quotient, and rank-1
+      deflation run in pinned left-fold double arithmetic (ascending
+      dim index), each normalize a correctly-rounded ``sqrt`` + divide;
+    * init = the all-ones direction; sign fixed by making the largest-
+      magnitude coordinate positive (eigenvector sign is arbitrary).
+
+    Returns ``(mu, components[k][dims], eigenvalues[k])`` — driver-held
+    model state (like the k-means codebooks), broadcast into scan-shaped
+    projections by :func:`pca_project`.
+    """
+    import math as _math
+
+    vecs = _train_vectors(embeddings, sample)
+    n, dims = vecs.shape
+    scaled = [[int(_math.floor(float(vecs[r][d]) * 1e6)) for d in range(dims)]
+              for r in range(n)]
+    mu = [((sum(scaled[r][d] for r in range(n)) / n) / 1e6)
+          for d in range(dims)]
+    q = [[int(_math.floor((float(vecs[r][d]) - mu[d]) * 1e6))
+          for d in range(dims)] for r in range(n)]
+    # integer covariance (row-major accumulation; ints are associative)
+    cov = [[0] * dims for _ in range(dims)]
+    for r in range(n):
+        qr = q[r]
+        for i in range(dims):
+            qi = qr[i]
+            if qi:
+                row = cov[i]
+                for j in range(dims):
+                    row[j] += qi * qr[j]
+    c = [[float(v) for v in row] for row in cov]
+    comps: list[list[float]] = []
+    eigs: list[float] = []
+    for _ in range(k):
+        v = [1.0] * dims
+        s = 0.0
+        for i in range(dims):
+            s += v[i] * v[i]
+        nrm = _math.sqrt(s)
+        v = [x / nrm for x in v]
+        for _t in range(iters):
+            y = []
+            for i in range(dims):
+                acc = 0.0
+                ci = c[i]
+                for j in range(dims):
+                    acc += ci[j] * v[j]
+                y.append(acc)
+            s = 0.0
+            for i in range(dims):
+                s += y[i] * y[i]
+            nrm = _math.sqrt(s)
+            if nrm == 0.0:
+                break
+            v = [x / nrm for x in y]
+        # Rayleigh quotient λ = vᵀCv (pinned i-then-j fold)
+        lam = 0.0
+        for i in range(dims):
+            acc = 0.0
+            ci = c[i]
+            for j in range(dims):
+                acc += ci[j] * v[j]
+            lam += v[i] * acc
+        # sign convention: largest-|coordinate| positive
+        big = 0
+        for i in range(dims):
+            if abs(v[i]) > abs(v[big]):
+                big = i
+        if v[big] < 0:
+            v = [-x for x in v]
+        comps.append(v)
+        eigs.append(lam)
+        for i in range(dims):
+            for j in range(dims):
+                c[i][j] = c[i][j] - lam * v[i] * v[j]
+    return mu, comps, eigs
+
+
+def pca_components(
+    embeddings: DataFrame,
+    k: int = PCA_K,
+    iters: int = PCA_ITERS,
+) -> DataFrame:
+    """Trained components as exploded scalar rows (comp, dim, value_fp6,
+    eigenvalue_fp6) — the ivf_centroids convention (arrays break the
+    comparison harness's pandas canonicalizer)."""
+    mu, comps, eigs = pca_train(embeddings, k, iters)
+    import math as _math
+
+    spark = embeddings.sparkSession
+    rows = []
+    for ci, (v, lam) in enumerate(zip(comps, eigs)):
+        for d, x in enumerate(v):
+            rows.append(
+                (ci, d, int(_math.floor(x * 1e6)), int(_math.floor(lam)))
+            )
+    return spark.createDataFrame(
+        rows, "comp long, dim long, value_fp6 long, eigenvalue_floor long"
+    )
+
+
+def pca_project(
+    embeddings: DataFrame,
+    k: int = PCA_K,
+    iters: int = PCA_ITERS,
+) -> DataFrame:
+    """Corpus projection onto the trained components: one JVM left-fold
+    expression per component against the broadcast model literals —
+    scan-shaped, zero shuffles (beside the posexplode), no Python in the
+    executor path. Output (vec_id, comp, proj_fp6)."""
+    mu, comps, _ = pca_train(embeddings, k, iters)
+    projs = []
+    for v in comps:
+        mu_lits = ", ".join(f"{m!r}d" for m in mu)
+        v_lits = ", ".join(f"{x!r}d" for x in v)
+        projs.append(
+            F.expr(
+                f"aggregate(zip_with(zip_with(embedding, array({mu_lits}),"
+                " (x, m) -> cast(x as double) - m),"
+                f" array({v_lits}), (cx, vv) -> cx * vv),"
+                " cast(0.0 as double), (acc, t) -> acc + t)"
+            )
+        )
+    return embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.posexplode(F.array(*projs)).alias("comp", "p"),
+    ).select(
+        "vec_id",
+        F.col("comp").cast("long").alias("comp"),
+        F.floor(F.col("p") * F.lit(1000000.0)).cast("long").alias("proj_fp6"),
+    )
+
+
 def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
     """Per-dimension embedding-corpus health panel — the drift monitor a
     production embedding pipeline runs per batch (a upstream model or

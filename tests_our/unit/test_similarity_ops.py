@@ -388,3 +388,51 @@ def test_sq8_topk_ranks_by_code_distance(spark):
     assert all(r.query_id == 0 for r in rows)
     with pytest.raises(ValueError):
         sq8_topk(df, n_queries=0)
+
+
+def test_pca_power_iteration_matches_numpy_on_structured_data(spark):
+    """On data with a dominant direction, 48 power iterations recover
+    numpy's top eigenvector to high cosine, eigenvalues come out in
+    descending order, and the result is partition-order-proof."""
+    import numpy as np
+
+    from doc_parser_spark.operators.similarity import pca_train
+
+    rng = np.random.default_rng(3)
+    u1 = rng.normal(0, 1, 8); u1 /= np.linalg.norm(u1)
+    u2 = rng.normal(0, 1, 8); u2 -= (u2 @ u1) * u1; u2 /= np.linalg.norm(u2)
+    rows = []
+    for i in range(200):
+        v = 5.0 * rng.normal() * u1 + 2.0 * rng.normal() * u2 \
+            + rng.normal(0, 0.1, 8)
+        rows.append((i, [float(x) for x in v], 0))
+    emb = _emb(spark, rows)
+    mu, comps, eigs = pca_train(emb, k=2, iters=48, sample=200)
+    assert eigs[0] > eigs[1] > 0
+    assert abs(float(np.dot(comps[0], u1))) > 0.99
+    assert abs(float(np.dot(comps[1], u2))) > 0.95
+
+    mu2, comps2, eigs2 = pca_train(emb.repartition(7), k=2, iters=48,
+                                   sample=200)
+    assert comps2 == comps and eigs2 == eigs and mu2 == mu
+
+
+def test_pca_project_is_centered_dot_product(spark):
+    import math
+
+    import numpy as np
+
+    from doc_parser_spark.operators.similarity import pca_project, pca_train
+
+    rows = [(i, [float(i % 5), float(i % 3), 1.0, 0.0], 0)
+            for i in range(40)]
+    emb = _emb(spark, rows)
+    mu, comps, _ = pca_train(emb, k=1, iters=8, sample=40)
+    got = {(r["vec_id"], r["comp"]): r["proj_fp6"]
+           for r in pca_project(emb, k=1, iters=8).collect()}
+    for i, v, _l in rows[:10]:
+        # replicate the JVM left-fold: ((x-mu)*comp) accumulated in order
+        acc = 0.0
+        for x, m, c in zip(v, mu, comps[0]):
+            acc += (x - m) * c
+        assert got[(i, 0)] == math.floor(acc * 1e6)
