@@ -200,6 +200,16 @@ def _build_document(pages: list[minipdf.PdfPage]) -> tuple[Document, float]:
         ]
 
         def _beside_folio(bbox) -> str | None:
+            # the candidate must itself sit inside the page-number band —
+            # a tall body block that merely brushes the folio's line
+            # (full-height sidebar, first column) is content, not a head
+            if (
+                labels.band_of(
+                    bbox, page.height, labels.PAGENO_BAND_FRACTION
+                )
+                is None
+            ):
+                return None
             for fl, ft, fr, fb in folio_lines:
                 if min(bbox[3], fb) - max(bbox[1], ft) > 0:
                     return "header" if fb <= page.height / 2 else "footer"
