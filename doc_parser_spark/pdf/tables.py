@@ -36,8 +36,13 @@ paragraphs).
 Pass C — fully unruled tables (no painted geometry at all): a band of
 >=5 consecutive multi-cell line-rows whose whitespace gutters are
 shared by >=80% of rows, entry-length cells, >=60% grid fill. The
-strictest evidence bar of the three passes, because on an unruled page
+strictest evidence bar of the text passes, because on an unruled page
 every aligned layout is a candidate (covers, two-column prose).
+
+Pass D — dot-leader contents tables: >=8 lines (and >=60% of the page's
+lines) ending in a >=4-dot leader run plus a roman/arabic folio ref
+become one (entry+leader, page-ref) 2-column table — the TableFormer
+treatment of a TOC page (redp5110's golden).
 
 Everything is geometry over a handful of segments per page — pure
 Python, no NN, deterministic.
@@ -309,6 +314,24 @@ _TOC_MIN_ROWS = 8
 _TOC_MIN_FRAC = 0.6
 
 
+def _nearest_rows(solid: list, rows_y: list[float]) -> list[list]:
+    """Assign each cell to its nearest row center — O(n log r) bisect,
+    not the O(n·r) scan (a crawl PDF can carry thousands of cells per
+    page and per-document time isolation must hold)."""
+    by_row: list[list] = [[] for _ in rows_y]
+    for c in solid:
+        yc = (c.t + c.b) / 2
+        k = bisect_left(rows_y, yc)
+        if k == 0:
+            ix = 0
+        elif k == len(rows_y):
+            ix = len(rows_y) - 1
+        else:
+            ix = k if rows_y[k] - yc < yc - rows_y[k - 1] else k - 1
+        by_row[ix].append(c)
+    return by_row
+
+
 def _detect_toc(cells: list) -> list[TableRegion]:
     solid = [c for c in cells if c.text.strip()]
     if len(solid) < _TOC_MIN_ROWS:
@@ -318,11 +341,7 @@ def _detect_toc(cells: list) -> list[TableRegion]:
     rows_y = _cluster_1d(
         [(c.t + c.b) / 2 for c in solid], tol=max(TOL, 0.6 * med_h)
     )
-    by_row: list[list] = [[] for _ in rows_y]
-    for c in solid:
-        yc = (c.t + c.b) / 2
-        ix = min(range(len(rows_y)), key=lambda i: abs(rows_y[i] - yc))
-        by_row[ix].append(c)
+    by_row = _nearest_rows(solid, rows_y)
     entries: list[tuple[list, str, str]] = []  # (cells, col1, col2)
     n_lines = 0
     for row in by_row:
@@ -384,13 +403,7 @@ def _detect_unruled(cells: list) -> list[TableRegion]:
     rows_y = _cluster_1d(
         [(c.t + c.b) / 2 for c in solid], tol=max(TOL, 0.6 * med_h)
     )
-    by_row: list[list] = [[] for _ in rows_y]
-    for c in solid:
-        yc = (c.t + c.b) / 2
-        ix = min(
-            range(len(rows_y)), key=lambda i: abs(rows_y[i] - yc)
-        )
-        by_row[ix].append(c)
+    by_row = _nearest_rows(solid, rows_y)
 
     regions: list[TableRegion] = []
     i = 0
