@@ -456,11 +456,17 @@ def _pca_ctes(dims: int = 64, k: int = 2, iters: int = 48,
             FROM cm{comp} cm, v{comp}_{t - 1} vv
         )"""
             )
+            # ||y|| = 0 keeps the previous v (mirrors pca_train's
+            # break-on-zero-norm guard; a degenerate covariance must
+            # not diverge into NaN on the oracle side)
             ctes.append(
                 f"""v{comp}_{t} AS MATERIALIZED (
-            SELECT list_transform(y, x -> x / sqrt(
-                list_sum(list_transform({gs}, i -> y[i] * y[i])))) AS v
-            FROM y{comp}_{t}
+            SELECT CASE WHEN list_sum(list_transform({gs},
+                    i -> yy.y[i] * yy.y[i])) = 0 THEN vv.v
+                ELSE list_transform(yy.y, x -> x / sqrt(
+                    list_sum(list_transform({gs},
+                        i -> yy.y[i] * yy.y[i])))) END AS v
+            FROM y{comp}_{t} yy, v{comp}_{t - 1} vv
         )"""
             )
         ctes.append(
@@ -1345,6 +1351,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_fit": q(text_analysis.lm_fit_score, "documents"),
         "doc_dsir_weights": q(text_analysis.dsir_weights, "documents"),
         "doc_bpe_merges": q(text_analysis.bpe_train, "documents"),
+        # the offline trainer (driver-side incremental merge loop) must
+        # reproduce the Spark trainer's merges exactly — same 6-merge
+        # DuckDB twin verifies it independently
+        "doc_bpe_merges_offline": q(
+            lambda d: text_analysis.bpe_train_offline(d, n_merges=6),
+            "documents",
+        ),
         "doc_bpe_tokens": q(text_analysis.bpe_apply, "documents"),
         "doc_bpe_fertility": q(text_analysis.bpe_fertility, "documents"),
         "doc_c4_clean": lambda spark, sf: text_analysis.c4_clean(
@@ -1985,27 +1998,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {n: reg[n] for n in (*lead, *rest)}
 
 
-# Registry rotation (round 4): every name here was green in the builder's
-# full-surface oracle run but has never appeared in a driver
-# CORRECTNESS_r{1,2,3}.json sample (r01 ∪ r02 ∪ r03 = 78 of 179 entries).
+# Registry rotation (round 5, final): every name here was green in the
+# builder's full-surface oracle run but has never appeared in any driver
+# CORRECTNESS_r{1..4}.json sample (r01 ∪ r02 ∪ r03 ∪ r04 = 128 of 183
+# entries; these are the remaining 55).
 _DRIVER_PRIORITY = [
-    "doc_containment", "doc_dedup_eval", "doc_cluster_reps",
-    "emb_decontaminate", "emb_pq_codes", "emb_sq8_codes", "emb_sq8_topk",
-    "emb_matryoshka_topk", "emb_dim_stats", "emb_recall_eval",
-    "emb_knn_label_eval", "emb_pq_adc_topk", "emb_ivfpq_topk",
-    "emb_ivfpq_res_topk", "emb_pca_components", "emb_pca_project",
-    "emb_semdedup", "q4_order_priority", "q22_inactive_customers",
-    "events_bot_sessions", "events_props_stats", "events_funnel",
-    "doc_corpus_profile", "doc_script_profile", "events_error_click_window",
-    "events_asof_click", "web_domain_parts", "web_latest_capture",
-    "web_revisit_records", "web_cdx_index", "web_capture_drift",
-    "web_revisit_schedule", "web_crawl_diff", "extract_incremental",
-    "web_fetch_waves", "doc_lang_length_quantiles", "web_template_strip",
-    "web_robots_posture", "web_robots_wildcard", "web_robots_filter",
-    "web_host_kmv", "web_host_pagerank", "web_pld_graph",
-    "web_pld_pagerank", "web_host_trustrank", "web_degree_spectrum",
-    "web_host_hops", "web_host_hyperball", "web_host_spam_mass",
-    "web_host_budgets",
     "web_host_features", "web_host_cocitation", "web_host_hits",
     "web_host_degree", "web_host_components", "web_host_communities",
     "web_host_hll", "web_sitemap_urls", "web_sitemap_coverage",
@@ -2024,6 +2021,7 @@ _DRIVER_PRIORITY = [
     "doc_badwords", "doc_normalize", "img_dhash", "img_dhash_neardup",
     "av_wav_stats", "av_video_stats", "img_resize_check",
     "av_wav_fingerprint", "av_wav_neardup", "av_media_filter",
+    "doc_bpe_merges_offline",
 ]
 
 
@@ -4803,6 +4801,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d LEFT JOIN agg a USING (doc_id)
         """,
         "doc_bpe_merges": _bpe_oracle_sql(6),
+        "doc_bpe_merges_offline": _bpe_oracle_sql(6),
         "doc_bpe_tokens": _bpe_apply_oracle_sql(6),
         "doc_c4_clean": f"""
             WITH src AS (

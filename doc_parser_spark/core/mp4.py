@@ -155,6 +155,11 @@ class Mp4Info:
     duration: int = 0  # in media timescale units
     n_frames: int = 0
     sample_sizes: list[int] = field(default_factory=list)
+    # stsz-derived byte stats, computed arithmetically for the uniform
+    # case so a hostile 32-bit sample count never materializes a list
+    size_total: int = 0
+    size_min: int = 0
+    size_max: int = 0
     width: int = 0  # VisualSampleEntry declared dims
     height: int = 0
     sps: dict | None = None  # parse_sps output when codec is AVC
@@ -180,8 +185,14 @@ def parse_mp4(data: bytes) -> Mp4Info:
         info = Mp4Info()
         mdhd = _find(data, *mdia, b"mdhd")
         if mdhd is not None:
-            mb = mdhd[0]
+            mb, me = mdhd
+            # v0 body is 24 bytes, v1 is 36; the version byte itself
+            # needs one — a truncated box raises instead of IndexError
+            if me - mb < 24:
+                raise Mp4Error("truncated mdhd")
             version = data[mb]
+            if version == 1 and me - mb < 36:
+                raise Mp4Error("truncated mdhd v1")
             if version == 1:
                 info.timescale = int.from_bytes(data[mb + 20 : mb + 24], "big")
                 info.duration = int.from_bytes(data[mb + 24 : mb + 32], "big")
@@ -204,25 +215,40 @@ def parse_mp4(data: bytes) -> Mp4Info:
                 if t2 in (b"avc1", b"avc3"):
                     avcc = _find(data, eb + 78, ee, b"avcC")
                     if avcc is not None:
-                        ab = avcc[0]
+                        ab, ae = avcc
+                        if ae - ab < 8:
+                            raise Mp4Error("truncated avcC")
                         n_sps = data[ab + 5] & 0x1F
                         if n_sps:
                             ln = int.from_bytes(data[ab + 6 : ab + 8], "big")
+                            if ab + 8 + ln > ae:
+                                raise Mp4Error("truncated avcC SPS")
                             info.sps = parse_sps(data[ab + 8 : ab + 8 + ln])
                 break
         stsz = _find(data, *stbl, b"stsz")
         if stsz is not None:
-            zb = stsz[0]
+            zb, ze = stsz
+            if ze - zb < 12:
+                raise Mp4Error("truncated stsz")
             uniform = int.from_bytes(data[zb + 4 : zb + 8], "big")
             count = int.from_bytes(data[zb + 8 : zb + 12], "big")
             info.n_frames = count
             if uniform:
-                info.sample_sizes = [uniform] * count
+                # never trust a declared 32-bit count with an allocation:
+                # the uniform stats are pure arithmetic
+                info.size_total = uniform * count
+                info.size_min = info.size_max = uniform if count else 0
             else:
+                # the entries table must actually fit in the box body
+                if count > (ze - zb - 12) // 4:
+                    raise Mp4Error("stsz count exceeds box body")
                 info.sample_sizes = [
                     int.from_bytes(data[zb + 12 + 4 * i : zb + 16 + 4 * i], "big")
                     for i in range(count)
                 ]
+                info.size_total = sum(info.sample_sizes)
+                info.size_min = min(info.sample_sizes, default=0)
+                info.size_max = max(info.sample_sizes, default=0)
         if not info.n_frames:
             stts = _find(data, *stbl, b"stts")
             if stts is not None:

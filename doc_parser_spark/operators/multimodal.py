@@ -1177,20 +1177,23 @@ def _video_stats_one(payload: bytes) -> dict:
     if len(data) >= 12 and data[4:8] == b"ftyp":
         try:
             info = mp4lib.parse_mp4(data)
-        except mp4lib.Mp4Error as exc:
+        except (mp4lib.Mp4Error, IndexError) as exc:
+            # IndexError guards the per-document error-isolation
+            # contract against any residual raw byte access on a
+            # malformed payload — one bad crawl row must never fail
+            # the Spark task (same contract as the AVI path)
             out["status"] = f"error:{type(exc).__name__}"
             return out
         if not info.n_frames or not info.timescale:
             out["status"] = "error:Mp4Error"
             return out
-        sizes = info.sample_sizes or [0]
         usec = info.duration * 1_000_000 // info.timescale // info.n_frames
         out["n_frames"] = info.n_frames
         out["usec_per_frame"] = int(usec)
         out["duration_ms"] = info.duration * 1000 // info.timescale
-        out["total_frame_bytes"] = sum(sizes)
-        out["min_frame_bytes"] = min(sizes)
-        out["max_frame_bytes"] = max(sizes)
+        out["total_frame_bytes"] = info.size_total
+        out["min_frame_bytes"] = info.size_min
+        out["max_frame_bytes"] = info.size_max
         return out
     try:
         usec, frames = avilib.parse_avi(data)

@@ -1382,6 +1382,94 @@ def bpe_train(documents: DataFrame, n_merges: int = 6) -> DataFrame:
     )
 
 
+def bpe_train_offline(documents: DataFrame, n_merges: int = 1000) -> DataFrame:
+    """Driver-side BPE trainer for production-sized vocabularies
+    (Sennrich et al. 2016 `learn_bpe` with fastBPE-style incremental
+    pair-count maintenance).
+
+    :func:`bpe_train` is the oracle-verifiable demo: each of its merges
+    is a Spark groupBy + 1-row collect, which is honest eval scope but
+    makes a 30k-merge production vocab ~30k Spark jobs. This trainer
+    keeps the distributed part to exactly ONE corpus pass — the
+    explode→groupBy building the distinct-word relation (the fastBPE
+    insight: web corpora hold ~10M distinct words regardless of corpus
+    size, i.e. bounded driver model state like `ivf_train`'s codebooks)
+    — then runs the merge loop in-process with incremental updates:
+    picking a merge only re-tokenizes words that ever contained the
+    pair, so per-merge cost is proportional to the affected vocabulary
+    slice, not the whole relation.
+
+    Merge semantics are IDENTICAL to :func:`bpe_train` (greedy
+    left-to-right fold, frequency-weighted counts, ties broken
+    lexicographically on (lhs, rhs) — Python tuple order equals Spark's
+    code-point string order): the first k merges of both trainers are
+    equal by construction, pinned by
+    `test_bpe_train_offline_first_merges_equal_spark_trainer`.
+
+    Output schema matches bpe_train: one row per merge,
+    ``(merge_rank, lhs, rhs, merged, pair_count)``; training stops early
+    when no adjacent pair remains (fully merged vocabulary).
+    """
+    if n_merges <= 0:
+        raise ValueError(f"n_merges ({n_merges}) must be positive")
+    from collections import Counter, defaultdict
+
+    spark = documents.sparkSession
+    rows = (
+        documents.select(
+            F.explode(
+                F.expr(f"filter(split({NORM}, ' '), w -> w <> '')")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    words: list[tuple[list[str], int]] = [
+        (list(r["word"]), int(r["cnt"])) for r in rows
+    ]
+    pair_n: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    for wi, (toks, cnt) in enumerate(words):
+        for pair in zip(toks, toks[1:]):
+            pair_n[pair] += cnt
+            pair_words[pair].add(wi)
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        if not pair_n:
+            break
+        (lhs, rhs), n = min(
+            pair_n.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rank, lhs, rhs, lhs + rhs, int(n)))
+        # re-tokenize every word that ever held the pair (stale entries
+        # re-add their own counts — identity, not an error)
+        for wi in pair_words.pop((lhs, rhs), ()):
+            toks, cnt = words[wi]
+            for pair in zip(toks, toks[1:]):
+                pair_n[pair] -= cnt
+                if pair_n[pair] <= 0:
+                    del pair_n[pair]
+            # the same greedy left-to-right fold as bpe_train's SQL
+            acc: list[str] = []
+            for t in toks:
+                if acc and acc[-1] == lhs and t == rhs:
+                    acc[-1] = lhs + rhs
+                else:
+                    acc.append(t)
+            words[wi] = (acc, cnt)
+            for pair in zip(acc, acc[1:]):
+                pair_n[pair] += cnt
+                pair_words[pair].add(wi)
+
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, lhs string, rhs string, merged string, "
+        "pair_count long",
+    )
+
+
 def bpe_apply(documents: DataFrame, n_merges: int = 6) -> DataFrame:
     """Tokenize the corpus with the merges :func:`bpe_train` learns from
     it (the train-then-count pass that sizes a pre-training mix in model

@@ -28,8 +28,12 @@ import numpy as np
 
 from doc_parser_spark.pdf.minipdf import PdfPage, TextCell
 
-# "5.1" / "2.3.4" / "7." — the numbering fragment of a section header
-_ENUM_HEAD_RE = re.compile(r"\d+(?:\.\d+)*\.?")
+# "5.1" / "2.3.4" / "7." — the numbering fragment of a section header.
+# Dotted form
+# required: a bare integer ("5") is far more often a numeric table cell
+# or list counter than a section number, and joining it to a same-font
+# neighbor would merge two table columns before table binning.
+_ENUM_HEAD_RE = re.compile(r"\d+(?:\.\d+)+\.?|\d+\.")
 
 # -- horizontal merge (reference: pypdfium2_backend.py:157-252) --------------
 

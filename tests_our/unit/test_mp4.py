@@ -180,3 +180,100 @@ def test_media_filter_gains_a_real_codec_row(spark):
     out = {r["doc_id"]: r.asDict() for r in mm.media_filter(wav, video).collect()}
     assert out[1]["pass_video"] is True
     assert out[2]["pass_video"] is False
+
+
+# -- ADVICE r4 regressions: malformed-box isolation + stsz trust ------------
+
+
+def _mp4_with(stbl_extra=b"", mdhd_body=None, avcc=None) -> bytes:
+    """Minimal video trak whose mdhd/stbl children are caller-supplied —
+    for hostile-payload shapes _synth_mp4's fixed layout can't express."""
+    sample_entry = _box(
+        b"avc1",
+        bytes(6) + (1).to_bytes(2, "big") + bytes(16)
+        + (60).to_bytes(2, "big") + (46).to_bytes(2, "big")
+        + (0x00480000).to_bytes(4, "big") * 2
+        + bytes(4) + (1).to_bytes(2, "big") + bytes(32)
+        + (24).to_bytes(2, "big") + (0xFFFF).to_bytes(2, "big")
+        + (avcc if avcc is not None else b""),
+    )
+    stsd = _full(b"stsd", (1).to_bytes(4, "big") + sample_entry)
+    stbl = _box(b"stbl", stsd + stbl_extra)
+    minf = _box(b"minf", stbl)
+    if mdhd_body is None:
+        mdhd_body = bytes(8) + (1000).to_bytes(4, "big") \
+            + (960).to_bytes(4, "big") + bytes(4)
+    mdhd = _full(b"mdhd", mdhd_body)
+    hdlr = _full(b"hdlr", bytes(4) + b"vide" + bytes(12))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    moov = _box(b"moov", _box(b"trak", mdia))
+    ftyp = _box(b"ftyp", b"isom" + (512).to_bytes(4, "big") + b"isomavc1")
+    return ftyp + moov
+
+
+def test_truncated_mdhd_raises_mp4error_not_indexerror():
+    # mdhd with an empty body: the version byte itself is out of range —
+    # must raise Mp4Error, never IndexError (per-doc isolation contract)
+    data = _mp4_with(mdhd_body=b"")
+    with pytest.raises(mp4lib.Mp4Error):
+        mp4lib.parse_mp4(data)
+    assert mm._video_stats_one(data)["status"] == "error:Mp4Error"
+
+
+def test_truncated_mdhd_v1_raises():
+    data = _mp4_with(mdhd_body=bytes(24))  # v0-sized body…
+    # …but flip the version byte to 1 (needs 36): _full wrote version=0
+    idx = data.index(b"mdhd") + 4
+    data = data[:idx] + b"\x01" + data[idx + 1:]
+    with pytest.raises(mp4lib.Mp4Error):
+        mp4lib.parse_mp4(data)
+
+
+def test_truncated_avcc_sps_raises():
+    # avcC declares one SPS of 500 bytes but the box ends after 8
+    avcc = _box(b"avcC", bytes([1, 66, 0, 30, 0xFF, 0xE1]) + (500).to_bytes(2, "big"))
+    data = _mp4_with(avcc=avcc, stbl_extra=_full(
+        b"stsz", (0).to_bytes(4, "big") + (1).to_bytes(4, "big") + (9).to_bytes(4, "big")
+    ))
+    with pytest.raises(mp4lib.Mp4Error):
+        mp4lib.parse_mp4(data)
+    assert mm._video_stats_one(data)["status"] == "error:Mp4Error"
+
+
+def test_stsz_count_exceeding_box_body_raises():
+    # declared 1000 samples, body holds 2 entries: out-of-box slices must
+    # not silently decode as 0-size frames
+    stsz = _full(
+        b"stsz",
+        (0).to_bytes(4, "big") + (1000).to_bytes(4, "big")
+        + (100).to_bytes(4, "big") + (200).to_bytes(4, "big"),
+    )
+    data = _mp4_with(stbl_extra=stsz)
+    with pytest.raises(mp4lib.Mp4Error):
+        mp4lib.parse_mp4(data)
+    assert mm._video_stats_one(data)["status"] == "error:Mp4Error"
+
+
+def test_uniform_stsz_hostile_count_never_materializes():
+    # uniform size with a near-2^32 count: stats are pure arithmetic —
+    # parses instantly instead of allocating tens of GB
+    stsz = _full(
+        b"stsz",
+        (100).to_bytes(4, "big") + (2**31).to_bytes(4, "big"),
+    )
+    info = mp4lib.parse_mp4(_mp4_with(stbl_extra=stsz))
+    assert info.sample_sizes == []  # no list for the uniform path
+    assert info.n_frames == 2**31
+    assert info.size_total == 100 * 2**31
+    assert info.size_min == info.size_max == 100
+
+
+def test_video_stats_isolates_any_indexerror(monkeypatch):
+    # defense in depth: even an unforeseen raw-index escape inside
+    # parse_mp4 must yield an error-status row, not fail the Spark task
+    def boom(_):
+        raise IndexError("index out of range")
+
+    monkeypatch.setattr(mp4lib, "parse_mp4", boom)
+    rec = mm._video_stats_one(_synth_mp4())
+    assert rec["status"] == "error:IndexError"

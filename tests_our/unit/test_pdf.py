@@ -63,6 +63,28 @@ def test_horizontal_merge_exact_math():
     assert [c.index for c in layout.merge_horizontal_cells(far)] == [1, 2]
 
 
+def test_enum_heading_join_requires_dotted_form():
+    """ADVICE r4: the enumerated-heading join must not glue a bare
+    integer ("5") to a same-font neighbor — numeric first columns of
+    ruled tables and list counters fullmatch a digits-only pattern but are not section
+    numbers. Dotted forms ("5.1", "7.") still join across a wide tab."""
+    def cell(i, text, l, r):
+        return minipdf.TextCell(index=i, text=text, l=l, t=100.0, r=r,
+                                b=111.0, font_size=11, page_no=1,
+                                font_name="F1")
+
+    # dotted section number + title, 30pt apart (> avg height, <= 4x)
+    dotted = [cell(0, "5.1", 72, 90), cell(1, "Optimization", 120, 200)]
+    assert len(layout.merge_horizontal_cells(dotted)) == 1
+
+    trailing = [cell(0, "7.", 72, 84), cell(1, "Results", 114, 170)]
+    assert len(layout.merge_horizontal_cells(trailing)) == 1
+
+    # bare integer: two table columns — must NOT merge
+    bare = [cell(0, "5", 72, 80), cell(1, "42.0", 110, 140)]
+    assert len(layout.merge_horizontal_cells(bare)) == 2
+
+
 def test_sanitize_dehyphenation_and_normalization():
     # reference: page_assemble_model.py:34-65
     assert layout.sanitize_text(["contin-", "ued rise"]) == "continued rise"

@@ -436,3 +436,38 @@ def test_pca_project_is_centered_dot_product(spark):
         for x, m, c in zip(v, mu, comps[0]):
             acc += (x - m) * c
         assert got[(i, 0)] == math.floor(acc * 1e6)
+
+
+def test_pca_degenerate_corpus_engine_and_oracle_agree(spark):
+    """ADVICE r4: on a constant-embedding corpus the covariance is all
+    zeros, so power iteration hits ||y|| = 0 immediately. pca_train
+    breaks and keeps the previous v; the DuckDB twin's unrolled chain
+    must mirror that guard (CASE on zero norm) instead of dividing into
+    NaN — engine and oracle return identical component rows."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from doc_parser_spark.operators.similarity import pca_components
+
+    dims, k, iters = 4, 2, 8
+    const = [0.25, -0.5, 0.75, 1.0]  # exactly fp6-representable
+    rows = [(i, const, 0) for i in range(16)]
+    emb = _emb(spark, rows)
+    got = sorted(
+        (r.comp, r.dim, r.value_fp6, r.eigenvalue_floor)
+        for r in pca_components(emb, k=k, iters=iters).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT i AS vec_id,"
+        " [0.25, -0.5, 0.75, 1.0]::DOUBLE[] AS embedding"
+        " FROM range(16) t(i)"
+    )
+    sql = entry._pca_components_sql(dims=dims, k=k, iters=iters)
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    con.close()
+
+    assert got == want
+    # init direction survives untouched: every value is 1/sqrt(4) = 0.5
+    assert all(v == 500000 and lam == 0 for (_, _, v, lam) in got)

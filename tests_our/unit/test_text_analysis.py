@@ -1145,3 +1145,55 @@ def test_quality_grid_partitions_the_corpus(spark):
         assert r["share_permille"] == 1000 * r["n_docs"] // 20
         for k in ("gopher_keep", "rep_keep", "is_code", "slop_suspect"):
             assert isinstance(r[k], bool)
+
+
+def test_bpe_train_offline_first_merges_equal_spark_trainer(spark):
+    """VERDICT r4 directive #6: the driver-side incremental trainer and
+    the per-merge Spark trainer implement the same algorithm — their
+    merge tables must be identical wherever both run (checked on the
+    Sennrich toy corpus AND a word-salad corpus with ties)."""
+    from doc_parser_spark.operators.text_analysis import (
+        bpe_train,
+        bpe_train_offline,
+    )
+
+    for rows in (
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        [(1, "aaaa aaaa baab"), (2, "abab aab b")],
+        [(1, "spark scan sort shuffle spill spark scan")],
+    ):
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        a = [tuple(r) for r in bpe_train(docs, 6).orderBy("merge_rank").collect()]
+        b = [tuple(r) for r in
+             bpe_train_offline(docs, 6).orderBy("merge_rank").collect()]
+        assert a == b, rows
+
+
+def test_bpe_train_offline_sustains_production_merge_counts(spark):
+    """A 1k-merge run must complete (the point of the offline trainer),
+    stay internally consistent (contiguous ranks, positive counts), and
+    early-stop cleanly when the vocabulary is fully merged."""
+    import pytest
+
+    from doc_parser_spark.operators.text_analysis import bpe_train_offline
+
+    # deterministic pseudo-word vocabulary rich enough for 1000+ merges
+    words = []
+    for i in range(3000):
+        h = i * 2654435761 % 2**32
+        w = "".join("abcdefghijklmnop"[(h >> (4 * j)) & 0xF]
+                    for j in range(3 + i % 6))
+        words.append(w)
+    text = " ".join(words)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = bpe_train_offline(docs, 1000).orderBy("merge_rank").collect()
+    assert len(rows) == 1000
+    assert [r["merge_rank"] for r in rows] == list(range(1, 1001))
+    assert all(r["pair_count"] >= 1 for r in rows)
+    assert all(r["merged"] == r["lhs"] + r["rhs"] for r in rows)
+
+    # fully-merged early stop: 'aa' exhausts after one merge
+    tiny = spark.createDataFrame([(1, "aa aa")], "doc_id long, text string")
+    assert bpe_train_offline(tiny, 50).count() == 1
+    with pytest.raises(ValueError):
+        bpe_train_offline(tiny, 0)
