@@ -216,6 +216,21 @@ def main() -> None:
         except Exception as exc:  # bench must still emit its JSON line
             scaling = {"err": f"{type(exc).__name__}: {exc}"[:500]}
 
+    # 10x endurance block (VERDICT r4 directive #3): the same headline
+    # suite at sf1 (~50k docs / 6M lineitem / 240k extraction pages),
+    # synthesized deterministically by scripts/make_sf1.py (10x key-space
+    # replication of the read-only sf0.1 dir with content decorrelation).
+    # One warmup + one timed pass per query — this probes for memory
+    # cliffs and super-linear blowups at 10x the bench scale, not
+    # steady-state minima (those are the sf0.1 numbers above). Skip with
+    # SPARK_GRAFT_SF1=0; only runs for the canonical sf0.1 bench config.
+    sf1 = None
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and SF == 0.1:
+        try:
+            sf1 = _run_sf1(timings)
+        except Exception as exc:  # bench must still emit its JSON line
+            sf1 = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+
     print(
         json.dumps(
             {
@@ -229,9 +244,108 @@ def main() -> None:
                 "cpus": CPUS,
                 "host_steal_pct": steal_pct,
                 "scaling": scaling,
+                "sf1": sf1,
             }
         )
     )
+
+
+def _run_sf1(sf01_timings: dict[str, float]) -> dict:
+    """Headline suite at 10x scale in a fresh JVM; per-query ratio vs
+    the sf0.1 minima lets a reader spot super-linear behavior (linear
+    scaling reads as ratio ~10 with some fixed-cost amortization below
+    that; anything beyond 20 = 2x the sf-scaled expectation is a red
+    flag by the r4 VERDICT's own criterion)."""
+    import shutil
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR", os.path.join(repo, "testdata_sf1")
+    )
+    if not os.path.exists(os.path.join(sf1_dir, "lineitem.parquet")):
+        sys.path.insert(0, os.path.join(repo, "scripts"))
+        import make_sf1
+
+        make_sf1.make(sf1_dir, "/root/testdata/sf0.1", 10)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "0")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .appName("doc_parser_spark-bench-sf1")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+    from doc_parser_spark.operators.extract import explode_chunks, extract_documents
+    from doc_parser_spark.sources.pages import pages_df
+
+    queries = entry.queries()
+    timings: dict[str, float] = {}
+    n_pages = 240000
+
+    def bench(name: str, thunk) -> None:
+        thunk()  # warmup: codegen + Python worker spin-up
+        t0 = time.perf_counter()
+        thunk()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+
+    stage_dir = tempfile.mkdtemp(prefix="bench_pages_sf1_")
+    try:
+        pages_df(spark, n_pages, num_partitions=CPUS).write.mode(
+            "overwrite"
+        ).parquet(f"{stage_dir}/pages")
+        pages = spark.read.parquet(f"{stage_dir}/pages")
+        bench(
+            "extract_pipeline",
+            lambda: _force(
+                explode_chunks(extract_documents(pages, salt_partitions=CPUS))
+            ),
+        )
+        bench(
+            "extract_wrapped_docs",
+            lambda: _force(queries["extract_wrapped_docs"](spark, sf1_dir)),
+        )
+        for name in (
+            "doc_minhash_signatures",
+            "doc_lsh_pairs",
+            "doc_ngram_jaccard",
+            "doc_simhash",
+            "emb_cosine_topk",
+            "emb_ivfpq_topk",
+            "q1_pricing_summary",
+            "q3_top_unshipped",
+            "events_sessionize",
+        ):
+            bench(name, lambda n=name: _force(queries[n](spark, sf1_dir)))
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        spark.stop()
+
+    ratios = {
+        n: round(timings[n] / sf01_timings[n], 2)
+        for n in timings
+        if sf01_timings.get(n)
+    }
+    return {
+        "sf": 1.0,
+        "n_pages": n_pages,
+        "queries": timings,
+        "wall_sec": round(sum(timings.values()), 3),
+        "docs_per_sec": round(n_pages / timings["extract_pipeline"], 2),
+        "ratio_vs_sf0.1": ratios,
+        "max_ratio": max(ratios.values()) if ratios else None,
+    }
 
 
 if __name__ == "__main__":
