@@ -258,25 +258,38 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     """Per-document SimHash from token md5s.
 
     32-bit variant: sum ±1 per bit over tokens, sign → bit. Uses only
-    native expressions (conv/substring on md5 hex), no Python."""
-    toks = documents.select(
-        "doc_id", F.explode(F.expr(f"split({NORM}, ' ')")).alias("tok")
-    ).where(F.col("tok") != "")
-    hashed = toks.select(
-        "doc_id", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h")
+    native expressions (conv/substring on md5 hex), no Python.
+
+    Scan-shaped by construction: the whole signature folds inside ONE
+    projection over the documents scan (`aggregate` over the token
+    array), so there is no explode and **no shuffle** — the r4 bench's
+    explode→groupBy formulation went super-linear at sf1 (16.4x at 10x
+    data: 2.5M exploded rows through a 32-column hash aggregate),
+    while this form is embarrassingly parallel at any scale. The ±1
+    sums are integer and order-independent, so the emitted signature is
+    bit-identical to the grouped formulation (and to the DuckDB twin)."""
+    counters = (
+        "aggregate("
+        f"  transform(filter(split({NORM}, ' '), w -> w <> ''),"
+        "    w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)),"
+        f"  array_repeat(0L, {bits}),"
+        "  (acc, h) -> zip_with("
+        f"    acc, sequence(0, {bits - 1}),"
+        "    (a, i) -> a + IF((shiftright(h, i) & 1L) = 1L, 1L, -1L)))"
     )
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{i}")
-        for i in range(bits)
-    ]
-    sums = hashed.groupBy("doc_id").agg(*bit_aggs)
-    sig = None
-    for i in range(bits):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig = term if sig is None else (sig + term)
-    return sums.select("doc_id", sig.cast("long").alias("simhash"))
+    sig = (
+        f"aggregate(zip_with({counters}, sequence(0, {bits - 1}),"
+        "  (s, i) -> IF(s > 0, shiftleft(1L, i), 0L)),"
+        "  0L, (t, x) -> t + x)"
+    )
+    # token-less docs had no group in the grouped formulation (and have
+    # none in the DuckDB twin) — keep that contract
+    return (
+        documents.where(
+            F.expr(f"size(filter(split({NORM}, ' '), w -> w <> '')) > 0")
+        )
+        .select("doc_id", F.expr(sig).cast("long").alias("simhash"))
+    )
 
 
 def simhash_neardup_pairs(
