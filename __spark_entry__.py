@@ -1400,6 +1400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_centroids": q(similarity.ivf_centroids, "embeddings"),
         "emb_ivf_topk": q(similarity.ivf_topk, "embeddings"),
         "emb_pq_codes": q(similarity.pq_codes, "embeddings"),
+        "emb_opq_codes": q(similarity.opq_codes, "embeddings"),
+        "emb_opq_topk": q(similarity.opq_adc_topk, "embeddings"),
         "emb_sq8_codes": q(similarity.sq8_codes, "embeddings"),
         "emb_sq8_topk": q(similarity.sq8_topk, "embeddings"),
         "emb_matryoshka_topk": q(similarity.matryoshka_topk, "embeddings"),
@@ -2021,7 +2023,7 @@ _DRIVER_PRIORITY = [
     "doc_badwords", "doc_normalize", "img_dhash", "img_dhash_neardup",
     "av_wav_stats", "av_video_stats", "img_resize_check",
     "av_wav_fingerprint", "av_wav_neardup", "av_media_filter",
-    "doc_bpe_merges_offline",
+    "doc_bpe_merges_offline", "emb_opq_codes", "emb_opq_topk",
 ]
 
 
@@ -2732,6 +2734,73 @@ def _pq_ctes(
         )"""
     )
     return ",\n        ".join(ctes)
+
+
+def _opq_rot_cte(dims: int = 64) -> str:
+    """Walsh-Hadamard rotation CTE: rot.embedding[i] = (1/sqrt(dims)) *
+    Σ_j ±emb[j], signs (-1)^popcount((i-1)&(j-1)) — identical ascending-j
+    left fold and one exact *0.125 as similarity.opq_rotate's JVM
+    expression; bit-identical doubles on both engines."""
+    scale = 1.0 / (dims ** 0.5)
+    return f"""rot AS MATERIALIZED (
+            SELECT vec_id, list_transform(generate_series(1, {dims}),
+                i -> {scale!r} * list_sum(list_transform(
+                    generate_series(1, {dims}),
+                    j -> CAST(embedding[j] AS DOUBLE) *
+                         (CASE WHEN bit_count((i - 1) & (j - 1)) % 2 = 0
+                               THEN 1.0 ELSE -1.0 END))))
+                AS embedding
+            FROM embeddings
+        )"""
+
+
+def _opq_codes_sql(dims: int = 64, m: int = 4, ksub: int = 4,
+                   iters: int = 2) -> str:
+    return f"""
+        WITH {_opq_rot_cte(dims)},
+        {_pq_ctes(dims, m, ksub, iters, src="rot")}
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(sub AS BIGINT) AS sub,
+               CAST(code AS BIGINT) AS code
+        FROM pasg_final
+    """
+
+
+def _opq_adc_topk_sql(dims: int = 64, m: int = 4, ksub: int = 4,
+                      iters: int = 2, n_queries: int = 5,
+                      knn: int = 5) -> str:
+    dsub = dims // m
+    qdist = (
+        f"list_sum(list_transform(generate_series(1, {dsub}), "
+        f"i -> (CAST(q.embedding[b.sub * {dsub} + i] AS DOUBLE) - b.c[i]) "
+        f"* (CAST(q.embedding[b.sub * {dsub} + i] AS DOUBLE) - b.c[i])))"
+    )
+    return f"""
+        WITH {_opq_rot_cte(dims)},
+        {_pq_ctes(dims, m, ksub, iters, src="rot")},
+        lut AS (
+            SELECT q.vec_id AS query_id, b.sub, b.code,
+                   CAST(floor({qdist} * 1e6) AS BIGINT) AS d
+            FROM rot q CROSS JOIN books{iters} b
+            WHERE q.vec_id < {n_queries}
+        ),
+        scored AS (
+            SELECT l.query_id, a.vec_id AS neighbor_id, sum(l.d) AS adist
+            FROM pasg_final a
+            JOIN lut l ON l.sub = a.sub AND l.code = a.code
+            WHERE l.query_id <> a.vec_id
+            GROUP BY l.query_id, a.vec_id
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(neighbor_id AS BIGINT) AS neighbor_id,
+               CAST(adist AS BIGINT) AS adist,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+            ) AS rank FROM scored
+        ) WHERE rank <= {knn}
+    """
 
 
 def _pq_adc_topk_sql(
@@ -5180,6 +5249,8 @@ def oracle_sql() -> dict[str, str]:
             FROM pasg_final
         """,
         "emb_pq_adc_topk": _pq_adc_topk_sql(),
+        "emb_opq_codes": _opq_codes_sql(),
+        "emb_opq_topk": _opq_adc_topk_sql(),
         "emb_ivfpq_topk": _ivfpq_topk_sql(),
         "emb_ivfpq_res_topk": _ivfpq_res_topk_sql(),
         "emb_pca_components": _pca_components_sql(),

@@ -701,6 +701,82 @@ def pq_adc_topk(
     )
 
 
+def hadamard_signs(dims: int) -> list[list[int]]:
+    """Sylvester Walsh-Hadamard sign matrix: H[i][j] = (-1)^popcount(i&j)
+    for 0-indexed i, j. Requires power-of-two dims; H/sqrt(dims) is
+    orthogonal, and for dims = 64 the 1/8 scale is IEEE-exact."""
+    if dims & (dims - 1) or dims <= 0:
+        raise ValueError(f"dims ({dims}) must be a power of two")
+    return [
+        [1 if bin(i & j).count("1") % 2 == 0 else -1 for j in range(dims)]
+        for i in range(dims)
+    ]
+
+
+def opq_rotate(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
+    """Orthogonal pre-rotation for PQ — the OPQ composition (Ge et al.,
+    CVPR 2013 "Optimized Product Quantization"): quantize R·x instead of
+    x so per-subspace variance balances and the ADC distance distortion
+    spreads evenly across subquantizers.
+
+    The rotation here is the deterministic Walsh-Hadamard matrix
+    H/sqrt(dims) — the OPQ paper's random-rotation (RR) baseline made
+    reproducible: structured, orthogonal, entries exactly ±1/8 at 64
+    dims, so both engines can reproduce every rotated coordinate
+    bit-for-bit (ascending-j left fold, then one exact *0.125). The
+    paper's learned R (alternating Procrustes/SVD) is a documented
+    boundary like the NN models — SVD is not cross-engine-replicable
+    arithmetic; on variance-skewed data the structured rotation already
+    delivers the OPQ effect (recall lift pinned in
+    `test_opq_rotation_lifts_recall_on_anisotropic_data`), and on the
+    isotropic test corpus rotation is variance-neutral by construction.
+
+    Scan-shaped: one JVM projection per vector, no shuffle, no Python.
+    """
+    first = embeddings.select(col).first()
+    dims = len(first[col])
+    signs = hadamard_signs(dims)
+    scale = 1.0 / math.sqrt(dims)
+    outs = []
+    for i in range(dims):
+        lits = ", ".join(f"{float(s)!r}D" for s in signs[i])
+        outs.append(
+            f"{scale!r}D * aggregate(zip_with({col}, array({lits}), "
+            "(x, s) -> cast(x as double) * s), cast(0.0 as double), "
+            "(a, v) -> a + v)"
+        )
+    return embeddings.select(
+        "vec_id", F.expr("array(" + ", ".join(outs) + ")").alias(col)
+    )
+
+
+def opq_codes(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """PQ codes in the rotated space: rotate (scan-shaped projection),
+    then the standard per-subspace train/encode. Output identical in
+    shape to :func:`pq_codes` — (vec_id, sub, code)."""
+    return pq_codes(opq_rotate(embeddings), m, ksub, iters)
+
+
+def opq_adc_topk(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    n_queries: int = 5,
+    knn: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k in the rotated space. Rotation is
+    orthogonal, so true L2 distances are preserved exactly; only the
+    quantization grid changes — which is the whole OPQ point. Output
+    matches :func:`pq_adc_topk`: (query_id, neighbor_id, adist, rank)."""
+    return pq_adc_topk(opq_rotate(embeddings), m, ksub, iters, n_queries, knn)
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     k: int = IVF_K,

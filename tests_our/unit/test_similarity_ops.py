@@ -471,3 +471,73 @@ def test_pca_degenerate_corpus_engine_and_oracle_agree(spark):
     assert got == want
     # init direction survives untouched: every value is 1/sqrt(4) = 0.5
     assert all(v == 500000 and lam == 0 for (_, _, v, lam) in got)
+
+
+def test_opq_rotation_is_orthogonal_and_exact(spark):
+    """H/sqrt(d) must preserve norms exactly (orthogonality) and match
+    the closed-form signs; power-of-two gate raises on bad dims."""
+    import numpy as np
+    import pytest
+
+    from doc_parser_spark.operators.similarity import (
+        hadamard_signs,
+        opq_rotate,
+    )
+
+    H = np.array(hadamard_signs(64), dtype=float) / 8.0
+    assert np.allclose(H @ H.T, np.eye(64))
+    with pytest.raises(ValueError):
+        hadamard_signs(48)
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 64)], 0)
+            for i in range(8)]
+    emb = _emb(spark, rows)
+    got = {r["vec_id"]: np.array(r["embedding"])
+           for r in opq_rotate(emb).collect()}
+    for i, v, _l in rows:
+        # the table column is float32: compare against the stored values
+        v32 = np.array(v, dtype=np.float32).astype(np.float64)
+        assert abs(np.linalg.norm(got[i]) - np.linalg.norm(v32)) < 1e-12
+
+
+def test_opq_rotation_lifts_recall_on_anisotropic_data(spark):
+    """The OPQ effect (Ge et al. 2013): on variance-skewed data, plain
+    PQ wastes its code budget — one subspace holds all the energy —
+    while the rotated quantizer spreads distortion evenly and ADC
+    ranking improves. Pinned: recall@10 of opq_adc_topk beats
+    pq_adc_topk by >= 0.05 absolute on an exp-decay spectrum corpus
+    (numpy prototype: 0.100 -> 0.208 at m=8, ksub=16)."""
+    import numpy as np
+
+    from doc_parser_spark.operators.similarity import (
+        opq_adc_topk,
+        pq_adc_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d, knn, n_q = 600, 64, 10, 12
+    scales = np.exp(-np.arange(d) / 8.0)
+    X = rng.normal(0, 1, (n, d)) * scales
+    rows = [(i, [float(x) for x in X[i]], 0) for i in range(n)]
+    emb = _emb(spark, rows).cache()
+
+    exact = {}
+    for q in range(n_q):
+        ed = ((X - X[q]) ** 2).sum(1)
+        ed[q] = np.inf
+        exact[q] = set(int(i) for i in np.argsort(ed)[:knn])
+
+    def recall(df):
+        hits = tot = 0
+        for r in df.collect():
+            tot += 1
+            hits += int(r["neighbor_id"] in exact[r["query_id"]])
+        assert tot == n_q * knn
+        return hits / tot
+
+    kw = dict(m=8, ksub=16, iters=4, n_queries=n_q, knn=knn)
+    r_plain = recall(pq_adc_topk(emb, **kw))
+    r_opq = recall(opq_adc_topk(emb, **kw))
+    emb.unpersist()
+    assert r_opq >= r_plain + 0.05, (r_plain, r_opq)
