@@ -403,6 +403,17 @@ class Glyph:
     # device-space ink advance along the reading direction — vertical
     # runs need it for gap/space decisions (x1-x0 collapses to ~0 there)
     adv: float = 0.0
+    # character-spacing (Tc) in effect when the glyph was shown — a Tc
+    # flip between show ops marks a styled sub-run (docling-parse starts
+    # a new textline cell there, e.g. rtl_02's lone ':')
+    tc: float = 0.0
+    # positioning epoch: bumps at every explicit text-positioning op
+    # (Td/TD/Tm/T*/'/"/BT).  Kern offsets inside one TJ array do NOT bump
+    # it — docling-parse keeps a TJ's glyphs in one textline cell however
+    # far the internal offsets jump, but starts a new cell where a
+    # positioning op lands the pen discontinuously (RTL Word output
+    # draws each directional segment under its own Tm)
+    seg: int = 0
 
 
 _RTL_RE = re.compile(
@@ -538,11 +549,64 @@ def assemble_cells(
             pruned.append(g)
         line = pruned
         rtl_line = any(_direction(g.text[:1]) < 0 for g in line)
+        # Positioning-epoch segmentation (RTL lines): Word-generated RTL
+        # PDFs draw each directional sub-run under its own BT/Td; the
+        # reference's parser keeps those sub-runs as separate textline
+        # cells when the text STATE differs across the boundary, and
+        # merges x-abutting same-state runs (rtl_02 golden, verified
+        # pair-by-pair):
+        #   * font change between epochs → split (the lead-in face of
+        #     'وعليه،', the Latin-font '2023' island);
+        #   * Tc change between epochs → split ONLY when exactly one
+        #     side's ink is Arabic (the lone ':' sub-run); Arabic↔Arabic
+        #     and digit↔paren Tc flips stay merged (')2026').
+        # Epoch attributes are segment-level, so glyph-wise font flips
+        # inside one show op (digits inside an RTL run, rtl_01) merge.
+        seg_font: dict[int, int] = {}
+        seg_tc: dict[int, float] = {}
+        seg_arabic: dict[int, bool] = {}
+        seg_strong: dict[int, bool] = {}
+        if rtl_line:
+            for g in line:
+                if g.seg not in seg_font and not g.text.isspace():
+                    seg_font[g.seg] = g.font
+                    seg_tc[g.seg] = g.tc
+                seg_arabic[g.seg] = seg_arabic.get(g.seg, False) or (
+                    not g.text.isspace() and _direction(g.text[:1]) < 0
+                )
+                seg_strong[g.seg] = seg_strong.get(g.seg, False) or (
+                    not g.text.isspace() and _direction(g.text[:1]) != 0
+                )
+
+        def epoch_split(a: Glyph, b: Glyph) -> bool:
+            if not rtl_line or a.seg == b.seg:
+                return False
+            fa, fb = seg_font.get(a.seg), seg_font.get(b.seg)
+            if (
+                fa is not None
+                and fb is not None
+                and fa != fb
+                # a neutral-only sub-run (a lone sentence '.') merges
+                # across fonts — only strong-ink runs split on face
+                and seg_strong.get(a.seg, False)
+                and seg_strong.get(b.seg, False)
+            ):
+                return True
+            ta, tb = seg_tc.get(a.seg), seg_tc.get(b.seg)
+            return (
+                ta is not None
+                and tb is not None
+                and ta != tb
+                and seg_arabic.get(a.seg, False)
+                != seg_arabic.get(b.seg, False)
+            )
+
         # split into cells on big gaps and — LTR lines only — font changes
         # (docling-parse starts a new textline cell per font run: the
         # zero-gap 'di|ffi|cult' / italic-span splits in the goldens; on
         # RTL lines font flips at every Latin digit/punct glyph and the
-        # goldens keep those inside the run, splitting on gaps alone);
+        # goldens keep those inside the run, splitting on state changes
+        # at epoch boundaries and on gaps);
         # boundary spaces attach to the PREVIOUS group ('Note in ' |
         # 'Figure 7-26')
         groups: list[list[Glyph]] = [[line[0]]]
@@ -560,7 +624,11 @@ def assemble_cells(
                 and last_solid_font is not None
                 and g.font != last_solid_font
             )
-            if g.x0 - prev.x1 > split_em * size or font_changed:
+            if (
+                g.x0 - prev.x1 > split_em * size
+                or font_changed
+                or epoch_split(prev, g)
+            ):
                 groups.append([g])
             else:
                 groups[-1].append(g)
@@ -767,6 +835,7 @@ class TextEngine:
         tl = 0.0
         ts = 0.0
         in_text = False
+        seg_epoch = 0
         stack: list = []
         # path construction state (PDF 32000-1 §8.5): segments collect in
         # user space until a paint op commits them (stroke/fill) or ``n``
@@ -858,6 +927,8 @@ class TextEngine:
                             font_name=fname,
                             rot=rot,
                             adv=abs(ink * diry) if rot else 0.0,
+                            tc=tc,
+                            seg=seg_epoch,
                         )
                     )
                 qe, qf = e2, f2
@@ -899,6 +970,7 @@ class TextEngine:
                     ctm = mmul(tuple(nums[-6:]), ctm)
                 elif op == b"BT":
                     in_text = True
+                    seg_epoch += 1
                     tm = tlm = IDENTITY
                 elif op == b"ET":
                     in_text = False
@@ -920,24 +992,30 @@ class TextEngine:
                 elif op == b"Ts" and nums:
                     ts = nums[-1]
                 elif op == b"Td" and len(nums) >= 2:
+                    seg_epoch += 1
                     tlm = mmul(translate(nums[-2], nums[-1]), tlm)
                     tm = tlm
                 elif op == b"TD" and len(nums) >= 2:
+                    seg_epoch += 1
                     tl = -nums[-1]
                     tlm = mmul(translate(nums[-2], nums[-1]), tlm)
                     tm = tlm
                 elif op == b"Tm" and len(nums) >= 6:
+                    seg_epoch += 1
                     tm = tlm = tuple(nums[-6:])
                 elif op == b"T*":
+                    seg_epoch += 1
                     tlm = mmul(translate(0.0, -tl), tlm)
                     tm = tlm
                 elif op == b"Tj" and in_text and stack and stack[-1][0] == "str":
                     show(stack[-1][1])
                 elif op == b"'" and in_text and stack and stack[-1][0] == "str":
+                    seg_epoch += 1
                     tlm = mmul(translate(0.0, -tl), tlm)
                     tm = tlm
                     show(stack[-1][1])
                 elif op == b'"' and in_text and stack and stack[-1][0] == "str":
+                    seg_epoch += 1
                     if len(nums) >= 2:
                         tw, tc = nums[-2], nums[-1]
                     tlm = mmul(translate(0.0, -tl), tlm)
