@@ -115,6 +115,11 @@ def merge_horizontal_cells(
         )
 
     def merge_row(row: list[TextCell]) -> list[TextCell]:
+        # rows accrue in y order; a superscript-joined row spanning two
+        # baselines (a taller float beside staggered body lines) is not
+        # x-monotonic, and an unsorted walk sees negative gaps that
+        # always merge — reading order must see x-sorted gaps
+        row = sorted(row, key=lambda c: c.l)
         merged: list[TextCell] = []
         current = [row[0]]
         for cell in row[1:]:
@@ -261,6 +266,112 @@ def order_cells(cells: list[TextCell], page_width: float) -> list[TextCell]:
     row_gap_min = 1.5 * median_h
     col_gap_min = max(12.0, page_width * 0.04)
 
+    def proximity_blocks(group: list[TextCell]) -> list[list[TextCell]]:
+        """2-D proximity clustering (union-find): cells connect when
+        x-overlapping with a sub-line vertical gap (column flow) or
+        y-overlapping with a sub-space horizontal gap (same line)."""
+        n = len(group)
+        parent = list(range(n))
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i in range(n):
+            a = group[i]
+            ah = max(a.height, 1.0)
+            for j in range(i + 1, n):
+                b = group[j]
+                # the SMALLER height sets the connect radius: a taller
+                # float line beside body text must not inflate its own
+                # capture range and glue itself into the flow
+                h = max(min(ah, max(b.height, 1.0)), 1.0)
+                x_ov = min(a.r, b.r) - max(a.l, b.l)
+                y_ov = min(a.b, b.b) - max(a.t, b.t)
+                v_gap = max(a.t, b.t) - min(a.b, b.b)
+                h_gap = max(a.l, b.l) - min(a.r, b.r)
+                if (x_ov > 0.3 * min(a.r - a.l, b.r - b.l)
+                        and v_gap <= 0.9 * h) or (
+                        y_ov > 0 and h_gap <= 1.0 * h):
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[rb] = ra
+        by_root: dict[int, list[TextCell]] = {}
+        for i in range(n):
+            by_root.setdefault(find(i), []).append(group[i])
+        return list(by_root.values())
+
+    def bbox(block: list[TextCell]) -> tuple[float, float, float, float]:
+        return (
+            min(c.l for c in block), min(c.t for c in block),
+            max(c.r for c in block), max(c.b for c in block),
+        )
+
+    def freeform(group: list[TextCell], depth: int) -> list[TextCell]:
+        """No clean projection cut (magazine/free-form layout): extract
+        floating islands so the main flow reads continuously.
+
+        Two deterministic rules, applied at the blocked leaf:
+
+        1. *cut-blocker removal* — if removing ONE proximity block makes
+           an XY-cut possible (a pull-quote straddling a column gutter,
+           a box breaking a band), order the rest recursively and append
+           the island after the flow it interrupted;
+        2. *side-float* — a block that sits beside a strictly larger
+           block (y-overlap, disjoint x) is a float (wrapped figure
+           caption, margin quote): the larger flow reads first, floats
+           follow in (top, left) order.
+
+        The reference solves this page class with its NN reading-order
+        predictor (readingorder_model.py:42-381); these rules are the
+        deterministic subset covering its float/island behavior."""
+        blocks = proximity_blocks(group)
+        if len(blocks) <= 1:
+            return sorted(group, key=lambda c: (c.t, c.l))
+        # rule 1: gutter-blocker removal (try smaller blocks first).
+        # Only an X-gutter cut counts, and the removed island must
+        # STRADDLE the enabled boundary — a stack of paragraphs must
+        # never be torn apart by removing the middle one (the enabled
+        # y-band would pass through any removed block; a gutter through
+        # the block's x-range is only possible for a genuine straddler).
+        blocks_sorted = sorted(
+            blocks, key=lambda b: (len(b), bbox(b)[1], bbox(b)[0])
+        )
+        for cand in blocks_sorted[:-1]:
+            rest = [c for b in blocks for c in b if b is not cand]
+            x_split = _projection_gap([(c.l, c.r) for c in rest], col_gap_min)
+            if x_split is not None:
+                cl, _ct, cr, _cb = bbox(cand)
+                if cl < x_split[0] < cr:
+                    return cut(rest, depth + 1) + sorted(
+                        cand, key=lambda c: (c.t, c.l)
+                    )
+        # rule 2: side-floats after the flow
+        sizes = {id(b): len(b) for b in blocks}
+        boxes = {id(b): bbox(b) for b in blocks}
+
+        def floats_beside_larger(b) -> bool:
+            lb, tb, rb_, bb = boxes[id(b)]
+            for o in blocks:
+                if o is b or sizes[id(o)] <= sizes[id(b)]:
+                    continue
+                lo, to, ro, bo = boxes[id(o)]
+                y_ov = min(bb, bo) - max(tb, to)
+                x_disjoint = rb_ <= lo or lb >= ro
+                if y_ov > 0 and x_disjoint:
+                    return True
+            return False
+
+        flow = [b for b in blocks if not floats_beside_larger(b)]
+        isles = [b for b in blocks if floats_beside_larger(b)]
+        key = lambda b: (boxes[id(b)][1], boxes[id(b)][0])  # noqa: E731
+        out: list[TextCell] = []
+        for b in sorted(flow, key=key) + sorted(isles, key=key):
+            out.extend(sorted(b, key=lambda c: (c.t, c.l)))
+        return out
+
     def cut(group: list[TextCell], depth: int) -> list[TextCell]:
         if len(group) <= 1 or depth > 12:
             return sorted(group, key=lambda c: (c.t, c.l))
@@ -279,8 +390,23 @@ def order_cells(cells: list[TextCell], page_width: float) -> list[TextCell]:
             left = [c for c in group if c.r <= boundary]
             right = [c for c in group if c.r > boundary]
             if left and right:
+                # sidebar asymmetry: a much smaller AND much narrower
+                # side of the gutter is a margin note / sidebar float,
+                # not a first column — the main flow reads first (the
+                # reference's NN places floats after the body they
+                # annotate); balanced columns keep classic left-first
+                def span(g):
+                    return max(c.r for c in g) - min(c.l for c in g)
+
+                small, big = (left, right) if len(left) <= len(right) \
+                    else (right, left)
+                if (
+                    len(small) * 3 <= len(big)
+                    and span(small) <= 0.45 * span(big)
+                ):
+                    return cut(big, depth + 1) + cut(small, depth + 1)
                 return cut(left, depth + 1) + cut(right, depth + 1)
-        return sorted(group, key=lambda c: (c.t, c.l))
+        return freeform(group, depth)
 
     return cut(list(cells), 0)
 
