@@ -445,6 +445,18 @@ def _bidi_cell_text(glyphs: list[Glyph]) -> list[list[Glyph]]:
     n_ltr = sum(1 for s in strong if s > 0)
     if n_rtl == 0:
         return [glyphs]
+    # UAX#9-style terminator/separator attachment BEFORE the generic
+    # neutral rule: a European terminator (%, ‰, °, ٪) or a dash beside
+    # a digit joins the NUMBER run, not the surrounding RTL text —
+    # rtl_03's golden keeps '%50' and '-2-5' as single number cells
+    def _digit(i: int) -> bool:
+        return 0 <= i < len(glyphs) and glyphs[i].text[:1].isdigit()
+
+    for i, g in enumerate(glyphs):
+        ch = g.text[:1]
+        if strong[i] == 0 and ch in "%‰°٪-–−":
+            if _digit(i + 1) or _digit(i - 1):
+                strong[i] = 1
     # assign neutrals to the nearest preceding strong direction (fallback:
     # following), then split maximal runs
     dirs: list[int] = []
@@ -494,6 +506,20 @@ def _bidi_cell_text(glyphs: list[Glyph]) -> list[list[Glyph]]:
     return out
 
 
+def _same_face(
+    id_a: int, name_a: str, id_b: int, name_b: str, by_name: bool = False
+) -> bool:
+    """Font-face identity for cell splitting. Default: resource
+    identity (pdflatex faces are distinct resources and the LTR goldens
+    split per resource — 'di|ffi|cult'). ``by_name=True`` (RTL pages):
+    BaseFont-name identity — Word splits one family into several subset
+    resources (Latin digits vs letters) and the reference keeps those
+    in one cell ('Page 7', rtl_03 golden)."""
+    if by_name and name_a and name_b:
+        return name_a == name_b
+    return id_a == id_b
+
+
 def assemble_cells(
     glyphs: list[Glyph],
     page_height: float,
@@ -528,6 +554,7 @@ def assemble_cells(
 
     cells: list = []
     counter = 0
+    page_rtl = any(_direction(g.text[:1]) < 0 for g in glyphs)
     for line in lines:
         line.sort(key=lambda g: g.x0)
         # double-paint dedup: the same character re-struck with its ink
@@ -562,14 +589,14 @@ def assemble_cells(
         #     and digit↔paren Tc flips stay merged (')2026').
         # Epoch attributes are segment-level, so glyph-wise font flips
         # inside one show op (digits inside an RTL run, rtl_01) merge.
-        seg_font: dict[int, int] = {}
+        seg_font: dict[int, tuple] = {}
         seg_tc: dict[int, float] = {}
         seg_arabic: dict[int, bool] = {}
         seg_strong: dict[int, bool] = {}
         if rtl_line:
             for g in line:
                 if g.seg not in seg_font and not g.text.isspace():
-                    seg_font[g.seg] = g.font
+                    seg_font[g.seg] = (g.font, g.font_name)
                     seg_tc[g.seg] = g.tc
                 seg_arabic[g.seg] = seg_arabic.get(g.seg, False) or (
                     not g.text.isspace() and _direction(g.text[:1]) < 0
@@ -585,11 +612,18 @@ def assemble_cells(
             if (
                 fa is not None
                 and fb is not None
-                and fa != fb
+                and not _same_face(*fa, *fb, by_name=True)
                 # a neutral-only sub-run (a lone sentence '.') merges
-                # across fonts — only strong-ink runs split on face
+                # across fonts — only strong-ink runs split on face, and
+                # at least one side must be Arabic ink: an LTR header
+                # pair ('Page' + '7' in different faces, rtl_03) stays
+                # one cell in the goldens
                 and seg_strong.get(a.seg, False)
                 and seg_strong.get(b.seg, False)
+                and (
+                    seg_arabic.get(a.seg, False)
+                    or seg_arabic.get(b.seg, False)
+                )
             ):
                 return True
             ta, tb = seg_tc.get(a.seg), seg_tc.get(b.seg)
@@ -611,7 +645,9 @@ def assemble_cells(
         # 'Figure 7-26')
         groups: list[list[Glyph]] = [[line[0]]]
         last_solid_font = (
-            line[0].font if not line[0].text.isspace() else None
+            (line[0].font, line[0].font_name)
+            if not line[0].text.isspace()
+            else None
         )
         for g in line[1:]:
             prev = groups[-1][-1]
@@ -622,7 +658,10 @@ def assemble_cells(
                 not rtl_line
                 and not g.text.isspace()
                 and last_solid_font is not None
-                and g.font != last_solid_font
+                and not _same_face(
+                    g.font, g.font_name, *last_solid_font,
+                    by_name=page_rtl,
+                )
             )
             if (
                 g.x0 - prev.x1 > split_em * size
@@ -633,7 +672,7 @@ def assemble_cells(
             else:
                 groups[-1].append(g)
             if not g.text.isspace():
-                last_solid_font = g.font
+                last_solid_font = (g.font, g.font_name)
         sub_runs = [
             run for group in groups for run in _bidi_cell_text(group)
         ]
