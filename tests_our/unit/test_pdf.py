@@ -295,3 +295,46 @@ def test_cid_w_array_multiple_nested_groups():
     assert f.widths[65] == 0.5
     assert f.widths[66] == 0.6 and f.widths[67] == 0.7
     assert f.widths[70] == f.widths[71] == f.widths[72] == 0.25
+
+
+def test_bidi_terminator_and_dash_attach_to_digit_runs():
+    """r5 rtl_03 rules: '%' / dash beside a digit joins the NUMBER run
+    instead of the surrounding RTL text, so '%50' and '-2-5' come out
+    as single logical cells; a dash between two RTL words still follows
+    the generic neutral rule."""
+    from doc_parser_spark.pdf.textengine import Glyph, _bidi_cell_text
+
+    def g(ch, x):
+        return Glyph(text=ch, x0=x, x1=x + 5.0, y=100.0, size=10.0,
+                     spaced=True)
+
+    # visual order (left to right): [RTL]['%']['5']['0'][RTL]
+    glyphs = [g("ب", 0), g("%", 10), g("5", 20), g("0", 30), g("ت", 40)]
+    runs = _bidi_cell_text(glyphs)
+    texts = ["".join(x.text for x in r) for r in runs]
+    assert "%50" in texts, texts
+
+    # visual: [RTL]['-']['2']['-']['5'][RTL] → dash joins the number
+    glyphs = [g("ب", 0), g("-", 10), g("2", 20), g("-", 30), g("5", 40),
+              g("ت", 50)]
+    runs = _bidi_cell_text(glyphs)
+    texts = ["".join(x.text for x in r) for r in runs]
+    assert "-2-5" in texts, texts
+
+    # dash between two RTL words: stays with the RTL flow (prev-strong)
+    glyphs = [g("ب", 0), g("-", 10), g("ت", 20)]
+    runs = _bidi_cell_text(glyphs)
+    assert len(runs) == 1  # one RTL run, dash inside
+
+
+def test_same_face_identity_modes():
+    from doc_parser_spark.pdf.textengine import _same_face
+
+    # default: resource identity (LTR pages — pdflatex faces split)
+    assert not _same_face(1, "Cambria", 2, "Cambria")
+    # by_name (RTL pages): subset resources of one family merge
+    assert _same_face(1, "Cambria", 2, "Cambria", by_name=True)
+    assert not _same_face(1, "Cambria", 2, "Arial", by_name=True)
+    # missing names fall back to resource identity in both modes
+    assert not _same_face(1, "", 2, "", by_name=True)
+    assert _same_face(3, "", 3, "Cambria", by_name=True)
