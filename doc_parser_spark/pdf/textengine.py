@@ -654,6 +654,20 @@ def assemble_cells(
             size = max(prev.size, g.size, 1.0)
             split_em = CELL_SPLIT_EM if (g.spaced and prev.spaced) \
                 else CELL_SPLIT_EM_UNSPACED
+            # a wide run of literal space GLYPHS is a cell separator
+            # even though no positional gap exists (Word pads checkbox
+            # labels with spaces: rtl_03's 'بلی        خير' golden
+            # splits at the 2.4 em space run); 1.5 em keeps ordinary
+            # double-spacing intact
+            wide_spaces = False
+            if not g.text.isspace():
+                run_w = 0.0
+                for p_g in reversed(groups[-1]):
+                    if p_g.text.isspace():
+                        run_w += p_g.x1 - p_g.x0
+                    else:
+                        break
+                wide_spaces = run_w > 1.5 * size
             font_changed = (
                 not rtl_line
                 and not g.text.isspace()
@@ -666,6 +680,7 @@ def assemble_cells(
             if (
                 g.x0 - prev.x1 > split_em * size
                 or font_changed
+                or wide_spaces
                 or epoch_split(prev, g)
             ):
                 groups.append([g])
