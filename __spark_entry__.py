@@ -2005,6 +2005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # CORRECTNESS_r{1..4}.json sample (r01 ∪ r02 ∪ r03 ∪ r04 = 128 of 183
 # entries; these are the remaining 55).
 _DRIVER_PRIORITY = [
+    # r5 additions first — newest code, no independent judge sample yet
+    "doc_bpe_merges_offline", "emb_opq_codes", "emb_opq_topk",
     "web_host_features", "web_host_cocitation", "web_host_hits",
     "web_host_degree", "web_host_components", "web_host_communities",
     "web_host_hll", "web_sitemap_urls", "web_sitemap_coverage",
@@ -2023,7 +2025,6 @@ _DRIVER_PRIORITY = [
     "doc_badwords", "doc_normalize", "img_dhash", "img_dhash_neardup",
     "av_wav_stats", "av_video_stats", "img_resize_check",
     "av_wav_fingerprint", "av_wav_neardup", "av_media_filter",
-    "doc_bpe_merges_offline", "emb_opq_codes", "emb_opq_topk",
 ]
 
 
