@@ -327,6 +327,12 @@ def order_cells(cells: list[TextCell], page_width: float) -> list[TextCell]:
         The reference solves this page class with its NN reading-order
         predictor (readingorder_model.py:42-381); these rules are the
         deterministic subset covering its float/island behavior."""
+        # pathological density guard: proximity clustering is O(n²) over
+        # the leaf's line-cells; a leaf this dense is scrambled OCR or a
+        # mega-table, where plain (top, left) is the defensible order
+        # and a 100 TB kernel must not spend quadratic Python on it
+        if len(group) > 400:
+            return sorted(group, key=lambda c: (c.t, c.l))
         blocks = proximity_blocks(group)
         if len(blocks) <= 1:
             return sorted(group, key=lambda c: (c.t, c.l))

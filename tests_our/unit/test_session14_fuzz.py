@@ -130,3 +130,26 @@ def test_order_cells_islands_never_split_blocks_content():
         assert sorted(c.text for c in ordered) == sorted(
             c.text for c in cells
         )
+
+
+def test_order_cells_is_input_order_invariant():
+    # the reading order must be a function of geometry alone — shuffling
+    # the input cell list must not change the output sequence
+    rng = random.Random(144)
+    for trial in range(40):
+        n = rng.randint(2, 30)
+        cells = []
+        for i in range(n):
+            x = rng.uniform(0, 560)
+            y = rng.uniform(60, 740)
+            cells.append(
+                TextCell(index=i, text=f"c{i}", l=x, t=y,
+                         r=x + rng.uniform(10, 300), b=y + 11.0,
+                         font_size=10, page_no=1)
+            )
+        ref = [c.text for c in layout.order_cells(list(cells), 612.0)]
+        for _ in range(3):
+            shuffled = list(cells)
+            rng.shuffle(shuffled)
+            got = [c.text for c in layout.order_cells(shuffled, 612.0)]
+            assert got == ref
