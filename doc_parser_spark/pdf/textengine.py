@@ -458,13 +458,34 @@ def _bidi_cell_text(glyphs: list[Glyph]) -> list[list[Glyph]]:
             if _digit(i + 1) or _digit(i - 1):
                 strong[i] = 1
     # assign neutrals to the nearest preceding strong direction (fallback:
-    # following), then split maximal runs
+    # following), then split maximal runs. One UAX#9 N1 refinement: a
+    # neutral whose preceding strong is a NUMBER (EN) and whose next
+    # strong is RTL resolves RTL — European numbers count as R context
+    # for neutral resolution, so the '(' after '2024' joins the Arabic
+    # flow ('…ال لور (' in the rtl_02 golden), not the digit run.
+    prev_cls = [0] * len(glyphs)   # -1 RTL / +1 letter / +2 digit
+    pc = 0
+    for i, g in enumerate(glyphs):
+        if strong[i] != 0:
+            pc = 2 if g.text[:1].isdigit() else strong[i]
+        prev_cls[i] = pc
+    next_cls = [0] * len(glyphs)
+    nc = 0
+    for i in range(len(glyphs) - 1, -1, -1):
+        if strong[i] != 0:
+            nc = 2 if glyphs[i].text[:1].isdigit() else strong[i]
+        next_cls[i] = nc
     dirs: list[int] = []
     prev = 0
-    for s in strong:
+    for i, s in enumerate(strong):
         if s != 0:
             prev = s
-        dirs.append(prev)
+            dirs.append(prev)
+            continue
+        if prev_cls[i] == 2 and next_cls[i] == -1:
+            dirs.append(-1)
+        else:
+            dirs.append(prev)
     nxt = 0
     for i in range(len(dirs) - 1, -1, -1):
         if strong[i] != 0:
@@ -486,22 +507,11 @@ def _bidi_cell_text(glyphs: list[Glyph]) -> list[list[Glyph]]:
         run = runs[i]
         if run_dirs[i] < 0:
             run = list(reversed(run))
-            # combining marks share their base's position; reversal put
-            # them BEFORE the base — restore base-then-mark logical order
-            j = 0
-            while j < len(run) - 1:
-                if (
-                    run[j].text
-                    and unicodedata.combining(run[j].text[0])
-                    and not (
-                        run[j + 1].text
-                        and unicodedata.combining(run[j + 1].text[0])
-                    )
-                ):
-                    run[j], run[j + 1] = run[j + 1], run[j]
-                    j += 2
-                else:
-                    j += 1
+            # combining marks stay where the reversal puts them (BEFORE
+            # their base): the reference's goldens carry marks in
+            # reversed-visual position ('ووف ًخ', rtl_02; 'بناء ً',
+            # rtl_01) — an r4 base-then-mark "restoration" matched zero
+            # golden cells and cost one (measured r5)
         out.append(run)
     return out
 
