@@ -326,6 +326,10 @@ def _run_sf1(sf01_timings: dict[str, float]) -> dict:
             "q1_pricing_summary",
             "q3_top_unshipped",
             "events_sessionize",
+            # the composed quality->dedup->decontaminate->host-cap
+            # funnel — the heaviest registry op, the r4 VERDICT's named
+            # sf1 endurance target beside the headline suite
+            "doc_curate_flags",
         ):
             bench(name, lambda n=name: _force(queries[n](spark, sf1_dir)))
     finally:
